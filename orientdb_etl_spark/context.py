@@ -1,0 +1,75 @@
+"""Shared pipeline state.
+
+The reference threads an ``OCommandContext`` of ``$variables`` through every
+component (``OAbstractETLComponent.java:123-152``) and accumulates run stats
+(``OETLProcessor.java:75-89``). Our equivalent is driver-side only: variables
+are resolved while *compiling* the DataFrame lineage, never per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class RunStats:
+    """≈ OETLProcessorStats (``OETLProcessor.java:75-89``): warning/error
+    budget for unresolved-lookup actions and validation gates."""
+
+    warnings: int = 0
+    errors: int = 0
+    notes: list[str] = field(default_factory=list)
+
+    def warn(self, msg: str) -> None:
+        self.warnings += 1
+        self.notes.append(f"WARNING: {msg}")
+
+    def error(self, msg: str) -> None:
+        self.errors += 1
+        self.notes.append(f"ERROR: {msg}")
+
+
+@dataclass
+class PipelineContext:
+    """Everything a compiling operator can see."""
+
+    spark: SparkSession
+    variables: dict[str, Any] = field(default_factory=dict)
+    # lookup namespace: "ClassName" -> DataFrame (dimension tables, loaded
+    # fixtures, results of previous pipelines). The lookup family resolves
+    # "Class.property" against this (≈ OAbstractLookupTransformer.java:74-93).
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    # graph accumulation: vertex/edge transformers append here
+    vertices: list[DataFrame] = field(default_factory=list)
+    edges: list[DataFrame] = field(default_factory=list)
+    # `output` attribute side-branches (OAbstractTransformer.java:38-47)
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+    stats: RunStats = field(default_factory=RunStats)
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def resolve_lookup(self, lookup: str) -> tuple[DataFrame, str]:
+        """Resolve ``"Class.property"`` to (dimension DF, key column).
+
+        ≈ the reference's index-or-query access-path selection
+        (``OAbstractLookupTransformer.java:74-93``) — in Spark the "index"
+        is simply a (usually broadcast) join on the key column.
+        """
+        if "." not in lookup:
+            raise ValueError(f"lookup must be 'Class.property', got {lookup!r}")
+        cls, prop = lookup.rsplit(".", 1)
+        if cls in self.tables:
+            df = self.tables[cls]
+        else:
+            try:
+                df = self.spark.table(cls)
+            except Exception as exc:  # noqa: BLE001
+                raise ValueError(f"unknown lookup class {cls!r}") from exc
+        if prop not in df.columns:
+            raise ValueError(f"lookup property {prop!r} not in {cls!r} columns")
+        return df, prop

@@ -1,0 +1,318 @@
+"""Deduplication operators.
+
+Design for 100 TB: every variant avoids the O(n²) all-pairs comparison by
+construction — exact dedup is a hash aggregate; MinHash/SimHash restrict
+comparisons to LSH-bucket collisions; the candidate-pair verification joins
+are self-joins on bucket keys (AQE handles skewed buckets). Signatures are
+computed with built-in JVM expressions (xxhash64 over shingle arrays via
+higher-order functions) so the hot path needs no Python at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str] | None = None, tie_break: str | None = None
+) -> DataFrame:
+    """Exact duplicate removal by content hash — one hash-aggregate shuffle.
+
+    With ``tie_break``, the kept row per duplicate group is deterministic
+    (min of the tie-break column — usually the id), which matters for
+    reproducible training-data builds; otherwise ``dropDuplicates``
+    (first-seen, nondeterministic under parallelism) is used.
+    """
+    cols = cols or df.columns
+    if tie_break is None:
+        return df.dropDuplicates(cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*cols).orderBy(F.col(tie_break).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _shingles(col: str, k: int) -> F.Column:
+    """Character k-shingles as an array column — pure expression (no UDF):
+    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k} + 1, 1)), "
+        f"i -> substring({col}, i, {k}))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature per row, fully JVM-side.
+
+    signature[p] = min over shingles of xxhash64(p, shingle) — seeding the
+    built-in hash with the permutation index replaces explicit permutation
+    functions (standard practice; same collision statistics). One narrow
+    projection, no shuffle, no Python.
+    """
+    sig = F.expr(
+        f"transform(sequence(0, {num_perm - 1}), "
+        f"p -> array_min(transform(_shingles, s -> xxhash64(p, s))))"
+    )
+    return (
+        df.withColumn("_shingles", F.array_distinct(_shingles(text_col, shingle_k)))
+        .withColumn(out_col, sig)
+        .drop("_shingles")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal: shingle → minhash → band → bucket-join.
+
+    Scale shape: signatures are computed in one map stage; candidate pairs
+    come from exploding ``bands`` band-hashes per row and self-joining on
+    the (band, hash) bucket — only colliding rows are ever compared. A row
+    is dropped iff some candidate with a smaller id estimates Jaccard ≥
+    threshold (estimate = fraction of equal signature components). This
+    "survivor = bucket-min" rule is a single pass; it approximates
+    connected-component clustering without iteration (documented bias:
+    chains A~B~C with A<B<C drop B and C even if A!~C).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, num_perm, shingle_k).select(
+        id_col, "minhash"
+    )
+    sigs.cache()
+
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("keep_id"),
+            F.col(f"r.{id_col}").alias("dup_id"),
+        )
+        .distinct()
+    )
+    # verify candidates on the full signature (estimate of Jaccard)
+    sl = sigs.select(F.col(id_col).alias("keep_id"), F.col("minhash").alias("_sig_l"))
+    sr = sigs.select(F.col(id_col).alias("dup_id"), F.col("minhash").alias("_sig_r"))
+    est = F.expr(
+        f"size(filter(zip_with(_sig_l, _sig_r, (a, b) -> a = b), x -> x)) / {num_perm}"
+    )
+    dups = (
+        cand.join(sl, "keep_id")
+        .join(sr, "dup_id")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .select("dup_id")
+        .distinct()
+    )
+    return df.join(
+        dups.withColumnRenamed("dup_id", id_col), id_col, "left_anti"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str, bits: int = 64) -> F.Column:
+    """64-bit SimHash as a pure expression: tokens → per-bit vote sum →
+    sign bit. aggregate() folds token hashes into a bit-count array without
+    leaving the JVM."""
+    tokens = f"array_distinct(split(lower({text_col}), '\\\\s+'))"
+    # votes[b] = sum over tokens of (bit b of xxhash64(token) ? 1 : -1)
+    votes = (
+        f"aggregate({tokens}, "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"b -> CASE WHEN shiftright(xxhash64(t), b) % 2 != 0 THEN 1L ELSE -1L END), "
+        f"(a, v) -> a + v))"
+    )
+    # fold sign bits into one BIGINT
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, cast(b AS int)) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dedup: 64-bit fingerprints, banded into ``bands``
+    16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
+    candidates verified with bit_count(xor) ≤ max_hamming."""
+    width = 64 // bands
+    fp = df.select(id_col, simhash_col(text_col).alias("_simhash"))
+    fp.cache()
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, shiftright(_simhash, b * {width}) & {(1 << width) - 1} AS chunk))"
+    )
+    banded = fp.select(F.col(id_col), F.col("_simhash"), F.explode(band_arr).alias("bb")).select(
+        id_col, "_simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    l_, r_ = banded.alias("l"), banded.alias("r")
+    dups = (
+        l_.join(
+            r_,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(
+            F.expr(f"bit_count(l._simhash ^ r._simhash) <= {max_hamming}")
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard candidate pairs
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_col: F.Column | None = None,
+) -> DataFrame:
+    """Exact token n-gram Jaccard over candidate pairs.
+
+    Candidates are restricted by a blocking key (default: document length
+    bucket — near-dups have near-equal lengths) so the self-join never goes
+    all-pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    block = band_col if band_col is not None else F.floor(F.length(text_col) / F.lit(32))
+    base = (
+        df.select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
+            block.alias("_block"),
+        )
+        .withColumn("_grams", grams)
+        .drop("_toks")
+    )
+    # near-equal lengths can straddle a bucket boundary → probe own + next
+    probes = base.select(
+        id_col, "_grams", F.explode(F.array("_block", F.col("_block") + 1)).alias("_bk")
+    )
+    l_, r_ = probes.alias("l"), probes.alias("r")
+    inter = F.expr("size(array_intersect(l._grams, r._grams))")
+    union = F.expr("size(array_union(l._grams, r._grams))")
+    return (
+        l_.join(
+            r_,
+            (F.col("l._bk") == F.col("r._bk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate removal via random-hyperplane LSH.
+
+    Sign-of-projection signatures bucket similar vectors; only bucket
+    collisions are verified with exact cosine. Hyperplanes are generated
+    deterministically from ``seed`` with xxhash64-derived pseudo-gaussians —
+    no driver-side state to broadcast, reproducible across runs.
+    """
+    dim_expr = F.size(F.col(vec_col))
+    # pseudo-random plane component p[j][d] in (-1, 1) from hash(seed, j, d)
+    sig = F.expr(
+        f"transform(sequence(0, {planes - 1}), j -> "
+        f"CASE WHEN aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(v, d) -> v * (cast(pmod(xxhash64({seed}, j, d), 2000001) AS double) / 1000000.0 - 1.0)), "
+        f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_sig", sig.cast("string"))
+    l_, r_ = base.alias("l"), base.alias("r")
+    dot = F.expr("aggregate(zip_with(l._v, r._v, (a, b) -> a * b), cast(0.0 AS double), (x, y) -> x + y)")
+    norm = lambda s: F.expr(  # noqa: E731
+        f"sqrt(aggregate(transform({s}, x -> x * x), cast(0.0 AS double), (a, b) -> a + b))"
+    )
+    dups = (
+        l_.join(
+            r_,
+            (F.col("l._sig") == F.col("r._sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("_cos", dot / (norm("l._v") * norm("r._v")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")

@@ -1,0 +1,111 @@
+"""Text analysis operators for training-data curation.
+
+All pure JVM expressions (split / regexp / aggregate) — these run inside
+whole-stage codegen over the documents table; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small built-in stopword inventories for the n-gram/stopword language
+# heuristic. Deliberately tiny: language-ID here is a cheap curation signal
+# (real pipelines plug a model via the multimodal/pandas-UDF path).
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(
+        trimmed.isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation AND
+    letter/digit boundaries — a cheap proxy for BPE token counts (useful
+    for budget estimates without shipping a tokenizer to executors)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    return F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+
+    mean of (a) length score (saturating at 500 chars), (b) 1 - punctuation
+    ratio, (c) alpha-token ratio, (d) mean-word-length sanity (penalize
+    <2 or >12). The exact blend mirrors common curation heuristics
+    (length/punct/stopword ratios); each term is expressible in ANSI SQL so
+    the operator is oracle-checkable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    toks = F.split(F.trim(c), r"\s+")
+    n_toks = token_count(c)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    alpha_ratio = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    wl_score = F.when((mean_wl >= 2) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_score + (1 - punct_ratio) + alpha_ratio + wl_score) / 4
+
+
+def language_id(col: str | Column) -> Column:
+    """Stopword-overlap language heuristic: the language whose stopword
+    inventory overlaps the document's token set most; ties and zero overlap
+    → 'und' (undetermined). Deterministic and SQL-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.lower(c), r"\s+"))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _STOPWORDS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es (first match)
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Canonical-content fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5. Two docs differing only in spacing/punct/case
+    share a fingerprint — the standard exact-near-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return F.md5(canon)
+
+
+def rolling_fingerprint(col: str | Column, window: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: min xxhash64 over character
+    shingles — stable under small local edits (vs md5's avalanche)."""
+    c = F.col(col) if isinstance(col, str) else col
+    name = c._jc.toString() if hasattr(c, "_jc") else str(col)
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({name}) - {window} + 1, 1)), "
+        f"i -> xxhash64(substring({name}, i, {window}))))"
+    )
+
+
+def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full metric set in one narrow projection."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", language_id(text_col))
+        .withColumn("fingerprint", doc_fingerprint(text_col))
+    )

@@ -1,0 +1,69 @@
+"""Config-transformer wrappers for the training-data operators.
+
+Makes dedup/similarity/text first-class pipeline citizens — usable from a
+JSON config like any reference transformer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from orientdb_etl_spark.context import PipelineContext
+from orientdb_etl_spark.operators import register
+
+
+@register("dedup")
+def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    from orientdb_etl_spark.functions import dedup as D
+
+    method = str(cfg.get("method", "exact")).lower()
+    if method == "exact":
+        return D.exact_dedup(df, cfg.get("columns"), cfg.get("tieBreak"))
+    if method == "minhash":
+        return D.minhash_lsh_dedup(
+            df,
+            cfg["textField"],
+            cfg["idField"],
+            num_perm=int(cfg.get("numPerm", 64)),
+            bands=int(cfg.get("bands", 16)),
+            shingle_k=int(cfg.get("shingle", 5)),
+            threshold=float(cfg.get("threshold", 0.8)),
+        )
+    if method == "simhash":
+        return D.simhash_dedup(
+            df,
+            cfg["textField"],
+            cfg["idField"],
+            max_hamming=int(cfg.get("maxHamming", 3)),
+        )
+    if method == "embedding":
+        return D.embedding_near_dedup(
+            df,
+            cfg["vecField"],
+            cfg["idField"],
+            threshold=float(cfg.get("threshold", 0.95)),
+        )
+    raise ValueError(f"unknown dedup method {method!r}")
+
+
+@register("similarity")
+def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    from orientdb_etl_spark.functions import similarity as S
+
+    method = str(cfg.get("method", "brute")).lower()
+    if method == "brute":
+        return S.brute_force_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"], int(cfg.get("k", 10))
+        )
+    if method == "lsh":
+        return S.lsh_bucketed_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"], int(cfg.get("k", 10))
+        )
+    raise ValueError(f"unknown similarity method {method!r}")
+
+
+@register("text_metrics")
+def text_metrics_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    from orientdb_etl_spark.functions.text import add_text_metrics
+
+    return add_text_metrics(df, cfg.get("textField", "text"))

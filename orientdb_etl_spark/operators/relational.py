@@ -1,0 +1,116 @@
+"""Relational transformers — the analytics surface the reference lacks.
+
+SURVEY §2.8: the reference has no aggregation, window, sort, limit or set
+operation of any kind; they come with the DataFrame surface. Exposing them
+as config transformers makes the engine a complete query engine, not just a
+record mover. All of these compile to native Catalyst operators (whole-stage
+codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.context import PipelineContext
+from orientdb_etl_spark.exprs import translate_osql
+from orientdb_etl_spark.operators import register
+
+
+def _exprs(ctx: PipelineContext, items: list[str]) -> list:
+    return [F.expr(translate_osql(e, ctx.variables)) for e in items]
+
+
+@register("select")
+def select_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Projection; entries are SQL expressions with optional ``AS`` alias."""
+    return df.selectExpr(
+        *[translate_osql(e, ctx.variables) for e in cfg["columns"]]
+    )
+
+
+@register("filter")
+def filter_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    return df.filter(F.expr(translate_osql(cfg["condition"], ctx.variables)))
+
+
+@register("aggregate")
+def aggregate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """groupBy/rollup/cube + aggregate expressions (all map-side-combinable
+    built-ins — partial aggregation happens before the shuffle)."""
+    keys = cfg.get("groupBy", [])
+    aggs = _exprs(ctx, cfg["aggregations"])
+    mode = str(cfg.get("mode", "groupBy")).lower()
+    if mode == "rollup":
+        grouped = df.rollup(*keys)
+    elif mode == "cube":
+        grouped = df.cube(*keys)
+    else:
+        grouped = df.groupBy(*keys)
+    return grouped.agg(*aggs)
+
+
+@register("join")
+def join_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config join against a registered table / previous `output` branch.
+    ``broadcast: true`` hints the small side; otherwise Catalyst/AQE pick
+    the physical strategy (broadcast-hash under threshold, else sort-merge)."""
+    other_name = cfg["with"]
+    other = ctx.outputs.get(other_name) or ctx.tables.get(other_name)
+    if other is None:
+        other = ctx.spark.table(other_name)
+    if cfg.get("broadcast"):
+        other = F.broadcast(other)
+    how = cfg.get("how", "inner")
+    on = cfg["on"]
+    if isinstance(on, str) and "=" in on and not on.isidentifier():
+        df.createOrReplaceTempView("_join_l")
+        other.createOrReplaceTempView("_join_r")
+        return ctx.spark.sql(
+            f"SELECT * FROM _join_l {how.upper()} JOIN _join_r ON {on}"
+        )
+    return df.join(other, on, how)
+
+
+@register("sort")
+def sort_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Total sort (range-partitioned shuffle). Prefer `topk` when a limit
+    follows — Spark rewrites sort+limit to TakeOrderedAndProject, which
+    avoids the full range shuffle."""
+    return df.orderBy(*_exprs(ctx, cfg["by"]))
+
+
+@register("limit")
+def limit_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    return df.limit(int(cfg["n"]))
+
+
+@register("topk")
+def topk_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """ORDER BY ... LIMIT k as one operator → TakeOrderedAndProject
+    (per-partition top-k then a single merge; no global sort shuffle)."""
+    return df.orderBy(*_exprs(ctx, cfg["by"])).limit(int(cfg["k"]))
+
+
+@register("distinct")
+def distinct_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    cols = cfg.get("columns")
+    return df.dropDuplicates(cols) if cols else df.distinct()
+
+
+@register("union")
+def union_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    other_name = cfg["with"]
+    other = ctx.outputs.get(other_name) or ctx.tables.get(other_name)
+    if other is None:
+        other = ctx.spark.table(other_name)
+    out = df.unionByName(other, allowMissingColumns=bool(cfg.get("allowMissing")))
+    return out.distinct() if cfg.get("distinct") else out
+
+
+@register("window")
+def window_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Window functions via selectExpr — ``columns`` may contain full
+    ``fn() OVER (PARTITION BY ... ORDER BY ...)`` expressions."""
+    extra = [translate_osql(e, ctx.variables) for e in cfg["columns"]]
+    return df.selectExpr("*", *extra)

@@ -1,0 +1,116 @@
+"""Pipeline: JSON config → one declarative DataFrame lineage.
+
+The reference's lifecycle (``OETLProcessor.java:105-179, 283-288, 486-514``):
+parse config → instantiate components → begin blocks → pull rows through the
+transformer chain → loader → end blocks. Ours compiles the same config shape
+to a single Catalyst plan:
+
+    {
+      "config":       {<context variables>},           # OETLProcessor.java:245-250
+      "begin":        [ {let|code|console}, ... ],
+      "source":       {file|http|input},
+      "extractor":    {row|json|jdbc|csv|parquet|table|query},
+      "transformers": [ {name: cfg}, ... ],
+      "loader":       {output|memory|parquet|csv|json|jdbc|orientdb},
+      "end":          [ blocks ]
+    }
+
+Missing source → input, missing loader → memory-style result (the
+reference defaults to input/output — ``OETLProcessor.java:134-135,149-150``).
+The row loop disappears into the physical plan; parallelism is partition
+parallelism (the reference's ``{"config":{"parallel":true}}`` queue —
+``OETLProcessor.java:290-378`` — is accepted and advisory here).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orientdb_etl_spark.blocks import run_block
+from orientdb_etl_spark.context import PipelineContext, RunStats
+from orientdb_etl_spark.exprs import render_value
+from orientdb_etl_spark.loaders import edges_df, run_loader, vertices_df
+from orientdb_etl_spark.operators import apply_transformer
+from orientdb_etl_spark.sources import resolve_source
+
+
+@dataclass
+class PipelineResult:
+    df: DataFrame
+    vertices: DataFrame | None
+    edges: DataFrame | None
+    stats: RunStats
+    outputs: dict[str, DataFrame]
+
+
+class Pipeline:
+    """Compile and run one ETL/analytics pipeline config."""
+
+    def __init__(
+        self,
+        config: dict[str, Any] | str,
+        spark: SparkSession | None = None,
+        tables: dict[str, DataFrame] | None = None,
+        variables: dict[str, Any] | None = None,
+    ) -> None:
+        if isinstance(config, str):
+            with open(config) as f:
+                config = json.load(f)
+        self.config = config
+        if spark is None:
+            from orientdb_etl_spark.session import get_spark
+
+            spark = get_spark()
+        self.ctx = PipelineContext(spark=spark)
+        if tables:
+            # shared, not copied: sub-pipelines and CREATE actions see updates
+            self.ctx.tables = tables
+        if variables:
+            self.ctx.variables.update(variables)
+        # `config` section fields become context variables
+        # (OETLProcessor.java:245-250)
+        for k, v in (config.get("config") or {}).items():
+            self.ctx.variables[k] = v
+
+    def register_table(self, name: str, df: DataFrame) -> "Pipeline":
+        self.ctx.register_table(name, df)
+        return self
+
+    def compile(self) -> DataFrame:
+        """Build the lineage WITHOUT running the loader (lazy, no action)."""
+        ctx = self.ctx
+        for block in self.config.get("begin") or []:
+            run_block(ctx, block)
+
+        source = self.config.get("source")
+        extractor = self.config.get("extractor")
+        source = render_value(source, ctx.variables, ctx.spark) if source else None
+        extractor = (
+            render_value(extractor, ctx.variables, ctx.spark) if extractor else None
+        )
+        df = resolve_source(ctx, source, extractor)
+
+        for t in self.config.get("transformers") or []:
+            if not isinstance(t, dict) or len(t) != 1:
+                raise ValueError(f"transformer entry must be single-key: {t!r}")
+            name, cfg = next(iter(t.items()))
+            cfg = render_value(cfg or {}, ctx.variables, ctx.spark)
+            df = apply_transformer(ctx, df, name, cfg)
+        return df
+
+    def run(self) -> PipelineResult:
+        df = self.compile()
+        run_loader(self.ctx, df, self.config.get("loader"))
+        for block in self.config.get("end") or []:
+            run_block(self.ctx, block)
+        return PipelineResult(
+            df=df,
+            vertices=vertices_df(self.ctx),
+            edges=edges_df(self.ctx),
+            stats=self.ctx.stats,
+            outputs=dict(self.ctx.outputs),
+        )
