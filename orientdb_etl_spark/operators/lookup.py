@@ -150,12 +150,19 @@ def link_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
         row_id = "_lk_row"
         with_id = df.withColumn(row_id, F.monotonically_increasing_id())
         exploded = with_id.select(
-            row_id, F.explode_outer(join_field).alias("_lk_elem")
+            row_id, F.posexplode_outer(join_field).alias("_lk_pos", "_lk_elem")
         )
         j = exploded.join(
             dim_small, exploded["_lk_elem"] == dim_small["_lk_key"], "left"
         )
-        agg = F.collect_list("_lk_val") if link_type == "LINKLIST" else F.collect_set("_lk_val")
+        if link_type == "LINKLIST":
+            # deterministic: restore source-array element order after the
+            # shuffle (collect_list order is otherwise nondeterministic)
+            agg = F.expr(
+                "transform(array_sort(collect_list(struct(_lk_pos, _lk_val))), x -> x._lk_val)"
+            )
+        else:  # LINKSET — set semantics, sorted for determinism
+            agg = F.array_sort(F.collect_set("_lk_val"))
         links = j.groupBy(row_id).agg(agg.alias(link_field))
         out = with_id.join(links, row_id, "left").drop(row_id)
         if action == "SKIP":

@@ -17,8 +17,36 @@ from orientdb_etl_spark.exprs import translate_osql
 from orientdb_etl_spark.operators import register
 
 
+import re
+
+
 def _exprs(ctx: PipelineContext, items: list[str]) -> list:
     return [F.expr(translate_osql(e, ctx.variables)) for e in items]
+
+
+_SORT_RE = re.compile(
+    r"^(?P<expr>.*?)\s*(?P<dir>ASC|DESC)?\s*(?:NULLS\s+(?P<nulls>FIRST|LAST))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _sort_exprs(ctx: PipelineContext, items: list[str]) -> list:
+    """Parse `expr [ASC|DESC] [NULLS FIRST|LAST]` — F.expr alone rejects
+    ORDER BY modifiers."""
+    out = []
+    for item in items:
+        m = _SORT_RE.match(item.strip())
+        col = F.expr(translate_osql(m.group("expr"), ctx.variables))
+        desc = (m.group("dir") or "").upper() == "DESC"
+        nulls = (m.group("nulls") or "").upper()
+        if desc:
+            col = col.desc_nulls_first() if nulls == "FIRST" else col.desc_nulls_last() if nulls == "LAST" else col.desc()
+        elif nulls:
+            col = col.asc_nulls_first() if nulls == "FIRST" else col.asc_nulls_last()
+        elif m.group("dir"):
+            col = col.asc()
+        out.append(col)
+    return out
 
 
 @register("select")
@@ -77,7 +105,7 @@ def sort_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
     """Total sort (range-partitioned shuffle). Prefer `topk` when a limit
     follows — Spark rewrites sort+limit to TakeOrderedAndProject, which
     avoids the full range shuffle."""
-    return df.orderBy(*_exprs(ctx, cfg["by"]))
+    return df.orderBy(*_sort_exprs(ctx, cfg["by"]))
 
 
 @register("limit")
@@ -89,7 +117,7 @@ def limit_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
 def topk_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """ORDER BY ... LIMIT k as one operator → TakeOrderedAndProject
     (per-partition top-k then a single merge; no global sort shuffle)."""
-    return df.orderBy(*_exprs(ctx, cfg["by"])).limit(int(cfg["k"]))
+    return df.orderBy(*_sort_exprs(ctx, cfg["by"])).limit(int(cfg["k"]))
 
 
 @register("distinct")

@@ -63,17 +63,23 @@ def resolve_source(
         _single_entry(extractor, "extractor") if extractor else ("row", {})
     )
 
-    # --- resolve the byte source to a path (or direct reader) -------------
-    if src_name == "file":
-        path = src_cfg["path"]  # .gz is transparent to every Spark reader
-    elif src_name == "http":
-        path = _stage_http(src_cfg)
-    elif src_name == "input":
-        path = _stage_stdin()
-    elif src_name == "none":
-        path = None
-    else:
-        raise ValueError(f"unknown source {src_name!r}")
+    # --- resolve the byte source to a path --------------------------------
+    # Staged lazily: table/query/jdbc/parquet-with-path extractors never
+    # consume the byte source, and stdin/http staging is an eager side
+    # effect that must not fire unless a path-based extractor needs it.
+    needs_path = ext_name in ("row", "json", "csv") or (
+        ext_name in ("parquet", "orc") and "path" not in ext_cfg
+    )
+    path: str | None = None
+    if needs_path:
+        if src_name == "file":
+            path = src_cfg["path"]  # .gz is transparent to every Spark reader
+        elif src_name == "http":
+            path = _stage_http(src_cfg)
+        elif src_name == "input":
+            path = _stage_stdin()
+        elif src_name != "none":
+            raise ValueError(f"unknown source {src_name!r}")
 
     # --- extractor -> spark.read -----------------------------------------
     if ext_name == "row":

@@ -1,0 +1,148 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.dedup import (
+    embedding_near_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures_fast,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from orientdb_etl_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    pairwise_topk_join,
+)
+from orientdb_etl_spark.functions.text import (
+    add_text_metrics,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep dark forest while nobody is watching it tonight"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra"),  # near dup of 0
+        (3, "der hund ist von den katzen nicht mit ein und das der die"),
+        (4, "completely different content about spark query engines and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    docs = _docs(spark)
+    out = exact_dedup(docs, ["text"], tie_break="doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4]
+
+
+def test_minhash_drops_near_dups(spark):
+    docs = _docs(spark)
+    out = minhash_lsh_dedup(docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 in ids  # smallest id survives
+    assert 1 not in ids  # exact dup dropped
+    assert 2 not in ids  # near dup dropped
+    assert {3, 4} <= set(ids)
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    docs = _docs(spark)
+    s1 = minhash_signatures_fast(docs, "text").collect()
+    s2 = minhash_signatures_fast(docs, "text").collect()
+    sig = {r.doc_id: r.minhash for r in s1}
+    assert len(sig[0]) == 64
+    assert sig[0] == sig[1]  # identical texts -> identical signatures
+    assert {r.doc_id: r.minhash for r in s2} == sig  # run-to-run determinism
+
+
+def test_simhash_dedup(spark):
+    docs = _docs(spark)
+    out = simhash_dedup(docs, "text", "doc_id", max_hamming=3)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 not in ids
+    assert 0 in ids
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = _docs(spark)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_embedding_near_dedup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dedup(df, "embedding", "vec_id", threshold=0.99)
+    ids = sorted(r.vec_id for r in out.collect())
+    assert ids == [0, 2]
+
+
+def test_brute_force_topk_and_lsh_recall(spark):
+    import math
+
+    rows = [
+        (i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1 * (i % 3)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[5][1]
+    exact = brute_force_topk(df, "embedding", "vec_id", q, k=5)
+    ids = [r.vec_id for r in exact.collect()]
+    assert ids[0] == 5  # the query vector itself is most similar
+    approx = lsh_bucketed_topk(df, "embedding", "vec_id", q, k=5, planes=6)
+    got = {r.vec_id for r in approx.collect()}
+    assert 5 in got
+    assert len(got & set(ids)) >= 3  # multi-probe recall on easy data
+
+
+def test_pairwise_topk_join(spark):
+    rows = [(i, [1.0, float(i % 5) / 10]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pairwise_topk_join(df, df, "embedding", "vec_id", "vec_id", k=3)
+    first = out.filter(F.col("vec_id") == 0)
+    assert first.count() <= 3 * 20  # bounded per left row after window
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, None), (4, "single")],
+        "id long, text string",
+    )
+    rows = {r.id: r.n for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert rows == {0: 3, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_quality_and_langid(spark):
+    docs = _docs(spark)
+    out = add_text_metrics(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].lang_pred == "en"
+    assert rows[3].lang_pred == "de"
+    assert 0.0 <= rows[0].quality <= 1.0
+    assert rows[0].fingerprint == rows[1].fingerprint
+    assert rows[0].n_tokens == len(BASE.split())
+
+
+def test_fingerprint_canonicalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world")], "id long, text string"
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.multimodal import (
+    ASSET_SCHEMA,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthetic_assets,
+)
+
+
+def test_synthetic_assets_schema(spark):
+    df = synthetic_assets(spark, n=10)
+    assert df.schema == ASSET_SCHEMA
+    assert df.count() == 10
+
+
+def test_extract_features_batch_shape(spark):
+    df = synthetic_assets(spark, n=20)
+    feats = extract_features(df, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-6  # L1-normalized fake
+
+
+def test_extract_features_deterministic(spark):
+    df = synthetic_assets(spark, n=5)
+    a = {r.asset_id: r.features for r in extract_features(df).collect()}
+    b = {r.asset_id: r.features for r in extract_features(df).collect()}
+    assert a == b
+
+
+def test_resize_updates_meta(spark):
+    df = synthetic_assets(spark, n=3)
+    out = resize_images(df, 64, 48)
+    row = out.first()
+    assert row.meta.width == 64 and row.meta.height == 48
+    assert row.resized is True
+
+
+def test_sample_frames_explodes_by_duration(spark):
+    df = synthetic_assets(spark, n=2, modality="video")
+    out = sample_frames(df, every_ms=500)
+    counts = {r[0]: r[1] for r in out.groupBy("asset_id").count().collect()}
+    # duration 1000+i ms, every 500 ms -> ts 0,500,1000(in range for i>=1)
+    assert counts[0] == 2 and counts[1] == 3
+
+
+def test_decode_stub_raises():
+    from orientdb_etl_spark.functions.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"xx")

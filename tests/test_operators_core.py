@@ -1,0 +1,201 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark import Pipeline
+from orientdb_etl_spark.operators.core import ETLHaltError
+
+
+def run_mem(spark, cfg, tables=None):
+    cfg = dict(cfg)
+    cfg.setdefault("loader", {"memory": {"view": "res"}})
+    p = Pipeline(cfg, spark=spark)
+    for name, df in (tables or {}).items():
+        p.register_table(name, df)
+    return p.run().outputs["res"]
+
+
+def test_csv_declared_columns(spark):
+    lines = spark.createDataFrame(
+        [("1;a;2.5",), ("2;b;3.5",)], "value string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "lines"}},
+            "transformers": [
+                {"csv": {"separator": ";", "columns": ["id:INTEGER", "s:STRING", "x:DOUBLE"]}}
+            ],
+        },
+        {"lines": lines},
+    )
+    rows = {r.id: (r.s, r.x) for r in out.collect()}
+    assert rows == {1: ("a", 2.5), 2: ("b", 3.5)}
+    assert dict(out.dtypes) == {"id": "int", "s": "string", "x": "double"}
+
+
+def test_csv_header_and_inference(spark):
+    lines = spark.createDataFrame(
+        [("id,name,score",), ("1,ann,9.5",), ("2,bo,7.0",)], "value string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "lines"}},
+            "transformers": [{"csv": {"columnsOnFirstLine": True}}],
+        },
+        {"lines": lines},
+    )
+    assert set(out.columns) == {"id", "name", "score"}
+    assert out.count() == 2
+    types = dict(out.dtypes)
+    assert types["id"] == "bigint"
+    assert types["score"] == "double"
+
+
+def test_csv_null_value(spark):
+    lines = spark.createDataFrame([("1,NULL",), ("2,x",)], "value string")
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "lines"}},
+            "transformers": [
+                {"csv": {"columns": ["id:INTEGER", "s:STRING"], "nullValue": "NULL"}}
+            ],
+        },
+        {"lines": lines},
+    )
+    rows = {r.id: r.s for r in out.collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_field_set_remove(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"field": {"fieldName": "name2", "expression": "name.trim()"}},
+                {"field": {"fieldName": "const", "value": 42}},
+                {"field": {"operation": "remove", "fieldName": "salary"}},
+            ],
+        },
+        {"people": people},
+    )
+    assert "salary" not in out.columns
+    row = out.filter(F.col("id") == 1).first()
+    assert row.name2 == "Alice" and row.const == 42
+
+
+def test_rename(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [{"rename": {"fields": {"name": "full_name"}}}],
+        },
+        {"people": people},
+    )
+    assert "full_name" in out.columns and "name" not in out.columns
+
+
+def test_flow_skip_with_if(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [{"flow": {"operation": "skip", "if": "dept = 10"}}],
+        },
+        {"people": people},
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 4]
+
+
+def test_flow_halt_raises(spark, people):
+    with pytest.raises(ETLHaltError):
+        run_mem(
+            spark,
+            {
+                "extractor": {"table": {"name": "people"}},
+                "transformers": [{"flow": {"operation": "halt", "if": "salary IS NULL"}}],
+            },
+            {"people": people},
+        )
+
+
+def test_json_transformer(spark):
+    data = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, '{"a": 7, "b": "y"}')], "id int, value string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "data"}},
+            "transformers": [{"json": {"field": "value"}}],
+        },
+        {"data": data},
+    )
+    rows = {r.id: (r.a, r.b) for r in out.collect()}
+    assert rows == {1: (5, "x"), 2: (7, "y")}
+
+
+def test_code_transformer(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"code": {"code": "df.filter(F.col('dept') == 10).select('id')"}}
+            ],
+        },
+        {"people": people},
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_command_transformer(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "config": {"mindept": 15},
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"command": {"command": "SELECT id FROM input WHERE dept > ${mindept}"}}
+            ],
+        },
+        {"people": people},
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 4]
+
+
+def test_output_branch_keeps_main_lineage(spark, people):
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"filter": {"condition": "dept = 10", "output": "eng_only"}},
+                {"field": {"fieldName": "tag", "value": "main"}},
+            ],
+            "loader": {"memory": {"view": "res"}},
+        },
+        spark=spark,
+    )
+    p.register_table("people", people)
+    res = p.run()
+    # side branch captured the filtered set; main lineage kept all rows
+    assert res.outputs["eng_only"].count() == 2
+    assert res.outputs["res"].count() == 4
+
+
+def test_let_block_and_variable(spark, people):
+    out = run_mem(
+        spark,
+        {
+            "begin": [{"let": {"name": "cut", "expression": "5 + 5"}}],
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [{"filter": {"condition": "dept > $cut"}}],
+        },
+        {"people": people},
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 4]

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+from orientdb_etl_spark import Pipeline
+
+
+def run(spark, cfg, tables):
+    p = Pipeline(cfg, spark=spark)
+    for name, df in tables.items():
+        p.register_table(name, df)
+    return p.compile()
+
+
+def test_aggregate(spark, people):
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"aggregate": {
+                    "groupBy": ["dept"],
+                    "aggregations": ["count(1) AS n", "sum(salary) AS total"],
+                }}
+            ],
+        },
+        {"people": people},
+    )
+    rows = {r.dept: (r.n, r.total) for r in out.collect()}
+    assert rows[10] == (2, 100.0)
+    assert rows[20] == (1, 200.0)
+
+
+def test_join_broadcast(spark, people, depts):
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"join": {"with": "depts", "on": "dept = dept_id", "broadcast": True}}
+            ],
+        },
+        {"people": people, "depts": depts},
+    )
+    assert out.count() == 3
+    assert "dept_name" in out.columns
+
+
+def test_topk(spark, people):
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [{"topk": {"by": ["salary DESC NULLS LAST"], "k": 2}}],
+        },
+        {"people": people},
+    )
+    assert [r.id for r in out.collect()] == [2, 1]
+
+
+def test_window(spark, people):
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"window": {"columns": [
+                    "row_number() OVER (PARTITION BY dept ORDER BY id) AS rn"
+                ]}}
+            ],
+        },
+        {"people": people},
+    )
+    rows = {r.id: r.rn for r in out.collect()}
+    assert rows[1] == 1 and rows[3] == 2 and rows[2] == 1
+
+
+def test_distinct_and_union(spark, people):
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "people"}},
+            "transformers": [
+                {"select": {"columns": ["dept"]}},
+                {"distinct": {}},
+                {"union": {"with": "more"}},
+            ],
+        },
+        {
+            "people": people,
+            "more": people.sparkSession.createDataFrame([(99,)], "dept int"),
+        },
+    )
+    assert sorted(r.dept for r in out.collect()) == [10, 20, 30, 99]
