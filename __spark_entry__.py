@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -368,6 +369,107 @@ def q_subetl_items_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_customer_gz(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministically stage customer as a semicolon CSV .gz under /tmp —
+    the dbpedia-config shape (gz file source → row extractor → csv
+    transformer, OFileSource.java:135-136 + config-dbpedia.json)."""
+    import gzip
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/oetl_stage_{tag}/customer.csv.gz"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "customer")
+            .orderBy("c_custkey")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+            .collect()
+        )
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wt", newline="") as f:
+            for r in rows:
+                f.write(f"{r[0]};{r[1]};{r[2]};{r[3]!r};{r[4]}\n".replace("'", ""))
+        os.replace(tmp, path)
+    return path
+
+
+def q_file_gz_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gz file source + row extractor + csv transformer — the full
+    reference read path (OFileSource.java:38-180, ORowExtractor.java:28-83,
+    OCSVTransformer.java:30-181) as one fused scan."""
+    from orientdb_etl_spark import Pipeline
+
+    path = _stage_customer_gz(spark, sf_dir)
+    p = Pipeline(
+        {
+            "source": {"file": {"path": path}},
+            "extractor": {"row": {}},
+            "transformers": [
+                {"csv": {
+                    "separator": ";",
+                    "columns": [
+                        "custkey:LONG", "name:STRING", "nationkey:INTEGER",
+                        "acctbal:DOUBLE", "mktsegment:STRING",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    return p.compile()
+
+
+def q_code_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code transformer (OCodeTransformer.java:34-81): the Python escape
+    hatch — an Arrow-batched pandas UDF in the chain (never row-at-a-time
+    Python)."""
+    from pyspark.sql.types import IntegerType
+
+    from orientdb_etl_spark import Pipeline
+
+    @F.pandas_udf(IntegerType())
+    def name_weight(names: pd.Series) -> pd.Series:
+        return names.str.len() * 2
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "customer"}},
+            "transformers": [
+                {"code": {"callable": lambda df: df.select(
+                    "c_custkey", name_weight("c_name").alias("name_weight")
+                )}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("customer", _t(spark, sf_dir, "customer"))
+    return p.compile()
+
+
+def q_command_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """command transformer (OCommandTransformer.java:32-80): the per-row
+    command decorrelated to ONE SQL execution joining the `input` view."""
+    from orientdb_etl_spark import Pipeline
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "customer"}},
+            "transformers": [
+                {"command": {"command": (
+                    "SELECT n.n_name, count(*) AS n_customers, "
+                    "round(avg(i.c_acctbal), 2) AS avg_bal "
+                    "FROM input i JOIN nation n ON i.c_nationkey = n.n_nationkey "
+                    "GROUP BY n.n_name"
+                )}},
+            ],
+        },
+        spark=spark,
+    )
+    _register_all(spark, sf_dir, p)
+    return p.compile()
+
+
 # ===========================================================================
 # Analytics surface (aggregation/window/sort/set-ops — SURVEY §2.8)
 # ===========================================================================
@@ -574,6 +676,113 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then priority counts."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS → left-anti join (customers that never
+    ordered), aggregated per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def q_scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity)
+    decorrelated to aggregate + join; the per-part avg side is tiny →
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == avg_q.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+# ===========================================================================
+# Structured Streaming (beyond the reference — SURVEY §7 Phase 5). Each
+# runs availableNow over the events parquet and returns the memory-sink
+# table: deterministic batch-parity, oracle-checkable like any batch query.
+# ===========================================================================
+
+_STREAM_SEQ = iter(range(10**9))
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (watermarked state, complete
+    output) — streaming twin of events_hourly."""
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{sf_dir}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"window_agg": {
+                    "column": "ts",
+                    "duration": "1 hour",
+                    "groupBy": ["event_type"],
+                    "aggregations": [
+                        "count(1) AS n_events",
+                        "round(sum(value), 2) AS sum_value",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    out = p.run_available_now(
+        f"mem_hourly_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization (applyInPandasWithState,
+    explicit per-user state) — streaming twin of sessionize."""
+    from orientdb_etl_spark.streaming import sessionize_with_state, stream_parquet
+
+    src = stream_parquet(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+    out = sessionize_with_state(src, "user_id", "ts", 1800)
+    name = f"mem_sess_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(120)
+    # single input file → one micro-batch → exactly one update row per user
+    return spark.table(name)
+
+
 # ===========================================================================
 # Training-data operators: text / dedup / similarity / multimodal
 # ===========================================================================
@@ -743,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_create_placeholders": q_edge_create_placeholders,
         "subetl_linenumbers": q_subetl_linenumbers,
         "subetl_items_agg": q_subetl_items_agg,
+        "file_gz_source": q_file_gz_source,
+        "code_transform": q_code_transform,
+        "command_transform": q_command_transform,
         # analytics surface
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -754,6 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "semi_join_priority": q_semi_join_priority,
+        "anti_join_customers": q_anti_join_customers,
+        "scalar_subquery_avg": q_scalar_subquery_avg,
+        # streaming (availableNow batch-parity)
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_sessionize": q_stream_sessionize,
         # training-data operators
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -876,6 +1094,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY o.o_orderkey"
         ),
+        "file_gz_source": (
+            "SELECT c_custkey AS custkey, c_name AS name, "
+            "c_nationkey AS nationkey, c_acctbal AS acctbal, "
+            "c_mktsegment AS mktsegment FROM customer"
+        ),
+        "code_transform": (
+            "SELECT c_custkey, length(c_name) * 2 AS name_weight FROM customer"
+        ),
+        "command_transform": (
+            "SELECT n.n_name, count(*) AS n_customers, "
+            "round(avg(c.c_acctbal), 2) AS avg_bal "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "
@@ -951,6 +1183,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "sessionize": (
+            "WITH gaps AS (SELECT user_id, ts, "
+            "epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER "
+            "(PARTITION BY user_id ORDER BY ts) ) AS gap "
+            "FROM events) "
+            "SELECT user_id, "
+            "sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions, "
+            "count(*) AS n_events FROM gaps GROUP BY user_id"
+        ),
+        "semi_join_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+            "GROUP BY o_orderpriority"
+        ),
+        "anti_join_customers": (
+            "SELECT c_nationkey, count(*) AS n_custs, "
+            "round(sum(c_acctbal), 2) AS total_bal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') "
+            "GROUP BY c_nationkey"
+        ),
+        "scalar_subquery_avg": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem l1 WHERE l_quantity < "
+            "(SELECT 0.5 * avg(l_quantity) FROM lineitem l2 "
+            "WHERE l2.l_partkey = l1.l_partkey)"
+        ),
+        "stream_events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "stream_sessionize": (
             "WITH gaps AS (SELECT user_id, ts, "
             "epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER "
             "(PARTITION BY user_id ORDER BY ts) ) AS gap "

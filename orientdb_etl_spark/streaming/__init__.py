@@ -1,0 +1,29 @@
+"""Structured Streaming surface (beyond the reference — SURVEY §7 Phase 5).
+
+The reference is batch-only (`OSource.java:31` — a Reader consumed once);
+this package adds the streaming counterpart of the engine: the same
+transformer registry over ``readStream`` lineages, plus the genuinely
+streaming operators (watermarks, tumbling/sliding/session windows,
+within-watermark dedup, custom stateful sessionization).
+"""
+
+from orientdb_etl_spark.streaming.ops import (
+    session_window_agg,
+    sessionize_with_state,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+    with_watermark,
+)
+from orientdb_etl_spark.streaming.pipeline import StreamingPipeline, stream_parquet
+
+__all__ = [
+    "StreamingPipeline",
+    "session_window_agg",
+    "sessionize_with_state",
+    "sliding_window_agg",
+    "stream_parquet",
+    "streaming_dedup",
+    "tumbling_window_agg",
+    "with_watermark",
+]

@@ -1,0 +1,149 @@
+"""Streaming operators.
+
+Everything here works on a streaming DataFrame and composes with the batch
+transformer registry (stateless transformers — field/select/filter/json/
+rename/flow — are streaming-safe as-is). Watermark + windowed aggregation
+follow the standard Structured Streaming state-cleanup model: state for a
+window is dropped once the watermark passes its end, so memory is bounded
+by (watermark delay / slide) × key cardinality regardless of total input —
+the property that keeps these operators viable on an unbounded 100 TB/day
+feed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data policy: rows older than max(event time) - delay are
+    dropped from stateful operators downstream."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping event-time windows. One shuffle on (window, keys);
+    partial aggregation happens map-side exactly as in batch."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, duration).alias("win"), *keys
+    ).agg(*[F.expr(a) for a in aggs])
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each row lands in duration/slide windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, duration, slide).alias("win"), *keys
+    ).agg(*[F.expr(a) for a in aggs])
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Built-in session windows: a session closes after ``gap`` of
+    inactivity; windows merge as late rows arrive (watermark bounds the
+    merge state)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("win"), *keys
+    ).agg(*[F.expr(a) for a in aggs])
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup. With a watermark the per-key state is
+    dropped once keys age out (`dropDuplicatesWithinWatermark`) — the only
+    form that is safe on an unbounded stream."""
+    if ts_col and watermark:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def sessionize_with_state(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Counts 30-min-gap sessions per user, carrying (last event time,
+    session count, event count) as explicit group state across micro-
+    batches — the escape hatch for stateful logic the built-in session
+    window can't express (e.g. emitting running per-user totals rather
+    than per-session rows). Output mode: update (one row per user per
+    batch with the running totals).
+    """
+    out_schema = (
+        f"{user_col} bigint, n_sessions bigint, n_events bigint"
+    )
+    state_schema = "last_us bigint, n_sessions bigint, n_events bigint"
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            # datetime64[ns] → int64 is nanoseconds; state keeps micros
+            ts_list.extend(
+                int(v) // 1000 for v in pdf[ts_col].astype("int64").tolist()
+            )
+        ts_list.sort()
+        for t in ts_list:
+            if last_us is None or t - last_us > gap_us:
+                n_sessions += 1
+            last_us = t
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,171 @@
+"""Streaming operators: availableNow batch-parity against batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.streaming import (
+    StreamingPipeline,
+    sessionize_with_state,
+    stream_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return stream_parquet(spark, f"{SF}/events.parquet", ts_nanos_col="ts")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(df, name, mode="append", timeout=120):
+    q = (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def test_tumbling_window_matches_batch(spark, events_stream, events_batch):
+    from orientdb_etl_spark.streaming import tumbling_window_agg
+
+    out = _run(
+        tumbling_window_agg(
+            events_stream, "ts", "1 hour", ["event_type"],
+            ["count(1) AS n", "round(sum(value), 2) AS sv"],
+            watermark="10 minutes",
+        ),
+        # complete mode: append would hold back windows the watermark has
+        # not passed yet (correct streaming semantics, wrong for parity)
+        "t_tumble", mode="complete",
+    )
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    got = {(r.win.start, r.event_type): (r.n, r.sv) for r in out.collect()}
+    want = {(r.win.start, r.event_type): (r.n, r.sv) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sliding_window_counts(spark, events_stream, events_batch):
+    from orientdb_etl_spark.streaming import sliding_window_agg
+
+    out = _run(
+        sliding_window_agg(
+            events_stream, "ts", "2 hours", "1 hour", [], ["count(1) AS n"],
+            watermark="10 minutes",
+        ),
+        "t_slide", mode="complete",
+    )
+    # every event lands in exactly 2 overlapping windows
+    assert out.agg(F.sum("n")).first()[0] == 2 * events_batch.count()
+
+
+def test_session_window_agg(spark, events_stream, events_batch):
+    from orientdb_etl_spark.streaming import session_window_agg
+
+    out = _run(
+        session_window_agg(
+            events_stream, "ts", "30 minutes", ["user_id"], ["count(1) AS n"],
+            watermark="1 minute",
+        ),
+        "t_session", mode="complete",
+    )
+    # total events preserved; session count per user matches the batch
+    # lag-gap formulation
+    assert out.agg(F.sum("n")).first()[0] == events_batch.count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    batch_sessions = (
+        events_batch.withColumn(
+            "ns", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {r.user_id: r.n_sessions for r in batch_sessions.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream, events_batch):
+    from orientdb_etl_spark.streaming import streaming_dedup
+
+    dup = events_stream.withColumn("user_id", F.col("user_id") % 10)
+    out = _run(streaming_dedup(dup, ["user_id"], "ts", "1 hour"), "t_dedup")
+    assert out.select("user_id").distinct().count() == out.count() == 10
+
+
+def test_sessionize_with_state_matches_batch(spark, events_stream, events_batch):
+    out = _run(
+        sessionize_with_state(events_stream, "user_id", "ts", 1800),
+        "t_state", mode="update",
+    )
+    # single input file → single micro-batch → one update row per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    batch = (
+        events_batch.withColumn(
+            "ns", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in out.collect()}
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_pipeline_config(spark):
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}},
+            "watermark": {"column": "ts", "delay": "10 minutes"},
+            "transformers": [
+                {"filter": {"condition": "event_type = 'click'"}},
+                {"window_agg": {
+                    "column": "ts", "duration": "1 hour",
+                    "groupBy": ["event_type"],
+                    "aggregations": ["count(1) AS n"],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    out = p.run_available_now("t_cfg", output_mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0 and all(r.event_type == "click" for r in rows)
+
+
+def test_foreach_batch_sink(spark, events_stream):
+    seen: list[int] = []
+
+    p = StreamingPipeline(
+        {"source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}}},
+        spark=spark,
+    )
+    p.run_available_now(
+        foreach_batch=lambda df, epoch: seen.append(df.count())
+    )
+    assert sum(seen) == spark.read.parquet(f"{SF}/events.parquet").count()
