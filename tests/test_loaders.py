@@ -1,0 +1,90 @@
+"""Loader (sink) paths: parquet/csv/json/graph/memory round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from orientdb_etl_spark import Pipeline
+
+
+@pytest.fixture()
+def base_cfg():
+    return {"extractor": {"table": {"name": "people"}}}
+
+
+def _pipeline(cfg, spark, people):
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("people", people)
+    return p
+
+
+def test_parquet_sink_partitioned(spark, people, tmp_path):
+    out = str(tmp_path / "out_parquet")
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"parquet": {"path": out, "partitionBy": ["dept"]}},
+    }
+    _pipeline(cfg, spark, people).run()
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    # partition pruning works on the layout
+    assert (tmp_path / "out_parquet" / "dept=10").exists()
+
+
+def test_csv_sink_roundtrip(spark, people, tmp_path):
+    out = str(tmp_path / "out_csv")
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"csv": {"path": out, "header": True}},
+    }
+    _pipeline(cfg, spark, people).run()
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 4 and set(back.columns) == {"id", "name", "dept", "salary"}
+
+
+def test_json_sink_roundtrip(spark, people, tmp_path):
+    out = str(tmp_path / "out_json")
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"json": {"path": out}},
+    }
+    _pipeline(cfg, spark, people).run()
+    assert spark.read.json(out).count() == 4
+
+
+def test_orientdb_graph_sink(spark, people, depts, tmp_path):
+    out = str(tmp_path / "graph")
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "transformers": [
+            {"vertex": {"class": "Person", "idField": "id"}},
+            {"edge": {
+                "joinFieldName": "dept",
+                "lookup": "depts.dept_id",
+                "class": "WORKS_IN",
+                "sourceIdField": "id",
+            }},
+        ],
+        "loader": {"orientdb": {"path": out}},
+    }
+    p = _pipeline(cfg, spark, people)
+    p.register_table("depts", depts)
+    p.run()
+    docs = spark.read.parquet(f"{out}/documents")
+    verts = spark.read.parquet(f"{out}/vertices")
+    edges = spark.read.parquet(f"{out}/edges")
+    assert docs.count() == 4 and verts.count() == 4
+    # depts 10 and 20 resolve; dept 30 has no target → no edge
+    assert edges.count() == 3
+    assert set(edges.select("label").distinct().toPandas()["label"]) == {"WORKS_IN"}
+
+
+def test_memory_loader_and_output_var(spark, people):
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "transformers": [{"filter": {"condition": "dept = 10"}}],
+        "loader": {"memory": {"view": "eng_only"}},
+    }
+    res = _pipeline(cfg, spark, people).run()
+    assert res.outputs["eng_only"].count() == 2
+    assert spark.table("eng_only").count() == 2
