@@ -633,6 +633,85 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.compile()
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (engine `aggregate` transformer, mode=cube)."""
+    from orientdb_etl_spark import Pipeline
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "lineitem"}},
+            "transformers": [
+                {"aggregate": {
+                    "mode": "cube",
+                    "groupBy": ["l_returnflag", "l_linestatus"],
+                    "aggregations": [
+                        "round(sum(l_extendedprice), 2) AS sum_price",
+                        "count(1) AS n_rows",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    _register_all(spark, sf_dir, p)
+    return p.compile()
+
+
+def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customer counts per nation × market segment (explicit value
+    list → no extra distinct-values job, deterministic columns)."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, segs)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim join + conditional aggregate ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 decorrelation shape: per-group min + join back to find the
+    rows attaining it."""
+    li = _t(spark, sf_dir, "lineitem")
+    mins = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            mins,
+            (li.l_partkey == mins.m_partkey)
+            & (li.l_extendedprice == mins.min_price),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.min("min_price"), 2).alias("min_price"),
+            F.count(F.lit(1)).alias("n_at_min"),
+        )
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers with orders EXCEPT low-balance ones."""
     cust = _t(spark, sf_dir, "customer")
@@ -900,6 +979,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def q_ann_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join over the embeddings table (LSH-bucketed, multi-probe;
+    approximate — rows-only; recall asserted in tests). The all-pairs
+    product never materializes beyond bucket collisions."""
+    from orientdb_etl_spark.functions.similarity import pairwise_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pairwise_topk_join(emb, emb, "embedding", "vec_id", "vec_id", k=3)
+    return out.select(
+        "vec_id", "vec_id_nn", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (split on whitespace/punct/letter-digit
+    boundaries) — the cheap BPE-budget proxy."""
+    from orientdb_etl_spark.functions.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes as opaque binary assets →
     Arrow-batched feature extraction (deterministic fake encoder) →
@@ -963,6 +1064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_running": q_window_running,
         "rollup_sales": q_rollup_sales,
+        "cube_sales": q_cube_sales,
+        "pivot_segments": q_pivot_segments,
+        "q14_promo_revenue": q14_promo_revenue,
+        "min_cost_per_part": q_min_cost_per_part,
         "set_ops": q_set_ops,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -984,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pairwise_topk": q_ann_pairwise_topk,
+        "bpe_token_counts": q_bpe_token_counts,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1171,6 +1278,38 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        "cube_sales": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "pivot_segments": (
+            "SELECT c_nationkey, "
+            'count(*) FILTER (c_mktsegment = \'AUTOMOBILE\') AS "AUTOMOBILE", '
+            'count(*) FILTER (c_mktsegment = \'BUILDING\') AS "BUILDING", '
+            'count(*) FILTER (c_mktsegment = \'FURNITURE\') AS "FURNITURE", '
+            'count(*) FILTER (c_mktsegment = \'HOUSEHOLD\') AS "HOUSEHOLD", '
+            'count(*) FILTER (c_mktsegment = \'MACHINERY\') AS "MACHINERY" '
+            "FROM customer GROUP BY c_nationkey"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(100.0 * "
+            "sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+        ),
+        "min_cost_per_part": (
+            "WITH mins AS (SELECT l_partkey AS m_partkey, "
+            "min(l_extendedprice) AS min_price FROM lineitem GROUP BY 1) "
+            "SELECT l.l_partkey AS partkey, round(min(m.min_price), 2) AS min_price, "
+            "count(*) AS n_at_min "
+            "FROM lineitem l JOIN mins m ON l.l_partkey = m.m_partkey "
+            "AND l.l_extendedprice = m.min_price "
+            "GROUP BY l.l_partkey"
+        ),
         "set_ops": (
             "SELECT DISTINCT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
@@ -1226,6 +1365,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "token_counts": f"SELECT doc_id, {n_toks} AS n_tokens FROM documents",
+        "bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens FROM documents"
+        ),
         "doc_fingerprint": f"SELECT doc_id, {canon} AS fingerprint FROM documents",
         "quality_scores": f"SELECT doc_id, {quality} AS quality FROM documents",
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_pred FROM documents",

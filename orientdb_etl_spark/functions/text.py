@@ -34,8 +34,9 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     letter/digit boundaries — a cheap proxy for BPE token counts (useful
     for budget estimates without shipping a tokenizer to executors)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
-    return F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+    # letter runs, digit runs, and each remaining symbol count as one token
+    # each — RE2-compatible (no lookarounds) so oracles can share the regex
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def quality_score(col: str | Column) -> Column:
