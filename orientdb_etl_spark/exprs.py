@@ -38,8 +38,9 @@ _SIMPLE_METHODS = {
 }
 
 _METHOD_RE = re.compile(
-    # receiver: function call (1-level nesting) | identifier/path | parenthesized
-    r"([A-Za-z_]\w*\((?:[^()]|\([^()]*\))*\)|\$?[A-Za-z_][\w.]*|\([^()]*\))\.(\w+)\("
+    # receiver: string literal | function call (1-level nesting) |
+    # identifier/path | parenthesized
+    r"('[^']*'|[A-Za-z_]\w*\((?:[^()]|\([^()]*\))*\)|\$?[A-Za-z_][\w.]*|\([^()]*\))\.(\w+)\("
 )
 
 
@@ -72,6 +73,13 @@ def translate_osql(expr: str, variables: dict[str, Any] | None = None) -> str:
 
     # sysdate() -> current_timestamp()
     out = re.sub(r"\bsysdate\(\)", "current_timestamp()", out)
+
+    # $var -> literal BEFORE method rewrites, so context variables become
+    # values (OSQL $vars are context lookups, never column refs); unknown
+    # $names fall through to bare identifiers below
+    if variables:
+        for name in sorted(variables, key=len, reverse=True):
+            out = out.replace(f"${name}", _sql_literal(variables[name]))
 
     # iterate method-call rewrites until fixpoint (handles chaining)
     changed = True

@@ -104,7 +104,10 @@ class Pipeline:
 
     def run(self) -> PipelineResult:
         df = self.compile()
-        run_loader(self.ctx, df, self.config.get("loader"))
+        loader = self.config.get("loader")
+        if loader is not None:
+            loader = render_value(loader, self.ctx.variables, self.ctx.spark)
+        run_loader(self.ctx, df, loader)
         for block in self.config.get("end") or []:
             run_block(self.ctx, block)
         return PipelineResult(
