@@ -926,8 +926,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # 8 rows/band: the LSH s-curve puts the collision knee near J≈0.77, so
+    # bucket collisions stay close to the J≥0.7 pairs the verify stage
+    # keeps — r=4 flooded verify with ~50× more false candidates
     return minhash_lsh_dedup(
-        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.7
+        docs, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
     ).select("doc_id")
 
 

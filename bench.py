@@ -17,6 +17,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entry
@@ -27,15 +29,25 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q14_promo_revenue",
+    "semi_join_priority",
+    "anti_join_customers",
+    "scalar_subquery_avg",
+    "min_cost_per_part",
     "topk_orders",
     "window_running",
     "rollup_sales",
+    "cube_sales",
+    "pivot_segments",
     "events_hourly",
     "sessionize",
+    "stream_events_hourly",
     "link_fk",
     "merge_upsert",
     "subetl_items_agg",
+    "command_transform",
     "token_counts",
+    "bpe_token_counts",
     "doc_fingerprint",
     "quality_scores",
     "lang_id",
@@ -44,6 +56,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_pairwise_topk",
 ]
 
 
@@ -55,8 +68,19 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry.queries()
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + parquet footers + the Python/Arrow worker pool (worker
+    # spawn is a per-session fixed cost, not an operator cost)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id")
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

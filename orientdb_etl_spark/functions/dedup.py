@@ -14,6 +14,33 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-bound stages.
+
+    Small single-file inputs arrive as 1-2 partitions, which serializes
+    the Arrow-batched signature stages onto 1-2 cores. At real scale the
+    source has many splits and this is a no-op; the repartition only fires
+    when the input is under-partitioned (and the shuffled payload is by
+    construction small — that is why it was under-partitioned)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+@F.pandas_udf(T.DoubleType())
+def _sig_agreement(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Fraction of equal MinHash components per candidate pair (the
+    Jaccard estimate), Arrow-batched — interpreted zip_with on 64-wide
+    arrays was the verify stage's bottleneck."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.vstack(a.to_numpy())
+    mb = np.vstack(b.to_numpy())
+    return pd.Series((ma == mb).mean(axis=1))
 
 
 # --------------------------------------------------------------------------
@@ -168,9 +195,9 @@ def minhash_lsh_dedup(
     chains A~B~C with A<B<C drop B and C even if A!~C).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures_fast(df, text_col, num_perm, shingle_k).select(
-        id_col, "minhash"
-    )
+    sigs = minhash_signatures_fast(
+        ensure_parallelism(df), text_col, num_perm, shingle_k
+    ).select(id_col, "minhash")
     sigs.cache()
 
     band_arr = F.expr(
@@ -199,13 +226,10 @@ def minhash_lsh_dedup(
     # verify candidates on the full signature (estimate of Jaccard)
     sl = sigs.select(F.col(id_col).alias("keep_id"), F.col("minhash").alias("_sig_l"))
     sr = sigs.select(F.col(id_col).alias("dup_id"), F.col("minhash").alias("_sig_r"))
-    est = F.expr(
-        f"size(filter(zip_with(_sig_l, _sig_r, (a, b) -> a = b), x -> x)) / {num_perm}"
-    )
     dups = (
         cand.join(sl, "keep_id")
         .join(sr, "dup_id")
-        .withColumn("_est", est)
+        .withColumn("_est", _sig_agreement(F.col("_sig_l"), F.col("_sig_r")))
         .filter(F.col("_est") >= threshold)
         .select("dup_id")
         .distinct()
@@ -252,7 +276,7 @@ def simhash_dedup(
     16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
     candidates verified with bit_count(xor) ≤ max_hamming."""
     width = 64 // bands
-    fp = df.select(id_col, simhash_col(text_col).alias("_simhash"))
+    fp = ensure_parallelism(df).select(id_col, simhash_col(text_col).alias("_simhash"))
     fp.cache()
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
