@@ -1,0 +1,144 @@
+"""HTTP/stdin source paths, merge dedupeIncoming, and property-based CSV
+inference (hypothesis) — the corners the integration tests don't reach."""
+
+from __future__ import annotations
+
+import http.server
+import io
+import threading
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from orientdb_etl_spark import Pipeline
+from orientdb_etl_spark.operators.core import _infer_csv_schema
+
+
+# --------------------------------------------------------------------------
+# http source
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b"id;name\n1;alpha\n2;beta\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/data.csv"
+    srv.shutdown()
+
+
+def test_http_source_staged_and_parsed(spark, http_server):
+    p = Pipeline(
+        {
+            "source": {"http": {"url": http_server}},
+            "extractor": {"csv": {"separator": ";", "columnsOnFirstLine": True,
+                                   "schema": "id LONG, name STRING"}},
+        },
+        spark=spark,
+    )
+    rows = {r.id: r.name for r in p.compile().collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+
+
+def test_stdin_source(spark, monkeypatch):
+    monkeypatch.setattr("sys.stdin", io.StringIO("x\ny\nz\n"))
+    p = Pipeline({"source": {"input": {}}, "extractor": {"row": {}}}, spark=spark)
+    vals = sorted(r.value for r in p.compile().collect())
+    assert vals == ["x", "y", "z"]
+
+
+# --------------------------------------------------------------------------
+# merge dedupeIncoming (within-batch self-visibility answer, SURVEY §4.2)
+# --------------------------------------------------------------------------
+
+
+def test_merge_dedupe_incoming_keeps_last(spark, people):
+    incoming = spark.createDataFrame(
+        [(1, "v1", 10), (1, "v2", 20), (2, "w1", 5)],
+        "id int, val string, seq int",
+    )
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "incoming"}},
+            "transformers": [
+                {"merge": {"joinFieldName": "id", "lookup": "people.id",
+                            "dedupeIncoming": "seq"}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("incoming", incoming)
+    p.register_table("people", people)
+    out = {r.id: r.val for r in p.compile().collect()}
+    assert out == {1: "v2", 2: "w1"}  # highest seq wins per key
+
+
+# --------------------------------------------------------------------------
+# CSV inference properties (reference rules, OCSVTransformer.java:141-166)
+# --------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_infer_all_ints_is_long(vals):
+    schema = _infer_csv_schema([str(v) for v in vals], ",", '"', None)
+    assert schema.fields[0].dataType == T.LongType()
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_infer_floats_never_narrower_than_double(vals):
+    lines = [repr(float(v)) for v in vals]
+    schema = _infer_csv_schema(lines, ",", '"', None)
+    # repr of a float contains '.' or 'e' → double (long only if int-like)
+    assert schema.fields[0].dataType in (T.DoubleType(), T.LongType())
+    if any("." in ln or "e" in ln for ln in lines):
+        assert schema.fields[0].dataType == T.DoubleType()
+
+
+@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_infer_never_crashes_and_types_are_valid(texts):
+    # arbitrary text (may contain separators/quotes) must yield a schema
+    # whose width covers every parsed row — no exceptions, no narrowing
+    lines = [t.replace("\n", " ").replace("\r", " ") for t in texts]
+    schema = _infer_csv_schema(lines, ",", '"', None)
+    assert all(
+        f.dataType in (T.StringType(), T.LongType(), T.DoubleType())
+        for f in schema.fields
+    )
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(-1000, 1000), st.text(["a", "b", "c"], max_size=5)),
+        min_size=2, max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_infer_mixed_column_widens_to_string(vals):
+    lines = [str(v) for v in vals]
+    has_int = any(isinstance(v, int) for v in vals)
+    has_text = any(isinstance(v, str) and v and not v.lstrip("+-").isdigit() for v in vals)
+    schema = _infer_csv_schema(lines, ",", '"', None)
+    if has_int and has_text and schema.fields:
+        assert schema.fields[0].dataType == T.StringType()
