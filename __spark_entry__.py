@@ -982,6 +982,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (coarse k-means cells, nprobe probing — approximate,
+    rows-only; recall vs brute force asserted in tests). At scale the
+    table is stored partitioned by cell → nprobe/nlist fraction scanned."""
+    from orientdb_etl_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10,
+        nlist=16, nprobe=6,
+    )
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 def q_ann_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN self-join over the embeddings table (LSH-bucketed, multi-probe;
     approximate — rows-only; recall asserted in tests). The all-pairs
@@ -1092,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pairwise_topk": q_ann_pairwise_topk,
         "bpe_token_counts": q_bpe_token_counts,
         "multimodal_features": q_multimodal_features,

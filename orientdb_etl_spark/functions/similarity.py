@@ -134,6 +134,90 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train IVF coarse centroids: k-means on a bounded driver-side sample.
+
+    The sample is capped (10k vectors ≈ a few MB) so driver memory is
+    bounded regardless of table size; assignment of the full table happens
+    distributed via :func:`ivf_assign`. Deterministic: seeded sampling +
+    seeded init → identical centroids across runs."""
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype="float64")
+            for r in df.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        # cosine k-means: normalize, assign to max dot, recenter
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for j in range(len(centroids)):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: "np.ndarray", out_col: str = "ivf_cell"
+) -> DataFrame:
+    """Distributed cell assignment: argmax cosine against the broadcast
+    centroid matrix, Arrow-batched. At scale, write the table partitioned
+    by ``ivf_cell`` so queries prune to nprobe partitions."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(vecs.to_numpy()).astype("float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ bc.value.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` cells whose centroids are
+    nearest the query; exact cosine inside the probed cells only. With the
+    table stored partitioned by cell this scans nprobe/nlist of the data —
+    the classic inverted-file trade (recall vs fraction scanned)."""
+    if centroids is None:
+        centroids = ivf_index(df, vec_col, nlist=nlist, seed=seed)
+    q = np.asarray(list(query), dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes = [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
+    assigned = ivf_assign(df, vec_col, centroids)
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pairwise_topk_join(
     left: DataFrame,
     right: DataFrame,

@@ -146,3 +146,39 @@ def test_fingerprint_canonicalization(spark):
     )
     fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(300, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[7]]
+    from orientdb_etl_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = [r.vec_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    approx = ivf_topk(df, "embedding", "vec_id", q, k=5, nlist=8, nprobe=4).collect()
+    got = {r.vec_id for r in approx}
+    assert 7 in got  # the query vector itself must be found
+    assert len(got & set(exact)) >= 3  # nprobe=half the cells → high recall
+
+
+def test_ivf_assign_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(100, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    from orientdb_etl_spark.functions.similarity import ivf_assign, ivf_index
+
+    cents = ivf_index(df, "embedding", nlist=4)
+    a1 = {r.vec_id: r.ivf_cell for r in ivf_assign(df, "embedding", cents).collect()}
+    a2 = {r.vec_id: r.ivf_cell for r in ivf_assign(df, "embedding", cents).collect()}
+    assert a1 == a2 and set(a1.values()) == {0, 1, 2, 3}
