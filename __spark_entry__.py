@@ -1044,6 +1044,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape: duration-driven row explosion (the
+    expensive video→frames fan-out at scale), fully declarative. Frame
+    decode itself is stubbed (no codecs in-container); the explosion is
+    deterministic and oracle-checked."""
+    from orientdb_etl_spark.functions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (1500 + (F.col("doc_id") % 5) * 1000).alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_frames(assets, every_ms=1000).select("asset_id", "frame_ts_ms")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -1110,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairwise_topk": q_ann_pairwise_topk,
         "bpe_token_counts": q_bpe_token_counts,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1420,6 +1444,12 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC LIMIT 10"
         ),
+        "multimodal_frames": (
+            "SELECT doc_id AS asset_id, "
+            "unnest(generate_series(0, (1500 + (doc_id % 5) * 1000) - 1, 1000)) "
+            "AS frame_ts_ms FROM documents"
+        ),
         # dedup_minhash / dedup_simhash / dedup_embedding / ann_lsh_topk /
-        # multimodal_features: approximate or Arrow-batch ops — rows-only.
+        # ann_ivf_topk / ann_pairwise_topk / multimodal_features:
+        # approximate or Arrow-batch ops — rows-only.
     }

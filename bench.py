@@ -56,7 +56,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_pairwise_topk",
+    "multimodal_frames",
 ]
 
 
