@@ -633,6 +633,80 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.compile()
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation by flag."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph output is queryable: out-degree per customer vertex over the
+    orders PLACED_BY edge set built by the edge transformer."""
+    from orientdb_etl_spark import Pipeline
+    from orientdb_etl_spark.loaders import edges_df
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "orders"}},
+            "transformers": [
+                {"edge": {
+                    "joinFieldName": "o_custkey",
+                    "lookup": "customer.c_custkey",
+                    "class": "PLACED_BY",
+                    "sourceIdField": "o_orderkey",
+                    "broadcast": True,
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    _register_all(spark, sf_dir, p)
+    p.compile()
+    edges = edges_df(p.ctx)
+    return (
+        edges.groupBy(F.col("dst").alias("customer_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (engine `aggregate` transformer, mode=cube)."""
     from orientdb_etl_spark import Pipeline
@@ -1111,6 +1185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "graph_degrees": q_graph_degrees,
         "semi_join_priority": q_semi_join_priority,
         "anti_join_customers": q_anti_join_customers,
         "scalar_subquery_avg": q_scalar_subquery_avg,
@@ -1371,6 +1448,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, "
             "sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id"
+        ),
+        "q10_returned_items": (
+            "SELECT c.c_custkey, c.c_name, n.n_name, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00' "
+            "GROUP BY c.c_custkey, c.c_name, n.n_name "
+            "ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20"
+        ),
+        "q12_shipmode_priority": (
+            "SELECT l_linestatus, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY l_linestatus"
+        ),
+        "graph_degrees": (
+            "SELECT CAST(o_custkey AS VARCHAR) AS customer_id, "
+            "count(*) AS n_orders FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey) "
+            "GROUP BY o_custkey"
         ),
         "semi_join_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders o "

@@ -29,6 +29,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q10_returned_items",
+    "q12_shipmode_priority",
     "q14_promo_revenue",
     "semi_join_priority",
     "anti_join_customers",
