@@ -707,6 +707,77 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume with
+    a symmetric two-nation predicate (cross-filtered broadcast dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a join — the pattern
+    that tests predicate normalization/pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 40)))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming within-watermark dedup — the unbounded-safe exact-dedup
+    form. Key set (not payload) is deterministic → oracle = DISTINCT."""
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{sf_dir}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"dedup": {"keys": ["user_id"], "column": "ts", "watermark": "1 hour"}},
+                {"select": {"columns": ["user_id"]}},
+            ],
+        },
+        spark=spark,
+    )
+    out = p.run_available_now(f"mem_dedup_{next(_STREAM_SEQ)}")
+    return out
+
+
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (engine `aggregate` transformer, mode=cube)."""
     from orientdb_etl_spark import Pipeline
@@ -1185,8 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
         "graph_degrees": q_graph_degrees,
         "semi_join_priority": q_semi_join_priority,
         "anti_join_customers": q_anti_join_customers,
@@ -1194,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (availableNow batch-parity)
         "stream_events_hourly": q_stream_events_hourly,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_users": q_stream_dedup_users,
         # training-data operators
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1449,6 +1523,29 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
+        "q7_nation_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+            "GROUP BY n1.n_name, n2.n_name"
+        ),
+        "q19_disjunctive_filter": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_lines "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 40)"
+        ),
+        "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
         "q10_returned_items": (
             "SELECT c.c_custkey, c.c_name, n.n_name, "
             "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "

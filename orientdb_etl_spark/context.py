@@ -21,6 +21,7 @@ class RunStats:
 
     warnings: int = 0
     errors: int = 0
+    rows_loaded: int | None = None
     notes: list[str] = field(default_factory=list)
 
     def warn(self, msg: str) -> None:

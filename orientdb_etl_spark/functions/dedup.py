@@ -3,9 +3,14 @@
 Design for 100 TB: every variant avoids the O(n²) all-pairs comparison by
 construction — exact dedup is a hash aggregate; MinHash/SimHash restrict
 comparisons to LSH-bucket collisions; the candidate-pair verification joins
-are self-joins on bucket keys (AQE handles skewed buckets). Signatures are
-computed with built-in JVM expressions (xxhash64 over shingle arrays via
-higher-order functions) so the hot path needs no Python at all.
+are self-joins on bucket keys (AQE handles skewed buckets).
+
+Published techniques used (public literature): MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH for near-duplicate candidate generation (Leskovec/
+Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3), SimHash random
+hyperplane rounding (Charikar, STOC 2002; Manku et al., WWW 2007 for
+web-scale near-dup detection).
 """
 
 from __future__ import annotations

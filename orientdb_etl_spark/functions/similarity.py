@@ -6,6 +6,13 @@ LSH / IVF bucketing so only a fraction of partitions are scanned per query.
 Dot products use built-in higher-order functions (zip_with + aggregate),
 entirely JVM-side; a vectorized Pandas-UDF matrix path exists for batched
 multi-query workloads where BLAS beats per-row expressions.
+
+Published techniques used (public literature): random-hyperplane LSH
+(Charikar, STOC 2002) with multi-probe bit-flips (Lv et al., VLDB 2007),
+inverted-file coarse quantization / IVF (Sivic & Zisserman ICCV 2003;
+Jégou et al. PAMI 2011 — the nlist/nprobe trade popularized by FAISS).
+Top-k orchestration follows the incremental/per-partition top-k pattern
+(cf. EDBT 2020 incremental top-k, PAPERS.md).
 """
 
 from __future__ import annotations

@@ -107,7 +107,31 @@ class Pipeline:
         loader = self.config.get("loader")
         if loader is not None:
             loader = render_value(loader, self.ctx.variables, self.ctx.spark)
+
+        # rows-loaded metric via observe() — the Spark-native form of the
+        # reference's progress dump (OETLProcessor.java:545-585): collected
+        # by the sink action itself, no extra pass over the data. Only
+        # attached when the loader runs an action (Observation.get blocks
+        # otherwise — memory/view loaders are lazy by design).
+        obs = None
+        lname = next(iter(loader)) if loader else "memory"
+        # `output` (show) is excluded: it short-circuits after N rows, so
+        # the observed count would be partial, not the loaded total
+        runs_action = lname in ("parquet", "csv", "json", "jdbc") or (
+            lname == "orientdb" and (loader or {}).get(lname, {}).get("path")
+        )
+        if runs_action:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+
         run_loader(self.ctx, df, loader)
+        if obs is not None:
+            n = obs.get.get("rows_loaded")
+            self.ctx.stats.rows_loaded = n
+            self.ctx.stats.notes.append(f"rows_loaded: {n}")
         for block in self.config.get("end") or []:
             run_block(self.ctx, block)
         return PipelineResult(

@@ -88,3 +88,14 @@ def test_memory_loader_and_output_var(spark, people):
     res = _pipeline(cfg, spark, people).run()
     assert res.outputs["eng_only"].count() == 2
     assert spark.table("eng_only").count() == 2
+
+
+def test_observe_rows_loaded_metric(spark, people, tmp_path):
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "transformers": [{"filter": {"condition": "dept = 10"}}],
+        "loader": {"parquet": {"path": str(tmp_path / "obs_out")}},
+    }
+    res = _pipeline(cfg, spark, people).run()
+    assert res.stats.rows_loaded == 2
+    assert any("rows_loaded: 2" in n for n in res.stats.notes)
