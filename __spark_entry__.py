@@ -677,6 +677,53 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-dim join + date-part extraction + grouped
+    profit (year comes from a function, not a column — tests expression
+    grouping keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window variety: rank / dense_rank / ntile over per-nation
+    balance ordering (single partitioned window, one shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+        )
+    )
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph output is queryable: out-degree per customer vertex over the
     orders PLACED_BY edge set built by the edge transformer."""
@@ -1248,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_forecast": q6_revenue_forecast,
         "topk_orders": q_topk_orders,
         "window_running": q_window_running,
+        "window_rank_dense": q_window_rank_dense,
         "rollup_sales": q_rollup_sales,
         "cube_sales": q_cube_sales,
         "pivot_segments": q_pivot_segments,
@@ -1257,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "q7_nation_volume": q7_nation_volume,
+        "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q19_disjunctive_filter": q19_disjunctive_filter,
@@ -1546,6 +1595,27 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 40)"
         ),
         "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
+        "q9_product_profit": (
+            "SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_type = 'PROMO' "
+            "GROUP BY n.n_name, year(o.o_orderdate)"
+        ),
+        "window_rank_dense": (
+            "SELECT c_custkey, c_nationkey, "
+            "rank() OVER w AS bal_rank, "
+            "dense_rank() OVER w AS bal_dense_rank, "
+            "ntile(4) OVER w AS bal_quartile, "
+            "lead(c_custkey, 1) OVER w AS next_custkey "
+            "FROM customer "
+            "WINDOW w AS (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal DESC, c_custkey ASC)"
+        ),
         "q10_returned_items": (
             "SELECT c.c_custkey, c.c_name, n.n_name, "
             "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "

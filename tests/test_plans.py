@@ -1,0 +1,87 @@
+"""Physical-plan audits: the scale properties SCALE.md claims, asserted.
+
+These tests pin the *plan*, not the result: filters reach the parquet scan,
+schemas are pruned, dimensions broadcast, top-k avoids global sorts, and no
+hot path drops into row-at-a-time Python. A regression here is a 100 TB
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q6_schema_pruned(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    # 4 referenced columns only — never the full 11-column lineitem
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # map-side partial agg before the shuffle: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_running_partitioned_not_global(spark):
+    plan = _plan(spark, "window_running")
+    assert "Window" in plan
+    # partitioned by o_custkey → hashpartitioning exchange, no single-
+    # partition global window
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_link_fk_broadcast_lookup(spark):
+    plan = _plan(spark, "link_fk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_pure_sql_paths(spark):
+    for name in ("q1_pricing_summary", "token_counts", "doc_fingerprint",
+                  "dedup_exact", "flow_skip"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell into row Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses Python needlessly"
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark):
+    # codegen stage markers (*(n)) appear in the finalized AQE plan, so
+    # execute first, then read the simple-mode plan
+    df = E.queries()["q6_revenue_forecast"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "*(1)" in plan  # scan+filter+partial-agg fused in one codegen stage
