@@ -1034,6 +1034,33 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (2 h windows, 1 h slide) — each
+    event lands in exactly two windows; deterministic, oracle-checked."""
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{sf_dir}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"window_agg": {
+                    "column": "ts", "duration": "2 hours", "slide": "1 hour",
+                    "groupBy": [],
+                    "aggregations": ["count(1) AS n_events"],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    out = p.run_available_now(
+        f"mem_slide_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n_events",
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming sessionization (applyInPandasWithState,
     explicit per-user state) — streaming twin of sessionize."""
@@ -1315,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery_avg": q_scalar_subquery_avg,
         # streaming (availableNow batch-parity)
         "stream_events_hourly": q_stream_events_hourly,
+        "stream_sliding_2h": q_stream_sliding_2h,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_users": q_stream_dedup_users,
         # training-data operators
@@ -1595,6 +1623,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 40)"
         ),
         "stream_dedup_users": "SELECT DISTINCT user_id FROM events",
+        "stream_sliding_2h": (
+            "WITH starts AS (SELECT unnest([date_trunc('hour', ts), "
+            "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start "
+            "FROM events) "
+            "SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, "
+            "count(*) AS n_events FROM starts GROUP BY 1"
+        ),
         "q9_product_profit": (
             "SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year, "
             "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit "

@@ -45,6 +45,18 @@ def run_loader(
         ).csv(cfg["path"])
     elif name == "json":
         df.write.mode(cfg.get("mode", "overwrite")).json(cfg["path"])
+    elif name == "table":
+        # managed-table sink with optional bucketing: two tables bucketed
+        # on the same key join WITHOUT a shuffle (Exchange elided) — the
+        # co-located-join strategy for repeated large-fact joins at scale
+        writer = df.write.mode(cfg.get("mode", "overwrite")).format(
+            cfg.get("format", "parquet")
+        )
+        if cfg.get("bucketBy"):
+            b = cfg["bucketBy"]
+            writer = writer.bucketBy(int(b["n"]), *b["columns"])
+            writer = writer.sortBy(*cfg.get("sortBy", b["columns"]))
+        writer.saveAsTable(cfg["name"])
     elif name == "jdbc":
         # dbAutoCreate/dbAutoDropIfExists ≈ save modes; batchCommit ≈ batchsize
         # (OOrientDBLoader.java:181-194, 265-301)

@@ -117,7 +117,7 @@ class Pipeline:
         lname = next(iter(loader)) if loader else "memory"
         # `output` (show) is excluded: it short-circuits after N rows, so
         # the observed count would be partial, not the loaded total
-        runs_action = lname in ("parquet", "csv", "json", "jdbc") or (
+        runs_action = lname in ("parquet", "csv", "json", "jdbc", "table") or (
             lname == "orientdb" and (loader or {}).get(lname, {}).get("path")
         )
         if runs_action:

@@ -99,3 +99,34 @@ def test_observe_rows_loaded_metric(spark, people, tmp_path):
     res = _pipeline(cfg, spark, people).run()
     assert res.stats.rows_loaded == 2
     assert any("rows_loaded: 2" in n for n in res.stats.notes)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, people, depts, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in (("b_people", people, "dept"), ("b_depts", depts, "dept_id")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        cfg = {
+            "extractor": {"table": {"name": "src"}},
+            "loader": {"table": {"name": name,
+                                  "bucketBy": {"n": 4, "columns": [key]}}},
+        }
+        p = Pipeline(cfg, spark=spark)
+        p.register_table("src", df)
+        p.run()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_people").join(
+            spark.table("b_depts"),
+            F.col("dept") == F.col("dept_id"),
+        )
+        assert j.count() == 3
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # bucketing co-locates both sides: no shuffle exchange in the join
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
