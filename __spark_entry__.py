@@ -724,6 +724,71 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → max-of-aggregate → join back (the
+    classic view-then-filter-on-max decorrelation)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m")).select("m")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(supp, rev.r_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction inside analytics: props ->> k parsed with from_json,
+    averaged per event type (semi-structured column → typed aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: typed meta rewrite (decode stubbed; the
+    schema contract is the real operator at scale). Deterministic →
+    oracle-checked."""
+    from orientdb_etl_spark.functions.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (100 + F.col("doc_id") % 50).cast("int").alias("width"),
+            (80 + F.col("doc_id") % 40).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    out = resize_images(assets, 224, 224)
+    return out.select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "resized",
+    )
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph output is queryable: out-degree per customer vertex over the
     orders PLACED_BY edge set built by the edge transformer."""
@@ -1335,7 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
+        "q15_top_supplier": q15_top_supplier,
         "q19_disjunctive_filter": q19_disjunctive_filter,
+        "events_json_agg": q_events_json_agg,
         "graph_degrees": q_graph_degrees,
         "semi_join_priority": q_semi_join_priority,
         "anti_join_customers": q_anti_join_customers,
@@ -1362,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1753,6 +1821,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) / "
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' "
+            "GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+            "FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "events_json_agg": (
+            "SELECT event_type, "
+            "round(avg(((props::JSON ->> 'k')::BIGINT)), 4) AS avg_k, "
+            "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "multimodal_resize": (
+            "SELECT doc_id AS asset_id, 224 AS width, 224 AS height, "
+            "true AS resized FROM documents"
         ),
         "multimodal_frames": (
             "SELECT doc_id AS asset_id, "
