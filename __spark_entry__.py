@@ -851,6 +851,44 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group — the distinct-aggregate
+    physical plan (partial distinct before the shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then join back to the
+    parents of qualifying groups (top-100)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)  # HAVING
+    )
+    return (
+        big.join(orders, big.b_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate across a join — the pattern
     that tests predicate normalization/pushdown."""
@@ -1401,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q18_large_orders": q18_large_orders,
         "q19_disjunctive_filter": q19_disjunctive_filter,
         "events_json_agg": q_events_json_agg,
         "graph_degrees": q_graph_degrees,
@@ -1832,6 +1872,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.s_suppkey, s.s_name, r.total_revenue "
             "FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
             "WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "q16_supplier_cnt": (
+            "SELECT p_brand, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p_size IN (1, 5, 10, 15) "
+            "GROUP BY p_brand, p_size"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+            "SELECT c.c_custkey, o.o_orderkey, "
+            "strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "round(o.o_totalprice, 2) AS totalprice, "
+            "round(b.total_qty, 2) AS total_qty "
+            "FROM big b "
+            "JOIN orders o ON b.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "ORDER BY totalprice DESC, o.o_orderkey ASC LIMIT 100"
         ),
         "events_json_agg": (
             "SELECT event_type, "
