@@ -72,9 +72,10 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry.queries()
 
-    # warm the JVM + parquet footers + the Python/Arrow worker pool (worker
-    # spawn is a per-session fixed cost, not an operator cost)
+    # warm the JVM + parquet scan codegen + the Python/Arrow worker pool
+    # (JIT and worker spawn are per-session fixed costs, not operator costs)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
