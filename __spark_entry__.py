@@ -31,6 +31,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
         # reader rejects; read nanos as long (dynamic conf) and floor-divide
         # to micros — identical to DuckDB's nanos→micros truncation.
+        # Session TZ pinned UTC: the converted column is TIMESTAMP_LTZ, so
+        # hour-bucketing/formatting would otherwise shift against the
+        # TZ-naive DuckDB oracle under a non-UTC driver session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -46,6 +46,7 @@ def stream_parquet(
         path = str(stage)
     if schema is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(path)
     if ts_nanos_col:
