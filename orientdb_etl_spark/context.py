@@ -49,6 +49,9 @@ class PipelineContext:
     # `output` attribute side-branches (OAbstractTransformer.java:38-47)
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     stats: RunStats = field(default_factory=RunStats)
+    # driver-side lifecycle listener (listeners.RunListener); per-row hooks
+    # of the reference's OImporterListener have no distributed analog
+    listener: Any = None
 
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df

@@ -53,6 +53,9 @@ def _note_misses(ctx: PipelineContext, action: str, what: str) -> None:
         ctx.stats.warn(f"{what}: unresolved lookups tolerated (left join)")
     elif action == "ERROR":
         ctx.stats.error(f"{what}: unresolved lookups counted as errors")
+    lsn = ctx.listener
+    if action != "NOTHING" and lsn is not None and getattr(lsn, "on_join_not_found", None):
+        lsn.on_join_not_found(ctx, what)
 
 
 # --------------------------------------------------------------------------

@@ -56,6 +56,7 @@ class Pipeline:
         spark: SparkSession | None = None,
         tables: dict[str, DataFrame] | None = None,
         variables: dict[str, Any] | None = None,
+        listener: Any = None,
     ) -> None:
         if isinstance(config, str):
             with open(config) as f:
@@ -66,6 +67,7 @@ class Pipeline:
 
             spark = get_spark()
         self.ctx = PipelineContext(spark=spark)
+        self.ctx.listener = listener
         if tables:
             # shared, not copied: sub-pipelines and CREATE actions see updates
             self.ctx.tables = tables
@@ -103,6 +105,9 @@ class Pipeline:
         return df
 
     def run(self) -> PipelineResult:
+        lsn = self.ctx.listener
+        if lsn is not None and getattr(lsn, "on_begin", None):
+            lsn.on_begin(self.ctx)
         df = self.compile()
         loader = self.config.get("loader")
         if loader is not None:
@@ -132,6 +137,8 @@ class Pipeline:
             n = obs.get.get("rows_loaded")
             self.ctx.stats.rows_loaded = n
             self.ctx.stats.notes.append(f"rows_loaded: {n}")
+        if lsn is not None and getattr(lsn, "on_end", None):
+            lsn.on_end(self.ctx, None)
         for block in self.config.get("end") or []:
             run_block(self.ctx, block)
         return PipelineResult(

@@ -1,0 +1,26 @@
+"""Run-listener lifecycle callbacks (SURVEY §2.6 mapping)."""
+
+from __future__ import annotations
+
+from orientdb_etl_spark import Pipeline
+from orientdb_etl_spark.listeners import CollectingListener
+
+
+def test_listener_lifecycle_and_join_not_found(spark, people, depts, tmp_path):
+    col = CollectingListener()
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "transformers": [
+            {"link": {"joinFieldName": "dept", "lookup": "depts.dept_id",
+                       "linkFieldName": "dept_name", "linkValueField": "dept_name",
+                       "unresolvedLinkAction": "WARNING"}},
+        ],
+        "loader": {"parquet": {"path": str(tmp_path / "out")}},
+    }
+    p = Pipeline(cfg, spark=spark, listener=col.listener())
+    p.register_table("people", people)
+    p.register_table("depts", depts)
+    p.run()
+    assert col.events[0] == "begin"
+    assert any(e.startswith("join_not_found link") for e in col.events)
+    assert col.events[-1].startswith("end rows_loaded=4 warnings=1")
