@@ -1344,6 +1344,54 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones → typed placeholders) — pure
+    regexp_replace chain, shared RE2 patterns with the oracle."""
+    from orientdb_etl_spark.functions.text import pii_scrub
+
+    # the fixture docs carry no PII — append deterministic synthetic PII so
+    # the redaction is exercised on every row (oracle builds the same text)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_txt",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" at 192.168.0.1 or +1 (555) 010-"), F.col("doc_id"),
+        ),
+    )
+    return docs.select("doc_id", pii_scrub("_txt").alias("scrubbed"))
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-repetition quality signal (Gopher-style boilerplate flag)."""
+    from orientdb_etl_spark.functions.text import repetition_ratio
+
+    # fixture docs are single-line: rebuild as one line per sentence-ish
+    # 8-token group, with every third doc getting a duplicated line so the
+    # signal fires (oracle mirrors the construction)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_txt",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\ndup line\ndup line")),
+        ).otherwise(F.concat(F.col("text"), F.lit("\nunique tail"))),
+    )
+    return docs.select(
+        "doc_id", F.round(repetition_ratio("_txt"), 4).alias("rep_ratio")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc→chunk fan-out: overlapping 64-token windows, 16-token overlap
+    (the training-sample generator)."""
+    from orientdb_etl_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes as opaque binary assets →
     Arrow-batched feature extraction (deterministic fake encoder) →
@@ -1461,6 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
+        "repetition_ratio": q_repetition_ratio,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1829,6 +1880,35 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "token_counts": f"SELECT doc_id, {n_toks} AS n_tokens FROM documents",
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com at 192.168.0.1 or +1 (555) 010-' || doc_id AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
+            "'\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed "
+            "FROM aug"
+        ),
+        "repetition_ratio": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN text || chr(10) || 'dup line' || chr(10) || 'dup line' "
+            "ELSE text || chr(10) || 'unique tail' END AS t FROM documents) "
+            "SELECT doc_id, round(1.0 - "
+            "len(list_distinct(string_split(t, chr(10)))) * 1.0 / "
+            "len(string_split(t, chr(10))), 4) AS rep_ratio FROM aug"
+        ),
+        "chunk_documents": (
+            "WITH base AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "lim AS (SELECT doc_id, t, "
+            "greatest(cast(ceil((len(t) - 64) / 48.0) AS int), 0) AS maxi FROM base) "
+            "SELECT doc_id, unnest(range(0, maxi + 1)) AS chunk_idx, "
+            "least(len(t) - (unnest(range(0, maxi + 1)) * 48 + 1) + 1, 64) "
+            "AS n_tokens FROM lim"
+        ),
         "bpe_token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens FROM documents"

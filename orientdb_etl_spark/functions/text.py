@@ -102,6 +102,76 @@ def rolling_fingerprint(col: str | Column, window: int = 8) -> Column:
     )
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Redact common PII patterns (emails, phone numbers, IPv4) with typed
+    placeholders — the pre-training scrub pass. RE2-compatible patterns so
+    the oracle can share them; pure JVM regexp_replace chain (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _IP_RE, "<IP>")
+    out = F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+    return out
+
+
+def repetition_ratio(col: str | Column) -> Column:
+    """Fraction of duplicate lines in a document (a Gopher-style quality
+    signal: high line-level repetition flags boilerplate/spam). 0.0 for
+    single-line docs; 1 - distinct_lines/lines otherwise."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-sample fan-out (doc → chunks). One row per chunk with
+    (id, chunk_idx, chunk_text, n_tokens); declarative explode of
+    token-slice windows, no UDF, so the fan-out parallelizes like any
+    generator at 100 TB."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # chunk start offsets: 1, 1+step, ... (1-based for slice)
+    starts = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((size(_toks) - {chunk_tokens}) / "
+        f"cast({step} as double)) as int), 0)), i -> i * {step} + 1)"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(n > 0)
+        .select(
+            id_col,
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start"), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("_toks")) - F.col("_start") + 1, F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full metric set in one narrow projection."""
     return (

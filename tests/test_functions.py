@@ -182,3 +182,43 @@ def test_ivf_assign_deterministic(spark):
     a1 = {r.vec_id: r.ivf_cell for r in ivf_assign(df, "embedding", cents).collect()}
     a2 = {r.vec_id: r.ivf_cell for r in ivf_assign(df, "embedding", cents).collect()}
     assert a1 == a2 and set(a1.values()) == {0, 1, 2, 3}
+
+
+def test_pii_scrub_patterns(spark):
+    from orientdb_etl_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.org ip 10.0.0.1 tel +1 (555) 123-4567 end")],
+        "id int, text string",
+    )
+    out = df.select(pii_scrub("text").alias("t")).first().t
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "bob@" not in out and "10.0.0.1" not in out
+
+
+def test_repetition_ratio_values(spark):
+    from orientdb_etl_spark.functions.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "a\na\na\na"), (3, "only one line")],
+        "id int, text string",
+    )
+    got = {r.id: round(r.r, 4) for r in df.select("id", repetition_ratio("text").alias("r")).collect()}
+    assert got == {1: 0.0, 2: 0.75, 3: 0.0}
+
+
+def test_chunk_documents_windows(spark):
+    from orientdb_etl_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id int, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts at tokens 1 and 49 → 2 chunks; second has 100-49+1=52 tokens
+    assert (1, 0) in rows and (1, 1) in rows and (2, 0) in rows
+    assert rows[(1, 0)].n_tokens == 64 and rows[(1, 1)].n_tokens == 52
+    assert rows[(2, 0)].chunk_text == "short doc" and rows[(2, 0)].n_tokens == 2
+    # overlap: chunk 1 ends with w63; chunk 2 starts at w48
+    assert rows[(1, 0)].chunk_text.endswith("w63")
+    assert rows[(1, 1)].chunk_text.startswith("w48")
