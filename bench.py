@@ -50,6 +50,8 @@ HEADLINE = [
     "command_transform",
     "token_counts",
     "bpe_token_counts",
+    "pii_scrub",
+    "chunk_documents",
     "doc_fingerprint",
     "quality_scores",
     "lang_id",
@@ -76,6 +78,8 @@ def main() -> None:
     # (JIT and worker spawn are per-session fixed costs, not operator costs)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm hash-aggregate codegen (generic machinery, not a headline query)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey").count().collect()
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
