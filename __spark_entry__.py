@@ -1344,6 +1344,38 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id hash — split counts per
+    assignment (stable as the dataset grows; engine-portable arithmetic)."""
+    from orientdb_etl_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic downsampling (data-mixture construction):
+    keep 50% of 'click' events, 10% of 'view', all else full rate."""
+    from orientdb_etl_spark.functions.sampling import mixture_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = mixture_sample(
+        ev, "event_type", "event_id", {"click": 0.5, "view": 0.1}
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: first 50 docs in hash order (the
+    'shuffle once, stream epochs' pattern; range-partitioned sort)."""
+    from orientdb_etl_spark.functions.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, "doc_id")
+    return out.select("doc_id").limit(50)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/IPv4/phones → typed placeholders) — pure
     regexp_replace chain, shared RE2 patterns with the oracle."""
@@ -1512,6 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1880,6 +1915,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "token_counts": f"SELECT doc_id, {n_toks} AS n_tokens FROM documents",
+        "hash_split": (
+            "WITH b AS (SELECT ((doc_id + 42) % 1000003) * 2654435761 % 1000000 "
+            "AS bk FROM documents) "
+            "SELECT CASE WHEN bk < 800000 THEN 'train' "
+            "WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split, "
+            "count(*) AS n_docs FROM b GROUP BY 1"
+        ),
+        "mixture_sample": (
+            "WITH b AS (SELECT event_type, "
+            "((event_id + 42) % 1000003) * 2654435761 % 1000000 AS bk FROM events) "
+            "SELECT event_type, count(*) AS n_kept FROM b "
+            "WHERE bk < CASE event_type WHEN 'click' THEN 500000 "
+            "WHEN 'view' THEN 100000 ELSE 1000000 END "
+            "GROUP BY event_type"
+        ),
+        "deterministic_shuffle": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY ((doc_id + 42) % 1000003) * 2654435761 % 1000000000, doc_id "
+            "LIMIT 50"
+        ),
         "pii_scrub": (
             "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
             "'@example.com at 192.168.0.1 or +1 (555) 010-' || doc_id AS t "

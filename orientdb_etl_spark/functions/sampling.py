@@ -1,0 +1,88 @@
+"""Deterministic sampling / splitting / shuffling for training-data builds.
+
+Reproducibility is the design constraint: every operator derives its
+randomness from a multiplicative integer hash of the row id (Knuth-style,
+64-bit wraparound) — identical results on any cluster size, any partition
+layout, any engine that can do integer arithmetic (which is what makes
+these oracle-checkable in DuckDB, unlike rand()/sampleBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's 32-bit multiplicative constant; the id is reduced mod a prime
+# first so the product stays far below 2^63 — overflow-free in ANY engine
+# (DuckDB errors on BIGINT overflow rather than wrapping)
+_MULT = 2654435761
+_PRIME = 1_000_003
+
+
+def hash_bucket(id_col: str | Column, buckets: int = 1000, seed: int = 42) -> Column:
+    """Uniform pseudo-random bucket in [0, buckets) from an integer id.
+    Shared arithmetic with the SQL oracle:
+    (((id + seed) % PRIME) * MULT) % buckets — all non-negative int64."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = F.pmod(c.cast("long") + F.lit(seed), F.lit(_PRIME)) * F.lit(_MULT)
+    return F.pmod(mixed, F.lit(buckets)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; remainder
+    falls into the last split). A row's split never changes as the dataset
+    grows — the property that keeps eval sets stable across pipeline runs.
+    """
+    b = hash_bucket(id_col, 1_000_000, seed)
+    bounds = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        bounds.append((name, int(round(acc * 1_000_000))))
+    # first matching upper bound wins; ids past the last bound fall into
+    # the final split
+    col = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds):
+        col = F.when(b < upper, F.lit(name)).otherwise(col)
+    return df.withColumn(out_col, col)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Reproducible global shuffle: total order by id hash. The range-
+    partitioned sort is one shuffle; downstream sequential reads see a
+    fixed pseudo-random order regardless of cluster layout — the
+    'shuffle once, train many epochs' pattern."""
+    return df.orderBy(
+        hash_bucket(id_col, 1_000_000_000, seed).asc(),
+        F.col(id_col).asc(),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group deterministic downsampling (data-mixture construction):
+    keep a ``rates[group]`` fraction of each group, chosen by id hash —
+    stable across runs and engines, unlike ``sampleBy``."""
+    b = hash_bucket(id_col, 1_000_000, seed)
+    rate = F.lit(int(round(default_rate * 1_000_000)))
+    for g, r in rates.items():
+        rate = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * 1_000_000)))
+        ).otherwise(rate)
+    return df.filter(b < rate)

@@ -1,0 +1,58 @@
+"""Deterministic sampling/splitting/shuffling (training-data builds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.sampling import (
+    deterministic_shuffle,
+    hash_bucket,
+    hash_split,
+    mixture_sample,
+)
+
+
+def test_hash_split_stable_under_growth(spark):
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s_small = {r.doc_id: r.split for r in hash_split(small, "doc_id", w).collect()}
+    s_big = {r.doc_id: r.split for r in hash_split(big, "doc_id", w).collect()}
+    # assignments of existing ids never change as the dataset grows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # proportions roughly honored
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert set(c) == {"train", "val", "test"}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+    )
+    out1 = mixture_sample(df, "event_type", "event_id", {"click": 0.5, "view": 0.1})
+    out2 = mixture_sample(df, "event_type", "event_id", {"click": 0.5, "view": 0.1})
+    got1 = sorted(r.event_id for r in out1.collect())
+    assert got1 == sorted(r.event_id for r in out2.collect())  # deterministic
+    counts = {r.event_type: r.n for r in out1.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["click"] / 2000 < 0.6
+    assert 0.05 < counts["view"] / 2000 < 0.16
+
+
+def test_deterministic_shuffle_reproducible_and_permutes(spark):
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in deterministic_shuffle(df, "doc_id").collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(df, "doc_id").collect()]
+    assert o1 == o2 and sorted(o1) == list(range(300)) and o1 != list(range(300))
+    # different seed → different order
+    o3 = [r.doc_id for r in deterministic_shuffle(df, "doc_id", seed=7).collect()]
+    assert o3 != o1
+
+
+def test_hash_bucket_uniformish(spark):
+    df = spark.range(10000).select(hash_bucket("id", 10).alias("b"))
+    counts = [r.n for r in df.groupBy("b").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 10 and min(counts) > 600  # no collapsed buckets
