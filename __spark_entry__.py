@@ -233,7 +233,12 @@ def q_link_multivalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
     )
     _register_all(spark, sf_dir, p)
-    return p.compile()
+    # Serialize the LINKSET to a canonical CSV string: the driver's hash
+    # canonicalizer cannot sort rows containing array cells.
+    return p.compile().select(
+        "event_id",
+        F.array_join(F.array_sort("user_names"), ",").alias("user_names"),
+    )
 
 
 def q_vertex_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +356,13 @@ def q_subetl_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
     )
     _register_all(spark, sf_dir, p)
-    return p.compile()
+    # Serialize the LINKLIST to a canonical CSV string (driver hashability).
+    return p.compile().select(
+        "o_orderkey",
+        F.array_join(F.col("linenumbers").cast("array<string>"), ",").alias(
+            "linenumbers"
+        ),
+    )
 
 
 def q_subetl_items_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,7 +1648,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"
         ),
         "link_multivalue": (
-            "SELECT e.event_id, list_sort(list_distinct(list(c.c_name))) AS user_names "
+            "SELECT e.event_id, "
+            "array_to_string(list_sort(list_distinct(list(c.c_name))), ',') AS user_names "
             "FROM (SELECT event_id, unnest([user_id, user_id + 1]) AS uk FROM events) e "
             "JOIN customer c ON e.uk = c.c_custkey "
             "GROUP BY e.event_id"
@@ -1659,7 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         "subetl_linenumbers": (
             "SELECT o.o_orderkey, "
             "CASE WHEN count(l.l_orderkey) = 0 THEN NULL "
-            "ELSE list_sort(list(l.l_linenumber)) END AS linenumbers "
+            "ELSE array_to_string(list_sort(list(l.l_linenumber)), ',') END "
+            "AS linenumbers "
             "FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "GROUP BY o.o_orderkey"
         ),
@@ -1795,7 +1808,8 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) ) AS gap "
             "FROM events) "
             "SELECT user_id, "
-            "sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions, "
+            "CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "q7_nation_volume": (
@@ -1864,10 +1878,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q12_shipmode_priority": (
             "SELECT l_linestatus, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 1 ELSE 0 END) AS high_line_count, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 0 ELSE 1 END) AS low_line_count "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
             "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
@@ -1911,7 +1925,8 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) ) AS gap "
             "FROM events) "
             "SELECT user_id, "
-            "sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions, "
+            "CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "token_counts": f"SELECT doc_id, {n_toks} AS n_tokens FROM documents",

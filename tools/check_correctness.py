@@ -23,19 +23,27 @@ from orientdb_etl_spark import get_spark  # noqa: E402
 
 
 def _norm_cell(v) -> str:
+    """Mirror the driver's canonicalizer: pandas-materialized cells, with
+    the float/int distinction PRESERVED (DuckDB HUGEINT -> float64 must
+    mismatch Spark's int64, exactly as the driver reports it)."""
     import datetime
     import math
 
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return "NULL"
         return repr(round(v, 6))
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -46,6 +54,11 @@ def _norm_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    try:
+        if v != v:  # pd.NaT and other NA sentinels
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
@@ -72,7 +85,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    queries = entry.queries()
+    queries = getattr(entry, "queries_all", entry.queries)()
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in queries.items():
@@ -81,8 +94,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -91,9 +105,9 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
@@ -107,9 +121,12 @@ def main() -> int:
             sh, oh = _hash_rows(scols, srows), _hash_rows(ocols, orows)
             if sh != oh:
                 problems.append(f"hash {sh} vs {oh}")
-                srt = sorted(srows)[:3]
-                ort = sorted(orows)[:3]
-                problems.append(f"spark sample {srt} | oracle sample {ort}")
+                try:
+                    srt = sorted(srows, key=repr)[:3]
+                    ort = sorted(orows, key=repr)[:3]
+                    problems.append(f"spark sample {srt} | oracle sample {ort}")
+                except Exception:  # noqa: BLE001
+                    pass
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures += 1
