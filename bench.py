@@ -72,7 +72,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench")
-    queries = entry.queries()
+    queries = entry.queries_all()
 
     # warm the JVM + parquet scan codegen + the Python/Arrow worker pool
     # (JIT and worker spawn are per-session fixed costs, not operator costs)

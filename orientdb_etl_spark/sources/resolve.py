@@ -25,6 +25,9 @@ def _stage_http(cfg: dict[str, Any]) -> str:
     (≈ OHttpSource.java:74-116). At 100 TB scale an HTTP endpoint is a
     manifest/control-plane input, not a data path — staging on the driver
     is the honest design, and the staged file is then read distributed."""
+    import os
+    from urllib.parse import urlparse
+
     url = cfg["url"]
     method = str(cfg.get("method", "GET")).upper()
     req = urllib.request.Request(url, method=method)
@@ -32,7 +35,10 @@ def _stage_http(cfg: dict[str, Any]) -> str:
         req.add_header(k, str(v))
     with urllib.request.urlopen(req, timeout=float(cfg.get("timeout", 60))) as resp:
         data = resp.read()
-    tf = tempfile.NamedTemporaryFile(prefix="etl_http_", suffix=".dat", delete=False)
+    # keep the URL's extension so Spark's extension-driven codecs (.gz)
+    # stay transparent on the staged copy
+    suffix = os.path.splitext(urlparse(url).path)[1] or ".dat"
+    tf = tempfile.NamedTemporaryFile(prefix="etl_http_", suffix=suffix, delete=False)
     tf.write(data)
     tf.close()
     return tf.name

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = E.queries()[name](spark, SF)
+    df = E.queries_all()[name](spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -79,7 +79,7 @@ def test_no_python_udf_in_pure_sql_paths(spark):
 def test_whole_stage_codegen_covers_scan_agg(spark):
     # codegen stage markers (*(n)) appear in the finalized AQE plan, so
     # execute first, then read the simple-mode plan
-    df = E.queries()["q6_revenue_forecast"](spark, SF)
+    df = E.queries_all()["q6_revenue_forecast"](spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
