@@ -515,6 +515,68 @@ def q_stdin_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         sys.stdin = saved
 
 
+def _stage_customer_derby(spark: SparkSession, sf_dir: str) -> str:
+    """Seed an embedded Apache Derby database (Derby ships on Spark's own
+    classpath) with the customer table through the JDBC writer —
+    idempotent staging for the jdbc-extractor round-trip."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    db = f"/tmp/oetl_derby_{tag}"
+    url = f"jdbc:derby:{db};create=true"
+    marker = os.path.join(db, ".seeded")
+    if not os.path.exists(marker):
+        (
+            _t(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("C_CUSTKEY"),
+                F.col("c_name").alias("C_NAME"),
+                F.col("c_nationkey").alias("C_NATIONKEY"),
+                F.col("c_acctbal").alias("C_ACCTBAL"),
+            )
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "CUSTOMER")
+            .mode("overwrite")
+            .save()
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return url
+
+
+def q_jdbc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jdbc extractor (OJDBCExtractor.java:47-314, the reference's largest
+    extractor): partitioned parallel scan of a file-backed embedded Derby
+    database, seeded via the JDBC writer — a full JDBC round-trip with
+    numPartitions>1, unlike the reference's single forward-only cursor."""
+    from orientdb_etl_spark import Pipeline
+
+    url = _stage_customer_derby(spark, sf_dir)
+    p = Pipeline(
+        {
+            "extractor": {"jdbc": {
+                "url": url,
+                "dbtable": "CUSTOMER",
+                "partitionColumn": "C_CUSTKEY",
+                "lowerBound": 0,
+                "upperBound": 100000,
+                "numPartitions": 4,
+            }},
+            "transformers": [
+                {"rename": {"fields": {
+                    "C_CUSTKEY": "custkey",
+                    "C_NAME": "name",
+                    "C_NATIONKEY": "nationkey",
+                    "C_ACCTBAL": "acctbal",
+                }}},
+            ],
+        },
+        spark=spark,
+    )
+    return p.compile()
+
+
 def q_code_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """code transformer (OCodeTransformer.java:34-81): the Python escape
     hatch — an Arrow-batched pandas UDF in the chain (never row-at-a-time
@@ -1684,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_gz_source": q_file_gz_source,
         "http_source": q_http_source,
         "stdin_source": q_stdin_source,
+        "jdbc_extract": q_jdbc_extract,
         "code_transform": q_code_transform,
         "command_transform": q_command_transform,
         # analytics surface (§2.8)
@@ -1691,7 +1754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q9_product_profit": q9_product_profit,
         "q12_shipmode_priority": q12_shipmode_priority,
-        "topk_orders": q_topk_orders,
         "window_running": q_window_running,
         "window_rank_dense": q_window_rank_dense,
         "cube_sales": q_cube_sales,
@@ -1742,6 +1804,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q18_large_orders": q18_large_orders,
             "q19_disjunctive_filter": q19_disjunctive_filter,
             "rollup_sales": q_rollup_sales,
+            "topk_orders": q_topk_orders,
             "min_cost_per_part": q_min_cost_per_part,
             "events_hourly": q_events_hourly,
             "events_json_agg": q_events_json_agg,
@@ -1887,6 +1950,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name, "
             "c_nationkey AS nationkey, c_acctbal AS acctbal, "
             "c_mktsegment AS mktsegment FROM customer"
+        ),
+        "jdbc_extract": (
+            "SELECT c_custkey AS custkey, c_name AS name, "
+            "c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer"
         ),
         "code_transform": (
             "SELECT c_custkey, length(c_name) * 2 AS name_weight FROM customer"
