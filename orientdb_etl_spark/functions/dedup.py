@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,6 +179,30 @@ def minhash_signatures_fast(
     return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
+def _cap_bucket_size(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop degenerate LSH buckets before the self-join.
+
+    A bucket of B rows yields B² candidate pairs, so one boilerplate/empty-
+    document bucket can dominate the whole stage at scale (AQE splits the
+    shuffle partitions but cannot reduce the quadratic pair count). Web-
+    scale near-dup setups drop over-full buckets outright (Manku et al.,
+    WWW'07 §5): members of a bucket that big are near-identical boilerplate
+    whose pairs carry no ranking signal, or hash-degenerate rows whose
+    pairs are spurious. The window count shuffles on the same (band,
+    bucket) key the candidate self-join needs anyway.
+    """
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -187,6 +211,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate removal: shingle → minhash → band → bucket-join.
 
@@ -198,6 +223,9 @@ def minhash_lsh_dedup(
     "survivor = bucket-min" rule is a single pass; it approximates
     connected-component clustering without iteration (documented bias:
     chains A~B~C with A<B<C drop B and C even if A!~C).
+
+    ``max_bucket_size`` guards the quadratic candidate blow-up from
+    degenerate buckets (see :func:`_cap_bucket_size`); ``None`` disables.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_fast(
@@ -212,6 +240,7 @@ def minhash_lsh_dedup(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
     )
+    banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -321,10 +350,13 @@ def simhash_dedup(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dedup: 64-bit fingerprints, banded into ``bands``
     16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
-    candidates verified with bit_count(xor) ≤ max_hamming."""
+    candidates verified with bit_count(xor) ≤ max_hamming.
+    ``max_bucket_size`` drops degenerate buckets (:func:`_cap_bucket_size`).
+    """
     width = 64 // bands
     fp = ensure_parallelism(df).select(id_col, simhash_fast(text_col).alias("_simhash"))
     fp.cache()
@@ -335,6 +367,7 @@ def simhash_dedup(
     banded = fp.select(F.col(id_col), F.col("_simhash"), F.explode(band_arr).alias("bb")).select(
         id_col, "_simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
+    banded = _cap_bucket_size(banded, ["band", "chunk"], max_bucket_size)
     l_, r_ = banded.alias("l"), banded.alias("r")
     dups = (
         l_.join(

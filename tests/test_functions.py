@@ -75,6 +75,45 @@ def test_simhash_dedup(spark):
     assert 0 in ids
 
 
+def test_bucket_size_guard_engages_on_degenerate_bucket(spark):
+    # 40 identical boilerplate docs all land in one LSH bucket; with the
+    # cap below the bucket size the bucket is dropped (no candidate pairs,
+    # everything survives) instead of exploding into B^2 comparisons
+    rows = [(i, BASE) for i in range(40)] + [(100, "unrelated text entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=10
+    )
+    assert capped.count() == 41  # guard dropped the degenerate bucket
+    uncapped = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=None
+    )
+    assert uncapped.count() == 2  # without the guard they dedup to one
+
+    sim_capped = simhash_dedup(docs, "text", "doc_id", max_bucket_size=10)
+    assert sim_capped.count() == 41
+    sim_uncapped = simhash_dedup(docs, "text", "doc_id", max_bucket_size=None)
+    assert sim_uncapped.count() == 2
+
+
+def test_bucket_size_guard_keeps_normal_survivors_identical(spark):
+    docs = _docs(spark)
+    with_cap = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(
+            docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+        ).collect()
+    )
+    no_cap = sorted(
+        r.doc_id
+        for r in minhash_lsh_dedup(
+            docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5,
+            max_bucket_size=None,
+        ).collect()
+    )
+    assert with_cap == no_cap
+
+
 def test_ngram_jaccard_pairs(spark):
     docs = _docs(spark)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
