@@ -52,6 +52,42 @@ class PipelineContext:
     # driver-side lifecycle listener (listeners.RunListener); per-row hooks
     # of the reference's OImporterListener have no distributed analog
     listener: Any = None
+    # deferred HALT/ERROR miss checks from lookup transformers:
+    # (Observation, what, action, bounded-probe DF). Resolved by
+    # Pipeline.run after the sink action (single pass — the observe()
+    # counter rides the write job); the probe is the fallback when the
+    # loader is lazy and no action runs.
+    pending_miss_checks: list = field(default_factory=list)
+
+    def add_miss_check(self, obs: Any, what: str, action: str, probe: DataFrame) -> None:
+        self.pending_miss_checks.append((obs, what, action, probe))
+
+    def resolve_miss_checks(self, observed: bool) -> None:
+        """HALT-as-validation-gate (SURVEY §4.3): checked at action time.
+
+        ``observed=True`` → an action just ran over the lineage, so each
+        Observation holds its miss count for free. ``observed=False`` (lazy
+        loader / no action) → fall back to a bounded ``limit(1)`` probe.
+        Like the reference's mid-run halt, rows already written by the
+        action stay written; HALT aborts the run, not the sink.
+        """
+        from orientdb_etl_spark.operators.core import ETLHaltError
+
+        checks, self.pending_miss_checks = self.pending_miss_checks, []
+        for obs, what, action, probe in checks:
+            if observed:
+                n = int(obs.get.get("misses", 0))
+            elif action == "HALT":
+                n = probe.limit(1).count()  # bounded early-exit probe
+            else:
+                continue  # ERROR counts only ride a real action
+            if not n:
+                continue
+            if action == "HALT":
+                msg = f"{what}: unresolved lookup with action=HALT"
+                self.stats.error(msg)
+                raise ETLHaltError(msg)
+            self.stats.error(f"{what}: {n} unresolved lookups (action=ERROR)")
 
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.operators import register
-from orientdb_etl_spark.operators.core import ETLHaltError
 
 _ACTIONS = {"NOTHING", "WARNING", "ERROR", "SKIP", "HALT", "CREATE"}
 
@@ -39,11 +38,37 @@ def _dim_for_join(ctx: PipelineContext, cfg: dict) -> tuple[DataFrame, str, str]
     return dim, key, str(cfg.get("unresolvedLinkAction", "NOTHING")).upper()
 
 
-def _check_halt(ctx: PipelineContext, misses: DataFrame, what: str) -> None:
-    if misses.limit(1).count() > 0:
-        msg = f"{what}: unresolved lookup with action=HALT"
-        ctx.stats.error(msg)
-        raise ETLHaltError(msg)
+def _attach_miss_check(
+    ctx: PipelineContext,
+    joined: DataFrame,
+    miss_col,  # column name (null ⇒ miss) or a boolean miss Column
+    what: str,
+    action: str,
+) -> DataFrame:
+    """Single-pass miss accounting for HALT/ERROR lookups.
+
+    Instead of re-running the lookup join to probe for misses (a second
+    pass over the join at scale), attach an ``observe()`` counter that the
+    sink action computes for free, and defer the check to action time —
+    HALT is a validation gate on the write (SURVEY §4.3).
+    ``Pipeline.run`` resolves the pending checks right after the loader's
+    action; for lazy loaders it falls back to a bounded ``limit(1)`` probe
+    (the pre-round-2 behavior). ``compile()``-only use never runs an
+    action, so HALT fires on ``run()``, not on plan construction.
+    """
+    if action not in ("HALT", "ERROR"):
+        return joined
+    from pyspark.sql import Observation
+
+    miss_cond = (
+        miss_col if not isinstance(miss_col, str) else F.col(miss_col).isNull()
+    )
+    obs = Observation()
+    out = joined.observe(
+        obs, F.count(F.when(miss_cond, F.lit(1))).alias("misses")
+    )
+    ctx.add_miss_check(obs, what, action, joined.filter(miss_cond))
+    return out
 
 
 def _note_misses(ctx: PipelineContext, action: str, what: str) -> None:
@@ -99,10 +124,7 @@ def merge_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
     joined = df.join(
         dim_renamed, df[join_field] == dim_renamed[f"_ex_{key}"], how
     )
-    if action == "HALT":
-        _check_halt(
-            ctx, joined.filter(F.col(f"_ex_{key}").isNull()), "merge"
-        )
+    joined = _attach_miss_check(ctx, joined, f"_ex_{key}", "merge", action)
     _note_misses(ctx, action, "merge")
 
     out_cols = []
@@ -155,8 +177,51 @@ def link_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
         exploded = with_id.select(
             row_id, F.posexplode_outer(join_field).alias("_lk_pos", "_lk_elem")
         )
+        if action == "CREATE":
+            # per-element CREATE (OLinkTransformer.java:94-146): placeholder
+            # dimension rows for unresolved elements, one anti-join pass
+            cls = cfg["lookup"].rsplit(".", 1)[0]
+            created = (
+                exploded.filter(F.col("_lk_elem").isNotNull())
+                .join(
+                    dim_small,
+                    exploded["_lk_elem"] == dim_small["_lk_key"],
+                    "left_anti",
+                )
+                .select(F.col("_lk_elem").alias(key))
+                .dropDuplicates([key])
+            )
+            base = ctx.tables[cls]
+            base_types = dict(base.dtypes)
+            placeholders = created.select(
+                [
+                    F.col(key).cast(base_types[key]).alias(key)
+                    if c == key
+                    else F.lit(None).cast(base_types[c]).alias(c)
+                    for c in base.columns
+                ]
+            )
+            ctx.register_table(cls, base.unionByName(placeholders))
+            dim_small = (
+                ctx.tables[cls]
+                .select(
+                    F.col(key).alias("_lk_key"),
+                    F.col(value_field).alias("_lk_val"),
+                )
+                .dropDuplicates(["_lk_key"])
+            )
         j = exploded.join(
             dim_small, exploded["_lk_elem"] == dim_small["_lk_key"], "left"
+        )
+        # per-element HALT/ERROR: a miss is a non-null element with no
+        # dimension match (empty arrays explode to null elements — not
+        # misses)
+        j = _attach_miss_check(
+            ctx,
+            j,
+            F.col("_lk_elem").isNotNull() & F.col("_lk_key").isNull(),
+            "link",
+            action,
         )
         if link_type == "LINKLIST":
             # deterministic: restore source-array element order after the
@@ -170,11 +235,11 @@ def link_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
         out = with_id.join(links, row_id, "left").drop(row_id)
         if action == "SKIP":
             out = out.filter(F.size(link_field) > 0)
+        _note_misses(ctx, action, "link")
     else:
         how = "inner" if action == "SKIP" else "left"
         joined = df.join(dim_small, df[join_field] == dim_small["_lk_key"], how)
-        if action == "HALT":
-            _check_halt(ctx, joined.filter(F.col("_lk_key").isNull()), "link")
+        joined = _attach_miss_check(ctx, joined, "_lk_key", "link", action)
         if action == "CREATE":
             cls = cfg["lookup"].rsplit(".", 1)[0]
             created = (
@@ -257,9 +322,8 @@ def edge_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
     ).dropDuplicates(["_tgt_key"])
 
     joined = df.join(dim_small, df[join_field] == dim_small["_tgt_key"], "left")
+    joined = _attach_miss_check(ctx, joined, "_tgt_key", "edge", action)
     misses = joined.filter(F.col("_tgt_key").isNull())
-    if action == "HALT":
-        _check_halt(ctx, misses, "edge")
     _note_misses(ctx, action, "edge")
 
     if action == "CREATE":

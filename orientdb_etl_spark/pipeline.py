@@ -133,6 +133,9 @@ class Pipeline:
             df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
 
         run_loader(self.ctx, df, loader)
+        # HALT/ERROR lookup misses: counted by the sink action itself via
+        # observe() (single pass); lazy loaders fall back to a bounded probe
+        self.ctx.resolve_miss_checks(observed=runs_action)
         if obs is not None:
             n = obs.get.get("rows_loaded")
             self.ctx.stats.rows_loaded = n

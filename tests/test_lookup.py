@@ -71,8 +71,16 @@ def test_merge_halt_action(spark, people):
         },
         {"updates": updates, "people": people},
     )
+    # HALT is a validation gate at action time (observe() rides the sink
+    # job — no second pass over the join): compile() stays lazy and runs
+    # NO Spark job; run() raises
+    sc = p.ctx.spark.sparkContext
+    sc.setJobGroup("halt_compile_probe", "assert compile is lazy")
+    p.compile()
+    assert list(sc.statusTracker().getJobIdsForGroup("halt_compile_probe")) == []
+    sc.setJobGroup("default", "")
     with pytest.raises(ETLHaltError):
-        p.compile()
+        p.run()
 
 
 def test_link_scalar(spark, people, depts):
@@ -123,6 +131,60 @@ def test_link_array_linkset(spark, depts):
     assert rows[1] == ["eng", "sales"]
     assert rows[2] == []
     assert rows[3] == []
+
+
+def test_link_array_halt_on_unresolved_element(spark, depts):
+    src = spark.createDataFrame(
+        [(1, [10, 20]), (2, [30])], "id int, depts array<int>"
+    )
+    p = make_pipeline(
+        spark,
+        {
+            "extractor": {"table": {"name": "src"}},
+            "transformers": [
+                {"link": {
+                    "joinFieldName": "depts",
+                    "lookup": "depts.dept_id",
+                    "linkFieldName": "names",
+                    "linkValueField": "dept_name",
+                    "type": "LINKSET",
+                    "unresolvedLinkAction": "HALT",
+                }}
+            ],
+        },
+        {"src": src, "depts": depts},
+    )
+    with pytest.raises(ETLHaltError):
+        p.run()
+
+
+def test_link_array_create_appends_placeholders(spark, depts):
+    src = spark.createDataFrame(
+        [(1, [10, 30]), (2, [30, 40])], "id int, depts array<int>"
+    )
+    p = make_pipeline(
+        spark,
+        {
+            "extractor": {"table": {"name": "src"}},
+            "transformers": [
+                {"link": {
+                    "joinFieldName": "depts",
+                    "lookup": "depts.dept_id",
+                    "linkFieldName": "links",
+                    "type": "LINKSET",
+                    "unresolvedLinkAction": "CREATE",
+                }}
+            ],
+        },
+        {"src": src, "depts": depts},
+    )
+    out = p.compile()
+    rows = {r.id: sorted(r.links) for r in out.collect()}
+    assert rows[1] == [10, 30]  # 30 resolved against its placeholder
+    assert rows[2] == [30, 40]
+    dim = p.ctx.tables["depts"]
+    assert sorted(r.dept_id for r in dim.collect()) == [10, 20, 30, 40]
+    assert dim.filter(F.col("dept_id") == 40).first().dept_name is None
 
 
 def test_link_create_appends_placeholders(spark, people, depts):
