@@ -194,6 +194,37 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert {r.k: r.v for r in spark.read.parquet(target).collect()} == state
 
 
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.streaming import foreach_batch_upsert
+
+    target = str(tmp_path / "bucketed_target")
+    fn = foreach_batch_upsert(target, ["k"], num_buckets=8)
+    fn(spark.createDataFrame([(i, "v") for i in range(20)], "k int, v string"), 0)
+
+    b0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(0).cast("int")), F.lit(8)).alias("b")
+    ).first().b
+    untouched = [
+        d for d in glob.glob(f"{target}/_kb=*") if d != f"{target}/_kb={b0}"
+    ]
+    assert untouched  # 20 keys over 8 buckets: other partitions exist
+    before = {d: os.path.getmtime(d) for d in untouched}
+
+    time.sleep(1.1)  # mtime resolution
+    fn(spark.createDataFrame([(0, "v2")], "k int, v string"), 1)
+
+    after = {d: os.path.getmtime(d) for d in untouched}
+    assert after == before  # O(touched-partition) rewrite, not O(table)
+    state = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert state[0] == "v2" and len(state) == 20
+
+
 def test_stream_into_upsert_sink(spark, tmp_path):
     from orientdb_etl_spark.streaming import StreamingPipeline, foreach_batch_upsert
 
