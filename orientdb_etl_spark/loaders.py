@@ -11,8 +11,125 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from orientdb_etl_spark.context import PipelineContext
+
+# OrientDB OType → Spark SQL type (the property side of the loader's
+# schema DDL, OOrientDBLoader.java:406-432 / OType.valueOf)
+_OTYPE_TO_SPARK = {
+    "STRING": "string",
+    "INTEGER": "int",
+    "LONG": "bigint",
+    "SHORT": "smallint",
+    "BYTE": "tinyint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "DECIMAL": "decimal(38,18)",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "DATETIME": "timestamp",
+    "BINARY": "binary",
+}
+
+
+def apply_classes_ddl(df: DataFrame, classes: list[dict] | None) -> DataFrame:
+    """``classes`` config → enforce declared property types on matching
+    columns (≈ OOrientDBLoader.java:406-432: getOrCreateClass +
+    createProperty). Spark's sink-side analog of "assure the classes
+    exist or create them" is a typed cast on the outgoing columns —
+    `extends`/`abstract` are class-hierarchy concepts with no table
+    analog and are accepted as no-ops."""
+    for cls in classes or []:
+        for fld in cls.get("fields") or []:
+            fname = fld["name"]
+            ftype = _OTYPE_TO_SPARK[str(fld["type"]).upper()]
+            if fname in df.columns:
+                df = df.withColumn(fname, F.col(fname).cast(ftype))
+    return df
+
+
+def index_specs(indexes: list[dict] | None) -> list[dict]:
+    """Normalize ``indexes`` config docs (≈ OOrientDBLoader.java:435-513):
+    field specs are ``"name:type"`` (type used to auto-create the
+    property); the default index name is ``Class.f1_f2``."""
+    specs = []
+    for idx in indexes or []:
+        if "class" not in idx:
+            raise ValueError("Index 'class' missed in OrientDB Loader")
+        if "type" not in idx:
+            raise ValueError("Index 'type' missed in OrientDB Loader")
+        if "fields" not in idx:
+            raise ValueError("Index 'fields' missed in OrientDB Loader")
+        fields, ftypes = [], {}
+        for spec in idx["fields"]:
+            parts = str(spec).split(":")
+            fields.append(parts[0])
+            if len(parts) > 1:
+                ftypes[parts[0]] = _OTYPE_TO_SPARK.get(parts[1].upper())
+        name = idx.get("name") or f"{idx['class']}." + "_".join(fields)
+        specs.append(
+            {
+                "name": name,
+                "class": idx["class"],
+                "type": str(idx["type"]).upper(),
+                "fields": fields,
+                "field_types": ftypes,
+            }
+        )
+    return specs
+
+
+def _validate_unique(df: DataFrame, specs: list[dict]) -> None:
+    """UNIQUE-index batch validation: the reference's UNIQUE index makes a
+    duplicate insert throw and halt the load; the batch analog is one
+    hash-aggregation over the outgoing keys (map-side combined) that
+    halts before the write."""
+    from orientdb_etl_spark.operators.core import ETLHaltError
+
+    for spec in specs:
+        if spec["type"] != "UNIQUE":
+            continue
+        cols = [c for c in spec["fields"] if c in df.columns]
+        if not cols:
+            continue
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ETLHaltError(
+                f"UNIQUE index {spec['name']!r} violated on {cols}"
+            )
+
+
+def _create_jdbc_indexes(spark, url: str, table: str, specs: list[dict]) -> None:
+    """Issue CREATE [UNIQUE] INDEX on the JDBC sink — the real DDL half of
+    OOrientDBLoader.java:435-513 when the sink is a SQL database. Index
+    names are sanitized (``Class.f1`` → ``Class_f1_idx``); existing
+    indexes are left in place (ensure-exists semantics)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        for spec in specs:
+            idx_name = spec["name"].replace(".", "_") + "_idx"
+            unique = "UNIQUE " if spec["type"] == "UNIQUE" else ""
+            cols = ", ".join(f'"{c}"' for c in spec["fields"])
+            try:
+                stmt.executeUpdate(
+                    f'CREATE {unique}INDEX "{idx_name}" ON {table} ({cols})'
+                )
+            except Exception as exc:  # noqa: BLE001
+                # ensure-exists: "already exists" is fine, anything else is not
+                if "already exists" not in str(exc).lower():
+                    raise
+        stmt.close()
+    finally:
+        conn.close()
 
 
 def run_loader(
@@ -74,11 +191,30 @@ def run_loader(
     elif name == "orientdb":
         # Graph/document store sink. Without an OrientDB cluster we map the
         # declared classes/indexes to table-shaped outputs: documents →
-        # parquet/JDBC-style table; graph mode → vertices + edges tables
-        # (≈ OOrientDBLoader.java:145-198 save paths, 406-513 schema/index DDL
-        # which becomes sink-side DDL in the JDBC case).
+        # parquet/JDBC table; graph mode → vertices + edges tables
+        # (≈ OOrientDBLoader.java:145-198 save paths, 406-513 schema/index
+        # DDL, which becomes real sink-side DDL in the JDBC case).
+        df = apply_classes_ddl(df, cfg.get("classes"))
+        specs = index_specs(cfg.get("indexes"))
+        _validate_unique(df, specs)
+
+        url = cfg.get("dbURL") or cfg.get("url")
         path = cfg.get("path")
-        if path:
+        if url and str(url).startswith("jdbc:"):
+            table = cfg.get("class", "documents")
+            (
+                df.write.format("jdbc")
+                .mode(cfg.get("mode", "overwrite"))
+                .option("url", url)
+                .option("dbtable", table)
+                .option(
+                    "batchsize",
+                    str(cfg.get("batchCommit", cfg.get("batchsize", 1000))),
+                )
+                .save()
+            )
+            _create_jdbc_indexes(ctx.spark, url, table, specs)
+        elif path:
             df.write.mode(cfg.get("mode", "overwrite")).parquet(f"{path}/documents")
             if ctx.vertices:
                 vertices_df(ctx).write.mode("overwrite").parquet(f"{path}/vertices")

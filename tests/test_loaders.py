@@ -79,6 +79,77 @@ def test_orientdb_graph_sink(spark, people, depts, tmp_path):
     assert set(edges.select("label").distinct().toPandas()["label"]) == {"WORKS_IN"}
 
 
+def test_orientdb_jdbc_ddl_roundtrip(spark, people, tmp_path):
+    """classes/indexes config → real sink DDL on an embedded Derby DB
+    (OOrientDBLoader.java:406-513): typed columns, CREATE UNIQUE INDEX,
+    ensure-exists on re-run, and read-back parity."""
+    url = f"jdbc:derby:{tmp_path}/ddl_db;create=true"
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"orientdb": {
+            "dbURL": url,
+            "class": "PEOPLE",
+            "classes": [{
+                "name": "PEOPLE",
+                "fields": [
+                    {"name": "id", "type": "LONG"},
+                    {"name": "salary", "type": "DOUBLE"},
+                ],
+            }],
+            "indexes": [
+                {"class": "PEOPLE", "fields": ["id:long"], "type": "UNIQUE"}
+            ],
+        }},
+    }
+    _pipeline(cfg, spark, people).run()
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "PEOPLE")
+        .load()
+    )
+    assert back.count() == 4
+    assert dict(back.dtypes)["id"] == "bigint"  # classes DDL applied the cast
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getIndexInfo(None, None, "PEOPLE", False, False)
+        idx = set()
+        while rs.next():
+            n = rs.getString("INDEX_NAME")
+            if n:
+                idx.add(n)
+    finally:
+        conn.close()
+    assert "PEOPLE_id_idx" in idx
+
+    # ensure-exists: re-running the same pipeline must not fail on the
+    # already-present index
+    _pipeline(cfg, spark, people).run()
+
+
+def test_orientdb_unique_index_validation_halts(spark, tmp_path):
+    from orientdb_etl_spark.operators.core import ETLHaltError
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id int, v string"
+    )
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"orientdb": {
+            "path": str(tmp_path / "out"),
+            "indexes": [
+                {"class": "V", "fields": ["id:integer"], "type": "UNIQUE"}
+            ],
+        }},
+    }
+    p = _pipeline(cfg, spark, dup)
+    with pytest.raises(ETLHaltError):
+        p.run()
+
+
 def test_memory_loader_and_output_var(spark, people):
     cfg = {
         "extractor": {"table": {"name": "people"}},
