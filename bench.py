@@ -63,6 +63,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_pairwise_topk",
     "multimodal_frames",
+    # round-2 single-scan merged queries (driver-registry headliners)
+    "text_metrics",
+    "text_quality",
+    "sample_shuffle_split",
 ]
 
 

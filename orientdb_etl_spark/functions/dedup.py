@@ -195,12 +195,17 @@ def _cap_bucket_size(
     """
     if max_bucket_size is None:
         return banded
-    w = Window.partitionBy(*keys)
-    return (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+    # aggregate → tiny over-full list → broadcast anti-join: the count
+    # pass map-side-combines to ~one row per bucket, and the banded set is
+    # NOT shuffled before the candidate self-join (a window count would
+    # shuffle every banded row once more)
+    over = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select(*keys)
     )
+    return banded.join(F.broadcast(over), keys, "left_anti")
 
 
 def minhash_lsh_dedup(
