@@ -54,7 +54,11 @@ def _register_all(spark: SparkSession, sf_dir: str, pipeline) -> None:
 
 def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """csv transformer (OCSVTransformer.java:30-181): serialize customer to
-    `;`-separated lines, parse back with declared name:TYPE columns."""
+    `;`-separated lines, parse back with declared name:TYPE columns.
+    Also exercises, without changing the output: a `begin` let block whose
+    `$sep` variable feeds the separator (OLetBlock.java:26-64 + the
+    `$var` render path) and an observe-only `log` transformer
+    (OLogTransformer.java:30-61)."""
     from orientdb_etl_spark import Pipeline
 
     cust = _t(spark, sf_dir, "customer")
@@ -69,12 +73,14 @@ def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = Pipeline(
         {
+            "begin": [{"let": {"name": "sep", "value": ";"}}],
             "extractor": {"table": {"name": "cust_lines"}},
             "transformers": [
                 {"csv": {
-                    "separator": ";",
+                    "separator": "$sep",
                     "columns": ["id:LONG", "name:STRING", "nationkey:INTEGER", "acctbal:DOUBLE"],
                 }},
+                {"log": {"name": "csv_rows"}},
             ],
         },
         spark=spark,
@@ -94,6 +100,11 @@ def q_field_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transformers": [
                 {"field": {"fieldName": "name_up", "expression": "c_name.trim().toUpperCase()"}},
                 {"field": {"fieldName": "bal_tier", "expression": "CASE WHEN c_acctbal >= 5000 THEN 'high' WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END"}},
+                # mid-chain block (OBlockTransformer.java:31-74): identity
+                # on the payload, sets a context variable driver-side; the
+                # `output` attribute (OAbstractTransformer.java:38-47)
+                # snapshots this stage as a side branch — main flow unchanged
+                {"block": {"let": {"name": "stage", "value": "typed"}, "output": "typed_stage"}},
                 {"field": {"operation": "remove", "fieldNames": ["c_mktsegment", "c_acctbal"]}},
             ],
         },
@@ -104,20 +115,30 @@ def q_field_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rename transformer (ORenameTransformer.java:27-69)."""
+    """rename transformer (ORenameTransformer.java:27-69), run through the
+    FULL pipeline lifecycle: memory loader (OMemoryLoader.java:31-69) and
+    a lifecycle listener (OImporterListener analog) — the returned frame
+    is the loader's registered view, so the driver row also covers the
+    run/loader/listener path, not just compile()."""
     from orientdb_etl_spark import Pipeline
+    from orientdb_etl_spark.listeners import CollectingListener
 
+    lsn = CollectingListener()
     p = Pipeline(
         {
             "extractor": {"table": {"name": "nation"}},
             "transformers": [
                 {"rename": {"fields": {"n_nationkey": "nation_id", "n_name": "nation_name"}}},
             ],
+            "loader": {"memory": {"view": "rename_out"}},
         },
         spark=spark,
+        listener=lsn.listener(),
     )
     p.register_table("nation", _t(spark, sf_dir, "nation"))
-    return p.compile()
+    result = p.run()
+    assert lsn.events and lsn.events[0] == "begin"
+    return result.outputs["rename_out"]
 
 
 def q_flow_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
