@@ -106,3 +106,51 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "dt" in line and "3" in line
     assert df.count() == 20
+
+
+def test_text_metrics_single_scan(spark):
+    """The merged text_metrics query must compute all three metrics in ONE
+    pass over documents — no self-join, no second scan."""
+    plan = _plan(spark, "text_metrics")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_quality_single_scan(spark):
+    plan = _plan(spark, "text_quality")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_sample_shuffle_split_takeordered(spark):
+    """limit-after-deterministic-shuffle must be TakeOrdered, not a global
+    sort + collect."""
+    plan = _plan(spark, "sample_shuffle_split")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_jdbc_extract_partitioned_scan(spark):
+    """The jdbc extractor must produce a partitioned parallel scan (the
+    reference reads a single forward-only cursor; ours splits on
+    partitionColumn)."""
+    df = E.queries_all()["jdbc_extract"](spark, SF)
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_minhash_bucket_guard_broadcasts_overfull_list(spark):
+    """The degenerate-bucket guard must be a broadcast anti-join against
+    the (tiny) over-full bucket list, not an extra shuffle of the banded
+    rows."""
+    from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tokens") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_dedup(docs, "text", "doc_id", num_perm=64, bands=16)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
