@@ -208,6 +208,78 @@ def _cap_bucket_size(
     return banded.join(F.broadcast(over), keys, "left_anti")
 
 
+def connected_component_labels(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over verified duplicate pairs: (id, label)
+    with label = min id of the component.
+
+    Iterative min-label propagation (the alternating-join CC shape used
+    for corpus dedup clustering, e.g. the dedup pipeline in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22).
+    Iterations bound O(cluster diameter) — near-dup chains are shallow in
+    practice — and each step joins only the PAIRS table (candidate
+    collisions), never the corpus. ``localCheckpoint`` truncates the
+    iterative lineage so the plan does not grow with iterations.
+    """
+    edges = pairs.select(F.col("keep_id").alias("a"), F.col("dup_id").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("_nmin"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels, ["id", "label"], "left_anti").limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def _drop_duplicates_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, survivor: str
+) -> DataFrame:
+    """Resolve verified duplicate pairs into survivors.
+
+    ``bucket_min`` (default): drop every ``dup_id`` — single pass, no
+    iteration; documented bias: a doc is kept iff no smaller-id pair
+    partner exists, so transitive clusters keep one doc per *local*
+    minimum. ``connected_components``: transitive clustering, exactly one
+    keeper (the min id) per duplicate component.
+    """
+    if survivor == "bucket_min":
+        dups = pairs.select("dup_id").distinct()
+        return df.join(dups.withColumnRenamed("dup_id", id_col), id_col, "left_anti")
+    if survivor == "connected_components":
+        labels = connected_component_labels(pairs)
+        drop = labels.filter(F.col("id") != F.col("label")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    raise ValueError(f"unknown survivor rule {survivor!r}")
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -217,6 +289,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     max_bucket_size: int | None = 1000,
+    survivor: str = "bucket_min",
 ) -> DataFrame:
     """Near-duplicate removal: shingle → minhash → band → bucket-join.
 
@@ -231,6 +304,10 @@ def minhash_lsh_dedup(
 
     ``max_bucket_size`` guards the quadratic candidate blow-up from
     degenerate buckets (see :func:`_cap_bucket_size`); ``None`` disables.
+    ``survivor="connected_components"`` replaces the single-pass rule with
+    transitive clustering over verified pairs (one keeper per component —
+    the shape used by published corpus-dedup pipelines; see
+    :func:`connected_component_labels`).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_fast(
@@ -265,17 +342,15 @@ def minhash_lsh_dedup(
     # verify candidates on the full signature (estimate of Jaccard)
     sl = sigs.select(F.col(id_col).alias("keep_id"), F.col("minhash").alias("_sig_l"))
     sr = sigs.select(F.col(id_col).alias("dup_id"), F.col("minhash").alias("_sig_r"))
-    dups = (
+    verified = (
         cand.join(sl, "keep_id")
         .join(sr, "dup_id")
         .withColumn("_est", _sig_agreement(F.col("_sig_l"), F.col("_sig_r")))
         .filter(F.col("_est") >= threshold)
-        .select("dup_id")
+        .select("keep_id", "dup_id")
         .distinct()
     )
-    return df.join(
-        dups.withColumnRenamed("dup_id", id_col), id_col, "left_anti"
-    )
+    return _drop_duplicates_by_pairs(df, verified, id_col, survivor)
 
 
 # --------------------------------------------------------------------------
@@ -356,11 +431,13 @@ def simhash_dedup(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = 1000,
+    survivor: str = "bucket_min",
 ) -> DataFrame:
     """SimHash near-dedup: 64-bit fingerprints, banded into ``bands``
     16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
     candidates verified with bit_count(xor) ≤ max_hamming.
-    ``max_bucket_size`` drops degenerate buckets (:func:`_cap_bucket_size`).
+    ``max_bucket_size`` drops degenerate buckets (:func:`_cap_bucket_size`);
+    ``survivor`` as in :func:`minhash_lsh_dedup`.
     """
     width = 64 // bands
     fp = ensure_parallelism(df).select(id_col, simhash_fast(text_col).alias("_simhash"))
@@ -374,7 +451,7 @@ def simhash_dedup(
     )
     banded = _cap_bucket_size(banded, ["band", "chunk"], max_bucket_size)
     l_, r_ = banded.alias("l"), banded.alias("r")
-    dups = (
+    verified = (
         l_.join(
             r_,
             (F.col("l.band") == F.col("r.band"))
@@ -384,10 +461,13 @@ def simhash_dedup(
         .filter(
             F.expr(f"bit_count(l._simhash ^ r._simhash) <= {max_hamming}")
         )
-        .select(F.col(f"r.{id_col}").alias(id_col))
+        .select(
+            F.col(f"l.{id_col}").alias("keep_id"),
+            F.col(f"r.{id_col}").alias("dup_id"),
+        )
         .distinct()
     )
-    return df.join(dups, id_col, "left_anti")
+    return _drop_duplicates_by_pairs(df, verified, id_col, survivor)
 
 
 # --------------------------------------------------------------------------

@@ -96,6 +96,32 @@ def test_bucket_size_guard_engages_on_degenerate_bucket(spark):
     assert sim_uncapped.count() == 2
 
 
+def test_connected_component_labels(spark):
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    # components: {1,2,3,4} (chain + diamond), {10,11}; 20 isolated (no pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (3, 4), (10, 11)],
+        "keep_id long, dup_id long",
+    )
+    labels = {r.id: r.label for r in connected_component_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_cc_survivor_rule(spark):
+    from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
+
+    docs = _docs(spark)
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5,
+        survivor="connected_components",
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    # same survivors as bucket_min on this fixture: one keeper (0) for the
+    # {0,1,2} near-dup cluster, 3 and 4 untouched
+    assert ids == [0, 3, 4]
+
+
 def test_bucket_size_guard_keeps_normal_survivors_identical(spark):
     docs = _docs(spark)
     with_cap = sorted(
