@@ -204,6 +204,7 @@ def _cap_bucket_size(
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket_size)
         .select(*keys)
+        .cache()  # tiny by definition; both self-join sides reuse it
     )
     return banded.join(F.broadcast(over), keys, "left_anti")
 
@@ -542,32 +543,34 @@ def embedding_near_dedup(
     """Embedding near-duplicate removal via random-hyperplane LSH.
 
     Sign-of-projection signatures bucket similar vectors; only bucket
-    collisions are verified with exact cosine. Hyperplanes are generated
-    deterministically from ``seed`` with xxhash64-derived pseudo-gaussians —
-    no driver-side state to broadcast, reproducible across runs.
+    collisions are verified with exact cosine. Signature and verification
+    both run on the Arrow path (numpy matmul / vectorized pair cosine) —
+    the interpreted higher-order-function variants are the measured
+    anti-pattern (see simhash_fast). Hyperplanes re-derive from ``seed``
+    on every executor — no driver state, reproducible across runs.
     """
-    # pseudo-random plane component p[j][d] in (-1, 1) from hash(seed, j, d)
-    sig = F.expr(
-        f"transform(sequence(0, {planes - 1}), j -> "
-        f"CASE WHEN aggregate(zip_with(_v, sequence(0, size(_v) - 1), "
-        f"(v, d) -> v * (cast(pmod(xxhash64({seed}, j, d), 2000001) AS double) / 1000000.0 - 1.0)), "
-        f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
+    from orientdb_etl_spark.functions.similarity import (
+        _cosine_pairs,
+        add_lsh_buckets,
     )
-    base = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_sig", sig.cast("string"))
+
+    base = add_lsh_buckets(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        "_v",
+        planes=planes,
+        seed=seed,
+        out_col="_sig",
+    )
     l_, r_ = base.alias("l"), base.alias("r")
-    dot = F.expr("aggregate(zip_with(l._v, r._v, (a, b) -> a * b), cast(0.0 AS double), (x, y) -> x + y)")
-    norm = lambda s: F.expr(  # noqa: E731
-        f"sqrt(aggregate(transform({s}, x -> x * x), cast(0.0 AS double), (a, b) -> a + b))"
-    )
     dups = (
         l_.join(
             r_,
             (F.col("l._sig") == F.col("r._sig"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .withColumn("_cos", dot / (norm("l._v") * norm("r._v")))
+        .withColumn("_cos", _cosine_pairs(F.col("l._v"), F.col("r._v")))
         .filter(F.col("_cos") >= threshold)
         .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()

@@ -79,6 +79,13 @@ def brute_force_topk(
     )
 
 
+def _plane_matrix(planes: int, dim: int, seed: int) -> "np.ndarray":
+    """Deterministic gaussian hyperplanes: re-derived identically from the
+    seed on the driver and every executor — no broadcast state, stable
+    across runs and cluster layouts."""
+    return np.random.RandomState(seed).standard_normal((planes, dim))
+
+
 def add_lsh_buckets(
     df: DataFrame,
     vec_col: str,
@@ -86,31 +93,37 @@ def add_lsh_buckets(
     seed: int = 7,
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
-    """Random-hyperplane signature (one int bucket per row). Deterministic
-    pseudo-gaussian planes derived from xxhash64(seed, plane, dim) — no
-    driver state, identical across executors and runs."""
-    sig = F.expr(
-        f"aggregate(sequence(0, {planes - 1}), 0, (acc, j) -> acc * 2 + "
-        f"CASE WHEN aggregate(zip_with(cast({vec_col} as array<double>), "
-        f"sequence(0, size({vec_col}) - 1), "
-        f"(v, d) -> v * (cast(pmod(xxhash64({seed}, j, d), 2000001) AS double) / 1000000.0 - 1.0)), "
-        f"cast(0.0 AS double), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)"
-    )
-    return df.withColumn(out_col, sig)
+    """Random-hyperplane signature (one int bucket per row), Arrow-batched:
+    one (batch × dim) @ (dim × planes) numpy matmul per Arrow batch. The
+    previous pure-expression variant evaluated its per-plane × per-dim
+    lambdas interpreted (aggregate/zip_with) — measured ~3× slower on the
+    ann_lsh_topk contract query at sf0.1; wide-array math belongs on the
+    Arrow path (same call as the minhash/simhash signature stages)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, dtype="float64") for v in vecs])
+        pl = _plane_matrix(planes, m.shape[1], seed)
+        bits = m @ pl.T > 0
+        weights = (1 << np.arange(planes - 1, -1, -1)).astype("int64")
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
-def _bucket_of(query: Sequence[float], planes: int, seed: int, spark) -> list[int]:
-    """Compute the query's bucket (and all 1-bit-flip neighbors) driver-side
-    with the SAME expression the table used — guarantees consistency."""
-    q = [float(x) for x in query]
-    arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in q) + ")"
-    sig = (
-        f"aggregate(sequence(0, {planes - 1}), 0, (acc, j) -> acc * 2 + "
-        f"CASE WHEN aggregate(zip_with({arr}, sequence(0, {len(q) - 1}), "
-        f"(v, d) -> v * (cast(pmod(xxhash64({seed}, j, d), 2000001) AS double) / 1000000.0 - 1.0)), "
-        f"cast(0.0 AS double), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END)"
-    )
-    bucket = spark.sql(f"SELECT {sig} AS b").collect()[0][0]
+def _bucket_of(
+    query: Sequence[float], planes: int, seed: int, spark=None
+) -> list[int]:
+    """Compute the query's bucket (and all 1-bit-flip multi-probe
+    neighbors) driver-side with the SAME plane matrix the table used."""
+    q = np.asarray([float(x) for x in query], dtype="float64")
+    pl = _plane_matrix(planes, len(q), seed)
+    bits = pl @ q > 0
+    bucket = 0
+    for b in bits:
+        bucket = bucket * 2 + int(b)
     return [bucket] + [bucket ^ (1 << i) for i in range(planes)]
 
 
@@ -243,13 +256,30 @@ def pairwise_topk_join(
 
     from orientdb_etl_spark.functions.dedup import ensure_parallelism
 
-    left = ensure_parallelism(left)
-    right = ensure_parallelism(right)
-    lb = add_lsh_buckets(left, vec_col, planes, seed, "_bk").select(
+    same = right is left
+    lb = add_lsh_buckets(
+        ensure_parallelism(left), vec_col, planes, seed, "_bk"
+    ).select(
         F.col(left_id).alias("_lid"),
         F.col(vec_col).cast("array<double>").alias("_lv"),
         "_bk",
     )
+    if same:
+        # self-join: materialize the bucketed table ONCE so the Arrow
+        # bucket stage doesn't run per join side (id + vector + bucket —
+        # the same frame both sides need anyway)
+        lb = lb.cache()
+        rb = lb.select(
+            F.col("_lid").alias("_rid"), F.col("_lv").alias("_rv"), "_bk"
+        )
+    else:
+        rb = add_lsh_buckets(
+            ensure_parallelism(right), vec_col, planes, seed, "_bk"
+        ).select(
+            F.col(right_id).alias("_rid"),
+            F.col(vec_col).cast("array<double>").alias("_rv"),
+            "_bk",
+        )
     probe = lb.select(
         "_lid",
         "_lv",
@@ -257,11 +287,6 @@ def pairwise_topk_join(
             F.expr(f"transform(sequence(0, {planes}), i -> "
                    f"CASE WHEN i = 0 THEN _bk ELSE cast(_bk ^ shiftleft(1, i - 1) AS int) END)")
         ).alias("_bk2"),
-    )
-    rb = add_lsh_buckets(right, vec_col, planes, seed, "_bk").select(
-        F.col(right_id).alias("_rid"),
-        F.col(vec_col).cast("array<double>").alias("_rv"),
-        "_bk",
     )
     w = Window.partitionBy("_lid").orderBy(F.col("cosine_sim").desc(), F.col("_rid").asc())
     out_right = right_id if right_id != left_id else f"{right_id}_nn"
