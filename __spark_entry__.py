@@ -1518,6 +1518,41 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    shard the corpus, lay documents end-to-end per shard, cut every 2048
+    tokens. Pure prefix-sum window — one shuffle, JVM-side, oracle-checked
+    exactly (shard = doc_id % 8 so both engines share the shard key)."""
+    from orientdb_etl_spark.functions.packing import pack_offsets
+    from orientdb_etl_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_offsets(
+        base, capacity=2048, shard_col=(F.col("doc_id") % 8).alias("shard")
+    )
+
+
+def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document first-fit-decreasing packing (SFT variant — no doc
+    splits) via per-shard applyInPandas; per-shard utilization summary.
+    Rows-only (bin packing isn't ANSI-SQL-expressible); invariants are
+    asserted in tests/test_packing.py."""
+    from orientdb_etl_spark.functions.packing import pack_greedy, pack_utilization
+    from orientdb_etl_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_greedy(
+        base, capacity=2048, shard_col=(F.col("doc_id") % 8).alias("shard")
+    )
+    return pack_utilization(packed, 2048)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by id hash — split counts per
     assignment (stable as the dataset grows; engine-portable arithmetic)."""
@@ -1844,6 +1879,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bpe_token_counts": q_bpe_token_counts,
             "hash_split": q_hash_split,
             "deterministic_shuffle": q_deterministic_shuffle,
+            "sequence_pack": q_sequence_pack,
+            "sequence_pack_greedy": q_sequence_pack_greedy,
         }
     )
     return out
@@ -2219,6 +2256,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM gaps GROUP BY user_id"
         ),
         "token_counts": f"SELECT doc_id, {n_toks} AS n_tokens FROM documents",
+        "sequence_pack": (
+            f"WITH base AS (SELECT doc_id, doc_id % 8 AS shard, "
+            f"CAST({n_toks} AS BIGINT) AS n_tokens FROM documents), "
+            "nz AS (SELECT * FROM base WHERE n_tokens > 0), "
+            "cums AS (SELECT doc_id, shard, n_tokens, "
+            "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM nz) "
+            "SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off, "
+            "CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first, "
+            "CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last FROM cums"
+        ),
         "text_metrics": (
             f"SELECT doc_id, {n_toks} AS n_tokens, "
             "len(regexp_extract_all(text, "

@@ -52,6 +52,7 @@ HEADLINE = [
     "bpe_token_counts",
     "pii_scrub",
     "chunk_documents",
+    "sequence_pack",
     "doc_fingerprint",
     "quality_scores",
     "lang_id",

@@ -16,6 +16,11 @@ from orientdb_etl_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
+from orientdb_etl_spark.functions.packing import (
+    pack_greedy,
+    pack_offsets,
+    pack_utilization,
+)
 from orientdb_etl_spark.functions.similarity import (
     brute_force_topk,
     cosine_sim_expr,
@@ -39,6 +44,9 @@ __all__ = [
     "minhash_lsh_dedup",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pack_greedy",
+    "pack_offsets",
+    "pack_utilization",
     "quality_score",
     "simhash_dedup",
     "token_count",
