@@ -1553,6 +1553,20 @@ def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_utilization(packed, 2048)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 act as the
+    held-out eval set; the rest of the corpus is audited for 3-gram overlap
+    (13-gram is the production default — 3 here so the synthetic small-vocab
+    fixture yields non-trivial overlap). Eval grams broadcast; the corpus
+    side never shuffles for the join."""
+    from orientdb_etl_spark.functions.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, eval_df, n=3, mode="hits")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by id hash — split counts per
     assignment (stable as the dataset grows; engine-portable arithmetic)."""
@@ -1881,6 +1895,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "deterministic_shuffle": q_deterministic_shuffle,
             "sequence_pack": q_sequence_pack,
             "sequence_pack_greedy": q_sequence_pack_greedy,
+            "decontaminate": q_decontaminate,
         }
     )
     return out
@@ -2266,6 +2281,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off, "
             "CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first, "
             "CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last FROM cums"
+        ),
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE text IS NOT NULL AND length(trim(text)) > 0), "
+            "grams AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]"
+            ")) AS gram FROM toks WHERE len(t) >= 3), "
+            "eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0) "
+            "SELECT g.doc_id, count(*) AS n_hits FROM grams g "
+            "JOIN eg USING (gram) WHERE g.doc_id % 50 != 0 GROUP BY g.doc_id"
         ),
         "text_metrics": (
             f"SELECT doc_id, {n_toks} AS n_tokens, "

@@ -53,6 +53,7 @@ HEADLINE = [
     "pii_scrub",
     "chunk_documents",
     "sequence_pack",
+    "decontaminate",
     "doc_fingerprint",
     "quality_scores",
     "lang_id",
