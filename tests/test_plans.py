@@ -154,3 +154,32 @@ def test_minhash_bucket_guard_broadcasts_overfull_list(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_sequence_pack_single_shuffle(spark):
+    """Concat-and-chunk packing is one window over the shard key — exactly
+    one Exchange (the window partition), no sort beyond the per-shard
+    window sort, no Python."""
+    import re
+
+    plan = _plan(spark, "sequence_pack")
+    # node detail headers "(n) Exchange" appear once per physical node
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_corpus_never_shuffles_before_join(spark):
+    """The corpus side reaches the broadcast join without an Exchange; the
+    only exchanges are the tiny eval-gram distinct and the matches-only
+    hit-count aggregation (partial agg first)."""
+    import re
+
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # exactly two shuffles: the tiny eval-gram distinct and the
+    # matches-only hit-count aggregation (partial agg first); the corpus
+    # side reaches the broadcast join shuffle-free
+    assert "partial_count" in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2
