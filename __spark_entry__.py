@@ -1589,6 +1589,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n deterministic sample per stratum (10 docs per source) —
+    reproducible per-group reservoir; rank key = (id hash, id)."""
+    from orientdb_etl_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", 10).select(
+        "doc_id", "source"
+    )
+
+
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle: first 50 docs in hash order (the
     'shuffle once, stream epochs' pattern; range-partitioned sort)."""
@@ -1896,6 +1907,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sequence_pack": q_sequence_pack,
             "sequence_pack_greedy": q_sequence_pack_greedy,
             "decontaminate": q_decontaminate,
+            "stratified_sample": q_stratified_sample,
         }
     )
     return out
@@ -2281,6 +2293,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off, "
             "CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first, "
             "CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last FROM cums"
+        ),
+        "stratified_sample": (
+            "WITH h AS (SELECT doc_id, source, "
+            "(((doc_id + 42) % 1000003) * 2654435761) % 1000000000 AS hb "
+            "FROM documents), "
+            "r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY hb, doc_id) AS rk FROM h) "
+            "SELECT doc_id, source FROM r WHERE rk <= 10"
         ),
         "decontaminate": (
             "WITH toks AS (SELECT doc_id, "

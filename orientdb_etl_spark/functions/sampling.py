@@ -68,6 +68,35 @@ def deterministic_shuffle(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-n deterministic sample per group: rank rows inside each group
+    by id hash and keep the first ``n_per_group`` — the reproducible
+    equivalent of per-stratum reservoir sampling (groups smaller than n
+    are kept whole).
+
+    One shuffle (the window partition on the group key). Ties are
+    impossible for distinct ids because the rank key is (hash, id).
+    Skewed strata behave like any windowed group — AQE splits the
+    partitions; the per-row state is just the rank counter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, 1_000_000_000, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

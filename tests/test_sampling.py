@@ -56,3 +56,23 @@ def test_hash_bucket_uniformish(spark):
     df = spark.range(10000).select(hash_bucket("id", 10).alias("b"))
     counts = [r.n for r in df.groupBy("b").agg(F.count("*").alias("n")).collect()]
     assert len(counts) == 10 and min(counts) > 600  # no collapsed buckets
+
+
+def test_stratified_sample_exact_n_and_determinism(spark):
+    from orientdb_etl_spark.functions.sampling import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    a = stratified_sample(df, "grp", "doc_id", 10)
+    b = stratified_sample(df, "grp", "doc_id", 10)
+    rows_a = sorted((r.grp, r.doc_id) for r in a.collect())
+    assert rows_a == sorted((r.grp, r.doc_id) for r in b.collect())
+    from collections import Counter
+
+    c = Counter(g for g, _ in rows_a)
+    assert c == {"0": 10, "1": 10, "2": 10}
+    # groups smaller than n are kept whole
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
+    assert stratified_sample(tiny, "grp", "doc_id", 10).count() == 2
