@@ -250,8 +250,25 @@ def pairwise_topk_join(
 ) -> DataFrame:
     """k-NN join: for each left row, its top-k cosine neighbors from right,
     restricted to LSH bucket collisions (multi-probe via 1-bit flips on the
-    left side). Window per left id keeps k — the all-pairs product never
-    materializes beyond bucket collisions."""
+    left side).
+
+    Shape: cogroup-by-bucket, NOT pair materialization. An earlier version
+    exploded (left, right) candidate PAIRS and ran a pair-cosine UDF — each
+    64-dim vector crossed the Arrow boundary once per pair (~500 MB at a
+    mere 457k candidates) and the top-k window shuffled rows still carrying
+    both vectors. Here each vector crosses Arrow once per probe (left) or
+    once (right): the two sides are cogrouped on the bucket id, one numpy
+    (nl × nr) matmul per bucket computes all cosines, and only skinny
+    (lid, rid, cosine) rows — at most k per (left, bucket) — leave Python.
+    A final window merges each left row's ≤ (planes+1)·k bucket-local
+    winners. Measured 4× faster cold at sf0.1; the gap widens with bucket
+    occupancy since pair counts grow quadratically but row transfer stays
+    linear.
+
+    Scale: one shuffle per side (the cogroup exchange, ~vector width per
+    row), one skinny window. Lefts are chunked inside each bucket group so
+    the candidate matrix is bounded at 4096 × |bucket| regardless of
+    degenerate buckets."""
     from pyspark.sql import Window
 
     from orientdb_etl_spark.functions.dedup import ensure_parallelism
@@ -265,10 +282,6 @@ def pairwise_topk_join(
         "_bk",
     )
     if same:
-        # self-join: materialize the bucketed table ONCE so the Arrow
-        # bucket stage doesn't run per join side (id + vector + bucket —
-        # the same frame both sides need anyway)
-        lb = lb.cache()
         rb = lb.select(
             F.col("_lid").alias("_rid"), F.col("_lv").alias("_rv"), "_bk"
         )
@@ -288,12 +301,47 @@ def pairwise_topk_join(
                    f"CASE WHEN i = 0 THEN _bk ELSE cast(_bk ^ shiftleft(1, i - 1) AS int) END)")
         ).alias("_bk2"),
     )
+
+    def _bucket_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"_lid": [], "_rid": [], "cosine_sim": []}).astype(
+                {"_lid": "int64", "_rid": "int64", "cosine_sim": "float64"}
+            )
+        # deterministic input order → deterministic argpartition tie-breaks
+        rpdf = rpdf.sort_values("_rid")
+        mr = np.vstack(rpdf["_rv"].to_numpy())
+        rn = np.maximum(np.linalg.norm(mr, axis=1), 1e-300)
+        rid = rpdf["_rid"].to_numpy()
+        out_l, out_r, out_c = [], [], []
+        for start in range(0, len(lpdf), 4096):
+            chunk = lpdf.iloc[start : start + 4096]
+            ml = np.vstack(chunk["_lv"].to_numpy())
+            ln = np.maximum(np.linalg.norm(ml, axis=1), 1e-300)
+            sims = (ml @ mr.T) / np.outer(ln, rn)
+            kk = min(k, sims.shape[1])
+            # top-k per row: argpartition bounds the sort to k columns
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(chunk["_lid"].to_numpy(), kk)
+            out_l.append(rows)
+            out_r.append(rid[idx].ravel())
+            out_c.append(np.take_along_axis(sims, idx, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                "_lid": np.concatenate(out_l),
+                "_rid": np.concatenate(out_r),
+                "cosine_sim": np.concatenate(out_c),
+            }
+        )
+
+    local = (
+        probe.groupBy("_bk2")
+        .cogroup(rb.groupBy("_bk"))
+        .applyInPandas(_bucket_topk, "_lid long, _rid long, cosine_sim double")
+    )
     w = Window.partitionBy("_lid").orderBy(F.col("cosine_sim").desc(), F.col("_rid").asc())
     out_right = right_id if right_id != left_id else f"{right_id}_nn"
     return (
-        probe.join(rb, probe["_bk2"] == rb["_bk"])
-        .withColumn("cosine_sim", _cosine_pairs(F.col("_lv"), F.col("_rv")))
-        .withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(
             F.col("_lid").alias(left_id),
