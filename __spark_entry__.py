@@ -1600,6 +1600,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the orders table (nulls, exact
+    distinct, native-typed min/max rendered as strings) — one agg job,
+    unpivoted via stack. exact=True here for oracle comparability; the
+    default HLL path is the 100 TB mode."""
+    from orientdb_etl_spark.functions.profiling import column_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_profile(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+        exact=True,
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: top-20 part keys in lineitem with share of
+    total rows — the pre-join salting decision input."""
+    from orientdb_etl_spark.functions.profiling import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", k=20)
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: top-20 token bigrams by document frequency
+    (distinct grams per doc; map-side combine before the gram shuffle)."""
+    from orientdb_etl_spark.functions.profiling import ngram_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_topk(docs, "text", n=2, k=20)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: docs with doc_id % 10 == 0 play the already-
+    curated corpus; the rest is the new crawl, filtered by canonical
+    fingerprint against the broadcast seen-set (new side never shuffles)."""
+    from orientdb_etl_spark.functions.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 == 0)
+    new = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(new, seen).select("doc_id", "source")
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, distributed dimension-wise with exact
+    decimal sums (order-independent => engine- and run-deterministic).
+    Centroid rendered as micro-unit ints for hashable driver output."""
+    from orientdb_etl_spark.functions.similarity import embedding_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_centroids(emb, "embedding", "label")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.size("centroid").alias("dim"),
+        F.array_join(
+            F.expr(
+                "transform(centroid, x -> cast(cast(round(x * 1000000) as bigint) as string))"
+            ),
+            ",",
+        ).alias("centroid_micro"),
+    )
+
+
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle: first 50 docs in hash order (the
     'shuffle once, stream epochs' pattern; range-partitioned sort)."""
@@ -1908,6 +1974,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sequence_pack_greedy": q_sequence_pack_greedy,
             "decontaminate": q_decontaminate,
             "stratified_sample": q_stratified_sample,
+            # profiling / incremental curation
+            "column_profile": q_column_profile,
+            "heavy_hitters": q_heavy_hitters,
+            "ngram_topk": q_ngram_topk,
+            "incremental_dedup": q_incremental_dedup,
+            "embedding_centroids": q_embedding_centroids,
         }
     )
     return out
@@ -2301,6 +2373,58 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, source, row_number() OVER "
             "(PARTITION BY source ORDER BY hb, doc_id) AS rk FROM h) "
             "SELECT doc_id, source FROM r WHERE rk <= 10"
+        ),
+        "column_profile": "\nUNION ALL\n".join(
+            "SELECT "
+            f"'{c}' AS \"column\", count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value FROM orders"
+            for c in (
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        ),
+        "heavy_hitters": (
+            "WITH c AS (SELECT l_partkey AS key, count(*) AS n "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT key, CAST(n AS BIGINT) AS n, "
+            "round(n / sum(n) OVER (), 6) AS share "
+            "FROM c ORDER BY n DESC, key ASC LIMIT 20"
+        ),
+        "ngram_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+            "WHERE text IS NOT NULL AND length(trim(text)) > 0), "
+            "grams AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]"
+            ")) AS gram FROM toks WHERE len(t) >= 2) "
+            "SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram "
+            "ORDER BY doc_freq DESC, gram ASC LIMIT 20"
+        ),
+        "incremental_dedup": (
+            f"WITH fp AS (SELECT doc_id, source, {canon} AS f FROM documents), "
+            "seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0) "
+            "SELECT doc_id, source FROM fp WHERE doc_id % 10 != 0 "
+            "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
+        ),
+        "embedding_centroids": (
+            "WITH ux AS (SELECT label, unnest(list_transform(embedding, "
+            "(x, i) -> {'d': i - 1, "
+            "'v': CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)})) AS s "
+            "FROM embeddings), "
+            "ex AS (SELECT label, s.d AS d, s.v AS v FROM ux), "
+            "per AS (SELECT label, d, count(*) AS cnt, "
+            "CAST(sum(v) AS DOUBLE) / (count(*) * 10000000.0) AS mean "
+            "FROM ex GROUP BY label, d) "
+            "SELECT label, CAST(max(cnt) AS BIGINT) AS n_vecs, "
+            "CAST(count(*) AS INT) AS dim, "
+            "string_agg(CAST(CAST(round(mean * 1000000) AS BIGINT) AS VARCHAR), "
+            "',' ORDER BY d) AS centroid_micro "
+            "FROM per GROUP BY label"
         ),
         "decontaminate": (
             "WITH toks AS (SELECT doc_id, "

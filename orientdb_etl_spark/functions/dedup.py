@@ -528,6 +528,63 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# --------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    seen_text_col: str | None = None,
+    broadcast_seen: bool | None = None,
+    mode: str = "filter",
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an already-curated corpus —
+    the incremental-crawl pattern: the reference corpus is fingerprinted
+    once, new snapshots are checked against it without re-shuffling the
+    old data.
+
+    Both sides reduce to canonical-content fingerprints
+    (:func:`orientdb_etl_spark.functions.text.doc_fingerprint` — lowercase
+    / collapse-whitespace / strip-punct / md5), so the join key is 32
+    bytes per OLD document regardless of document size. When the seen side
+    is a fingerprint snapshot small enough to broadcast (billions of
+    documents at 32 B/doc still fit typical executor memory in the tens of
+    millions; beyond that leave ``broadcast_seen=False`` for a shuffled
+    anti-join — at that scale a Bloom filter pre-pass
+    [`F.bloom_filter_agg`-style] in front of the anti-join is the standard
+    refinement), the new batch never shuffles at all: scan → fingerprint
+    → broadcast anti-join, fully pipelined.
+
+    ``mode='filter'`` drops previously-seen docs; ``mode='flag'`` appends
+    a ``seen_before`` boolean instead (audit view).
+    """
+    if mode not in ("filter", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from orientdb_etl_spark.functions.text import doc_fingerprint
+
+    seen_fps = (
+        seen_df.select(
+            doc_fingerprint(seen_text_col or text_col).alias("_fp")
+        )
+        .distinct()
+    )
+    if broadcast_seen or broadcast_seen is None:
+        seen_fps = F.broadcast(seen_fps)
+    new_fp = new_df.withColumn("_fp", doc_fingerprint(text_col))
+    if mode == "filter":
+        return new_fp.join(seen_fps, "_fp", "left_anti").drop("_fp")
+    return (
+        new_fp.join(
+            seen_fps.withColumn("_hit", F.lit(True)), "_fp", "left"
+        )
+        .withColumn("seen_before", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_fp", "_hit")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,124 @@
+"""Corpus / table profiling for large-scale data curation.
+
+The observability half of a training-data pipeline: before (and after)
+dedup/filter/sample passes you profile the corpus — per-column nulls and
+cardinalities, key skew, dominant n-grams — to decide thresholds and to
+catch regressions between snapshots.
+
+Everything here is a single declarative aggregation pass:
+
+- :func:`column_profile` — one `df.agg(...)` computing every column's
+  stats in one scan (one job, map-side partial aggregation), unpivoted to
+  one row per column. Distinct counts default to HyperLogLog
+  (`approx_count_distinct`) so the pass stays one-shuffle at any scale;
+  ``exact=True`` switches to exact `count_distinct` (expands the
+  aggregate, still one logical pass) for oracle-comparable runs.
+- :func:`heavy_hitters` — key-skew diagnostic: top-k keys by frequency
+  with their share of total rows. The groupBy shuffles only (key, count)
+  pairs after partial aggregation; the share window runs over the
+  already-aggregated (tiny) frame.
+- :func:`ngram_topk` — dominant token n-grams by document frequency
+  (the boilerplate detector: navigation chrome, license headers, spam
+  templates surface instantly). Per-doc distinct grams → hash-agg →
+  TakeOrderedAndProject; never a global sort.
+
+Reference scope note: the reference ETL (OETLProcessor.java:252-283
+dumpProgress) only counts rows/sec; profiling here extends that
+observability surface to content statistics, same spirit as its
+`log`/`metrics` hooks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.decontam import token_ngram_array
+
+
+def column_profile(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """Per-column statistics in ONE aggregation pass over the table.
+
+    Output: one row per column — ``column, n_rows, n_null, n_distinct,
+    min_value, max_value`` (min/max rendered as strings so heterogeneous
+    column types unpivot into one frame).
+
+    One scan, one (partial-aggregated) reduce: all per-column aggregates
+    are computed in a single `agg`, then the 1-row result is unpivoted
+    driver-side via `stack` — no per-column jobs, no driver collect of
+    data rows. With ``exact=False`` distinct counts are HyperLogLog
+    sketches (mergeable, constant memory per column at 100 TB).
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        # aggregate on the NATIVE type (numeric/date ordering), render after
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 20, round_share: int = 6
+) -> DataFrame:
+    """Top-k most frequent keys with their share of all rows — the skew
+    diagnostic you run before choosing join/salting strategy for a key.
+
+    groupBy(key) is the only full shuffle and it moves (key, partial
+    count) pairs, not rows; the total-share window and the top-k both
+    operate on the aggregated frame (|distinct keys| rows), and the
+    orderBy+limit compiles to TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(total), round_share)
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(k)
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k token n-grams by DOCUMENT frequency (distinct grams per doc,
+    so a gram repeated 1000× inside one spam page counts once).
+
+    Plan shape: explode(distinct per-doc grams) → hash aggregate (partial
+    map-side combine collapses each partition's gram counts before the
+    shuffle) → TakeOrderedAndProject. The shuffled volume is bounded by
+    |distinct grams per partition|, not corpus size."""
+    grams = df.select(
+        F.explode(token_ngram_array(text_col, n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(k)
+    )
