@@ -182,7 +182,7 @@ def minhash_signatures_fast(
 def _cap_bucket_size(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
-    """Drop degenerate LSH buckets before the self-join.
+    """Drop degenerate LSH buckets before candidate generation.
 
     A bucket of B rows yields B² candidate pairs, so one boilerplate/empty-
     document bucket can dominate the whole stage at scale (AQE splits the
@@ -190,23 +190,68 @@ def _cap_bucket_size(
     scale near-dup setups drop over-full buckets outright (Manku et al.,
     WWW'07 §5): members of a bucket that big are near-identical boilerplate
     whose pairs carry no ranking signal, or hash-degenerate rows whose
-    pairs are spurious. The window count shuffles on the same (band,
-    bucket) key the candidate self-join needs anyway.
+    pairs are spurious.
     """
     if max_bucket_size is None:
         return banded
     # aggregate → tiny over-full list → broadcast anti-join: the count
-    # pass map-side-combines to ~one row per bucket, and the banded set is
-    # NOT shuffled before the candidate self-join (a window count would
-    # shuffle every banded row once more)
+    # pass map-side-combines to ~one row per bucket and never materializes
+    # a degenerate bucket's members anywhere (unlike folding the cap into
+    # the collect_list grouping, which would build the giant array first)
     over = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket_size)
         .select(*keys)
-        .cache()  # tiny by definition; both self-join sides reuse it
+        .cache()  # tiny by definition
     )
     return banded.join(F.broadcast(over), keys, "left_anti")
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Candidate pairs (keep_id < dup_id) from LSH buckets in ONE shuffle.
+
+    A bucket self-join shuffles the banded table twice (once per join
+    side) and then probes a hash table; grouping each bucket into a sorted
+    id list and emitting the i<j combinations in-place needs a single
+    grouped shuffle and no join. Bucket sizes are bounded by
+    :func:`_cap_bucket_size`, so the per-group array (8 B/id, or 16 B with
+    a fingerprint payload) and the quadratic emit are both capped.
+
+    With ``payload_col`` (a scalar carried per row, e.g. a SimHash
+    fingerprint), each pair also exposes ``_pl``/``_pr`` — the payloads of
+    the two sides — so verification can run inline on the pair stream
+    without joining signatures back.
+    """
+    if payload_col is None:
+        collected = F.sort_array(F.collect_list(F.col(id_col)))
+        emit = "y -> struct(x AS keep_id, y AS dup_id)"
+    else:
+        collected = F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))
+            )
+        )
+        emit = "y -> struct(x.i AS keep_id, y.i AS dup_id, x.p AS _pl, y.p AS _pr)"
+    groups = (
+        banded.groupBy(*keys)
+        .agg(collected.alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(_ids, (x, i) -> "
+        f"transform(slice(_ids, i + 2, size(_ids) - i - 1), {emit})))"
+    )
+    out = groups.select(F.explode(F.expr(pair_expr)).alias("_p"))
+    cols = ["_p.keep_id", "_p.dup_id"]
+    if payload_col is not None:
+        cols += ["_p._pl", "_p._pr"]
+    return out.select(*cols)
 
 
 def connected_component_labels(
@@ -324,22 +369,10 @@ def minhash_lsh_dedup(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
     )
     banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("keep_id"),
-            F.col(f"r.{id_col}").alias("dup_id"),
-        )
-        .distinct()
-    )
+    # ids only in the grouped shuffle (8 B/row); the 1 KB signatures are
+    # joined back below onto the sparse verified-candidate stream instead
+    # of being carried through every one of the `bands` bucket copies
+    cand = _bucket_pairs(banded, ["band", "bucket"], id_col).distinct()
     # verify candidates on the full signature (estimate of Jaccard)
     sl = sigs.select(F.col(id_col).alias("keep_id"), F.col("minhash").alias("_sig_l"))
     sr = sigs.select(F.col(id_col).alias("dup_id"), F.col("minhash").alias("_sig_r"))
@@ -451,21 +484,13 @@ def simhash_dedup(
         id_col, "_simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
     banded = _cap_bucket_size(banded, ["band", "chunk"], max_bucket_size)
-    l_, r_ = banded.alias("l"), banded.alias("r")
+    # fingerprint is one BIGINT → carry it as the pair payload and verify
+    # hamming distance inline on the pair stream: one grouped shuffle,
+    # zero joins (vs. self-join + per-side signature lookups)
     verified = (
-        l_.join(
-            r_,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .filter(
-            F.expr(f"bit_count(l._simhash ^ r._simhash) <= {max_hamming}")
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("keep_id"),
-            F.col(f"r.{id_col}").alias("dup_id"),
-        )
+        _bucket_pairs(banded, ["band", "chunk"], id_col, payload_col="_simhash")
+        .filter(F.expr(f"bit_count(_pl ^ _pr) <= {max_hamming}"))
+        .select("keep_id", "dup_id")
         .distinct()
     )
     return _drop_duplicates_by_pairs(df, verified, id_col, survivor)
