@@ -621,6 +621,7 @@ def embedding_near_dedup(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate removal via random-hyperplane LSH.
 
@@ -630,6 +631,15 @@ def embedding_near_dedup(
     the interpreted higher-order-function variants are the measured
     anti-pattern (see simhash_fast). Hyperplanes re-derive from ``seed``
     on every executor — no driver state, reproducible across runs.
+
+    ``max_bucket_size`` drops degenerate signature buckets (e.g. all-zero
+    embeddings collapsing to one signature) before the pair join, same
+    rationale as the MinHash/SimHash guard: B² pairs from one bucket of
+    boilerplate vectors carry no dedup signal. The candidate stage keeps
+    the two-sided bucket join (not the grouped pair-emit used for
+    MinHash): here each row carries its full vector, and a grouped
+    collect_list would materialize an entire bucket's vectors in one
+    aggregation row, while the join streams them through a hash probe.
     """
     from orientdb_etl_spark.functions.similarity import (
         _cosine_pairs,
@@ -645,6 +655,7 @@ def embedding_near_dedup(
         seed=seed,
         out_col="_sig",
     )
+    base = _cap_bucket_size(base, ["_sig"], max_bucket_size)
     l_, r_ = base.alias("l"), base.alias("r")
     dups = (
         l_.join(
