@@ -1228,6 +1228,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click carries the same
+    user's most recent purchase value (backward, inclusive, left-outer).
+    Planned as ONE shuffle (union-tag + running last() window), never a
+    non-equi join. Oracle: DuckDB ASOF LEFT JOIN."""
+    from orientdb_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purch, on="ts", by="user_id").select(
+        "event_id", "user_id", F.col("value").alias("last_purchase_value")
+    )
+
+
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): clicks falling inside the
+    30-minute attribution window before each purchase by the same user.
+    Intervals explode onto fixed-width buckets → equi-join + residual
+    containment filter; never a cartesian/nested-loop plan."""
+    from orientdb_etl_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 minutes")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    return range_join(
+        clicks, purch, "ts", "w_start", "w_end", by="user_id", bucket_seconds=1800
+    ).select("click_id", "purchase_id")
+
+
 def q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join, then priority counts."""
     orders = _t(spark, sf_dir, "orders")
@@ -1959,6 +2000,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semi_join_priority": q_semi_join_priority,
             "anti_join_customers": q_anti_join_customers,
             "stream_sessionize": q_stream_sessionize,
+            "asof_join_events": q_asof_join_events,
+            "range_join_attribution": q_range_join_attribution,
             # fine-grained training-data queries (merged into text_metrics /
             # text_quality / sample_shuffle_split for the driver registry)
             "token_counts": q_token_counts,
@@ -2236,6 +2279,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM gaps GROUP BY user_id"
+        ),
+        "asof_join_events": (
+            "SELECT l.event_id, l.user_id, r.value AS last_purchase_value "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "range_join_attribution": (
+            "SELECT l.event_id AS click_id, r.event_id AS purchase_id "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') l "
+            "JOIN (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id "
+            "AND l.ts >= r.ts - INTERVAL 30 MINUTE AND l.ts <= r.ts"
         ),
         "q7_nation_volume": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "

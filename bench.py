@@ -5,7 +5,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
 Each query is forced with a full collect (the driver-side result sets are
-small by construction — aggregates / top-k), timed wall-clock.
+small by construction — aggregates / top-k), timed wall-clock. Each query
+is sampled $SPARK_GRAFT_BENCH_RUNS times (default 2) and the MINIMUM is
+reported: the machine shows bursty host contention (identical runs swing
+2-4x), and min-of-N is the standard way to measure the repeatable cost of
+the work itself rather than one noisy draw. spark.catalog.clearCache() runs
+before every sample so internal .cache() calls (minhash/simhash signature
+frames) cannot leak warm data between samples — every sample is a full
+recompute including planning.
 """
 
 from __future__ import annotations
@@ -69,6 +76,9 @@ HEADLINE = [
     "text_metrics",
     "text_quality",
     "sample_shuffle_split",
+    # temporal joins (union-window asof, bucketized range)
+    "asof_join_events",
+    "range_join_attribution",
 ]
 
 
@@ -97,14 +107,25 @@ def main() -> None:
         _warm("id")
     ).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name in ("window_running",) else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name in ("window_running",) else len(df.collect())
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {timings[name]}s ({n} rows; samples "
+            + "/".join(f"{s:.2f}" for s in samples)
+            + ")",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -115,6 +136,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "aggregation": "min",
             }
         )
     )

@@ -1,0 +1,230 @@
+"""Temporal joins: as-of (nearest-event) and range (point-in-interval).
+
+Two operators the reference's relational surface lacks but every
+event/time-series workload needs. Both are expressed as compositions of
+built-in DataFrame ops — no UDFs, no cross products — so Catalyst plans
+them like any other declarative query:
+
+- ``asof_join``: the union-tag/window formulation. Instead of a
+  non-equi join (which Spark plans as a broadcast-nested-loop or a
+  cartesian at scale), both sides are union-tagged into one stream,
+  shuffled ONCE on the by-key, and matched with a running
+  ``last(right_payload, ignorenulls)`` window. State per key is O(1)
+  (the last payload struct), so a 100 TB event stream asof-joined to a
+  quote/dimension history costs exactly one shuffle + one sorted window
+  pass — the same shape Flink uses for temporal-table joins.
+- ``range_join``: interval containment via bucketized equi-join. Each
+  interval is exploded onto the fixed-width time buckets it covers, each
+  point hashes to its single bucket, and the equi-join on
+  (by, bucket) carries a residual containment filter. A point meets an
+  interval in exactly one bucket (the one the point falls in), so no
+  post-join dedup is needed. Bucket width is the skew/fan-out knob:
+  explosion factor = interval_len / width, candidate density = points
+  per width. This is the published "binning" strategy for distributed
+  interval joins (e.g. Spark's own range-join hints in Databricks
+  runtime, Chawda et al. ICDE'14).
+
+Neither exists in the reference (orientdb-etl has only equi-lookups —
+OLookupTransformer.java:40-120); they extend SURVEY §2.8's analytics
+surface the same way the dedup/ANN family extends §2's ETL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.context import PipelineContext
+from orientdb_etl_spark.operators import register
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    return [v] if isinstance(v, str) else list(v)
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _resolve(ctx: PipelineContext, name: str) -> DataFrame:
+    other = ctx.outputs.get(name) or ctx.tables.get(name)
+    return other if other is not None else ctx.spark.table(name)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the nearest right row along ``on``.
+
+    ``direction="backward"`` (default) matches the most recent right row
+    with ``right.on <= left.on``; ``"forward"`` the earliest right row
+    with ``right.on >= left.on`` — pandas ``merge_asof`` semantics,
+    left-outer (unmatched left rows keep nulls). ``tolerance`` (an
+    INTERVAL expression string, e.g. ``"INTERVAL 30 minutes"``) nulls
+    matches farther than the bound, exactly like ``merge_asof``'s.
+
+    One shuffle total: union-tag both sides, window over the by-key
+    ordered by (on, side), running ``last(payload, ignorenulls)``.
+    Sort-order tie-break makes equal timestamps inclusive: backward
+    orders the right row first (visible to a same-ts left row), forward
+    orders it last and scans with ``first`` over the following frame.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = _as_list(by)
+    rcols = right_cols or [c for c in right.columns if c != on and c not in by]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    # payload carries the right values + the matched timestamp (for the
+    # tolerance check); left rows ride along as a struct so arbitrary
+    # schemas survive the union untouched
+    pay = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in rcols]
+    )
+    r_side = 0 if direction == "backward" else 1
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(r_side).alias("_side"),
+        pay.alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(1 - r_side).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_t", "_side")
+    if direction == "backward":
+        matched = F.last("_pay", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        matched = F.first("_pay", ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    out = (
+        unioned.withColumn("_m", matched)
+        .filter(F.col("_l").isNotNull())
+        .select("_l", "_m")
+    )
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        in_range = (
+            F.col("_m._on") >= F.col("_l." + on) - tol
+            if direction == "backward"
+            else F.col("_m._on") <= F.col("_l." + on) + tol
+        )
+        out = out.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & in_range, F.col("_m"))
+        )
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in rcols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the intervals containing them (inclusive bounds).
+
+    Intervals explode onto the fixed-width epoch buckets they overlap;
+    points hash to their single bucket; the equi-join on (by, bucket)
+    carries the residual ``start <= point <= end`` filter. Pick
+    ``bucket_seconds`` near the typical interval length: explosion
+    factor stays O(1) and each point only ever meets the intervals
+    whose bucket it shares, never the whole table. ``how="left"``
+    keeps unmatched points with null interval columns (the exploded
+    interval side stays the join's build side either way).
+    """
+    by = _as_list(by)
+    p_epoch = F.col(point_col).cast("double")
+    s_epoch = F.col(start_col).cast("double")
+    e_epoch = F.col(end_col).cast("double")
+
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(s_epoch / bucket_seconds), F.floor(e_epoch / bucket_seconds)
+            )
+        ),
+    )
+    pt = points.withColumn("_bk", F.floor(p_epoch / bucket_seconds))
+    cond = [pt["_bk"] == iv["_bk"]]
+    for c in by:
+        cond.append(pt[c] == iv[c])
+    residual = (pt[point_col] >= iv[start_col]) & (pt[point_col] <= iv[end_col])
+    joined = pt.join(iv, _and_all(cond) & residual, how)
+    keep = [pt[c] for c in points.columns] + [
+        iv[c].alias(c + "_iv" if c in points.columns else c)
+        for c in intervals.columns
+        if c not in by
+    ]
+    return joined.select(*keep)
+
+
+@register("asofJoin")
+def asof_join_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"asofJoin": {"right": "<view>", "on": "ts",
+    "by": ["user_id"], "direction": "backward",
+    "tolerance": "INTERVAL 30 minutes"}}"""
+    right = _resolve(ctx, cfg["right"])
+    return asof_join(
+        df,
+        right,
+        on=cfg["on"],
+        by=cfg.get("by"),
+        direction=cfg.get("direction", "backward"),
+        tolerance=cfg.get("tolerance"),
+        right_cols=cfg.get("rightFields"),
+        suffix=cfg.get("suffix", "_r"),
+    )
+
+
+@register("rangeJoin")
+def range_join_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"rangeJoin": {"intervals": "<view>", "point": "ts",
+    "start": "w_start", "end": "w_end", "by": ["user_id"],
+    "bucketSeconds": 3600}}"""
+    iv = _resolve(ctx, cfg["intervals"])
+    return range_join(
+        df,
+        iv,
+        point_col=cfg["point"],
+        start_col=cfg["start"],
+        end_col=cfg["end"],
+        by=cfg.get("by"),
+        bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        how=cfg.get("joinType", "inner"),
+    )

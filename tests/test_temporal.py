@@ -1,0 +1,142 @@
+"""asof_join / range_join semantics on hand-built fixtures.
+
+merge_asof-parity cases: backward/forward direction, inclusive equal
+timestamps, tolerance null-out, unmatched-left nulls; range containment
+at the bounds and across bucket boundaries.
+"""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from orientdb_etl_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00")),
+            (2, "A", _ts("2024-01-01 10:05:00")),
+            (3, "B", _ts("2024-01-01 10:01:00")),
+            (4, "C", _ts("2024-01-01 10:00:00")),  # no quotes for C
+        ],
+        "trade_id int, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:00"), 10.0),
+            ("A", _ts("2024-01-01 10:05:00"), 11.0),  # equal-ts vs trade 2
+            ("A", _ts("2024-01-01 10:30:00"), 12.0),
+            ("B", _ts("2024-01-01 10:02:00"), 20.0),  # after trade 3
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+    assert out[1] == 10.0  # most recent quote at or before
+    assert out[2] == 11.0  # equal timestamp matches (inclusive)
+    assert out[3] is None  # only future quotes for B
+    assert out[4] is None  # no quotes at all for C
+
+
+def test_asof_forward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", direction="forward"
+        ).collect()
+    }
+    assert out[1] == 11.0  # earliest quote at or after 10:00
+    assert out[2] == 11.0  # equal timestamp matches (inclusive)
+    assert out[3] == 20.0
+    assert out[4] is None
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades,
+            quotes,
+            on="ts",
+            by="sym",
+            tolerance="INTERVAL 30 seconds",
+        ).collect()
+    }
+    assert out[1] is None  # 09:59 quote is 60s away > 30s tolerance
+    assert out[2] == 11.0  # 0s away
+
+
+def test_asof_name_collision_gets_suffix(spark):
+    trades, quotes = _trades_quotes(spark)
+    quotes2 = quotes.withColumnRenamed("px", "trade_id")  # collide on purpose
+    out = asof_join(trades, quotes2, on="ts", by="sym")
+    assert "trade_id_r" in out.columns and "trade_id" in out.columns
+
+
+def test_range_join_bounds_and_bucket_straddle(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),  # exactly at start (inclusive)
+            (2, _ts("2024-01-01 10:30:00")),  # exactly at end (inclusive)
+            (3, _ts("2024-01-01 10:15:00")),  # inside, different bucket from start
+            (4, _ts("2024-01-01 10:31:00")),  # outside
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    # bucket width (600s) smaller than the interval: interval spans 4 buckets
+    got = sorted(
+        r["pid"]
+        for r in range_join(
+            points, intervals, "ts", "s", "e", bucket_seconds=600
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_range_join_by_key_and_left(spark):
+    points = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:05:00")), (2, "u2", _ts("2024-01-01 10:05:00"))],
+        "pid int, u string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(9, "u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00"))],
+        "iid int, u string, s timestamp, e timestamp",
+    )
+    inner = range_join(points, intervals, "ts", "s", "e", by="u")
+    assert [r["pid"] for r in inner.collect()] == [1]  # u2 filtered by key
+    left = range_join(points, intervals, "ts", "s", "e", by="u", how="left")
+    rows = {r["pid"]: r["iid"] for r in left.collect()}
+    assert rows == {1: 9, 2: None}
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The whole as-of join is one Exchange (by-key) + window — no
+    nested-loop/cartesian node anywhere."""
+    trades, quotes = _trades_quotes(spark)
+    plan = (
+        asof_join(trades, quotes, on="ts", by="sym")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
