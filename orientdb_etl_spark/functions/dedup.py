@@ -304,7 +304,11 @@ def connected_component_labels(
 
 
 def _drop_duplicates_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, survivor: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    survivor: str,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Resolve verified duplicate pairs into survivors.
 
@@ -313,6 +317,13 @@ def _drop_duplicates_by_pairs(
     partner exists, so transitive clusters keep one doc per *local*
     minimum. ``connected_components``: transitive clustering, exactly one
     keeper (the min id) per duplicate component.
+    ``best_of_component``: transitive clustering, keeper = the member
+    with the highest ``score_col`` (ties → min id) — the keep-the-best-
+    quality policy of published corpus curation (RefinedWeb, FineWeb keep
+    the longest/highest-quality member, not an arbitrary one). Only the
+    clustered subset (docs appearing in a verified pair) is ever scored
+    or windowed — the corpus itself sees one anti-join, as in the other
+    rules.
     """
     if survivor == "bucket_min":
         dups = pairs.select("dup_id").distinct()
@@ -323,6 +334,26 @@ def _drop_duplicates_by_pairs(
             F.col("id").alias(id_col)
         )
         return df.join(drop, id_col, "left_anti")
+    if survivor == "best_of_component":
+        if score_col is None:
+            raise ValueError("survivor='best_of_component' needs score_col")
+        from pyspark.sql import Window
+
+        labels = connected_component_labels(pairs)
+        scored = labels.join(
+            df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+            "id",
+        )
+        w = Window.partitionBy("label").orderBy(F.desc("_score"), F.asc("id"))
+        keep = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id")
+        )
+        drop = labels.select("id").join(keep, "id", "left_anti")
+        return df.join(
+            drop.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
     raise ValueError(f"unknown survivor rule {survivor!r}")
 
 
@@ -336,6 +367,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     max_bucket_size: int | None = 1000,
     survivor: str = "bucket_min",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate removal: shingle → minhash → band → bucket-join.
 
@@ -384,7 +416,7 @@ def minhash_lsh_dedup(
         .select("keep_id", "dup_id")
         .distinct()
     )
-    return _drop_duplicates_by_pairs(df, verified, id_col, survivor)
+    return _drop_duplicates_by_pairs(df, verified, id_col, survivor, score_col)
 
 
 # --------------------------------------------------------------------------
@@ -466,6 +498,7 @@ def simhash_dedup(
     bands: int = 4,
     max_bucket_size: int | None = 1000,
     survivor: str = "bucket_min",
+    score_col: str | None = None,
 ) -> DataFrame:
     """SimHash near-dedup: 64-bit fingerprints, banded into ``bands``
     16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
@@ -493,7 +526,7 @@ def simhash_dedup(
         .select("keep_id", "dup_id")
         .distinct()
     )
-    return _drop_duplicates_by_pairs(df, verified, id_col, survivor)
+    return _drop_duplicates_by_pairs(df, verified, id_col, survivor, score_col)
 
 
 # --------------------------------------------------------------------------

@@ -28,6 +28,8 @@ def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
             bands=int(cfg.get("bands", 16)),
             shingle_k=int(cfg.get("shingle", 5)),
             threshold=float(cfg.get("threshold", 0.8)),
+            survivor=cfg.get("survivor", "bucket_min"),
+            score_col=cfg.get("scoreField"),
         )
     if method == "simhash":
         return D.simhash_dedup(
@@ -35,6 +37,8 @@ def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
             cfg["textField"],
             cfg["idField"],
             max_hamming=int(cfg.get("maxHamming", 3)),
+            survivor=cfg.get("survivor", "bucket_min"),
+            score_col=cfg.get("scoreField"),
         )
     if method == "embedding":
         return D.embedding_near_dedup(

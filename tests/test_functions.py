@@ -122,6 +122,32 @@ def test_minhash_cc_survivor_rule(spark):
     assert ids == [0, 3, 4]
 
 
+def test_best_of_component_survivor(spark):
+    from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
+
+    # near-dup cluster {0,1,2}: doc 1 has the best score → it survives,
+    # NOT the min id (which bucket_min / connected_components would keep)
+    docs = _docs(spark).withColumn(
+        "score",
+        F.when(F.col("doc_id") == 1, 9.0).otherwise(F.col("doc_id").cast("double")),
+    )
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5,
+        survivor="best_of_component", score_col="score",
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_best_of_component_requires_score(spark):
+    import pytest
+    from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
+
+    with pytest.raises(ValueError, match="score_col"):
+        minhash_lsh_dedup(
+            _docs(spark), "text", "doc_id", survivor="best_of_component"
+        ).collect()
+
+
 def test_bucket_size_guard_keeps_normal_survivors_identical(spark):
     docs = _docs(spark)
     with_cap = sorted(
