@@ -1,5 +1,6 @@
 """Golden tests for the three reference example configs rebuilt on fixtures
-(SURVEY §5 — the reference's only executable specifications)."""
+(SURVEY §5 — the reference's only executable specifications), plus the
+curation example exercising the extended operator surface."""
 
 from __future__ import annotations
 
@@ -79,6 +80,29 @@ def test_config_dbpedia_example(spark, tmp_path):
     assert alice.origin == "earlier-run" and alice.age == 30
     bob = docs.filter(F.col("URI").contains("Bob")).first()
     assert bob.name is None  # nullValue sentinel honored
+
+
+def test_config_curation_example(spark):
+    """The extended-surface example: metrics → best-of-cluster minhash
+    dedup → quality filter, all through the config pipeline."""
+    cfg = _load("config-curation.json")
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight again"),
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "!!!! ???? ...."),  # low quality → filtered
+            (3, "a completely different document about spark and its query engine"),
+        ],
+        "doc_id long, text string",
+    )
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("documents", docs)
+    res = p.run().outputs["curated"]
+    assert set(res.columns) == {"doc_id", "n_tokens", "quality", "lang_pred"}
+    ids = sorted(r.doc_id for r in res.collect())
+    assert 3 in ids  # distinct doc kept
+    assert len([i for i in ids if i in (0, 1)]) == 1  # dup cluster → one kept
+    assert 2 not in ids  # junk filtered by quality floor
 
 
 def test_config_jdbc_example_shape(spark, tmp_path):
