@@ -1403,6 +1403,51 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    range_join_attribution: click stream joined to the purchase stream of
+    the same user within the 30-minute pre-purchase window. Both inputs
+    watermarked; the two-sided time bound lets Spark expire join state
+    (state ≤ watermark + bound), the property that makes this run on an
+    unbounded feed. Same oracle as the batch range join."""
+    from orientdb_etl_spark.streaming import stream_interval_join, stream_parquet
+
+    clicks = (
+        stream_parquet(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    purch = (
+        stream_parquet(spark, f"{sf_dir}/events.parquet", ts_nanos_col="ts")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks,
+        purch,
+        [("user_id", "p_user_id")],
+        left_ts="ts",
+        right_ts="p_ts",
+        lower_bound="INTERVAL 30 minutes",
+        upper_bound="INTERVAL 0 seconds",
+        watermark="1 hour",
+    ).select("click_id", "purchase_id")
+    name = f"mem_rjoin_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 # ===========================================================================
 # Training-data operators: text / dedup / similarity / multimodal
 # ===========================================================================
@@ -2002,6 +2047,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_sessionize": q_stream_sessionize,
             "asof_join_events": q_asof_join_events,
             "range_join_attribution": q_range_join_attribution,
+            "stream_range_join": q_stream_range_join,
             # fine-grained training-data queries (merged into text_metrics /
             # text_quality / sample_shuffle_split for the driver registry)
             "token_counts": q_token_counts,
@@ -2289,6 +2335,15 @@ def oracle_sql() -> dict[str, str]:
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "range_join_attribution": (
+            "SELECT l.event_id AS click_id, r.event_id AS purchase_id "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') l "
+            "JOIN (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id "
+            "AND l.ts >= r.ts - INTERVAL 30 MINUTE AND l.ts <= r.ts"
+        ),
+        "stream_range_join": (
             "SELECT l.event_id AS click_id, r.event_id AS purchase_id "
             "FROM (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'click') l "

@@ -12,6 +12,7 @@ from orientdb_etl_spark.streaming.ops import (
     session_window_agg,
     sessionize_with_state,
     sliding_window_agg,
+    stream_interval_join,
     streaming_dedup,
     tumbling_window_agg,
     with_watermark,
@@ -24,6 +25,7 @@ __all__ = [
     "session_window_agg",
     "sessionize_with_state",
     "sliding_window_agg",
+    "stream_interval_join",
     "stream_parquet",
     "streaming_dedup",
     "tumbling_window_agg",

@@ -61,6 +61,49 @@ def sliding_window_agg(
     ).agg(*[F.expr(a) for a in aggs])
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: list,
+    left_ts: str,
+    right_ts: str,
+    lower_bound: str = "INTERVAL 30 minutes",
+    upper_bound: str = "INTERVAL 0 seconds",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with a time-bound condition:
+    ``right_ts - lower_bound <= left_ts <= right_ts + upper_bound``.
+
+    The watermarks on BOTH inputs plus the two-sided time bound are what
+    make this viable on unbounded streams: Spark derives how long a
+    buffered row can still find a match and drops join state older than
+    watermark + bound (the state-cleanup contract of stream-stream joins
+    in the Structured Streaming model). Without the time bound the state
+    grows forever — this helper makes the bound mandatory.
+
+    ``equi_keys``: column names present on both sides (or (left, right)
+    pairs). Rename overlapping non-key columns before joining — the
+    result keeps both sides' columns as-is.
+    """
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    conds = []
+    for k in equi_keys:
+        a, b = (k, k) if isinstance(k, str) else k
+        conds.append(F.col(f"l.{a}") == F.col(f"r.{b}"))
+    conds.append(
+        F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}") - F.expr(lower_bound)
+    )
+    conds.append(
+        F.col(f"l.{left_ts}") <= F.col(f"r.{right_ts}") + F.expr(upper_bound)
+    )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return l_.join(r_, cond, how)
+
+
 def session_window_agg(
     df: DataFrame,
     ts_col: str,

@@ -137,6 +137,54 @@ def test_sessionize_with_state_matches_batch(spark, events_stream, events_batch)
     assert got == want
 
 
+def test_stream_interval_join_matches_batch(spark, events_batch):
+    from orientdb_etl_spark.streaming import stream_interval_join, stream_parquet
+
+    clicks = (
+        stream_parquet(spark, f"{SF}/events.parquet", ts_nanos_col="ts")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    purch = (
+        stream_parquet(spark, f"{SF}/events.parquet", ts_nanos_col="ts")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purch, [("user_id", "p_user_id")],
+        left_ts="ts", right_ts="p_ts",
+        lower_bound="INTERVAL 30 minutes", upper_bound="INTERVAL 0 seconds",
+        watermark="1 hour",
+    ).select("click_id", "purchase_id")
+    got = {
+        (r.click_id, r.purchase_id) for r in _run(joined, "t_ivjoin").collect()
+    }
+
+    b = events_batch
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            (bc.user_id == bp.p_user_id)
+            & (bc.ts >= bp.p_ts - F.expr("INTERVAL 30 minutes"))
+            & (bc.ts <= bp.p_ts),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_pipeline_config(spark):
     p = StreamingPipeline(
         {
