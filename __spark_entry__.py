@@ -1087,6 +1087,240 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join, then count per
+    priority. Adapted to this schema (no commit/receipt dates): 'late' =
+    a lineitem shipped more than 60 days after the order date. The semi
+    join keeps only the probe side's columns, so no dedup pass is needed
+    after the (potentially many-per-order) match."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue to ASIA
+    customers, per order year. Fact-side joins shuffle on their keys;
+    all four dimension joins (supplier+nation twice, region) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat_c = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # ASIA nation keys — broadcast twice removes the customer-side shuffle
+    asia_nk = nat_c.join(
+        F.broadcast(reg), nat_c.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("asia_nk"))
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nk), cust.c_nationkey == F.col("asia_nk"))
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in this schema — lineitem value per
+    part stands in for stock value): per-part value for EUROPE-region
+    suppliers, HAVING value > fraction-of-total scalar subquery. The
+    scalar total is a 1-row broadcast, not a second scan-join shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp_eur), li.l_suppkey == supp_eur.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    thresh = vals.agg((F.sum("raw_value") * 0.0008).alias("threshold"))
+    return (
+        vals.join(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter (so
+    zero-order customers survive), per-customer order count, then the
+    count-of-counts histogram — two aggregations, the second tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-quantity subquery, decorrelated to
+    a per-part aggregate joined back (both sides pre-filtered by the
+    broadcast part dim, so the agg and the join stay tiny)."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+    avgs = li_p.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li_p.join(F.broadcast(avgs), li_p.l_partkey == avgs.a_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers who shipped a
+    large quantity of 'red' parts in 1997. part-IN collapses to a
+    broadcast semi join; the supplier-IN side is an aggregate-then-semi
+    (never a distinct over the fact table)."""
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 450)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier uniquely holding up each finished
+    multi-supplier order (EXISTS other-supplier + NOT EXISTS other-late-
+    supplier, decorrelated to two grouped passes over the same filtered
+    fact — 'held up' = sole attainer of the order's max ship date)."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li_f = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi")
+    per_order = (
+        li_f.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey", "max_ship")
+    )
+    attain = (
+        li_f.join(per_order, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        attain.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_att"),
+            F.max("l_suppkey").alias("blk_supp"),
+        )
+        .filter(F.col("n_att") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("blk_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("blk_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance (scalar subquery) + NOT
+    EXISTS recent orders (anti join), aggregated per market segment.
+    Adapted: 'idle' = no orders on/after 1999-01-01 (every customer in
+    the fixture has at least one order overall)."""
+    cust_f = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    avg_bal = cust_f.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    rich = cust_f.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming within-watermark dedup — the unbounded-safe exact-dedup
     form. Key set (not payload) is deterministic → oracle = DISTINCT."""
@@ -2027,10 +2261,18 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(
         {
             # analytics trimmed from the driver registry
+            "q4_order_priority": q4_order_priority,
             "q5_local_supplier_volume": q5_local_supplier_volume,
             "q6_revenue_forecast": q6_revenue_forecast,
             "q7_nation_volume": q7_nation_volume,
+            "q8_market_share": q8_market_share,
             "q10_returned_items": q10_returned_items,
+            "q11_important_parts": q11_important_parts,
+            "q13_customer_distribution": q13_customer_distribution,
+            "q17_small_quantity_revenue": q17_small_quantity_revenue,
+            "q20_promo_suppliers": q20_promo_suppliers,
+            "q21_waiting_suppliers": q21_waiting_suppliers,
+            "q22_idle_rich_customers": q22_idle_rich_customers,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -2680,6 +2922,93 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.s_suppkey, s.s_name, r.total_revenue "
             "FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
             "WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o_orderdate < TIMESTAMP '1997-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q8_market_share": (
+            "SELECT year(o.o_orderdate) AS o_year, "
+            "round(sum(CASE WHEN ns.n_name = 'NATION_7' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) / "
+            "sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "JOIN region r ON nc.n_regionkey = r.r_regionkey "
+            "AND r.r_name = 'ASIA' "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "GROUP BY 1"
+        ),
+        "q11_important_parts": (
+            "WITH vals AS (SELECT l.l_partkey AS partkey, "
+            "sum(l.l_extendedprice) AS raw_value "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "AND r.r_name = 'EUROPE' GROUP BY 1) "
+            "SELECT partkey, round(raw_value, 2) AS value FROM vals "
+            "WHERE raw_value > (SELECT sum(raw_value) * 0.0008 FROM vals)"
+        ),
+        "q13_customer_distribution": (
+            "WITH pc AS (SELECT c.c_custkey, "
+            "count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' GROUP BY 1) "
+            "SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1"
+        ),
+        "q17_small_quantity_revenue": (
+            "WITH lp AS (SELECT l.* FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_brand = 'Brand#1' AND p.p_type = 'ECONOMY'), "
+            "a AS (SELECT l_partkey AS a_partkey, "
+            "0.5 * avg(l_quantity) AS half_avg FROM lp GROUP BY 1) "
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lp JOIN a ON lp.l_partkey = a.a_partkey "
+            "WHERE l_quantity < half_avg"
+        ),
+        "q20_promo_suppliers": (
+            "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN "
+            "(SELECT l_suppkey FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'red%') "
+            "AND l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_suppkey HAVING sum(l_quantity) > 450)"
+        ),
+        "q21_waiting_suppliers": (
+            "WITH lif AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "AND o.o_orderstatus = 'F'), "
+            "po AS (SELECT l_orderkey, max(l_shipdate) AS max_ship, "
+            "count(DISTINCT l_suppkey) AS n_supp FROM lif GROUP BY 1), "
+            "att AS (SELECT DISTINCT f.l_orderkey, f.l_suppkey "
+            "FROM lif f JOIN po ON f.l_orderkey = po.l_orderkey "
+            "AND po.n_supp >= 2 AND f.l_shipdate = po.max_ship), "
+            "uniq AS (SELECT l_orderkey, max(l_suppkey) AS blk_supp "
+            "FROM att GROUP BY 1 HAVING count(*) = 1) "
+            "SELECT s.s_name, count(*) AS numwait FROM uniq u "
+            "JOIN supplier s ON u.blk_supp = s.s_suppkey GROUP BY 1"
+        ),
+        "q22_idle_rich_customers": (
+            "WITH cf AS (SELECT * FROM customer "
+            "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+            "ab AS (SELECT avg(c_acctbal) AS avg_bal FROM cf "
+            "WHERE c_acctbal > 0) "
+            "SELECT c_mktsegment, count(*) AS numcust, "
+            "round(sum(c_acctbal), 2) AS totacctbal FROM cf, ab "
+            "WHERE c_acctbal > avg_bal AND NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = cf.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1999-01-01') "
+            "GROUP BY c_mktsegment"
         ),
         "q16_supplier_cnt": (
             "SELECT p_brand, p_size, "

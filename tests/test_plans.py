@@ -156,6 +156,49 @@ def test_minhash_bucket_guard_broadcasts_overfull_list(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_q4_semi_join_no_post_dedup(spark):
+    """The EXISTS shape must compile to a left-semi join (no distinct /
+    aggregate pass over the many-matches-per-order join output)."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    """The only shuffles in Q8 should be the fact-side equi-joins and the
+    final year aggregate; supplier/nation/region joins all broadcast."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_is_broadcast_not_shuffle(spark):
+    """The HAVING-fraction-of-total scalar joins back as a 1-row broadcast
+    nested loop, never a shuffle of the per-part values."""
+    plan = _plan(spark, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q13_outer_join_preserves_zero_count_rows(spark):
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q21_no_cartesian_and_semi_filter_first(spark):
+    """Both grouped passes read the same order-filtered fact; the status
+    filter applies via a semi join before any aggregation, and nothing
+    degenerates to a cartesian product."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_for_not_exists(spark):
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sequence_pack_single_shuffle(spark):
     """Concat-and-chunk packing is one window over the shard key — exactly
     one Exchange (the window partition), no sort beyond the per-shard
