@@ -1159,8 +1159,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp in this schema — lineitem value per
     part stands in for stock value): per-part value for EUROPE-region
-    suppliers, HAVING value > fraction-of-total scalar subquery. The
-    scalar total is a 1-row broadcast, not a second scan-join shuffle."""
+    suppliers, HAVING value > a scalar-subquery threshold. TPC-H's
+    fraction-of-total threshold needs 1/SF rescaling to stay non-empty as
+    the part count grows, so the adapted threshold is 2× the average
+    per-part value — scale-invariant by construction. The scalar is a
+    1-row broadcast, not a second scan-join shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -1175,7 +1178,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("l_extendedprice").alias("raw_value"))
     )
-    thresh = vals.agg((F.sum("raw_value") * 0.0008).alias("threshold"))
+    thresh = vals.agg((F.avg("raw_value") * 2.0).alias("threshold"))
     return (
         vals.join(F.broadcast(thresh))
         .filter(F.col("raw_value") > F.col("threshold"))
@@ -2955,7 +2958,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "AND r.r_name = 'EUROPE' GROUP BY 1) "
             "SELECT partkey, round(raw_value, 2) AS value FROM vals "
-            "WHERE raw_value > (SELECT sum(raw_value) * 0.0008 FROM vals)"
+            "WHERE raw_value > (SELECT avg(raw_value) * 2.0 FROM vals)"
         ),
         "q13_customer_distribution": (
             "WITH pc AS (SELECT c.c_custkey, "

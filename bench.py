@@ -79,6 +79,15 @@ HEADLINE = [
     # temporal joins (union-window asof, bucketized range)
     "asof_join_events",
     "range_join_attribution",
+    # round-2 TPC-H-shape completions
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
 ]
 
 
