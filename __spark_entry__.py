@@ -1324,6 +1324,86 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join through the config pipeline
+    (`salted_join` transformer, operators/skew.py): orders' hot customer
+    keys scattered across 8 reducers, customer replicated per sub-key —
+    result identical to the plain join, verified against the unsalted
+    oracle."""
+    from orientdb_etl_spark import Pipeline
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "orders"}},
+            "transformers": [
+                {"salted_join": {
+                    "with": "customer",
+                    "on": "o_custkey",
+                    "dimKey": "c_custkey",
+                    "salt": 8,
+                }},
+                {"aggregate": {
+                    "groupBy": ["c_mktsegment"],
+                    "aggregations": [
+                        "count(1) AS n_orders",
+                        "round(sum(o_totalprice), 2) AS revenue",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    _register_all(spark, sf_dir, p)
+    return p.compile()
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the supplier→customer ships-to graph
+    (the traversal the reference can only delegate to OrientDB after
+    loading; here it runs on the same engine). 6 iterations, damping 0.85,
+    dangling mass not redistributed — the SQL oracle unrolls the identical
+    recurrence. Customer node ids offset by 1e6: supplier and customer
+    keys share the integer space."""
+    from orientdb_etl_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iterations=6)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank CTE chain (recursive CTEs disallow the
+    grouped aggregate over the recursive reference, so unroll instead) —
+    the exact recurrence of functions/graph.py:pagerank."""
+    sql = (
+        "WITH e AS (SELECT DISTINCT l.l_suppkey AS src, "
+        "o.o_custkey + 1000000 AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1), "
+        "nc AS (SELECT count(*) AS n FROM nodes), "
+        "pr0 AS (SELECT id, 1.0 / nc.n AS rank FROM nodes, nc)"
+    )
+    for i in range(1, iterations + 1):
+        sql += (
+            f", pr{i} AS (SELECT n.id, "
+            f"(1 - {damping}) / nc.n + {damping} * coalesce(s.c, 0) AS rank "
+            f"FROM nodes n CROSS JOIN nc LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(p.rank / d.deg) AS c "
+            f"FROM pr{i - 1} p JOIN deg d ON p.id = d.id "
+            f"JOIN e ON p.id = e.src GROUP BY e.dst) s ON n.id = s.id)"
+        )
+    return sql + f" SELECT id, round(rank, 6) AS rank FROM pr{iterations}"
+
+
 def q_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming within-watermark dedup — the unbounded-safe exact-dedup
     form. Key set (not payload) is deterministic → oracle = DISTINCT."""
@@ -2276,6 +2356,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q20_promo_suppliers": q20_promo_suppliers,
             "q21_waiting_suppliers": q21_waiting_suppliers,
             "q22_idle_rich_customers": q22_idle_rich_customers,
+            "salted_join": q_salted_join,
+            "pagerank": q_pagerank,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3013,6 +3095,13 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate >= TIMESTAMP '1999-01-01') "
             "GROUP BY c_mktsegment"
         ),
+        "salted_join": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 2) AS revenue "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "pagerank": _pagerank_oracle_sql(),
         "q16_supplier_cnt": (
             "SELECT p_brand, p_size, "
             "count(DISTINCT l_suppkey) AS supplier_cnt "

@@ -1,0 +1,70 @@
+"""Graph analytics: degrees and fixed-iteration PageRank.
+
+PageRank is checked against the same recurrence computed directly in
+numpy — not against magic constants — so the test pins the exact
+semantics (dedup'd edges, no dangling redistribution, fixed iterations)
+that the SQL oracle also unrolls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.graph import degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _numpy_pagerank(pairs, iterations=8, damping=0.85):
+    pairs = sorted(set(pairs))
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in pairs:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1 - damping) / n)
+        for s, d in pairs:
+            nxt[idx[d]] += damping * r[idx[s]] / deg[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_degrees_counts_and_zero_fill(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    got = {r.id: (r.out_degree, r.in_degree) for r in degrees(e).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # ring: every vertex has one in- and one out-edge -> uniform forever
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    ranks = {r.id: r.rank for r in pagerank(e, iterations=5).collect()}
+    for v in (1, 2, 3):
+        assert ranks[v] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]  # dup edge
+    got = {r.id: r.rank for r in pagerank(_edges(spark, pairs), iterations=8).collect()}
+    want = _numpy_pagerank(pairs, iterations=8)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-12)
+    # vertex 4 is a dangling-source: it keeps only the teleport floor
+    assert got[4] == pytest.approx(0.15 / 4, abs=1e-12)
+
+
+def test_pagerank_plan_size_constant_over_iterations(spark):
+    """localCheckpoint must truncate lineage: the 8-iteration plan may not
+    be ~8x the 2-iteration plan."""
+    e = _edges(spark, [(1, 2), (2, 1)])
+    p2 = pagerank(e, iterations=2)._jdf.queryExecution().toString()
+    p8 = pagerank(e, iterations=8)._jdf.queryExecution().toString()
+    assert len(p8) < 2 * len(p2)
