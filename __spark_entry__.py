@@ -1357,6 +1357,74 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.compile()
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the aggregate transformer (mode=groupingSets)
+    — the explicit-set sibling of rollup/cube: (flag,status), (flag), ()."""
+    from orientdb_etl_spark import Pipeline
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "lineitem"}},
+            "transformers": [
+                {"aggregate": {
+                    "mode": "groupingSets",
+                    "groupBy": ["l_returnflag", "l_linestatus"],
+                    "sets": [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+                    "aggregations": [
+                        "round(sum(l_extendedprice), 2) AS sum_price",
+                        "count(1) AS n_rows",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    _register_all(spark, sf_dir, p)
+    return p.compile()
+
+
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/ntile window coverage: per-customer order timeline with
+    previous/next order gap (days) and spend quartile."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "datediff(o_orderdate, lag(o_orderdate) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS days_since_prev",
+        "datediff(lead(o_orderdate) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS days_to_next",
+        "ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS spend_quartile",
+    )
+
+
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: hourly rollup per event_type with silent
+    gaps made explicit (zero-filled) — time_bucket + generate_series as
+    one groupBy plus a generated dense spine (operators/temporal.py:
+    resample). Oracle = DuckDB generate_series left join."""
+    from orientdb_etl_spark.operators.temporal import resample
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        ts_col="ts",
+        bucket_seconds=3600,
+        keys="event_type",
+        aggs=[
+            "count(1) AS n_events",
+            "round(sum(value), 2) AS sum_value",
+        ],
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the supplier→customer ships-to graph
     (the traversal the reference can only delegate to OrientDB after
@@ -2274,9 +2342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     This registry is therefore consolidated to 50 entries that still cover
     every operator family: per-column merges (text_metrics, text_quality),
     a combined sampling query, and a trimmed — but still representative —
-    TPC-H/analytics set. The full fine-grained surface (every
-    pre-consolidation query) remains in :func:`queries_all`, which the
-    local gate (tools/check_correctness.py), tests, and bench.py run.
+    TPC-H/analytics set. Round 2 swaps two same-family duplicates
+    (q9→asof_join_events, window_running→salted_join) so the temporal-join
+    and skew-mitigation families also carry hard driver rows. The full
+    fine-grained surface (every pre-consolidation query) remains in
+    :func:`queries_all`, which the local gate (tools/check_correctness.py),
+    tests, and bench.py run.
     """
     return {
         # reference-parity operators (§2.0-2.5)
@@ -2299,12 +2370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_extract": q_jdbc_extract,
         "code_transform": q_code_transform,
         "command_transform": q_command_transform,
-        # analytics surface (§2.8)
+        # analytics surface (§2.8) + the scale-critical extensions
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        "q9_product_profit": q9_product_profit,
+        "asof_join_events": q_asof_join_events,
         "q12_shipmode_priority": q12_shipmode_priority,
-        "window_running": q_window_running,
+        "salted_join": q_salted_join,
         "window_rank_dense": q_window_rank_dense,
         "cube_sales": q_cube_sales,
         "pivot_segments": q_pivot_segments,
@@ -2345,6 +2416,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             # analytics trimmed from the driver registry
             "q4_order_priority": q4_order_priority,
+            "q9_product_profit": q9_product_profit,
+            "window_running": q_window_running,
             "q5_local_supplier_volume": q5_local_supplier_volume,
             "q6_revenue_forecast": q6_revenue_forecast,
             "q7_nation_volume": q7_nation_volume,
@@ -2356,8 +2429,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q20_promo_suppliers": q20_promo_suppliers,
             "q21_waiting_suppliers": q21_waiting_suppliers,
             "q22_idle_rich_customers": q22_idle_rich_customers,
-            "salted_join": q_salted_join,
             "pagerank": q_pagerank,
+            "resample_gapfill": q_resample_gapfill,
+            "grouping_sets": q_grouping_sets,
+            "window_lead_lag": q_window_lead_lag,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -2372,7 +2447,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semi_join_priority": q_semi_join_priority,
             "anti_join_customers": q_anti_join_customers,
             "stream_sessionize": q_stream_sessionize,
-            "asof_join_events": q_asof_join_events,
             "range_join_attribution": q_range_join_attribution,
             "stream_range_join": q_stream_range_join,
             # fine-grained training-data queries (merged into text_metrics /
@@ -3102,6 +3176,41 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"
         ),
         "pagerank": _pagerank_oracle_sql(),
+        "grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS n_rows FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_returnflag), ())"
+        ),
+        "window_lead_lag": (
+            "SELECT o_orderkey, o_custkey, "
+            "date_diff('day', lag(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+            "o_orderdate) AS days_since_prev, "
+            "date_diff('day', o_orderdate, lead(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) "
+            "AS days_to_next, "
+            "ntile(4) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice, o_orderkey) AS spend_quartile "
+            "FROM orders"
+        ),
+        "resample_gapfill": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bk, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2), "
+            "spine AS (SELECT event_type, "
+            "unnest(generate_series(min(bk), max(bk))) AS bk "
+            "FROM b GROUP BY event_type) "
+            "SELECT s.event_type, "
+            "strftime(make_timestamp(s.bk * 3600 * 1000000), "
+            "'%Y-%m-%d %H:%M:%S') AS hour, "
+            "coalesce(b.n_events, 0) AS n_events, "
+            "coalesce(b.sum_value, 0.0) AS sum_value "
+            "FROM spine s LEFT JOIN b "
+            "ON s.event_type = b.event_type AND s.bk = b.bk"
+        ),
         "q16_supplier_cnt": (
             "SELECT p_brand, p_size, "
             "count(DISTINCT l_suppkey) AS supplier_cnt "

@@ -64,11 +64,26 @@ def filter_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
 
 @register("aggregate")
 def aggregate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
-    """groupBy/rollup/cube + aggregate expressions (all map-side-combinable
-    built-ins — partial aggregation happens before the shuffle)."""
+    """groupBy/rollup/cube/groupingSets + aggregate expressions (all
+    map-side-combinable built-ins — partial aggregation happens before the
+    shuffle; grouping-set expansion multiplies agg state by set count,
+    never input size)."""
     keys = cfg.get("groupBy", [])
-    aggs = _exprs(ctx, cfg["aggregations"])
     mode = str(cfg.get("mode", "groupBy")).lower()
+    if mode == "groupingsets":
+        # DataFrame API has no groupingSets — route through SQL on a view
+        sets = cfg["sets"]  # e.g. [["a", "b"], ["a"], []]
+        df.createOrReplaceTempView("_gsets_in")
+        sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+        aggs_sql = ", ".join(
+            translate_osql(a, ctx.variables) for a in cfg["aggregations"]
+        )
+        keys_sql = ", ".join(keys)
+        return ctx.spark.sql(
+            f"SELECT {keys_sql}, {aggs_sql} FROM _gsets_in "
+            f"GROUP BY GROUPING SETS ({sets_sql})"
+        )
+    aggs = _exprs(ctx, cfg["aggregations"])
     if mode == "rollup":
         grouped = df.rollup(*keys)
     elif mode == "cube":

@@ -190,6 +190,71 @@ def range_join(
     return joined.select(*keep)
 
 
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    keys: str | list[str] | None = None,
+    aggs: list[str] | None = None,
+    fill: dict | None = None,
+) -> DataFrame:
+    """Fixed-width time-bucket rollup with gap filling — the hypertable
+    `time_bucket` + `generate_series` resample, as two aggregations and
+    one narrow explode.
+
+    Pass 1 buckets rows to ``floor(epoch / width)`` and aggregates —
+    identical shuffle shape to any groupBy (map-side partial agg first).
+    Pass 2 computes each key's [min_bucket, max_bucket] span (tiny — one
+    row per key), explodes it into the dense bucket sequence, and left-
+    joins the aggregated buckets back, so silent gaps become explicit
+    rows. ``fill`` maps column→constant for gap rows (e.g. {"n": 0});
+    unfilled columns stay null.
+
+    Scale: the dense side is |keys| × span/width rows of pure bucket ids
+    (16 B) — generated, never shuffled from data; the only wide shuffle is
+    pass 1's aggregation. Skew follows key cardinality like any groupBy.
+    A key spanning the full retention window at tiny widths is the one
+    shape to watch (explosion = span/width per key); pick the bucket width
+    at the granularity you query, exactly as you would a rollup table.
+    """
+    keys = _as_list(keys)
+    bucket = F.floor(F.col(ts_col).cast("double") / bucket_seconds)
+    agg_exprs = [F.expr(a) for a in (aggs or [F.count(F.lit(1)).alias("n_rows")])]
+    got = (
+        df.withColumn("_bk", bucket)
+        .groupBy(*keys, "_bk")
+        .agg(*agg_exprs)
+    )
+    span = got.groupBy(*keys).agg(
+        F.min("_bk").alias("_lo"), F.max("_bk").alias("_hi")
+    )
+    dense = span.select(
+        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_bk")
+    )
+    out = dense.join(got, [*keys, "_bk"], "left")
+    out = out.withColumn(
+        "bucket_ts", F.timestamp_seconds(F.col("_bk") * bucket_seconds)
+    ).drop("_bk")
+    for col, v in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out
+
+
+@register("resample")
+def resample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"resample": {"on": "ts", "bucketSeconds": 3600,
+    "by": ["user_id"], "aggregations": ["count(1) AS n"],
+    "fill": {"n": 0}}}"""
+    return resample(
+        df,
+        ts_col=cfg["on"],
+        bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        keys=cfg.get("by"),
+        aggs=cfg.get("aggregations"),
+        fill=cfg.get("fill"),
+    )
+
+
 @register("asofJoin")
 def asof_join_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

@@ -140,3 +140,44 @@ def test_asof_plan_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_fills_gaps_and_aggregates(spark):
+    from orientdb_etl_spark.operators.temporal import resample
+
+    ev = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:10:00"), 1.0),
+            ("a", _ts("2024-01-01 10:50:00"), 2.0),
+            # hour 11 missing entirely for key a
+            ("a", _ts("2024-01-01 12:05:00"), 4.0),
+            ("b", _ts("2024-01-01 10:30:00"), 7.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = resample(
+        ev, "ts", 3600, keys="k",
+        aggs=["count(1) AS n", "sum(v) AS sv"],
+        fill={"n": 0},
+    ).collect()
+    rows = {(r.k, r.bucket_ts.hour): (r.n, r.sv) for r in out}
+    assert rows[("a", 10)] == (2, 3.0)
+    assert rows[("a", 11)] == (0, None)  # gap row: filled n, unfilled sv
+    assert rows[("a", 12)] == (1, 4.0)
+    # key b spans one bucket only -> no spine beyond it
+    assert [k for k in rows if k[0] == "b"] == [("b", 10)]
+
+
+def test_resample_single_wide_shuffle(spark):
+    """The dense spine is generated, never shuffled from data: the only
+    exchanges are the pass-1 aggregation and the tiny per-key span agg."""
+    from orientdb_etl_spark.operators.temporal import resample
+
+    ev = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:10:00"), 1.0)], "k string, ts timestamp, v double"
+    )
+    plan = (
+        resample(ev, "ts", 3600, keys="k", aggs=["count(1) AS n"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
