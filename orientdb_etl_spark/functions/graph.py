@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.functions.dedup import connected_component_labels
+from orientdb_etl_spark.operators import register
 
 __all__ = ["connected_component_labels", "degrees", "pagerank"]
 
@@ -98,3 +100,23 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+@register("degrees")
+def degrees_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"degrees": {"src": "src", "dst": "dst"}} over an
+    edge-shaped pipeline payload (e.g. the edge transformer's output)."""
+    return degrees(df, cfg.get("src", "src"), cfg.get("dst", "dst"))
+
+
+@register("pagerank")
+def pagerank_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"pagerank": {"src": "src", "dst": "dst",
+    "iterations": 8, "damping": 0.85}}."""
+    return pagerank(
+        df,
+        cfg.get("src", "src"),
+        cfg.get("dst", "dst"),
+        int(cfg.get("iterations", 8)),
+        float(cfg.get("damping", 0.85)),
+    )

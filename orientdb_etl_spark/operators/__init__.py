@@ -83,5 +83,6 @@ from orientdb_etl_spark.operators import subetl as _subetl  # noqa: E402,F401
 from orientdb_etl_spark.operators import mlops as _mlops  # noqa: E402,F401
 from orientdb_etl_spark.operators import skew as _skew  # noqa: E402,F401
 from orientdb_etl_spark.operators import temporal as _temporal  # noqa: E402,F401
+from orientdb_etl_spark.functions import graph as _graph  # noqa: E402,F401
 
 __all__ = ["apply_transformer", "get_transformer", "register"]

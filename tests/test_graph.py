@@ -68,3 +68,32 @@ def test_pagerank_plan_size_constant_over_iterations(spark):
     p2 = pagerank(e, iterations=2)._jdf.queryExecution().toString()
     p8 = pagerank(e, iterations=8)._jdf.queryExecution().toString()
     assert len(p8) < 2 * len(p2)
+
+
+def test_graph_config_transformers(spark):
+    from orientdb_etl_spark import Pipeline
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "edges"}},
+            "transformers": [
+                {"pagerank": {"iterations": 5}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("edges", _edges(spark, [(1, 2), (2, 3), (3, 1)]))
+    ranks = {r.id: r.rank for r in p.compile().collect()}
+    for v in (1, 2, 3):
+        assert ranks[v] == pytest.approx(1 / 3, abs=1e-12)
+
+    pd_ = Pipeline(
+        {
+            "extractor": {"table": {"name": "edges"}},
+            "transformers": [{"degrees": {}}],
+        },
+        spark=spark,
+    )
+    pd_.register_table("edges", _edges(spark, [(1, 2), (1, 3)]))
+    got = {r.id: (r.out_degree, r.in_degree) for r in pd_.compile().collect()}
+    assert got == {1: (2, 0), 2: (0, 1), 3: (0, 1)}
