@@ -122,3 +122,26 @@ def test_config_jdbc_example_shape(spark, tmp_path):
     verts = spark.read.parquet(str(tmp_path / "jgraph" / "vertices"))
     assert verts.count() == 2
     assert set(r.label for r in verts.collect()) == {"Client"}
+
+
+def test_config_graph_example(spark):
+    """Graph example: pagerank + topk through the config pipeline, checked
+    against the direct function call on the same edge frame."""
+    from orientdb_etl_spark.functions.graph import pagerank
+
+    cfg = _load("config-graph.json")
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (10, 1), (1, 2), (2, 1)],
+        "src long, dst long",
+    )
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("ships_to", edges)
+    got = [(r.id, r.rank) for r in p.run().outputs["influencers"].collect()]
+    want = {
+        r.id: r.rank for r in pagerank(edges, iterations=5).collect()
+    }
+    assert len(got) == len(want) <= 10
+    # descending by rank, ties broken by id, values exactly the direct call's
+    assert got == sorted(
+        ((i, want[i]) for i in want), key=lambda t: (-t[1], t[0])
+    )
