@@ -55,3 +55,24 @@ def test_salted_join_config_form(spark):
     p.register_table("dim", _dim(spark))
     out = p.compile()
     assert out.count() == 900 + 10  # key 1 hits, and all cold keys 2..11 ∈ dim 1..20
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The whole point: in the shuffled (non-broadcast) regime the
+    exchange partitions on (key, _salt), not key alone — a hot key then
+    spans `salt` reducers. Broadcast is disabled to pin the shuffle path
+    (with a dim small enough to broadcast, salting is moot anyway)."""
+    fact, dim = _skewed(spark), _dim(spark)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(fact, dim, "k", "dk", salt=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("_salt" in ln for ln in ex), ex
