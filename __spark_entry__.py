@@ -1111,17 +1111,25 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of revenue to ASIA
-    customers, per order year. Fact-side joins shuffle on their keys;
-    all four dimension joins (supplier+nation twice, region) broadcast."""
+    customers, per order year. Join ORDER is the scale decision:
+    selective dimension filters apply first (region→nation→customer
+    semi-reduces customers 5×, then orders), so the single wide shuffle
+    is lineitem against the already-reduced orders — never the full
+    customer or orders table. Supplier+nation stay broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nat_c = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # ASIA nation keys — broadcast twice removes the customer-side shuffle
     asia_nk = nat_c.join(
         F.broadcast(reg), nat_c.n_regionkey == reg.r_regionkey
     ).select(F.col("n_nationkey").alias("asia_nk"))
+    cust_asia = cust.join(
+        F.broadcast(asia_nk), cust.c_nationkey == F.col("asia_nk")
+    ).select("c_custkey")
+    orders_asia = orders.join(
+        cust_asia, orders.o_custkey == cust_asia.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate")
     supp_n = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -1136,11 +1144,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "supp_nation")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(asia_nk), cust.c_nationkey == F.col("asia_nk"))
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    j = li.join(orders_asia, li.l_orderkey == orders_asia.o_orderkey).join(
+        F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey
     )
     return (
         j.groupBy(F.year("o_orderdate").alias("o_year"))
