@@ -1262,6 +1262,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier order (EXISTS other-supplier + NOT EXISTS other-late-
     supplier, decorrelated to two grouped passes over the same filtered
     fact — 'held up' = sole attainer of the order's max ship date)."""
+    from pyspark.sql import Window
+
     orders_f = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1271,18 +1273,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     li_f = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi")
-    per_order = (
-        li_f.groupBy("l_orderkey")
-        .agg(
-            F.max("l_shipdate").alias("max_ship"),
-            F.countDistinct("l_suppkey").alias("n_supp"),
-        )
-        .filter(F.col("n_supp") >= 2)
-        .select("l_orderkey", "max_ship")
-    )
+    # one hash-partitioning on l_orderkey serves the window AND every
+    # grouped pass below (exchange reuse — the fact is shuffled once)
+    w = Window.partitionBy("l_orderkey")
     attain = (
-        li_f.join(per_order, "l_orderkey")
-        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        li_f.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
