@@ -197,10 +197,14 @@ def chunk_documents(
 
 
 def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the full metric set in one narrow projection."""
+    """Convenience: attach the full metric set in one narrow projection,
+    tokenizing once (staged ``tokens_col``) for every token-based term."""
+    tk = tokens_col(text_col)
     return (
-        df.withColumn("n_tokens", token_count(text_col))
-        .withColumn("quality", quality_score(text_col))
-        .withColumn("lang_pred", language_id(text_col))
+        df.withColumn("_tk", tk)
+        .withColumn("n_tokens", F.size(F.col("_tk")))
+        .withColumn("quality", quality_score(text_col, tokens=F.col("_tk")))
+        .withColumn("lang_pred", language_id(text_col, tokens=F.col("_tk")))
         .withColumn("fingerprint", doc_fingerprint(text_col))
+        .drop("_tk")
     )
