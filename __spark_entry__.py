@@ -542,7 +542,10 @@ def _stage_customer_derby(spark: SparkSession, sf_dir: str) -> str:
     idempotent staging for the jdbc-extractor round-trip."""
     import os
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    # pid-scoped path: embedded Derby holds a single-JVM boot lock, so a
+    # shared path breaks when two gate processes overlap; re-seeding per
+    # process is trivial (one small table) and keeps the query idempotent
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
     db = f"/tmp/oetl_derby_{tag}"
     url = f"jdbc:derby:{db};create=true"
     marker = os.path.join(db, ".seeded")
