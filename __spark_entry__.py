@@ -2313,6 +2313,38 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (RefinedWeb/FineWeb boilerplate pass):
+    per-doc shared-line stats (line_dup_stats) + md5 of the text after
+    stripping corpus-common lines (strip_boilerplate_lines), in one
+    output. Fixture docs are single-line, so boilerplate lines are
+    appended deterministically — every doc gets a footer all docs share,
+    every 4th doc a 'subscribe' line, every doc one unique line; the
+    oracle mirrors the augmentation."""
+    from orientdb_etl_spark.functions.text import (
+        line_dup_stats,
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n(c) example corp"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nSubscribe now!")).otherwise(
+                F.concat(F.lit("\nunique-"), F.col("doc_id"))
+            ),
+        ).alias("text"),
+    )
+    stats = line_dup_stats(docs, "text", "doc_id", min_docs=2)
+    stripped = strip_boilerplate_lines(docs, "text", "doc_id", min_docs=2).select(
+        "doc_id", F.md5("text").alias("stripped_md5")
+    )
+    return stats.join(stripped, "doc_id").select(
+        "doc_id", "n_lines", "n_common", "common_ratio", "stripped_md5"
+    )
+
+
 def q_sample_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle order + hash-split assignment in one output:
     the first 50 docs in reproducible shuffle order, each with its
@@ -2442,6 +2474,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "resample_gapfill": q_resample_gapfill,
             "grouping_sets": q_grouping_sets,
             "window_lead_lag": q_window_lead_lag,
+            "line_dedup": q_line_dedup,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3203,6 +3236,29 @@ def oracle_sql() -> dict[str, str]:
             "ntile(4) OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice, o_orderkey) AS spend_quartile "
             "FROM orders"
+        ),
+        "line_dedup": (
+            "WITH aug AS (SELECT doc_id, text || chr(10) || '(c) example corp' "
+            "|| chr(10) || CASE WHEN doc_id % 4 = 0 THEN 'Subscribe now!' "
+            "ELSE 'unique-' || doc_id END AS t FROM documents), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(t, chr(10))) AS ln, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM aug), "
+            "nb AS (SELECT DISTINCT doc_id, md5(trim(ln)) AS lh FROM lines "
+            "WHERE length(trim(ln)) > 0), "
+            "freq AS (SELECT lh, count(*) AS df FROM nb GROUP BY 1), "
+            "common AS (SELECT lh FROM freq WHERE df >= 2), "
+            "stats AS (SELECT doc_id, count(*) AS n_lines, "
+            "CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_common FROM nb JOIN freq f USING (lh) GROUP BY doc_id), "
+            "kept AS (SELECT l.doc_id, l.pos, l.ln FROM lines l "
+            "WHERE md5(trim(l.ln)) NOT IN (SELECT lh FROM common)), "
+            "stripped AS (SELECT doc_id, "
+            "string_agg(ln, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY 1) "
+            "SELECT s.doc_id, s.n_lines, s.n_common, "
+            "round(s.n_common / s.n_lines, 4) AS common_ratio, "
+            "md5(coalesce(st.t2, '')) AS stripped_md5 "
+            "FROM stats s LEFT JOIN stripped st ON s.doc_id = st.doc_id"
         ),
         "resample_gapfill": (
             "WITH b AS (SELECT event_type, "

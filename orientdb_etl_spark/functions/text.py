@@ -208,3 +208,100 @@ def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", doc_fingerprint(text_col))
         .drop("_tk")
     )
+
+
+def line_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line-duplication profile — the signal behind
+    RefinedWeb/FineWeb-style line dedup: a line appearing in ≥ ``min_docs``
+    distinct documents is boilerplate (nav bars, footers, subscribe
+    prompts), and a document dominated by such lines is itself boilerplate.
+
+    Returns (id, n_lines, n_common, common_ratio) with blank lines
+    ignored and lines deduplicated per doc (a line repeated inside ONE doc
+    is repetition_ratio's business, not this one's).
+
+    Scale shape: lines shuffle once as (md5, id) for the distinct +
+    document-frequency aggregation (16 B + id per row, never the text),
+    then the per-doc regroup is the second shuffle. Both aggregations
+    partial-combine map-side; skew = a single line shared by most of the
+    corpus, bounded because each doc contributes a line once.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_ln"),
+    ).filter(F.length(F.trim(F.col("_ln"))) > 0)
+    per_doc = lines.select(
+        id_col, F.md5(F.trim(F.col("_ln"))).alias("_lh")
+    ).distinct()
+    freq = per_doc.groupBy("_lh").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    return (
+        per_doc.join(freq, "_lh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+        )
+        .withColumn(
+            "common_ratio", F.round(F.col("n_common") / F.col("n_lines"), 4)
+        )
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-common lines (document frequency ≥ ``min_docs``) from
+    every document, preserving original line order; docs whose every line
+    is boilerplate keep an empty text. All other columns pass through.
+
+    posexplode carries the line position through the frequency join so the
+    rebuild (collect_list of (pos, line) → sort → concat) restores order
+    deterministically — the standard explode/regroup shape, two shuffles.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_sid"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
+    )
+    hashed = lines.withColumn("_lh", F.md5(F.trim(F.col("_ln"))))
+    freq = (
+        hashed.filter(F.length(F.trim(F.col("_ln"))) > 0)
+        .select("_sid", "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_lh")
+    )
+    kept = hashed.join(freq, "_lh", "left_anti")
+    rebuilt = (
+        kept.groupBy("_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_ln"))
+                    ),
+                    lambda s: s["_ln"],
+                ),
+                "\n",
+            ).alias("_stripped")
+        )
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_sid"], "left")
+        .drop("_sid")
+        .withColumn(text_col, F.coalesce(F.col("_stripped"), F.lit("")))
+        .drop("_stripped")
+    )

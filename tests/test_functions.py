@@ -313,3 +313,28 @@ def test_chunk_documents_windows(spark):
     # overlap: chunk 1 ends with w63; chunk 2 starts at w48
     assert rows[(1, 0)].chunk_text.endswith("w63")
     assert rows[(1, 1)].chunk_text.startswith("w48")
+
+
+def test_line_dup_stats_and_strip(spark):
+    from orientdb_etl_spark.functions.text import (
+        line_dup_stats,
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nfooter\n\nbody one"),
+            (2, "beta\nfooter\nbody two"),
+            (3, "gamma\nFOOTER IS NOT footer\nbody three"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: (r.n_lines, r.n_common) for r in
+             line_dup_stats(docs, min_docs=2).collect()}
+    # blank line in doc 1 is ignored; only 'footer' is corpus-common
+    assert stats == {1: (3, 1), 2: (3, 1), 3: (3, 0)}
+
+    out = {r.doc_id: r.text for r in strip_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1] == "alpha\n\nbody one"       # order + blank preserved
+    assert out[2] == "beta\nbody two"
+    assert out[3] == "gamma\nFOOTER IS NOT footer\nbody three"
