@@ -2345,6 +2345,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per doc under the corpus's own unigram
+    distribution (unigram_logprob_score) — the CCNet-style perplexity
+    filter proxy. Natural-log on both engines; rounded to 4dp."""
+    from orientdb_etl_spark.functions.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs)
+
+
 def q_sample_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle order + hash-split assignment in one output:
     the first 50 docs in reproducible shuffle order, each with its
@@ -2475,6 +2485,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "grouping_sets": q_grouping_sets,
             "window_lead_lag": q_window_lead_lag,
             "line_dedup": q_line_dedup,
+            "unigram_logprob": q_unigram_logprob,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3236,6 +3247,17 @@ def oracle_sql() -> dict[str, str]:
             "ntile(4) OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice, o_orderkey) AS spend_quartile "
             "FROM orders"
+        ),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab) "
+            "SELECT t.doc_id, count(*) AS n_tokens, "
+            "round(avg(ln(v.n) - ln(tot.total)), 4) AS mean_logprob "
+            "FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot "
+            "GROUP BY t.doc_id"
         ),
         "line_dedup": (
             "WITH aug AS (SELECT doc_id, text || chr(10) || '(c) example corp' "

@@ -305,3 +305,46 @@ def strip_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col("_stripped"), F.lit("")))
         .drop("_stripped")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap proxy for the CCNet/KenLM perplexity
+    filter: gibberish and rare-token spam score low, fluent text scores
+    near the corpus mode. Two-pass by construction (the model IS the
+    corpus): pass 1 aggregates token frequencies, pass 2 joins each
+    token occurrence back to its frequency and averages log p per doc.
+
+    Returns (id, n_tokens, mean_logprob). Tokens are lowercased
+    whitespace tokens; docs with no tokens are absent from the output.
+
+    Scale shape: the token stream shuffles twice (vocab count, per-doc
+    regroup); the vocab joins back by token hash. At web scale the vocab
+    tail is huge but the HEAD carries almost all occurrences — the join
+    is a standard hot-key-tolerant hash join (AQE handles the stopword
+    skew), and both aggregations partial-combine map-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(tokens_col(F.col(text_col)), F.lower)
+        ).alias("_tok"),
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    scored = (
+        toks.join(vocab, "_tok")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            (F.log(F.col("_n")) - F.log(F.col("_total"))).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+    )

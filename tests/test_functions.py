@@ -338,3 +338,21 @@ def test_line_dup_stats_and_strip(spark):
     assert out[1] == "alpha\n\nbody one"       # order + blank preserved
     assert out[2] == "beta\nbody two"
     assert out[3] == "gamma\nFOOTER IS NOT footer\nbody three"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from orientdb_etl_spark.functions.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2, b=2, c=1; total=5
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in unigram_logprob_score(docs).collect()}
+    lp = lambda n: math.log(n) - math.log(5)
+    assert got[1][0] == 3
+    assert got[1][1] == round((2 * lp(2) + lp(2)) / 3, 4)
+    assert got[2][1] == round((lp(2) + lp(1)) / 2, 4)
