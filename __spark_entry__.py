@@ -2393,9 +2393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     This registry is therefore consolidated to 50 entries that still cover
     every operator family: per-column merges (text_metrics, text_quality),
     a combined sampling query, and a trimmed — but still representative —
-    TPC-H/analytics set. Round 2 swaps two same-family duplicates
-    (q9→asof_join_events, window_running→salted_join) so the temporal-join
-    and skew-mitigation families also carry hard driver rows. The full
+    TPC-H/analytics set. Round 2 swaps three same-family duplicates
+    (q9→asof_join_events, window_running→salted_join,
+    multimodal_resize→line_dedup — multimodal stays covered by
+    features+frames) so the temporal-join, skew-mitigation, and
+    corpus-line-dedup families also carry hard driver rows. The full
     fine-grained surface (every pre-consolidation query) remains in
     :func:`queries_all`, which the local gate (tools/check_correctness.py),
     tests, and bench.py run.
@@ -2454,7 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairwise_topk": q_ann_pairwise_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2484,8 +2486,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "resample_gapfill": q_resample_gapfill,
             "grouping_sets": q_grouping_sets,
             "window_lead_lag": q_window_lead_lag,
-            "line_dedup": q_line_dedup,
             "unigram_logprob": q_unigram_logprob,
+            "multimodal_resize": q_multimodal_resize,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,

@@ -71,3 +71,32 @@ def text_metrics_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> 
     from orientdb_etl_spark.functions.text import add_text_metrics
 
     return add_text_metrics(df, cfg.get("textField", "text"))
+
+
+@register("lineDedup")
+def line_dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"lineDedup": {"textField": "text", "idField": "doc_id",
+    "minDocs": 2, "mode": "strip"|"stats"}} — corpus-level boilerplate
+    line removal (strip) or the per-doc shared-line profile (stats)."""
+    from orientdb_etl_spark.functions.text import (
+        line_dup_stats,
+        strip_boilerplate_lines,
+    )
+
+    text = cfg.get("textField", "text")
+    idc = cfg.get("idField", "doc_id")
+    n = int(cfg.get("minDocs", 2))
+    if str(cfg.get("mode", "strip")) == "stats":
+        return line_dup_stats(df, text, idc, n)
+    return strip_boilerplate_lines(df, text, idc, n)
+
+
+@register("unigramScore")
+def unigram_score_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"unigramScore": {"textField": "text", "idField": "doc_id"}} —
+    per-doc mean unigram log-prob under the corpus's own distribution."""
+    from orientdb_etl_spark.functions.text import unigram_logprob_score
+
+    return unigram_logprob_score(
+        df, cfg.get("textField", "text"), cfg.get("idField", "doc_id")
+    )
