@@ -1896,6 +1896,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the exact 3-gram Jaccard pairs feed
+    iterative min-label propagation (connected components), so every doc
+    that collides with any other gets cluster_id = min doc_id of its
+    component. Hard-checks the ITERATIVE clustering path — the oracle is
+    the same fixpoint expressed as a DuckDB recursive CTE."""
+    from orientdb_etl_spark.functions.dedup import (
+        connected_component_labels,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.35)
+    edges = pairs.select(
+        F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id")
+    )
+    return connected_component_labels(edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup survivors (approximate — rows-only check;
     the exact-Jaccard oracle is q_ngram_jaccard)."""
@@ -2448,7 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2488,6 +2509,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_lead_lag": q_window_lead_lag,
             "unigram_logprob": q_unigram_logprob,
             "multimodal_resize": q_multimodal_resize,
+            "dedup_simhash": q_dedup_simhash,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3114,6 +3136,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM probes l JOIN probes r ON l._bk = r._bk AND l.doc_id < r.doc_id "
             "WHERE len(list_intersect(l._grams, r._grams)) * 1.0 / "
             "len(list_distinct(list_concat(l._grams, r._grams))) >= 0.35"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE base AS ("
+            "SELECT doc_id, floor(length(text) / 32) AS _block, "
+            "regexp_split_to_array(lower(text), '\\s+') AS _toks FROM documents), "
+            f"gr AS (SELECT doc_id, _block, {grams} AS _grams FROM base), "
+            "probes AS (SELECT doc_id, _grams, unnest([_block, _block + 1]) AS _bk FROM gr), "
+            "pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+            "FROM probes l JOIN probes r ON l._bk = r._bk AND l.doc_id < r.doc_id "
+            "WHERE len(list_intersect(l._grams, r._grams)) * 1.0 / "
+            "len(list_distinct(list_concat(l._grams, r._grams))) >= 0.35), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION ALL SELECT id_b AS a, id_a AS b FROM pairs), "
+            "reach(id, label) AS ("
+            "SELECT a AS id, a AS label FROM edges "
+            "UNION "
+            "SELECT e.a AS id, r.label FROM edges e JOIN reach r ON r.id = e.b) "
+            "SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "

@@ -88,8 +88,9 @@ HEADLINE = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # round-2 analytics/time-series extensions (pagerank stays out: the
-    # fixed-iteration loop is many bounded jobs, not a one-plan query)
+    # round-2 analytics/time-series extensions (pagerank and dedup_clusters
+    # stay out: fixed-iteration loops are many bounded jobs, not one-plan
+    # queries)
     "resample_gapfill",
     "grouping_sets",
     "window_lead_lag",
