@@ -28,16 +28,17 @@ TABLES = [
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
-        # reader rejects; read nanos as long (dynamic conf) and floor-divide
-        # to micros — identical to DuckDB's nanos→micros truncation.
-        # Session TZ pinned UTC: the converted column is TIMESTAMP_LTZ, so
-        # hour-bucketing/formatting would otherwise shift against the
-        # TZ-naive DuckDB oracle under a non-UTC driver session.
+        # Fixture generations have stored `ts` as TIMESTAMP(NANOS) or plain
+        # timestamp[us]; normalize_ts branches on the dtype actually read.
+        # Session TZ pinned UTC so the TIMESTAMP_LTZ result bucket/formats
+        # identically to the TZ-naive DuckDB oracle; nanosAsLong kept on so
+        # a nanos-stored regeneration still reads (as bigint → converted).
+        from orientdb_etl_spark.session import normalize_ts
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_ts(df, "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -51,3 +52,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column regardless of fixture storage type.
+
+    Fixture generations have stored ``ts`` as TIMESTAMP(NANOS) — read as
+    bigint under ``spark.sql.legacy.parquet.nanosAsLong`` — or as plain
+    ``timestamp[us]``. Branch on the observed dtype:
+
+    - ``bigint`` (nanos-as-long): floor-divide to micros, matching DuckDB's
+      nanos→micros truncation, then ``timestamp_micros``.
+    - ``timestamp_ntz``: cast to TIMESTAMP. Session TZ is pinned UTC, so
+      the naive wall-clock is reinterpreted as the same UTC instant and
+      hour-bucketing/formatting matches the TZ-naive DuckDB oracle.
+    - ``timestamp``: pass through.
+
+    Any other dtype fails loudly so a future fixture-schema change surfaces
+    as one clear message instead of N analysis exceptions downstream.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        return df
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    raise TypeError(
+        f"fixture column {col!r} has unsupported dtype {dtype!r}; expected "
+        "bigint (nanos-as-long), timestamp_ntz, or timestamp — the testdata "
+        "fixture schema has changed; update orientdb_etl_spark.session.normalize_ts"
+    )

@@ -35,9 +35,11 @@ def stream_parquet(
 
     The file source wants a directory it can list; a single-file path is
     staged via symlink into a temp dir (zero-copy). ``ts_nanos_col``
-    applies the same nanos→micros normalization as the batch reader.
+    applies the same dtype-conditional event-time normalization as the
+    batch reader (bigint nanos → micros, TIMESTAMP_NTZ → TIMESTAMP,
+    TIMESTAMP passthrough).
     """
-    from pyspark.sql import functions as F
+    from orientdb_etl_spark.session import normalize_ts
 
     p = Path(path)
     if p.is_file():
@@ -50,9 +52,7 @@ def stream_parquet(
         schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(path)
     if ts_nanos_col:
-        df = df.withColumn(
-            ts_nanos_col, F.timestamp_micros(F.expr(f"{ts_nanos_col} div 1000"))
-        )
+        df = normalize_ts(df, ts_nanos_col)
     return df
 
 

@@ -5,6 +5,21 @@ import pytest
 from orientdb_etl_spark.session import get_spark
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _events_fixture_preflight():
+    # Loud one-line failure if the driver regenerates events.parquet with a
+    # ts storage type normalize_ts doesn't handle (it has silently changed
+    # between rounds before: timestamp[ns] -> timestamp[us]).
+    import pyarrow.parquet as pq
+
+    ts = str(pq.read_schema("/root/testdata/sf0.001/events.parquet").field("ts").type)
+    known = {"timestamp[us]", "timestamp[ns]", "int64"}
+    assert ts in known, (
+        f"events.parquet ts stored as {ts!r}, not one of {sorted(known)}; "
+        "update orientdb_etl_spark.session.normalize_ts for the new fixture schema"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)

@@ -21,9 +21,11 @@ def events_stream(spark):
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
+    from orientdb_etl_spark.session import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(df, "ts")
 
 
 def _run(df, name, mode="append", timeout=120):
