@@ -602,6 +602,76 @@ def q_jdbc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.compile()
 
 
+def q_orientdb_load_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orientdb loader DDL surface end-to-end (OOrientDBLoader.java:145-198
+    save path, 406-513 classes/indexes DDL): a config pipeline writes
+    customer through the orientdb loader onto an embedded-Derby JDBC sink
+    with declared classes (typed property casts) and two indexes (UNIQUE +
+    NOTUNIQUE → real CREATE [UNIQUE] INDEX via _create_jdbc_indexes, with
+    _validate_unique batch-checking the UNIQUE key first). The returned
+    frame is the sink read back over JDBC joined with the index count from
+    Derby's own catalog — both halves of the DDL are driver-verifiable."""
+    from orientdb_etl_spark import Pipeline
+
+    url = _stage_customer_derby(spark, sf_dir)  # boots the Derby instance
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "customer"}},
+            "transformers": [
+                {"rename": {"fields": {
+                    "c_custkey": "custkey",
+                    "c_name": "name",
+                    "c_nationkey": "nationkey",
+                    "c_acctbal": "acctbal",
+                }}},
+                {"field": {"fieldNames": ["c_mktsegment"], "operation": "remove"}},
+            ],
+            "loader": {"orientdb": {
+                "dbURL": url,
+                "class": "CUSTOMER_DDL",
+                "mode": "overwrite",
+                "classes": [
+                    {"name": "CustomerDDL", "fields": [
+                        {"name": "custkey", "type": "LONG"},
+                        {"name": "name", "type": "STRING"},
+                        {"name": "nationkey", "type": "INTEGER"},
+                        {"name": "acctbal", "type": "DOUBLE"},
+                    ]},
+                ],
+                "indexes": [
+                    {"class": "CustomerDDL", "type": "UNIQUE",
+                     "fields": ["custkey:LONG"]},
+                    {"class": "CustomerDDL", "type": "NOTUNIQUE",
+                     "fields": ["nationkey"]},
+                ],
+            }},
+        },
+        spark=spark,
+    )
+    p.register_table("customer", _t(spark, sf_dir, "customer"))
+    p.run()
+    data = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUSTOMER_DDL")
+        .load()
+        .select("custkey", "name", "nationkey", "acctbal")
+    )
+    idx = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "query",
+            "SELECT count(*) AS n_indexes FROM SYS.SYSCONGLOMERATES c "
+            "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID "
+            "WHERE t.TABLENAME = 'CUSTOMER_DDL' AND c.ISINDEX",
+        )
+        .load()
+        .select(F.col("n_indexes").cast("int").alias("n_indexes"))
+    )
+    return data.crossJoin(F.broadcast(idx))
+
+
 def q_code_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """code transformer (OCodeTransformer.java:34-81): the Python escape
     hatch — an Arrow-batched pandas UDF in the chain (never row-at-a-time
@@ -1919,6 +1989,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature recurrence, hash-checked end-to-end: the portable
+    base-31-polynomial variant (minhash_signatures_portable) emits one row
+    per (doc, permutation) and the DuckDB oracle replays the identical
+    fold + affine-map-min recurrence relationally. The production LSH
+    dedup path (xxhash64 / Arrow signatures + banding + verify) stays in
+    queries_all() as dedup_minhash_survivors and in bench."""
+    from orientdb_etl_spark.functions.dedup import minhash_signatures_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(docs, "text", num_perm=16, shingle_k=5)
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("p", "mh")
+    )
+
+
+def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup survivors (approximate — rows-only check;
     the exact-Jaccard oracle is q_ngram_jaccard)."""
     from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
@@ -1971,8 +2057,22 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (approximate — rows-only; recall vs the
-    brute baseline is asserted in tests)."""
+    """Sign-LSH ANN top-k, hash-checked end-to-end: the portable ±1-plane
+    signature (integer-arithmetic hyperplanes), Hamming-1 multi-probe
+    pruning, and candidate cosine ordering are all pure expressions, and
+    the DuckDB oracle replays the identical pipeline relationally. The
+    gaussian/numpy LSH production path stays in queries_all()
+    (ann_lsh_gaussian, rows-only) and in bench."""
+    from orientdb_etl_spark.functions.similarity import lsh_bucketed_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk_portable(emb, "embedding", "vec_id", 0, k=10, planes=8)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_ann_lsh_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k, gaussian planes (approximate — rows-only;
+    recall vs the brute baseline is asserted in tests)."""
     from orientdb_etl_spark.functions.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1981,20 +2081,49 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (coarse k-means cells, nprobe probing — approximate,
-    rows-only; recall vs brute force asserted in tests). At scale the
-    table is stored partitioned by cell → nprobe/nlist fraction scanned."""
-    from orientdb_etl_spark.functions.similarity import ivf_topk
+    """IVF ANN recall certificate: run the approximate nlist/nprobe path
+    AND the exact baseline in one plan, emit (k, n_overlap, recall). The
+    value hash pins the measured recall (9/10 at the 500-vector fixture,
+    deterministic seeds) — a falsifiable regression check for an operator
+    whose k-means centroids are inherently not SQL-mirrorable. At scale
+    the table is stored partitioned by cell → nprobe/nlist fraction
+    scanned."""
+    from orientdb_etl_spark.functions.similarity import brute_force_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10,
-        nlist=16, nprobe=6,
+    q = _query_vec(spark, sf_dir)
+    approx = ivf_topk(
+        emb, "embedding", "vec_id", q, k=10, nlist=16, nprobe=6
+    ).select("vec_id")
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=10).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "inner")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 4).alias("recall"),
+        )
     )
-    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
 def q_ann_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join through the cogroup-by-bucket matmul machinery
+    (planes=0 → one bucket): every vector pair is scored in chunked numpy
+    matmuls and only skinny (id, id, cosine) rows leave Python. Exact ⇒
+    hash-checked against DuckDB's windowed all-pairs top-k. The
+    LSH-bucketed approximate variant (the 100-TB path — bucket collisions
+    only) stays in queries_all() as ann_pairwise_approx, rows-only."""
+    from orientdb_etl_spark.functions.similarity import pairwise_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pairwise_topk_join(emb, emb, "embedding", "vec_id", "vec_id", k=3, planes=0)
+    return out.select(
+        "vec_id", "vec_id_nn", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+def q_ann_pairwise_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN self-join over the embeddings table (LSH-bucketed, multi-probe;
     approximate — rows-only; recall asserted in tests). The all-pairs
     product never materializes beyond bucket collisions."""
@@ -2223,9 +2352,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes as opaque binary assets →
-    Arrow-batched feature extraction (deterministic fake encoder) →
-    per-modality feature means. Rows-only check (mapInPandas path)."""
+    """Multimodal plumbing, hash-checked: documents' text bytes as opaque
+    binary assets → Arrow-batched byte-histogram features (the
+    deterministic fake encoder) → de-normalized back to exact integer
+    per-bin byte counts. The fixture text is pure ASCII, so the DuckDB
+    oracle reproduces the byte histogram from codepoints — certifying the
+    mapInPandas schema/batch path end-to-end with integer-exact values."""
     from orientdb_etl_spark.functions.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -2240,11 +2372,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("meta"),
     )
     feats = extract_features(assets, feature_dim=16)
-    return feats.select(
+    lens = docs.select(
+        F.col("doc_id").alias("asset_id"), F.length("text").alias("n_bytes")
+    )
+    return feats.join(lens, "asset_id").select(
         "asset_id",
-        F.round(F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 4).alias(
-            "feature_sum"
-        ),
+        "n_bytes",
+        F.expr(
+            "transform(features, x -> cast(round(x * n_bytes) as bigint))"
+        ).alias("bin_counts"),
     )
 
 
@@ -2428,7 +2564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference-parity operators (§2.0-2.5)
         "csv_parse": q_csv_parse,
         "field_transform": q_field_transform,
-        "rename": q_rename,
+        # rename's dedicated row moved to queries_all — the operator stays
+        # driver-exercised inside jdbc_extract's transformer chain; its slot
+        # carries the orientdb-loader DDL round-trip instead
+        "orientdb_load_ddl": q_orientdb_load_ddl,
         "flow_skip": q_flow_skip,
         "json_parse": q_json_parse,
         "merge_upsert": q_merge_upsert,
@@ -2511,6 +2650,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unigram_logprob": q_unigram_logprob,
             "multimodal_resize": q_multimodal_resize,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_minhash_survivors": q_dedup_minhash_survivors,
+            "ann_lsh_gaussian": q_ann_lsh_gaussian,
+            "ann_pairwise_approx": q_ann_pairwise_approx,
+            "rename": q_rename,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3374,7 +3517,104 @@ def oracle_sql() -> dict[str, str]:
             "unnest(generate_series(0, (1500 + (doc_id % 5) * 1000) - 1, 1000)) "
             "AS frame_ts_ms FROM documents"
         ),
-        # dedup_minhash / dedup_simhash / dedup_embedding / ann_lsh_topk /
-        # ann_ivf_topk / ann_pairwise_topk / multimodal_features:
-        # approximate or Arrow-batch ops — rows-only.
+        "dedup_minhash": (
+            # mirrors minhash_signatures_portable exactly: distinct char
+            # 5-shingles -> base-31 codepoint polynomial mod the 32-bit
+            # prime -> per-permutation affine-map minimum
+            "WITH sh AS (SELECT DISTINCT doc_id, "
+            "substr(text, CAST(i AS INT), 5) AS s FROM ("
+            "SELECT doc_id, text, "
+            "unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i "
+            "FROM documents)), "
+            "hs AS (SELECT DISTINCT doc_id, "
+            "list_reduce(list_transform(range(1, length(s) + 1), "
+            "i -> CAST(ascii(s[CAST(i AS INT)]) AS BIGINT)), "
+            "(a, c) -> a * 31 + c) % 4294967291 AS h FROM sh), "
+            "perms AS (SELECT unnest(range(0, 16)) AS p) "
+            "SELECT hs.doc_id, CAST(perms.p AS INT) AS p, "
+            "min((hs.h * (2 * perms.p + 1) + perms.p) % 4294967291) AS mh "
+            "FROM hs CROSS JOIN perms GROUP BY hs.doc_id, perms.p"
+        ),
+        "orientdb_load_ddl": (
+            # the JDBC sink round-trip must hand back exactly the typed
+            # columns the classes DDL declared, plus both catalog indexes
+            "SELECT c_custkey AS custkey, c_name AS name, "
+            "CAST(c_nationkey AS INT) AS nationkey, c_acctbal AS acctbal, "
+            "2 AS n_indexes FROM customer"
+        ),
+        "dedup_embedding": (
+            # genuine brute-force oracle: all-pairs cosine >= threshold,
+            # survivors = rows never marked as the greater id of a dup pair
+            # (the LSH path must both catch every pair and invent none)
+            "WITH p AS (SELECT r.vec_id AS b FROM embeddings l "
+            "JOIN embeddings r ON l.vec_id < r.vec_id "
+            "WHERE list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) "
+            ">= 0.97) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT b FROM p)"
+        ),
+        "ann_lsh_topk": (
+            # relational replay of the portable sign-LSH pipeline:
+            # ±1 planes from bit_count-parity mixing, MSB-first bucket,
+            # Hamming<=1 multiprobe, cosine ordering
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings), "
+            "dd AS (SELECT vec_id, unnest(ve) AS x, "
+            "generate_subscripts(ve, 1) - 1 AS d FROM v), "
+            "pr AS (SELECT dd.vec_id, pp.p, "
+            "sum(dd.x * CASE WHEN bit_count(xor(pp.p * 73856093, "
+            "dd.d * 19349663)) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj "
+            "FROM dd CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp "
+            "GROUP BY dd.vec_id, pp.p), "
+            "bk AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 "
+            "THEN 1 << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT) AS b "
+            "FROM pr GROUP BY vec_id), "
+            "qb AS (SELECT b AS qbk FROM bk WHERE vec_id = 0), "
+            "qv AS (SELECT ve AS qvec FROM v WHERE vec_id = 0) "
+            "SELECT v.vec_id, round(list_dot_product(v.ve, qv.qvec) / "
+            "(sqrt(list_dot_product(v.ve, v.ve)) * "
+            "sqrt(list_dot_product(qv.qvec, qv.qvec))), 4) AS cosine_sim "
+            "FROM v JOIN bk ON v.vec_id = bk.vec_id "
+            "CROSS JOIN qb CROSS JOIN qv "
+            "WHERE bit_count(xor(bk.b, qb.qbk)) <= 1 "
+            "ORDER BY list_dot_product(v.ve, qv.qvec) / "
+            "(sqrt(list_dot_product(v.ve, v.ve)) * "
+            "sqrt(list_dot_product(qv.qvec, qv.qvec))) DESC, v.vec_id ASC "
+            "LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            # recall certificate: the Spark side computes |IVF topk ∩ exact
+            # topk| in-plan; the pinned constants are the measured
+            # deterministic recall at the 500-vector fixture (seeded
+            # k-means, LIMIT below sample size → fully deterministic)
+            "SELECT 10 AS k, CAST(9 AS BIGINT) AS n_overlap, 0.9 AS recall"
+        ),
+        "ann_pairwise_topk": (
+            # exact all-pairs windowed top-3 (self-pair included, cos=1)
+            "WITH c AS (SELECT l.vec_id AS a, r.vec_id AS b, "
+            "list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) AS cos "
+            "FROM embeddings l CROSS JOIN embeddings r), "
+            "rk AS (SELECT a, b, cos, row_number() OVER "
+            "(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM c) "
+            "SELECT a AS vec_id, b AS vec_id_nn, round(cos, 4) AS cosine_sim "
+            "FROM rk WHERE rn <= 3"
+        ),
+        "multimodal_features": (
+            # fixture text is pure ASCII → UTF-8 bytes == codepoints; the
+            # fake encoder's byte histogram de-normalizes to exact integer
+            # bin counts both engines can agree on
+            "WITH codes AS (SELECT doc_id AS asset_id, length(text) AS n_bytes, "
+            "list_transform(range(1, length(text) + 1), "
+            "i -> ascii(text[CAST(i AS INT)])) AS cs FROM documents) "
+            "SELECT asset_id, n_bytes, "
+            "list_transform(range(0, 16), "
+            "m -> CAST(len(list_filter(cs, c -> c % 16 = m)) AS BIGINT)) "
+            "AS bin_counts FROM codes"
+        ),
+        # dedup_minhash_survivors / dedup_simhash / ann_lsh_gaussian /
+        # ann_pairwise_approx: approximate numpy-plane / banded families —
+        # rows-only by design; their exact twins above carry the hash gate.
     }

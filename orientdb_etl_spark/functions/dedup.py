@@ -129,6 +129,43 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Cross-engine-checkable MinHash signatures, pure expression.
+
+    Same construction as :func:`minhash_signatures` but the per-shingle
+    hash is a base-31 polynomial over character codepoints instead of
+    xxhash64, so the identical recurrence is expressible in any ANSI-ish
+    SQL dialect (the DuckDB oracle mirrors it with list_reduce). That
+    makes the MinHash recurrence itself hash-verifiable end-to-end — the
+    production path (:func:`minhash_signatures_fast`, Arrow-batched)
+    stays for bench/scale.
+
+    h(s)   = fold(chars(s), 0, (acc, c) -> acc*31 + code(c)) mod p
+    sig[j] = min over distinct shingle hashes h of (h*(2j+1) + j) mod p
+    with p = 4294967291 (largest 32-bit prime); all intermediates fit
+    comfortably in int64 under ANSI arithmetic.
+    """
+    prime = 4294967291
+    hashes = (
+        f"transform(array_distinct({_shingles_sql(text_col, shingle_k)}), "
+        f"s -> aggregate(sequence(1, length(s)), cast(0 as bigint), "
+        f"(acc, i) -> acc * 31 + ascii(substring(s, i, 1))) % {prime})"
+    )
+    sig = F.expr(
+        f"transform(sequence(0, {num_perm - 1}), "
+        f"p -> array_min(transform(_hs, h -> (h * (2 * p + 1) + p) % {prime})))"
+    )
+    return (
+        df.withColumn("_hs", F.expr(hashes)).withColumn(out_col, sig).drop("_hs")
+    )
+
+
 def minhash_signatures_fast(
     df: DataFrame,
     text_col: str,

@@ -113,6 +113,85 @@ def add_lsh_buckets(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def add_lsh_buckets_portable(
+    df: DataFrame,
+    vec_col: str,
+    planes: int = 8,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-random-projection buckets with ±1 hyperplanes derived from
+    pure integer arithmetic — cross-engine replayable (the DuckDB oracle
+    mirrors the identical expression), unlike the gaussian/numpy planes of
+    :func:`add_lsh_buckets`. Binary ±1 projections are a standard
+    simhash-style variant of Charikar's scheme (random signs suffice for
+    sign-LSH; only the projection distribution changes).
+
+    plane sign s(p, d) = +1 iff bit_count((p·73856093) xor (d·19349663))
+    is even (spatial-hash mixing constants); bucket = the planes-bit
+    integer of projection signs, MSB = plane 0. Everything runs as one
+    JVM expression per row — no Python, no driver state.
+    """
+    sign = (
+        "CASE WHEN bit_count(cast(p * 73856093 as bigint) ^ "
+        "cast(d * 19349663 as bigint)) % 2 = 0 "
+        "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END"
+    )
+    proj = (
+        f"aggregate(sequence(0, size(_pv) - 1), cast(0.0 as double), "
+        f"(s, d) -> s + element_at(_pv, d + 1) * ({sign}))"
+    )
+    bucket = (
+        f"aggregate(sequence(0, {planes - 1}), 0, "
+        f"(acc, p) -> acc * 2 + CASE WHEN ({proj}) > 0 THEN 1 ELSE 0 END)"
+    )
+    return (
+        df.withColumn("_pv", F.col(vec_col).cast("array<double>"))
+        .withColumn(out_col, F.expr(bucket))
+        .drop("_pv")
+    )
+
+
+def lsh_bucketed_topk_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id,
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """ANN top-k over portable sign-LSH buckets, multi-probe within
+    Hamming distance 1 of the query's bucket (``bit_count(b ^ qb) <= 1``
+    — the same pruning a bucket-partitioned table gives via partition
+    pruning at scale). Fully expression-based, so the complete pipeline —
+    signature, probe set, candidate cosine ordering — is hash-checkable
+    against a relational oracle. The query vector is addressed by id so
+    both engines derive its bucket the same way."""
+    bucketed = add_lsh_buckets_portable(df, vec_col, planes=planes, out_col="_bk")
+    qrow = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col("_bk").alias("_qbk"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cand = bucketed.crossJoin(F.broadcast(qrow)).filter(
+        F.expr("bit_count(_bk ^ _qbk) <= 1")
+    )
+    dot = (
+        "aggregate(zip_with(cast({v} as array<double>), _qv, (a, b) -> a * b), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    nrm = (
+        "sqrt(aggregate(transform(cast({c} as array<double>), x -> x * x), "
+        "cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    cos = f"({dot}) / ({nrm.format(c=vec_col)} * {nrm.format(c='_qv')})"
+    return (
+        cand.select(
+            F.col(id_col), F.expr(cos).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _bucket_of(
     query: Sequence[float], planes: int, seed: int, spark=None
 ) -> list[int]:

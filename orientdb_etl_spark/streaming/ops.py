@@ -175,7 +175,19 @@ def foreach_batch_upsert(
     instead of silently degrading to "first batch". At real scale the
     same callback maps onto Delta/Iceberg ``MERGE INTO``; plain-parquet
     bucketed partitions keep the engine dependency-free here.
+
+    ``num_buckets`` bounds the one driver-side collect below (the
+    touched-bucket list, ≤ num_buckets ints); it is capped so a
+    misconfigured bucket count cannot turn that into an unbounded
+    driver materialization.
     """
+    MAX_BUCKETS = 100_000  # 100k ints ≈ single-digit MB on the driver
+    if not (0 < num_buckets <= MAX_BUCKETS):
+        raise ValueError(
+            f"num_buckets must be in (0, {MAX_BUCKETS}], got {num_buckets}: "
+            "the touched-bucket set is collected to the driver and must "
+            "stay trivially bounded"
+        )
 
     def fn(batch_df, epoch_id: int) -> None:
         from pyspark.sql import Window

@@ -211,6 +211,69 @@ def test_pairwise_topk_join(spark):
     assert first.count() <= 3 * 20  # bounded per left row after window
 
 
+def test_pairwise_topk_join_exact_single_bucket(spark):
+    # planes=0 → one bucket → the cogroup matmul join must be EXACT:
+    # equal to brute-force top-k per vector (self-pair included, cos=1)
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r.vec_id, r.vec_id_nn)
+        for r in pairwise_topk_join(
+            df, df, "embedding", "vec_id", "vec_id", k=3, planes=0
+        ).collect()
+    }
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = set()
+    for i in range(40):
+        order = sorted(range(40), key=lambda j: (-sims[i, j], j))[:3]
+        want |= {(i, j) for j in order}
+    assert out == want
+
+
+def test_portable_lsh_matches_gaussian_contract(spark):
+    # portable ±1-plane buckets: deterministic, expression-only, and the
+    # query's own bucket always collides → the query id is always returned
+    import math
+
+    from orientdb_etl_spark.functions.similarity import (
+        add_lsh_buckets_portable,
+        lsh_bucketed_topk_portable,
+    )
+
+    rows = [
+        (i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1 * (i % 3)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = {r.vec_id: r.lsh_bucket for r in add_lsh_buckets_portable(df, "embedding").collect()}
+    b2 = {r.vec_id: r.lsh_bucket for r in add_lsh_buckets_portable(df, "embedding").collect()}
+    assert b1 == b2  # deterministic across runs
+    assert all(0 <= b < 256 for b in b1.values())
+    got = lsh_bucketed_topk_portable(df, "embedding", "vec_id", 5, k=5).collect()
+    assert got[0].vec_id == 5 and abs(got[0].cosine_sim - 1.0) < 1e-9
+
+
+def test_minhash_portable_identical_docs_share_signature(spark):
+    from orientdb_etl_spark.functions.dedup import minhash_signatures_portable
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "the quick brown fox jumps"),
+         (2, "a completely different document")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r.minhash) for r in
+            minhash_signatures_portable(df, "text", num_perm=8).collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
+    assert len(sigs[0]) == 8 and all(v >= 0 for v in sigs[0])
+
+
 def test_token_count_edge_cases(spark):
     df = spark.createDataFrame(
         [(0, "a b  c"), (1, ""), (2, "   "), (3, None), (4, "single")],

@@ -275,6 +275,15 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert state[0] == "v2" and len(state) == 20
 
 
+def test_upsert_num_buckets_capped(spark, tmp_path):
+    from orientdb_etl_spark.streaming import foreach_batch_upsert
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        foreach_batch_upsert(str(tmp_path / "t"), ["k"], num_buckets=10_000_000)
+    with pytest.raises(ValueError, match="num_buckets"):
+        foreach_batch_upsert(str(tmp_path / "t"), ["k"], num_buckets=0)
+
+
 def test_stream_into_upsert_sink(spark, tmp_path):
     from orientdb_etl_spark.streaming import StreamingPipeline, foreach_batch_upsert
 
