@@ -2136,6 +2136,19 @@ def q_ann_pairwise_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query. The corpus never shuffles:
+    tf/dl are row expressions, N/avgdl/df one broadcast scalar aggregate,
+    top-k is TakeOrderedAndProject; the oracle replays the byte-identical
+    scoring expression."""
+    from orientdb_etl_spark.functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "text", "doc_id", ["spark", "window", "hash"], k1=1.2, b=0.75, k=20
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counting (split on whitespace/punct/letter-digit
     boundaries) — the cheap BPE-budget proxy."""
@@ -2654,6 +2667,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
             "rename": q_rename,
+            "bm25_rank": q_bm25_rank,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3601,6 +3615,31 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM c) "
             "SELECT a AS vec_id, b AS vec_id_nn, round(cos, 4) AS cosine_sim "
             "FROM rk WHERE rn <= 3"
+        ),
+        "bm25_rank": (
+            # byte-identical scoring expression to bm25_scores (same
+            # literals, same association order); tf/dl per row, stats via
+            # one scalar aggregate, ties broken by doc_id
+            "WITH base AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+            "b2 AS (SELECT doc_id, len(toks) AS _dl, "
+            "len(list_filter(toks, x -> lower(x) = 'spark')) AS _tf0, "
+            "len(list_filter(toks, x -> lower(x) = 'window')) AS _tf1, "
+            "len(list_filter(toks, x -> lower(x) = 'hash')) AS _tf2 FROM base), "
+            "st AS (SELECT count(*) AS _n, avg(_dl) AS _avgdl, "
+            "sum(CASE WHEN _tf0 > 0 THEN 1 ELSE 0 END) AS _df0, "
+            "sum(CASE WHEN _tf1 > 0 THEN 1 ELSE 0 END) AS _df1, "
+            "sum(CASE WHEN _tf2 > 0 THEN 1 ELSE 0 END) AS _df2 FROM b2), "
+            "sc AS (SELECT doc_id, "
+            "ln((_n - _df0 + 0.5) / (_df0 + 0.5) + 1.0) * (_tf0 * (1.2 + 1)) / "
+            "(_tf0 + 1.2 * (1 - 0.75 + 0.75 * _dl / _avgdl)) + "
+            "ln((_n - _df1 + 0.5) / (_df1 + 0.5) + 1.0) * (_tf1 * (1.2 + 1)) / "
+            "(_tf1 + 1.2 * (1 - 0.75 + 0.75 * _dl / _avgdl)) + "
+            "ln((_n - _df2 + 0.5) / (_df2 + 0.5) + 1.0) * (_tf2 * (1.2 + 1)) / "
+            "(_tf2 + 1.2 * (1 - 0.75 + 0.75 * _dl / _avgdl)) AS _score "
+            "FROM b2 CROSS JOIN st) "
+            "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
+            "ORDER BY _score DESC, doc_id ASC LIMIT 20"
         ),
         "multimodal_features": (
             # fixture text is pure ASCII → UTF-8 bytes == codepoints; the

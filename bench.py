@@ -64,6 +64,7 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_scores",
     "lang_id",
+    "bm25_rank",
     "dedup_exact",
     # production (Arrow/numpy) variants: the portable expression twins that
     # now carry the driver hash gate are correctness instruments, not the

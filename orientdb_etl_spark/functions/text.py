@@ -348,3 +348,63 @@ def unigram_logprob_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("_lp"), 4).alias("mean_logprob"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term query
+    (Robertson/Spärck Jones probabilistic weighting with the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf).
+
+    Scale shape — the corpus itself NEVER shuffles: per-term tf and doc
+    length are per-row expressions (``size(filter(toks, ...))``, no
+    explode); N / avgdl / per-term df reduce to ONE single-row aggregate
+    (partial map-side) that broadcasts back via cross join; scoring is a
+    projection; the top-k is TakeOrderedAndProject. Cost at 100 TB = one
+    scan + a scalar broadcast, for any fixed query size.
+
+    Deterministic: ties (identical tf vector and length) break by id.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in query_terms:
+        if not t.isalnum():
+            raise ValueError(f"query term {t!r} must be alphanumeric")
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"_tf{i}", F.expr(f"size(filter(_toks, x -> lower(x) = '{t.lower()}'))")
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    # one literal sum, fixed association order — the DuckDB oracle uses the
+    # byte-identical expression so float evaluation matches
+    terms = [
+        f"ln((_n - _df{i} + 0.5) / (_df{i} + 0.5) + 1.0) * "
+        f"(_tf{i} * ({k1} + 1)) / "
+        f"(_tf{i} + {k1} * (1 - {b} + {b} * _dl / _avgdl))"
+        for i in range(len(query_terms))
+    ]
+    score = " + ".join(terms)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("_score", F.expr(score))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_score", 4).alias("bm25"))
+    )

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from orientdb_etl_spark.functions.dedup import (
@@ -258,6 +259,27 @@ def test_portable_lsh_matches_gaussian_contract(spark):
     assert all(0 <= b < 256 for b in b1.values())
     got = lsh_bucketed_topk_portable(df, "embedding", "vec_id", 5, k=5).collect()
     assert got[0].vec_id == 5 and abs(got[0].cosine_sim - 1.0) < 1e-9
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from orientdb_etl_spark.functions.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark window"),
+            (1, "spark window"),
+            (2, "nothing relevant here at all"),
+            (3, "window"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(df, "text", "doc_id", ["spark", "window"], k=4).collect()
+    assert [r.doc_id for r in out][:2] == [0, 1]  # tf-heavy doc wins
+    assert out[-1].doc_id == 2 and out[-1].bm25 == 0.0
+    with pytest.raises(ValueError):
+        bm25_scores(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_scores(df, "text", "doc_id", ["bad'term"])
 
 
 def test_minhash_portable_identical_docs_share_signature(spark):

@@ -226,3 +226,17 @@ def test_decontaminate_corpus_never_shuffles_before_join(spark):
     assert "partial_count" in plan
     assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 2
+
+
+def test_bm25_corpus_never_shuffles(spark):
+    """BM25's only exchanges are the single-row stats aggregate (partial
+    map-side first) and its broadcast back; the scored corpus goes straight
+    to TakeOrderedAndProject — no global sort, no corpus repartition."""
+    import re
+
+    plan = _plan(spark, "bm25_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M)) == 1
+    assert "partial_count" in plan
