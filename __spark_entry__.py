@@ -2149,6 +2149,18 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy certificate over orders: exact distinct per
+    column + sketch-within-tolerance boolean, hash-checked (the oracle
+    supplies the exact counts and expects every tolerance check TRUE)."""
+    from orientdb_etl_spark.functions.profiling import approx_distinct_certificate
+
+    orders = _t(spark, sf_dir, "orders")
+    return approx_distinct_certificate(
+        orders, ["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counting (split on whitespace/punct/letter-digit
     boundaries) — the cheap BPE-budget proxy."""
@@ -2668,6 +2680,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_pairwise_approx": q_ann_pairwise_approx,
             "rename": q_rename,
             "bm25_rank": q_bm25_rank,
+            "hll_certificate": q_hll_certificate,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3640,6 +3653,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "hll_certificate": (
+            "SELECT 'o_orderkey' AS column, "
+            "count(DISTINCT o_orderkey) AS n_exact, TRUE AS within_tol "
+            "FROM orders UNION ALL "
+            "SELECT 'o_custkey', count(DISTINCT o_custkey), TRUE FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', "
+            "count(DISTINCT o_orderpriority), TRUE FROM orders"
         ),
         "multimodal_features": (
             # fixture text is pure ASCII → UTF-8 bytes == codepoints; the

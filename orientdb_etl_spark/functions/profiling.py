@@ -75,6 +75,42 @@ def column_profile(
     ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
 
 
+def approx_distinct_certificate(
+    df: DataFrame, cols: list[str], rsd: float = 0.05, tol_factor: float = 3.0
+) -> DataFrame:
+    """Accuracy certificate for the HyperLogLog profiling path: per column,
+    the exact distinct count next to whether the HLL++ estimate landed
+    within ``tol_factor × rsd`` relative error. At fixture scale the exact
+    side is cheap, so the certificate is hash-checkable (exact count +
+    boolean); at 100 TB you run the sketch alone — this query exists to
+    pin, falsifiably, that the sketch the profiler trusts stays calibrated.
+
+    One aggregation pass (Spark expands multiple DISTINCT aggregates
+    internally; the sketch columns stay single-pass partial aggregates).
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__e_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__a_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __e_{c}, __a_{c}" for c in cols)
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (column, n_exact, n_approx)"
+            )
+        )
+        .select(
+            "column",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(tol_factor * rsd) * F.col("n_exact")
+            ).alias("within_tol"),
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame, key_col: str, k: int = 20, round_share: int = 6
 ) -> DataFrame:

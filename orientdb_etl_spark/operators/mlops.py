@@ -100,3 +100,21 @@ def unigram_score_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) ->
     return unigram_logprob_score(
         df, cfg.get("textField", "text"), cfg.get("idField", "doc_id")
     )
+
+
+@register("bm25")
+def bm25_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"bm25": {"textField": "text", "idField": "doc_id",
+    "query": ["spark", "window"], "k": 20}} — BM25 top-k relevance against
+    a fixed term query; zero corpus shuffle (see functions.text.bm25_scores)."""
+    from orientdb_etl_spark.functions.text import bm25_scores
+
+    return bm25_scores(
+        df,
+        cfg.get("textField", "text"),
+        cfg.get("idField", "doc_id"),
+        list(cfg["query"]),
+        k1=float(cfg.get("k1", 1.2)),
+        b=float(cfg.get("b", 0.75)),
+        k=int(cfg.get("k", 20)),
+    )

@@ -94,3 +94,16 @@ def test_embedding_centroids_exact_mean(spark):
         ).collect()
     }
     assert again == {k: r.centroid for k, r in rows.items()}
+
+
+def test_approx_distinct_certificate(spark):
+    from orientdb_etl_spark.functions.profiling import approx_distinct_certificate
+
+    df = spark.createDataFrame(
+        [(i, i % 7, "x" * (i % 3)) for i in range(500)],
+        "a long, b long, c string",
+    )
+    rows = {r.column: r for r in approx_distinct_certificate(df, ["a", "b", "c"]).collect()}
+    assert rows["a"].n_exact == 500 and rows["a"].within_tol
+    assert rows["b"].n_exact == 7 and rows["b"].within_tol
+    assert rows["c"].n_exact == 3 and rows["c"].within_tol

@@ -90,3 +90,22 @@ def test_distinct_and_union(spark, people):
         },
     )
     assert sorted(r.dept for r in out.collect()) == [10, 20, 30, 99]
+
+
+def test_bm25_config_transformer(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark window spark"), (1, "window"), (2, "nothing")],
+        "doc_id long, text string",
+    )
+    out = run(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"bm25": {"idField": "doc_id", "query": ["spark", "window"], "k": 3}},
+            ],
+        },
+        {"docs": docs},
+    )
+    rows = out.collect()
+    assert [r.doc_id for r in rows][:2] == [0, 1] and rows[0].bm25 > rows[1].bm25
