@@ -2149,6 +2149,38 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (suppliers joined by
+    sharing a part in lineitem). Degree-ordered wedge counting (Suri &
+    Vassilvitskii WWW'11) so out-degree — and therefore the wedge
+    explosion — is bounded on power-law graphs; the oracle counts the same
+    triangles with the naive canonical three-way join."""
+    from orientdb_etl_spark.functions.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = ps.alias("x"), ps.alias("y")
+    edges = (
+        x.join(y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view → click → purchase: each step counts
+    users acting strictly after their first completion of the previous
+    step (one user-keyed aggregation per step, shrinking down the
+    funnel)."""
+    from orientdb_etl_spark.operators.temporal import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_hll_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog accuracy certificate over orders: exact distinct per
     column + sketch-within-tolerance boolean, hash-checked (the oracle
@@ -2681,6 +2713,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rename": q_rename,
             "bm25_rank": q_bm25_rank,
             "hll_certificate": q_hll_certificate,
+            "triangle_count": q_triangle_count,
+            "funnel": q_funnel,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3653,6 +3687,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "triangle_count": (
+            # naive canonical a<b<c three-way join — same triangles the
+            # degree-ordered Spark formulation counts once each
+            "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
+            "FROM lineitem), "
+            "e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x "
+            "JOIN ps y ON x.pk = y.pk AND x.s < y.s) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT (SELECT count(*) FROM s1) AS n1_view, "
+            "(SELECT count(*) FROM s2) AS n2_click, "
+            "(SELECT count(*) FROM s3) AS n3_purchase"
         ),
         "hll_certificate": (
             "SELECT 'o_orderkey' AS column, "

@@ -92,6 +92,10 @@ HEADLINE = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
+    # round-3 event analytics (triangle_count stays out: the sf0.1
+    # co-supply graph is near-complete — 166M triangles — a degenerate
+    # density no real corpus graph has; it is gate-checked at sf0.01)
+    "funnel",
     # round-2 analytics/time-series extensions (pagerank and dedup_clusters
     # stay out: fixed-iteration loops are many bounded jobs, not one-plan
     # queries)

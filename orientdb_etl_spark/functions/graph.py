@@ -25,7 +25,12 @@ from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.functions.dedup import connected_component_labels
 from orientdb_etl_spark.operators import register
 
-__all__ = ["connected_component_labels", "degrees", "pagerank"]
+__all__ = [
+    "connected_component_labels",
+    "degrees",
+    "pagerank",
+    "triangle_count",
+]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -42,6 +47,63 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
         out_d.join(in_d, "id", "full_outer")
         .na.fill(0, ["out_degree", "in_degree"])
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Total triangle count of the undirected simple graph, one row
+    ``(n_triangles)``.
+
+    Degree-ordered orientation (Suri & Vassilvitskii, WWW'11): every edge
+    is directed from its lower-(degree, id) endpoint to the higher one, so
+    each triangle forms exactly one wedge — at its lowest-ordered vertex —
+    and per-vertex out-degree is O(√m) even on power-law graphs. That
+    bounds the wedge explosion (the "curse of the last reducer"): the
+    wedge join fans out by oriented out-degree, not by raw hub degree.
+    Plan: dedup to canonical edges, one degree aggregation joined back
+    (broadcastable — |vertices| rows), wedge self-join on the low vertex,
+    closing-edge semi-join, single count.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    # orient low-(degree, id) -> high-(degree, id); rank structs share
+    # field names so the CASE branches type-unify
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    a_first = ra < rb
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, rb).otherwise(ra).alias("_ow"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x._ow") < F.col("y._ow")),
+    ).select(F.col("x.w").alias("p"), F.col("y.w").alias("q"))
+    closing = und.select(F.col("a").alias("p2"), F.col("b").alias("q2"))
+    tri = wedges.join(
+        closing,
+        (F.least("p", "q") == F.col("p2")) & (F.greatest("p", "q") == F.col("q2")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def pagerank(

@@ -293,3 +293,55 @@ def range_join_transformer(
         bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
         how=cfg.get("joinType", "inner"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: one summary row counting the users who
+    completed each step strictly AFTER their first completion of the
+    previous step (first view, then a click after that view, then a
+    purchase after that click, ...).
+
+    Per step: filter to the step's events, join to the previous step's
+    per-user first-completion time, keep later events, take the per-user
+    minimum. Each stage is one user-keyed aggregation over an
+    already-filtered slice — at scale the event stream shuffles once per
+    step on the user key (all partial-aggregated map-side), and the
+    per-user frames shrink monotonically down the funnel. The final row
+    cross-joins the single-row counts.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    prev = None
+    stage_counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step)
+        if prev is not None:
+            ev = ev.join(prev, user_col).filter(F.col(ts_col) > F.col("_ft"))
+        cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("_ft"))
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).alias(f"n{i + 1}_{step}"))
+        )
+        prev = cur
+    out = stage_counts[0]
+    for c in stage_counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+@register("funnel")
+def funnel_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"funnel": {"steps": ["view", "click", "purchase"]}} over an event
+    frame with user/ts/type columns."""
+    return funnel_counts(
+        df,
+        list(cfg["steps"]),
+        user_col=cfg.get("userField", "user_id"),
+        ts_col=cfg.get("tsField", "ts"),
+        type_col=cfg.get("typeField", "event_type"),
+    )

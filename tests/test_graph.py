@@ -97,3 +97,19 @@ def test_graph_config_transformers(spark):
     pd_.register_table("edges", _edges(spark, [(1, 2), (1, 3)]))
     got = {r.id: (r.out_degree, r.in_degree) for r in pd_.compile().collect()}
     assert got == {1: (2, 0), 2: (0, 1), 3: (0, 1)}
+
+
+def test_triangle_count_known_graphs(spark):
+    from orientdb_etl_spark.functions.graph import triangle_count
+
+    # K4: C(4,3) = 4 triangles; duplicate/reversed edges must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert triangle_count(_edges(spark, k4)).first().n_triangles == 4
+
+    # square + one diagonal: exactly 2 triangles
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    assert triangle_count(_edges(spark, sq)).first().n_triangles == 2
+
+    # triangle-free (star) graph
+    star = [(0, i) for i in range(1, 6)]
+    assert triangle_count(_edges(spark, star)).first().n_triangles == 0

@@ -181,3 +181,24 @@ def test_resample_single_wide_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_counts_ordering(spark):
+    from orientdb_etl_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2 clicks BEFORE the first view -> stops at view
+        (2, "click", 5), (2, "view", 10),
+        # user 3 views and clicks, purchase precedes click -> stops at click
+        (3, "view", 1), (3, "purchase", 2), (3, "click", 3),
+        # user 4 never views
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, _ts(f"2024-01-01 00:00:{s:02d}")) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel_counts(ev, ["view", "click", "purchase"]).first()
+    assert (out.n1_view, out.n2_click, out.n3_purchase) == (3, 2, 1)
