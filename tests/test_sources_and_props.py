@@ -142,3 +142,20 @@ def test_infer_mixed_column_widens_to_string(vals):
     schema = _infer_csv_schema(lines, ",", '"', None)
     if has_int and has_text and schema.fields:
         assert schema.fields[0].dataType == T.StringType()
+
+
+def test_events_reader_repins_utc_under_foreign_session_tz(spark):
+    # the driver may boot the session in any host TZ; _t must repin UTC so
+    # hour bucketing matches the TZ-naive DuckDB oracle
+    import __spark_entry__ as E
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = E._t(spark, "/root/testdata/sf0.001", "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        n = ev.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
