@@ -152,6 +152,20 @@ def run_loader(
         df.createOrReplaceTempView(view)
         ctx.outputs[view] = df
     elif name == "parquet":
+        if cfg.get("sortBy"):
+            # data-skipping layout: range-partition then sort within each
+            # task so every output file covers a narrow, near-disjoint key
+            # range — parquet row-group min/max stats then let any reader
+            # skip most files for selective key predicates (the poor-man's
+            # Z-order for a single sort dimension, and the single biggest
+            # lever for selective scans at 100 TB)
+            sort_cols = [c for c in cfg["sortBy"]]
+            n = int(cfg.get("numFiles", 0))
+            df = (
+                df.repartitionByRange(n, *sort_cols)
+                if n
+                else df.repartitionByRange(*sort_cols)
+            ).sortWithinPartitions(*sort_cols)
         writer = df.write.mode(cfg.get("mode", "overwrite"))
         if cfg.get("partitionBy"):
             writer = writer.partitionBy(*cfg["partitionBy"])

@@ -201,3 +201,45 @@ def test_bucketed_tables_join_without_shuffle(spark, people, depts, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_sorted_parquet_write_produces_skippable_files(spark, tmp_path):
+    """sortBy layout: each output file must cover a narrow, near-disjoint
+    key range (parquet row-group min/max stats enable file/row-group
+    skipping for selective predicates)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 100_000).selectExpr(
+        "cast(id as bigint) k", "id % 7 v"
+    # scatter input so unsorted files would each span the full key range
+    ).repartition(8)
+    out = str(tmp_path / "sorted")
+    cfg = {
+        "extractor": {"table": {"name": "src"}},
+        "loader": {"parquet": {"path": out, "sortBy": ["k"], "numFiles": 8}},
+    }
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("src", df)
+    p.run()
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(len(md.schema.names))
+            if md.schema.column(i).name == "k"
+        )
+        mins = [md.row_group(r).column(ki).statistics.min for r in range(md.num_row_groups)]
+        maxs = [md.row_group(r).column(ki).statistics.max for r in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    # every file spans a small slice of the 100k key space...
+    assert all(hi - lo <= 100_000 / len(ranges) * 1.5 for lo, hi in ranges)
+    # ...and the slices are pairwise non-overlapping (range partitioner)
+    ranges.sort()
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+    # round-trip intact
+    assert spark.read.parquet(out).count() == 100_000
