@@ -2149,6 +2149,47 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream left-joins the static
+    customer dimension per micro-batch (broadcast fast path; refreshed
+    dimensions are picked up without restarting the query), then a
+    watermarked tumbling window aggregates per market segment."""
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{sf_dir}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"enrich": {
+                    "table": "customer",
+                    "on": {"user_id": "c_custkey"},
+                    "select": ["ts", "c_mktsegment", "value"],
+                }},
+                {"window_agg": {
+                    "column": "ts",
+                    "duration": "6 hours",
+                    "groupBy": ["c_mktsegment"],
+                    "aggregations": [
+                        "count(1) AS n_events",
+                        "round(sum(value), 2) AS sum_value",
+                    ],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_stream("customer", _t(spark, sf_dir, "customer"))
+    out = p.run_available_now(
+        f"mem_enrich_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the supplier co-supply graph (suppliers joined by
     sharing a part in lineitem). Degree-ordered wedge counting (Suri &
@@ -2715,6 +2756,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_certificate": q_hll_certificate,
             "triangle_count": q_triangle_count,
             "funnel": q_funnel,
+            "stream_enrich": q_stream_enrich,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3687,6 +3729,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "stream_enrich": (
+            "SELECT strftime(to_timestamp(floor(epoch(e.ts) / 21600) * 21600), "
+            "'%Y-%m-%d %H:%M:%S') AS window_start, "
+            "c.c_mktsegment, count(*) AS n_events, "
+            "round(sum(e.value), 2) AS sum_value "
+            "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY 1, 2"
         ),
         "triangle_count": (
             # naive canonical a<b<c three-way join — same triangles the

@@ -51,6 +51,7 @@ HEADLINE = [
     "events_hourly",
     "sessionize",
     "stream_events_hourly",
+    "stream_enrich",
     "link_fk",
     "merge_upsert",
     "subetl_items_agg",

@@ -114,7 +114,9 @@ class StreamingPipeline:
 
         for t in self.config.get("transformers") or []:
             name, cfg = next(iter(t.items()))
-            if name not in _STREAM_SAFE and name not in ("window_agg", "session_agg", "dedup"):
+            if name not in _STREAM_SAFE and name not in (
+                "window_agg", "session_agg", "dedup", "enrich"
+            ):
                 raise ValueError(f"transformer {name!r} is not stream-safe")
             cfg = render_value(cfg or {}, ctx.variables, ctx.spark)
             if name == "window_agg":
@@ -149,9 +151,42 @@ class StreamingPipeline:
                 df = streaming_dedup(
                     df, cfg["keys"], cfg.get("column"), cfg.get("watermark")
                 )
+            elif name == "enrich":
+                df = self._enrich(df, cfg)
             else:
                 df = apply_transformer(ctx, df, name, cfg)
         return df
+
+    def _enrich(self, df: DataFrame, cfg: dict[str, Any]) -> DataFrame:
+        """Stream-static enrichment: join the stream against a registered
+        static dimension (Spark's native stream-static join — the static
+        side is re-read per micro-batch, so a refreshed dimension table is
+        picked up without restarting the query). Dimensions broadcast by
+        default, the same fast path the batch lookup family uses; the
+        static-side join keys are dropped after the join.
+
+        Config::
+
+            {"enrich": {"table": "customer",
+                        "on": {"user_id": "c_custkey"},
+                        "how": "left", "broadcast": true,
+                        "select": [...optional projection...]}}
+        """
+        from pyspark.sql import functions as F
+
+        other = self.ctx.tables[cfg["table"]]
+        on = dict(cfg["on"])
+        right = F.broadcast(other) if cfg.get("broadcast", True) else other
+        cond = None
+        for sc, tc in on.items():
+            c = df[sc] == other[tc]
+            cond = c if cond is None else (cond & c)
+        joined = df.join(right, cond, cfg.get("how", "left"))
+        for tc in on.values():
+            joined = joined.drop(other[tc])
+        if cfg.get("select"):
+            joined = joined.select(*cfg["select"])
+        return joined
 
     def run_available_now(
         self,

@@ -275,6 +275,32 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert state[0] == "v2" and len(state) == 20
 
 
+def test_stream_enrich_matches_batch_join(spark, events_batch):
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(15)], "k long, seg string"
+    )
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"enrich": {"table": "dim", "on": {"user_id": "k"},
+                            "select": ["event_id", "seg"]}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_stream("dim", dim)
+    out = p.run_available_now("t_enrich")
+    got = {(r.event_id, r.seg) for r in out.collect()}
+    want = {
+        (r.event_id, r.seg)
+        for r in events_batch.join(
+            dim, events_batch.user_id == dim.k, "left"
+        ).select("event_id", "seg").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_upsert_num_buckets_capped(spark, tmp_path):
     from orientdb_etl_spark.streaming import foreach_batch_upsert
 
