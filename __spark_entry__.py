@@ -2222,6 +2222,25 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction: per source, keep docs in
+    deterministic hash order until the source's token budget is crossed
+    (pretraining mixtures are specified in token mass, not doc-count
+    rates). One windowed running sum per group; oracle replays the same
+    window."""
+    from orientdb_etl_spark.functions.sampling import token_budget_sample
+    from orientdb_etl_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    out = token_budget_sample(
+        docs, "source", "doc_id", "n_tokens",
+        {"src0": 500, "src1": 300}, default_budget=800,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_hll_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog accuracy certificate over orders: exact distinct per
     column + sketch-within-tolerance boolean, hash-checked (the oracle
@@ -2757,6 +2776,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "triangle_count": q_triangle_count,
             "funnel": q_funnel,
             "stream_enrich": q_stream_enrich,
+            "token_budget_sample": q_token_budget_sample,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3729,6 +3749,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "token_budget_sample": (
+            # same Knuth-hash order and running-sum window as
+            # sampling.token_budget_sample; the crossing doc is kept
+            f"WITH t AS (SELECT doc_id, source, {n_toks} AS n_tokens, "
+            "((doc_id + 42) % 1000003) * 2654435761 % 2000000011 AS h "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+            "SELECT doc_id, source, n_tokens FROM c "
+            "WHERE cum - n_tokens < (CASE WHEN source = 'src0' THEN 500 "
+            "WHEN source = 'src1' THEN 300 ELSE 800 END)"
         ),
         "stream_enrich": (
             "SELECT strftime(to_timestamp(floor(epoch(e.ts) / 21600) * 21600), "

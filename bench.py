@@ -81,6 +81,7 @@ HEADLINE = [
     "text_metrics",
     "text_quality",
     "sample_shuffle_split",
+    "token_budget_sample",
     # temporal joins (union-window asof, bucketized range)
     "asof_join_events",
     "range_join_attribution",

@@ -115,3 +115,54 @@ def mixture_sample(
             F.col(group_col) == g, F.lit(int(round(r * 1_000_000)))
         ).otherwise(rate)
     return df.filter(b < rate)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str | Column,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Budget-capped mixture construction: per group, keep documents —
+    in deterministic hash order — until the group's TOKEN budget is
+    exhausted (the doc that crosses the budget line is kept, so every
+    non-empty group with budget > 0 contributes at least one doc and the
+    taken prefix is maximal).
+
+    This is how pretraining mixtures are actually specified ("200B tokens
+    of web, 30B of code"): rate-based sampling (mixture_sample) hits a
+    document COUNT fraction, this hits a token mass. Hash order makes the
+    selection a pure function of ids — identical on any cluster layout
+    and replayable in SQL (the oracle mirrors the same window).
+
+    Plan: one shuffle (window partitioned by group, ordered by the id
+    hash), running token sum, filter. Groups with no declared budget pass
+    through whole when ``default_budget`` is None.
+    """
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    order = hash_bucket(id_col, 2_000_000_011, seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    budget = (
+        F.lit(None).cast("long")
+        if default_budget is None
+        else F.lit(int(default_budget))
+    )
+    for g, b in budgets.items():
+        budget = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget)
+    # keep while the PREVIOUS cumulative sum is under budget: the
+    # crossing doc stays, everything after it goes
+    return (
+        df.withColumn("_cum", cum)
+        .filter(budget.isNull() | (F.col("_cum") - tok < budget))
+        .drop("_cum")
+    )

@@ -76,3 +76,30 @@ def test_stratified_sample_exact_n_and_determinism(spark):
     # groups smaller than n are kept whole
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
     assert stratified_sample(tiny, "grp", "doc_id", 10).count() == 2
+
+
+def test_token_budget_sample_prefix_and_crossing_doc(spark):
+    from orientdb_etl_spark.functions.sampling import hash_bucket, token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", 10) for i in range(12)],
+        "id long, grp string, toks long",
+    )
+    out = token_budget_sample(df, "grp", "id", "toks", {"a": 25}, default_budget=None)
+    got_a = {r.id for r in out.filter("grp = 'a'").collect()}
+    # expected: hash-ordered prefix of group a while prev-cum < 25 ->
+    # 3 docs (10+10 < 25, third crosses and is kept; fourth is not)
+    order = sorted(
+        range(6),
+        key=lambda i: (
+            ((i + 42) % 1_000_003) * 2654435761 % 2_000_000_011, i
+        ),
+    )
+    assert got_a == set(order[:3])
+    # group b has no budget and default None -> passes through whole
+    assert out.filter("grp = 'b'").count() == 6
+    # deterministic under different partitioning
+    again = {r.id for r in token_budget_sample(
+        df.repartition(5), "grp", "id", "toks", {"a": 25}, default_budget=None
+    ).filter("grp = 'a'").collect()}
+    assert again == got_a
