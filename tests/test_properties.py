@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — determinism under repartitioning, dedup
+idempotence, budget-prefix maximality.
+
+Strategy sizes are kept small and deadlines disabled: each example runs
+Spark jobs, so the value is breadth of shapes (empty groups, ties,
+single-row groups, unicode), not example count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),        # id (dups allowed)
+        st.sampled_from(["a", "b", "c"]),              # group
+        st.integers(min_value=0, max_value=20),        # tokens
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@_settings
+@given(rows=_rows)
+def test_exact_dedup_idempotent_and_minimal(spark, rows):
+    from orientdb_etl_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, g) for i, g, _ in rows] or [(0, "a")], "id long, grp string"
+    )
+    once = exact_dedup(df, ["grp"], tie_break="id")
+    got = {(r.id, r.grp) for r in once.collect()}
+    # one survivor per group, and it is the min id of that group
+    by_grp = {}
+    for i, g in {(r.id, r.grp) for r in df.collect()}:
+        by_grp.setdefault(g, set()).add(i)
+    want = {(min(ids), g) for g, ids in by_grp.items()}
+    assert got == want
+    # idempotent
+    again = {(r.id, r.grp) for r in exact_dedup(once, ["grp"], tie_break="id").collect()}
+    assert again == got
+
+
+@_settings
+@given(rows=_rows, budget=st.integers(min_value=1, max_value=60))
+def test_token_budget_prefix_is_maximal_and_partition_invariant(spark, rows, budget):
+    from orientdb_etl_spark.functions.sampling import token_budget_sample
+
+    uniq = {r[0]: r for r in rows}.values()  # unique ids
+    data = [(i, g, t) for i, g, t in uniq] or [(0, "a", 1)]
+    df = spark.createDataFrame(data, "id long, grp string, toks long")
+    kept = token_budget_sample(
+        df, "grp", "id", "toks", {"a": budget, "b": budget, "c": budget}
+    )
+    got = {r.id for r in kept.collect()}
+
+    # python replay: hash-order prefix per group, crossing doc kept
+    def h(i):
+        return (((i + 42) % 1_000_003) * 2654435761 % 2_000_000_011, i)
+
+    want = set()
+    for g in ("a", "b", "c"):
+        cum = 0
+        for i, _, t in sorted((r for r in data if r[1] == g), key=lambda r: h(r[0])):
+            if cum < budget:
+                want.add(i)
+            cum += t
+    assert got == want
+    # partitioning must not change the selection
+    again = {
+        r.id
+        for r in token_budget_sample(
+            df.repartition(7), "grp", "id", "toks",
+            {"a": budget, "b": budget, "c": budget},
+        ).collect()
+    }
+    assert again == got
+
+
+@_settings
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    seps=st.lists(st.sampled_from([" ", "  ", "\t", " \t ", "\n"]), min_size=7, max_size=7),
+    caps=st.booleans(),
+    punct=st.booleans(),
+)
+def test_doc_fingerprint_invariant_under_formatting(spark, words, seps, caps, punct):
+    # the canonical-content fingerprint (exact-dedup key) must not change
+    # under whitespace layout, letter case, or punctuation noise
+    from orientdb_etl_spark.functions.text import doc_fingerprint
+
+    base = " ".join(words)
+    variant = ""
+    for i, w in enumerate(words):
+        token = w.upper() if caps else w
+        if punct:
+            token += "!,"
+        variant += token + seps[i % len(seps)]
+    df = spark.createDataFrame(
+        [(0, base), (1, variant)], "id long, text string"
+    )
+    fps = [
+        r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1]
