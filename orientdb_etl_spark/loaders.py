@@ -166,6 +166,12 @@ def run_loader(
                 if n
                 else df.repartitionByRange(*sort_cols)
             ).sortWithinPartitions(*sort_cols)
+        elif cfg.get("numFiles"):
+            # compaction: bound the output file count (the small-files
+            # problem — a 100 TB table written from 10k tasks at default
+            # parallelism drowns the namenode/listing in tiny objects);
+            # round-robin repartition gives evenly sized files
+            df = df.repartition(int(cfg["numFiles"]))
         writer = df.write.mode(cfg.get("mode", "overwrite"))
         if cfg.get("partitionBy"):
             writer = writer.partitionBy(*cfg["partitionBy"])

@@ -243,3 +243,20 @@ def test_sorted_parquet_write_produces_skippable_files(spark, tmp_path):
 
     # round-trip intact
     assert spark.read.parquet(out).count() == 100_000
+
+
+def test_parquet_numfiles_compaction(spark, tmp_path):
+    import glob
+
+    out = str(tmp_path / "compacted")
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "src"}},
+            "loader": {"parquet": {"path": out, "numFiles": 2}},
+        },
+        spark=spark,
+    )
+    p.register_table("src", spark.range(10_000).repartition(16))
+    p.run()
+    assert len(glob.glob(f"{out}/*.parquet")) == 2
+    assert spark.read.parquet(out).count() == 10_000

@@ -240,3 +240,21 @@ def test_bm25_corpus_never_shuffles(spark):
     assert "Exchange hashpartitioning" not in plan
     assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M)) == 1
     assert "partial_count" in plan
+
+
+def test_funnel_partial_aggs_no_cartesian(spark):
+    plan = _plan(spark, "funnel")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    # the single-row stage counts combine via broadcast loop joins only
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_budget_single_group_exchange(spark):
+    import re
+
+    plan = _plan(spark, "token_budget_sample")
+    # one hash exchange (the group window); no global sort, no cartesian
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
