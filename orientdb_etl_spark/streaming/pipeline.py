@@ -194,14 +194,25 @@ class StreamingPipeline:
         output_mode: str = "append",
         foreach_batch: Callable[[DataFrame, int], None] | None = None,
         timeout: int = 120,
+        checkpoint: str | None = None,
     ) -> DataFrame | None:
         """Process all currently-available input, then stop.
 
         Memory sink (default) returns the result table; a ``foreach_batch``
         callable replaces the sink for merge-style side effects.
+
+        ``checkpoint`` makes the run RESUMABLE: source offsets commit to
+        the checkpoint location, so a later invocation with the same
+        checkpoint processes only files that arrived since the previous
+        run — the incremental-ingest pattern (cron-style availableNow
+        backfills with exactly-once source accounting, no external
+        watermark bookkeeping). Without it, each run gets a fresh
+        temporary checkpoint and reprocesses everything.
         """
         df = self.compile()
         writer = df.writeStream.trigger(availableNow=True).outputMode(output_mode)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
         if foreach_batch is not None:
             q = writer.foreachBatch(foreach_batch).start()
             q.awaitTermination(timeout)

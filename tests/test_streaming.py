@@ -324,3 +324,51 @@ def test_stream_into_upsert_sink(spark, tmp_path):
     out = spark.read.parquet(target)
     # one newest row per user
     assert out.count() == out.select("user_id").distinct().count() == 15
+
+
+def test_checkpointed_incremental_resume(spark, tmp_path):
+    """Two availableNow runs over the same checkpoint: the second must
+    process ONLY files that arrived after the first (exactly-once source
+    accounting across restarts - the cron-style incremental ingest
+    pattern)."""
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "sink")
+
+    def arrive(name, rows):
+        spark.createDataFrame(rows, "k int, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / ("_tmp_" + name)))
+        # atomic-ish move of the one data file into the watched dir
+        import glob
+        import shutil
+
+        f = glob.glob(str(src / ("_tmp_" + name) / "*.parquet"))[0]
+        shutil.move(f, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / ("_tmp_" + name)))
+
+    arrive("batch1", [(1, "a"), (2, "b")])
+    schema = spark.read.parquet(str(src)).schema
+    seen: list[int] = []
+
+    def fb(df, epoch):
+        seen.append(df.count())
+        df.write.mode("append").parquet(target)
+
+    def run():
+        p = StreamingPipeline(
+            {"source": {"table": {"name": "s"}}}, spark=spark
+        )
+        p.register_stream(
+            "s", spark.readStream.schema(schema).parquet(str(src))
+        )
+        p.run_available_now(foreach_batch=fb, checkpoint=ckpt)
+
+    run()
+    assert sum(seen) == 2
+
+    arrive("batch2", [(3, "c")])
+    run()
+    assert sum(seen) == 3  # only the new file, not a reprocess of batch1
+    assert spark.read.parquet(target).count() == 3
