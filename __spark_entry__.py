@@ -2222,6 +2222,31 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of event value per type —
+    p50/p90/p99 via the built-in `percentile` aggregate (sort-based exact;
+    the approximate path at scale is approx_percentile, certified against
+    this exact twin the same way hll_certificate certifies HLL)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    approx50 = F.expr("approx_percentile(value, 0.5D, 10000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(pct.getItem(1), 4).alias("p90"),
+            F.round(pct.getItem(2), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+            # sketch certificate: the GK summary must land within an
+            # order-statistic gap of the exact interpolated median; the
+            # boolean is stable even where the raw estimate wobbles
+            (F.abs(approx50 - pct.getItem(0)) <= F.lit(1.0)).alias(
+                "approx_p50_ok"
+            ),
+        )
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture construction: per source, keep docs in
     deterministic hash order until the source's token budget is crossed
@@ -2777,6 +2802,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "funnel": q_funnel,
             "stream_enrich": q_stream_enrich,
             "token_budget_sample": q_token_budget_sample,
+            "percentiles": q_percentiles,
             "q14_promo_revenue": q14_promo_revenue,
             "q15_top_supplier": q15_top_supplier,
             "q16_supplier_cnt": q16_supplier_cnt,
@@ -3749,6 +3775,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "percentiles": (
+            # quantile_cont == Spark percentile(): exact linear
+            # interpolation at (n-1)*p
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.9), 4) AS p90, "
+            "round(quantile_cont(value, 0.99), 4) AS p99, "
+            "count(*) AS n, TRUE AS approx_p50_ok "
+            "FROM events GROUP BY event_type"
         ),
         "token_budget_sample": (
             # same Knuth-hash order and running-sum window as

@@ -49,6 +49,7 @@ HEADLINE = [
     "cube_sales",
     "pivot_segments",
     "events_hourly",
+    "percentiles",
     "sessionize",
     "stream_events_hourly",
     "stream_enrich",
