@@ -2306,10 +2306,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document first-fit-decreasing packing (SFT variant — no doc
-    splits) via per-shard applyInPandas; per-shard utilization summary.
-    Rows-only (bin packing isn't ANSI-SQL-expressible); invariants are
-    asserted in tests/test_packing.py."""
-    from orientdb_etl_spark.functions.packing import pack_greedy, pack_utilization
+    splits) via per-shard applyInPandas, emitted as a per-shard invariant
+    CERTIFICATE: every input doc packed exactly once (count == distinct ==
+    source count), token mass conserved, and zero multi-doc packs over
+    capacity. The FFD assignment itself isn't ANSI-SQL-expressible, but
+    conservation + capacity are — so the driver row is hash-checked while
+    the packing-quality asserts stay in tests/test_packing.py."""
+    from orientdb_etl_spark.functions.packing import pack_greedy
     from orientdb_etl_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -2319,7 +2322,23 @@ def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_greedy(
         base, capacity=2048, shard_col=(F.col("doc_id") % 8).alias("shard")
     )
-    return pack_utilization(packed, 2048)
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.first("pack_tokens").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("n_in_pack"),
+    )
+    overfull = per_pack.groupBy("shard").agg(
+        F.sum(
+            ((F.col("pack_tokens") > 2048) & (F.col("n_in_pack") > 1)).cast("long")
+        ).alias("n_overfull_packs")
+    )
+    doc_stats = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return doc_stats.join(overfull, "shard").select(
+        "shard", "n_docs", "n_distinct_docs", "total_tokens", "n_overfull_packs"
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3775,6 +3794,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 CROSS JOIN st) "
             "SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
             "ORDER BY _score DESC, doc_id ASC LIMIT 20"
+        ),
+        "sequence_pack_greedy": (
+            # conservation + capacity certificate: whatever FFD does, each
+            # positive-token doc appears exactly once, token mass is
+            # conserved per shard, and no multi-doc pack exceeds capacity
+            f"WITH t AS (SELECT doc_id, doc_id % 8 AS shard, {n_toks} AS n "
+            "FROM documents) "
+            "SELECT shard, count(*) AS n_docs, "
+            "count(DISTINCT doc_id) AS n_distinct_docs, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "CAST(0 AS BIGINT) AS n_overfull_packs "
+            "FROM t WHERE n > 0 GROUP BY shard"
         ),
         "percentiles": (
             # quantile_cont == Spark percentile(): exact linear
