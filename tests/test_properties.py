@@ -118,3 +118,34 @@ def test_doc_fingerprint_invariant_under_formatting(spark, words, seps, caps, pu
         r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()
     ]
     assert fps[0] == fps[1]
+
+
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from orientdb_etl_spark.functions.graph import triangle_count
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    got = triangle_count(df).first().n_triangles
+
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = {v for e in adj for v in e}
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(verts), 3)
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj
+    )
+    assert got == want
