@@ -258,3 +258,35 @@ def test_token_budget_single_group_exchange(spark):
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percentiles_partial_agg_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "percentiles")
+    # sort-based percentile still partial-aggregates map-side; one group
+    # exchange, no global sort of the events
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_stream_enrich_uses_broadcast_join(spark):
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}},
+            "transformers": [
+                {"enrich": {"table": "dim", "on": {"user_id": "k"}}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_stream("dim", dim)
+    df = p.compile()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
