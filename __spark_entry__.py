@@ -1999,9 +1999,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures_portable(docs, "text", num_perm=16, shingle_k=5)
+    # empty docs carry NULL-min signatures (no shingles) — both engines
+    # drop them, keeping the cross-engine contract total
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("p", "mh")
-    )
+    ).filter(F.col("mh").isNotNull())
 
 
 def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2230,19 +2232,26 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
     approx50 = F.expr("approx_percentile(value, 0.5D, 10000)")
+    # sketch certificate with a RELATIVE tolerance — 5% of the per-group
+    # p50→p90 spread (falling back to 1% of |p50| for degenerate
+    # spreads) — so the boolean is invariant under rescaling or heavier
+    # tails, unlike a fixed absolute bound. accuracy=10000 bounds the
+    # rank error at n/10000 ≈ sub-row for fixture groups; the residual
+    # error is interpolation-vs-nearest-rank, far inside 5% of spread.
+    p50 = pct.getItem(0)
+    tol = F.greatest(
+        (pct.getItem(1) - p50) * F.lit(0.05),
+        F.abs(p50) * F.lit(0.01),
+        F.lit(1e-9),
+    )
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(p50, 4).alias("p50"),
             F.round(pct.getItem(1), 4).alias("p90"),
             F.round(pct.getItem(2), 4).alias("p99"),
             F.count(F.lit(1)).alias("n"),
-            # sketch certificate: the GK summary must land within an
-            # order-statistic gap of the exact interpolated median; the
-            # boolean is stable even where the raw estimate wobbles
-            (F.abs(approx50 - pct.getItem(0)) <= F.lit(1.0)).alias(
-                "approx_p50_ok"
-            ),
+            (F.abs(approx50 - p50) <= tol).alias("approx_p50_ok"),
         )
     )
 
@@ -2536,12 +2545,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = docs.select(
         F.col("doc_id").alias("asset_id"), F.length("text").alias("n_bytes")
     )
-    return feats.join(lens, "asset_id").select(
+    # Driver-scalar output: the driver's canonicalizer cannot hash
+    # top-level array cells in this row's column mix (r3 verdict), so
+    # posexplode the 16 bins into (bin, bin_count) rows — same
+    # information, one generator, no Python.
+    exploded = feats.join(lens, "asset_id").select(
         "asset_id",
         "n_bytes",
-        F.expr(
-            "transform(features, x -> cast(round(x * n_bytes) as bigint))"
-        ).alias("bin_counts"),
+        F.posexplode(
+            F.expr("transform(features, x -> cast(round(x * n_bytes) as bigint))")
+        ).alias("bin", "bin_count"),
+    )
+    return exploded.select(
+        "asset_id", "n_bytes", F.col("bin").cast("int").alias("bin"), "bin_count"
     )
 
 
@@ -3697,7 +3713,8 @@ def oracle_sql() -> dict[str, str]:
             "hs AS (SELECT DISTINCT doc_id, "
             "list_reduce(list_transform(range(1, length(s) + 1), "
             "i -> CAST(ascii(s[CAST(i AS INT)]) AS BIGINT)), "
-            "(a, c) -> a * 31 + c) % 4294967291 AS h FROM sh), "
+            "(a, c) -> a * 31 + c) % 4294967291 AS h FROM sh "
+            "WHERE length(s) > 0), "
             "perms AS (SELECT unnest(range(0, 16)) AS p) "
             "SELECT hs.doc_id, CAST(perms.p AS INT) AS p, "
             "min((hs.h * (2 * perms.p + 1) + perms.p) % 4294967291) AS mh "
@@ -3877,10 +3894,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH codes AS (SELECT doc_id AS asset_id, length(text) AS n_bytes, "
             "list_transform(range(1, length(text) + 1), "
             "i -> ascii(text[CAST(i AS INT)])) AS cs FROM documents) "
-            "SELECT asset_id, n_bytes, "
-            "list_transform(range(0, 16), "
-            "m -> CAST(len(list_filter(cs, c -> c % 16 = m)) AS BIGINT)) "
-            "AS bin_counts FROM codes"
+            "SELECT asset_id, n_bytes, CAST(m AS INT) AS bin, "
+            "CAST(len(list_filter(cs, c -> c % 16 = CAST(m AS INT))) AS BIGINT) "
+            "AS bin_count FROM codes CROSS JOIN range(0, 16) AS t(m)"
         ),
         # dedup_minhash_survivors / dedup_simhash / ann_lsh_gaussian /
         # ann_pairwise_approx: approximate numpy-plane / banded families —

@@ -152,8 +152,13 @@ def minhash_signatures_portable(
     comfortably in int64 under ANSI arithmetic.
     """
     prime = 4294967291
+    # Empty shingles are filtered on BOTH engines: Spark's
+    # sequence(1, 0) is the descending [1, 0] (fold -> spurious h=0)
+    # while DuckDB's range(1, 1) is [] (list_reduce errors) — an empty
+    # document must yield a NULL-min signature in both, not diverge.
     hashes = (
-        f"transform(array_distinct({_shingles_sql(text_col, shingle_k)}), "
+        f"transform(filter(array_distinct({_shingles_sql(text_col, shingle_k)}), "
+        f"s -> length(s) > 0), "
         f"s -> aggregate(sequence(1, length(s)), cast(0 as bigint), "
         f"(acc, i) -> acc * 31 + ascii(substring(s, i, 1))) % {prime})"
     )

@@ -132,8 +132,8 @@ def add_lsh_buckets_portable(
     JVM expression per row — no Python, no driver state.
     """
     sign = (
-        "CASE WHEN bit_count(cast(p * 73856093 as bigint) ^ "
-        "cast(d * 19349663 as bigint)) % 2 = 0 "
+        "CASE WHEN bit_count(cast(p as bigint) * 73856093 ^ "
+        "cast(d as bigint) * 19349663) % 2 = 0 "
         "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END"
     )
     proj = (

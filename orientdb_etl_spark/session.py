@@ -77,6 +77,16 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     if dtype == "timestamp_ntz":
+        # This reinterpretation is only instant-preserving when the
+        # session clock is UTC — enforce the precondition instead of
+        # silently shifting event times against the TZ-naive oracle.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"normalize_ts requires spark.sql.session.timeZone=UTC to cast "
+                f"timestamp_ntz safely (session has {tz!r}); use "
+                f"orientdb_etl_spark.get_spark() which pins it"
+            )
         return df.withColumn(col, F.col(col).cast("timestamp"))
     if dtype == "timestamp":
         return df
