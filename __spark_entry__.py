@@ -182,9 +182,15 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge = lookup + record merge (OMergeTransformer.java:28-78):
     incoming premium-segment updates merged against the customer table —
-    incoming fields overwrite, existing fields carried over."""
+    incoming fields overwrite, existing fields carried over. Runs the
+    FULL lifecycle (memory loader + lifecycle listener, the
+    OImporterListener.java:26-40 analog) so the listener surface carries
+    a hard driver row, not just unit tests; the returned frame is the
+    loader's registered view — output unchanged."""
     from orientdb_etl_spark import Pipeline
+    from orientdb_etl_spark.listeners import CollectingListener
 
+    lsn = CollectingListener()
     p = Pipeline(
         {
             "extractor": {"query": {"sql": (
@@ -195,11 +201,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"merge": {"joinFieldName": "c_custkey", "lookup": "customer.c_custkey", "broadcast": True}},
                 {"select": {"columns": ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]}},
             ],
+            "loader": {"memory": {"view": "merge_out"}},
         },
         spark=spark,
+        listener=lsn.listener(),
     )
     p.register_table("customer", _t(spark, sf_dir, "customer"))
-    return p.compile()
+    result = p.run()
+    assert lsn.events and lsn.events[0] == "begin"
+    assert any(e.startswith("end") for e in lsn.events)
+    return result.outputs["merge_out"]
 
 
 def q_link_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2006,26 +2017,82 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("mh").isNotNull())
 
 
+def _dup_augmented_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministically inject exact duplicates (every 10th doc re-keyed
+    at +100000) so the dedup invariant certificates are non-vacuous: the
+    fixture corpus has no exact-dup texts, and an exact dup MUST collapse
+    under any correct near-dedup (J=1 ≥ any threshold; Hamming 0 ≤ any
+    radius). The oracle replays the same augmentation."""
+    base = docs.select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return base.unionByName(dups)
+
+
+def _dedup_invariant_certificate(corpus: DataFrame, surv: DataFrame) -> DataFrame:
+    """SQL-expressible invariants over a near-dedup survivor set, emitted
+    as one hash-checkable certificate row: survivors ⊆ corpus, at most
+    one survivor per exact-text group (exact dups always collapse),
+    survivor count ≤ distinct texts and ≥ 1. Each input aggregates to a
+    single row, so every join below is a broadcast scalar attach."""
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+    n_surv = surv.agg(F.count(F.lit(1)).alias("_n_surv"))
+    not_in_corpus = surv.join(corpus, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("_n_outside")
+    )
+    multi_surv_texts = (
+        surv.join(corpus, "doc_id")
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") > 1)
+        .agg(F.count(F.lit(1)).alias("_n_multi"))
+    )
+    return (
+        stats.crossJoin(n_surv)
+        .crossJoin(not_in_corpus)
+        .crossJoin(multi_surv_texts)
+        .select(
+            "n_corpus",
+            "n_distinct_texts",
+            (F.col("_n_outside") == 0).alias("survivors_subset_ok"),
+            (F.col("_n_multi") == 0).alias("exact_dups_collapse_ok"),
+            (F.col("_n_surv") <= F.col("n_distinct_texts")).alias(
+                "survivors_le_distinct_ok"
+            ),
+            (F.col("_n_surv") >= 1).alias("survivors_nonempty_ok"),
+        )
+    )
+
+
 def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup survivors (approximate — rows-only check;
-    the exact-Jaccard oracle is q_ngram_jaccard)."""
+    """MinHash-LSH near-dedup invariant certificate over a dup-augmented
+    corpus (production xxhash64/banded path — its signatures are not SQL-
+    mirrorable, but these invariants are, so the gate hash-pins them;
+    the exact-Jaccard oracle for pair semantics is q_ngram_jaccard)."""
     from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    corpus = _dup_augmented_corpus(_t(spark, sf_dir, "documents"))
     # 8 rows/band: the LSH s-curve puts the collision knee near J≈0.77, so
     # bucket collisions stay close to the J≥0.7 pairs the verify stage
     # keeps — r=4 flooded verify with ~50× more false candidates
-    return minhash_lsh_dedup(
-        docs, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
+    surv = minhash_lsh_dedup(
+        corpus, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
     ).select("doc_id")
+    return _dedup_invariant_certificate(corpus, surv)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup survivors (approximate — rows-only check)."""
+    """SimHash near-dedup invariant certificate over a dup-augmented
+    corpus (production numpy signature path; invariants hash-pinned)."""
     from orientdb_etl_spark.functions.dedup import simhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, "text", "doc_id", max_hamming=3).select("doc_id")
+    corpus = _dup_augmented_corpus(_t(spark, sf_dir, "documents"))
+    surv = simhash_dedup(corpus, "text", "doc_id", max_hamming=3).select("doc_id")
+    return _dedup_invariant_certificate(corpus, surv)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,13 +2140,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k, gaussian planes (approximate — rows-only;
-    recall vs the brute baseline is asserted in tests)."""
-    from orientdb_etl_spark.functions.similarity import lsh_bucketed_topk
+    """Gaussian-plane LSH ANN recall certificate (same pattern as
+    q_ann_ivf_topk): run the production numpy-plane bucketed path AND the
+    exact brute-force baseline in one plan, emit (k, n_overlap, recall).
+    The hash pins the measured deterministic recall at the fixture
+    (seeded planes), making the production path falsifiable instead of
+    rows-only."""
+    from orientdb_etl_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+    q = _query_vec(spark, sf_dir)
+    approx = lsh_bucketed_topk(
+        emb, "embedding", "vec_id", q, k=10, hamming=2
+    ).select("vec_id")
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=10).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "inner")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 4).alias("recall"),
+        )
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2126,15 +2212,29 @@ def q_ann_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pairwise_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN self-join over the embeddings table (LSH-bucketed, multi-probe;
-    approximate — rows-only; recall asserted in tests). The all-pairs
-    product never materializes beyond bucket collisions."""
+    """LSH-bucketed k-NN-join recall certificate: the approximate
+    bucket-collision path and the exact planes=0 twin run in one plan;
+    the hash pins |approx ∩ exact| over all (query, neighbor) pairs at
+    the fixture. The all-pairs product never materializes beyond bucket
+    collisions on the approx side."""
     from orientdb_etl_spark.functions.similarity import pairwise_topk_join
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pairwise_topk_join(emb, emb, "embedding", "vec_id", "vec_id", k=3)
-    return out.select(
-        "vec_id", "vec_id_nn", F.round("cosine_sim", 4).alias("cosine_sim")
+    approx = pairwise_topk_join(
+        emb, emb, "embedding", "vec_id", "vec_id", k=3
+    ).select("vec_id", "vec_id_nn")
+    exact = pairwise_topk_join(
+        emb, emb, "embedding", "vec_id", "vec_id", k=3, planes=0
+    ).select("vec_id", "vec_id_nn")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    matched = approx.join(exact, ["vec_id", "vec_id_nn"], "inner").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return n_exact.crossJoin(matched).select(
+        F.lit(3).alias("k"),
+        "n_exact_pairs",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_exact_pairs"), 4).alias("recall"),
     )
 
 
@@ -2155,12 +2255,18 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream left-joins the static
     customer dimension per micro-batch (broadcast fast path; refreshed
     dimensions are picked up without restarting the query), then a
-    watermarked tumbling window aggregates per market segment."""
+    watermarked tumbling window aggregates per market segment in APPEND
+    mode — the scale-safe discipline (state bounded by the watermark,
+    each window emitted exactly once when finalized), unlike complete
+    mode which retains and re-emits every window ever seen. The final
+    not-yet-finalized windows are therefore intentionally absent; the
+    oracle applies the same watermark cutoff."""
     from orientdb_etl_spark.streaming import StreamingPipeline
 
     p = StreamingPipeline(
         {
             "source": {"parquet": {"path": f"{sf_dir}/events.parquet", "tsNanosColumn": "ts"}},
+            "watermark": {"column": "ts", "delay": "1 hour"},
             "transformers": [
                 {"enrich": {
                     "table": "customer",
@@ -2182,7 +2288,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.register_stream("customer", _t(spark, sf_dir, "customer"))
     out = p.run_available_now(
-        f"mem_enrich_{next(_STREAM_SEQ)}", output_mode="complete"
+        f"mem_enrich_{next(_STREAM_SEQ)}", output_mode="append"
     )
     return out.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -3848,11 +3954,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN source = 'src1' THEN 300 ELSE 800 END)"
         ),
         "stream_enrich": (
+            # append-mode watermark cutoff: only windows finalized by the
+            # final watermark (max event time - 1 h delay) are emitted
+            "WITH mx AS (SELECT epoch(max(ts)) - 3600 AS wm FROM events) "
             "SELECT strftime(to_timestamp(floor(epoch(e.ts) / 21600) * 21600), "
             "'%Y-%m-%d %H:%M:%S') AS window_start, "
             "c.c_mktsegment, count(*) AS n_events, "
             "round(sum(e.value), 2) AS sum_value "
             "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+            "CROSS JOIN mx "
+            "WHERE floor(epoch(e.ts) / 21600) * 21600 + 21600 <= mx.wm "
             "GROUP BY 1, 2"
         ),
         "triangle_count": (
@@ -3898,7 +4009,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_filter(cs, c -> c % 16 = CAST(m AS INT))) AS BIGINT) "
             "AS bin_count FROM codes CROSS JOIN range(0, 16) AS t(m)"
         ),
-        # dedup_minhash_survivors / dedup_simhash / ann_lsh_gaussian /
-        # ann_pairwise_approx: approximate numpy-plane / banded families —
-        # rows-only by design; their exact twins above carry the hash gate.
+        "ann_lsh_gaussian": (
+            # recall certificate (same pattern as ann_ivf_topk): pinned
+            # constants are the measured deterministic recall of the
+            # seeded gaussian-plane path with Hamming-2 multiprobe
+            # (37/256 buckets ≈ 14% scan) at the 500-vector fixture
+            "SELECT 10 AS k, CAST(6 AS BIGINT) AS n_overlap, 0.6 AS recall"
+        ),
+        "ann_pairwise_approx": (
+            # k-NN-join recall certificate: |approx ∩ exact| over all
+            # 500×3 (query, neighbor) pairs, deterministic seeded planes
+            "SELECT 3 AS k, CAST(1500 AS BIGINT) AS n_exact_pairs, "
+            "CAST(785 AS BIGINT) AS n_matched, 0.5233 AS recall"
+        ),
+        "dedup_minhash_survivors": (
+            # invariant certificate over the dup-augmented corpus: the
+            # oracle replays the augmentation for the counts and pins the
+            # SQL-expressible survivor invariants TRUE
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT count(*) AS n_corpus, "
+            "count(DISTINCT text) AS n_distinct_texts, "
+            "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
+            "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
+            "FROM corpus"
+        ),
+        "dedup_simhash": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT count(*) AS n_corpus, "
+            "count(DISTINCT text) AS n_distinct_texts, "
+            "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
+            "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
+            "FROM corpus"
+        ),
     }

@@ -193,17 +193,28 @@ def lsh_bucketed_topk_portable(
 
 
 def _bucket_of(
-    query: Sequence[float], planes: int, seed: int, spark=None
+    query: Sequence[float], planes: int, seed: int, spark=None, hamming: int = 1
 ) -> list[int]:
-    """Compute the query's bucket (and all 1-bit-flip multi-probe
-    neighbors) driver-side with the SAME plane matrix the table used."""
+    """Compute the query's bucket and all multi-probe neighbors within
+    the given Hamming radius (Lv et al. VLDB'07 probe sequence; radius 2
+    for planes=8 is 37 of 256 buckets ≈ 14% scan) driver-side with the
+    SAME plane matrix the table used."""
     q = np.asarray([float(x) for x in query], dtype="float64")
     pl = _plane_matrix(planes, len(q), seed)
     bits = pl @ q > 0
     bucket = 0
     for b in bits:
         bucket = bucket * 2 + int(b)
-    return [bucket] + [bucket ^ (1 << i) for i in range(planes)]
+    probes = [bucket]
+    if hamming >= 1:
+        probes += [bucket ^ (1 << i) for i in range(planes)]
+    if hamming >= 2:
+        probes += [
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
+    return probes
 
 
 def lsh_bucketed_topk(
@@ -214,16 +225,17 @@ def lsh_bucketed_topk(
     k: int = 10,
     planes: int = 8,
     seed: int = 7,
+    hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: scan only the query's LSH bucket plus its Hamming-1
-    neighbors (multi-probe). At 100 TB the bucketed table is written
-    partitioned by bucket (partition pruning turns this into a ~2^-planes
-    fraction scan); here the filter achieves the same pruning on the fly.
-    Recall is approximate by construction — the exact baseline is
-    :func:`brute_force_topk`.
+    """ANN top-k: scan only the query's LSH bucket plus its multi-probe
+    neighbors within the Hamming radius. At 100 TB the bucketed table is
+    written partitioned by bucket (partition pruning turns this into a
+    ~2^-planes fraction scan); here the filter achieves the same pruning
+    on the fly. Recall is approximate by construction — the exact
+    baseline is :func:`brute_force_topk`.
     """
     spark = df.sparkSession
-    probes = _bucket_of(query, planes, seed, spark)
+    probes = _bucket_of(query, planes, seed, spark, hamming=hamming)
     bucketed = add_lsh_buckets(df, vec_col, planes, seed)
     return (
         bucketed.filter(F.col("lsh_bucket").isin(probes))

@@ -301,6 +301,61 @@ def test_stream_enrich_matches_batch_join(spark, events_batch):
     assert got == want and len(got) > 0
 
 
+def test_enrich_window_append_state_bounded(spark, events_batch):
+    """The watermark+append discipline for windowed enrichment: windows
+    finalized by the final watermark (max event time - delay) are emitted
+    exactly once; not-yet-finalized windows stay in (bounded) state and
+    are NOT emitted — i.e. state never outlives watermark + window."""
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(15)], "k long, seg string"
+    )
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/events.parquet", "tsNanosColumn": "ts"}},
+            "watermark": {"column": "ts", "delay": "1 hour"},
+            "transformers": [
+                {"enrich": {"table": "dim", "on": {"user_id": "k"},
+                            "select": ["ts", "seg", "value"]}},
+                {"window_agg": {
+                    "column": "ts",
+                    "duration": "6 hours",
+                    "groupBy": ["seg"],
+                    "aggregations": ["count(1) AS n_events"],
+                }},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_stream("dim", dim)
+    out = p.run_available_now("t_enrich_append", output_mode="append")
+    got = {
+        (r["win"]["start"], r["seg"], r["n_events"]) for r in out.collect()
+    }
+    assert got, "append mode must emit the finalized windows"
+
+    import datetime
+
+    wm = events_batch.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+    batch = (
+        events_batch.join(dim, events_batch.user_id == dim.k, "left")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "seg")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    finalized = {
+        (r["win"]["start"], r["seg"], r["n_events"])
+        for r in batch
+        if r["win"]["end"] <= wm
+    }
+    open_windows = {
+        (r["win"]["start"], r["seg"], r["n_events"])
+        for r in batch
+        if r["win"]["end"] > wm
+    }
+    assert got == finalized
+    assert open_windows and got.isdisjoint(open_windows)
+
+
 def test_upsert_num_buckets_capped(spark, tmp_path):
     from orientdb_etl_spark.streaming import foreach_batch_upsert
 
