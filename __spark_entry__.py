@@ -1657,6 +1657,62 @@ def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2, the full multi-column correlated form (the fixture has no
+    partsupp, so (part, supplier, supplycost) is derived from lineitem as
+    min(l_extendedprice / l_quantity) per pair — same join/correlation
+    shape): for each size-15 ECONOMY part, the EUROPE supplier(s)
+    attaining the region-wide minimum supply cost, classic Q2 ordering
+    and LIMIT 100. Spark-first plan: the correlated scalar subquery is
+    decorrelated into one window-min over the region-filtered candidate
+    set (a single shuffle on p_partkey); part/supplier/nation/region are
+    broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    europe = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = europe.withColumn("_min_cost", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("_min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+                )
+            ),
+            best.l_partkey == part.p_partkey,
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers with orders EXCEPT low-balance ones."""
     cust = _t(spark, sf_dir, "customer")
@@ -2311,10 +2367,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
     ).distinct()
     x, y = ps.alias("x"), ps.alias("y")
-    edges = (
+    # RELATIVE-thresholded projection: keep the top 1% strongest
+    # co-supply pairs (shared-part count >= exact p99). The unthresholded
+    # graph is COMPLETE at every fixture SF (~166M triangles at sf0.1 — a
+    # property of the synthetic fixture, not the operator), and absolute
+    # thresholds don't transfer across SFs (median shared count is 17 at
+    # sf0.1 but 133 at sf0.01). Quantile sparsification is the standard
+    # co-occurrence projection backbone and keeps the graph
+    # analytics-shaped at any scale; the p99 scalar is one broadcast
+    # single-row attach.
+    pairs = (
         x.join(y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.s") < F.col("y.s")))
-        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
-        .distinct()
+        .groupBy(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        # the skinny (src, dst, count) table feeds both the p99 scalar and
+        # the filter — checkpoint so the wide co-occurrence join runs once
+        .localCheckpoint()
+    )
+    thr = pairs.agg(F.expr("percentile(_shared, 0.99D)").alias("_thr"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("_shared") >= F.col("_thr"))
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
@@ -2952,6 +3026,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rollup_sales": q_rollup_sales,
             "topk_orders": q_topk_orders,
             "min_cost_per_part": q_min_cost_per_part,
+            "q2_min_cost_supplier": q2_min_cost_supplier,
             "events_hourly": q_events_hourly,
             "events_json_agg": q_events_json_agg,
             "graph_degrees": q_graph_degrees,
@@ -3216,6 +3291,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN mins m ON l.l_partkey = m.m_partkey "
             "AND l.l_extendedprice = m.min_price "
             "GROUP BY l.l_partkey"
+        ),
+        "q2_min_cost_supplier": (
+            # full Q2 correlated form over the lineitem-derived partsupp
+            # surrogate; DuckDB replays the decorrelated window-min
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "min(l_extendedprice / l_quantity) AS supplycost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "eu AS (SELECT ps.l_partkey, ps.supplycost, s.s_acctbal, "
+            "s.s_name, n.n_name FROM ps "
+            "JOIN supplier s ON ps.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'EUROPE'), "
+            "best AS (SELECT *, min(supplycost) OVER (PARTITION BY l_partkey) "
+            "AS mc FROM eu) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, "
+            "round(supplycost, 2) AS supplycost "
+            "FROM best JOIN part p ON best.l_partkey = p.p_partkey "
+            "WHERE supplycost = mc AND p.p_size = 15 AND p.p_type = 'ECONOMY' "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
         ),
         "set_ops": (
             "SELECT DISTINCT c_custkey FROM customer "
@@ -3971,8 +4066,10 @@ def oracle_sql() -> dict[str, str]:
             # degree-ordered Spark formulation counts once each
             "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
             "FROM lineitem), "
-            "e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x "
-            "JOIN ps y ON x.pk = y.pk AND x.s < y.s) "
+            "pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c FROM ps x "
+            "JOIN ps y ON x.pk = y.pk AND x.s < y.s GROUP BY 1, 2), "
+            "t AS (SELECT quantile_cont(c, 0.99) AS q FROM pr), "
+            "e AS (SELECT a, b FROM pr, t WHERE c >= t.q) "
             "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
             "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
             "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"

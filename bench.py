@@ -95,10 +95,13 @@ HEADLINE = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # round-3 event analytics (triangle_count stays out: the sf0.1
-    # co-supply graph is near-complete — 166M triangles — a degenerate
-    # density no real corpus graph has; it is gate-checked at sf0.01)
+    # round-3/4 event + graph analytics (triangle_count uses the >= 2
+    # shared-parts thresholded co-supply projection — the >= 1 graph is
+    # near-complete at sf0.1, a fixture degeneracy, not operator cost)
     "funnel",
+    "triangle_count",
+    # round-4 TPC-H completion: full correlated Q2 shape
+    "q2_min_cost_supplier",
     # round-2 analytics/time-series extensions (pagerank and dedup_clusters
     # stay out: fixed-iteration loops are many bounded jobs, not one-plan
     # queries)

@@ -399,6 +399,64 @@ def _drop_duplicates_by_pairs(
     raise ValueError(f"unknown survivor rule {survivor!r}")
 
 
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature + banding stage: (cached signatures, exploded
+    (id, band, bucket) rows). Used by :func:`minhash_lsh_dedup` and the
+    :func:`lsh_bucket_stats` observability helper so both see the exact
+    production banding."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures_fast(
+        ensure_parallelism(df), text_col, num_perm, shingle_k
+    ).select(id_col, "minhash")
+    sigs.cache()
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
+    )
+    return sigs, banded
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Operational observability for the LSH banding: one row of bucket
+    statistics — bucket count, max/mean occupancy, how many buckets
+    exceed ``max_bucket_size`` (i.e. would be dropped by the degenerate-
+    bucket cap) and how many banded rows sit in them. At 100 TB this is
+    the pre-flight check that tells you whether a boilerplate hot key is
+    about to hit the cap (Manku WWW'07 practice) before the dedup runs."""
+    _, banded = _minhash_banded(df, text_col, id_col, num_perm, bands, shingle_k)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    cap = max_bucket_size if max_bucket_size is not None else 2**62
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_bsz").alias("max_bucket"),
+        F.round(F.avg("_bsz"), 2).alias("mean_bucket"),
+        F.sum((F.col("_bsz") > cap).cast("long")).alias("n_over_cap"),
+        F.sum(
+            F.when(F.col("_bsz") > cap, F.col("_bsz")).otherwise(F.lit(0))
+        ).alias("rows_in_capped"),
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -429,19 +487,7 @@ def minhash_lsh_dedup(
     the shape used by published corpus-dedup pipelines; see
     :func:`connected_component_labels`).
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures_fast(
-        ensure_parallelism(df), text_col, num_perm, shingle_k
-    ).select(id_col, "minhash")
-    sigs.cache()
-
-    band_arr = F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> xxhash64(b, slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
-    )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
-    )
+    sigs, banded = _minhash_banded(df, text_col, id_col, num_perm, bands, shingle_k)
     banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
     # ids only in the grouped shuffle (8 B/row); the 1 KB signatures are
     # joined back below onto the sparse verified-candidate stream instead

@@ -1,0 +1,135 @@
+"""Scale-stress harness: does the dedup/ANN machinery survive 10-50× the
+fixture, and does the degenerate-bucket cap actually fire under a hot key?
+
+Builds a corpus of ``factor`` re-keyed self-unions of ``documents`` (and
+``embeddings``), injects a boilerplate hot key (``hot`` exact copies of one
+document — the classic degenerate LSH bucket at 1000× median occupancy),
+then measures:
+
+- ``lsh_bucket_stats``: bucket occupancy + how many buckets exceed the cap
+  and how many banded rows sit inside them (the cap observably engaging);
+- ``minhash_lsh_dedup`` wall time and survivor count WITH the cap (bounded
+  quadratic emit) vs pair counts with the cap disabled (the blow-up the
+  cap prevents, measured on the candidate stream, not materialized);
+- ``simhash_dedup`` wall time + survivors on the same skewed corpus;
+- ``pairwise_topk_join`` (LSH-bucketed k-NN join) on the scaled embeddings.
+
+Prints one JSON line; run with:
+
+    python tools/scale_stress.py [sf_dir] [factor] [hot]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from orientdb_etl_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    hot = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
+
+    from orientdb_etl_spark.functions.dedup import (
+        _bucket_pairs,
+        _minhash_banded,
+        lsh_bucket_stats,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+    from orientdb_etl_spark.functions.similarity import pairwise_topk_join
+
+    spark = get_spark("scale_stress")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out: dict = {"sf_dir": sf_dir, "factor": factor, "hot": hot}
+    out["n_docs_base"] = docs.count()
+    out["n_vecs_base"] = emb.count()
+
+    # --- corpus = factor re-keyed unions + one boilerplate hot key ------
+    big = docs
+    for i in range(1, factor):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    hot_text = docs.filter(F.col("doc_id") == 0).select("text")
+    hot_docs = (
+        spark.range(hot)
+        .select((F.col("id") + 900_000_000).alias("doc_id"))
+        .crossJoin(F.broadcast(hot_text))
+    )
+    big = big.unionByName(hot_docs).repartition(32).localCheckpoint()
+    out["n_docs_scaled"] = big.count()
+
+    bige = emb
+    for i in range(1, factor):
+        bige = bige.unionByName(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    bige = bige.repartition(32).localCheckpoint()
+    out["n_vecs_scaled"] = bige.count()
+
+    # --- bucket-cap observability --------------------------------------
+    t0 = time.time()
+    stats = lsh_bucket_stats(big, "text", "doc_id", max_bucket_size=1000).first()
+    out["bucket_stats"] = {k: (float(v) if v is not None else None) for k, v in stats.asDict().items()}
+    out["t_bucket_stats"] = round(time.time() - t0, 2)
+
+    # candidate-pair counts: capped vs uncapped (counted, not materialized)
+    from orientdb_etl_spark.functions.dedup import _cap_bucket_size
+
+    _, banded = _minhash_banded(big, "text", "doc_id", 64, 16, 5)
+    banded = banded.localCheckpoint()
+    t0 = time.time()
+    capped = _cap_bucket_size(banded, ["band", "bucket"], 1000)
+    out["n_cand_pairs_capped"] = _bucket_pairs(
+        capped, ["band", "bucket"], "doc_id"
+    ).count()
+    out["t_cand_capped"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["n_cand_pairs_uncapped"] = _bucket_pairs(
+        banded, ["band", "bucket"], "doc_id"
+    ).count()
+    out["t_cand_uncapped"] = round(time.time() - t0, 2)
+
+    # --- production dedup paths on the skewed corpus -------------------
+    t0 = time.time()
+    out["minhash_survivors"] = minhash_lsh_dedup(
+        big, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
+    ).count()
+    out["t_minhash_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out["simhash_survivors"] = simhash_dedup(
+        big, "text", "doc_id", max_hamming=3
+    ).count()
+    out["t_simhash_dedup"] = round(time.time() - t0, 2)
+
+    # --- LSH-bucketed k-NN join on the scaled embeddings ---------------
+    t0 = time.time()
+    out["pairwise_rows"] = pairwise_topk_join(
+        bige, bige, "embedding", "vec_id", "vec_id", k=3
+    ).count()
+    out["t_pairwise"] = round(time.time() - t0, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
