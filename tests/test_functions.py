@@ -441,3 +441,65 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1][0] == 3
     assert got[1][1] == round((2 * lp(2) + lp(2)) / 3, 4)
     assert got[2][1] == round((lp(2) + lp(1)) / 2, 4)
+
+
+def test_lsh_bucket_stats_detects_hot_bucket(spark):
+    """A 30-copy boilerplate group must show up as over-cap buckets in
+    every band when the cap is below the group size, and as zero over-cap
+    buckets when the cap is above it."""
+    from orientdb_etl_spark.functions.dedup import lsh_bucket_stats
+
+    rows = [(i, BASE) for i in range(30)] + [
+        (100 + i, f"unique document number {i} with its own words") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = lsh_bucket_stats(
+        docs, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=10
+    ).first()
+    assert hot.n_over_cap == 16  # the hot group's bucket in every band
+    assert hot.max_bucket >= 30
+    assert hot.rows_in_capped >= 16 * 30
+    cold = lsh_bucket_stats(
+        docs, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=50
+    ).first()
+    assert cold.n_over_cap == 0 and cold.rows_in_capped == 0
+
+
+def test_bucket_cap_bounds_candidates_but_keeps_normal_dups(spark):
+    """With a hot group above the cap, its quadratic candidates are
+    dropped (bounded work — the documented trade) while ordinary dup
+    pairs below the cap still collapse."""
+    rows = [(i, BASE + " boilerplate footer text") for i in range(25)] + [
+        (200, "a perfectly ordinary sentence about distributed joins"),
+        (201, "a perfectly ordinary sentence about distributed joins"),
+        (300, "some entirely different third topic with different words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16,
+        threshold=0.5, max_bucket_size=10,
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 201 not in ids and 200 in ids  # normal dup still collapses
+    assert set(range(25)) <= set(ids)  # capped hot group skipped, kept whole
+    out2 = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_perm=64, bands=16,
+        threshold=0.5, max_bucket_size=1000,
+    )
+    ids2 = sorted(r.doc_id for r in out2.collect())
+    assert ids2[:1] == [0] and set(range(1, 25)).isdisjoint(ids2)
+
+
+def test_multiprobe_hamming2_recall_not_worse(spark):
+    """Hamming-2 multiprobe scans a superset of the Hamming-1 probe set,
+    so its top-k overlap with the exact baseline can only grow."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = vecs[0][1]
+    exact = {r.vec_id for r in brute_force_topk(df, "embedding", "vec_id", q, k=10).collect()}
+    h1 = {r.vec_id for r in lsh_bucketed_topk(df, "embedding", "vec_id", q, k=10, hamming=1).collect()}
+    h2 = {r.vec_id for r in lsh_bucketed_topk(df, "embedding", "vec_id", q, k=10, hamming=2).collect()}
+    assert len(h2 & exact) >= len(h1 & exact)
