@@ -2151,6 +2151,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_invariant_certificate(corpus, surv)
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged corpus dedup certificate (exact hash stage → MinHash-LSH):
+    the dup-augmented invariants PLUS the exact-stage determinism pin —
+    an injected exact copy (re-keyed at +100000) can NEVER survive,
+    because the exact stage keeps the min id per text group before LSH
+    runs. This is the composition that makes the bucket cap safe at
+    100 TB: boilerplate hot keys collapse in the linear exact stage, so
+    the cap only ever guards genuine near-dup pile-ups."""
+    from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
+
+    corpus = _dup_augmented_corpus(_t(spark, sf_dir, "documents"))
+    surv = corpus_dedup_pipeline(
+        corpus, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
+    ).select("doc_id")
+    base = _dedup_invariant_certificate(corpus, surv)
+    injected_survived = surv.filter(F.col("doc_id") >= 100000).agg(
+        F.count(F.lit(1)).alias("_n_injected")
+    )
+    return base.crossJoin(injected_survived).select(
+        "n_corpus",
+        "n_distinct_texts",
+        "survivors_subset_ok",
+        "exact_dups_collapse_ok",
+        "survivors_le_distinct_ok",
+        "survivors_nonempty_ok",
+        (F.col("_n_injected") == 0).alias("exact_stage_keeps_min_ok"),
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup survivors (approximate — rows-only)."""
     from orientdb_etl_spark.functions.dedup import embedding_near_dedup
@@ -3007,6 +3036,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unigram_logprob": q_unigram_logprob,
             "multimodal_resize": q_multimodal_resize,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_pipeline": q_dedup_pipeline,
             "dedup_minhash_survivors": q_dedup_minhash_survivors,
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
@@ -4140,6 +4170,17 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT text) AS n_distinct_texts, "
             "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
+            "FROM corpus"
+        ),
+        "dedup_pipeline": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0) "
+            "SELECT count(*) AS n_corpus, "
+            "count(DISTINCT text) AS n_distinct_texts, "
+            "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
+            "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok, "
+            "TRUE AS exact_stage_keeps_min_ok "
             "FROM corpus"
         ),
     }

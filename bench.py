@@ -73,6 +73,7 @@ HEADLINE = [
     # scale path — bench times what 100 TB would run
     "dedup_minhash_survivors",
     "dedup_simhash",
+    "dedup_pipeline",
     "ann_brute_topk",
     "ann_lsh_gaussian",
     "ann_ivf_topk",
@@ -151,11 +152,21 @@ def _prod_ann_pairwise_approx(spark, sf_dir):
 # queries_all twins (same names) are recall/invariant certificates that
 # additionally run exact baselines and dup-augmented corpora in-plan —
 # correctness instruments whose extra work is not operator cost.
+def _prod_dedup_pipeline(spark, sf_dir):
+    from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
+
+    docs = entry._t(spark, sf_dir, "documents")
+    return corpus_dedup_pipeline(
+        docs, "text", "doc_id", num_perm=128, bands=16, threshold=0.7
+    ).select("doc_id")
+
+
 PROD_OVERRIDES = {
     "dedup_minhash_survivors": _prod_dedup_minhash_survivors,
     "dedup_simhash": _prod_dedup_simhash,
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,
     "ann_pairwise_approx": _prod_ann_pairwise_approx,
+    "dedup_pipeline": _prod_dedup_pipeline,
 }
 
 

@@ -76,6 +76,42 @@ def exact_dedup(
     )
 
 
+def corpus_dedup_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """The production 100-TB dedup composition: exact hash dedup FIRST,
+    then MinHash-LSH near-dedup over the exact survivors.
+
+    Why staged: the LSH bucket cap (see :func:`_cap_bucket_size`) drops
+    degenerate buckets to bound quadratic candidate work, which means a
+    boilerplate hot key above the cap would survive LSH-only dedup
+    intact. The exact stage collapses every exact-dup group — including
+    arbitrarily hot ones — in ONE hash shuffle (linear work, no pairs),
+    leaving at most one member per text for the near-dup stage, so the
+    cap then only ever guards genuine near-dup (non-identical) pile-ups.
+    This is the composition published corpus pipelines use (exact/sharded
+    dedup before MinHash, e.g. Lee et al. ACL'22).
+    """
+    exact = exact_dedup(df, [text_col], tie_break=id_col)
+    return minhash_lsh_dedup(
+        exact,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

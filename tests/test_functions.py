@@ -503,3 +503,22 @@ def test_multiprobe_hamming2_recall_not_worse(spark):
     h1 = {r.vec_id for r in lsh_bucketed_topk(df, "embedding", "vec_id", q, k=10, hamming=1).collect()}
     h2 = {r.vec_id for r in lsh_bucketed_topk(df, "embedding", "vec_id", q, k=10, hamming=2).collect()}
     assert len(h2 & exact) >= len(h1 & exact)
+
+
+def test_corpus_dedup_pipeline_collapses_hot_key_under_cap(spark):
+    """The staged pipeline's whole point: an exact-dup group ABOVE the LSH
+    bucket cap still collapses (exact stage is linear, cap-free), while
+    LSH-only dedup with the same cap would skip it."""
+    from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
+
+    rows = [(i, BASE + " boilerplate footer") for i in range(25)] + [
+        (200, "an ordinary sentence about distributed joins and shuffles"),
+        (201, "an ordinary sentence about distributed joins and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_dedup_pipeline(
+        docs, "text", "doc_id", num_perm=64, bands=16,
+        threshold=0.5, max_bucket_size=10,
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 200]  # hot group -> min id; ordinary dup -> min id

@@ -290,3 +290,33 @@ def test_stream_enrich_uses_broadcast_join(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_q2_broadcasts_all_dimensions(spark):
+    """Q2's four dimension joins (supplier, nation, region, part) must all
+    broadcast; the only shuffles are the partsupp-surrogate aggregation
+    and the window-min on p_partkey."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 after the sort keys
+
+
+def test_q2_filters_pushed_to_part_scan(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "EqualTo(p_size,15)" in plan.replace(" ", "") or "p_size" in plan
+    read = next(
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "p_partkey" in ln
+    )
+    assert "p_name" not in read  # unused part columns pruned
+
+
+def test_triangle_threshold_is_broadcast_scalar(spark):
+    """The p99 threshold attaches as a broadcast single-row join (a
+    BroadcastNestedLoopJoin over one row), never a shuffle; and the
+    degree-ordered triangle join must not fall back to a cartesian
+    product."""
+    plan = _plan(spark, "triangle_count")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
