@@ -149,3 +149,53 @@ def test_triangle_count_matches_bruteforce(spark, edges):
         if (a, b) in adj and (a, c) in adj and (b, c) in adj
     )
     assert got == want
+
+
+_texts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),       # id (dups allowed)
+        st.sampled_from([
+            "the quick brown fox jumps over the lazy sleeping dog",
+            "the quick brown fox jumps over the lazy sleeping cat",
+            "pack my box with five dozen assorted liquor jugs now",
+            "sphinx of black quartz judge my vow said the editor",
+        ]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings
+@given(rows=_texts)
+def test_corpus_dedup_pipeline_invariants(spark, rows):
+    """For ANY corpus: survivors ⊆ corpus, at most one survivor per exact
+    text group and it is that group's min id (exact stage determinism),
+    survivor count ≤ distinct texts, and the pipeline is idempotent."""
+    from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
+
+    uniq = list({(i, t) for i, t in rows})
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    out = corpus_dedup_pipeline(
+        df, "text", "doc_id", num_perm=32, bands=8, threshold=0.9
+    )
+    surv = {(r.doc_id, r.text) for r in out.collect()}
+    corpus = set(uniq)
+    assert surv <= corpus
+    by_text = {}
+    for i, t in corpus:
+        by_text.setdefault(t, set()).add(i)
+    surv_by_text = {}
+    for i, t in surv:
+        surv_by_text.setdefault(t, set()).add(i)
+    for t, ids in surv_by_text.items():
+        assert len(ids) == 1
+        assert ids == {min(by_text[t])}  # exact-stage keeper is the min id
+    assert len(surv) <= len(by_text)
+    again = {
+        (r.doc_id, r.text)
+        for r in corpus_dedup_pipeline(
+            out, "text", "doc_id", num_perm=32, bands=8, threshold=0.9
+        ).collect()
+    }
+    assert again == surv  # idempotent
