@@ -2813,6 +2813,42 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality flags (Rae et al. 2021) per document. The
+    fixture docs are short single-line texts, so each rule is exercised
+    in BOTH directions by deterministic augmentation the oracle mirrors:
+    ×3 self-concat for even ids (word-count rule), a '########' tail
+    every 7th id (symbol-ratio rule), a trailing bullet line ending in
+    an ellipsis every 5th id (bullet + ellipsis line rules)."""
+    from orientdb_etl_spark.functions.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat_ws(" ", "text", "text", "text"),
+            ).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ########")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n- bullet item ...")
+            ).otherwise(F.lit("")),
+            # the fixture's synthetic vocabulary has none of the required
+            # English stop words — inject them for every 3rd id so the
+            # stop-word rule (and therefore `passes`) varies both ways
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" and that we have with the")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id", gopher_quality_flags("text").alias("g")
+    ).select("doc_id", "g.*")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality / language-ID / repetition / PII-scrub signals in ONE scan
     (quality_score, language_id, repetition_ratio, pii_scrub). The
@@ -3037,6 +3073,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_resize": q_multimodal_resize,
             "dedup_simhash": q_dedup_simhash,
             "dedup_pipeline": q_dedup_pipeline,
+            "gopher_quality": q_gopher_quality,
             "dedup_minhash_survivors": q_dedup_minhash_survivors,
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
@@ -4171,6 +4208,47 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
             "FROM corpus"
+        ),
+        "gopher_quality": (
+            # relational replay of the Gopher rule set over the same
+            # deterministic augmentation
+            "WITH aug AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN text || ' ' || text || ' ' || text "
+            "ELSE text END) "
+            "|| (CASE WHEN doc_id % 7 = 0 THEN ' ########' ELSE '' END) "
+            "|| (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet item ...' "
+            "ELSE '' END) "
+            "|| (CASE WHEN doc_id % 3 = 0 THEN ' and that we have with the' "
+            "ELSE '' END) AS text FROM documents), "
+            "m AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM aug), "
+            "r AS (SELECT doc_id, len(toks) AS n_words, "
+            "length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks) AS mean_wl, "
+            "(length(regexp_replace(text, '[^#]', '', 'g')) "
+            " + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / len(toks) AS sym_ratio, "
+            "len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 "
+            "/ len(lines) AS bullet_frac, "
+            "len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) * 1.0 "
+            "/ len(lines) AS ellipsis_frac, "
+            "len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0 "
+            "/ len(toks) AS alpha_frac, "
+            "len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))), "
+            "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits "
+            "FROM m) "
+            "SELECT doc_id, "
+            "n_words >= 50 AND n_words <= 100000 AS word_count_ok, "
+            "mean_wl >= 3 AND mean_wl <= 10 AS mean_word_len_ok, "
+            "sym_ratio < 0.1 AS symbol_ratio_ok, "
+            "bullet_frac < 0.9 AS bullet_ok, "
+            "ellipsis_frac < 0.3 AS ellipsis_ok, "
+            "alpha_frac >= 0.8 AS alpha_ok, "
+            "stop_hits >= 2 AS stopword_ok, "
+            "(n_words >= 50 AND n_words <= 100000) AND "
+            "(mean_wl >= 3 AND mean_wl <= 10) AND sym_ratio < 0.1 AND "
+            "bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND "
+            "alpha_frac >= 0.8 AND stop_hits >= 2 AS passes "
+            "FROM r"
         ),
         "dedup_pipeline": (
             "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "

@@ -65,6 +65,7 @@ HEADLINE = [
     "decontaminate",
     "doc_fingerprint",
     "quality_scores",
+    "gopher_quality",
     "lang_id",
     "bm25_rank",
     "dedup_exact",

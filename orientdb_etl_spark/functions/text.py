@@ -153,6 +153,76 @@ def repetition_ratio(col: str | Column) -> Column:
     return F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0))
 
 
+def gopher_quality_flags(col: str | Column) -> Column:
+    """Gopher-rules quality flags (Rae et al. 2021, Appendix A) as one
+    struct of booleans — the standard pretraining-corpus filter set, each
+    rule a pure JVM expression so the operator is oracle-checkable:
+
+    - ``word_count_ok``: 50 ≤ words ≤ 100,000
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+    - ``symbol_ratio_ok``: (# '#' chars + '...' runs) / words < 0.1
+    - ``bullet_ok``: < 90% of lines start with a bullet
+    - ``ellipsis_ok``: < 30% of lines end with an ellipsis
+    - ``alpha_ok``: ≥ 80% of words contain an alphabetic character
+    - ``stopword_ok``: ≥ 2 of the 8 required English stop words present
+    - ``passes``: all of the above
+
+    Empty documents fail every word-based rule (FALSE, not NULL) so the
+    flags compose into filters without three-valued-logic surprises.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = token_count(c)
+    nz = n_words > 0
+    mean_wl = F.length(F.regexp_replace(c, r"\s+", "")) / n_words
+    n_sym = F.length(F.regexp_replace(c, "[^#]", "")) + F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\."), F.lit(0))
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words
+    required = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in required]),
+        )
+    )
+    word_count_ok = F.when(nz, (n_words >= 50) & (n_words <= 100_000)).otherwise(False)
+    mean_word_len_ok = F.when(nz, (mean_wl >= 3) & (mean_wl <= 10)).otherwise(False)
+    symbol_ratio_ok = F.when(nz, n_sym / n_words < 0.1).otherwise(False)
+    bullet_ok = bullet_frac < 0.9
+    ellipsis_ok = ellipsis_frac < 0.3
+    alpha_ok = F.when(nz, alpha_frac >= 0.8).otherwise(False)
+    stopword_ok = stop_hits >= 2
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok
+            & mean_word_len_ok
+            & symbol_ratio_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok
+            & stopword_ok
+        ).alias("passes"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

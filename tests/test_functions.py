@@ -522,3 +522,32 @@ def test_corpus_dedup_pipeline_collapses_hot_key_under_cap(spark):
     )
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [0, 200]  # hot group -> min id; ordinary dup -> min id
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Hand-checked Gopher rules: a well-formed 60-word doc passes; an
+    empty doc fails word-based rules with FALSE (not NULL); a bullet/
+    ellipsis-heavy doc trips the line rules; a symbol-heavy doc trips
+    the symbol ratio."""
+    from orientdb_etl_spark.functions.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog have with and"] * 6
+    )
+    bullets = "- one ...\n- two ...\n- three ..."
+    symbols = "tok " * 20 + "#### #### #### ####"
+    df = spark.createDataFrame(
+        [(0, good), (1, ""), (2, bullets), (3, symbols)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.g.asDict()
+        for r in df.select(
+            "doc_id", gopher_quality_flags("text").alias("g")
+        ).collect()
+    }
+    assert rows[0]["passes"] is True
+    assert rows[1]["word_count_ok"] is False  # FALSE, never NULL
+    assert rows[1]["alpha_ok"] is False and rows[1]["passes"] is False
+    assert rows[2]["bullet_ok"] is False and rows[2]["ellipsis_ok"] is False
+    assert rows[3]["symbol_ratio_ok"] is False
