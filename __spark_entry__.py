@@ -2849,6 +2849,28 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.*")
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-n-gram fractions (Gopher's repetition family) at
+    n=2 and n=3. Fixture docs have near-zero natural repetition, so every
+    4th doc is self-concatenated (oracle mirrors) — its every n-gram
+    duplicates, except the seam — exercising the ratio in both
+    directions."""
+    from orientdb_etl_spark.functions.text import ngram_repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.round(ngram_repetition_ratio("text", 2), 4).alias("rep2"),
+        F.round(ngram_repetition_ratio("text", 3), 4).alias("rep3"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality / language-ID / repetition / PII-scrub signals in ONE scan
     (quality_score, language_id, repetition_ratio, pii_scrub). The
@@ -3074,6 +3096,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": q_dedup_simhash,
             "dedup_pipeline": q_dedup_pipeline,
             "gopher_quality": q_gopher_quality,
+            "ngram_repetition": q_ngram_repetition,
             "dedup_minhash_survivors": q_dedup_minhash_survivors,
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
@@ -4208,6 +4231,25 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
             "FROM corpus"
+        ),
+        "ngram_repetition": (
+            "WITH aug AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text ELSE text END "
+            "AS text FROM documents), "
+            "t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM aug), "
+            "g AS (SELECT doc_id, len(toks) AS nt, "
+            "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+            "i -> array_to_string(list_slice(toks, CAST(i AS INT), "
+            "CAST(i AS INT) + 1), ' ')) AS g2, "
+            "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+            "i -> array_to_string(list_slice(toks, CAST(i AS INT), "
+            "CAST(i AS INT) + 2), ' ')) AS g3 FROM t) "
+            "SELECT doc_id, "
+            "CASE WHEN nt >= 2 THEN round(1.0 - len(list_distinct(g2)) * 1.0 "
+            "/ len(g2), 4) ELSE 0.0 END AS rep2, "
+            "CASE WHEN nt >= 3 THEN round(1.0 - len(list_distinct(g3)) * 1.0 "
+            "/ len(g3), 4) ELSE 0.0 END AS rep3 FROM g"
         ),
         "gopher_quality": (
             # relational replay of the Gopher rule set over the same

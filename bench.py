@@ -66,6 +66,7 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_scores",
     "gopher_quality",
+    "ngram_repetition",
     "lang_id",
     "bm25_rank",
     "dedup_exact",

@@ -153,6 +153,27 @@ def repetition_ratio(col: str | Column) -> Column:
     return F.when(n > 0, 1.0 - nd / n).otherwise(F.lit(0.0))
 
 
+def ngram_repetition_ratio(col: str | Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are duplicates within the document
+    (Gopher's dup-n-gram-fraction repetition family, Rae et al. 2021 —
+    the signal that catches looping/spam text that line-level repetition
+    misses): 1 - distinct_ngrams / ngrams, 0.0 for docs with fewer than
+    n words. Pure expression — word n-grams via sequence + slice +
+    concat_ws, no explode (the n-gram array never leaves the row)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n_toks = token_count(c)
+    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    nd = F.size(F.array_distinct(gram_arr))
+    return F.when(
+        (n_toks >= n) & (n_grams > 0), 1.0 - nd / n_grams
+    ).otherwise(F.lit(0.0))
+
+
 def gopher_quality_flags(col: str | Column) -> Column:
     """Gopher-rules quality flags (Rae et al. 2021, Appendix A) as one
     struct of booleans — the standard pretraining-corpus filter set, each

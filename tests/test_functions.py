@@ -551,3 +551,31 @@ def test_gopher_quality_flags_rules(spark):
     assert rows[1]["alpha_ok"] is False and rows[1]["passes"] is False
     assert rows[2]["bullet_ok"] is False and rows[2]["ellipsis_ok"] is False
     assert rows[3]["symbol_ratio_ok"] is False
+
+
+def test_ngram_repetition_ratio_hand_computed(spark):
+    from orientdb_etl_spark.functions.text import ngram_repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+            (1, "one two three four"),  # all distinct
+            (2, "x"),                 # fewer words than n -> 0.0
+            (3, ""),                  # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (round(r.r2, 4), round(r.r3, 4))
+        for r in df.select(
+            "doc_id",
+            ngram_repetition_ratio("text", 2).alias("r2"),
+            ngram_repetition_ratio("text", 3).alias("r3"),
+        ).collect()
+    }
+    assert out[0][0] == round(1 - 2 / 5, 4)
+    # 3-grams of doc 0: aba bab aba bab -> 2 distinct of 4
+    assert out[0][1] == round(1 - 2 / 4, 4)
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
