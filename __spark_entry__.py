@@ -2871,6 +2871,38 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning over deterministically constructed multi-line
+    docs: a good sentence line, a too-short line, a no-terminal-punct
+    line, a code-brace line, and (every 3rd doc) a blocklist line — each
+    filter rule exercised per row; oracle mirrors the construction and
+    rules, output pinned via md5 of the cleaned text."""
+    from orientdb_etl_spark.functions.text import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("."),
+            F.lit("\nshort."),
+            F.lit("\nthis line has many words but no terminal punctuation at all"),
+            F.lit("\nfunction() { return 42; }"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nPlease accept our cookie policy to continue reading."),
+            ).otherwise(F.lit("")),
+            F.lit("\nA second well formed line stays right here."),
+        ).alias("text"),
+    )
+    out = aug.select("doc_id", c4_line_filter("text").alias("c"))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("c.text")).alias("clean_md5"),
+        F.col("c.n_lines").alias("n_lines"),
+        F.col("c.n_kept").alias("n_kept"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality / language-ID / repetition / PII-scrub signals in ONE scan
     (quality_score, language_id, repetition_ratio, pii_scrub). The
@@ -3097,6 +3129,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_pipeline": q_dedup_pipeline,
             "gopher_quality": q_gopher_quality,
             "ngram_repetition": q_ngram_repetition,
+            "c4_line_filter": q_c4_line_filter,
             "dedup_minhash_survivors": q_dedup_minhash_survivors,
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
@@ -4231,6 +4264,33 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
             "FROM corpus"
+        ),
+        "c4_line_filter": (
+            "WITH aug AS (SELECT doc_id, text || '.' "
+            "|| chr(10) || 'short.' "
+            "|| chr(10) || 'this line has many words but no terminal "
+            "punctuation at all' "
+            "|| chr(10) || 'function() { return 42; }' "
+            "|| (CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'Please accept our cookie policy to continue reading.' "
+            "ELSE '' END) "
+            "|| chr(10) || 'A second well formed line stays right here.' "
+            "AS text FROM documents), "
+            "t AS (SELECT doc_id, string_split(text, chr(10)) AS lines "
+            "FROM aug), "
+            "k AS (SELECT doc_id, len(lines) AS n_lines, "
+            "list_filter(lines, l -> "
+            "len(regexp_split_to_array(trim(l), '\\s+')) >= 3 "
+            "AND regexp_matches(trim(l), '[.!?\"]$') "
+            "AND NOT contains(trim(l), '{') AND NOT contains(trim(l), '}') "
+            "AND NOT contains(lower(trim(l)), 'lorem ipsum') "
+            "AND NOT contains(lower(trim(l)), 'javascript') "
+            "AND NOT contains(lower(trim(l)), 'cookie policy') "
+            "AND NOT contains(lower(trim(l)), 'terms of use')) AS kept "
+            "FROM t) "
+            "SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_md5, "
+            "CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept "
+            "FROM k"
         ),
         "ngram_repetition": (
             "WITH aug AS (SELECT doc_id, "

@@ -67,6 +67,7 @@ HEADLINE = [
     "quality_scores",
     "gopher_quality",
     "ngram_repetition",
+    "c4_line_filter",
     "lang_id",
     "bm25_rank",
     "dedup_exact",

@@ -174,6 +174,46 @@ def ngram_repetition_ratio(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def c4_line_filter(
+    col: str | Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """C4-style line cleaning (Raffel et al. 2020 §2.2) as one struct:
+    keep only lines that (a) have ≥ ``min_words`` words, (b) end in
+    terminal punctuation (. ! ? ") when ``require_terminal_punct``,
+    (c) contain no curly brace (code), and (d) contain none of the
+    blocklist phrases ('lorem ipsum', 'javascript', 'cookie policy',
+    'terms of use'). Returns struct(text, n_lines, n_kept) — the cleaned
+    text plus audit counts. Pure per-row expressions: the line array
+    never leaves the row, so the filter runs inside the scan stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        words_ok = F.size(F.split(t, r"\s+")) >= min_words
+        punct_ok = (
+            t.rlike(r'[.!?"]$') if require_terminal_punct else F.lit(True)
+        )
+        brace_ok = ~t.contains("{") & ~t.contains("}")
+        low = F.lower(t)
+        block_ok = (
+            ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+            & ~low.contains("cookie policy")
+            & ~low.contains("terms of use")
+        )
+        return words_ok & punct_ok & brace_ok & block_ok
+
+    kept = F.filter(lines, _keep)
+    return F.struct(
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
 def gopher_quality_flags(col: str | Column) -> Column:
     """Gopher-rules quality flags (Rae et al. 2021, Appendix A) as one
     struct of booleans — the standard pretraining-corpus filter set, each

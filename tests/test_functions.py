@@ -579,3 +579,28 @@ def test_ngram_repetition_ratio_hand_computed(spark):
     assert out[1] == (0.0, 0.0)
     assert out[2] == (0.0, 0.0)
     assert out[3] == (0.0, 0.0)
+
+
+def test_c4_line_filter_rules(spark):
+    from orientdb_etl_spark.functions.text import c4_line_filter
+
+    text = "\n".join([
+        "This sentence is perfectly fine.",
+        "too short.",                                  # < 3 words
+        "no terminal punctuation on this long line",   # no . ! ? "
+        "if (x) { return y; }",                        # brace
+        "We use JavaScript on this site.",             # blocklist
+        'He said "this quoted line is kept too."',     # ends with quote
+    ])
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = df.select(c4_line_filter("text").alias("c")).first().c
+    assert row.n_lines == 6 and row.n_kept == 2
+    kept = row.text.split("\n")
+    assert kept == [
+        "This sentence is perfectly fine.",
+        'He said "this quoted line is kept too."',
+    ]
+    loose = df.select(
+        c4_line_filter("text", min_words=1, require_terminal_punct=False).alias("c")
+    ).first().c
+    assert loose.n_kept == 4  # only brace + blocklist lines drop
