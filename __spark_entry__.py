@@ -2903,6 +2903,37 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (C4 line clean → Gopher quality
+    filter → dedup → token annotate), exact-only dedup variant so the
+    WHOLE pipeline is relationally replayable: corpus = documents with a
+    symbol-spam tail every 7th id (quality stage must drop these) plus
+    re-keyed exact copies every 10th id (dedup stage must collapse to
+    the min id). The near-dup production variant of the same composition
+    is benched (bench.py PROD_OVERRIDES)."""
+    from orientdb_etl_spark.functions.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" ######## ######## ########")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = _dup_augmented_corpus(base)
+    return curate_corpus(
+        corpus,
+        "text",
+        "doc_id",
+        min_words_per_line=1,
+        require_terminal_punct=False,
+        near_dup_threshold=None,
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality / language-ID / repetition / PII-scrub signals in ONE scan
     (quality_score, language_id, repetition_ratio, pii_scrub). The
@@ -3130,6 +3161,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality": q_gopher_quality,
             "ngram_repetition": q_ngram_repetition,
             "c4_line_filter": q_c4_line_filter,
+            "curate_corpus": q_curate_corpus,
             "dedup_minhash_survivors": q_dedup_minhash_survivors,
             "ann_lsh_gaussian": q_ann_lsh_gaussian,
             "ann_pairwise_approx": q_ann_pairwise_approx,
@@ -4264,6 +4296,34 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_subset_ok, TRUE AS exact_dups_collapse_ok, "
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok "
             "FROM corpus"
+        ),
+        "curate_corpus": (
+            # full relational replay of the exact-only curation pipeline:
+            # C4 at (min_words=1, no terminal punct) is identity on the
+            # brace/blocklist-free single-line corpus; the Gopher subset
+            # (symbol/bullet/ellipsis/alpha) drops the symbol-spam docs;
+            # exact dedup keeps the min id per text
+            "WITH base AS (SELECT doc_id, text || "
+            "(CASE WHEN doc_id % 7 = 0 THEN ' ######## ######## ########' "
+            "ELSE '' END) AS text FROM documents), "
+            "corpus AS (SELECT doc_id, text FROM base UNION ALL "
+            "SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0), "
+            "m AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM corpus), "
+            "q AS (SELECT doc_id, text, len(toks) AS nt FROM m WHERE "
+            "(length(regexp_replace(text, '[^#]', '', 'g')) "
+            " + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 "
+            "/ len(toks) < 0.1 "
+            "AND len(list_filter(lines, l -> regexp_matches(trim(l), "
+            "'^[-*•]'))) * 1.0 / len(lines) < 0.9 "
+            "AND len(list_filter(lines, l -> regexp_matches(l, "
+            "'(\\.\\.\\.|…)$'))) * 1.0 / len(lines) < 0.3 "
+            "AND len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) "
+            "* 1.0 / len(toks) >= 0.8), "
+            "d AS (SELECT min(doc_id) AS doc_id, text, min(nt) AS n_tokens "
+            "FROM q GROUP BY text) "
+            "SELECT doc_id, text, CAST(n_tokens AS INT) AS n_tokens FROM d"
         ),
         "c4_line_filter": (
             "WITH aug AS (SELECT doc_id, text || '.' "

@@ -68,6 +68,7 @@ HEADLINE = [
     "gopher_quality",
     "ngram_repetition",
     "c4_line_filter",
+    "curate_corpus",
     "lang_id",
     "bm25_rank",
     "dedup_exact",
@@ -155,6 +156,20 @@ def _prod_ann_pairwise_approx(spark, sf_dir):
 # queries_all twins (same names) are recall/invariant certificates that
 # additionally run exact baselines and dup-augmented corpora in-plan —
 # correctness instruments whose extra work is not operator cost.
+def _prod_curate_corpus(spark, sf_dir):
+    """Full curation composition incl. the MinHash-LSH near-dup stage —
+    what a real corpus build runs (the gate twin uses exact-only dedup
+    so the whole pipeline stays relationally replayable)."""
+    from orientdb_etl_spark.functions.curation import curate_corpus
+
+    docs = entry._t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, "text", "doc_id",
+        min_words_per_line=1, require_terminal_punct=False,
+        near_dup_threshold=0.7,
+    )
+
+
 def _prod_dedup_pipeline(spark, sf_dir):
     from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
 
@@ -170,6 +185,7 @@ PROD_OVERRIDES = {
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,
     "ann_pairwise_approx": _prod_ann_pairwise_approx,
     "dedup_pipeline": _prod_dedup_pipeline,
+    "curate_corpus": _prod_curate_corpus,
 }
 
 

@@ -604,3 +604,25 @@ def test_c4_line_filter_rules(spark):
         c4_line_filter("text", min_words=1, require_terminal_punct=False).alias("c")
     ).first().c
     assert loose.n_kept == 4  # only brace + blocklist lines drop
+
+
+def test_curate_corpus_stages_compose(spark):
+    """Each curation stage observable end-to-end: line cleaning rewrites
+    text, quality filtering drops the spam doc, dedup collapses exact
+    copies to min id, token counts reflect the CLEANED text."""
+    from orientdb_etl_spark.functions.curation import curate_corpus
+
+    good = "This is a perfectly normal sentence for the corpus."
+    rows = [
+        (0, good + "\nif (x) { bad(); }"),   # brace line cleaned away
+        (1, good + "\nif (x) { bad(); }"),   # exact dup after cleaning
+        (2, "#### #### #### #### spam"),     # fails symbol ratio
+        (3, "Another fine document with plenty of ordinary words here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_corpus(
+        df, "text", "doc_id", near_dup_threshold=None
+    ).collect()}
+    assert set(out) == {0, 3}               # dup 1 collapsed, spam 2 dropped
+    assert out[0].text == good              # brace line removed
+    assert out[0].n_tokens == len(good.split())
