@@ -2864,10 +2864,15 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 4 == 0, F.concat_ws(" ", "text", "text")
         ).otherwise(F.col("text")).alias("text"),
     )
-    return aug.select(
+    staged = aug.withColumn("_toks", F.split(F.trim("text"), r"\s+"))
+    return staged.select(
         "doc_id",
-        F.round(ngram_repetition_ratio("text", 2), 4).alias("rep2"),
-        F.round(ngram_repetition_ratio("text", 3), 4).alias("rep3"),
+        F.round(
+            ngram_repetition_ratio("text", 2, tokens=F.col("_toks")), 4
+        ).alias("rep2"),
+        F.round(
+            ngram_repetition_ratio("text", 3, tokens=F.col("_toks")), 4
+        ).alias("rep3"),
     )
 
 
