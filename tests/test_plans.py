@@ -320,3 +320,21 @@ def test_triangle_threshold_is_broadcast_scalar(spark):
     plan = _plan(spark, "triangle_count")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_and_c4_are_scan_fused(spark):
+    """The quality/cleaning operators are pure per-row expressions: their
+    plans must contain NO shuffle at all — the whole computation fuses
+    into the scan stage (at 100 TB: zero data movement)."""
+    for name in ("gopher_quality", "c4_line_filter", "ngram_repetition"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_curate_corpus_exact_variant_single_exchange(spark):
+    """Exact-only curation: cleaning+filtering fuse into the scan; the
+    only shuffle is exact-dedup's window over the text hash."""
+    plan = _plan(spark, "curate_corpus")
+    import re
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, plan[:2000]
