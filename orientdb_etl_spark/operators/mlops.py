@@ -118,3 +118,93 @@ def bm25_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
         b=float(cfg.get("b", 0.75)),
         k=int(cfg.get("k", 20)),
     )
+
+
+@register("quality")
+def quality_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"quality": {"textField": "text", "method": "gopher"|"c4"|"ngram",
+    ...}} — quality signals/cleaning as config citizens:
+
+    - ``gopher``: append the 8 Gopher rule flags as columns (prefix
+      ``q_``); ``filter: true`` keeps only rows passing the ``rules``
+      conjunction (default: the corpus-independent subset).
+    - ``c4``: rewrite textField through C4 line cleaning
+      (``minWords``, ``requireTerminalPunct``), dropping rows left
+      empty; audit counts appended as ``n_lines``/``n_kept``.
+    - ``ngram``: append ``rep<n>`` duplicate-n-gram fractions for each
+      n in ``ns`` (default [2, 3]), one staged tokenization.
+    """
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.text import (
+        c4_line_filter,
+        gopher_quality_flags,
+        ngram_repetition_ratio,
+    )
+
+    text = cfg.get("textField", "text")
+    method = str(cfg.get("method", "gopher")).lower()
+    if method == "gopher":
+        out = df.withColumn("_g", gopher_quality_flags(text))
+        if cfg.get("filter"):
+            from orientdb_etl_spark.functions.curation import DEFAULT_QUALITY_RULES
+
+            keep = F.lit(True)
+            for rule in cfg.get("rules", list(DEFAULT_QUALITY_RULES)):
+                keep = keep & F.col(f"_g.{rule}")
+            out = out.filter(keep)
+        flags = [f.name for f in out.schema["_g"].dataType.fields]
+        return out.select(
+            "*", *[F.col(f"_g.{f}").alias(f"q_{f}") for f in flags]
+        ).drop("_g")
+    if method == "c4":
+        out = (
+            df.withColumn(
+                "_c4",
+                c4_line_filter(
+                    text,
+                    int(cfg.get("minWords", 3)),
+                    bool(cfg.get("requireTerminalPunct", True)),
+                ),
+            )
+            .filter(F.col("_c4.n_kept") > 0)
+            .withColumn(text, F.col("_c4.text"))
+            .withColumn("n_lines", F.col("_c4.n_lines"))
+            .withColumn("n_kept", F.col("_c4.n_kept"))
+            .drop("_c4")
+        )
+        return out
+    if method == "ngram":
+        staged = df.withColumn("_toks", F.split(F.trim(F.col(text)), r"\s+"))
+        for n in cfg.get("ns", [2, 3]):
+            staged = staged.withColumn(
+                f"rep{n}",
+                ngram_repetition_ratio(text, int(n), tokens=F.col("_toks")),
+            )
+        return staged.drop("_toks")
+    raise ValueError(f"unknown quality method {method!r}")
+
+
+@register("curate")
+def curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"curate": {"textField": "text", "idField": "doc_id",
+    "nearDupThreshold": 0.7|null, ...}} — the end-to-end curation
+    composition (C4 clean → Gopher filter → dedup → tokenize) as one
+    config transformer."""
+    from orientdb_etl_spark.functions.curation import (
+        DEFAULT_QUALITY_RULES,
+        curate_corpus,
+    )
+
+    thr = cfg.get("nearDupThreshold", 0.7)
+    return curate_corpus(
+        df,
+        cfg.get("textField", "text"),
+        cfg.get("idField", "doc_id"),
+        min_words_per_line=int(cfg.get("minWords", 3)),
+        require_terminal_punct=bool(cfg.get("requireTerminalPunct", True)),
+        quality_rules=cfg.get("rules", DEFAULT_QUALITY_RULES),
+        near_dup_threshold=None if thr is None else float(thr),
+        num_perm=int(cfg.get("numPerm", 128)),
+        bands=int(cfg.get("bands", 16)),
+    )

@@ -199,3 +199,52 @@ def test_let_block_and_variable(spark, people):
         {"people": people},
     )
     assert sorted(r.id for r in out.collect()) == [2, 4]
+
+
+def test_quality_and_curate_config_transformers(spark):
+    """The curation family as config citizens: gopher flags append/filter,
+    c4 rewrites text, curate runs the whole composition from JSON."""
+    from orientdb_etl_spark import Pipeline
+
+    good = "This is a perfectly normal sentence for the tiny corpus."
+    rows = [
+        (0, good + "\nif (x) { bad(); }"),
+        (1, good + "\nif (x) { bad(); }"),
+        (2, "#### #### #### #### spam"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"quality": {"method": "c4", "minWords": 1,
+                             "requireTerminalPunct": False}},
+                {"quality": {"method": "gopher", "filter": True}},
+                {"quality": {"method": "ngram", "ns": [2]}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("docs", src)
+    out = p.compile().collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [0, 1]  # spam dropped by gopher, brace line cleaned by c4
+    row0 = next(r for r in out if r.doc_id == 0)
+    assert row0.text == good and row0.n_kept == 1
+    assert row0.q_passes in (True, False) and "rep2" in row0.asDict()
+
+    p2 = Pipeline(
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"curate": {"textField": "text", "idField": "doc_id",
+                            "minWords": 1, "requireTerminalPunct": False,
+                            "nearDupThreshold": None}},
+            ],
+        },
+        spark=spark,
+    )
+    p2.register_table("docs", src)
+    out2 = {r.doc_id for r in p2.compile().collect()}
+    assert out2 == {0}  # dup collapsed to min id, spam filtered
