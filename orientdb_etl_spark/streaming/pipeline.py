@@ -25,6 +25,10 @@ from orientdb_etl_spark.operators import apply_transformer
 
 _STREAM_SAFE = {
     "field", "select", "filter", "rename", "flow", "json", "csv", "log",
+    # quality (gopher flags / C4 line cleaning / n-gram repetition) is
+    # pure per-row expression work — stream-safe by construction; the
+    # `curate` composition is NOT (its dedup stages need global state)
+    "quality",
 }
 
 

@@ -427,3 +427,37 @@ def test_checkpointed_incremental_resume(spark, tmp_path):
     run()
     assert sum(seen) == 3  # only the new file, not a reprocess of batch1
     assert spark.read.parquet(target).count() == 3
+
+
+def test_stream_quality_filter_matches_batch(spark):
+    """Inline curation on a stream: the per-row quality transformer runs
+    inside the micro-batch scan (stream-safe, no state), and availableNow
+    output matches the batch result of the same rules."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "This sentence is one of the perfectly fine ones for the test."
+            if i % 2 == 0 else "#### #### #### spam"
+            for i in range(6)
+        ],
+    })
+    path = "/tmp/claude_stream_quality_docs"
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(docs).write.parquet(path)
+
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": path}},
+            "transformers": [
+                {"quality": {"method": "gopher", "filter": True}},
+                {"select": {"columns": ["doc_id", "q_passes"]}},
+            ],
+        },
+        spark=spark,
+    )
+    out = p.run_available_now("t_quality_stream")
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [0, 2, 4]  # spam docs filtered inside the stream
