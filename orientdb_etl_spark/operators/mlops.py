@@ -208,3 +208,101 @@ def curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         num_perm=int(cfg.get("numPerm", 128)),
         bands=int(cfg.get("bands", 16)),
     )
+
+
+@register("sample")
+def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"sample": {"method": "split"|"shuffle"|"stratified"|"mixture"|
+    "tokenBudget", ...}} — the deterministic sampling family as config
+    citizens (id-hash derived, stable across runs/engines)."""
+    from orientdb_etl_spark.functions import sampling as S
+
+    method = str(cfg.get("method", "split")).lower()
+    seed = int(cfg.get("seed", 42))
+    if method == "split":
+        return S.hash_split(
+            df, cfg["idField"], cfg["weights"], seed,
+            cfg.get("outField", "split"),
+        )
+    if method == "shuffle":
+        return S.deterministic_shuffle(df, cfg["idField"], seed)
+    if method == "stratified":
+        return S.stratified_sample(
+            df, cfg["groupField"], cfg["idField"], int(cfg["nPerGroup"]), seed
+        )
+    if method == "mixture":
+        return S.mixture_sample(
+            df, cfg["groupField"], cfg["idField"], cfg["rates"],
+            float(cfg.get("defaultRate", 1.0)), seed,
+        )
+    if method == "tokenbudget":
+        return S.token_budget_sample(
+            df, cfg["groupField"], cfg["idField"], cfg["tokenField"],
+            {k: int(v) for k, v in cfg["budgets"].items()},
+            cfg.get("defaultBudget"), seed,
+        )
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+@register("pack")
+def pack_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"pack": {"method": "offsets"|"greedy", "capacity": 2048, ...}} —
+    sequence packing as a config citizen."""
+    from orientdb_etl_spark.functions import packing as P
+
+    method = str(cfg.get("method", "offsets")).lower()
+    kwargs = dict(
+        id_col=cfg.get("idField", "doc_id"),
+        tokens_col=cfg.get("tokenField", "n_tokens"),
+        capacity=int(cfg.get("capacity", 2048)),
+        shard_col=cfg.get("shardField"),
+        n_shards=int(cfg.get("nShards", 32)),
+    )
+    if method == "offsets":
+        return P.pack_offsets(df, **kwargs)
+    if method == "greedy":
+        return P.pack_greedy(df, **kwargs)
+    raise ValueError(f"unknown pack method {method!r}")
+
+
+@register("decontaminate")
+def decontaminate_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"decontaminate": {"evalTable": "eval_docs", "n": 13,
+    "mode": "flag"|"filter"|"hits"}} — benchmark decontamination against a
+    registered eval table (broadcast n-gram join)."""
+    from orientdb_etl_spark.functions.decontam import decontaminate
+
+    eval_df = ctx.tables[cfg["evalTable"]]
+    return decontaminate(
+        df,
+        eval_df,
+        text_col=cfg.get("textField", "text"),
+        id_col=cfg.get("idField", "doc_id"),
+        eval_text_col=cfg.get("evalTextField"),
+        n=int(cfg.get("n", 13)),
+        mode=cfg.get("mode", "flag"),
+    )
+
+
+@register("profile")
+def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"profile": {"method": "columns"|"heavyHitters"|"ngramTopk", ...}}
+    — single-pass profiling as a config citizen (the audit stage of a
+    curation pipeline)."""
+    from orientdb_etl_spark.functions import profiling as P
+
+    method = str(cfg.get("method", "columns")).lower()
+    if method == "columns":
+        return P.column_profile(df, cfg.get("columns"))
+    if method == "heavyhitters":
+        return P.heavy_hitters(
+            df, cfg["keyField"], int(cfg.get("k", 20))
+        )
+    if method == "ngramtopk":
+        return P.ngram_topk(
+            df, cfg.get("textField", "text"),
+            n=int(cfg.get("n", 3)), k=int(cfg.get("k", 20)),
+        )
+    raise ValueError(f"unknown profile method {method!r}")

@@ -248,3 +248,58 @@ def test_quality_and_curate_config_transformers(spark):
     p2.register_table("docs", src)
     out2 = {r.doc_id for r in p2.compile().collect()}
     assert out2 == {0}  # dup collapsed to min id, spam filtered
+
+
+def test_sampling_packing_decontam_profile_config_transformers(spark):
+    """The remaining training-data families as config citizens: split +
+    stratified sampling, packing, decontamination against a registered
+    eval table, and profiling — all from JSON config."""
+    from orientdb_etl_spark import Pipeline
+
+    rows = [(i, f"src{i % 2}", f"doc number {i} with shared tokens") for i in range(20)]
+    src = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ev = spark.createDataFrame(
+        [(0, "doc number 3 with shared tokens")], "eid long, text string"
+    )
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"sample": {"method": "split", "idField": "doc_id",
+                            "weights": {"train": 0.8, "val": 0.2}}},
+                {"sample": {"method": "stratified", "groupField": "source",
+                            "idField": "doc_id", "nPerGroup": 5}},
+                {"field": {"fieldName": "n_tokens",
+                           "expression": "size(split(text, ' '))"}},
+                {"pack": {"method": "greedy", "capacity": 12}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("docs", src)
+    out = p.compile()
+    rows_out = out.collect()
+    assert len(rows_out) == 10  # 5 per source
+    # pack returns the packing assignment (its contract projects to it)
+    assert {"pack_id", "pack_tokens", "doc_id"} <= set(out.columns)
+    assert all(r.pack_tokens <= 12 for r in rows_out)
+
+    p2 = Pipeline(
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"decontaminate": {"evalTable": "eval_docs", "n": 6,
+                                   "mode": "filter"}},
+                {"profile": {"method": "heavyHitters", "keyField": "source",
+                             "k": 5}},
+            ],
+        },
+        spark=spark,
+    )
+    p2.register_table("docs", src)
+    p2.register_table("eval_docs", ev)
+    prof = {r.key: r.n for r in p2.compile().collect()}
+    # doc 3 ("doc number 3 with shared tokens", 6 tokens) is contaminated
+    # and filtered before profiling: src1 loses one of its ten
+    assert prof == {"src0": 10, "src1": 9}
