@@ -145,3 +145,29 @@ def test_config_graph_example(spark):
     assert got == sorted(
         ((i, want[i]) for i in want), key=lambda t: (-t[1], t[0])
     )
+
+
+def test_config_pretrain_data_example(spark):
+    """The full pretraining-data build from JSON config: clean → quality
+    gate → near-dedup → decontaminate → split → token budget → pack."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-pretrain-data.json"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = spark.createDataFrame(
+        [(0, "this eval phrase does not appear in the corpus at all")],
+        "eid long, text string",
+    )
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("documents", docs)
+    p.register_table("eval_docs", eval_df)
+    out = p.run().outputs["pretrain_batches"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"doc_id", "pack_id", "pack_tokens"} <= set(out.columns)
+    assert all(r.pack_tokens <= 512 for r in rows)
+    # packs are dense: every pack holds at least one doc, ids unique
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
