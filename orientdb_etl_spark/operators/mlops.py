@@ -61,7 +61,19 @@ def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
         )
     if method == "lsh":
         return S.lsh_bucketed_topk(
-            df, cfg["vecField"], cfg["idField"], cfg["query"], int(cfg.get("k", 10))
+            df, cfg["vecField"], cfg["idField"], cfg["query"],
+            int(cfg.get("k", 10)), hamming=int(cfg.get("hamming", 1)),
+        )
+    if method == "ivf":
+        return S.ivf_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"],
+            k=int(cfg.get("k", 10)), nlist=int(cfg.get("nlist", 16)),
+            nprobe=int(cfg.get("nprobe", 4)),
+        )
+    if method == "pairwise":
+        return S.pairwise_topk_join(
+            df, df, cfg["vecField"], cfg["idField"], cfg["idField"],
+            k=int(cfg.get("k", 5)), planes=int(cfg.get("planes", 6)),
         )
     raise ValueError(f"unknown similarity method {method!r}")
 

@@ -303,3 +303,43 @@ def test_sampling_packing_decontam_profile_config_transformers(spark):
     # doc 3 ("doc number 3 with shared tokens", 6 tokens) is contaminated
     # and filtered before profiling: src1 loses one of its ten
     assert prof == {"src0": 10, "src1": 9}
+
+
+def test_similarity_config_methods(spark):
+    """All four ANN methods drivable from config; brute is the recall
+    reference for the approximate three on a clustered toy set."""
+    import numpy as np
+
+    from orientdb_etl_spark import Pipeline
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((8, 16))
+    vecs = [(i, (base[i % 8] + rng.standard_normal(16) * 0.05).tolist())
+            for i in range(80)]
+    src = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = vecs[0][1]
+
+    results = {}
+    for method, extra in [
+        ("brute", {}), ("lsh", {"hamming": 2}),
+        ("ivf", {"nlist": 8, "nprobe": 4}), ("pairwise", {"k": 3}),
+    ]:
+        p = Pipeline(
+            {
+                "extractor": {"table": {"name": "emb"}},
+                "transformers": [
+                    {"similarity": {"method": method, "vecField": "embedding",
+                                    "idField": "vec_id",
+                                    **({} if method == "pairwise" else {"query": q}),
+                                    **extra}},
+                ],
+            },
+            spark=spark,
+        )
+        p.register_table("emb", src)
+        results[method] = p.compile().collect()
+    exact = {r.vec_id for r in results["brute"]}
+    assert len(exact) == 10
+    assert len({r.vec_id for r in results["lsh"]} & exact) >= 5
+    assert len({r.vec_id for r in results["ivf"]} & exact) >= 5
+    assert len(results["pairwise"]) == 80 * 3  # 3 neighbors per vector
