@@ -443,15 +443,17 @@ def _minhash_banded(
     bands: int,
     shingle_k: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared signature + banding stage: (cached signatures, exploded
+    """Shared signature + banding stage: (signatures, exploded
     (id, band, bucket) rows). Used by :func:`minhash_lsh_dedup` and the
     :func:`lsh_bucket_stats` observability helper so both see the exact
-    production banding."""
+    production banding. Caching the signatures is the CALLER's decision:
+    only :func:`minhash_lsh_dedup` reuses them (banding + verify join);
+    a stats-only caller caching a corpus-sized frame would pin executor
+    storage for the whole session."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_fast(
         ensure_parallelism(df), text_col, num_perm, shingle_k
     ).select(id_col, "minhash")
-    sigs.cache()
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> xxhash64(b, slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
@@ -524,6 +526,10 @@ def minhash_lsh_dedup(
     :func:`connected_component_labels`).
     """
     sigs, banded = _minhash_banded(df, text_col, id_col, num_perm, bands, shingle_k)
+    # sigs feed BOTH the banding above and the verify join below — cache
+    # here (the reuse site), not inside _minhash_banded, so stats-only
+    # callers never pin a corpus-sized frame
+    sigs.cache()
     banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
     # ids only in the grouped shuffle (8 B/row); the 1 KB signatures are
     # joined back below onto the sparse verified-candidate stream instead
@@ -631,8 +637,9 @@ def simhash_dedup(
     ``survivor`` as in :func:`minhash_lsh_dedup`.
     """
     width = 64 // bands
+    # no cache: the fingerprint rides the banded rows as the pair payload,
+    # so fp is consumed exactly once — caching it would only pin storage
     fp = ensure_parallelism(df).select(id_col, simhash_fast(text_col).alias("_simhash"))
-    fp.cache()
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> struct(b AS band, shiftright(_simhash, b * {width}) & {(1 << width) - 1} AS chunk))"

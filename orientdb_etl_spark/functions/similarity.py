@@ -198,7 +198,15 @@ def _bucket_of(
     """Compute the query's bucket and all multi-probe neighbors within
     the given Hamming radius (Lv et al. VLDB'07 probe sequence; radius 2
     for planes=8 is 37 of 256 buckets ≈ 14% scan) driver-side with the
-    SAME plane matrix the table used."""
+    SAME plane matrix the table used. Any radius 0..planes is honored
+    exactly (radius = planes probes every bucket — a validity bound, not
+    a silent cap)."""
+    import itertools
+
+    if not (0 <= hamming <= planes):
+        raise ValueError(
+            f"hamming radius must be in [0, planes={planes}], got {hamming}"
+        )
     q = np.asarray([float(x) for x in query], dtype="float64")
     pl = _plane_matrix(planes, len(q), seed)
     bits = pl @ q > 0
@@ -206,14 +214,12 @@ def _bucket_of(
     for b in bits:
         bucket = bucket * 2 + int(b)
     probes = [bucket]
-    if hamming >= 1:
-        probes += [bucket ^ (1 << i) for i in range(planes)]
-    if hamming >= 2:
-        probes += [
-            bucket ^ (1 << i) ^ (1 << j)
-            for i in range(planes)
-            for j in range(i + 1, planes)
-        ]
+    for r in range(1, hamming + 1):
+        for flip_bits in itertools.combinations(range(planes), r):
+            flip = 0
+            for i in flip_bits:
+                flip |= 1 << i
+            probes.append(bucket ^ flip)
     return probes
 
 
@@ -257,13 +263,24 @@ def ivf_index(
 
     The sample is capped (10k vectors ≈ a few MB) so driver memory is
     bounded regardless of table size; assignment of the full table happens
-    distributed via :func:`ivf_assign`. Deterministic: seeded sampling +
-    seeded init → identical centroids across runs."""
+    distributed via :func:`ivf_assign`. Deterministic AND layout-
+    independent: the sample is the ``sample_size`` smallest rows by
+    seeded content hash (xxhash64 of the vector + seed, vector itself as
+    tie-break), which compiles to TakeOrderedAndProject — each partition
+    keeps ≤ sample_size rows, the driver merges; no full sort, no shuffle.
+    Unlike ``limit()`` (first partitions in layout order — biased on
+    sorted/clustered inputs) or ``sample()`` (per-partition RNG — changes
+    under repartition), a content-hash prefix is a uniform pseudo-random
+    subset that is identical across runs, partition layouts, and cluster
+    sizes."""
+    sample_rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.xxhash64(F.col("_v"), F.lit(seed)).asc(), F.col("_v").asc())
+        .limit(sample_size)
+        .collect()
+    )
     sample = np.vstack(
-        [
-            np.asarray(r[0], dtype="float64")
-            for r in df.select(vec_col).limit(sample_size).collect()
-        ]
+        [np.asarray(r[0], dtype="float64") for r in sample_rows]
     )
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]

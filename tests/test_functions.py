@@ -360,6 +360,54 @@ def test_ivf_assign_deterministic(spark):
     assert a1 == a2 and set(a1.values()) == {0, 1, 2, 3}
 
 
+def test_ivf_centroids_invariant_under_repartition(spark):
+    """ivf_index's seeded sample is a content-hash prefix, so centroids
+    must be bit-identical across any repartition of the input (the old
+    limit()-based sample depended on partition layout order)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    from orientdb_etl_spark.functions.similarity import ivf_index
+
+    c1 = ivf_index(df.repartition(7), "embedding", nlist=4, seed=11)
+    c2 = ivf_index(df.repartition(3, "vec_id"), "embedding", nlist=4, seed=11)
+    c3 = ivf_index(df.coalesce(1), "embedding", nlist=4, seed=11)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+    # and a capped sample stays a genuine subset even when sample_size < n
+    c4 = ivf_index(df.repartition(5), "embedding", nlist=4, seed=11, sample_size=64)
+    c5 = ivf_index(df.repartition(2), "embedding", nlist=4, seed=11, sample_size=64)
+    assert np.array_equal(c4, c5)
+
+
+def test_lsh_multiprobe_radius_generalizes():
+    """_bucket_of honors any radius exactly: probe count is sum of
+    C(planes, r) for r<=hamming, radius 3 is no longer silently radius 2,
+    and out-of-range radii raise instead of silently truncating."""
+    from math import comb
+
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.similarity import _bucket_of
+
+    q = [0.3, -1.2, 0.8, 0.1]
+    for radius in (0, 1, 2, 3, 6):
+        probes = _bucket_of(q, planes=6, seed=7, hamming=radius)
+        expect = sum(comb(6, r) for r in range(radius + 1))
+        assert len(probes) == len(set(probes)) == expect
+    r2 = set(_bucket_of(q, planes=6, seed=7, hamming=2))
+    r3 = set(_bucket_of(q, planes=6, seed=7, hamming=3))
+    assert r2 < r3  # radius 3 strictly widens the probe set
+    with _pytest.raises(ValueError):
+        _bucket_of(q, planes=6, seed=7, hamming=7)
+    with _pytest.raises(ValueError):
+        _bucket_of(q, planes=6, seed=7, hamming=-1)
+
+
 def test_pii_scrub_patterns(spark):
     from orientdb_etl_spark.functions.text import pii_scrub
 

@@ -304,7 +304,10 @@ def test_q2_broadcasts_all_dimensions(spark):
 
 def test_q2_filters_pushed_to_part_scan(spark):
     plan = _plan(spark, "q2_min_cost_supplier")
-    assert "EqualTo(p_size,15)" in plan.replace(" ", "") or "p_size" in plan
+    # the p_size=15 predicate must reach the parquet scan as a pushed
+    # filter — no fallback: p_size merely appearing in the plan proves
+    # nothing about pushdown
+    assert "EqualTo(p_size,15)" in plan.replace(" ", "")
     read = next(
         ln for ln in plan.splitlines()
         if "ReadSchema" in ln and "p_partkey" in ln

@@ -86,15 +86,20 @@ def main() -> None:
     out["n_vecs_scaled"] = bige.count()
 
     # --- bucket-cap observability --------------------------------------
+    # SAME banding (num_perm=128, bands=16 → 8 rows/band) as the timed
+    # minhash_lsh_dedup below, so the reported bucket stats describe the
+    # banding actually being stress-timed
     t0 = time.time()
-    stats = lsh_bucket_stats(big, "text", "doc_id", max_bucket_size=1000).first()
+    stats = lsh_bucket_stats(
+        big, "text", "doc_id", num_perm=128, bands=16, max_bucket_size=1000
+    ).first()
     out["bucket_stats"] = {k: (float(v) if v is not None else None) for k, v in stats.asDict().items()}
     out["t_bucket_stats"] = round(time.time() - t0, 2)
 
     # candidate-pair counts: capped vs uncapped (counted, not materialized)
     from orientdb_etl_spark.functions.dedup import _cap_bucket_size
 
-    _, banded = _minhash_banded(big, "text", "doc_id", 64, 16, 5)
+    _, banded = _minhash_banded(big, "text", "doc_id", 128, 16, 5)
     banded = banded.localCheckpoint()
     t0 = time.time()
     capped = _cap_bucket_size(banded, ["band", "bucket"], 1000)
