@@ -9,6 +9,7 @@ import urllib.request
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from orientdb_etl_spark.context import PipelineContext
 
@@ -68,6 +69,49 @@ def resolve_source(
     ext_name, ext_cfg = (
         _single_entry(extractor, "extractor") if extractor else ("row", {})
     )
+
+    # --- manifest mode: N urls/paths fetched DISTRIBUTED ------------------
+    # {"http": {"urls": [...]}} or {"http": {"manifestPath": "urls.txt"}}
+    # (also under the "files" source name) — the scale path: the manifest
+    # becomes a DataFrame, executors fetch their slices, the driver never
+    # stages bytes (contrast the single-url branch below, which keeps
+    # OHttpSource.java:36-117 driver-staging parity for control-plane
+    # inputs). Row extractor → (url, line_no, value) line rows ready for
+    # the csv/json transformers; "binary" extractor → opaque content rows
+    # feeding the multimodal operators.
+    if src_name in ("http", "files") and (
+        "urls" in src_cfg or "manifestPath" in src_cfg
+    ):
+        from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+        if "urls" in src_cfg:
+            manifest = list(src_cfg["urls"])
+            urls_df = spark.createDataFrame(
+                [(str(u),) for u in manifest], "url string"
+            )
+        else:
+            # the manifest file itself is read distributed; '#' comments
+            # and blank lines are manifest hygiene, not data
+            urls_df = (
+                spark.read.text(src_cfg["manifestPath"])
+                .select(F.trim("value").alias("url"))
+                .filter((F.col("url") != "") & ~F.col("url").startswith("#"))
+            )
+        kwargs = dict(
+            max_concurrency=int(src_cfg.get("maxConcurrency", 8)),
+            timeout=float(src_cfg.get("timeout", 60)),
+            retries=int(src_cfg.get("retries", 2)),
+            on_error=str(src_cfg.get("onError", "keep")),
+            partitions=src_cfg.get("partitions"),
+        )
+        if ext_name == "row":
+            return fetch_manifest(urls_df, mode="lines", **kwargs)
+        if ext_name == "binary":
+            return fetch_manifest(urls_df, mode="binary", **kwargs)
+        raise ValueError(
+            f"manifest source supports extractors row|binary, got {ext_name!r} "
+            "(parse lines with the csv/json transformers)"
+        )
 
     # --- resolve the byte source to a path --------------------------------
     # Staged lazily: table/query/jdbc/parquet-with-path extractors never

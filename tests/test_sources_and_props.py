@@ -159,3 +159,110 @@ def test_events_reader_repins_utc_under_foreign_session_tz(spark):
         assert n > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# --------------------------------------------------------------------------
+# manifest-scale distributed ingestion (sources/manifest.py)
+# --------------------------------------------------------------------------
+
+
+def _write_shards(tmp_path, n=4, lines_per=5, gz_last=False):
+    import gzip
+
+    paths = []
+    for i in range(n):
+        body = "".join(f"s{i}-line{j}\n" for j in range(lines_per))
+        if gz_last and i == n - 1:
+            p = tmp_path / f"shard-{i}.txt.gz"
+            p.write_bytes(gzip.compress(body.encode()))
+        else:
+            p = tmp_path / f"shard-{i}.txt"
+            p.write_text(body)
+        paths.append(str(p))
+    return paths
+
+
+def test_manifest_lines_local_paths_and_gz(spark, tmp_path):
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    paths = _write_shards(tmp_path, n=4, lines_per=5, gz_last=True)
+    out = fetch_manifest(paths, spark=spark, mode="lines")
+    rows = out.collect()
+    assert len(rows) == 20
+    vals = {(r.url.rsplit("/", 1)[-1], r.line_no, r.value) for r in rows}
+    assert ("shard-0.txt", 1, "s0-line0") in vals
+    # the .gz shard decompresses transparently (codec parity w/ spark.read)
+    assert ("shard-3.txt.gz", 5, "s3-line4") in vals
+
+
+def test_manifest_fetch_runs_in_multiple_tasks(spark, tmp_path):
+    """The point of manifest mode: the fetch is EXECUTOR-side and spread
+    across tasks, not a driver loop. With >1 url the output must come
+    from more than one Spark partition."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    paths = _write_shards(tmp_path, n=8)
+    out = fetch_manifest(paths, spark=spark, mode="binary")
+    n_parts = out.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts > 1
+    assert out.count() == 8
+
+
+def test_manifest_binary_content_roundtrip(spark, tmp_path):
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    p = tmp_path / "blob.bin"
+    payload = bytes(range(256))
+    p.write_bytes(payload)
+    out = fetch_manifest([str(p)], spark=spark, mode="binary", decompress=False)
+    r = out.collect()[0]
+    assert r.status == 200 and bytes(r.content) == payload and r.error is None
+
+
+def test_manifest_on_error_keep_vs_fail(spark, tmp_path):
+    import pytest
+
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    good = _write_shards(tmp_path, n=1, lines_per=2)[0]
+    bad = str(tmp_path / "missing.txt")
+    kept = fetch_manifest(
+        [good, bad], spark=spark, mode="binary", retries=0, on_error="keep"
+    ).collect()
+    by_url = {r.url: r for r in kept}
+    assert by_url[good].status == 200 and by_url[good].error is None
+    assert by_url[bad].status == -1 and by_url[bad].content is None
+    assert "FileNotFoundError" in by_url[bad].error
+    # lines mode: failed urls contribute zero lines, good ones all theirs
+    lines = fetch_manifest(
+        [good, bad], spark=spark, mode="lines", retries=0, on_error="keep"
+    ).collect()
+    assert len(lines) == 2 and {r.url for r in lines} == {good}
+    with pytest.raises(Exception, match="fetch failed"):
+        fetch_manifest(
+            [good, bad], spark=spark, mode="binary", retries=0, on_error="fail"
+        ).collect()
+
+
+def test_manifest_path_config_reads_distributed(spark, tmp_path):
+    """{"http": {"manifestPath": ...}} + row extractor through the full
+    Pipeline surface: comments/blank lines dropped, lines carry url
+    provenance, csv transformer composes on the value column."""
+    from orientdb_etl_spark import Pipeline
+
+    paths = _write_shards(tmp_path, n=3, lines_per=2)
+    man = tmp_path / "manifest.txt"
+    man.write_text("# fixture manifest\n\n" + "\n".join(paths) + "\n")
+    p = Pipeline(
+        {
+            "source": {"files": {"manifestPath": str(man)}},
+            "extractor": {"row": {}},
+        },
+        spark=spark,
+    )
+    rows = p.compile().collect()
+    assert len(rows) == 6
+    assert {r.url for r in rows} == set(paths)
+    assert all(r.value.startswith("s") for r in rows)
