@@ -332,53 +332,96 @@ def _bucket_pairs(
     return out.select(*cols)
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): every node u connects each LARGER
+    neighbor directly to the minimum of its neighborhood (incl. u) —
+    long chains collapse geometrically instead of one hop per round.
+    Output is directed child→parent with parent < child."""
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select("a", F.least("a", "_mn").alias("_m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node u re-points ALL its parents (and
+    itself) at its minimum parent, flattening multi-parent nodes into
+    stars. Input/output directed child→parent, parent < child."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("_mn"))
+    repointed = (
+        edges.join(mins, "a")
+        .filter(F.col("b") != F.col("_mn"))
+        .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
+    )
+    own = mins.select("a", F.col("_mn").alias("b"))
+    return repointed.union(own).distinct()
+
+
 def connected_component_labels(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """Connected components over verified duplicate pairs: (id, label)
     with label = min id of the component.
 
-    Iterative min-label propagation (the alternating-join CC shape used
-    for corpus dedup clustering, e.g. the dedup pipeline in Lee et al.,
-    "Deduplicating Training Data Makes Language Models Better", ACL'22).
-    Iterations bound O(cluster diameter) — near-dup chains are shallow in
-    practice — and each step joins only the PAIRS table (candidate
-    collisions), never the corpus. ``localCheckpoint`` truncates the
-    iterative lineage so the plan does not grow with iterations.
+    Alternating large-star/small-star contraction (Kiveris et al., SoCC
+    2014) — the round count is O(log² n) in the worst case and ~log in
+    practice, INDEPENDENT of cluster diameter, unlike plain min-label
+    propagation whose round count is the component diameter (a
+    pathological chain of near-dups — doc A ~ B ~ C ~ … — needs one round
+    per hop there, but collapses geometrically here). Every round touches
+    only the PAIRS table (candidate collisions), never the corpus, and
+    ``localCheckpoint`` truncates the iterative lineage so the plan does
+    not grow with rounds.
+
+    ``max_iter`` is a hard cap with a CONVERGENCE ASSERTION: 25 doubling
+    rounds cover any graph that fits in storage (2^25 diameter), so
+    hitting the cap means something is wrong — the function raises rather
+    than silently returning partially-merged clusters (which would
+    under-dedup without a trace).
     """
-    edges = pairs.select(F.col("keep_id").alias("a"), F.col("dup_id").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("id"))
+    edges = (
+        pairs.select(F.col("keep_id").alias("a"), F.col("dup_id").alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = edges.limit(1).count() == 0
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        new = (
-            labels.join(neigh, labels["id"] == neigh["a"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("_nmin"), labels["label"])
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.join(labels, ["id", "label"], "left_anti").limit(1).count()
-        )
-        labels = new
-        if changed == 0:
+        if converged:
             break
-    return labels
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # star fixpoint: every edge already points child→component-min, so
+        # a full round reproduces the edge set exactly
+        changed = (
+            new_edges.subtract(edges).limit(1).count()
+            + edges.subtract(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} star "
+            "rounds — the pair graph is pathological (or max_iter was "
+            "lowered); refusing to return partially-merged clusters"
+        )
+    roots = edges.select(F.col("b").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    return edges.select(
+        F.col("a").alias("id"), F.col("b").alias("label")
+    ).union(roots)
 
 
 def _drop_duplicates_by_pairs(

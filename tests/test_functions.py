@@ -109,6 +109,79 @@ def test_connected_component_labels(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A path graph of diameter 200 — plain min-label propagation would
+    need 200 rounds (far over any sane cap); the large-star/small-star
+    contraction must converge inside the 25-round cap (log² bound) and
+    label every node with the component min."""
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "keep_id long, dup_id long"
+    )
+    labels = {r.id: r.label for r in connected_component_labels(pairs).collect()}
+    assert len(labels) == n and set(labels.values()) == {0}
+    # a reversed-id chain (worst case for child→parent orientation) too
+    pairs_rev = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "keep_id long, dup_id long"
+    )
+    labels = {
+        r.id: r.label for r in connected_component_labels(pairs_rev).collect()
+    }
+    assert len(labels) == n and set(labels.values()) == {0}
+
+
+def test_connected_components_match_union_find(spark):
+    """Random multi-component graphs: star-contraction labels must equal
+    a driver-side union-find ground truth (label = component min)."""
+    import random
+
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    rng = random.Random(17)
+    nodes = list(range(0, 400, 3))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    truth = {v: find(v) for v in touched}
+
+    pairs = spark.createDataFrame(edges, "keep_id long, dup_id long")
+    labels = {r.id: r.label for r in connected_component_labels(pairs).collect()}
+    assert labels == truth
+
+
+def test_connected_components_cap_raises_instead_of_partial(spark):
+    """Hitting the round cap must raise (refusing silent under-dedup),
+    and an empty pair stream is a clean no-op."""
+    import pytest
+
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "keep_id long, dup_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_component_labels(pairs, max_iter=1)
+    empty = spark.createDataFrame([], "keep_id long, dup_id long")
+    assert connected_component_labels(empty).count() == 0
+
+
 def test_minhash_cc_survivor_rule(spark):
     from orientdb_etl_spark.functions.dedup import minhash_lsh_dedup
 
