@@ -518,6 +518,52 @@ def q_http_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             thread.join(timeout=5)
 
 
+def q_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE sink (parquet loader ``mode='merge'``): two config
+    pipelines upsert overlapping order batches into one hash-bucketed
+    parquet target — batch 1 writes keys ≡ 0,1 (mod 4), batch 2 rewrites
+    keys ≡ 1,2 with doubled prices — and the read-back must show
+    last-writer-wins per key with only touched bucket partitions
+    rewritten. Same callback as the streaming upsert
+    (streaming/ops.py foreach_batch_upsert), promoted to the batch
+    loader so merge-transformer pipelines get idempotent re-runs
+    (≈ the OOrientDBLoader.java:145-198 per-row upsert, batch-shaped)."""
+    import shutil
+    import tempfile
+
+    from orientdb_etl_spark import Pipeline
+
+    target = tempfile.mkdtemp(prefix="oetl_merge_sink_") + "/orders_upsert"
+    shutil.rmtree(target, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+
+    def run_batch(where: str, tag: int, price_expr: str) -> None:
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "orders"}},
+                "transformers": [
+                    {"command": {"command": (
+                        f"SELECT o_orderkey, {tag} AS tag, "
+                        f"round({price_expr}, 2) AS price "
+                        f"FROM input WHERE {where}"
+                    )}},
+                ],
+                "loader": {"parquet": {
+                    "path": target, "mode": "merge",
+                    "keys": ["o_orderkey"], "numBuckets": 16,
+                }},
+            },
+            spark=spark,
+        ).register_table("orders", orders).run()
+
+    run_batch("o_orderkey % 4 IN (0, 1)", 1, "o_totalprice")
+    run_batch("o_orderkey % 4 IN (1, 2)", 2, "o_totalprice * 2")
+    return (
+        spark.read.parquet(target)
+        .select("o_orderkey", "tag", "price")
+    )
+
+
 def _stage_customer_shards(spark: SparkSession, sf_dir: str, n: int = 8) -> str:
     """Stage customer as N semicolon-CSV shard files (custkey mod N) —
     the many-file manifest fixture for distributed ingestion."""
@@ -3232,6 +3278,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # consolidated out of the driver registry (still hash-checked
             # here): stdin staging ceded its driver slot to http_manifest
             "stdin_source": q_stdin_source,
+            # round 5: batch MERGE loader (bucketed parquet upsert)
+            "merge_sink": q_merge_sink,
             # analytics trimmed from the driver registry
             "q4_order_priority": q4_order_priority,
             "q9_product_profit": q9_product_profit,
@@ -3435,6 +3483,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name, "
             "c_nationkey AS nationkey, c_acctbal AS acctbal, "
             "c_mktsegment AS mktsegment FROM customer"
+        ),
+        # two overlapping upsert batches → last-writer-wins per key: keys
+        # ≡ 1,2 (mod 4) carry batch 2's doubled price, keys ≡ 0 batch 1's
+        "merge_sink": (
+            "SELECT o_orderkey, "
+            "CASE WHEN o_orderkey % 4 IN (1, 2) THEN 2 ELSE 1 END AS tag, "
+            "round(CASE WHEN o_orderkey % 4 IN (1, 2) "
+            "THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS price "
+            "FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)"
         ),
         # distributed manifest fetch must reassemble EXACTLY the table the
         # shards were cut from — same oracle as the single-url source

@@ -152,6 +152,27 @@ def run_loader(
         df.createOrReplaceTempView(view)
         ctx.outputs[view] = df
     elif name == "parquet":
+        if cfg.get("mode") == "merge":
+            # batch MERGE sink: last-writer-wins upsert by key into the
+            # hash-bucket-partitioned parquet layout — the SAME callback
+            # the streaming side uses (streaming/ops.py:foreach_batch_upsert),
+            # so batch re-runs of a merge pipeline are idempotent and only
+            # the touched bucket partitions are read or rewritten (at real
+            # scale this maps onto Delta/Iceberg MERGE INTO; plain parquet
+            # keeps the engine dependency-free here). ``keys`` is required;
+            # ``orderBy`` picks the winner inside one batch (newest wins).
+            from orientdb_etl_spark.streaming.ops import foreach_batch_upsert
+
+            if not cfg.get("keys"):
+                raise ValueError("parquet merge mode needs 'keys'")
+            fn = foreach_batch_upsert(
+                cfg["path"],
+                list(cfg["keys"]),
+                cfg.get("orderBy"),
+                int(cfg.get("numBuckets", 64)),
+            )
+            fn(df, 0)
+            return
         if cfg.get("sortBy"):
             # data-skipping layout: range-partition then sort within each
             # task so every output file covers a narrow, near-disjoint key

@@ -260,3 +260,54 @@ def test_parquet_numfiles_compaction(spark, tmp_path):
     p.run()
     assert len(glob.glob(f"{out}/*.parquet")) == 2
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_parquet_merge_mode_idempotent_rerun(spark, tmp_path):
+    """The batch MERGE sink: re-running the SAME pipeline must leave the
+    sink byte-for-byte identical (same rows), and an overlapping second
+    batch must replace exactly its keys (last-writer-wins)."""
+    from orientdb_etl_spark.context import PipelineContext
+    from orientdb_etl_spark.loaders import run_loader
+
+    target = str(tmp_path / "merged")
+    ctx = PipelineContext(spark=spark)
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    cfg = {"parquet": {"path": target, "mode": "merge", "keys": ["k"],
+                       "numBuckets": 8}}
+    run_loader(ctx, b1, cfg)
+    first = {(r.k, r.v, r.x) for r in spark.read.parquet(target)
+             .select("k", "v", "x").collect()}
+    assert first == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+    # idempotency: replaying the identical batch changes nothing
+    run_loader(ctx, b1, cfg)
+    again = {(r.k, r.v, r.x) for r in spark.read.parquet(target)
+             .select("k", "v", "x").collect()}
+    assert again == first
+
+    # overlap: key 2 replaced, key 4 added, keys 1/3 untouched
+    b2 = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    run_loader(ctx, b2, cfg)
+    final = {(r.k, r.v, r.x) for r in spark.read.parquet(target)
+             .select("k", "v", "x").collect()}
+    assert final == {(1, "a", 10.0), (2, "B", 200.0), (3, "c", 30.0),
+                     (4, "d", 40.0)}
+
+
+def test_parquet_merge_mode_requires_keys(spark, tmp_path):
+    import pytest
+
+    from orientdb_etl_spark.context import PipelineContext
+    from orientdb_etl_spark.loaders import run_loader
+
+    ctx = PipelineContext(spark=spark)
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="needs 'keys'"):
+        run_loader(ctx, df, {"parquet": {"path": str(tmp_path / "t"),
+                                         "mode": "merge"}})
