@@ -189,6 +189,50 @@ PROD_OVERRIDES = {
 }
 
 
+def _host_snapshot() -> dict:
+    """Host-contention evidence captured INTO the artifact so a reader can
+    adjudicate noisy numbers (this machine shows documented 2-4× bursts)
+    without cross-referencing prose: load averages, uptime, and the
+    /proc/stat jiffy counters (busy/steal deltas between the start/end
+    snapshots give the share of CPU the bench did NOT get)."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # cpu: user nice system idle iowait irq softirq steal ...
+        snap["jiffies"] = {
+            "total": sum(vals),
+            "idle": vals[3] + (vals[4] if len(vals) > 4 else 0),
+            "steal": vals[7] if len(vals) > 7 else 0,
+        }
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            snap["uptime_sec"] = round(float(f.read().split()[0]), 1)
+    except (OSError, ValueError):
+        pass
+    return snap
+
+
+def _host_window(start: dict, end: dict) -> dict:
+    """Derived contention summary for the whole capture window."""
+    out = {"start": start, "end": end}
+    j0, j1 = start.get("jiffies"), end.get("jiffies")
+    if j0 and j1 and j1["total"] > j0["total"]:
+        total = j1["total"] - j0["total"]
+        out["cpu_busy_frac"] = round(
+            1.0 - (j1["idle"] - j0["idle"]) / total, 3
+        )
+        out["cpu_steal_frac"] = round((j1["steal"] - j0["steal"]) / total, 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -216,14 +260,22 @@ def main() -> None:
     ).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    host_start = _host_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    load_at_sample: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
         n = 0
         for _ in range(runs):
             spark.catalog.clearCache()
+            try:
+                load_at_sample.setdefault(name, []).append(
+                    round(os.getloadavg()[0], 2)
+                )
+            except OSError:
+                pass
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count() if name in ("window_running",) else len(df.collect())
@@ -256,6 +308,11 @@ def main() -> None:
                     round(sum(s[i] for s in spreads.values()), 3)
                     for i in range(runs)
                 ],
+                # self-adjudication: host contention captured into the
+                # artifact (see _host_snapshot) — a 1-min load >> the run's
+                # own CPU use, or steal > 0, flags an untrustworthy sample
+                "host": _host_window(host_start, _host_snapshot()),
+                "load_1m_at_sample": load_at_sample,
             }
         )
     )

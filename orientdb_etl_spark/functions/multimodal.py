@@ -48,16 +48,35 @@ ASSET_SCHEMA = T.StructType(
     ]
 )
 
-_STUB = True  # codec libraries absent in this container
+def _pil():
+    """Feature-detect the image codec. PIL is optional by design: this
+    container ships without it (the Spark plumbing is tested with
+    deterministic fakes), but when the deployment image has Pillow the
+    SAME operators run the real decode path — no code change, no fork."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+_STUB = _pil() is None  # True in this container; False where Pillow exists
 
 
 def _decode_image(content: bytes) -> "object":
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(content)).
-    Raises until an image codec is available."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not in this container; "
-        "the surrounding Spark plumbing is real and tested with fakes"
-    )
+    """Decode encoded image bytes. Real (PIL) when the codec is present;
+    otherwise raises — callers that can proceed without decoding (the
+    deterministic-fake paths) must check :func:`_pil` first."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv — not in this container; "
+            "the surrounding Spark plumbing is real and tested with fakes"
+        )
+    import io
+
+    return Image.open(io.BytesIO(content))
 
 
 def synthetic_assets(spark, n: int = 100, modality: str = "image") -> DataFrame:
@@ -116,24 +135,59 @@ def extract_features(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _meta_resized(width: int, height: int) -> F.Column:
+    return F.struct(
+        F.col("meta.mime").alias("mime"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator. Plumbing real; decode stubbed.
+    """Image resize operator — real decode when a codec is present.
 
     At scale: runs in mapInPandas so each Python worker processes Arrow
-    batches; the output keeps the asset schema (content replaced by the
-    re-encoded bytes). Until a codec lands, rows pass through with meta
-    updated and a `resized` marker — the deterministic fake.
+    batches (per-batch codec setup amortized); output keeps the asset
+    schema with ``content`` replaced by re-encoded bytes plus a
+    ``resized`` marker. Without a codec (this container), rows pass
+    through with meta updated — the deterministic fake, same schema, so
+    pipelines are portable across both environments.
     """
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.mime").alias("mime"),
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-        ),
-    ).withColumn("resized", F.lit(True))
+    if _pil() is None:
+        return df.withColumn("meta", _meta_resized(width, height)).withColumn(
+            "resized", F.lit(True)
+        )
+
+    out_schema = T.StructType(
+        ASSET_SCHEMA.fields + [T.StructField("resized", T.BooleanType(), False)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil()
+        for pdf in it:
+            new_content, new_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                meta["width"], meta["height"] = width, height
+                new_meta.append(meta)
+                if content is None:
+                    new_content.append(None)
+                    continue
+                img = Image.open(io.BytesIO(bytes(content)))
+                fmt = img.format or "PNG"
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format=fmt)
+                new_content.append(buf.getvalue())
+            pdf = pdf.assign(
+                content=new_content, meta=new_meta, resized=True
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -56,3 +56,49 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"xx")
+
+
+def test_decode_feature_detection():
+    """Without Pillow, _decode_image raises the documented
+    NotImplementedError; with it, decode is real. Either way _STUB
+    reflects what the environment can actually do."""
+    import pytest
+
+    from orientdb_etl_spark.functions import multimodal as M
+
+    if M._pil() is None:
+        assert M._STUB is True
+        with pytest.raises(NotImplementedError, match="PIL"):
+            M._decode_image(b"\x89PNG\r\n")
+    else:
+        assert M._STUB is False
+
+
+def test_resize_real_codec_roundtrip(spark):
+    """With Pillow present: resize decodes, resizes, and re-encodes for
+    real — content bytes change and decode back at the target size.
+    Skips cleanly where the codec is absent (fake path covered by
+    test_resize_marks_meta)."""
+    import io
+
+    import pytest
+
+    from orientdb_etl_spark.functions import multimodal as M
+
+    Image = M._pil()
+    if Image is None:
+        pytest.skip("Pillow not installed — real-codec path untestable here")
+    imgs = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 24), color=(i * 40, 0, 0)).save(buf, format="PNG")
+        imgs.append((i, "image", buf.getvalue(),
+                     {"mime": "image/png", "width": 32, "height": 24,
+                      "duration_ms": None, "sample_rate": None}))
+    df = spark.createDataFrame(imgs, M.ASSET_SCHEMA)
+    out = M.resize_images(df, 8, 8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.resized and r.meta.width == 8 and r.meta.height == 8
+        decoded = Image.open(io.BytesIO(bytes(r.content)))
+        assert decoded.size == (8, 8)

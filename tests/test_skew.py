@@ -76,3 +76,56 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("_salt" in ln for ln in ex), ex
+
+
+def test_aqe_skew_join_mitigation_fires(spark):
+    """Evidence (not assertion-by-docstring) that AQE's skew-join
+    mitigation engages on a deliberately skewed sort-merge join: with the
+    skew thresholds lowered to fixture scale, the FINAL adaptive plan
+    must mark the join skew=true. This is the built-in path; salted_join
+    (operators/skew.py) remains the explicit fallback for engines/joins
+    AQE cannot rewrite (e.g. pre-shuffle aggregation on the salted key)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # force a shuffled SMJ (no broadcast), make the hot partition
+        # cross the skew threshold at fixture size
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~95% of fact rows, with a fat payload so
+        # the hot shuffle partition dwarfs the 64KB threshold
+        # payload must be incompressible and must SURVIVE column pruning
+        # into the shuffle (skew detection measures compressed shuffle
+        # bytes) — sha2 per row, consumed after the join
+        fact = spark.range(0, 60_000).select(
+            F.when(F.col("id") < 57_000, 0)
+            .otherwise(F.col("id") % 96 + 1)  # cold keys 1..96, disjoint from hot 0
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.sha1(F.col("id").cast("string")).alias("d")
+        )
+        # NOTE: no same-key aggregation directly on the join output — AQE
+        # (rightly) skips the skew split when the downstream plan requires
+        # the join's hash partitioning, since splitting would re-shuffle.
+        # That case is exactly what salted_join exists for.
+        joined = fact.join(dim, "k").select("k", F.length("payload").alias("pl"))
+        ks = [r.k for r in joined.collect()]
+        assert len(ks) == 60_000 and sum(1 for k in ks if k == 0) == 57_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

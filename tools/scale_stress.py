@@ -126,6 +126,21 @@ def main() -> None:
     ).count()
     out["t_simhash_dedup"] = round(time.time() - t0, 2)
 
+    # --- full curation composition on the skewed corpus ----------------
+    # (C4 clean → Gopher filter → exact dedup → MinHash-LSH near-dedup →
+    # token annotation) — the dedup stages are stress-covered above; this
+    # times THEIR COMPOSITION with the scan-fused clean/filter stages in
+    # front, i.e. what a real corpus build runs end-to-end
+    from orientdb_etl_spark.functions.curation import curate_corpus
+
+    t0 = time.time()
+    out["curate_survivors"] = curate_corpus(
+        big, "text", "doc_id",
+        min_words_per_line=1, require_terminal_punct=False,
+        near_dup_threshold=0.7,
+    ).count()
+    out["t_curate_corpus"] = round(time.time() - t0, 2)
+
     # --- LSH-bucketed k-NN join on the scaled embeddings ---------------
     t0 = time.time()
     out["pairwise_rows"] = pairwise_topk_join(
