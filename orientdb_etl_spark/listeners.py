@@ -30,6 +30,11 @@ class RunListener:
     on_begin: Callable[[PipelineContext], None] | None = None
     on_end: Callable[[PipelineContext, Any], None] | None = None
     on_join_not_found: Callable[[PipelineContext, str], None] | None = None
+    #: fires after the sink action with every observed metric —
+    #: rows_loaded plus the config's "observe" section — computed by the
+    #: action itself via df.observe() (no extra pass; the Spark-native
+    #: replacement for the reference's per-row listener counters)
+    on_metrics: Callable[[PipelineContext, dict], None] | None = None
 
 
 @dataclass
@@ -48,5 +53,9 @@ class CollectingListener:
             ),
             on_join_not_found=lambda ctx, what: self.events.append(
                 f"join_not_found {what}"
+            ),
+            on_metrics=lambda ctx, metrics: self.events.append(
+                "metrics "
+                + " ".join(f"{k}={metrics[k]}" for k in sorted(metrics))
             ),
         )

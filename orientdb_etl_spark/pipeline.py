@@ -130,16 +130,34 @@ class Pipeline:
             from pyspark.sql import functions as F
 
             obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("rows_loaded"))
+            # observe bridge: the top-level "observe" config section
+            # ({"observe": {"metric_name": "<sql aggregate>"}}) rides the
+            # SAME Observation as rows_loaded — every declared metric is
+            # computed by the sink action itself (zero extra passes over
+            # the data) and delivered to the listener's on_metrics hook.
+            # This is the Spark-native form of the reference's per-row
+            # listener counters (ODefaultImporterListener.java:27-55):
+            # at 100 TB a per-row callback is impossible, but an observed
+            # aggregate is free.
+            metric_cols = [F.count(F.lit(1)).alias("rows_loaded")]
+            for mname, mexpr in (self.config.get("observe") or {}).items():
+                metric_cols.append(F.expr(str(mexpr)).alias(str(mname)))
+            df = df.observe(obs, *metric_cols)
 
         run_loader(self.ctx, df, loader)
         # HALT/ERROR lookup misses: counted by the sink action itself via
         # observe() (single pass); lazy loaders fall back to a bounded probe
         self.ctx.resolve_miss_checks(observed=runs_action)
         if obs is not None:
-            n = obs.get.get("rows_loaded")
+            metrics = dict(obs.get)
+            n = metrics.get("rows_loaded")
             self.ctx.stats.rows_loaded = n
             self.ctx.stats.notes.append(f"rows_loaded: {n}")
+            for mname, mval in metrics.items():
+                if mname != "rows_loaded":
+                    self.ctx.stats.notes.append(f"observe {mname}: {mval}")
+            if lsn is not None and getattr(lsn, "on_metrics", None):
+                lsn.on_metrics(self.ctx, metrics)
         if lsn is not None and getattr(lsn, "on_end", None):
             lsn.on_end(self.ctx, None)
         for block in self.config.get("end") or []:
