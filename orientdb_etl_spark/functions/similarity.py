@@ -283,10 +283,26 @@ def ivf_index(
         [np.asarray(r[0], dtype="float64") for r in sample_rows]
     )
     rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    k = min(nlist, len(sample))
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # k-means++ seeding (Arthur & Vassilvitskii, SODA 2007) over cosine
+    # distance: spreads the initial centers, which uniform random init
+    # does not — a bad random draw costs real recall at fixed nprobe.
+    # Deterministic: seeded RNG over the hash-ordered sample.
+    chosen = [int(rng.randint(len(sample)))]
+    d = 1.0 - sn @ sn[chosen[0]]
+    for _ in range(1, k):
+        probs = np.maximum(d, 0.0)
+        total = probs.sum()
+        if total <= 1e-12:
+            nxt = int(rng.randint(len(sample)))
+        else:
+            nxt = int(rng.choice(len(sample), p=probs / total))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - sn @ sn[nxt])
+    centroids = sample[chosen].copy()
     for _ in range(iters):
         # cosine k-means: normalize, assign to max dot, recenter
-        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
         cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
         assign = (sn @ cn.T).argmax(axis=1)
         for j in range(len(centroids)):
