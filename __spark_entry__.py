@@ -2412,6 +2412,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN recall certificate (Jégou et al. PAMI'11):
+    the classic m=8/ksub=256 configuration (one byte per subspace — the
+    scan reads 8 B codes instead of 256 B of float, 32× less I/O) with
+    the standard exact re-rank of the 50-candidate ADC shortlist, AND the
+    exact cosine baseline, in one plan, emitting (k, n_overlap, recall).
+    The hash pins the measured deterministic recall — 10/10 at the
+    500-vector fixture (seeded k-means++ codebooks over the layout-
+    independent hash-prefix sample; the per-query LUT broadcasts)."""
+    from orientdb_etl_spark.functions.similarity import brute_force_topk, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    approx = pq_topk(
+        emb, "embedding", "vec_id", q, k=10, m=8, ksub=256, rerank=5
+    ).select("vec_id")
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=10).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "inner")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 4).alias("recall"),
+        )
+    )
+
+
 def q_ann_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN self-join through the cogroup-by-bucket matmul machinery
     (planes=0 → one bucket): every vector pair is scored in chunked numpy
@@ -3278,8 +3306,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # consolidated out of the driver registry (still hash-checked
             # here): stdin staging ceded its driver slot to http_manifest
             "stdin_source": q_stdin_source,
-            # round 5: batch MERGE loader (bucketed parquet upsert)
+            # round 5: batch MERGE loader (bucketed parquet upsert) and
+            # product-quantization ANN (recall certificate)
             "merge_sink": q_merge_sink,
+            "ann_pq_topk": q_ann_pq_topk,
             # analytics trimmed from the driver registry
             "q4_order_priority": q4_order_priority,
             "q9_product_profit": q9_product_profit,
@@ -3483,6 +3513,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name, "
             "c_nationkey AS nationkey, c_acctbal AS acctbal, "
             "c_mktsegment AS mktsegment FROM customer"
+        ),
+        "ann_pq_topk": (
+            # recall certificate: |PQ-ADC(+exact rerank) topk ∩ exact topk|
+            # computed in-plan on the Spark side; pinned constants = the
+            # measured deterministic recall at the 500-vector fixture
+            # (m=8, ksub=256, rerank=5 — seeded codebooks, hash-prefix
+            # sample → fully deterministic)
+            "SELECT 10 AS k, CAST(10 AS BIGINT) AS n_overlap, 1.0 AS recall"
         ),
         # two overlapping upsert batches → last-writer-wins per key: keys
         # ≡ 1,2 (mod 4) carry batch 2's doubled price, keys ≡ 0 batch 1's

@@ -273,15 +273,7 @@ def ivf_index(
     under repartition), a content-hash prefix is a uniform pseudo-random
     subset that is identical across runs, partition layouts, and cluster
     sizes."""
-    sample_rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-        .orderBy(F.xxhash64(F.col("_v"), F.lit(seed)).asc(), F.col("_v").asc())
-        .limit(sample_size)
-        .collect()
-    )
-    sample = np.vstack(
-        [np.asarray(r[0], dtype="float64") for r in sample_rows]
-    )
+    sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
     rng = np.random.RandomState(seed)
     k = min(nlist, len(sample))
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -356,6 +348,185 @@ def ivf_topk(
     assigned = ivf_assign(df, vec_col, centroids)
     return (
         assigned.filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hash_prefix_sample(
+    df: DataFrame, vec_col: str, sample_size: int, seed: int
+) -> "np.ndarray":
+    """Bounded, seeded, layout-independent driver sample (shared by IVF
+    and PQ training): smallest ``sample_size`` rows by content hash —
+    TakeOrderedAndProject, no shuffle, identical across partitionings."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.xxhash64(F.col("_v"), F.lit(seed)).asc(), F.col("_v").asc())
+        .limit(sample_size)
+        .collect()
+    )
+    return np.vstack([np.asarray(r[0], dtype="float64") for r in rows])
+
+
+def _kmeans_pp(
+    data: "np.ndarray", k: int, iters: int, rng: "np.random.RandomState"
+) -> "np.ndarray":
+    """Seeded k-means with k-means++ init (Arthur & Vassilvitskii, SODA
+    2007) under squared-L2 — the subspace trainer for PQ codebooks."""
+    k = min(k, len(data))
+    first = int(rng.randint(len(data)))
+    chosen = [first]
+    d = ((data - data[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d.sum()
+        nxt = (
+            int(rng.randint(len(data)))
+            if total <= 1e-12
+            else int(rng.choice(len(data), p=d / total))
+        )
+        chosen.append(nxt)
+        d = np.minimum(d, ((data - data[nxt]) ** 2).sum(axis=1))
+    cents = data[chosen].copy()
+    for _ in range(iters):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = data[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", PAMI 2011): split each
+    vector into ``m`` subspaces, k-means each subspace to ``ksub``
+    centroids. Returns (m, ksub, dim/m).
+
+    Scale shape: training is a bounded driver-side k-means over the same
+    seeded content-hash sample IVF uses (layout-independent,
+    deterministic); encoding and search are fully distributed. A PQ code
+    is ``m`` small ints (m bytes at ksub ≤ 256) instead of 4·dim bytes of
+    float — at 100 TB the ANN scan reads the skinny code table (32× less
+    I/O at dim=64, m=8) and never touches the raw vectors. Vectors are
+    L2-normalized first so squared-L2 ranking matches cosine ranking
+    (the engine's similarity metric elsewhere)."""
+    sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    return np.stack(
+        [
+            _kmeans_pp(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: "np.ndarray",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Distributed PQ encoding: per subspace, the index of the nearest
+    codebook centroid — Arrow-batched, one (batch × ksub) distance matmul
+    per subspace. Output: ``array<int>`` of length m (store this skinny
+    column — plus the id — as the scan table; raw vectors stay in cold
+    storage for optional exact re-ranking)."""
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        cb = bc.value
+        m_, _, dsub = cb.shape
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        mat = np.vstack([np.asarray(v, dtype="float64") for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m_), dtype="int32")
+        for j in range(m_):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    codebooks: "np.ndarray | None" = None,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ ANN top-k via asymmetric distance computation (ADC): the query
+    stays exact; each database vector's distance is approximated as the
+    sum of m lookup-table entries indexed by its code. The per-query LUT
+    (m × ksub floats) broadcasts; the scan reads codes only and the
+    result merges through TakeOrderedAndProject — no shuffle, no raw
+    vectors touched.
+
+    ``rerank=r`` adds the standard second stage (Jégou PAMI'11 §V):
+    ADC shortlists r·k candidates from codes alone, then ONLY those ids
+    fetch their raw vectors for exact cosine ordering — the shortlist is
+    tiny, broadcast as an id filter, so the full table still pays code-
+    scan I/O only. This recovers the recall that pure ADC loses when
+    true similarities are nearly tied (quantization error ≈ the gaps).
+    Certificate = overlap@k vs :func:`brute_force_topk`."""
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, m=m, ksub=ksub, seed=seed)
+    m_, _, dsub = codebooks.shape
+    q = np.asarray(list(query), dtype="float64")
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.stack(
+        [
+            ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(m_)
+        ]
+    )  # (m, ksub) squared-L2 contributions
+    encoded = pq_encode(df, vec_col, codebooks)
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(codes: pd.Series) -> pd.Series:
+        tbl = bc.value
+        if codes.empty:
+            return pd.Series([], dtype="float64")
+        cm = np.vstack(codes.to_numpy())
+        return pd.Series(tbl[np.arange(tbl.shape[0])[None, :], cm].sum(axis=1))
+
+    shortlist_k = k * rerank if rerank else k
+    adc = (
+        encoded.select(F.col(id_col), _adc(F.col("pq_code")).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist_k)
+    )
+    if not rerank:
+        return adc
+    return (
+        df.join(F.broadcast(adc.select(id_col)), id_col)
         .select(F.col(id_col), cosine_sim_expr(vec_col, query).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)

@@ -75,6 +75,12 @@ def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
             df, df, cfg["vecField"], cfg["idField"], cfg["idField"],
             k=int(cfg.get("k", 5)), planes=int(cfg.get("planes", 6)),
         )
+    if method == "pq":
+        return S.pq_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"],
+            k=int(cfg.get("k", 10)), m=int(cfg.get("m", 8)),
+            ksub=int(cfg.get("ksub", 16)),
+        )
     raise ValueError(f"unknown similarity method {method!r}")
 
 

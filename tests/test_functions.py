@@ -457,6 +457,86 @@ def test_ivf_centroids_invariant_under_repartition(spark):
     assert np.array_equal(c4, c5)
 
 
+def test_pq_topk_recall_vs_brute(spark):
+    """PQ/ADC top-k: the query's own vector must rank first (its code
+    reconstructs closest to itself) and overlap@5 with exact cosine must
+    be high at this codebook size. Codes are m ints per vector — the
+    32× scan-compression story — so this also pins that ranking survives
+    quantization."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[7]]
+    from orientdb_etl_spark.functions.similarity import brute_force_topk, pq_topk
+
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+    ]
+    approx = pq_topk(df, "embedding", "vec_id", q, k=5, m=4, ksub=32).collect()
+    got = [r.vec_id for r in approx]
+    assert got[0] == 7  # the query vector itself wins under ADC
+    assert len(set(got) & set(exact)) >= 3
+
+
+def test_pq_rerank_recovers_exact_order(spark):
+    """ADC shortlist + exact re-rank: with a shortlist comfortably wider
+    than k, the returned top-k must EQUAL exact cosine top-k (same ids,
+    same order) — quantization error survives only in shortlist
+    membership, never in final ordering."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[3]]
+    from orientdb_etl_spark.functions.similarity import brute_force_topk, pq_topk
+
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in pq_topk(
+            df, "embedding", "vec_id", q, k=5, m=4, ksub=64, rerank=10
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_codebooks_layout_invariant_and_validated(spark):
+    import numpy as np
+    import pytest
+
+    from orientdb_etl_spark.functions.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(150, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = pq_train(df.repartition(5), "embedding", m=4, ksub=8, seed=3)
+    c2 = pq_train(df.repartition(2, "vec_id"), "embedding", m=4, ksub=8, seed=3)
+    assert c1.shape == (4, 8, 2) and np.array_equal(c1, c2)
+    codes = {r.vec_id: r.pq_code
+             for r in pq_encode(df, "embedding", c1).collect()}
+    assert len(codes) == 150
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, "embedding", m=3)
+
+
 def test_lsh_multiprobe_radius_generalizes():
     """_bucket_of honors any radius exactly: probe count is sum of
     C(planes, r) for r<=hamming, radius 3 is no longer silently radius 2,
