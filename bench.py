@@ -82,6 +82,8 @@ HEADLINE = [
     "ann_lsh_gaussian",
     "ann_ivf_topk",
     "ann_pairwise_approx",
+    # round-5 compressed-domain ANN (PQ/ADC + exact rerank)
+    "ann_pq_topk",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",
@@ -170,6 +172,17 @@ def _prod_curate_corpus(spark, sf_dir):
     )
 
 
+def _prod_ann_pq_topk(spark, sf_dir):
+    """Production PQ path alone (train + encode + ADC + rerank) — the
+    gate twin additionally runs the exact-cosine baseline for its recall
+    certificate, which is correctness cost, not operator cost."""
+    from orientdb_etl_spark.functions.similarity import pq_topk
+
+    emb = entry._t(spark, sf_dir, "embeddings")
+    q = entry._query_vec(spark, sf_dir)
+    return pq_topk(emb, "embedding", "vec_id", q, k=10, m=8, ksub=256, rerank=5)
+
+
 def _prod_dedup_pipeline(spark, sf_dir):
     from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
 
@@ -184,6 +197,7 @@ PROD_OVERRIDES = {
     "dedup_simhash": _prod_dedup_simhash,
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,
     "ann_pairwise_approx": _prod_ann_pairwise_approx,
+    "ann_pq_topk": _prod_ann_pq_topk,
     "dedup_pipeline": _prod_dedup_pipeline,
     "curate_corpus": _prod_curate_corpus,
 }

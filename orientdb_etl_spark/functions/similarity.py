@@ -533,6 +533,45 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    rerank: int | None = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composition billion-scale ANN actually deploys
+    (Jégou et al. PAMI'11 §VI — the FAISS ``IVFx,PQy`` shape). The IVF
+    coarse quantizer prunes to ``nprobe``/``nlist`` of the table
+    (partition pruning when stored partitioned by cell); inside the
+    probed cells the scan reads m-byte PQ codes under a broadcast ADC
+    LUT; an optional exact re-rank of the tiny shortlist restores
+    ordering. Both training stages are bounded driver-side k-means over
+    the shared layout-independent sample; everything else is
+    distributed. Combined I/O story at 100 TB: (nprobe/nlist) of the
+    rows × (m / 4·dim) of the bytes."""
+    centroids = ivf_index(df, vec_col, nlist=nlist, seed=seed)
+    codebooks = pq_train(df, vec_col, m=m, ksub=ksub, seed=seed)
+    q = np.asarray(list(query), dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probes = [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
+    cells = ivf_assign(df, vec_col, centroids).filter(
+        F.col("ivf_cell").isin(probes)
+    )
+    return pq_topk(
+        cells, vec_col, id_col, query, k=k, codebooks=codebooks, rerank=rerank
+    )
+
+
 def embedding_centroids(
     df: DataFrame,
     vec_col: str,

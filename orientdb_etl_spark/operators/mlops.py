@@ -76,10 +76,21 @@ def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
             k=int(cfg.get("k", 5)), planes=int(cfg.get("planes", 6)),
         )
     if method == "pq":
+        rr = cfg.get("rerank")
         return S.pq_topk(
             df, cfg["vecField"], cfg["idField"], cfg["query"],
             k=int(cfg.get("k", 10)), m=int(cfg.get("m", 8)),
             ksub=int(cfg.get("ksub", 16)),
+            rerank=None if rr is None else int(rr),
+        )
+    if method == "ivfpq":
+        rr = cfg.get("rerank", 5)
+        return S.ivfpq_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"],
+            k=int(cfg.get("k", 10)), nlist=int(cfg.get("nlist", 16)),
+            nprobe=int(cfg.get("nprobe", 4)), m=int(cfg.get("m", 8)),
+            ksub=int(cfg.get("ksub", 256)),
+            rerank=None if rr is None else int(rr),
         )
     raise ValueError(f"unknown similarity method {method!r}")
 

@@ -513,6 +513,39 @@ def test_pq_rerank_recovers_exact_order(spark):
     assert got == exact
 
 
+def test_ivfpq_topk_composition(spark):
+    """IVF-PQ: cell pruning composed with compressed-domain ADC + exact
+    rerank. The query's own vector must be found and overlap with exact
+    must stay high at nprobe=half the cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(300, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[21]]
+    from orientdb_etl_spark.functions.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in ivfpq_topk(
+            df, "embedding", "vec_id", q,
+            k=5, nlist=8, nprobe=4, m=4, ksub=64, rerank=10,
+        ).collect()
+    ]
+    assert got[0] == 21
+    assert len(set(got) & set(exact)) >= 3
+
+
 def test_pq_codebooks_layout_invariant_and_validated(spark):
     import numpy as np
     import pytest
