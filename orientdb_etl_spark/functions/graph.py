@@ -171,6 +171,33 @@ def degrees_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
     return degrees(df, cfg.get("src", "src"), cfg.get("dst", "dst"))
 
 
+@register("triangles")
+def triangles_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"triangles": {"src": "src", "dst": "dst"}} — total
+    triangle count of the edge-shaped payload (degree-ordered orientation;
+    see :func:`triangle_count`)."""
+    return triangle_count(df, cfg.get("src", "src"), cfg.get("dst", "dst"))
+
+
+@register("connectedComponents")
+def connected_components_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"connectedComponents": {"src": "src", "dst": "dst"}}
+    — (id, label) per vertex with label = component min, via the
+    large-star/small-star contraction shared with the dedup survivor
+    machinery (diameter-independent rounds)."""
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    pairs = df.select(
+        F.col(cfg.get("src", "src")).alias("keep_id"),
+        F.col(cfg.get("dst", "dst")).alias("dup_id"),
+    )
+    return connected_component_labels(
+        pairs, max_iter=int(cfg.get("maxIter", 25))
+    )
+
+
 @register("pagerank")
 def pagerank_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """Config form: {"pagerank": {"src": "src", "dst": "dst",

@@ -113,3 +113,36 @@ def test_triangle_count_known_graphs(spark):
     # triangle-free (star) graph
     star = [(0, i) for i in range(1, 6)]
     assert triangle_count(_edges(spark, star)).first().n_triangles == 0
+
+
+def test_triangles_and_cc_config_transformers(spark):
+    """Graph family symmetry: triangles + connectedComponents usable from
+    a JSON config like degrees/pagerank."""
+    from orientdb_etl_spark import Pipeline
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    tri = (
+        Pipeline(
+            {"extractor": {"table": {"name": "e"}},
+             "transformers": [{"triangles": {}}]},
+            spark=spark,
+        )
+        .register_table("e", edges)
+        .compile()
+        .collect()
+    )
+    assert tri[0].n_triangles == 1
+    cc = (
+        Pipeline(
+            {"extractor": {"table": {"name": "e"}},
+             "transformers": [{"connectedComponents": {}}]},
+            spark=spark,
+        )
+        .register_table("e", edges)
+        .compile()
+        .collect()
+    )
+    labels = {r.id: r.label for r in cc}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
