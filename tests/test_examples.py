@@ -171,3 +171,43 @@ def test_config_pretrain_data_example(spark):
     # packs are dense: every pack holds at least one doc, ids unique
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_config_manifest_ingest_example(spark, tmp_path):
+    """Golden test for the manifest-ingest + merge-sink example: three
+    shard files listed in a manifest, fetched distributed, parsed,
+    merged idempotently (second run with an overlapping shard replaces
+    exactly its keys), with observed metrics on the sink action."""
+    from orientdb_etl_spark.listeners import CollectingListener
+
+    shards = []
+    for i in range(3):
+        p = tmp_path / f"part-{i}.csv"
+        p.write_text("".join(
+            f"{i * 10 + j};name{i}_{j};{(i * 10 + j) * 1.5}\n" for j in range(4)
+        ))
+        shards.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("# shards\n" + "\n".join(shards) + "\n")
+    out = tmp_path / "merged"
+
+    cfg = _load("config-manifest-ingest.json")
+    col = CollectingListener()
+    varz = {"manifestPath": str(manifest), "outputPath": str(out)}
+    Pipeline(cfg, spark=spark, variables=varz, listener=col.listener()).run()
+    first = {r.id: (r.name, r.amount) for r in spark.read.parquet(str(out))
+             .select("id", "name", "amount").collect()}
+    assert len(first) == 12
+    assert first[23] == ("name2_3", 34.5)
+    assert any(e.startswith("metrics ") and "n_ids=12" in e for e in col.events)
+
+    # idempotent re-run with one rewritten shard: keys 20..23 replaced
+    (tmp_path / "part-2.csv").write_text(
+        "".join(f"{20 + j};NEW_{j};{0.0}\n" for j in range(4))
+    )
+    Pipeline(cfg, spark=spark, variables=varz).run()
+    final = {r.id: (r.name, r.amount) for r in spark.read.parquet(str(out))
+             .select("id", "name", "amount").collect()}
+    assert len(final) == 12
+    assert final[23] == ("NEW_3", 0.0)
+    assert final[3] == first[3]  # untouched shard's keys unchanged
