@@ -234,6 +234,56 @@ def foreach_batch_upsert(
     return fn
 
 
+def start_manifest_ingest(
+    spark,
+    manifest_glob: str,
+    target_path: str,
+    checkpoint: str,
+    mode: str = "lines",
+    available_now: bool = True,
+    num_buckets: int = 64,
+    fetch_kwargs: dict | None = None,
+):
+    """Continuous-crawl ingestion: stream a GROWING manifest directory;
+    each micro-batch's newly-discovered URL lines are fetched DISTRIBUTED
+    (:func:`orientdb_etl_spark.sources.manifest.fetch_manifest`) and
+    upserted into a bucketed parquet target.
+
+    Composition of three existing pieces, each already scale-shaped:
+    the file stream source tracks processed manifest FILES in the
+    checkpoint (each manifest shard is consumed exactly once across
+    restarts); the fetch runs executor-side with bounded per-task
+    concurrency; and the sink is :func:`foreach_batch_upsert` keyed on
+    (url, line_no) for ``lines`` mode / (url) for ``binary``/``text`` —
+    so a crash-replayed batch rewrites the same keys instead of
+    appending duplicates (at-least-once fetch, exactly-once sink
+    contents). Returns the started StreamingQuery.
+    """
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    keys = ["url", "line_no"] if mode == "lines" else ["url"]
+    upsert = foreach_batch_upsert(target_path, keys, num_buckets=num_buckets)
+    kw = fetch_kwargs or {}
+
+    def on_batch(batch_df, epoch_id: int) -> None:
+        urls = (
+            batch_df.select(F.trim("value").alias("url"))
+            .filter((F.col("url") != "") & ~F.col("url").startswith("#"))
+        )
+        if urls.limit(1).count() == 0:
+            return
+        fetched = fetch_manifest(urls, mode=mode, **kw)
+        upsert(fetched, epoch_id)
+
+    reader = spark.readStream.format("text").load(manifest_glob)
+    writer = reader.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_with_state(
     df: DataFrame,
     user_col: str = "user_id",

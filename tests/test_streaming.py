@@ -461,3 +461,42 @@ def test_stream_quality_filter_matches_batch(spark):
     out = p.run_available_now("t_quality_stream")
     got = sorted(r.doc_id for r in out.collect())
     assert got == [0, 2, 4]  # spam docs filtered inside the stream
+
+
+def test_stream_manifest_ingest_incremental(spark, tmp_path):
+    """Growing-manifest ingestion: first run consumes the initial
+    manifest shards (distributed fetch + keyed upsert); dropping a NEW
+    manifest file and re-running ingests ONLY it — previously processed
+    shards are not re-fetched (file-source checkpoint) and re-listed
+    urls replace their keys instead of duplicating (upsert sink)."""
+    from orientdb_etl_spark.streaming.ops import start_manifest_ingest
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        (data / f"doc-{i}.txt").write_text(f"alpha {i}\nbeta {i}\n")
+    man = tmp_path / "manifests"
+    man.mkdir()
+    (man / "m0.txt").write_text(
+        f"# first crawl\n{data}/doc-0.txt\n{data}/doc-1.txt\n"
+    )
+    target = str(tmp_path / "ingested")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_manifest_ingest(spark, str(man), target, ckpt, mode="lines")
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).select("url", "line_no", "value").collect()
+    assert len(first) == 4
+    assert {r.url.rsplit("/", 1)[-1] for r in first} == {"doc-0.txt", "doc-1.txt"}
+
+    (man / "m1.txt").write_text(f"{data}/doc-2.txt\n")
+    q2 = start_manifest_ingest(spark, str(man), target, ckpt, mode="lines")
+    q2.awaitTermination(120)
+    final = spark.read.parquet(target).select("url", "line_no", "value").collect()
+    assert len(final) == 6
+    assert {r.url.rsplit("/", 1)[-1] for r in final} == {
+        "doc-0.txt", "doc-1.txt", "doc-2.txt"
+    }
+    assert {(r.url.rsplit("/", 1)[-1], r.line_no, r.value) for r in final} >= {
+        ("doc-2.txt", 1, "alpha 2"), ("doc-2.txt", 2, "beta 2"),
+    }
