@@ -2412,6 +2412,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage profile (the hash-gram
+    approximation of ExactSubstr dedup, Lee et al. ACL'22): per doc, how
+    many 20-token windows occur verbatim in ≥2 distinct documents. The
+    portable twin groups by gram TEXT so DuckDB replays the identical
+    semantics; the production path (functions/passages.py, xxhash64
+    keys + span-strip rewrite) shares every stage but the key."""
+    from orientdb_etl_spark.functions.passages import duplicate_passage_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_passage_stats(
+        docs, "text", "doc_id", n=20, portable=True
+    )
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN recall certificate (Jégou et al. PAMI'11):
     the classic m=8/ksub=256 configuration (one byte per subspace — the
@@ -3310,6 +3325,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # product-quantization ANN (recall certificate)
             "merge_sink": q_merge_sink,
             "ann_pq_topk": q_ann_pq_topk,
+            "dup_passages": q_dup_passages,
             # analytics trimmed from the driver registry
             "q4_order_priority": q4_order_priority,
             "q9_product_profit": q9_product_profit,
@@ -3513,6 +3529,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name, "
             "c_nationkey AS nationkey, c_acctbal AS acctbal, "
             "c_mktsegment AS mktsegment FROM customer"
+        ),
+        "dup_passages": (
+            # identical gram semantics: 20-token windows at every position,
+            # duplicated iff the window text occurs in >= 2 distinct docs
+            "WITH toks AS ("
+            "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+            "  FROM documents"
+            "  WHERE text IS NOT NULL AND length(trim(text)) > 0"
+            "    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20"
+            "), grams AS ("
+            "  SELECT doc_id, i,"
+            "         array_to_string(list_slice(t, i, i + 19), ' ') AS g"
+            "  FROM toks, UNNEST(range(1, len(t) - 18)) AS u(i)"
+            "), dups AS ("
+            "  SELECT g FROM grams GROUP BY g"
+            "  HAVING count(DISTINCT doc_id) >= 2"
+            ") SELECT doc_id, count(*) AS n_grams,"
+            "  count(*) FILTER (WHERE g IN (SELECT g FROM dups))"
+            "    AS n_dup_grams,"
+            "  round(count(*) FILTER (WHERE g IN (SELECT g FROM dups))"
+            "        * 1.0 / count(*), 4) AS dup_frac "
+            "FROM grams GROUP BY doc_id"
         ),
         "ann_pq_topk": (
             # recall certificate: |PQ-ADC(+exact rerank) topk ∩ exact topk|

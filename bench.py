@@ -84,6 +84,9 @@ HEADLINE = [
     "ann_pairwise_approx",
     # round-5 compressed-domain ANN (PQ/ADC + exact rerank)
     "ann_pq_topk",
+    # round-5 passage-level dedup (hash-gram ExactSubstr approximation)
+    "dup_passages",
+    "strip_passages",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",
@@ -183,6 +186,24 @@ def _prod_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, "embedding", "vec_id", q, k=10, m=8, ksub=256, rerank=5)
 
 
+def _prod_dup_passages(spark, sf_dir):
+    """Production passage profile (xxhash64 gram keys — 8 B shuffle rows;
+    the gate twin shuffles gram TEXT for oracle replay)."""
+    from orientdb_etl_spark.functions.passages import duplicate_passage_stats
+
+    docs = entry._t(spark, sf_dir, "documents")
+    return duplicate_passage_stats(docs, "text", "doc_id", n=20)
+
+
+def _prod_strip_passages(spark, sf_dir):
+    from orientdb_etl_spark.functions.passages import strip_duplicate_passages
+
+    docs = entry._t(spark, sf_dir, "documents")
+    return strip_duplicate_passages(docs, "text", "doc_id", n=20).select(
+        "doc_id", "n_tokens_removed"
+    )
+
+
 def _prod_dedup_pipeline(spark, sf_dir):
     from orientdb_etl_spark.functions.dedup import corpus_dedup_pipeline
 
@@ -198,6 +219,8 @@ PROD_OVERRIDES = {
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,
     "ann_pairwise_approx": _prod_ann_pairwise_approx,
     "ann_pq_topk": _prod_ann_pq_topk,
+    "dup_passages": _prod_dup_passages,
+    "strip_passages": _prod_strip_passages,
     "dedup_pipeline": _prod_dedup_pipeline,
     "curate_corpus": _prod_curate_corpus,
 }

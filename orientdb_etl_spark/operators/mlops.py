@@ -239,6 +239,26 @@ def curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
     )
 
 
+@register("passages")
+def passages_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"passages": {"textField": "text", "idField": "doc_id", "n": 20,
+    "mode": "stats"|"strip", "minDocs": 2}} — cross-document duplicated-
+    passage profiling (stats) or ExactSubstr-style passage removal
+    (strip)."""
+    from orientdb_etl_spark.functions import passages as P
+
+    kwargs = dict(
+        text_col=cfg.get("textField", "text"),
+        id_col=cfg.get("idField", "doc_id"),
+        n=int(cfg.get("n", 20)),
+        stride=int(cfg.get("stride", 1)),
+        min_docs=int(cfg.get("minDocs", 2)),
+    )
+    if str(cfg.get("mode", "stats")).lower() == "strip":
+        return P.strip_duplicate_passages(df, **kwargs)
+    return P.duplicate_passage_stats(df, **kwargs)
+
+
 @register("sample")
 def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"sample": {"method": "split"|"shuffle"|"stratified"|"mixture"|
