@@ -2427,6 +2427,21 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ExactSubstr-style passage REMOVAL, oracle-checked on the
+    rewritten text itself: every cross-document duplicated 20-token
+    window is masked, overlapping windows merge into spans, and the
+    surviving tokens are re-joined — the DuckDB twin rebuilds the same
+    strings relationally (covered-token EXISTS + ordered string_agg),
+    so the hash pins byte-identical rewrites, not just counts."""
+    from orientdb_etl_spark.functions.passages import strip_duplicate_passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_duplicate_passages(docs, "text", "doc_id", n=20).select(
+        "doc_id", "text", "n_tokens_removed"
+    )
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN recall certificate (Jégou et al. PAMI'11):
     the classic m=8/ksub=256 configuration (one byte per subspace — the
@@ -3326,6 +3341,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "merge_sink": q_merge_sink,
             "ann_pq_topk": q_ann_pq_topk,
             "dup_passages": q_dup_passages,
+            "strip_passages": q_strip_passages,
             # analytics trimmed from the driver registry
             "q4_order_priority": q4_order_priority,
             "q9_product_profit": q9_product_profit,
@@ -3551,6 +3567,38 @@ def oracle_sql() -> dict[str, str]:
             "  round(count(*) FILTER (WHERE g IN (SELECT g FROM dups))"
             "        * 1.0 / count(*), 4) AS dup_frac "
             "FROM grams GROUP BY doc_id"
+        ),
+        "strip_passages": (
+            # rebuild the stripped text relationally: a token j is removed
+            # iff some duplicated-window start s covers it (s <= j < s+20);
+            # survivors re-join in order; fully-stripped docs drop
+            "WITH base AS ("
+            "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+            "  FROM documents"
+            "  WHERE text IS NOT NULL AND length(trim(text)) > 0"
+            "), grams AS ("
+            "  SELECT doc_id, i,"
+            "         array_to_string(list_slice(t, i, i + 19), ' ') AS g"
+            "  FROM base, UNNEST(range(1, len(t) - 18)) AS u(i)"
+            "), dups AS ("
+            "  SELECT g FROM grams GROUP BY g"
+            "  HAVING count(DISTINCT doc_id) >= 2"
+            "), starts AS ("
+            "  SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dups)"
+            "), tok AS ("
+            "  SELECT b.doc_id, u.j, b.t[u.j] AS w"
+            "  FROM base b, UNNEST(range(1, len(b.t) + 1)) AS u(j)"
+            "), marked AS ("
+            "  SELECT tok.doc_id, tok.j, tok.w,"
+            "         EXISTS (SELECT 1 FROM starts s"
+            "                 WHERE s.doc_id = tok.doc_id"
+            "                   AND s.i <= tok.j AND tok.j < s.i + 20) AS cov"
+            "  FROM tok"
+            ") SELECT doc_id,"
+            "  string_agg(w, ' ' ORDER BY j) FILTER (WHERE NOT cov) AS text,"
+            "  count(*) FILTER (WHERE cov) AS n_tokens_removed "
+            "FROM marked GROUP BY doc_id "
+            "HAVING count(*) FILTER (WHERE NOT cov) > 0"
         ),
         "ann_pq_topk": (
             # recall certificate: |PQ-ADC(+exact rerank) topk ∩ exact topk|

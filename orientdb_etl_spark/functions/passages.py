@@ -143,14 +143,14 @@ def strip_duplicate_passages(
         T.StructField("text", T.StringType()),
         T.StructField("removed", T.IntegerType()),
     ]))
-    def _strip(texts: pd.Series, starts: pd.Series) -> pd.DataFrame:
+    def _strip(toks_col: pd.Series, starts: pd.Series) -> pd.DataFrame:
         out_t, out_r = [], []
-        for text, st in zip(texts, starts):
-            if text is None:
+        for toks, st in zip(toks_col, starts):
+            if toks is None:
                 out_t.append(None)
                 out_r.append(0)
                 continue
-            toks = text.split()
+            toks = list(toks)
             if st is None or len(st) == 0:
                 out_t.append(" ".join(toks))
                 out_r.append(0)
@@ -166,8 +166,12 @@ def strip_duplicate_passages(
     joined = df.join(
         dup_starts, df[id_col] == dup_starts["_id"], "left"
     ).drop("_id")
+    # tokenize ONCE, Spark-side, with the SAME split the gram stage used —
+    # the window positions index these exact tokens (a second tokenizer in
+    # Python could disagree on exotic whitespace and shift every span)
     stripped = joined.withColumn(
-        "_s", _strip(F.col(text_col), F.col("_starts"))
+        "_s",
+        _strip(F.split(F.trim(F.col(text_col)), r"\s+"), F.col("_starts")),
     )
     keep = [c for c in df.columns if c != text_col]
     return (

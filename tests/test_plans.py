@@ -341,3 +341,59 @@ def test_curate_corpus_exact_variant_single_exchange(spark):
     import re
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_ex == 1, plan[:2000]
+
+
+def test_dup_passages_production_shuffles_hashes_not_text(spark):
+    """The production passage profile must shuffle 8-byte xxhash64 gram
+    keys, resolve duplicates with a semi-join, and never carry the gram
+    TEXT through an exchange (that is the portable oracle twin's job)."""
+    from orientdb_etl_spark.functions.passages import duplicate_passage_stats
+
+    docs = E._t(spark, SF, "documents")
+    df = duplicate_passage_stats(docs, "text", "doc_id", n=20)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    # the gram string is projected away before every exchange: no
+    # Exchange input carries the concat_ws(gram) column
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange hashpartitioning" in ln:
+            assert "gram" not in ln
+
+
+def test_pq_topk_is_takeordered_with_broadcast_rerank(spark):
+    """PQ/ADC: code-scan ranking must compile to TakeOrderedAndProject
+    (per-partition top-k, no global sort) and the rerank shortlist must
+    attach as a BroadcastHashJoin — the raw-vector table is filtered by
+    a broadcast id set, never shuffled."""
+    from orientdb_etl_spark.functions.similarity import pq_topk
+
+    emb = E._t(spark, SF, "embeddings")
+    q = E._query_vec(spark, SF)
+    df = pq_topk(emb, "embedding", "vec_id", q, k=10, m=8, ksub=16, rerank=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_manifest_fetch_plan_has_no_extra_exchange(spark, tmp_path):
+    """Manifest fetch: ONE round-robin exchange to spread the manifest,
+    then mapInPandas — fetching must not introduce further shuffles."""
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    p = tmp_path / "f.txt"
+    p.write_text("x\n")
+    df = fetch_manifest([str(p)] * 4, spark=spark, mode="binary")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # exactly one Exchange node in the plan tree (the "Exchange (n)"
+    # tree entries; the detail section repeats the name differently)
+    assert plan.count("Exchange (") == 1
+    assert "RoundRobinPartitioning" in plan
