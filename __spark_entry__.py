@@ -2322,6 +2322,36 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) hash-checked against a GENUINE
+    brute-force oracle: the corpus is augmented in-plan with deterministic
+    near-copies (vec_id % 25 == 0, first dimension ×1.1 → cosine ≈ 0.999,
+    new id = vec_id + 10000), and at threshold 0.8 the planted pairs are
+    EXACTLY the duplicate graph (max natural pairwise cosine at the
+    fixtures is ~0.51), so the DuckDB twin derives the survivor set from
+    all-pairs cosine first principles — the clustered path must both find
+    every planted pair (copies must land in their source's k-means cell)
+    and invent none. Components are 2-cliques here, so bucket_min ==
+    connected-components semantics and the oracle needs no recursion."""
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    copies = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(v[0] * 1.1D), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    aug = base.unionByName(copies)
+    out = semantic_dedup(
+        aug, "v", "vec_id", nlist=16, threshold=0.8, survivor="bucket_min"
+    )
+    return out.select("vec_id")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")
@@ -3418,6 +3448,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_topk": q_ngram_topk,
             "incremental_dedup": q_incremental_dedup,
             "embedding_centroids": q_embedding_centroids,
+            # round 5: SemDeDup semantic dedup (planted-dup brute oracle)
+            "semantic_dedup": q_semantic_dedup,
         }
     )
     return out
@@ -4367,6 +4399,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name, "
             "CAST(c_nationkey AS INT) AS nationkey, c_acctbal AS acctbal, "
             "2 AS n_indexes FROM customer"
+        ),
+        "semantic_dedup": (
+            # genuine brute-force oracle over the SAME planted-dup
+            # augmentation the Spark side builds in-plan: all-pairs cosine
+            # >= 0.8 (== exactly the planted pairs at these fixtures),
+            # survivors = ids never the greater element of a dup pair —
+            # the k-means-clustered path must match it row-for-row
+            "WITH aug AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings "
+            "UNION ALL SELECT vec_id + 10000, "
+            "list_concat([embedding[1]::DOUBLE * 1.1], "
+            "embedding[2:]::DOUBLE[]) FROM embeddings "
+            "WHERE vec_id % 25 = 0), "
+            "p AS (SELECT r.vec_id AS b FROM aug l JOIN aug r "
+            "ON l.vec_id < r.vec_id "
+            "WHERE list_dot_product(l.v, r.v) / "
+            "(sqrt(list_dot_product(l.v, l.v)) * "
+            "sqrt(list_dot_product(r.v, r.v))) >= 0.8) "
+            "SELECT vec_id FROM aug "
+            "WHERE vec_id NOT IN (SELECT b FROM p)"
         ),
         "dedup_embedding": (
             # genuine brute-force oracle: all-pairs cosine >= threshold,

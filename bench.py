@@ -87,6 +87,8 @@ HEADLINE = [
     # round-5 passage-level dedup (hash-gram ExactSubstr approximation)
     "dup_passages",
     "strip_passages",
+    # round-5 SemDeDup (k-means-clustered embedding dedup)
+    "semantic_dedup",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",
@@ -213,7 +215,20 @@ def _prod_dedup_pipeline(spark, sf_dir):
     ).select("doc_id")
 
 
+def _prod_semantic_dedup(spark, sf_dir):
+    """Production SemDeDup shape: raw corpus, k-means centroid train +
+    Arrow assignment + cell-bounded pair join + keep-farthest policy (the
+    gate row's planted-dup augmentation is a correctness instrument)."""
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    emb = entry._t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", nlist=16, threshold=0.95
+    ).select("vec_id")
+
+
 PROD_OVERRIDES = {
+    "semantic_dedup": _prod_semantic_dedup,
     "dedup_minhash_survivors": _prod_dedup_minhash_survivors,
     "dedup_simhash": _prod_dedup_simhash,
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,

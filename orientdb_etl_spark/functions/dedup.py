@@ -876,3 +876,102 @@ def embedding_near_dedup(
         .distinct()
     )
     return df.join(dups, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (embedding k-means clusters)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 64,
+    threshold: float = 0.95,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 5,
+    max_cluster_size: int | None = None,
+    survivor: str = "semdedup",
+    score_col: str | None = None,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540, 2023): k-means-cluster the embeddings, compare pairs
+    only WITHIN a cluster, and inside each duplicate group keep the member
+    LEAST similar to its cluster centroid (the boundary example carries
+    the most training signal; centroid-hugging copies are redundant).
+
+    Scale shape: centroids train on a bounded, layout-independent driver
+    sample (:func:`~orientdb_etl_spark.functions.similarity.ivf_index` —
+    hash-prefix TakeOrderedAndProject, k-means++ init); assignment is one
+    Arrow matmul map stage; the pair join is an equi-join on the cell id,
+    so candidate work is Σ|cell|² instead of N² — size ``nlist`` ≈
+    N / target_cluster_size to bound it (the paper uses ~100k clusters at
+    web scale). Pairs never cross cells by construction — that recall
+    trade IS the published algorithm, not an approximation of it. At
+    100 TB, store the table partitioned by cell and this becomes an
+    embarrassingly parallel per-partition sweep.
+
+    ``survivor``: ``"semdedup"`` (default, keep-farthest-from-centroid
+    per connected component, ties → min id) or any policy accepted by
+    :func:`_drop_duplicates_by_pairs` (``bucket_min`` /
+    ``connected_components`` / ``best_of_component`` + ``score_col``).
+    ``max_cluster_size`` drops degenerate cells before the pair join
+    (same guard + rationale as the LSH bucket cap).
+    """
+    from orientdb_etl_spark.functions.similarity import (
+        _cosine_pairs,
+        ivf_assign,
+        ivf_index,
+    )
+
+    if centroids is None:
+        centroids = ivf_index(
+            df, vec_col, nlist=nlist, sample_size=sample_size, iters=iters, seed=seed
+        )
+    base = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")),
+        "_v",
+        centroids,
+        out_col="_cell",
+        sim_col="_ccos" if survivor == "semdedup" else None,
+    )
+    base = _cap_bucket_size(base, ["_cell"], max_cluster_size)
+    # two-sided equi-join on the cell id (not grouped pair-emit): each row
+    # carries its full vector, and collect_list would materialize a whole
+    # cell's vectors in one aggregation row — the join streams them
+    # through a hash probe (same reasoning as embedding_near_dedup)
+    l_, r_ = base.alias("l"), base.alias("r")
+    pairs = (
+        l_.join(
+            r_,
+            (F.col("l._cell") == F.col("r._cell"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("_cos", _cosine_pairs(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("keep_id"),
+            F.col(f"r.{id_col}").alias("dup_id"),
+        )
+        .distinct()
+    )
+    if survivor != "semdedup":
+        return _drop_duplicates_by_pairs(df, pairs, id_col, survivor, score_col)
+    # keep-farthest-from-centroid per duplicate component: only the
+    # clustered subset (docs in a verified pair) is labelled or windowed;
+    # the corpus sees one broadcast-able anti-join, as everywhere else
+    labels = connected_component_labels(pairs)
+    scored = labels.join(
+        base.select(F.col(id_col).alias("id"), "_ccos"), "id"
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("_ccos"), F.asc("id"))
+    drop = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -305,23 +305,55 @@ def ivf_index(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, centroids: "np.ndarray", out_col: str = "ivf_cell"
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    out_col: str = "ivf_cell",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Distributed cell assignment: argmax cosine against the broadcast
     centroid matrix, Arrow-batched. At scale, write the table partitioned
-    by ``ivf_cell`` so queries prune to nprobe partitions."""
+    by ``ivf_cell`` so queries prune to nprobe partitions.
+
+    With ``sim_col``, also emits the cosine to the assigned centroid from
+    the SAME matmul (no second pass) — the keep-score SemDeDup's survivor
+    policy needs (:func:`orientdb_etl_spark.functions.dedup.semantic_dedup`).
+    """
     c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(c)
 
-    @F.pandas_udf(T.IntegerType())
-    def _cell(vecs: pd.Series) -> pd.Series:
+    if sim_col is None:
+
+        @F.pandas_udf(T.IntegerType())
+        def _cell(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.vstack(vecs.to_numpy()).astype("float64")
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series((m @ bc.value.T).argmax(axis=1).astype("int32"))
+
+        return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+    @F.pandas_udf("cell int, ccos double")
+    def _cell_sim(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "ccos": pd.Series([], dtype="float64")})
         m = np.vstack(vecs.to_numpy()).astype("float64")
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series((m @ bc.value.T).argmax(axis=1).astype("int32"))
+        sims = m @ bc.value.T
+        cells = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"),
+             "ccos": sims[np.arange(len(cells)), cells]}
+        )
 
-    return df.withColumn(out_col, _cell(F.col(vec_col)))
+    tagged = df.withColumn("_cs", _cell_sim(F.col(vec_col)))
+    return (
+        tagged.withColumn(out_col, F.col("_cs.cell"))
+        .withColumn(sim_col, F.col("_cs.ccos"))
+        .drop("_cs")
+    )
 
 
 def ivf_topk(

@@ -47,6 +47,16 @@ def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
             cfg["idField"],
             threshold=float(cfg.get("threshold", 0.95)),
         )
+    if method == "semantic":
+        return D.semantic_dedup(
+            df,
+            cfg["vecField"],
+            cfg["idField"],
+            nlist=int(cfg.get("nlist", 64)),
+            threshold=float(cfg.get("threshold", 0.95)),
+            survivor=cfg.get("survivor", "semdedup"),
+            score_col=cfg.get("scoreField"),
+        )
     raise ValueError(f"unknown dedup method {method!r}")
 
 

@@ -860,3 +860,120 @@ def test_curate_corpus_stages_compose(spark):
     assert set(out) == {0, 3}               # dup 1 collapsed, spam 2 dropped
     assert out[0].text == good              # brace line removed
     assert out[0].n_tokens == len(good.split())
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # two well-separated clouds + exact-scale copies of three members
+    base = []
+    for i in range(20):
+        v = rng.normal(0, 0.05, 8)
+        v[0] += 1.0  # cloud A hugs e0
+        base.append((i, [float(x) for x in v]))
+    for i in range(20, 40):
+        v = rng.normal(0, 0.05, 8)
+        v[3] += 1.0  # cloud B hugs e3
+        base.append((i, [float(x) for x in v]))
+    copies = [(i + 1000, [x * 1.01 for x in v]) for i, v in base if i % 10 == 0]
+    docs = _emb(spark, base + copies)
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        docs, "v", "vec_id", nlist=4, threshold=0.999, survivor="bucket_min"
+    )
+    ids = sorted(r.vec_id for r in out.collect())
+    # scaled copies are cosine-identical to their source -> all dropped;
+    # the tightest natural pair in these clouds is ~0.9975 < 0.999
+    assert ids == list(range(40))
+
+
+def test_semantic_dedup_semdedup_policy_keeps_farthest_from_centroid(spark):
+    import numpy as np
+
+    # explicit centroids: cell 0 hugs e0, cell 1 hugs e1. The planted dup
+    # pair lives in cell 0; member 11 sits FARTHER from the centroid
+    # (ccos 0.958) than member 12 (ccos 0.995) -> SemDeDup keeps 11 even
+    # though bucket_min/min-id would keep it too; so add pair (21, 22)
+    # where the LARGER id is farther and must be the keeper.
+    cents = np.eye(2, 8)
+    rows = [
+        (11, [1.0, 0.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (12, [1.0, 0.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]),
+        (22, [0.0, 1.0, 0.0, 0.0, 0.3, 0.0, 0.0, 0.0]),
+        (30, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5]),
+    ]
+    docs = _emb(spark, rows)
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        docs, "v", "vec_id", threshold=0.97, survivor="semdedup",
+        centroids=cents,
+    )
+    ids = sorted(r.vec_id for r in out.collect())
+    # (11,12): keep 11 (farther). (21,22): keep 22 (farther, larger id —
+    # distinguishes the policy from min-id). 30 pairs with nothing
+    # (cos(22,30)=0.895 < 0.97) and survives untouched.
+    assert ids == [11, 22, 30]
+
+
+def test_semantic_dedup_layout_independent(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+    rows += [(i + 500, [x * 1.02 for x in v]) for i, v in rows[:6]]
+    docs = _emb(spark, rows)
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    a = semantic_dedup(docs, "v", "vec_id", nlist=4, threshold=0.995)
+    b = semantic_dedup(
+        docs.repartition(7), "v", "vec_id", nlist=4, threshold=0.995
+    )
+    ia = sorted(r.vec_id for r in a.collect())
+    ib = sorted(r.vec_id for r in b.collect())
+    assert ia == ib  # centroids + survivors independent of partition layout
+    # exactly one member of each planted (source, copy) pair survives —
+    # under the semdedup keep policy a cosine-identical copy may win the
+    # farthest-from-centroid tie, so assert the pair count, not which one
+    sa = set(ia)
+    assert len(ia) == 60
+    for i in range(6):
+        assert ({i, i + 500} & sa) != {i, i + 500} and ({i, i + 500} & sa)
+
+
+def test_semantic_dedup_cluster_cap_guards_degenerate_cells(spark):
+    # 50 identical vectors collapse into one cell; with the cap below the
+    # cell size the cell is dropped (no pairs, everything survives)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows.append((100, [0.0, 1.0, 0.0, 0.0]))
+    docs = _emb(spark, rows)
+    from orientdb_etl_spark.functions.dedup import semantic_dedup
+
+    import numpy as np
+
+    cents = np.eye(2, 4)
+    capped = semantic_dedup(
+        docs, "v", "vec_id", threshold=0.99, centroids=cents,
+        max_cluster_size=10, survivor="bucket_min",
+    )
+    assert capped.count() == 51
+    uncapped = semantic_dedup(
+        docs, "v", "vec_id", threshold=0.99, centroids=cents,
+        max_cluster_size=None, survivor="bucket_min",
+    )
+    assert uncapped.count() == 2

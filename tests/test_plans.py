@@ -397,3 +397,14 @@ def test_manifest_fetch_plan_has_no_extra_exchange(spark, tmp_path):
     # tree entries; the detail section repeats the name differently)
     assert plan.count("Exchange (") == 1
     assert "RoundRobinPartitioning" in plan
+
+
+def test_semantic_dedup_pairs_join_on_cell_equi_key(spark):
+    """SemDeDup's pair stage must be an equi-join on the k-means cell id
+    (candidate work = sum of cell sizes squared), never an all-pairs
+    cartesian; the survivor resolution stays one anti-join."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    # the id< id predicate must ride the cell equi-join as a condition,
+    # not force a nested-loop over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
