@@ -2871,6 +2871,56 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen).select("doc_id", "source")
 
 
+def q_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dedup invariant certificate: seen = doc_id %
+    10 == 0, new = the rest, plus planted near-copies of seen docs (text
+    + ' zz' suffix, id + 100000 — high Jaccard, different fingerprint).
+    The exact stage must drop nothing the fingerprint SQL wouldn't (the
+    oracle derives n_exact_dropped from first principles); the MinHash
+    stage must drop every planted copy (n_planted_survived pinned 0) and
+    the deterministic seeded survivor count is hash-pinned. Each aggregate
+    is single-row, so every join below is a broadcast scalar attach."""
+    from orientdb_etl_spark.functions.dedup import (
+        incremental_dedup,
+        incremental_near_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 == 0)
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    planted = seen.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = new.unionByName(planted)
+    after_exact = incremental_dedup(aug, seen)
+    surv = incremental_near_dedup(
+        after_exact, seen, "text", "doc_id", threshold=0.6
+    )
+    n_new = new.agg(F.count(F.lit(1)).alias("n_new"))
+    n_planted = planted.agg(F.count(F.lit(1)).alias("n_planted"))
+    n_aug = aug.agg(F.count(F.lit(1)).alias("_n_aug"))
+    n_ex = after_exact.agg(F.count(F.lit(1)).alias("_n_ex"))
+    n_pl_surv = surv.filter(F.col("doc_id") >= 100000).agg(
+        F.count(F.lit(1)).alias("n_planted_survived")
+    )
+    n_surv = surv.agg(F.count(F.lit(1)).alias("n_survivors"))
+    return (
+        n_new.crossJoin(n_planted)
+        .crossJoin(n_aug)
+        .crossJoin(n_ex)
+        .crossJoin(n_pl_surv)
+        .crossJoin(n_surv)
+        .select(
+            "n_new",
+            "n_planted",
+            (F.col("_n_aug") - F.col("_n_ex")).alias("n_exact_dropped"),
+            "n_planted_survived",
+            "n_survivors",
+        )
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, distributed dimension-wise with exact
     decimal sums (order-independent => engine- and run-deterministic).
@@ -3449,7 +3499,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "incremental_dedup": q_incremental_dedup,
             "embedding_centroids": q_embedding_centroids,
             # round 5: SemDeDup semantic dedup (planted-dup brute oracle)
+            # + cross-snapshot MinHash near-dedup certificate
             "semantic_dedup": q_semantic_dedup,
+            "incremental_near": q_incremental_near,
         }
     )
     return out
@@ -4004,6 +4056,28 @@ def oracle_sql() -> dict[str, str]:
             "seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0) "
             "SELECT doc_id, source FROM fp WHERE doc_id % 10 != 0 "
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
+        ),
+        "incremental_near": (
+            # n_new / n_planted / n_exact_dropped derive from first
+            # principles (the augmentation recipe + the canonical
+            # fingerprint); the MinHash-stage outcomes are deterministic
+            # under the seeded signatures and hash-pinned: every planted
+            # near-copy must be dropped (0 survive) and the survivor
+            # count is the measured fixture constant
+            f"WITH seen AS (SELECT doc_id, text, {canon} AS f "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "newd AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 != 0), "
+            "planted AS (SELECT doc_id + 100000 AS doc_id, "
+            "text || ' zz' AS text FROM seen WHERE doc_id % 50 = 0), "
+            "aug AS (SELECT * FROM newd UNION ALL SELECT * FROM planted), "
+            f"augfp AS (SELECT doc_id, {canon} AS f FROM aug) "
+            "SELECT (SELECT count(*) FROM newd) AS n_new, "
+            "(SELECT count(*) FROM planted) AS n_planted, "
+            "(SELECT count(*) FROM augfp WHERE f IN "
+            "(SELECT f FROM seen)) AS n_exact_dropped, "
+            "CAST(0 AS BIGINT) AS n_planted_survived, "
+            "CAST(444 AS BIGINT) AS n_survivors"
         ),
         "embedding_centroids": (
             "WITH ux AS (SELECT label, unnest(list_transform(embedding, "

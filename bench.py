@@ -87,8 +87,10 @@ HEADLINE = [
     # round-5 passage-level dedup (hash-gram ExactSubstr approximation)
     "dup_passages",
     "strip_passages",
-    # round-5 SemDeDup (k-means-clustered embedding dedup)
+    # round-5 SemDeDup (k-means-clustered embedding dedup) and
+    # cross-snapshot exact+MinHash incremental dedup
     "semantic_dedup",
+    "incremental_near",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",
@@ -227,8 +229,29 @@ def _prod_semantic_dedup(spark, sf_dir):
     ).select("vec_id")
 
 
+def _prod_incremental_near(spark, sf_dir):
+    """Production cross-snapshot shape: fingerprint anti-join (exact)
+    then MinHash new-vs-seen near stage, raw doc_id % 10 split (the gate
+    row's planted augmentation is a correctness instrument)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dedup import (
+        incremental_dedup,
+        incremental_near_dedup,
+    )
+
+    docs = entry._t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 == 0)
+    new = docs.filter(F.col("doc_id") % 10 != 0)
+    ex = incremental_dedup(new, seen)
+    return incremental_near_dedup(
+        ex, seen, "text", "doc_id", threshold=0.6
+    ).select("doc_id")
+
+
 PROD_OVERRIDES = {
     "semantic_dedup": _prod_semantic_dedup,
+    "incremental_near": _prod_incremental_near,
     "dedup_minhash_survivors": _prod_dedup_minhash_survivors,
     "dedup_simhash": _prod_dedup_simhash,
     "ann_lsh_gaussian": _prod_ann_lsh_gaussian,

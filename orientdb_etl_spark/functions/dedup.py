@@ -816,6 +816,97 @@ def incremental_dedup(
     )
 
 
+def incremental_near_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_text_col: str | None = None,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
+    mode: str = "filter",
+) -> DataFrame:
+    """NEAR-duplicate stage of cross-snapshot dedup: drop new documents
+    whose MinHash-estimated Jaccard against ANY already-curated document
+    reaches ``threshold`` — the incremental complement of
+    :func:`minhash_lsh_dedup` (which dedups within one corpus) and of
+    :func:`incremental_dedup` (which only catches byte-canonical matches
+    across snapshots).
+
+    Scale shape: both sides go through the SAME signature + banding stage
+    (:func:`_minhash_banded`), candidates are an equi-join of the two
+    banded tables on (band, bucket) — new×seen pairs only, never
+    seen×seen (the curated corpus is already deduped; re-pairing it would
+    redo quadratic work every snapshot) — and verification joins the full
+    signatures back onto the sparse candidate stream. At 100 TB the seen
+    side's signatures/banding are computed ONCE and persisted partitioned
+    by (band, bucket); each new crawl only signs its own documents and
+    joins against that index. The degenerate-bucket cap is applied to the
+    UNION of both sides' banded rows, since a boilerplate bucket hot on
+    either side makes the cross join quadratic all the same.
+
+    The seen side needs no id column: an internal ``xxhash64(text)`` key
+    links its banded rows to its signatures (hash collisions would only
+    merge two seen docs' candidate lists — harmless for a drop decision).
+    ``mode='filter'`` drops matched new docs; ``mode='flag'`` appends a
+    ``near_seen`` boolean instead (audit view).
+    """
+    if mode not in ("filter", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    stc = seen_text_col or text_col
+    seen_keyed = seen_df.select(
+        F.xxhash64(F.col(stc)).alias("_seen_key"), F.col(stc).alias("_stext")
+    ).dropDuplicates(["_seen_key"])
+    sigs_new, banded_new = _minhash_banded(
+        new_df, text_col, id_col, num_perm, bands, shingle_k
+    )
+    sigs_seen, banded_seen = _minhash_banded(
+        seen_keyed, "_stext", "_seen_key", num_perm, bands, shingle_k
+    )
+    # cap on the COMBINED occupancy: a bucket's pair count is |new side| ×
+    # |seen side|, so the guard sums both sides' counts (map-side-combined
+    # to ~one row per bucket) and anti-joins the tiny over-full list away
+    # from each side — no union of differently-typed id columns needed
+    bn, bs = banded_new, banded_seen
+    if max_bucket_size is not None:
+        sizes = (
+            bn.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
+            .unionByName(
+                bs.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
+            )
+            .groupBy("band", "bucket")
+            .agg(F.sum("_c").alias("_bsz"))
+        )
+        over = (
+            sizes.filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
+            .cache()  # tiny by definition
+        )
+        bn = bn.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        bs = bs.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+    cand = bn.join(bs, ["band", "bucket"]).select(id_col, "_seen_key").distinct()
+    sn = sigs_new.select(F.col(id_col), F.col("minhash").alias("_sig_n"))
+    ss = sigs_seen.select(F.col("_seen_key"), F.col("minhash").alias("_sig_s"))
+    hits = (
+        cand.join(sn, id_col)
+        .join(ss, "_seen_key")
+        .withColumn("_est", _sig_agreement(F.col("_sig_n"), F.col("_sig_s")))
+        .filter(F.col("_est") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "filter":
+        return new_df.join(hits, id_col, "left_anti")
+    return (
+        new_df.join(hits.withColumn("_hit", F.lit(True)), id_col, "left")
+        .withColumn("near_seen", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------

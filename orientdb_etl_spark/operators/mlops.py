@@ -47,6 +47,36 @@ def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
             cfg["idField"],
             threshold=float(cfg.get("threshold", 0.95)),
         )
+    if method == "incremental":
+        seen_name = cfg["seenTable"]
+        if seen_name not in ctx.tables:
+            raise ValueError(
+                f"dedup method 'incremental': seenTable {seen_name!r} is not "
+                "a registered table"
+            )
+        seen = ctx.tables[seen_name]
+        out = D.incremental_dedup(
+            df,
+            seen,
+            text_col=cfg.get("textField", "text"),
+            seen_text_col=cfg.get("seenTextField"),
+            mode=cfg.get("mode", "filter"),
+        )
+        near = cfg.get("nearThreshold")
+        if near is not None:
+            out = D.incremental_near_dedup(
+                out,
+                seen,
+                cfg.get("textField", "text"),
+                cfg["idField"],
+                seen_text_col=cfg.get("seenTextField"),
+                num_perm=int(cfg.get("numPerm", 128)),
+                bands=int(cfg.get("bands", 16)),
+                shingle_k=int(cfg.get("shingle", 5)),
+                threshold=float(near),
+                mode=cfg.get("mode", "filter"),
+            )
+        return out
     if method == "semantic":
         return D.semantic_dedup(
             df,

@@ -211,3 +211,39 @@ def test_config_manifest_ingest_example(spark, tmp_path):
     assert len(final) == 12
     assert final[23] == ("NEW_3", 0.0)
     assert final[3] == first[3]  # untouched shard's keys unchanged
+
+
+def test_config_incremental_dedup_transformer(spark):
+    """Cross-snapshot dedup as a config transformer: seenTable resolves
+    from the registered-table namespace; exact fingerprint match AND
+    MinHash near-match against the curated corpus both drop."""
+    from orientdb_etl_spark import Pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    seen = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base),            # exact (canonical) match -> exact stage
+            (2, base + " truly"),  # near match -> minhash stage
+            (3, "fresh content about catalyst optimizer rule ordering"),
+        ],
+        "doc_id long, text string",
+    )
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "new_crawl"}},
+            "transformers": [
+                {"dedup": {"method": "incremental", "seenTable": "curated",
+                           "idField": "doc_id", "nearThreshold": 0.6}},
+            ],
+            "loader": {"memory": {"view": "out"}},
+        },
+        spark=spark,
+    )
+    p.register_table("new_crawl", new)
+    p.register_table("curated", seen)
+    out = p.run().outputs["out"]
+    assert [r.doc_id for r in out.collect()] == [3]

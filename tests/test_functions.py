@@ -977,3 +977,65 @@ def test_semantic_dedup_cluster_cap_guards_degenerate_cells(spark):
         max_cluster_size=None, survivor="bucket_min",
     )
     assert uncapped.count() == 2
+
+
+# --------------------------------------------------------------------------
+# incremental (cross-snapshot) near-dedup
+# --------------------------------------------------------------------------
+
+
+def test_incremental_near_dedup_drops_cross_snapshot_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    seen = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base + " indeed"),          # near-dup of seen -> dropped
+            (2, "completely different content about spark physical plans "
+                "and shuffle partitioning strategies at scale"),
+            (3, "completely different content about spark physical plans "
+                "and shuffle partitioning strategies at scale"),  # exact dup WITHIN new: not this stage's job
+        ],
+        "doc_id long, text string",
+    )
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+
+    out = incremental_near_dedup(new, seen, "text", "doc_id", threshold=0.6)
+    ids = sorted(r.doc_id for r in out.collect())
+    # 1 matches seen and is dropped; 2 and 3 both survive — within-new
+    # dedup is minhash_lsh_dedup/exact_dedup's job, this stage only
+    # guards against re-admitting already-curated content
+    assert ids == [2, 3]
+
+    flagged = incremental_near_dedup(
+        new, seen, "text", "doc_id", threshold=0.6, mode="flag"
+    )
+    got = {r.doc_id: r.near_seen for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_incremental_near_dedup_cap_and_seen_collapse(spark):
+    # the seen side collapses identical texts to ONE keyed row (30 copies
+    # -> 1 banded row), so a boilerplate-heavy curated corpus does not by
+    # itself blow a bucket; the new side is NOT collapsed, so 50 identical
+    # new docs + the seen row push the combined occupancy over the cap ->
+    # bucket dropped, everything survives. Without the cap all 50 match.
+    boiler = "boilerplate header repeated verbatim on every single page " * 3
+    seen = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(50)], "doc_id long, text string"
+    )
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+
+    capped = incremental_near_dedup(
+        new, seen, "text", "doc_id", threshold=0.6, max_bucket_size=40
+    )
+    assert capped.count() == 50  # 50 new + 1 collapsed seen > cap
+    uncapped = incremental_near_dedup(
+        new, seen, "text", "doc_id", threshold=0.6, max_bucket_size=None
+    )
+    assert uncapped.count() == 0  # one seen row still blocks all 50

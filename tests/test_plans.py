@@ -408,3 +408,11 @@ def test_semantic_dedup_pairs_join_on_cell_equi_key(spark):
     # the id< id predicate must ride the cell equi-join as a condition,
     # not force a nested-loop over the corpus
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_near_candidates_are_band_bucket_equi_join(spark):
+    """Cross-snapshot near-dedup: the new×seen candidate stage must be an
+    equi-join on the LSH (band, bucket) key — never all-pairs — and the
+    final drop stays anti-join-shaped."""
+    plan = _plan(spark, "incremental_near")
+    assert "CartesianProduct" not in plan
