@@ -2921,6 +2921,25 @@ def q_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (o_custkey, order date), the
+    multi-dimensional data-skipping layout (functions/layout.py). The key
+    is pure integer bit arithmetic against in-plan min/max scalars, so
+    the DuckDB twin replays the IDENTICAL generated expression (only the
+    integer-division token differs by dialect) — hash-checked per row."""
+    from orientdb_etl_spark.functions.layout import add_zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("o_days"),
+    )
+    return add_zorder_key(base, ["o_custkey", "o_days"], bits=8).select(
+        "o_orderkey", "zkey"
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, distributed dimension-wise with exact
     decimal sums (order-independent => engine- and run-deterministic).
@@ -3502,9 +3521,33 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # + cross-snapshot MinHash near-dedup certificate
             "semantic_dedup": q_semantic_dedup,
             "incremental_near": q_incremental_near,
+            # round 5: Z-order layout key (cross-engine identical bit math)
+            "zorder_key": q_zorder_key,
         }
     )
     return out
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of q_zorder_key: the SAME generated interleave text
+    (layout.zorder_interleave_sql), integer-division token swapped for
+    the DuckDB dialect."""
+    from orientdb_etl_spark.functions.layout import (
+        _scaled_exprs,
+        zorder_interleave_sql,
+    )
+
+    key = zorder_interleave_sql(
+        _scaled_exprs(["o_custkey", "o_days"], 8, idiv="//"), 8
+    )
+    return (
+        "WITH b AS (SELECT o_orderkey, o_custkey::BIGINT AS o_custkey, "
+        "datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS o_days "
+        "FROM orders), "
+        "s AS (SELECT min(o_custkey) AS _zmin_0, max(o_custkey) AS _zmax_0, "
+        "min(o_days) AS _zmin_1, max(o_days) AS _zmax_1 FROM b) "
+        f"SELECT o_orderkey, {key} AS zkey FROM b CROSS JOIN s"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4057,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM fp WHERE doc_id % 10 != 0 "
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
         ),
+        "zorder_key": _zorder_oracle(),
         "incremental_near": (
             # n_new / n_planted / n_exact_dropped derive from first
             # principles (the augmentation recipe + the canonical

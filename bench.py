@@ -91,6 +91,8 @@ HEADLINE = [
     # cross-snapshot exact+MinHash incremental dedup
     "semantic_dedup",
     "incremental_near",
+    # round-5 multi-dimensional layout key (scalar-attach + codegen)
+    "zorder_key",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -1,0 +1,111 @@
+"""Multi-dimensional data-layout clustering (Z-order / Morton curve).
+
+The parquet loader's ``sortBy`` gives file-level data skipping on ONE sort
+dimension; queries that filter on a second column still scan everything.
+Interleaving the bits of several normalized key columns into one Morton
+key (Morton 1966; the technique behind Z-ORDER clustering in modern
+lakehouse table formats) makes files near-disjoint in EVERY participating
+dimension at once, so parquet row-group min/max stats prune selective
+predicates on any of them.
+
+Scale shape: one single-row min/max aggregate per write (broadcast scalar
+attach — no driver collect in the plan), then the key is a pure JVM
+bit-arithmetic expression (whole-stage codegen), then the exact same
+``repartitionByRange + sortWithinPartitions`` shuffle the single-dim
+layout already pays. Cost at 100 TB: one extra agg pass; the clustering
+shuffle is unchanged.
+
+Reference parity: the reference has no layout control at all (its loader
+writes rows in arrival order — `OOrientDBLoader.java:214-247`); this is a
+scale-path extension like the rest of §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_interleave_sql", "add_zorder_key", "zorder_write"]
+
+
+def zorder_interleave_sql(scaled: list[str], bits: int) -> str:
+    """The bit-interleave as portable SQL text over pre-scaled BIGINT
+    expressions in ``[0, 2^bits)``: column i contributes its bit b at
+    output position ``b * k + i``. Plain ``>> & <<`` arithmetic — valid
+    (and identical) in both Spark SQL and DuckDB, which is what lets the
+    correctness gate replay the exact key relationally."""
+    k = len(scaled)
+    terms = [
+        f"((({s}) >> {b} & 1) << {b * k + i})"
+        for b in range(bits)
+        for i, s in enumerate(scaled)
+    ]
+    # disjoint bit positions -> sum == bitwise or
+    return "(" + " + ".join(terms) + ")"
+
+
+def _scaled_exprs(cols: list[str], bits: int, idiv: str = "div") -> list[str]:
+    """Per-column normalization to ``[0, 2^bits)`` against the attached
+    ``_zmin_i`` / ``_zmax_i`` scalars: integer arithmetic only, so engines
+    cannot disagree on rounding; nulls clamp to 0 (they sort first, same
+    as a plain sort would put them). ``idiv`` is the engine's integer-
+    division token — ``div`` (Spark SQL) or ``//`` (DuckDB); everything
+    else in the generated text is common SQL."""
+    top = (1 << bits) - 1
+    out = []
+    for i, c in enumerate(cols):
+        rng = f"greatest(_zmax_{i} - _zmin_{i}, 1)"
+        out.append(
+            f"coalesce((cast({c} as bigint) - _zmin_{i}) * {top} {idiv} {rng}, 0)"
+        )
+    return out
+
+
+def add_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zkey"
+) -> DataFrame:
+    """Append the Morton key column. ``cols`` must be numeric/date-like
+    (cast to bigint); ``bits`` per dimension — k*bits must fit a signed
+    64-bit key, so k=2 allows up to 31 bits, k=4 up to 15."""
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits "
+            "> 63; lower bits"
+        )
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("bigint")).alias(f"_zmin_{i}"))
+        aggs.append(F.max(F.col(c).cast("bigint")).alias(f"_zmax_{i}"))
+    stats = df.agg(*aggs)
+    key = zorder_interleave_sql(_scaled_exprs(cols, bits), bits)
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn(out_col, F.expr(key))
+        .drop(*[f"_zmin_{i}" for i in range(len(cols))])
+        .drop(*[f"_zmax_{i}" for i in range(len(cols))])
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 0,
+    keep_key: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet Z-ordered on ``cols``: range-partition by
+    the Morton key, sort within each task, drop the key (a per-row
+    projection — order within the partition is preserved) unless
+    ``keep_key``. Every output file then covers a narrow range in EVERY
+    clustered dimension and parquet footer stats prune on any of them."""
+    keyed = add_zorder_key(df, cols, bits=bits)
+    parted = (
+        keyed.repartitionByRange(num_files, "zkey")
+        if num_files
+        else keyed.repartitionByRange("zkey")
+    ).sortWithinPartitions("zkey")
+    if not keep_key:
+        parted = parted.drop("zkey")
+    parted.write.mode(mode).parquet(path)

@@ -173,7 +173,27 @@ def run_loader(
             )
             fn(df, 0)
             return
-        if cfg.get("sortBy"):
+        if cfg.get("zorderBy"):
+            # multi-dimensional data-skipping layout: Morton-interleave the
+            # named columns' bits so every output file is narrow in EVERY
+            # clustered dimension (see functions/layout.py); sortBy covers
+            # the single-dimension case
+            from orientdb_etl_spark.functions.layout import add_zorder_key
+
+            df = add_zorder_key(
+                df,
+                list(cfg["zorderBy"]),
+                bits=int(cfg.get("zorderBits", 16)),
+            )
+            n = int(cfg.get("numFiles", 0))
+            df = (
+                df.repartitionByRange(n, "zkey")
+                if n
+                else df.repartitionByRange("zkey")
+            ).sortWithinPartitions("zkey")
+            if not cfg.get("keepZorderKey"):
+                df = df.drop("zkey")
+        elif cfg.get("sortBy"):
             # data-skipping layout: range-partition then sort within each
             # task so every output file covers a narrow, near-disjoint key
             # range — parquet row-group min/max stats then let any reader

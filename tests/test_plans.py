@@ -416,3 +416,21 @@ def test_incremental_near_candidates_are_band_bucket_equi_join(spark):
     final drop stays anti-join-shaped."""
     plan = _plan(spark, "incremental_near")
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_is_scalar_attach_plus_codegen(spark):
+    """The Z-order key costs ONE single-row min/max aggregate broadcast
+    back as a scalar attach (BroadcastNestedLoopJoin over one row) plus a
+    pure bit-arithmetic projection — exactly one data exchange (the agg's
+    partial->final), no shuffle of the table itself, no Python."""
+    plan = _plan(spark, "zorder_key")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar attach
+    assert "CartesianProduct" not in plan
+    assert plan.count("(6) Exchange") + plan.count("Exchange (6)") >= 1
+    # the table itself never shuffles: the only plain Exchange is the
+    # single-row aggregate's (SinglePartition), not a table repartition
+    import re
+
+    detail = [ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange", ln)]
+    assert len(detail) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
