@@ -141,6 +141,44 @@ def main() -> None:
     ).count()
     out["t_curate_corpus"] = round(time.time() - t0, 2)
 
+    # --- cross-snapshot incremental dedup on the skewed corpus ---------
+    # seen = the base corpus; new = every re-keyed copy (incl. the hot
+    # key), half of them suffix-perturbed so the exact fingerprint stage
+    # catches the verbatim half and the MinHash stage must catch the rest
+    from orientdb_etl_spark.functions.dedup import (
+        incremental_dedup,
+        incremental_near_dedup,
+        semantic_dedup,
+    )
+
+    new_docs = big.filter(F.col("doc_id") >= 10_000_000).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" zz"))
+        ).otherwise(F.col("text")),
+    )
+    out["n_incremental_new"] = new_docs.count()
+    t0 = time.time()
+    inc = incremental_near_dedup(
+        incremental_dedup(new_docs, docs),
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.6,
+    )
+    out["incremental_survivors"] = inc.count()
+    out["t_incremental"] = round(time.time() - t0, 2)
+
+    # --- SemDeDup on the scaled embeddings -----------------------------
+    # every vector has factor-1 cosine-identical twins; the clustered
+    # pair sweep must collapse the corpus back to ~the base count with
+    # candidate work bounded by the cell sizes, not N²
+    t0 = time.time()
+    out["semantic_survivors"] = semantic_dedup(
+        bige, "embedding", "vec_id", nlist=64, threshold=0.99
+    ).count()
+    out["t_semantic_dedup"] = round(time.time() - t0, 2)
+
     # --- LSH-bucketed k-NN join on the scaled embeddings ---------------
     t0 = time.time()
     out["pairwise_rows"] = pairwise_topk_join(
