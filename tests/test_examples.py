@@ -247,3 +247,43 @@ def test_config_incremental_dedup_transformer(spark):
     p.register_table("curated", seen)
     out = p.run().outputs["out"]
     assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_config_incremental_crawl_example(spark, tmp_path):
+    """The continuous-crawl build: cross-snapshot exact+near dedup vs the
+    registered curated table, within-snapshot staged dedup, then a
+    Z-ordered parquet write — all from the JSON config."""
+    import glob
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = _load("config-incremental-crawl.json")
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    curated = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base),                    # exact cross-snapshot dup
+            (11, base + " truly"),         # near cross-snapshot dup
+            (12, "fresh doc about adaptive query execution in spark"),
+            (13, "fresh doc about adaptive query execution in spark"),  # within-new exact dup
+            (14, "another unrelated document covering broadcast joins"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "crawl")
+    p = Pipeline(cfg, spark=spark, variables={"outputPath": out})
+    p.register_table("new_crawl", new)
+    p.register_table("curated", curated)
+    p.run()
+    back = spark.read.parquet(out)
+    ids = sorted(r.doc_id for r in back.collect())
+    # 10 dropped (exact vs seen), 11 dropped (near vs seen), 13 dropped
+    # (exact within new, keeper = min id 12), 12 + 14 survive
+    assert ids == [12, 14]
+    assert "zkey" not in back.columns
+    # 2 surviving rows can fill at most 2 of the 4 requested range
+    # partitions; empty partitions write no file
+    assert 1 <= len(glob.glob(f"{out}/part-*.parquet")) <= 4
