@@ -11,10 +11,17 @@ case Arrow-batched Pandas UDFs are used — never row-at-a-time Python.
 from orientdb_etl_spark.functions.dedup import (
     exact_dedup,
     embedding_near_dedup,
+    incremental_dedup,
+    incremental_near_dedup,
     minhash_lsh_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_dedup,
+)
+from orientdb_etl_spark.functions.layout import (
+    add_zorder_key,
+    zorder_write,
 )
 from orientdb_etl_spark.functions.packing import (
     pack_greedy,
@@ -34,11 +41,14 @@ from orientdb_etl_spark.functions.text import (
 )
 
 __all__ = [
+    "add_zorder_key",
     "brute_force_topk",
     "cosine_sim_expr",
     "doc_fingerprint",
     "embedding_near_dedup",
     "exact_dedup",
+    "incremental_dedup",
+    "incremental_near_dedup",
     "language_id",
     "lsh_bucketed_topk",
     "minhash_lsh_dedup",
@@ -48,6 +58,8 @@ __all__ = [
     "pack_offsets",
     "pack_utilization",
     "quality_score",
+    "semantic_dedup",
     "simhash_dedup",
     "token_count",
+    "zorder_write",
 ]

@@ -64,9 +64,10 @@ def _scaled_exprs(cols: list[str], bits: int, idiv: str = "div") -> list[str]:
 def add_zorder_key(
     df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zkey"
 ) -> DataFrame:
-    """Append the Morton key column. ``cols`` must be numeric/date-like
-    (cast to bigint); ``bits`` per dimension — k*bits must fit a signed
-    64-bit key, so k=2 allows up to 31 bits, k=4 up to 15."""
+    """Append the Morton key column. ``cols`` must be numeric (convert
+    dates first, e.g. ``datediff(col, '1970-01-01')`` — ANSI mode rejects
+    a direct date→bigint cast); ``bits`` per dimension — k*bits must fit
+    a signed 64-bit key, so k=2 allows up to 31 bits, k=4 up to 15."""
     if len(cols) * bits > 63:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits "
