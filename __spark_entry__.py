@@ -2556,6 +2556,29 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-snapshot exact-dedup gate (availableNow batch
+    parity): the documents stream drops every row whose canonical
+    fingerprint exists in the static curated corpus (doc_id % 10 == 0) —
+    a broadcast stream-static fingerprint join per micro-batch. Oracle =
+    the same fingerprint anti-join relationally."""
+    from orientdb_etl_spark.streaming import StreamingPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 == 0)
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{sf_dir}/documents.parquet"}},
+            "transformers": [{"incremental": {"seenTable": "curated"}}],
+        },
+        spark=spark,
+    )
+    p.register_stream("curated", seen)
+    return p.run_available_now("t_stream_incremental").select(
+        "doc_id", "source"
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream left-joins the static
     customer dimension per micro-batch (broadcast fast path; refreshed
@@ -3518,9 +3541,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "incremental_dedup": q_incremental_dedup,
             "embedding_centroids": q_embedding_centroids,
             # round 5: SemDeDup semantic dedup (planted-dup brute oracle)
-            # + cross-snapshot MinHash near-dedup certificate
+            # + cross-snapshot MinHash near-dedup certificate + the
+            # stream-safe exact stage of the same gate
             "semantic_dedup": q_semantic_dedup,
             "incremental_near": q_incremental_near,
+            "stream_incremental": q_stream_incremental,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4101,6 +4126,16 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
         ),
         "zorder_key": _zorder_oracle(),
+        "stream_incremental": (
+            # the whole documents stream minus every row whose canonical
+            # fingerprint appears in the curated (doc_id % 10 == 0) set —
+            # note the curated docs drop themselves (their fingerprint is
+            # in the set), exactly like the streaming gate
+            f"WITH fp AS (SELECT doc_id, source, {canon} AS f FROM documents), "
+            "seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0) "
+            "SELECT doc_id, source FROM fp "
+            "WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
+        ),
         "incremental_near": (
             # n_new / n_planted / n_exact_dropped derive from first
             # principles (the augmentation recipe + the canonical

@@ -53,6 +53,8 @@ HEADLINE = [
     "sessionize",
     "stream_events_hourly",
     "stream_enrich",
+    # round-5 streaming crawl-ingest gate (stream-static fingerprints)
+    "stream_incremental",
     "link_fk",
     "merge_upsert",
     "subetl_items_agg",

@@ -338,3 +338,51 @@ def sessionize_with_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_seen_filter(
+    df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    seen_text_col: str | None = None,
+    mode: str = "filter",
+) -> DataFrame:
+    """Stream-safe cross-snapshot EXACT dedup: filter (or flag) streamed
+    documents whose canonical fingerprint already exists in a static
+    curated corpus — the continuous-crawl ingest gate, inline in the
+    micro-batch.
+
+    Shape: the static side reduces to a distinct fingerprint set (32 B
+    per curated doc) and broadcasts; the stream side computes its
+    fingerprint per row and LEFT-joins it (stream-static left joins are
+    natively supported — and the static side is re-read per micro-batch,
+    so a freshly re-curated corpus is picked up without restarting the
+    query). ``mode='filter'`` keeps only unseen rows; ``mode='flag'``
+    appends ``seen_before``. The NEAR-dup stage
+    (:func:`orientdb_etl_spark.functions.dedup.incremental_near_dedup`)
+    stays batch-only by design: its candidate generation needs both
+    sides banded and joined globally, state a per-batch stream cannot
+    hold — run it as the batch compaction pass over the stream's sink.
+    """
+    if mode not in ("filter", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.text import doc_fingerprint
+
+    seen_fps = (
+        seen_df.select(
+            doc_fingerprint(seen_text_col or text_col).alias("_fp")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    joined = (
+        df.withColumn("_fp", doc_fingerprint(text_col))
+        .join(F.broadcast(seen_fps), "_fp", "left")
+        .withColumn("seen_before", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_fp", "_hit")
+    )
+    if mode == "filter":
+        return joined.filter(~F.col("seen_before")).drop("seen_before")
+    return joined

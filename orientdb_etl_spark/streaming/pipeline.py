@@ -119,7 +119,7 @@ class StreamingPipeline:
         for t in self.config.get("transformers") or []:
             name, cfg = next(iter(t.items()))
             if name not in _STREAM_SAFE and name not in (
-                "window_agg", "session_agg", "dedup", "enrich"
+                "window_agg", "session_agg", "dedup", "enrich", "incremental"
             ):
                 raise ValueError(f"transformer {name!r} is not stream-safe")
             cfg = render_value(cfg or {}, ctx.variables, ctx.spark)
@@ -154,6 +154,21 @@ class StreamingPipeline:
 
                 df = streaming_dedup(
                     df, cfg["keys"], cfg.get("column"), cfg.get("watermark")
+                )
+            elif name == "incremental":
+                # stream-safe EXACT stage of cross-snapshot dedup: the
+                # static curated corpus collapses to broadcast
+                # fingerprints, the stream left-joins per micro-batch
+                # (near-dup stays a batch compaction pass — see
+                # streaming/ops.py::stream_seen_filter)
+                from orientdb_etl_spark.streaming.ops import stream_seen_filter
+
+                df = stream_seen_filter(
+                    df,
+                    self.ctx.tables[cfg["seenTable"]],
+                    text_col=cfg.get("textField", "text"),
+                    seen_text_col=cfg.get("seenTextField"),
+                    mode=cfg.get("mode", "filter"),
                 )
             elif name == "enrich":
                 df = self._enrich(df, cfg)

@@ -500,3 +500,47 @@ def test_stream_manifest_ingest_incremental(spark, tmp_path):
     assert {(r.url.rsplit("/", 1)[-1], r.line_no, r.value) for r in final} >= {
         ("doc-2.txt", 1, "alpha 2"), ("doc-2.txt", 2, "beta 2"),
     }
+
+
+def test_stream_incremental_filter_matches_batch(spark):
+    """The streaming cross-snapshot exact-dedup gate must keep exactly
+    the docs the batch incremental_dedup keeps (stream-static broadcast
+    fingerprint join, availableNow batch-parity)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 10 == 0)
+    p = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/documents.parquet"}},
+            "transformers": [
+                {"incremental": {"seenTable": "curated"}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_stream("curated", seen)
+    out = p.run_available_now("t_incr")
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(
+        r.doc_id
+        for r in incremental_dedup(docs, seen).collect()
+    )
+    assert got == want
+    # flag mode audit view keeps every row and marks the seen ones
+    p2 = StreamingPipeline(
+        {
+            "source": {"parquet": {"path": f"{SF}/documents.parquet"}},
+            "transformers": [
+                {"incremental": {"seenTable": "curated", "mode": "flag"}},
+            ],
+        },
+        spark=spark,
+    )
+    p2.register_stream("curated", seen)
+    flagged = p2.run_available_now("t_incr_flag")
+    n_seen = flagged.filter(F.col("seen_before")).count()
+    assert flagged.count() == docs.count()
+    assert n_seen >= seen.count()  # every curated doc's fingerprint hits
