@@ -2963,6 +2963,20 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
+    Wenzek et al. LREC 2020): one single-row percentile aggregate
+    broadcast back, bucket = count of boundaries strictly below the
+    score. Integer scores make boundary ties engine-robust; the DuckDB
+    twin replays quantile_cont + list_filter."""
+    from orientdb_etl_spark.functions.sampling import quantile_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_bucket(docs, "n_chars", k=4).select(
+        "doc_id", "n_chars", "score_bucket"
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, distributed dimension-wise with exact
     decimal sums (order-independent => engine- and run-deterministic).
@@ -3546,6 +3560,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup": q_semantic_dedup,
             "incremental_near": q_incremental_near,
             "stream_incremental": q_stream_incremental,
+            "quantile_buckets": q_quantile_buckets,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4126,6 +4141,16 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
         ),
         "zorder_key": _zorder_oracle(),
+        "quantile_buckets": (
+            # same boundaries (exact interpolated quantiles), same
+            # strictly-above counting; integer scores keep boundary
+            # comparisons engine-robust
+            "WITH s AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) "
+            "AS qb FROM documents) "
+            "SELECT doc_id, n_chars, "
+            "len(list_filter(qb, b -> n_chars > b)) AS score_bucket "
+            "FROM documents CROSS JOIN s"
+        ),
         "stream_incremental": (
             # the whole documents stream minus every row whose canonical
             # fingerprint appears in the curated (doc_id % 10 == 0) set —

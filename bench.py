@@ -95,6 +95,8 @@ HEADLINE = [
     "incremental_near",
     # round-5 multi-dimensional layout key (scalar-attach + codegen)
     "zorder_key",
+    # round-5 CCNet-style quantile bucketing (scalar-attach, no window)
+    "quantile_buckets",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -166,3 +166,41 @@ def token_budget_sample(
         .filter(budget.isNull() | (F.col("_cum") - tok < budget))
         .drop("_cum")
     )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    score_col: str,
+    k: int = 3,
+    out_col: str = "score_bucket",
+) -> DataFrame:
+    """Assign each row to one of ``k`` exact score-quantile buckets —
+    the CCNet discipline (Wenzek et al., LREC 2020: corpora split into
+    perplexity head/middle/tail and sampled per bucket).
+
+    Scale shape: the k-1 boundaries come from ONE single-row exact
+    ``percentile`` aggregate that broadcasts back as a scalar attach;
+    each row's bucket is then the count of boundaries strictly below its
+    score — a pure expression. The tempting alternative, ``ntile(k)``
+    over a global ORDER BY, is the anti-pattern: an unpartitioned window
+    funnels the whole table through one task. Boundary ties go to the
+    LOWER bucket (score == boundary counts as not-above), identically in
+    the SQL twin.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    probs = ", ".join(str(i / k) for i in range(1, k))
+    stats = df.agg(
+        F.expr(f"percentile({score_col}, array({probs}))").alias("_qb")
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"aggregate(_qb, 0, (acc, b) -> acc + "
+                f"CASE WHEN {score_col} > b THEN 1 ELSE 0 END)"
+            ),
+        )
+        .drop("_qb")
+    )

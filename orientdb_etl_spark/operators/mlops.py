@@ -302,8 +302,9 @@ def passages_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Data
 @register("sample")
 def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"sample": {"method": "split"|"shuffle"|"stratified"|"mixture"|
-    "tokenBudget", ...}} — the deterministic sampling family as config
-    citizens (id-hash derived, stable across runs/engines)."""
+    "tokenBudget"|"quantile", ...}} — the deterministic sampling family
+    as config citizens (id-hash derived, stable across runs/engines;
+    "quantile" buckets by exact score quantiles, CCNet-style)."""
     from orientdb_etl_spark.functions import sampling as S
 
     method = str(cfg.get("method", "split")).lower()
@@ -323,6 +324,11 @@ def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         return S.mixture_sample(
             df, cfg["groupField"], cfg["idField"], cfg["rates"],
             float(cfg.get("defaultRate", 1.0)), seed,
+        )
+    if method == "quantile":
+        return S.quantile_bucket(
+            df, cfg["scoreField"], int(cfg.get("k", 3)),
+            cfg.get("outField", "score_bucket"),
         )
     if method == "tokenbudget":
         return S.token_budget_sample(

@@ -103,3 +103,39 @@ def test_token_budget_sample_prefix_and_crossing_doc(spark):
         df.repartition(5), "grp", "id", "toks", {"a": 25}, default_budget=None
     ).filter("grp = 'a'").collect()}
     assert again == got_a
+
+
+def test_quantile_bucket_exact_boundaries(spark):
+    from orientdb_etl_spark.functions.sampling import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, score double"
+    )
+    out = quantile_bucket(df, "score", k=4)
+    got = {r.id: r.score_bucket for r in out.collect()}
+    # boundaries at exact quantiles 24.75/49.5/74.25; ties-to-lower
+    assert got[0] == 0 and got[24] == 0
+    assert got[25] == 1 and got[49] == 1
+    assert got[50] == 2 and got[74] == 2
+    assert got[75] == 3 and got[99] == 3
+    # every bucket is (near-)equal mass
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert set(sizes) == {0, 1, 2, 3} and max(sizes.values()) - min(sizes.values()) <= 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        quantile_bucket(df, "score", k=1)
+
+
+def test_quantile_bucket_no_global_sort_window(spark):
+    """The bucketing must be scalar-attach shaped: no Window, no global
+    Sort over the table (the ntile anti-pattern)."""
+    from orientdb_etl_spark.functions.sampling import quantile_bucket
+
+    df = spark.range(1000).selectExpr("id", "id % 37 AS score")
+    plan = quantile_bucket(df, "score", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary attach
