@@ -2963,6 +2963,29 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: old = orders sans %7 keys, new = orders
+    sans %3 keys with %5 prices bumped — added/removed/changed rows out
+    of ONE full-outer key join (null-safe column compare); unchanged
+    bulk never materializes. Oracle = the same relational diff."""
+    from orientdb_etl_spark.functions.profiling import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3561,6 +3584,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "incremental_near": q_incremental_near,
             "stream_incremental": q_stream_incremental,
             "quantile_buckets": q_quantile_buckets,
+            "snapshot_diff": q_snapshot_diff,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4141,6 +4165,24 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
         ),
         "zorder_key": _zorder_oracle(),
+        "snapshot_diff": (
+            "WITH oldt AS (SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 7 != 0), "
+            "newt AS (SELECT o_orderkey, o_totalprice + "
+            "CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END "
+            "AS o_totalprice FROM orders WHERE o_orderkey % 3 != 0), "
+            "j AS (SELECT coalesce(oldt.o_orderkey, newt.o_orderkey) "
+            "AS o_orderkey, oldt.o_totalprice AS old_o_totalprice, "
+            "newt.o_totalprice AS new_o_totalprice, "
+            "CASE WHEN oldt.o_orderkey IS NULL THEN 'added' "
+            "WHEN newt.o_orderkey IS NULL THEN 'removed' "
+            "WHEN oldt.o_totalprice IS NOT DISTINCT FROM "
+            "newt.o_totalprice THEN 'unchanged' ELSE 'changed' END "
+            "AS change FROM oldt FULL OUTER JOIN newt "
+            "ON oldt.o_orderkey = newt.o_orderkey) "
+            "SELECT o_orderkey, change, old_o_totalprice, "
+            "new_o_totalprice FROM j WHERE change != 'unchanged'"
+        ),
         "quantile_buckets": (
             # same boundaries (exact interpolated quantiles), same
             # strictly-above counting; integer scores keep boundary

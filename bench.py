@@ -97,6 +97,8 @@ HEADLINE = [
     "zorder_key",
     # round-5 CCNet-style quantile bucketing (scalar-attach, no window)
     "quantile_buckets",
+    # round-5 CDC snapshot diff (one full-outer key join)
+    "snapshot_diff",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -165,3 +165,69 @@ def ngram_topk(
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+    out_col: str = "change",
+) -> DataFrame:
+    """Row-level diff between two table snapshots (the CDC shape: what a
+    re-crawl / re-curation changed): one FULL OUTER join on the keys,
+    classifying each key as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both sides, any compared column differs, null-safely) or
+    ``unchanged``.
+
+    Scale shape: exactly one key-shuffle join — and with both snapshots
+    written bucketed on the keys (the ``table`` loader's ``bucketBy``)
+    even that shuffle elides. Comparison uses null-safe equality
+    (``<=>``), so a null→value transition counts as a change rather than
+    vanishing. Output: keys + ``change`` + each compared column as an
+    (old_, new_) pair; ``unchanged`` rows are dropped unless
+    ``include_unchanged`` (at 100 TB the diff is the small output —
+    don't materialize the unchanged bulk).
+    """
+    compare_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new_df.columns if c in set(old_df.columns) and c not in keys]
+    )
+    o = old_df.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new_df.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias(out_col),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col(out_col) != "unchanged")
+    return out

@@ -400,4 +400,15 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             df, cfg.get("textField", "text"),
             n=int(cfg.get("n", 3)), k=int(cfg.get("k", 20)),
         )
+    if method == "diff":
+        # CDC-style snapshot diff: the pipeline's frame is the NEW
+        # snapshot, the registered table the OLD one
+        old = ctx.tables[cfg["oldTable"]]
+        return P.snapshot_diff(
+            old,
+            df,
+            list(cfg["keys"]),
+            compare_cols=cfg.get("compareColumns"),
+            include_unchanged=bool(cfg.get("includeUnchanged", False)),
+        )
     raise ValueError(f"unknown profile method {method!r}")

@@ -107,3 +107,44 @@ def test_approx_distinct_certificate(spark):
     assert rows["a"].n_exact == 500 and rows["a"].within_tol
     assert rows["b"].n_exact == 7 and rows["b"].within_tol
     assert rows["c"].n_exact == 3 and rows["c"].within_tol
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from orientdb_etl_spark.functions.profiling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k long, v string, w long",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged -> absent; 2 changed (b->B); 3 changed (null->c,
+    # null-safe compare counts the transition); 4 removed; 5 added
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2].change == "changed" and out[2].old_v == "b" and out[2].new_v == "B"
+    assert out[3].change == "changed" and out[3].old_v is None
+    assert out[4].change == "removed" and out[4].new_v is None
+    assert out[5].change == "added" and out[5].old_v is None
+
+    full = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert full.count() == 5
+    # restricting compared columns ignores other drift
+    wonly = {r.k: r.change for r in snapshot_diff(
+        old, new, ["k"], compare_cols=["w"]
+    ).collect()}
+    assert wonly == {4: "removed", 5: "added"}  # w equal everywhere common
+
+
+def test_snapshot_diff_single_join(spark):
+    from orientdb_etl_spark.functions.profiling import snapshot_diff
+
+    old = spark.range(100).selectExpr("id AS k", "id AS v")
+    new = spark.range(100).selectExpr(
+        "id AS k", "id + CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END AS v"
+    )
+    plan = snapshot_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
