@@ -2986,6 +2986,20 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy certificate (percentile_approx /
+    Greenwald-Khanna): exact quantile per probe (oracle-derived) + a
+    tie-robust in-plan check that the sketch's element honors its
+    1/accuracy rank guarantee (pinned true) — the quantile analog of the
+    HLL certificate, for the profiler's sketch-only path at scale."""
+    from orientdb_etl_spark.functions.profiling import (
+        approx_quantile_certificate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return approx_quantile_certificate(docs, "n_chars")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3585,6 +3599,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_incremental": q_stream_incremental,
             "quantile_buckets": q_quantile_buckets,
             "snapshot_diff": q_snapshot_diff,
+            "approx_quantile": q_approx_quantile,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4182,6 +4197,16 @@ def oracle_sql() -> dict[str, str]:
             "ON oldt.o_orderkey = newt.o_orderkey) "
             "SELECT o_orderkey, change, old_o_totalprice, "
             "new_o_totalprice FROM j WHERE change != 'unchanged'"
+        ),
+        "approx_quantile": (
+            # exact quantiles derived genuinely; the sketch's rank
+            # guarantee (checked tie-robustly in-plan against the data)
+            # pinned true
+            "WITH e AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) "
+            "AS qs FROM documents) "
+            "SELECT 0.25 AS p, qs[1] AS exact_q, true AS rank_ok FROM e "
+            "UNION ALL SELECT 0.5, qs[2], true FROM e "
+            "UNION ALL SELECT 0.75, qs[3], true FROM e"
         ),
         "quantile_buckets": (
             # same boundaries (exact interpolated quantiles), same

@@ -99,6 +99,8 @@ HEADLINE = [
     "quantile_buckets",
     # round-5 CDC snapshot diff (one full-outer key join)
     "snapshot_diff",
+    # round-5 quantile-sketch accuracy certificate
+    "approx_quantile",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

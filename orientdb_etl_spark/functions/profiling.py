@@ -231,3 +231,66 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col(out_col) != "unchanged")
     return out
+
+
+def approx_quantile_certificate(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 100,
+) -> DataFrame:
+    """Accuracy certificate for the quantile sketch (percentile_approx,
+    Greenwald-Khanna summaries): per probe p, the EXACT quantile next to
+    whether the sketch's returned element truly sits within the 1/accuracy
+    rank guarantee — checked tie-robustly against the data itself
+    (count-below / count-at-or-below brackets), not against the exact
+    value. Same role as :func:`approx_distinct_certificate`: at 100 TB
+    you run the sketch alone; this row pins, falsifiably, that the sketch
+    stays calibrated. One scan + one single-row aggregate (broadcast
+    scalar attach), probes expanded by a 3-row explode of that scan.
+    """
+    plist = ", ".join(str(p) for p in probs)
+    stats = df.agg(
+        F.expr(f"percentile({col}, array({plist}))").alias("_ex"),
+        F.expr(f"percentile_approx({col}, array({plist}), {accuracy})").alias("_ap"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    eps = 1.0 / accuracy
+    probed = (
+        df.select(col)
+        .join(F.broadcast(stats))
+        .select(
+            col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {len(probs) - 1}), "
+                    f"i -> struct(element_at(array({plist}), i + 1) AS p, "
+                    f"element_at(_ex, i + 1) AS ex, "
+                    f"element_at(_ap, i + 1) AS ap, _n AS n))"
+                )
+            ).alias("_i", "_pr"),
+        )
+    )
+    return (
+        probed.groupBy("_i")
+        .agg(
+            F.first("_pr.p").alias("p"),
+            F.first("_pr.ex").alias("exact_q"),
+            F.first("_pr.n").alias("_n"),
+            F.sum(
+                F.when(F.col(col) < F.col("_pr.ap"), 1).otherwise(0)
+            ).alias("_below"),
+            F.sum(
+                F.when(F.col(col) <= F.col("_pr.ap"), 1).otherwise(0)
+            ).alias("_at_or_below"),
+        )
+        .select(
+            F.col("p").cast("double").alias("p"),
+            "exact_q",
+            (
+                (F.col("_below") / F.col("_n") <= F.col("p") + F.lit(eps))
+                & (F.col("_at_or_below") / F.col("_n") >= F.col("p") - F.lit(eps))
+            ).alias("rank_ok"),
+        )
+        .orderBy("p")
+    )

@@ -148,3 +148,18 @@ def test_snapshot_diff_single_join(spark):
     plan = snapshot_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_approx_quantile_certificate(spark):
+    from orientdb_etl_spark.functions.profiling import (
+        approx_quantile_certificate,
+    )
+
+    df = spark.range(10_000).selectExpr("cast(id AS double) AS x")
+    out = approx_quantile_certificate(df, "x", probs=(0.1, 0.5, 0.9),
+                                      accuracy=100).collect()
+    assert [r.p for r in out] == [0.1, 0.5, 0.9]
+    # exact interpolated quantiles of 0..9999 (float interpolation)
+    for got, want in zip([r.exact_q for r in out], [999.9, 4999.5, 8999.1]):
+        assert abs(got - want) < 1e-6
+    assert all(r.rank_ok for r in out)
