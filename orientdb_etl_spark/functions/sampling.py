@@ -185,7 +185,8 @@ def quantile_bucket(
     over a global ORDER BY, is the anti-pattern: an unpartitioned window
     funnels the whole table through one task. Boundary ties go to the
     LOWER bucket (score == boundary counts as not-above), identically in
-    the SQL twin.
+    the SQL twin; a NULL score yields a NULL bucket (percentile ignores
+    nulls, so they belong to no quantile — filter or impute upstream).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
