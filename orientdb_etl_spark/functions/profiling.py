@@ -294,3 +294,35 @@ def approx_quantile_certificate(
         )
         .orderBy("p")
     )
+
+
+def apply_snapshot_diff(
+    old_df: DataFrame,
+    diff_df: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` patch to the old snapshot,
+    reconstructing the new one — the CDC apply/MERGE half of the pair
+    (and the round-trip law the property tests pin:
+    ``apply(old, diff(old, new)) == new`` on the diffed columns).
+
+    Scale shape: one key-shuffle join of old against the (small) diff —
+    ``removed``/``changed`` keys drop out of or rewrite the old side,
+    ``added``/``changed`` rows come from the diff's ``new_*`` columns.
+    The unchanged bulk streams through untouched, which is the point:
+    the patch is sized by the change rate, not the table.
+    """
+    dropped = diff_df.filter(
+        F.col(change_col).isin("removed", "changed")
+    ).select(*keys)
+    kept = old_df.select(*keys, *compare_cols).join(
+        dropped, keys, "left_anti"
+    )
+    replaced = diff_df.filter(
+        F.col(change_col).isin("added", "changed")
+    ).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return kept.unionByName(replaced)

@@ -199,3 +199,40 @@ def test_corpus_dedup_pipeline_invariants(spark, rows):
         ).collect()
     }
     assert again == surv  # idempotent
+
+
+def test_snapshot_diff_apply_roundtrip_property(spark):
+    """CDC round-trip law on randomized snapshots:
+    apply(old, diff(old, new)) == new, exactly, for arbitrary overlaps
+    of added/removed/changed/unchanged keys (nulls included)."""
+    import random
+
+    from orientdb_etl_spark.functions.profiling import (
+        apply_snapshot_diff,
+        snapshot_diff,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        old_rows, new_rows = [], []
+        for k in range(200):
+            v_old = rng.choice([None, "a", "b", "c"])
+            w_old = rng.randrange(5)
+            fate = rng.random()
+            if fate < 0.25:
+                old_rows.append((k, v_old, w_old))          # removed
+            elif fate < 0.5:
+                new_rows.append((k, v_old, w_old))          # added
+            elif fate < 0.75:
+                old_rows.append((k, v_old, w_old))          # changed
+                new_rows.append((k, rng.choice([None, "x", "y"]), w_old + 1))
+            else:
+                old_rows.append((k, v_old, w_old))          # unchanged
+                new_rows.append((k, v_old, w_old))
+        old = spark.createDataFrame(old_rows, "k long, v string, w long")
+        new = spark.createDataFrame(new_rows, "k long, v string, w long")
+        diff = snapshot_diff(old, new, ["k"])
+        rebuilt = apply_snapshot_diff(old, diff, ["k"], ["v", "w"])
+        got = sorted(((r.k, r.v, r.w) for r in rebuilt.collect()))
+        want = sorted(new_rows)
+        assert got == want, f"trial {trial}: roundtrip mismatch"
