@@ -3777,7 +3777,9 @@ def oracle_sql() -> dict[str, str]:
         "strip_passages": (
             # rebuild the stripped text relationally: a token j is removed
             # iff some duplicated-window start s covers it (s <= j < s+20);
-            # survivors re-join in order; fully-stripped docs drop
+            # survivors re-join in order. Untouched docs (zero removals,
+            # incl. NULL/empty texts) keep their ORIGINAL bytes; only docs
+            # emptied by the stripping drop
             "WITH base AS ("
             "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
             "  FROM documents"
@@ -3800,11 +3802,17 @@ def oracle_sql() -> dict[str, str]:
             "                 WHERE s.doc_id = tok.doc_id"
             "                   AND s.i <= tok.j AND tok.j < s.i + 20) AS cov"
             "  FROM tok"
-            ") SELECT doc_id,"
-            "  string_agg(w, ' ' ORDER BY j) FILTER (WHERE NOT cov) AS text,"
-            "  count(*) FILTER (WHERE cov) AS n_tokens_removed "
-            "FROM marked GROUP BY doc_id "
-            "HAVING count(*) FILTER (WHERE NOT cov) > 0"
+            "), agg AS (SELECT doc_id,"
+            "  string_agg(w, ' ' ORDER BY j) FILTER (WHERE NOT cov) AS new_text,"
+            "  count(*) FILTER (WHERE cov) AS removed "
+            "FROM marked GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CASE WHEN a.removed IS NULL OR a.removed = 0 THEN d.text "
+            "ELSE a.new_text END AS text, "
+            "coalesce(a.removed, 0) AS n_tokens_removed "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+            "WHERE a.removed IS NULL OR a.removed = 0 "
+            "OR a.new_text IS NOT NULL"
         ),
         "ann_pq_topk": (
             # recall certificate: |PQ-ADC(+exact rerank) topk ∩ exact topk|

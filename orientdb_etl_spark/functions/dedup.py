@@ -419,9 +419,23 @@ def connected_component_labels(
     roots = edges.select(F.col("b").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    return edges.select(
+    labeled = edges.select(
         F.col("a").alias("id"), F.col("b").alias("label")
     ).union(roots)
+    # vertices whose ONLY incident pair is a self-loop vanish from the
+    # contracted edge set (a != b filtered them) but are still part of
+    # the input universe — label them with themselves. Dedup pair streams
+    # never contain self-loops (keep_id < dup_id), but the general graph
+    # CC transformer exposes this function where they are legal input.
+    touched = (
+        pairs.select(F.col("keep_id").alias("id"))
+        .union(pairs.select(F.col("dup_id").alias("id")))
+        .distinct()
+    )
+    isolated = touched.join(
+        labeled.select("id").distinct(), "id", "left_anti"
+    ).withColumn("label", F.col("id"))
+    return labeled.union(isolated)
 
 
 def _drop_duplicates_by_pairs(
@@ -680,9 +694,15 @@ def simhash_dedup(
     ``survivor`` as in :func:`minhash_lsh_dedup`.
     """
     width = 64 // bands
-    # no cache: the fingerprint rides the banded rows as the pair payload,
-    # so fp is consumed exactly once — caching it would only pin storage
-    fp = ensure_parallelism(df).select(id_col, simhash_fast(text_col).alias("_simhash"))
+    # cache: the banded frame derived from fp is traversed TWICE by the
+    # default bucket cap (the groupBy size count and the anti-join probe
+    # stream), so an uncached fp would run the SimHash UDF over the
+    # corpus twice
+    fp = (
+        ensure_parallelism(df)
+        .select(id_col, simhash_fast(text_col).alias("_simhash"))
+        .cache()
+    )
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> struct(b AS band, shiftright(_simhash, b * {width}) & {(1 << width) - 1} AS chunk))"
@@ -866,6 +886,12 @@ def incremental_near_dedup(
     sigs_seen, banded_seen = _minhash_banded(
         seen_keyed, "_stext", "_seen_key", num_perm, bands, shingle_k
     )
+    # each side's signatures feed the banding, the bucket-cap passes AND
+    # the verify join — cache them once per side or the signature UDF
+    # re-runs over the full corpus for every consumer (same reuse-site
+    # rule as minhash_lsh_dedup)
+    sigs_new.cache()
+    sigs_seen.cache()
     # cap on the COMBINED occupancy: a bucket's pair count is |new side| ×
     # |seen side|, so the guard sums both sides' counts (map-side-combined
     # to ~one row per bucket) and anti-joins the tiny over-full list away

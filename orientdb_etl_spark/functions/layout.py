@@ -50,13 +50,29 @@ def _scaled_exprs(cols: list[str], bits: int, idiv: str = "div") -> list[str]:
     cannot disagree on rounding; nulls clamp to 0 (they sort first, same
     as a plain sort would put them). ``idiv`` is the engine's integer-
     division token — ``div`` (Spark SQL) or ``//`` (DuckDB); everything
-    else in the generated text is common SQL."""
+    else in the generated text is common SQL.
+
+    Overflow-safe by construction: the obvious ``(c - min) * top / rng``
+    wraps int64 once rng > 2^63/top (epoch-microsecond spans, snowflake
+    ids) and silently interleaves garbage. Instead each value first
+    divides by a bucket WIDTH = rng div 2^bits + 1 (bounds it to
+    [0, 2^bits) for ANY int64 range, no multiplication on the raw
+    value), then multiplies by an integer STRETCH = 2^bits div (vmax+1)
+    so a narrow-range column still spans the high bits — otherwise a
+    150-value key interleaved against a 9000-value key would contribute
+    only low-order bits and lose its weight in the curve. The product is
+    bounded by 2^(2*bits) < 2^63 for every legal ``bits``. Trade: up to
+    one bit of resolution per column, irrelevant for file clustering."""
     top = (1 << bits) - 1
     out = []
     for i, c in enumerate(cols):
         rng = f"greatest(_zmax_{i} - _zmin_{i}, 1)"
+        width = f"(({rng}) {idiv} {top + 1}) + 1"
+        vmax = f"(({rng}) {idiv} ({width}))"
+        stretch = f"({top + 1} {idiv} ({vmax} + 1))"
         out.append(
-            f"coalesce((cast({c} as bigint) - _zmin_{i}) * {top} {idiv} {rng}, 0)"
+            f"coalesce(((cast({c} as bigint) - _zmin_{i}) {idiv} ({width}))"
+            f" * {stretch}, 0)"
         )
     return out
 

@@ -160,8 +160,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             "resized", F.lit(True)
         )
 
+    # preserve the INPUT schema (+ the resized marker), exactly like the
+    # codec-less path — pinning ASSET_SCHEMA here would make a pipeline
+    # that added columns work without Pillow and break with it
     out_schema = T.StructType(
-        ASSET_SCHEMA.fields + [T.StructField("resized", T.BooleanType(), False)]
+        list(df.schema.fields) + [T.StructField("resized", T.BooleanType(), False)]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,22 +172,33 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
         Image = _pil()
         for pdf in it:
-            new_content, new_meta = [], []
+            new_content, new_meta, ok = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 meta = dict(meta) if meta is not None else {}
                 meta["width"], meta["height"] = width, height
-                new_meta.append(meta)
                 if content is None:
+                    new_meta.append(meta)
                     new_content.append(None)
+                    ok.append(False)
                     continue
-                img = Image.open(io.BytesIO(bytes(content)))
-                fmt = img.format or "PNG"
-                buf = io.BytesIO()
-                img.resize((width, height)).save(buf, format=fmt)
-                new_content.append(buf.getvalue())
-            pdf = pdf.assign(
-                content=new_content, meta=new_meta, resized=True
-            )
+                # per-row fault isolation: ONE truncated/corrupt image in
+                # a crawl batch must not kill the task (and the job) —
+                # bad rows pass through unresized with the error recorded
+                try:
+                    img = Image.open(io.BytesIO(bytes(content)))
+                    fmt = img.format or "PNG"
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format=fmt)
+                    new_content.append(buf.getvalue())
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — codec errors vary
+                    # meta is a FIXED struct, so the failure is recorded
+                    # via resized=False (filter on it downstream); the
+                    # original bytes pass through for re-processing
+                    new_content.append(bytes(content))
+                    ok.append(False)
+                new_meta.append(meta)
+            pdf = pdf.assign(content=new_content, meta=new_meta, resized=ok)
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

@@ -76,6 +76,12 @@ def duplicate_passage_stats(
     (cross-document duplication — within-document repetition is the
     separate ``ngram_repetition`` signal).
 
+    Contract note: documents SHORTER than ``n`` tokens produce no gram
+    and therefore NO output row (they cannot contain an n-token passage).
+    A caller left-joining this profile back onto the corpus must treat
+    the resulting NULLs as "no passage possible", not "unprofiled" —
+    coalescing dup_frac to 0 for them is correct, but do it knowingly.
+
     ``portable=False`` (production): grams shuffle as 8-byte xxhash64
     keys. ``portable=True``: grams shuffle as text so a relational
     oracle can replay the identical grouping (hash collisions — ~n²/2⁶⁴
@@ -118,7 +124,9 @@ def strip_duplicate_passages(
     REMOVED (the ExactSubstr removal semantics at gram granularity):
     a token is dropped iff some duplicated window covers it; overlapping
     windows merge into one span, so an arbitrarily long shared passage
-    disappears as a unit. Documents left empty are dropped.
+    disappears as a unit. Documents emptied BY the stripping are dropped;
+    documents with nothing to strip (including NULL/empty texts) pass
+    through byte-identical.
 
     Output: original columns with ``text_col`` rewritten plus
     ``n_tokens_removed``. One grouped shuffle for the duplicated-gram
@@ -177,8 +185,19 @@ def strip_duplicate_passages(
     return (
         stripped.select(
             *keep,
-            F.col("_s.text").alias(text_col),
+            # untouched documents (nothing stripped — including NULL/empty
+            # texts) pass through BYTE-IDENTICAL: the token re-join is only
+            # ever applied to documents an actual removal rewrote, so the
+            # operator never silently collapses whitespace it didn't touch
+            F.when(F.col("_s.removed") == 0, F.col(text_col))
+            .otherwise(F.col("_s.text"))
+            .alias(text_col),
             F.col("_s.removed").alias("n_tokens_removed"),
         )
-        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        # drop only documents EMPTIED BY STRIPPING; originally-empty docs
+        # are not this operator's business and stay
+        .filter(
+            (F.col("n_tokens_removed") == 0)
+            | (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        )
     )

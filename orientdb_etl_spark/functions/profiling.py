@@ -253,7 +253,10 @@ def approx_quantile_certificate(
     stats = df.agg(
         F.expr(f"percentile({col}, array({plist}))").alias("_ex"),
         F.expr(f"percentile_approx({col}, array({plist}), {accuracy})").alias("_ap"),
-        F.count(F.lit(1)).alias("_n"),
+        # count the NON-NULL population: percentile ignores nulls, and the
+        # rank brackets below never count null rows either — a count(1)
+        # denominator would miscalibrate the certificate on dirty columns
+        F.count(F.col(col)).alias("_n"),
     )
     eps = 1.0 / accuracy
     probed = (

@@ -199,8 +199,13 @@ def quantile_bucket(
         .withColumn(
             out_col,
             F.expr(
+                # NULL scores must yield a NULL bucket (they belong to no
+                # quantile) — without the outer CASE the NULL comparison
+                # falls into ELSE 0 and unscored rows silently flood the
+                # head bucket
+                f"CASE WHEN {score_col} IS NULL THEN NULL ELSE "
                 f"aggregate(_qb, 0, (acc, b) -> acc + "
-                f"CASE WHEN {score_col} > b THEN 1 ELSE 0 END)"
+                f"CASE WHEN {score_col} > b THEN 1 ELSE 0 END) END"
             ),
         )
         .drop("_qb")

@@ -1039,3 +1039,16 @@ def test_incremental_near_dedup_cap_and_seen_collapse(spark):
         new, seen, "text", "doc_id", threshold=0.6, max_bucket_size=None
     )
     assert uncapped.count() == 0  # one seen row still blocks all 50
+
+
+def test_connected_components_self_loop_vertex_kept(spark):
+    """A vertex whose only incident pair is a self-loop must still appear
+    in the label table (label = itself) — the general graph CC operator
+    accepts self-loops even though dedup pair streams never emit them."""
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3)], "keep_id long, dup_id long"
+    )
+    labels = {r.id: r.label for r in connected_component_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 3}

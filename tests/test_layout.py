@@ -121,3 +121,20 @@ def test_zorder_loader_config(spark, tmp_path):
     assert back.count() == orders.count()
     assert "zkey" not in back.columns
     assert len(glob.glob(f"{out}/part-*.parquet")) == 4
+
+
+def test_zorder_key_wide_range_no_overflow(spark):
+    """Epoch-microsecond-scale ranges (rng >> 2^63 / 2^bits) must not
+    wrap int64: keys stay in [0, 2^(k*bits)) and remain monotone in each
+    dimension; narrow ranges still stretch to full key weight."""
+    wide = 300_000_000_000_000  # ~10 years of microseconds
+    rows = [(i, i * (wide // 4), i) for i in range(5)]  # ts and tiny id
+    df = spark.createDataFrame(rows, "id long, ts long, small long")
+    keyed = {
+        r.id: r.zkey
+        for r in add_zorder_key(df, ["ts", "small"], bits=16).collect()
+    }
+    assert all(0 <= v < (1 << 32) for v in keyed.values())
+    # monotone in ts (small moves together here, so full key is monotone)
+    ks = [keyed[i] for i in range(5)]
+    assert ks == sorted(ks) and len(set(ks)) == 5

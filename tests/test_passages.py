@@ -109,3 +109,34 @@ def test_stride_bounds_blowup(spark, corpus):
     }
     assert rows[1].n_grams == 4  # positions 1,6,11,16
     assert rows[1].n_dup_grams >= 1
+
+
+def test_strip_preserves_untouched_documents_byte_identical(spark):
+    """Documents with nothing to strip must come back with their ORIGINAL
+    bytes (tabs/newlines/multi-spaces intact), and originally-empty/NULL
+    docs pass through instead of vanishing; only docs emptied BY the
+    stripping drop."""
+    from orientdb_etl_spark.functions.passages import strip_duplicate_passages
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    weird = "keep\tthese   exact\n\nbytes here"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero"),
+            (1, shared + " other ending one"),
+            (2, weird),            # untouched -> byte-identical
+            (3, ""),               # originally empty -> passes through
+            (4, None),             # NULL -> passes through
+            (5, shared),           # fully covered -> dropped
+            (6, shared),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicate_passages(
+        docs, "text", "doc_id", n=20
+    ).collect()}
+    assert out[2].text == weird and out[2].n_tokens_removed == 0
+    assert out[3].text == "" and out[3].n_tokens_removed == 0
+    assert out[4].text is None and out[4].n_tokens_removed == 0
+    assert 5 not in out and 6 not in out  # emptied by stripping
+    assert out[0].n_tokens_removed == 25 and "unique" in out[0].text

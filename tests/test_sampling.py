@@ -139,3 +139,16 @@ def test_quantile_bucket_no_global_sort_window(spark):
     plan = quantile_bucket(df, "score", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary attach
+
+
+def test_quantile_bucket_null_scores_get_null_bucket(spark):
+    from orientdb_etl_spark.functions.sampling import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0), (4, None)],
+        "id long, score double",
+    )
+    got = {r.id: r.score_bucket for r in quantile_bucket(df, "score", k=2).collect()}
+    # unscored rows must NOT flood the head bucket — they belong to no quantile
+    assert got[4] is None
+    assert all(got[i] is not None for i in range(4))
