@@ -1175,7 +1175,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
-    out = resize_images(assets, 224, 224)
+    # codec='stub': the content here is UTF-8 text, not image bytes — the
+    # forced deterministic path keeps this row env-INDEPENDENT (with
+    # Pillow installed, codec='auto' would rightly mark every fake-bytes
+    # row resized=false and the pinned oracle would diverge by machine)
+    out = resize_images(assets, 224, 224, codec="stub")
     return out.select(
         "asset_id",
         F.col("meta.width").alias("width"),

@@ -897,6 +897,7 @@ def incremental_near_dedup(
     # to ~one row per bucket) and anti-joins the tiny over-full list away
     # from each side — no union of differently-typed id columns needed
     bn, bs = banded_new, banded_seen
+    over = None
     if max_bucket_size is not None:
         sizes = (
             bn.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
@@ -923,7 +924,17 @@ def incremental_near_dedup(
         .filter(F.col("_est") >= threshold)
         .select(id_col)
         .distinct()
+        # materialize the (small) hit set NOW so the signature caches can
+        # be released immediately — this runs once per snapshot in a
+        # long-lived session, and leaving two corpus-sized cached frames
+        # pinned per call would accumulate exactly the session-long
+        # storage cost the stats-only-cache fix removed elsewhere
+        .localCheckpoint(eager=True)
     )
+    sigs_new.unpersist()
+    sigs_seen.unpersist()
+    if over is not None:
+        over.unpersist()
     if mode == "filter":
         return new_df.join(hits, id_col, "left_anti")
     return (
@@ -1056,6 +1067,10 @@ def semantic_dedup(
         out_col="_cell",
         sim_col="_ccos" if survivor == "semdedup" else None,
     )
+    # cache at the reuse site: base feeds BOTH sides of the pair join
+    # (and the semdedup survivor scoring) — uncached, the full-corpus
+    # centroid-assignment matmul would run three times per call
+    base.cache()
     base = _cap_bucket_size(base, ["_cell"], max_cluster_size)
     # two-sided equi-join on the cell id (not grouped pair-emit): each row
     # carries its full vector, and collect_list would materialize a whole

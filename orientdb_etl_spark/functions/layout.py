@@ -103,6 +103,27 @@ def add_zorder_key(
     )
 
 
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 0,
+    keep_key: bool = False,
+) -> DataFrame:
+    """The clustering recipe itself — key, range-partition, sort within
+    each task, optionally drop the key (a per-row projection; order
+    within the partition is preserved). Shared by :func:`zorder_write`
+    and the parquet loader's ``zorderBy`` option so the layout cannot
+    silently diverge between the two entry points."""
+    keyed = add_zorder_key(df, cols, bits=bits)
+    parted = (
+        keyed.repartitionByRange(num_files, "zkey")
+        if num_files
+        else keyed.repartitionByRange("zkey")
+    ).sortWithinPartitions("zkey")
+    return parted if keep_key else parted.drop("zkey")
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -112,17 +133,10 @@ def zorder_write(
     keep_key: bool = False,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as parquet Z-ordered on ``cols``: range-partition by
-    the Morton key, sort within each task, drop the key (a per-row
-    projection — order within the partition is preserved) unless
-    ``keep_key``. Every output file then covers a narrow range in EVERY
-    clustered dimension and parquet footer stats prune on any of them."""
-    keyed = add_zorder_key(df, cols, bits=bits)
-    parted = (
-        keyed.repartitionByRange(num_files, "zkey")
-        if num_files
-        else keyed.repartitionByRange("zkey")
-    ).sortWithinPartitions("zkey")
-    if not keep_key:
-        parted = parted.drop("zkey")
-    parted.write.mode(mode).parquet(path)
+    """Write ``df`` as parquet Z-ordered on ``cols``
+    (:func:`zorder_layout`). Every output file then covers a narrow
+    range in EVERY clustered dimension and parquet footer stats prune
+    on any of them."""
+    zorder_layout(
+        df, cols, bits=bits, num_files=num_files, keep_key=keep_key
+    ).write.mode(mode).parquet(path)

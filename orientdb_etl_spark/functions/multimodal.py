@@ -145,17 +145,27 @@ def _meta_resized(width: int, height: int) -> F.Column:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int, height: int, codec: str = "auto"
+) -> DataFrame:
     """Image resize operator — real decode when a codec is present.
 
     At scale: runs in mapInPandas so each Python worker processes Arrow
-    batches (per-batch codec setup amortized); output keeps the asset
+    batches (per-batch codec setup amortized); output keeps the INPUT
     schema with ``content`` replaced by re-encoded bytes plus a
     ``resized`` marker. Without a codec (this container), rows pass
     through with meta updated — the deterministic fake, same schema, so
     pipelines are portable across both environments.
+
+    ``codec='stub'`` forces the deterministic fake even when Pillow is
+    installed — the env-INDEPENDENT path the oracle gate and the
+    synthetic-bytes fixtures use (their content is not real image data,
+    so the real codec would rightly mark every row resized=false);
+    ``codec='auto'`` (default) uses Pillow when available.
     """
-    if _pil() is None:
+    if codec not in ("auto", "stub"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "stub" or _pil() is None:
         return df.withColumn("meta", _meta_resized(width, height)).withColumn(
             "resized", F.lit(True)
         )
@@ -164,7 +174,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     # codec-less path — pinning ASSET_SCHEMA here would make a pipeline
     # that added columns work without Pillow and break with it
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("resized", T.BooleanType(), False)]
+        [f for f in df.schema.fields if f.name != "resized"]
+        + [T.StructField("resized", T.BooleanType(), False)]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -258,6 +258,7 @@ def ivf_index(
     sample_size: int = 10_000,
     iters: int = 5,
     seed: int = 42,
+    sample: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Train IVF coarse centroids: k-means on a bounded driver-side sample.
 
@@ -273,7 +274,8 @@ def ivf_index(
     under repartition), a content-hash prefix is a uniform pseudo-random
     subset that is identical across runs, partition layouts, and cluster
     sizes."""
-    sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
+    if sample is None:
+        sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
     rng = np.random.RandomState(seed)
     k = min(nlist, len(sample))
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -438,6 +440,7 @@ def pq_train(
     sample_size: int = 10_000,
     iters: int = 5,
     seed: int = 42,
+    sample: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Train product-quantization codebooks (Jégou/Douze/Schmid, "Product
     Quantization for Nearest Neighbor Search", PAMI 2011): split each
@@ -452,7 +455,8 @@ def pq_train(
     I/O at dim=64, m=8) and never touches the raw vectors. Vectors are
     L2-normalized first so squared-L2 ranking matches cosine ranking
     (the engine's similarity metric elsewhere)."""
-    sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
+    if sample is None:
+        sample = _hash_prefix_sample(df, vec_col, sample_size, seed)
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -588,16 +592,25 @@ def ivfpq_topk(
     the shared layout-independent sample; everything else is
     distributed. Combined I/O story at 100 TB: (nprobe/nlist) of the
     rows × (m / 4·dim) of the bytes."""
-    centroids = ivf_index(df, vec_col, nlist=nlist, seed=seed)
-    codebooks = pq_train(df, vec_col, m=m, ksub=ksub, seed=seed)
+    # ONE driver sample feeds both trainers ("the shared layout-
+    # independent sample" — previously each trainer re-ran the full-table
+    # TakeOrdered+collect for the identical seeded sample)
+    shared = _hash_prefix_sample(df, vec_col, 10_000, seed)
+    centroids = ivf_index(df, vec_col, nlist=nlist, seed=seed, sample=shared)
+    codebooks = pq_train(df, vec_col, m=m, ksub=ksub, seed=seed, sample=shared)
     q = np.asarray(list(query), dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     probes = [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
-    cells = ivf_assign(df, vec_col, centroids).filter(
-        F.col("ivf_cell").isin(probes)
+    # cache the probed slice: with rerank set, pq_topk consumes it twice
+    # (code scan + exact-rerank join) — uncached, the full-table centroid-
+    # assignment matmul would run twice
+    cells = (
+        ivf_assign(df, vec_col, centroids)
+        .filter(F.col("ivf_cell").isin(probes))
+        .cache()
     )
     return pq_topk(
         cells, vec_col, id_col, query, k=k, codebooks=codebooks, rerank=rerank

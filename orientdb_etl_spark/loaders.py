@@ -178,21 +178,15 @@ def run_loader(
             # named columns' bits so every output file is narrow in EVERY
             # clustered dimension (see functions/layout.py); sortBy covers
             # the single-dimension case
-            from orientdb_etl_spark.functions.layout import add_zorder_key
+            from orientdb_etl_spark.functions.layout import zorder_layout
 
-            df = add_zorder_key(
+            df = zorder_layout(
                 df,
                 list(cfg["zorderBy"]),
                 bits=int(cfg.get("zorderBits", 16)),
+                num_files=int(cfg.get("numFiles", 0)),
+                keep_key=bool(cfg.get("keepZorderKey")),
             )
-            n = int(cfg.get("numFiles", 0))
-            df = (
-                df.repartitionByRange(n, "zkey")
-                if n
-                else df.repartitionByRange("zkey")
-            ).sortWithinPartitions("zkey")
-            if not cfg.get("keepZorderKey"):
-                df = df.drop("zkey")
         elif cfg.get("sortBy"):
             # data-skipping layout: range-partition then sort within each
             # task so every output file covers a narrow, near-disjoint key

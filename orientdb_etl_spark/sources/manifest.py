@@ -76,6 +76,7 @@ def fetch_manifest(
     on_error: str = "keep",
     decompress: bool = True,
     partitions: int | None = None,
+    error_rows: bool = False,
 ) -> DataFrame:
     """Distributed fetch of every URL in a manifest.
 
@@ -88,9 +89,13 @@ def fetch_manifest(
       - ``'binary'`` → one row per URL: (url, status, content binary, error)
       - ``'text'``   → one row per URL: (url, status, text string, error)
       - ``'lines'``  → one row per LINE: (url, line_no, value) — the
-        distributed twin of ``spark.read.text`` over fetched bodies
-        (failed URLs yield zero lines under ``on_error='keep'``; inspect
-        failures with mode='binary' when you need the error rows).
+        distributed twin of ``spark.read.text`` over fetched bodies.
+        By default failed URLs yield ZERO lines under ``on_error='keep'``
+        — fine for ad-hoc reads, but a checkpointing consumer would lose
+        them silently; pass ``error_rows=True`` to get
+        (url, line_no, value, status, error) where each failed URL emits
+        exactly one row with ``line_no = 0`` and a NULL value, so the
+        caller can dead-letter or retry it.
 
     ``max_concurrency`` bounds the PER-TASK thread pool; total download
     parallelism is that × the number of tasks. ``decompress`` makes
@@ -113,6 +118,7 @@ def fetch_manifest(
     t_out, n_retries, decomp, fail_fast = (
         float(timeout), int(retries), bool(decompress), on_error == "fail"
     )
+    with_errors = bool(error_rows) and mode == "lines"
 
     def _fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
@@ -162,8 +168,15 @@ def fetch_manifest(
                 )
             else:  # lines
                 out_url, out_no, out_val = [], [], []
-                for u, (status, data, _) in zip(batch_urls, results):
+                out_st, out_err = [], []
+                for u, (status, data, err) in zip(batch_urls, results):
                     if data is None:
+                        if with_errors:
+                            out_url.append(u)
+                            out_no.append(0)
+                            out_val.append(None)
+                            out_st.append(status)
+                            out_err.append(err)
                         continue
                     for i, line in enumerate(
                         data.decode("utf-8", "replace").splitlines()
@@ -171,17 +184,26 @@ def fetch_manifest(
                         out_url.append(u)
                         out_no.append(i + 1)
                         out_val.append(line)
-                yield pd.DataFrame(
-                    {
-                        "url": out_url,
-                        "line_no": pd.array(out_no, dtype="int64"),
-                        "value": out_val,
-                    }
-                )
+                        if with_errors:
+                            out_st.append(status)
+                            out_err.append(None)
+                cols = {
+                    "url": out_url,
+                    "line_no": pd.array(out_no, dtype="int64"),
+                    "value": out_val,
+                }
+                if with_errors:
+                    cols["status"] = pd.array(out_st, dtype="int32")
+                    cols["error"] = out_err
+                yield pd.DataFrame(cols)
 
     schemas = {
         "binary": "url string, status int, content binary, error string",
         "text": "url string, status int, text string, error string",
-        "lines": "url string, line_no long, value string",
+        "lines": (
+            "url string, line_no long, value string, status int, error string"
+            if error_rows
+            else "url string, line_no long, value string"
+        ),
     }
     return manifest.mapInPandas(_fetch_batches, schemas[mode])

@@ -243,6 +243,7 @@ def start_manifest_ingest(
     available_now: bool = True,
     num_buckets: int = 64,
     fetch_kwargs: dict | None = None,
+    errors_path: str | None = None,
 ):
     """Continuous-crawl ingestion: stream a GROWING manifest directory;
     each micro-batch's newly-discovered URL lines are fetched DISTRIBUTED
@@ -258,12 +259,28 @@ def start_manifest_ingest(
     so a crash-replayed batch rewrites the same keys instead of
     appending duplicates (at-least-once fetch, exactly-once sink
     contents). Returns the started StreamingQuery.
+
+    FAILED URLs must not vanish: once a manifest shard is checkpointed
+    it is never re-read, so a URL whose fetch failed in that batch would
+    otherwise be lost forever (in ``lines`` mode it doesn't even leave
+    an error row behind). Therefore the default is ``on_error='fail'``
+    — a fetch failure fails the micro-batch, the checkpoint does NOT
+    advance, and a restart retries the shard. Alternatively pass
+    ``errors_path`` to dead-letter instead: failures append
+    (url, status, error, epoch_id) rows there while the successes land
+    in the target, and the batch commits. An explicit
+    ``fetch_kwargs={'on_error': 'keep'}`` without ``errors_path`` keeps
+    the old drop-silently behavior — now an opt-in, not a default.
     """
     from orientdb_etl_spark.sources.manifest import fetch_manifest
 
     keys = ["url", "line_no"] if mode == "lines" else ["url"]
     upsert = foreach_batch_upsert(target_path, keys, num_buckets=num_buckets)
-    kw = fetch_kwargs or {}
+    kw = dict(fetch_kwargs or {})
+    if errors_path is not None:
+        kw["on_error"] = "keep"
+    else:
+        kw.setdefault("on_error", "fail")
 
     def on_batch(batch_df, epoch_id: int) -> None:
         urls = (
@@ -272,8 +289,27 @@ def start_manifest_ingest(
         )
         if urls.limit(1).count() == 0:
             return
-        fetched = fetch_manifest(urls, mode=mode, **kw)
-        upsert(fetched, epoch_id)
+        if errors_path is None:
+            upsert(fetch_manifest(urls, mode=mode, **kw), epoch_id)
+            return
+        # dead-letter path: fetch ONCE with per-URL error rows, split
+        # (binary/text modes carry status/error natively; lines mode
+        # needs the synthetic error rows, dropped again for the target)
+        fetched = fetch_manifest(
+            urls, mode=mode, error_rows=(mode == "lines"), **kw
+        ).localCheckpoint(eager=True)
+        failed = fetched.filter(F.col("status") < 0)
+        ok = fetched.filter(F.col("status") >= 0)
+        if mode == "lines":
+            ok = ok.drop("status", "error")
+        (
+            failed.select(
+                "url", "status", "error", F.lit(epoch_id).alias("epoch_id")
+            )
+            .write.mode("append")
+            .parquet(errors_path)
+        )
+        upsert(ok, epoch_id)
 
     reader = spark.readStream.format("text").load(manifest_glob)
     writer = reader.writeStream.foreachBatch(on_batch).option(

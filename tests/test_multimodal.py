@@ -36,8 +36,10 @@ def test_extract_features_deterministic(spark):
 
 
 def test_resize_updates_meta(spark):
+    # codec='stub': synthetic assets are fake bytes, so this must hold
+    # in ANY environment — Pillow present or not
     df = synthetic_assets(spark, n=3)
-    out = resize_images(df, 64, 48)
+    out = resize_images(df, 64, 48, codec="stub")
     row = out.first()
     assert row.meta.width == 64 and row.meta.height == 48
     assert row.resized is True
@@ -102,3 +104,36 @@ def test_resize_real_codec_roundtrip(spark):
         assert r.resized and r.meta.width == 8 and r.meta.height == 8
         decoded = Image.open(io.BytesIO(bytes(r.content)))
         assert decoded.size == (8, 8)
+
+
+def test_resize_real_codec_fault_isolation(spark):
+    """With Pillow present: one corrupt image in a batch must not kill
+    the task — the bad row passes through resized=False with original
+    bytes, the good rows resize normally. Skips where no codec."""
+    import io
+
+    import pytest
+
+    from orientdb_etl_spark.functions import multimodal as M
+
+    Image = M._pil()
+    if Image is None:
+        pytest.skip("Pillow not installed — real-codec path untestable here")
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 24)).save(buf, format="PNG")
+    rows = [
+        (0, "image", buf.getvalue(),
+         {"mime": "image/png", "width": 32, "height": 24,
+          "duration_ms": None, "sample_rate": None}),
+        (1, "image", b"this is not an image at all",
+         {"mime": "image/png", "width": 32, "height": 24,
+          "duration_ms": None, "sample_rate": None}),
+    ]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    out = {r.asset_id: r for r in M.resize_images(df, 8, 8).collect()}
+    assert out[0].resized is True
+    assert out[1].resized is False
+    assert bytes(out[1].content) == b"this is not an image at all"
+    # re-applying must not produce a duplicate 'resized' column
+    again = M.resize_images(df.withColumn("resized", F.lit(False)), 8, 8)
+    assert again.columns.count("resized") == 1

@@ -266,3 +266,25 @@ def test_manifest_path_config_reads_distributed(spark, tmp_path):
     assert len(rows) == 6
     assert {r.url for r in rows} == set(paths)
     assert all(r.value.startswith("s") for r in rows)
+
+
+def test_manifest_lines_error_rows(spark, tmp_path):
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    good = _write_shards(tmp_path, n=1, lines_per=2)[0]
+    bad = str(tmp_path / "missing.txt")
+    rows = fetch_manifest(
+        [good, bad], spark=spark, mode="lines", retries=0,
+        on_error="keep", error_rows=True,
+    ).collect()
+    # failed url -> exactly one row with line_no=0 / NULL value / error;
+    # good url keeps its numbered lines with error NULL
+    by = {}
+    for r in rows:
+        by.setdefault(r.url, []).append(r)
+    assert len(by[bad]) == 1
+    e = by[bad][0]
+    assert e.line_no == 0 and e.value is None and e.status == -1
+    assert "FileNotFoundError" in e.error
+    assert [r.line_no for r in sorted(by[good], key=lambda r: r.line_no)] == [1, 2]
+    assert all(r.error is None for r in by[good])

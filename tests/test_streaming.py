@@ -544,3 +544,32 @@ def test_stream_incremental_filter_matches_batch(spark):
     n_seen = flagged.filter(F.col("seen_before")).count()
     assert flagged.count() == docs.count()
     assert n_seen >= seen.count()  # every curated doc's fingerprint hits
+
+
+def test_stream_manifest_ingest_dead_letters_failures(spark, tmp_path):
+    """With errors_path, a failing URL must NOT be silently lost after
+    the manifest shard checkpoints: successes land in the target, the
+    failure lands as a dead-letter row, and the batch commits."""
+    import glob as _glob
+
+    from orientdb_etl_spark.streaming.ops import start_manifest_ingest
+
+    shard_dir = tmp_path / "files"
+    shard_dir.mkdir()
+    good = shard_dir / "a.txt"
+    good.write_text("l1\nl2\n")
+    man = tmp_path / "man"
+    man.mkdir()
+    (man / "m0.txt").write_text(f"{good}\n{tmp_path / 'nope.txt'}\n")
+    target = str(tmp_path / "target")
+    errors = str(tmp_path / "errors")
+    q = start_manifest_ingest(
+        spark, str(man), target, str(tmp_path / "ckpt"), mode="lines",
+        fetch_kwargs={"retries": 0}, errors_path=errors,
+    )
+    q.awaitTermination(60)
+    got = {(r.url, r.line_no, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {(str(good), 1, "l1"), (str(good), 2, "l2")}
+    errs = spark.read.parquet(errors).collect()
+    assert len(errs) == 1 and errs[0].url.endswith("nope.txt")
+    assert errs[0].status == -1 and "FileNotFoundError" in errs[0].error
