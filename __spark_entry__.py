@@ -3004,6 +3004,27 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_quantile_certificate(docs, "n_chars")
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization, hash-checked against DuckDB's
+    nfc_normalize on an in-plan augmentation: the ASCII fixture text is
+    identity under NFC (proving no-op safety), the planted rows carry
+    combining sequences and control chars that MUST compose/strip
+    identically in both engines."""
+    from orientdb_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (1000001, "cafe\u0301 au lait"),   # combining acute
+            (1000002, "A\u030angstro\u0308m"),  # ring + diaeresis
+            (1000003, "ctrl\x00\x1fchars\tkept\nnewline"),
+        ],
+        "doc_id long, text string",
+    )
+    aug = docs.unionByName(planted)
+    return normalize_text(aug, "text").select("doc_id", "text")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3604,6 +3625,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantile_buckets": q_quantile_buckets,
             "snapshot_diff": q_snapshot_diff,
             "approx_quantile": q_approx_quantile,
+            "normalize_text": q_normalize_text,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4219,6 +4241,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0.25 AS p, qs[1] AS exact_q, true AS rank_ok FROM e "
             "UNION ALL SELECT 0.5, qs[2], true FROM e "
             "UNION ALL SELECT 0.75, qs[3], true FROM e"
+        ),
+        "normalize_text": (
+            # same augmentation, DuckDB's native nfc_normalize + the same
+            # control-strip regexp — combining sequences must compose to
+            # the identical precomposed bytes in both engines
+            "WITH aug AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT 1000001, 'cafe' || chr(769) || ' au lait' "
+            "UNION ALL SELECT 1000002, "
+            "'A' || chr(778) || 'ngstro' || chr(776) || 'm' "
+            "UNION ALL SELECT 1000003, "
+            "'ctrl' || chr(0) || chr(31) || 'chars' || chr(9) || 'kept' "
+            "|| chr(10) || 'newline') "
+            "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+            "regexp_replace(nfc_normalize(text), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') END AS text "
+            "FROM aug"
         ),
         "quantile_buckets": (
             # same boundaries (exact interpolated quantiles), same

@@ -101,6 +101,8 @@ HEADLINE = [
     "snapshot_diff",
     # round-5 quantile-sketch accuracy certificate
     "approx_quantile",
+    # round-5 Unicode NFC normalization (Arrow map stage)
+    "normalize_text",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -6,8 +6,11 @@ whole-stage codegen over the documents table; no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # Small built-in stopword inventories for the n-gram/stopword language
 # heuristic. Deliberately tiny: language-ID here is a cheap curation signal
@@ -547,3 +550,42 @@ def bm25_scores(
         .limit(k)
         .select(id_col, F.round("_score", 4).alias("bm25"))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_controls: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization for web-crawl text: compose combining
+    sequences to ``form`` (NFC default — the form dedup fingerprints,
+    tokenizers, and downstream equality all assume; 'café' as
+    e+COMBINING-ACUTE vs precomposed é must not count as two different
+    documents) and optionally strip C0/C1 control characters except
+    tab/newline/carriage-return.
+
+    Scale shape: the control strip is a pure JVM regexp; the
+    normalization itself has no Spark SQL builtin, so it runs as an
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — one map
+    stage, no shuffle, no driver state. ASCII-only batches pass through
+    unchanged (normalize is identity), so the common case costs one
+    vectorized scan.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf(StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    out = out_col or text_col
+    col = _norm(F.col(text_col))
+    if strip_controls:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    return df.withColumn(out, col)

@@ -135,6 +135,23 @@ def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
     raise ValueError(f"unknown similarity method {method!r}")
 
 
+@register("normalize")
+def normalize_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"normalize": {"textField": "text", "form": "NFC",
+    "stripControls": true}} — Unicode normalization ahead of fingerprint/
+    dedup stages (combining-sequence vs precomposed text must not count
+    as distinct documents)."""
+    from orientdb_etl_spark.functions.text import normalize_text
+
+    return normalize_text(
+        df,
+        cfg.get("textField", "text"),
+        form=str(cfg.get("form", "NFC")),
+        strip_controls=bool(cfg.get("stripControls", True)),
+        out_col=cfg.get("outField"),
+    )
+
+
 @register("text_metrics")
 def text_metrics_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     from orientdb_etl_spark.functions.text import add_text_metrics

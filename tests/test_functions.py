@@ -1052,3 +1052,36 @@ def test_connected_components_self_loop_vertex_kept(spark):
     )
     labels = {r.id: r.label for r in connected_component_labels(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 3}
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    from orientdb_etl_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "café bar"),               # combining acute
+            (1, "Ångström"),          # ring + diaeresis
+            (2, "ctl\x00\x1fhere\tkeep\nme"),
+            (3, "plain ascii"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert out[0] == "café bar"              # precomposed
+    assert out[1] == "Ångström"
+    assert out[2] == "ctlhere\tkeep\nme"          # C0 stripped, \t\n kept
+    assert out[3] == "plain ascii"                # identity on ASCII
+    assert out[4] is None
+
+    # NFKC folds compatibility forms (ligature fi -> fi)
+    k = normalize_text(
+        spark.createDataFrame([(0, "ﬁle")], "doc_id long, text string"),
+        form="NFKC",
+    ).first().text
+    assert k == "file"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown normalization"):
+        normalize_text(df, form="NFX")
