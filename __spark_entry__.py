@@ -3025,6 +3025,92 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(aug, "text").select("doc_id", "text")
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-shaped URLs derived from documents — every
+    normalization rule exercised somewhere in the set: uppercase scheme +
+    host, a ``www.`` prefix, default ports (stripped) and :8080 (kept),
+    duplicate slashes, trailing slashes, tracking + unsorted query
+    params, fragments, and a .co.uk multi-suffix branch."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".example.com")),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":80"))
+        .when(d % 4 == 3, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p//"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=x&b="),
+                (d % 10).cast("string"),
+                F.lit("&a=1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", "n_chars", url.alias("url"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction
+    (functions/webcure.py) over the messy-URL fixture, plus planted
+    literal edge cases (scheme-less reference, kept non-default port
+    with tracking params). Pure JVM expression tree — the oracle
+    replays the identical regex pipeline in DuckDB."""
+    from orientdb_etl_spark.functions.webcure import (
+        normalize_url,
+        registered_domain,
+    )
+
+    urls = _messy_urls(spark, sf_dir).select("doc_id", "url")
+    planted = spark.createDataFrame(
+        [
+            (1000001, "relative/path only"),
+            (1000002, "HTTP://EX.COM:8080//a//b//?fbclid=1&z=9&y=8#f"),
+        ],
+        "doc_id long, url string",
+    )
+    aug = urls.unionByName(planted)
+    return aug.select(
+        "doc_id",
+        normalize_url("url").alias("url_norm"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level blocklist + per-domain contribution cap
+    (RefinedWeb-style mix control): drop two blocked hosts, then keep
+    the 5 longest documents per host (ties broken by doc_id). ONE
+    shuffle on the host key with the top-k-per-key pre-filter bounding
+    hot-domain fan-in; oracle is the same blocklist + ROW_NUMBER."""
+    from orientdb_etl_spark.functions.webcure import (
+        domain_filter,
+        per_domain_cap,
+        url_host,
+    )
+
+    urls = _messy_urls(spark, sf_dir)
+    hosts = urls.select(
+        "doc_id", "n_chars", url_host("url").alias("host")
+    )
+    kept = domain_filter(
+        hosts, "host", ["src0.example.com", "src0.co.uk"], mode="block"
+    )
+    capped = per_domain_cap(
+        kept, "host", 5,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return capped.select("doc_id", "host", "n_chars")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3626,11 +3712,86 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "snapshot_diff": q_snapshot_diff,
             "approx_quantile": q_approx_quantile,
             "normalize_text": q_normalize_text,
+            # round 5: URL curation family (crawl-mix control)
+            "url_normalize": q_url_normalize,
+            "domain_cap": q_domain_cap,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
     )
     return out
+
+
+#: DuckDB twin of _messy_urls — identical deterministic construction.
+_MESSY_URLS_SQL = (
+    "SELECT doc_id, source, n_chars, "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://WWW.' "
+    "|| source || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.example.com' END) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':80' "
+    "WHEN doc_id % 4 = 3 THEN ':8080' ELSE '' END) || "
+    "'/p//' || doc_id || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=' || (doc_id % 10) "
+    "|| '&a=1' ELSE '' END) || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url "
+    "FROM documents"
+)
+
+
+def _url_oracle() -> str:
+    """DuckDB replay of webcure.normalize_url + registered_domain: the
+    SAME regex pipeline, dialect-swapped (list_filter/list_sort/
+    array_to_string for the HOF trio, \\1 for $1 backrefs)."""
+    from orientdb_etl_spark.functions.webcure import (
+        MULTI_SUFFIXES,
+        TRACKING_PARAM_RE,
+    )
+
+    multi = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    sch = r"[a-zA-Z][a-zA-Z0-9+.\-]*"
+    return (
+        f"WITH raw AS ({_MESSY_URLS_SQL} "
+        "UNION ALL SELECT 1000001, NULL, NULL, 'relative/path only' "
+        "UNION ALL SELECT 1000002, NULL, NULL, "
+        "'HTTP://EX.COM:8080//a//b//?fbclid=1&z=9&y=8#f'), "
+        "nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') "
+        "AS no_frag FROM raw), "
+        "px AS (SELECT doc_id, url, "
+        f"lower(regexp_extract(no_frag, '^({sch})://', 1)) AS scheme, "
+        f"lower(regexp_extract(no_frag, '^{sch}://([^/?#]*)', 1)) AS hostport, "
+        f"regexp_extract(no_frag, '^{sch}://[^/?#]*([^#]*)', 1) AS rest "
+        "FROM nf), "
+        "ph AS (SELECT *, "
+        r"CASE WHEN (scheme = 'http' AND regexp_extract(hostport, ':(\d+)$', 1) = '80') "
+        r"OR (scheme = 'https' AND regexp_extract(hostport, ':(\d+)$', 1) = '443') "
+        r"THEN regexp_replace(hostport, ':\d+$', '') ELSE hostport END AS hp2, "
+        r"regexp_replace(regexp_replace(hostport, ':\d+$', ''), "
+        r"'^www\.', '') AS hostd "
+        "FROM px), "
+        "pp AS (SELECT *, "
+        r"regexp_replace(hp2, '^www\.', '') AS host, "
+        r"regexp_replace(regexp_replace(regexp_extract(rest, '^([^?]*)', 1), "
+        r"'/{2,}', '/', 'g'), '(.)/$', '\1') AS path0, "
+        r"regexp_extract(rest, '\?(.*)$', 1) AS qs "
+        "FROM ph), "
+        # list_sort([]) is NULL in DuckDB (Spark's array_sort keeps []);
+        # coalesce restores the engine-portable empty string
+        "pq AS (SELECT *, coalesce(array_to_string(list_sort(list_filter("
+        "str_split(qs, '&'), p -> p <> '' AND NOT regexp_matches(p, "
+        f"'{TRACKING_PARAM_RE}'))), '&'), '') AS kept, "
+        "str_split(hostd, '.') AS hp, len(str_split(hostd, '.')) AS hn "
+        "FROM pp) "
+        "SELECT doc_id, "
+        "CASE WHEN scheme = '' THEN url ELSE scheme || '://' || host || "
+        "(CASE WHEN path0 = '' THEN '/' ELSE path0 END) || "
+        "(CASE WHEN kept = '' THEN '' ELSE '?' || kept END) END AS url_norm, "
+        "CASE WHEN hn <= 1 THEN hostd "
+        f"WHEN hn >= 3 AND (hp[hn-1] || '.' || hp[hn]) IN ({multi}) "
+        "THEN hp[hn-2] || '.' || hp[hn-1] || '.' || hp[hn] "
+        "ELSE hp[hn-1] || '.' || hp[hn] END AS domain "
+        "FROM pq"
+    )
 
 
 def _zorder_oracle() -> str:
@@ -4257,6 +4418,24 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(nfc_normalize(text), "
             "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') END AS text "
             "FROM aug"
+        ),
+        # URL curation family: full regex-pipeline replay (construction
+        # AND normalization identical, dialect-swapped)
+        "url_normalize": _url_oracle(),
+        "domain_cap": (
+            # url_host(url) of the constructed URL reduces to
+            # source || tld (port stripped unconditionally, www stripped,
+            # already lowercase) — the oracle states that expected
+            # semantics directly, then replays blocklist + ROW_NUMBER cap
+            f"WITH h AS (SELECT doc_id, n_chars, source || "
+            "(CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.example.com' "
+            "END) AS host FROM documents), "
+            "f AS (SELECT * FROM h WHERE host NOT IN "
+            "('src0.example.com', 'src0.co.uk')), "
+            "r AS (SELECT doc_id, host, n_chars, ROW_NUMBER() OVER "
+            "(PARTITION BY host ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM f) "
+            "SELECT doc_id, host, n_chars FROM r WHERE rn <= 5"
         ),
         "quantile_buckets": (
             # same boundaries (exact interpolated quantiles), same

@@ -103,6 +103,9 @@ HEADLINE = [
     "approx_quantile",
     # round-5 Unicode NFC normalization (Arrow map stage)
     "normalize_text",
+    # round-5 URL curation: scan-fused regex pipeline + WindowGroupLimit cap
+    "url_normalize",
+    "domain_cap",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -429,3 +429,36 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             include_unchanged=bool(cfg.get("includeUnchanged", False)),
         )
     raise ValueError(f"unknown profile method {method!r}")
+
+
+@register("urlCurate")
+def url_curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"urlCurate": {"urlField": "url", "normalize": true,
+    "domainField": "domain", "blockDomains": [...], "allowDomains": [...],
+    "maxPerDomain": 1000, "orderBy": ["n_chars DESC", "doc_id"],
+    "dedup": false, "idField": "doc_id"}} — crawl-mix URL curation
+    (functions/webcure.py): normalization, registered-domain annotation,
+    block/allow lists, per-domain contribution caps, URL-level dedup."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions import webcure as W
+
+    url_col = cfg.get("urlField", "url")
+    if cfg.get("dedup"):
+        df = W.url_dedup(df, url_col, cfg.get("idField", "doc_id"))
+    if cfg.get("normalize", True):
+        df = df.withColumn(url_col, W.normalize_url(url_col))
+    domain_col = cfg.get("domainField", "domain")
+    df = df.withColumn(domain_col, W.registered_domain(url_col))
+    if cfg.get("blockDomains"):
+        df = W.domain_filter(df, domain_col, list(cfg["blockDomains"]), "block")
+    if cfg.get("allowDomains"):
+        df = W.domain_filter(df, domain_col, list(cfg["allowDomains"]), "allow")
+    if cfg.get("maxPerDomain"):
+        order = []
+        for spec in cfg.get("orderBy") or [cfg.get("idField", "doc_id")]:
+            parts = str(spec).split()
+            col = F.col(parts[0])
+            order.append(col.desc() if parts[-1].upper() == "DESC" else col.asc())
+        df = W.per_domain_cap(df, domain_col, int(cfg["maxPerDomain"]), order)
+    return df

@@ -434,3 +434,16 @@ def test_zorder_key_is_scalar_attach_plus_codegen(spark):
     detail = [ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange", ln)]
     assert len(detail) == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_domain_cap_partial_window_group_limit(spark):
+    """per_domain_cap must compile to Catalyst's two-phase
+    WindowGroupLimit: a map-side Partial truncation BEFORE the domain
+    exchange (bounding hot-domain fan-in to n rows per upstream task)
+    and a Final one after — plus exactly ONE exchange for the window."""
+    plan = _plan(spark, "domain_cap")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan and "Final" in plan
+    # one exchange for the window; the planted-literal union adds none
+    n_exch = plan.count("Exchange (")
+    assert n_exch == 1, plan
