@@ -3111,6 +3111,32 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "host", "n_chars")
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (functions/expectations.py): seven
+    constraints over orders compiled into ONE aggregation pass — row
+    count, null fraction, key uniqueness, min/max range (the max bound
+    deliberately FAILS, exercising the failed-report path), value
+    domain, regex conformance. Oracle recomputes each scalar via
+    UNION ALL; fractions are ratios of exact longs (engine-portable)."""
+    from orientdb_etl_spark.functions.expectations import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            {"type": "row_count", "min": 1},
+            {"type": "not_null", "column": "o_custkey"},
+            {"type": "unique", "column": "o_orderkey"},
+            {"type": "min", "column": "o_totalprice", "atLeast": 0.0},
+            {"type": "max", "column": "o_totalprice", "atMost": 1000.0},
+            {"type": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"type": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+        ],
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3715,6 +3741,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: URL curation family (crawl-mix control)
             "url_normalize": q_url_normalize,
             "domain_cap": q_domain_cap,
+            # round 5: single-pass data-quality expectations gate
+            "expectations": q_expectations,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4422,6 +4450,35 @@ def oracle_sql() -> dict[str, str]:
         # URL curation family: full regex-pipeline replay (construction
         # AND normalization identical, dialect-swapped)
         "url_normalize": _url_oracle(),
+        "expectations": (
+            # each constraint's observed/passed recomputed as scalar
+            # aggregates; fractions are exact-long ratios in both engines
+            "SELECT 'row_count' AS constraint, '' AS \"column\", "
+            "CAST(count(*) AS DOUBLE) AS observed, count(*) >= 1 AS passed "
+            "FROM orders "
+            "UNION ALL SELECT 'not_null', 'o_custkey', "
+            "count(o_custkey) / count(*), "
+            "count(o_custkey) / count(*) >= 1.0 FROM orders "
+            "UNION ALL SELECT 'unique', 'o_orderkey', "
+            "CAST(count(DISTINCT o_orderkey) AS DOUBLE), "
+            "count(DISTINCT o_orderkey) = count(o_orderkey) FROM orders "
+            "UNION ALL SELECT 'min', 'o_totalprice', "
+            "CAST(min(o_totalprice) AS DOUBLE), "
+            "min(o_totalprice) >= 0.0 FROM orders "
+            "UNION ALL SELECT 'max', 'o_totalprice', "
+            "CAST(max(o_totalprice) AS DOUBLE), "
+            "max(o_totalprice) <= 1000.0 FROM orders "
+            "UNION ALL SELECT 'in_set', 'o_orderstatus', "
+            "(count(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))) "
+            "/ count(*), "
+            "(count(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))) "
+            "/ count(*) >= 1.0 FROM orders "
+            "UNION ALL SELECT 'matches', 'o_orderpriority', "
+            "(count(*) FILTER (WHERE regexp_matches(o_orderpriority, "
+            "'^[1-5]-'))) / count(*), "
+            "(count(*) FILTER (WHERE regexp_matches(o_orderpriority, "
+            "'^[1-5]-'))) / count(*) >= 1.0 FROM orders"
+        ),
         "domain_cap": (
             # url_host(url) of the constructed URL reduces to
             # source || tld (port stripped unconditionally, www stripped,

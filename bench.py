@@ -106,6 +106,8 @@ HEADLINE = [
     # round-5 URL curation: scan-fused regex pipeline + WindowGroupLimit cap
     "url_normalize",
     "domain_cap",
+    # round-5 single-pass Deequ-style quality gate (one exchange)
+    "expectations",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -462,3 +462,26 @@ def url_curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
             order.append(col.desc() if parts[-1].upper() == "DESC" else col.asc())
         df = W.per_domain_cap(df, domain_col, int(cfg["maxPerDomain"]), order)
     return df
+
+
+@register("expect")
+def expect_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"expect": {"constraints": [{"type": "not_null", "column": "id"},
+    ...], "approx": false, "onFail": "report"|"error"|"filterReport"}} —
+    Deequ-style single-pass data-quality gate (functions/expectations.py).
+    "report" replaces the frame with the constraint report; "error"
+    raises on any failure and passes the data through unchanged (the
+    publish-gate shape)."""
+    from orientdb_etl_spark.functions.expectations import (
+        assert_expectations,
+        check_expectations,
+    )
+
+    constraints = list(cfg.get("constraints") or [])
+    approx = bool(cfg.get("approx", False))
+    on_fail = str(cfg.get("onFail", "report"))
+    if on_fail == "error":
+        return assert_expectations(df, constraints, approx=approx)
+    if on_fail == "report":
+        return check_expectations(df, constraints, approx=approx)
+    raise ValueError(f"unknown onFail mode {on_fail!r}")

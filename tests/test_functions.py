@@ -1085,3 +1085,80 @@ def test_normalize_text_nfc_and_controls(spark):
 
     with pytest.raises(ValueError, match="unknown normalization"):
         normalize_text(df, form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations (functions/expectations.py)
+
+
+def test_expectations_single_pass_report(spark):
+    from orientdb_etl_spark.functions.expectations import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (3, None, -1.0), (3, "a", 2.0)],
+        "id int, tag string, score double",
+    )
+    report = check_expectations(
+        df,
+        [
+            {"type": "row_count", "min": 2, "max": 10},
+            {"type": "not_null", "column": "tag", "minFraction": 0.9},
+            {"type": "unique", "column": "id"},
+            {"type": "min", "column": "score", "atLeast": 0.0},
+            {"type": "in_set", "column": "tag", "values": ["a", "b"],
+             "minFraction": 0.75},
+            {"type": "satisfies", "predicate": "score < 100"},
+        ],
+    ).collect()
+    by_name = {(r.constraint, r.column): r for r in report}
+    assert len(report) == 6
+    assert by_name[("row_count", "")].passed
+    assert by_name[("row_count", "")].observed == 4.0
+    # 3/4 non-null < 0.9 -> fail
+    assert not by_name[("not_null", "tag")].passed
+    assert by_name[("not_null", "tag")].observed == 0.75
+    # id=3 duplicated -> fail, observed = 3 distinct
+    assert not by_name[("unique", "id")].passed
+    assert by_name[("unique", "id")].observed == 3.0
+    assert not by_name[("min", "score")].passed
+    assert by_name[("in_set", "tag")].passed
+    assert by_name[("satisfies", "score < 100")].passed
+
+
+def test_expectations_assert_raises_and_passes_through(spark):
+    from orientdb_etl_spark.functions.expectations import assert_expectations
+
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    out = assert_expectations(df, [{"type": "unique", "column": "id"}])
+    assert out is df
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expectation"):
+        assert_expectations(
+            df, [{"type": "row_count", "min": 5}]
+        )
+
+
+def test_expectations_one_exchange(spark):
+    """The whole constraint list must compile to a single aggregation:
+    exactly one exchange (the 1-row partial-agg gather) and no Expand
+    when approx=True replaces the exact distinct."""
+    from orientdb_etl_spark.functions.expectations import check_expectations
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    )
+    cons = [
+        {"type": "unique", "column": "id"},
+        {"type": "not_null", "column": "k"},
+        {"type": "min", "column": "k", "atLeast": 0},
+    ]
+    plan_exact = check_expectations(df, cons)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan_exact.count("Exchange (") == 1
+    plan_approx = check_expectations(df, cons, approx=True)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan_approx.count("Exchange (") == 1
+    assert "Expand" not in plan_approx
