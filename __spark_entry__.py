@@ -3137,6 +3137,24 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+cosine retrieval fused with reciprocal-rank fusion
+    (functions/retrieval.py, Cormack et al. SIGIR'09): the same
+    'spark window hash' lexical query as bm25_rank plus vec_id=0's
+    embedding as the dense query, depth-50 lists, RRF k=60, top-10.
+    Oracle replays both ranker pipelines (byte-identical BM25/cosine
+    expressions) and the same fixed-order fused sum."""
+    from orientdb_etl_spark.functions.retrieval import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_topk(
+        docs, "text", "doc_id", emb, "embedding", "vec_id",
+        ["spark", "window", "hash"], _query_vec(spark, sf_dir),
+        k=10, depth=50,
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style exact-quantile bucketing (head/middle/tail sampling,
     Wenzek et al. LREC 2020): one single-row percentile aggregate
@@ -3743,6 +3761,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_cap": q_domain_cap,
             # round 5: single-pass data-quality expectations gate
             "expectations": q_expectations,
+            # round 5: RRF hybrid retrieval (BM25 + cosine)
+            "hybrid_retrieval": q_hybrid_retrieval,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -3819,6 +3839,58 @@ def _url_oracle() -> str:
         "THEN hp[hn-2] || '.' || hp[hn-1] || '.' || hp[hn] "
         "ELSE hp[hn-1] || '.' || hp[hn] END AS domain "
         "FROM pq"
+    )
+
+
+def _hybrid_oracle() -> str:
+    """DuckDB replay of q_hybrid_retrieval: the bm25_rank oracle pipeline
+    (byte-identical scoring expression) at depth 50, the ann_brute_topk
+    cosine at depth 50, 4-dp-rounded rank keys with id tiebreaks, and the
+    same fixed-order RRF sum (lex term + dense term)."""
+    k1, b = 1.2, 0.75
+    terms = ["spark", "window", "hash"]
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> lower(x) = '{t}')) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln((_n - _df{i} + 0.5) / (_df{i} + 0.5) + 1.0) * "
+        f"(_tf{i} * ({k1} + 1)) / "
+        f"(_tf{i} + {k1} * (1 - {b} + {b} * _dl / _avgdl))"
+        for i in range(len(terms))
+    )
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return (
+        r"WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        r"'\s+') AS toks FROM documents), "
+        f"b2 AS (SELECT doc_id, len(toks) AS _dl, {tf_cols} FROM base), "
+        f"st AS (SELECT count(*) AS _n, avg(_dl) AS _avgdl, {df_cols} "
+        "FROM b2), "
+        f"sc AS (SELECT doc_id, {score} AS _score FROM b2 CROSS JOIN st), "
+        "lex AS (SELECT doc_id, round(_score, 4) AS bm25 FROM sc "
+        "ORDER BY _score DESC, doc_id ASC LIMIT 50), "
+        "lexr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id ASC) AS lr FROM lex), "
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        f"den AS (SELECT e.vec_id AS doc_id, round({cos}, 4) AS cs "
+        f"FROM embeddings e, q ORDER BY {cos} DESC, e.vec_id ASC LIMIT 50), "
+        "denr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY cs DESC, doc_id ASC) AS dr FROM den), "
+        "f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, "
+        "coalesce(1.0 / (60.0 + l.lr), 0) + coalesce(1.0 / (60.0 + d.dr), 0) "
+        "AS rrf_score, l.lr AS bm25_rank, d.dr AS cosine_rank "
+        "FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id) "
+        "SELECT doc_id, rrf_score, bm25_rank, cosine_rank FROM f "
+        "ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"
     )
 
 
@@ -4450,6 +4522,7 @@ def oracle_sql() -> dict[str, str]:
         # URL curation family: full regex-pipeline replay (construction
         # AND normalization identical, dialect-swapped)
         "url_normalize": _url_oracle(),
+        "hybrid_retrieval": _hybrid_oracle(),
         "expectations": (
             # each constraint's observed/passed recomputed as scalar
             # aggregates; fractions are exact-long ratios in both engines

@@ -108,6 +108,8 @@ HEADLINE = [
     "domain_cap",
     # round-5 single-pass Deequ-style quality gate (one exchange)
     "expectations",
+    # round-5 RRF hybrid retrieval (BM25 scan + dense top-k + tiny fusion)
+    "hybrid_retrieval",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

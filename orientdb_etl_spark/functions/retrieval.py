@@ -1,0 +1,112 @@
+"""Hybrid retrieval: reciprocal-rank fusion of lexical (BM25) and dense
+(embedding cosine) candidate lists.
+
+The standard first-stage retrieval stack for RAG / training-data mining
+runs BOTH a lexical ranker and a dense ranker and fuses them with RRF
+(Cormack et al. SIGIR'09): ``score(d) = Σ_lists 1 / (k + rank_list(d))``.
+RRF needs only ranks — no score calibration between heterogeneous rankers
+— which is also what makes it exactly replayable cross-engine.
+
+Scale shape at 100 TB: all corpus-sized work happens inside the two
+candidate generators, each already scan-optimal (BM25: one scan + one
+scalar broadcast, corpus never shuffles — functions/text.py; dense: exact
+``TakeOrderedAndProject`` or any ANN variant from functions/similarity.py).
+Fusion itself sees only the candidate lists — ``depth`` rows per list,
+thousands at most — so its single-partition rank windows and full-outer
+join are driver-scale by construction, not a scaling surface.
+
+No counterpart in the reference; north-star extension per SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[tuple[DataFrame, str, Sequence]],
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Fuse candidate lists with reciprocal-rank fusion.
+
+    Each entry is ``(df, id_col, order_by)``: a bounded candidate list
+    (ALREADY truncated to its retrieval depth — this function ranks and
+    fuses, it does not scan corpora) whose rank is ``row_number()`` over
+    ``order_by``. Returns ``(doc_id, rrf_score, rank_0..rank_{n-1})``
+    — per-list ranks NULL where a document is absent from that list —
+    top ``k`` by fused score, ties broken by id.
+
+    The rank windows are global (no partition key): correct and cheap
+    because the inputs are depth-bounded lists, not tables."""
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    fused: DataFrame | None = None
+    for i, (df, id_col, order_by) in enumerate(ranked_lists):
+        w = Window.orderBy(*order_by)
+        r = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.row_number().over(w).alias(f"rank_{i}"),
+        )
+        fused = r if fused is None else fused.join(r, "doc_id", "full_outer")
+    # fixed left-to-right addition order: the oracle replays the same
+    # association so the IEEE sums are bit-identical
+    score = None
+    for i in range(len(ranked_lists)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    embeddings: DataFrame,
+    vec_col: str,
+    vec_id_col: str,
+    query_terms: list[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """BM25 + exact-cosine hybrid top-k via RRF.
+
+    Ranks use 4-dp-rounded scores with id tiebreaks (rank stability
+    across engines/float paths); swap :func:`~orientdb_etl_spark.
+    functions.similarity.brute_force_topk` for an LSH/IVF/PQ variant at
+    corpus scale — the fusion contract only needs (id, score) lists."""
+    from orientdb_etl_spark.functions.similarity import brute_force_topk
+    from orientdb_etl_spark.functions.text import bm25_scores
+
+    lex = bm25_scores(docs, text_col, id_col, query_terms, k=depth)
+    den = brute_force_topk(
+        embeddings, vec_col, vec_id_col, query_vec, k=depth
+    ).select(
+        F.col(vec_id_col), F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+    return rrf_fuse(
+        [
+            (lex, id_col, [F.col("bm25").desc(), F.col(id_col).asc()]),
+            (den, vec_id_col,
+             [F.col("cosine_sim").desc(), F.col(vec_id_col).asc()]),
+        ],
+        k=k,
+        k_rrf=k_rrf,
+    ).select(
+        "doc_id",
+        "rrf_score",
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cosine_rank"),
+    )

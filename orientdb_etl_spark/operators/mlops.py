@@ -485,3 +485,30 @@ def expect_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
     if on_fail == "report":
         return check_expectations(df, constraints, approx=approx)
     raise ValueError(f"unknown onFail mode {on_fail!r}")
+
+
+@register("retrieve")
+def retrieve_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"retrieve": {"textField": "text", "idField": "doc_id",
+    "embeddingsTable": "emb", "vecField": "embedding",
+    "vecIdField": "vec_id", "queryTerms": [...], "queryVec": [...],
+    "k": 10, "depth": 50, "kRrf": 60}} — hybrid BM25+cosine retrieval
+    fused with RRF (functions/retrieval.py). The pipeline frame is the
+    document corpus; the dense side reads a registered embeddings table
+    (omit it to fuse BM25 with itself degenerately is refused)."""
+    from orientdb_etl_spark.functions.retrieval import hybrid_topk
+
+    emb = ctx.tables[cfg["embeddingsTable"]]
+    return hybrid_topk(
+        df,
+        cfg.get("textField", "text"),
+        cfg.get("idField", "doc_id"),
+        emb,
+        cfg.get("vecField", "embedding"),
+        cfg.get("vecIdField", "vec_id"),
+        list(cfg["queryTerms"]),
+        [float(x) for x in cfg["queryVec"]],
+        k=int(cfg.get("k", 10)),
+        depth=int(cfg.get("depth", 50)),
+        k_rrf=int(cfg.get("kRrf", 60)),
+    )

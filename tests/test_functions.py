@@ -1162,3 +1162,54 @@ def test_expectations_one_exchange(spark):
     )
     assert plan_approx.count("Exchange (") == 1
     assert "Expand" not in plan_approx
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (functions/retrieval.py)
+
+
+def test_rrf_fuse_math_and_shape(spark):
+    from orientdb_etl_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8), (3, 0.7)], "id int, s double")
+    b = spark.createDataFrame([(2, 0.99), (4, 0.5)], "id int, s double")
+    out = rrf_fuse(
+        [
+            (a, "id", [F.col("s").desc(), F.col("id").asc()]),
+            (b, "id", [F.col("s").desc(), F.col("id").asc()]),
+        ],
+        k=10, k_rrf=60,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 2: rank 2 lexically, rank 1 densely
+    assert abs(by_id[2].rrf_score - (1 / 62 + 1 / 61)) < 1e-12
+    assert by_id[2].rank_0 == 2 and by_id[2].rank_1 == 1
+    # doc 4 only in list b
+    assert by_id[4].rank_0 is None and by_id[4].rank_1 == 2
+    assert abs(by_id[4].rrf_score - 1 / 62) < 1e-12
+    # fused order: doc 2 first (appears high in both)
+    assert out[0].doc_id == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+
+
+def test_hybrid_topk_contains_both_modalities(spark):
+    from orientdb_etl_spark.functions.retrieval import hybrid_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = hybrid_topk(
+        docs, "text", "doc_id", emb, "embedding", "vec_id",
+        ["spark", "table"], qv, k=10, depth=20,
+    ).collect()
+    assert len(out) == 10
+    # the dense query vector is vec_id=0's own embedding: doc 0 must rank
+    # first on the dense side and therefore appear in the fused list
+    zero = [r for r in out if r.doc_id == 0]
+    assert zero and zero[0].cosine_rank == 1
+    # at least one fused row came from the lexical list
+    assert any(r.bm25_rank is not None for r in out)
