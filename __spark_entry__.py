@@ -3137,6 +3137,23 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-pass decontamination (functions/decontam.py::
+    bloom_decontaminate): same eval/corpus split and 3-gram audit as
+    q_decontaminate, but corpus grams are screened against a 1 Mbit
+    k=5 Bloom bitmap before the exact verify join. The oracle is the
+    PLAIN decontamination oracle — the pre-pass must be result-invisible
+    (no false negatives; false positives die in the verify join)."""
+    from orientdb_etl_spark.functions.decontam import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate(
+        corpus, eval_df, n=3, mode="hits", m_bits=1 << 20, k=5
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid BM25+cosine retrieval fused with reciprocal-rank fusion
     (functions/retrieval.py, Cormack et al. SIGIR'09): the same
@@ -3763,6 +3780,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "expectations": q_expectations,
             # round 5: RRF hybrid retrieval (BM25 + cosine)
             "hybrid_retrieval": q_hybrid_retrieval,
+            # round 5: Bloom pre-pass decontamination (result-invisible)
+            "bloom_decontam": q_bloom_decontam,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -3961,7 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "range(1, greatest(len(_toks) - 2, 1) + 1), "
         "i -> array_to_string(_toks[i:i+2], ' ')))"
     )
-    return {
+    sql = {
         "csv_parse": (
             "SELECT c_custkey AS id, c_name AS name, "
             "c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer"
@@ -5365,3 +5384,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM corpus"
         ),
     }
+    # the Bloom pre-pass must be result-invisible: its oracle IS the plain
+    # decontamination oracle (same hits, same counts)
+    sql["bloom_decontam"] = sql["decontaminate"]
+    return sql

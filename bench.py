@@ -110,6 +110,8 @@ HEADLINE = [
     "expectations",
     # round-5 RRF hybrid retrieval (BM25 scan + dense top-k + tiny fusion)
     "hybrid_retrieval",
+    # round-5 Bloom-pre-pass decontamination (bitmap probe before join)
+    "bloom_decontam",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

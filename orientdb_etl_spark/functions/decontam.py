@@ -110,3 +110,148 @@ def decontaminate(
     return docs.join(hits, [id_col], "left").withColumn(
         "contaminated", F.col("n_hits").isNotNull()
     ).drop("n_hits")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-pass: decontamination when the eval gram set outgrows a
+# broadcast hash table
+
+
+# Spark exposes no public bloom_filter_agg / might_contain (checked
+# against 4.1's function registry), so the filter is built from first
+# principles on the same primitives: k seed-prefixed xxhash64 positions
+# per gram, all JVM-side; the bitmap build and probe are Arrow-batched.
+
+
+def build_gram_bloom(
+    eval_df: DataFrame,
+    text_col: str,
+    n: int,
+    m_bits: int = 1 << 23,
+    k: int = 5,
+) -> "np.ndarray":
+    """Packed Bloom bitmap (numpy uint8, ``m_bits / 8`` bytes) of the eval
+    set's token n-grams.
+
+    Scale shape: the DRIVER never sees individual positions — executors
+    build 1 MiB bitmap chunks with ``applyInPandas`` over position ranges
+    (one shuffle of 8-byte position rows), and the driver collects and
+    concatenates only the ``m_bits/8`` bytes of the bitmap itself. A
+    4 Gbit filter is a 512 MB collect regardless of how many billions of
+    grams went in — the position LIST, which can be 100× larger, stays
+    distributed."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits % 8 != 0:
+        raise ValueError("m_bits must be a multiple of 8")
+    chunk_bits = min(m_bits, 1 << 23)  # 1 MiB chunks
+    grams = exploded_gram_hashes(eval_df, text_col, n, keep=[]).select(
+        F.col("_gh")
+    )
+    # re-derive positions from the 8-byte hash (not the gram text) so the
+    # shuffled rows stay narrow
+    pos = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("_gh")), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    ).withColumn("chunk", (F.col("pos") / chunk_bits).cast("long"))
+
+    bytes_per_chunk = chunk_bits // 8
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["chunk"].iloc[0])
+        local = pdf["pos"].to_numpy(dtype=np.int64) - chunk * chunk_bits
+        bits = np.zeros(bytes_per_chunk, dtype=np.uint8)
+        np.bitwise_or.at(bits, local >> 3, np.uint8(1) << (local & 7).astype(np.uint8))
+        return pd.DataFrame({"chunk": [chunk], "data": [bits.tobytes()]})
+
+    rows = (
+        pos.groupBy("chunk")
+        .applyInPandas(pack, "chunk long, data binary")
+        .collect()
+    )
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        start = r.chunk * bytes_per_chunk
+        out[start : start + bytes_per_chunk] = np.frombuffer(r.data, dtype=np.uint8)
+    return out
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    mode: str = "flag",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom pre-pass — EXACTLY the same
+    result (Bloom filters have no false negatives; false positives are
+    removed by the verify join), but the corpus-side join input shrinks
+    to Bloom-suspect grams only.
+
+    When to use which: the plain path broadcasts an 8-byte-hash table of
+    every eval gram — ideal while that table fits executor memory. Past
+    that (hundreds of millions of eval grams), the Bloom bitmap stays
+    broadcast-sized at any gram count (m_bits/8 bytes, fp rate
+    ~(1-e^{-kG/m})^k), the probe is a vectorized bitmap index per gram,
+    and only the surviving fraction enters the exact join — which may
+    then shuffle, but over suspects instead of the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if mode not in ("hits", "flag", "filter"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = docs.sparkSession
+    bits = build_gram_bloom(
+        eval_df, eval_text_col or text_col, n, m_bits=m_bits, k=k
+    )
+    bc = spark.sparkContext.broadcast(bits)
+
+    def _might_contain(*pos_cols):
+        b = bc.value
+        ok = np.ones(len(pos_cols[0]), dtype=bool)
+        for c in pos_cols:
+            idx = c.to_numpy(dtype=np.int64)
+            ok &= (b[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    # no type hints: pandas_udf rejects *args signatures with hints, and
+    # the column count (k) is a runtime parameter
+    might_contain = F.pandas_udf(_might_contain, "boolean")
+
+    doc_grams = exploded_gram_hashes(docs, text_col, n, keep=[id_col])
+    suspects = doc_grams.filter(
+        might_contain(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), F.col("_gh")), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    )
+    eval_grams = exploded_gram_hashes(
+        eval_df, eval_text_col or text_col, n, keep=[]
+    ).distinct()
+    hits = (
+        suspects.join(F.broadcast(eval_grams), "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if mode == "hits":
+        return hits
+    if mode == "filter":
+        return docs.join(hits, [id_col], "left_anti")
+    return docs.join(hits, [id_col], "left").withColumn(
+        "contaminated", F.col("n_hits").isNotNull()
+    ).drop("n_hits")

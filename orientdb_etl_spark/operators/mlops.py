@@ -382,20 +382,35 @@ def decontaminate_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict
 ) -> DataFrame:
     """{"decontaminate": {"evalTable": "eval_docs", "n": 13,
-    "mode": "flag"|"filter"|"hits"}} — benchmark decontamination against a
-    registered eval table (broadcast n-gram join)."""
-    from orientdb_etl_spark.functions.decontam import decontaminate
+    "mode": "flag"|"filter"|"hits", "method": "exact"|"bloom",
+    "mBits": 8388608, "k": 5}} — benchmark decontamination against a
+    registered eval table (broadcast n-gram join); method "bloom" screens
+    corpus grams through a broadcast Bloom bitmap first — same result,
+    for eval sets too large to broadcast as a join hash table."""
+    from orientdb_etl_spark.functions.decontam import (
+        bloom_decontaminate,
+        decontaminate,
+    )
 
     eval_df = ctx.tables[cfg["evalTable"]]
-    return decontaminate(
-        df,
-        eval_df,
+    kwargs = dict(
         text_col=cfg.get("textField", "text"),
         id_col=cfg.get("idField", "doc_id"),
         eval_text_col=cfg.get("evalTextField"),
         n=int(cfg.get("n", 13)),
         mode=cfg.get("mode", "flag"),
     )
+    method = str(cfg.get("method", "exact"))
+    if method == "bloom":
+        return bloom_decontaminate(
+            df, eval_df,
+            m_bits=int(cfg.get("mBits", 1 << 23)),
+            k=int(cfg.get("k", 5)),
+            **kwargs,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown decontaminate method {method!r}")
+    return decontaminate(df, eval_df, **kwargs)
 
 
 @register("profile")
