@@ -3137,6 +3137,18 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (functions/text.py::
+    bigram_logprob_score, λ=0.8) over documents — the CCNet-flavoured
+    perplexity proxy. Oracle replays bigram extraction, both count
+    tables, and the identical interpolation expression; the 4-dp
+    rounding on the per-doc mean absorbs summation-order jitter."""
+    from orientdb_etl_spark.functions.text import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, "text", "doc_id", lam=0.8)
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pre-pass decontamination (functions/decontam.py::
     bloom_decontaminate): same eval/corpus split and 3-gram audit as
@@ -3782,6 +3794,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hybrid_retrieval": q_hybrid_retrieval,
             # round 5: Bloom pre-pass decontamination (result-invisible)
             "bloom_decontam": q_bloom_decontam,
+            # round 5: interpolated bigram-LM quality score
+            "bigram_logprob": q_bigram_logprob,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -4542,6 +4556,32 @@ def oracle_sql() -> dict[str, str]:
         # AND normalization identical, dialect-swapped)
         "url_normalize": _url_oracle(),
         "hybrid_retrieval": _hybrid_oracle(),
+        "bigram_logprob": (
+            # identical bigram extraction (1-indexed, per-token lower) and
+            # interpolation expression; 0.19999999999999996 is the exact
+            # double Python computes for 1.0 - 0.8, matching F.lit
+            "WITH toks AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS t FROM documents "
+            "WHERE text IS NOT NULL AND length(trim(text)) > 0), "
+            "b AS (SELECT doc_id, "
+            "unnest([lower(t[i]) || ' ' || lower(t[i+1]) "
+            "FOR i IN range(1, len(t))]) AS bgr "
+            "FROM toks WHERE len(t) >= 2), "
+            "b2 AS (SELECT doc_id, split_part(bgr, ' ', 1) AS prev, "
+            "split_part(bgr, ' ', 2) AS cur FROM b), "
+            "cb AS (SELECT prev, cur, count(*) AS cb FROM b2 "
+            "GROUP BY prev, cur), "
+            "cctx AS (SELECT prev, sum(cb) AS cctx FROM cb GROUP BY prev), "
+            "cu AS (SELECT cur, count(*) AS cu FROM b2 GROUP BY cur), "
+            "tot AS (SELECT sum(cu) AS n FROM cu), "
+            "lp AS (SELECT b2.doc_id, "
+            "ln(0.8 * cb.cb / cctx.cctx + "
+            "0.19999999999999996 * cu.cu / tot.n) AS lp "
+            "FROM b2 JOIN cb USING (prev, cur) JOIN cctx USING (prev) "
+            "JOIN cu USING (cur) CROSS JOIN tot) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(lp), 4) AS mean_logprob FROM lp GROUP BY doc_id"
+        ),
         "expectations": (
             # each constraint's observed/passed recomputed as scalar
             # aggregates; fractions are exact-long ratios in both engines

@@ -112,6 +112,8 @@ HEADLINE = [
     "hybrid_retrieval",
     # round-5 Bloom-pre-pass decontamination (bitmap probe before join)
     "bloom_decontam",
+    # round-5 interpolated bigram-LM quality score (two model aggs + joins)
+    "bigram_logprob",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

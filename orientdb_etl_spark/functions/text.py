@@ -492,6 +492,68 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    trained on the corpus itself — one step closer to the CCNet/KenLM
+    perplexity filter (Wenzek et al. LREC 2020) than the unigram proxy:
+    ``P(w|prev) = λ·c(prev,w)/c(prev,·) + (1-λ)·c(w)/N``. Word salad
+    with plausible unigrams but implausible transitions ("the the of
+    and") now scores low too.
+
+    Returns (id, n_bigrams, mean_logprob); docs with fewer than two
+    tokens are absent. Tokens are lowercased whitespace tokens; the
+    bigram context count ``c(prev,·)`` is the observed bigram mass of
+    ``prev`` (no end-of-doc continuation mass).
+
+    Scale shape: bigram extraction is a per-row expression + explode (no
+    window); model building is two hash aggregations (map-side partial);
+    scoring joins each bigram occurrence to its counts — token-keyed
+    hash joins with Zipfian hot keys (stopword pairs), the standard AQE
+    skew-join case. Everything partial-aggregates before the exchanges.
+    """
+    t = tokens_col(F.col(text_col))
+    bg = F.expr(
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> concat_ws(' ', lower(element_at(_t, i)), "
+        "lower(element_at(_t, i + 1))))"
+    )
+    bigrams = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(id_col, F.explode(bg).alias("_bg"))
+        .withColumn("_prev", F.substring_index("_bg", " ", 1))
+        .withColumn("_cur", F.substring_index("_bg", " ", -1))
+    )
+    bg_counts = bigrams.groupBy("_prev", "_cur").agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    ctx_counts = bg_counts.groupBy("_prev").agg(F.sum("_cb").alias("_cctx"))
+    uni = bigrams.groupBy("_cur").agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_n"))
+    scored = (
+        bigrams.join(bg_counts, ["_prev", "_cur"])
+        .join(ctx_counts, "_prev")
+        .join(uni, "_cur")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * F.col("_cb") / F.col("_cctx")
+                + F.lit(1.0 - lam) * F.col("_cu") / F.col("_n")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     text_col: str,

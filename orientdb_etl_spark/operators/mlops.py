@@ -527,3 +527,29 @@ def retrieve_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Data
         depth=int(cfg.get("depth", 50)),
         k_rrf=int(cfg.get("kRrf", 60)),
     )
+
+
+@register("lmScore")
+def lm_score_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"lmScore": {"textField": "text", "idField": "doc_id",
+    "order": 1|2, "lambda": 0.8}} — corpus-self-trained LM quality score
+    (CCNet perplexity-filter proxy): order 1 = unigram mean logprob,
+    order 2 = interpolated bigram LM."""
+    from orientdb_etl_spark.functions.text import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    order = int(cfg.get("order", 2))
+    if order == 1:
+        return unigram_logprob_score(
+            df, cfg.get("textField", "text"), cfg.get("idField", "doc_id")
+        )
+    if order == 2:
+        return bigram_logprob_score(
+            df,
+            cfg.get("textField", "text"),
+            cfg.get("idField", "doc_id"),
+            lam=float(cfg.get("lambda", 0.8)),
+        )
+    raise ValueError(f"unsupported LM order {order}")

@@ -1213,3 +1213,25 @@ def test_hybrid_topk_contains_both_modalities(spark):
     assert zero and zero[0].cosine_rank == 1
     # at least one fused row came from the lexical list
     assert any(r.bm25_rank is not None for r in out)
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """Transition-implausible word salad must score below text whose
+    bigrams repeat across the corpus, even with identical unigrams."""
+    from orientdb_etl_spark.functions.text import bigram_logprob_score
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)]
+    # same words as the fluent sentence, scrambled differently per doc
+    rows += [(100, "mat the on sat cat the"), (101, "sat mat the cat on the")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert out[0].n_bigrams == 5
+    fluent_score = out[0].mean_logprob
+    assert out[100].mean_logprob < fluent_score
+    assert out[101].mean_logprob < fluent_score
+    # docs with < 2 tokens are absent
+    one = spark.createDataFrame([(1, "word"), (2, "two words")],
+                                "doc_id int, text string")
+    got = {r.doc_id for r in bigram_logprob_score(one).collect()}
+    assert got == {2}
