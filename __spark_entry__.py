@@ -3137,6 +3137,19 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (functions/bpe.py): learn 4 merges over
+    the documents corpus entirely in-plan (per-step best pair is a 1-row
+    TakeOrderedAndProject broadcast, never a collect). The oracle unrolls
+    the identical 4 iterations as chained CTEs — word table, padded
+    symbol sequences, weighted pair counts, deterministic (count desc,
+    pair asc) selection, literal ' a b '→' ab ' replacement."""
+    from orientdb_etl_spark.functions.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", num_merges=4, checkpoint_every=None)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality score (functions/text.py::
     bigram_logprob_score, λ=0.8) over documents — the CCNet-flavoured
@@ -3796,6 +3809,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_decontam": q_bloom_decontam,
             # round 5: interpolated bigram-LM quality score
             "bigram_logprob": q_bigram_logprob,
+            # round 5: BPE vocabulary induction (4 merges, in-plan)
+            "bpe_merges": q_bpe_merges,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
         }
@@ -3873,6 +3888,41 @@ def _url_oracle() -> str:
         "ELSE hp[hn-1] || '.' || hp[hn] END AS domain "
         "FROM pq"
     )
+
+
+def _bpe_oracle(n: int = 4) -> str:
+    """DuckDB replay of q_bpe_merges: the n training iterations unrolled
+    as chained CTEs — identical word table, sentinel-padded sequences,
+    weighted pair counts, (count desc, pair asc) selection, and literal
+    replace semantics (leftmost non-overlapping, resume-after)."""
+    sql = (
+        "WITH w AS (SELECT word, count(*) AS f FROM ("
+        r"SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) "
+        "AS word FROM documents WHERE text IS NOT NULL "
+        "AND length(trim(text)) > 0) WHERE word <> '' GROUP BY word), "
+        "s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', "
+        r"'\1 ', 'g')) || ' </w> ' AS seq, f FROM w), "
+    )
+    for i in range(1, n + 1):
+        prev = f"s{i - 1}"
+        sql += (
+            f"p{i} AS (SELECT pair, sum(f) AS cnt FROM "
+            "(SELECT f, unnest([t[j] || ' ' || t[j+1] "
+            "FOR j IN range(1, len(t))]) AS pair FROM "
+            "(SELECT f, regexp_split_to_array(trim(seq), ' ') AS t "
+            f"FROM {prev})) GROUP BY pair), "
+            f"b{i} AS (SELECT pair, cnt FROM p{i} "
+            "ORDER BY cnt DESC, pair ASC LIMIT 1), "
+            f"s{i} AS (SELECT replace(seq, ' ' || b{i}.pair || ' ', "
+            f"' ' || replace(b{i}.pair, ' ', '') || ' ') AS seq, f "
+            f"FROM {prev} CROSS JOIN b{i}), "
+        )
+    sql = sql.rstrip(", ") + " "
+    sql += " UNION ALL ".join(
+        f"SELECT {i} AS step, pair, cnt::BIGINT AS freq FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return sql
 
 
 def _hybrid_oracle() -> str:
@@ -4556,6 +4606,7 @@ def oracle_sql() -> dict[str, str]:
         # AND normalization identical, dialect-swapped)
         "url_normalize": _url_oracle(),
         "hybrid_retrieval": _hybrid_oracle(),
+        "bpe_merges": _bpe_oracle(4),
         "bigram_logprob": (
             # identical bigram extraction (1-indexed, per-token lower) and
             # interpolation expression; 0.19999999999999996 is the exact

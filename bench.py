@@ -114,6 +114,8 @@ HEADLINE = [
     "bloom_decontam",
     # round-5 interpolated bigram-LM quality score (two model aggs + joins)
     "bigram_logprob",
+    # round-5 BPE vocabulary induction (4 in-plan merge iterations)
+    "bpe_merges",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

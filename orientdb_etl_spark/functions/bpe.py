@@ -1,0 +1,169 @@
+"""BPE vocabulary induction: learn byte-pair-encoding merges from a
+corpus (Sennrich et al. ACL 2016) with pure DataFrame ops.
+
+The algorithm is inherently iterative — each merge step needs the pair
+statistics AFTER all previous merges — but each step is fully relational:
+
+1. word frequencies (one hash agg over exploded tokens);
+2. each word becomes a space-delimited symbol sequence
+   (``'hi' → ' h i </w> '``, sentinel-padded);
+3. per step: pair counts = frequency-weighted symbol bigrams (hash agg),
+   best pair = 1-row ``TakeOrderedAndProject`` (count desc, pair asc —
+   deterministic tiebreak), merge applied with a LITERAL string
+   ``replace`` of ``' a b '`` by ``' ab '`` on the padded sequence.
+
+Everything stays in ONE lazy plan — the per-step "best pair" is a 1-row
+broadcast cross join, never a driver collect — which is also what makes
+the whole training run replayable as a single unrolled SQL statement in
+the oracle.
+
+Merge application note: ``replace`` substitutes leftmost non-overlapping
+occurrences and resumes scanning after each substitution, so a run of an
+odd number of identical symbols merges ⌊n/2⌋ pairs left-to-right — the
+same greedy-left convention as the reference BPE implementation.
+
+Scale shape at 100 TB: the corpus is touched ONCE (token explode + word
+count); every merge step then runs over the WORD TABLE (vocabulary-sized,
+orders of magnitude smaller than the corpus — the classic BPE trick).
+Lineage grows linearly with merge count; ``checkpoint_every`` bounds it
+with ``localCheckpoint`` for large merge budgets.
+
+No counterpart in the reference; north-star extension per SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symbol_bigrams(tok_arr_col: str) -> F.Column:
+    """Adjacent symbol pairs ('a b') of a symbol ARRAY column. The < 2
+    guard matters twice over: a fully-merged word has one symbol, and
+    Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) instead of returning
+    empty — without the guard it indexes out of bounds (DuckDB's
+    ``range(1, 1)`` is empty, so the oracle would also diverge)."""
+    return F.expr(
+        f"CASE WHEN size({tok_arr_col}) < 2 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE transform(sequence(1, size({tok_arr_col}) - 1), "
+        f"i -> concat_ws(' ', element_at({tok_arr_col}, i), "
+        f"element_at({tok_arr_col}, i + 1))) END"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_word_freq: int = 1,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns (step, pair, freq) —
+    one row per merge in training order, ``pair`` the space-separated
+    symbol pair merged at that step, ``freq`` its frequency-weighted
+    count at selection time."""
+    if num_merges <= 0:
+        raise ValueError("num_merges must be positive")
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") >= min_word_freq)
+    )
+    # 'hi' -> ' h i </w> ' (sentinel spaces make ' a b ' replacement
+    # respect symbol boundaries)
+    seqs = words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("_w"), "(.)", "$1 ")),
+            F.lit(" </w> "),
+        ).alias("_seq"),
+        F.col("_f"),
+    )
+    merges: list[DataFrame] = []
+    for step in range(1, num_merges + 1):
+        pairs = (
+            # stage the split once — interpreted HOF lambdas don't CSE
+            seqs.select(F.split(F.trim("_seq"), " ").alias("_t"), "_f")
+            .select(F.explode(_symbol_bigrams("_t")).alias("_pair"), "_f")
+            .groupBy("_pair")
+            .agg(F.sum("_f").alias("_cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("_cnt").desc(), F.col("_pair").asc()
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_pair").alias("pair"),
+                F.col("_cnt").alias("freq"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select(F.col("_pair").alias("_bp"))))
+            .withColumn(
+                "_seq",
+                F.replace(
+                    F.col("_seq"),
+                    F.concat(F.lit(" "), F.col("_bp"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("_bp"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ),
+            )
+            .drop("_bp")
+        )
+        if checkpoint_every and step % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint(eager=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_symbols",
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: every token becomes its
+    BPE symbol sequence (array<string>). The merge table (small by
+    construction) is collected in training order and applied as a chain
+    of literal replaces — one projection, no joins, corpus scanned once.
+    """
+    ordered = [
+        (r.step, r.pair)
+        for r in merges_df.select("step", "pair").collect()
+    ]
+    ordered.sort()
+    tok_seq = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("_tok"), "(.)", "$1 ")),
+        F.lit(" </w> "),
+    )
+    seq = tok_seq
+    for _, pair in ordered:
+        seq = F.replace(
+            seq,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", "") + " "),
+        )
+    return (
+        df.withColumn(
+            "_toks",
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        )
+        .withColumn("_tok", F.explode("_toks"))
+        .filter(F.col("_tok") != "")
+        .withColumn(out_col, F.split(F.trim(seq), " "))
+        .drop("_toks", "_tok")
+    )

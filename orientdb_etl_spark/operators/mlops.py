@@ -553,3 +553,30 @@ def lm_score_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Data
             lam=float(cfg.get("lambda", 0.8)),
         )
     raise ValueError(f"unsupported LM order {order}")
+
+
+@register("bpe")
+def bpe_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"bpe": {"mode": "train"|"segment", "textField": "text",
+    "numMerges": 100, "minWordFreq": 1, "mergesTable": "merges"}} — BPE
+    vocabulary induction / application (functions/bpe.py). Train emits
+    the (step, pair, freq) merge table; segment applies a registered
+    merge table to the corpus."""
+    from orientdb_etl_spark.functions.bpe import bpe_segment, bpe_train
+
+    mode = str(cfg.get("mode", "train"))
+    if mode == "train":
+        return bpe_train(
+            df,
+            cfg.get("textField", "text"),
+            num_merges=int(cfg.get("numMerges", 100)),
+            min_word_freq=int(cfg.get("minWordFreq", 1)),
+        )
+    if mode == "segment":
+        return bpe_segment(
+            df,
+            ctx.tables[cfg["mergesTable"]],
+            cfg.get("textField", "text"),
+            out_col=cfg.get("outField", "bpe_symbols"),
+        )
+    raise ValueError(f"unknown bpe mode {mode!r}")

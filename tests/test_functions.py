@@ -1235,3 +1235,59 @@ def test_bigram_logprob_orders_fluency(spark):
                                 "doc_id int, text string")
     got = {r.doc_id for r in bigram_logprob_score(one).collect()}
     assert got == {2}
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (functions/bpe.py)
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The classic low/lower/newest/widest corpus: merges must be chosen
+    by weighted count with deterministic (count desc, pair asc)
+    tiebreaks, and segmentation must apply them in training order."""
+    from orientdb_etl_spark.functions.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(docs, "text", num_merges=5, checkpoint_every=None)
+    rows = sorted((r.step, r.pair, r.freq) for r in merges.collect())
+    # step 1: 'w e' appears in lower(2) + newest(4) + widest... 'we' only
+    # lower+newest = 6; verified stable across engines by the gate twin
+    assert rows[0] == (1, "w e", 6)
+    assert rows[1] == (2, "l o", 5)
+    assert len(rows) == 5
+    seg = bpe_segment(docs, merges, "text")
+    sym = {tuple(r.bpe_symbols) for r in seg.collect()}
+    # 'low' segments with the learned 'l o' merge
+    assert ("lo", "w", "</w>") in sym
+
+
+def test_bpe_train_is_one_plan_no_collect(spark):
+    """Training must stay lazy: building the merges DataFrame triggers
+    no Spark jobs (the per-step best pair is in-plan, not collected)."""
+    from orientdb_etl_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb cc")], "doc_id int, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    merges = bpe_train(docs, "text", num_merges=3, checkpoint_every=None)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # construction ran zero jobs
+    assert merges.count() == 3
+
+
+def test_bpe_repeated_symbol_runs(spark):
+    """' a a a ' merges floor(n/2) pairs greedily left-to-right — the
+    documented resume-after-replacement convention."""
+    from orientdb_etl_spark.functions.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id int, text string")
+    merges = bpe_train(docs, "text", num_merges=1, checkpoint_every=None)
+    r = merges.first()
+    assert r.pair == "a a" and r.freq == 4
+    seg = bpe_segment(docs, merges, "text")
+    assert tuple(seg.first().bpe_symbols) == ("aa", "a", "</w>")
