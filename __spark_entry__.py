@@ -3211,6 +3211,64 @@ def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, k=40
+    weighted by document length — deterministic (hash-derived uniform),
+    so the SQL twin replays the exact -ln(u)/w key ordering. Plan is
+    TakeOrderedAndProject: per-partition k-heap, no global sort."""
+    from orientdb_etl_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=40).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha=0.5, token-mass weighted):
+    per-source rate_ppm from one aggregation pass, then the deterministic
+    hash-threshold filter — rates table joined with realized kept-counts.
+    The corpus never shuffles: one partial agg + one broadcast-join
+    filter."""
+    from orientdb_etl_spark.functions.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "source", "n_chars", alpha=0.5)
+    kept = (
+        temperature_sample(docs, "source", "doc_id", "n_chars", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").fillna(0, subset=["n_kept"])
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over a deterministically synthesized page
+    per document (script/style/comment removal, block-tag newlines,
+    entity decoding, whitespace canonicalization). Both engines build the
+    SAME page string and run the SAME generated rule chain
+    (text.html_to_text vs text.html_to_text_sql) — byte-identical
+    output is the pass condition. Scan-fused JVM regex, zero shuffles."""
+    from orientdb_etl_spark.functions.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(' --><body><h1>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><script type="text/javascript">var x = 1 < 2;</script><p>'),
+        F.col("text"),
+        F.lit("</p><br><div>tail&nbsp;&lt;end&gt;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("extracted")
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, distributed dimension-wise with exact
     decimal sums (order-independent => engine- and run-deterministic).
@@ -3813,6 +3871,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bpe_merges": q_bpe_merges,
             # round 5: Z-order layout key (cross-engine identical bit math)
             "zorder_key": q_zorder_key,
+            # round 5: Efraimidis–Spirakis weighted sampling (hash-uniform)
+            "weighted_sample": q_weighted_sample,
+            # round 5: temperature-scaled domain mixture rates + realized
+            # kept counts (alpha sampling)
+            "temperature_mix": q_temperature_mix,
+            # round 5: HTML → text extraction (same-generated rule chain)
+            "html_extract": q_html_extract,
         }
     )
     return out
@@ -3974,6 +4039,24 @@ def _hybrid_oracle() -> str:
         "FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id) "
         "SELECT doc_id, rrf_score, bm25_rank, cosine_rank FROM f "
         "ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"
+    )
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB twin of q_html_extract: the SAME synthesized page string fed
+    through the SAME generated regexp_replace rule chain
+    (text.html_to_text_sql — one source of truth for both engines)."""
+    from orientdb_etl_spark.functions.text import html_to_text_sql
+
+    html = (
+        "'<html><!-- id ' || CAST(doc_id AS VARCHAR) || "
+        "' --><body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><script type=\"text/javascript\">var x = 1 < 2;</script><p>' "
+        "|| text || "
+        "'</p><br><div>tail&nbsp;&lt;end&gt;</div></body></html>'"
+    )
+    return (
+        f"SELECT doc_id, {html_to_text_sql(html)} AS extracted FROM documents"
     )
 
 
@@ -4558,6 +4641,34 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
         ),
         "zorder_key": _zorder_oracle(),
+        "weighted_sample": (
+            # the exact E-S key: -ln(u)/w with u hash-derived — same
+            # arithmetic as sampling.weighted_sample
+            "WITH b AS (SELECT doc_id, source, n_chars, "
+            "-ln((((doc_id + 42) % 1000003) * 2654435761 % 1000003 + 1) "
+            "/ 1000004.0) / CAST(n_chars AS DOUBLE) AS k "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+            "SELECT doc_id, source, n_chars FROM b ORDER BY k, doc_id LIMIT 40"
+        ),
+        "temperature_mix": (
+            # rate_ppm = round(mass^(alpha-1) / max * 1e6); kept = hash
+            # bucket below the group's rate — identical formulas
+            "WITH per AS (SELECT source, count(*) AS n_rows, "
+            "CAST(sum(n_chars) AS DOUBLE) AS m FROM documents GROUP BY source), "
+            "r AS (SELECT source, n_rows, m, pow(m, -0.5) AS raw FROM per), "
+            "mx AS (SELECT max(raw) AS mx FROM r), "
+            "rates AS (SELECT source, n_rows, CAST(m AS BIGINT) AS mass, "
+            "CAST(round(raw / mx * 1000000) AS BIGINT) AS rate_ppm "
+            "FROM r CROSS JOIN mx), "
+            "kept AS (SELECT d.source, count(*) AS n_kept FROM documents d "
+            "JOIN rates t ON d.source = t.source "
+            "WHERE ((d.doc_id + 42) % 1000003) * 2654435761 % 1000000 "
+            "< t.rate_ppm GROUP BY d.source) "
+            "SELECT rates.source, n_rows, mass, rate_ppm, "
+            "COALESCE(n_kept, 0) AS n_kept "
+            "FROM rates LEFT JOIN kept ON rates.source = kept.source"
+        ),
+        "html_extract": _html_extract_oracle(),
         "snapshot_diff": (
             "WITH oldt AS (SELECT o_orderkey, o_totalprice FROM orders "
             "WHERE o_orderkey % 7 != 0), "

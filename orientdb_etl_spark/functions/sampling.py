@@ -168,6 +168,117 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006) with the
+    uniform draw derived from the id hash instead of rand().
+
+    Each row gets key = -ln(u) / w  (an Exp(rate=w) variate); the k
+    smallest keys are the sample — inclusion probability rises with
+    weight, and the selection is a pure function of (id, weight, seed),
+    so it replays identically on any cluster layout and in the SQL twin.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight row
+    has inclusion probability 0; E-S keys are undefined for w <= 0).
+
+    Plan shape: the order-by-key + limit compiles to
+    ``TakeOrderedAndProject`` — a per-partition k-heap and a single
+    k-sized merge on the driver, never a global sort. At 100 TB this is
+    the same shape as any top-k: linear scan, O(k) state per task.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: bucket+1 over PRIME+1 — never 0, so ln(u) is finite
+    u = (hash_bucket(id_col, _PRIME, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_PRIME + 1)
+    )
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    mass_col: str | Column | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture rates per domain (the multilingual /
+    multi-domain rebalancing rule from Devlin et al. 2019 / Conneau &
+    Lample 2019): target share q_g ∝ p_g**alpha, realized by per-group
+    DOWNsampling only — rate_g = (q_g / p_g) scaled so the largest rate
+    is exactly 1 (no group is upsampled; alpha=1 keeps everything,
+    alpha→0 flattens toward uniform).
+
+    ``mass_col`` is what p_g measures (token counts for pretraining
+    mixtures); None counts documents. Returns one row per group:
+    (group, n_rows, mass, rate_ppm) with the rate as integer
+    parts-per-million — ready for the hash-threshold filter in
+    ``temperature_sample`` and exactly reproducible in SQL.
+
+    Plan shape: ONE map-side-partial aggregation over the corpus, then
+    arithmetic on the G-row result (G = #domains, tiny); the max-rate
+    scaling is a broadcast of a single scalar. Nothing here grows with
+    corpus size except the first agg's scan.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    m = (
+        F.count(F.lit(1))
+        if mass_col is None
+        else F.sum(F.col(mass_col) if isinstance(mass_col, str) else mass_col)
+    )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), m.cast("double").alias("_mass")
+    )
+    # q_g/p_g ∝ p_g**(alpha-1) ∝ mass**(alpha-1): the total cancels, so
+    # no second pass for Σmass is needed — only the max for scaling
+    raw = per.withColumn("_raw", F.pow("_mass", F.lit(alpha - 1.0)))
+    mx = raw.agg(F.max("_raw").alias("_mx"))
+    return (
+        raw.join(F.broadcast(mx))
+        .withColumn(
+            "rate_ppm",
+            F.round(F.col("_raw") / F.col("_mx") * 1_000_000).cast("long"),
+        )
+        .withColumn("mass", F.col("_mass").cast("long"))
+        .select(group_col, "n_rows", "mass", "rate_ppm")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    mass_col: str | Column | None = None,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` as a deterministic filter: keep a
+    row iff its id hash-bucket (out of 1e6) falls below its group's
+    rate_ppm. The G-row rates table broadcasts onto the corpus — one agg
+    pass + one broadcast-join filter pass, no shuffle of the corpus."""
+    rates = temperature_rates(df, group_col, mass_col, alpha)
+    b = hash_bucket(id_col, 1_000_000, seed)
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
+        .filter(b < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
 def quantile_bucket(
     df: DataFrame,
     score_col: str,

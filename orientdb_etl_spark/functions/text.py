@@ -398,6 +398,75 @@ def line_dup_stats(
     )
 
 
+# HTML → text extraction rules, applied in order. Shared by the Spark
+# column chain AND the generated SQL twin (html_to_text_sql) so both
+# engines execute byte-identical logic — the same same-generated-text
+# discipline as layout.zorder_interleave_sql. Every pattern is RE2-safe
+# (no backreferences or lookaround; DuckDB's regex engine is RE2, Spark's
+# is java.util.regex — this subset behaves identically in both):
+#   1-2  script/style elements go entirely (content is code, not text)
+#   3    comments go
+#   4-5  block-level boundaries become newlines BEFORE tags are stripped
+#   6    every remaining tag becomes a space
+#   7-12 the five standard entities + nbsp decode; &amp; LAST so
+#        double-escaped text ("&amp;lt;") decodes one level, per spec
+#   13-16 whitespace canonicalization: collapse horizontal runs, tidy
+#        space around newlines, cap blank-line runs, trim the ends
+_HTML_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script\s*>", ""),
+    (r"(?is)<style[^>]*>.*?</style\s*>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?i)<(?:br|hr)\s*/?\s*>", "\n"),
+    (r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)\s*>", "\n"),
+    (r"<[^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\s+|\s+$", ""),
+]
+
+
+def html_to_text(col: str | Column) -> Column:
+    """Extract readable text from an HTML document column — the first
+    stage of any web-crawl curation pipeline (upstream of
+    strip_boilerplate_lines / c4_line_filter, which operate on the
+    extracted text's lines).
+
+    Pure JVM regexp_replace chain fused into the scan by whole-stage
+    codegen: zero shuffles, zero Python, embarrassingly parallel — the
+    right shape for the 100 TB ingest path where this runs once per
+    crawled page. A full HTML5 parser (tree construction, implied tags)
+    is out of scope by design: for corpus curation the regex extraction
+    is the standard trade (C4 / CCNet both operate on extracted text,
+    not DOM trees), and anything stricter belongs in a Pandas-UDF stage
+    with a real parser library.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pat, repl in _HTML_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_to_text`, generated from the SAME
+    rule table: nested regexp_replace(..., 'g') calls. ``expr`` is any
+    SQL string expression."""
+    out = expr
+    for pat, repl in _HTML_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("\\", "\\\\").replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

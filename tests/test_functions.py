@@ -1291,3 +1291,69 @@ def test_bpe_repeated_symbol_runs(spark):
     assert r.pair == "a a" and r.freq == 4
     seg = bpe_segment(docs, merges, "text")
     assert tuple(seg.first().bpe_symbols) == ("aa", "a", "</w>")
+
+
+def test_html_to_text_strips_script_style_comments_tags(spark):
+    from orientdb_etl_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><style>body{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<!-- hidden comment --><body><h1>Title</h1>"
+        "<p>First para.</p><p>Second&nbsp;para &amp; more.</p>"
+        "<ul><li>a</li><li>b</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = df.select(html_to_text("html").alias("t")).first().t
+    assert "not text" not in out  # script CONTENT removed, not just tags
+    assert "color:red" not in out
+    assert "hidden comment" not in out
+    assert "<" not in out and ">" not in out
+    assert "Title\nFirst para.\nSecond para & more." in out
+    assert "a\nb" in out
+
+
+def test_html_to_text_entities_and_double_escape(spark):
+    from orientdb_etl_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "A &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;amp; done")],
+        "id long, html string",
+    )
+    out = df.select(html_to_text("html").alias("t")).first().t
+    # &amp; decodes LAST: "&amp;amp;" -> "&amp;" (one level), not "&"
+    assert out == "A <tag> \"q\" 's' &amp; done"
+
+
+def test_html_to_text_whitespace_canonicalization(spark):
+    from orientdb_etl_spark.functions.text import html_to_text
+
+    html = "  <div>a   b\t c</div>\n\n\n\n<div>d</div>  "
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = df.select(html_to_text("html").alias("t")).first().t
+    # runs of blank lines cap at ONE paragraph break, not zero
+    assert out == "a b c\n\nd"
+
+
+def test_html_to_text_sql_twin_byte_identical(spark):
+    """The generated DuckDB chain must produce byte-identical output for
+    the same inputs — the property the gate row relies on."""
+    import duckdb
+
+    from orientdb_etl_spark.functions.text import html_to_text, html_to_text_sql
+
+    cases = [
+        "<p>plain</p>",
+        "<SCRIPT>x</SCRIPT>ok<BR/>line",
+        "a &amp;&amp; b<hr>c",
+        "<div class='x'>nested <b>bold</b> text</div>",
+        "no markup at all",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "id long, h string")
+    got_spark = {r.id: r.t for r in df.select("id", html_to_text("h").alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (id BIGINT, h VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", [(i, c) for i, c in enumerate(cases)])
+    got_duck = dict(con.execute(f"SELECT id, {html_to_text_sql('h')} FROM c").fetchall())
+    assert got_spark == got_duck

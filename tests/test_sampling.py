@@ -152,3 +152,103 @@ def test_quantile_bucket_null_scores_get_null_bucket(spark):
     # unscored rows must NOT flood the head bucket — they belong to no quantile
     assert got[4] is None
     assert all(got[i] is not None for i in range(4))
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The E-S selection is a pure function of (id, weight, seed): replay
+    the exact key arithmetic in Python and demand identical ids."""
+    import math
+
+    from orientdb_etl_spark.functions.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r.doc_id for r in weighted_sample(df, "doc_id", "w", k=25).collect())
+
+    def key(i, w, seed=42):
+        b = ((i + seed) % 1_000_003) * 2654435761 % 1_000_003
+        return -math.log((b + 1) / 1_000_004.0) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (key(*r), r[0]))[:25]
+    )
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A 100×-weight block must be overrepresented: with ids 0-999 and
+    weight 100 on the first 100 ids, most of a k=50 sample lands there."""
+    from orientdb_etl_spark.functions.sampling import weighted_sample
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 100 THEN 100.0 ELSE 1.0 END AS w"
+    )
+    got = [r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50).collect()]
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy >= 35  # expectation ≈ 46; uniform sampling would give ≈ 5
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 0.0), (2, -3.0), (3, None), (4, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(r.doc_id for r in weighted_sample(df, "doc_id", "w", k=10).collect())
+    assert got == [0, 4]  # k > eligible rows keeps all eligible, no pad
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "doc_id", "w", k=0)
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    from orientdb_etl_spark.functions.sampling import weighted_sample
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "1.0 + id % 7 AS w")
+    plan = (
+        weighted_sample(df, "doc_id", "w", k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_rates_alpha_one_keeps_everything(spark):
+    from orientdb_etl_spark.functions.sampling import temperature_rates
+
+    df = spark.range(900).selectExpr("id AS doc_id", "concat('g', id % 3) AS g")
+    rates = temperature_rates(df, "g", alpha=1.0).collect()
+    assert all(r.rate_ppm == 1_000_000 for r in rates)
+
+
+def test_temperature_rates_flatten_toward_small_domains(spark):
+    """alpha<1 downsamples big domains only: the smallest-mass domain
+    keeps rate 1e6, bigger domains get monotonically smaller rates, and
+    the realized mixture is flatter than the raw one."""
+    import pytest
+
+    from orientdb_etl_spark.functions.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    # 3 domains with mass ratio 1 : 4 : 16
+    df = spark.range(2100).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 100 THEN 'small' WHEN id < 500 THEN 'mid' "
+        "ELSE 'big' END AS g",
+    )
+    r = {x.g: x.rate_ppm for x in temperature_rates(df, "g", alpha=0.5).collect()}
+    assert r["small"] == 1_000_000
+    assert r["small"] > r["mid"] > r["big"]
+    # alpha=0.5 on 1:4:16 → rates 1 : 1/2 : 1/4
+    assert abs(r["mid"] - 500_000) <= 1 and abs(r["big"] - 250_000) <= 1
+    kept = temperature_sample(df, "g", "doc_id", alpha=0.5)
+    counts = {x.g: x.n for x in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # realized mixture 1:2:4-ish instead of 1:4:16 — flatter, never upsampled
+    assert counts["small"] == 100
+    assert 120 <= counts["mid"] <= 280  # expectation 200
+    assert 280 <= counts["big"] <= 520  # expectation 400
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, "g", alpha=0.0)
