@@ -3269,6 +3269,38 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 2-hour RANGE-window rollup per user over events —
+    count + sum(value) for every row's [ts-7200s, ts] frame. One shuffle
+    (partition by user), sliding frame state within each sorted run.
+    The oracle replays the identical frame over floor(epoch) seconds
+    (Spark's timestamp→long cast truncates; both engines then see the
+    same integer order key, so RANGE peers agree exactly)."""
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_agg(
+        ev, "ts", ["user_id"],
+        {"roll_n": "count(1)", "roll_sum": "sum(value)"},
+        window_seconds=7200,
+    )
+    return out.select(
+        "event_id", "user_id", "roll_n", F.round("roll_sum", 4).alias("roll_sum")
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust modified-z-score outliers (median/MAD, Iglewicz-Hoaglin)
+    per event_type — two grouped EXACT-percentile aggregations whose tiny
+    per-group results broadcast back; no window, no global sort."""
+    from orientdb_etl_spark.functions.profiling import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", "event_type", threshold=3.5).select(
+        "event_id", "event_type", "value", "robust_z"
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, distributed dimension-wise with exact
     decimal sums (order-independent => engine- and run-deterministic).
@@ -3878,6 +3910,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "temperature_mix": q_temperature_mix,
             # round 5: HTML → text extraction (same-generated rule chain)
             "html_extract": q_html_extract,
+            # round 5: trailing time-RANGE rolling aggregation
+            "rolling_agg": q_rolling_agg,
+            # round 5: median/MAD robust outlier detection
+            "mad_outliers": q_mad_outliers,
         }
     )
     return out
@@ -4669,6 +4705,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM rates LEFT JOIN kept ON rates.source = kept.source"
         ),
         "html_extract": _html_extract_oracle(),
+        "rolling_agg": (
+            # floor(epoch) mirrors Spark's truncating timestamp→long cast;
+            # RANGE frames over equal integer keys have identical peers
+            "SELECT event_id, user_id, "
+            "count(*) OVER w AS roll_n, "
+            "round(sum(value) OVER w, 4) AS roll_sum "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)"
+        ),
+        "mad_outliers": (
+            # two-stage exact median/MAD, modified z > 3.5; MAD=0 groups
+            # yield no flags (score undefined) in both engines
+            "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+            "FROM events GROUP BY event_type), "
+            "dev AS (SELECT e.*, m.med, abs(e.value - m.med) AS dv "
+            "FROM events e JOIN med m USING (event_type)), "
+            "mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad "
+            "FROM dev GROUP BY event_type) "
+            "SELECT d.event_id, d.event_type, d.value, "
+            "round(d.dv / (1.4826 * md.mad), 4) AS robust_z "
+            "FROM dev d JOIN mad md USING (event_type) "
+            "WHERE md.mad > 0 AND d.dv / (1.4826 * md.mad) > 3.5"
+        ),
         "snapshot_diff": (
             "WITH oldt AS (SELECT o_orderkey, o_totalprice FROM orders "
             "WHERE o_orderkey % 7 != 0), "

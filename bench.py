@@ -116,6 +116,16 @@ HEADLINE = [
     "bigram_logprob",
     # round-5 BPE vocabulary induction (4 in-plan merge iterations)
     "bpe_merges",
+    # round-5 E-S weighted sampling (TakeOrderedAndProject top-k)
+    "weighted_sample",
+    # round-5 temperature mixture (one agg + broadcast filter)
+    "temperature_mix",
+    # round-5 HTML → text extraction (scan-fused regex chain)
+    "html_extract",
+    # round-5 trailing time-RANGE rolling window (keyed, sliding state)
+    "rolling_agg",
+    # round-5 median/MAD robust outliers (two scalar-attach aggs)
+    "mad_outliers",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -136,6 +136,49 @@ def heavy_hitters(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: str | list[str] | None = None,
+    threshold: float = 3.5,
+    round_z: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier detection by modified z-score
+    (Iglewicz & Hoaglin 1993): flag rows where
+    ``|x - median| / (1.4826 * MAD) > threshold`` — median/MAD instead of
+    mean/stddev so the outliers themselves cannot mask the detector (a
+    single 1e9 sensor glitch inflates stddev enough to hide itself; it
+    cannot move the median).
+
+    Returns the input rows restricted to flagged outliers, with a
+    ``robust_z`` column (rounded). Groups where MAD = 0 (over half the
+    values identical) yield no flags — the score is undefined there, and
+    silently dividing by ~0 would flag every row that isn't exactly the
+    median.
+
+    Plan shape: two grouped aggregations (median, then MAD of deviations
+    — the second genuinely depends on the first, so two passes is the
+    floor for EXACT medians), each producing one tiny row per group that
+    broadcasts back onto the stream. No window, no global sort. At
+    100 TB swap the exact percentile for percentile_approx and keep the
+    identical two-pass shape.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    med = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
+    with_med = df.join(F.broadcast(med), keys) if keys else df.join(F.broadcast(med))
+    dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+    mad_agg = F.expr("percentile(_dev, 0.5)").alias("_mad")
+    mad = dev.groupBy(*keys).agg(mad_agg) if keys else dev.agg(mad_agg)
+    scored = dev.join(F.broadcast(mad), keys) if keys else dev.join(F.broadcast(mad))
+    z = F.col("_dev") / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        scored.filter((F.col("_mad") > 0) & (z > threshold))
+        .withColumn("robust_z", F.round(z, round_z))
+        .drop("_med", "_dev", "_mad")
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -152,6 +152,21 @@ def normalize_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Dat
     )
 
 
+@register("htmlExtract")
+def html_extract_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"htmlExtract": {"htmlField": "html", "outField": "text"}} —
+    HTML → readable text as the first stage of a crawl-curation chain
+    (upstream of normalize / c4 / gopher / dedup). Scan-fused JVM regex
+    chain; ``outField`` defaults to replacing the input column."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.text import html_to_text
+
+    src = cfg.get("htmlField", "html")
+    out = cfg.get("outField", src)
+    return df.withColumn(out, html_to_text(F.col(src)))
+
+
 @register("text_metrics")
 def text_metrics_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     from orientdb_etl_spark.functions.text import add_text_metrics
@@ -353,6 +368,17 @@ def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
             {k: int(v) for k, v in cfg["budgets"].items()},
             cfg.get("defaultBudget"), seed,
         )
+    if method == "weighted":
+        # Efraimidis–Spirakis without replacement, weight-proportional
+        return S.weighted_sample(
+            df, cfg["idField"], cfg["weightField"], int(cfg["k"]), seed
+        )
+    if method == "temperature":
+        # alpha-scaled domain rebalancing (downsample-only)
+        return S.temperature_sample(
+            df, cfg["groupField"], cfg["idField"], cfg.get("massField"),
+            float(cfg.get("alpha", 0.5)), seed,
+        )
     raise ValueError(f"unknown sample method {method!r}")
 
 
@@ -442,6 +468,11 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             list(cfg["keys"]),
             compare_cols=cfg.get("compareColumns"),
             include_unchanged=bool(cfg.get("includeUnchanged", False)),
+        )
+    if method == "madoutliers":
+        return P.mad_outliers(
+            df, cfg["valueField"], cfg.get("by"),
+            float(cfg.get("threshold", 3.5)),
         )
     raise ValueError(f"unknown profile method {method!r}")
 

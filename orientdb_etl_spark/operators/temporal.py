@@ -255,6 +255,68 @@ def resample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Data
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: str | list[str] | None,
+    aggs: dict[str, str],
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-RANGE window aggregation — "rolling 7-day revenue
+    per customer": for each row, aggregate all rows of the same key whose
+    timestamp lies in ``[ts - window_seconds, ts]`` (inclusive both ends,
+    the standard RANGE frame).
+
+    ``aggs`` maps output column → aggregate expression over the frame,
+    e.g. ``{"roll_sum": "sum(value)", "roll_n": "count(1)"}``.
+
+    Unlike :func:`resample` (fixed buckets), the frame here slides per
+    ROW — no bucketing error at window edges. Implemented as a SQL RANGE
+    window over epoch seconds, which both Spark and DuckDB define
+    identically (peers at equal timestamps all enter the frame, so ties
+    are deterministic).
+
+    Scale shape: ONE shuffle on the partition keys; within a partition
+    Spark keeps a sliding frame over the sorted run — state is the frame
+    content, bounded by window density, and spillable. An unkeyed rolling
+    window (keys=None) would be a single-task global sort — refused here;
+    use resample for global time rollups.
+    """
+    keys = _as_list(keys)
+    if not keys:
+        raise ValueError(
+            "rolling_agg requires partition keys (an unkeyed RANGE window "
+            "is a single-task global sort; use resample for global rollups)"
+        )
+    part = ", ".join(keys)
+    # double cast: TIMESTAMP_NTZ (raw parquet) won't cast to LONG
+    # directly; NTZ→TIMESTAMP reads the naive value in the session TZ
+    # (pinned UTC — session.py:81-87), then →LONG truncates to epoch
+    # seconds, matching the oracle's floor(epoch(ts))
+    order = f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)"
+    frame = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"RANGE BETWEEN {int(window_seconds)} PRECEDING AND CURRENT ROW)"
+    )
+    exprs = ["*"] + [f"{agg} {frame} AS {alias}" for alias, agg in aggs.items()]
+    return df.selectExpr(*exprs)
+
+
+@register("rollingAgg")
+def rolling_agg_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"rollingAgg": {"on": "ts", "by": ["user_id"],
+    "windowSeconds": 604800, "aggregations": {"roll_sum": "sum(value)"}}}"""
+    return rolling_agg(
+        df,
+        ts_col=cfg["on"],
+        keys=cfg.get("by"),
+        aggs=dict(cfg["aggregations"]),
+        window_seconds=int(cfg.get("windowSeconds", 86400)),
+    )
+
+
 @register("asofJoin")
 def asof_join_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

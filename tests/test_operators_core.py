@@ -343,3 +343,38 @@ def test_similarity_config_methods(spark):
     assert len({r.vec_id for r in results["lsh"]} & exact) >= 5
     assert len({r.vec_id for r in results["ivf"]} & exact) >= 5
     assert len(results["pairwise"]) == 80 * 3  # 3 neighbors per vector
+
+
+def test_weighted_temperature_html_config_transformers(spark):
+    """Round-5 additions as config citizens: weighted sampling,
+    temperature mixture, and HTML extraction from JSON config."""
+    from orientdb_etl_spark import Pipeline
+
+    rows = [
+        (i, "big" if i < 160 else "small",
+         f"<p>doc &amp; {i}</p><script>x</script>", float(10 + i % 5))
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, source string, html string, w double")
+
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"htmlExtract": {"htmlField": "html", "outField": "text"}},
+                {"sample": {"method": "temperature", "groupField": "source",
+                            "idField": "doc_id", "alpha": 0.5}},
+                {"sample": {"method": "weighted", "idField": "doc_id",
+                            "weightField": "w", "k": 15}},
+            ],
+        },
+        spark=spark,
+    )
+    p.register_table("docs", src)
+    got = p.compile().collect()
+    assert len(got) == 15
+    # html extracted: tags and script gone, entity decoded
+    assert all(r.text == f"doc & {r.doc_id}" for r in got)
+    # temperature stage kept all of 'small' (rate 1e6) and thinned 'big'
+    kept_small = sum(1 for r in got if r.source == "small")
+    assert kept_small > 0

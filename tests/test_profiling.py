@@ -163,3 +163,36 @@ def test_approx_quantile_certificate(spark):
     for got, want in zip([r.exact_q for r in out], [999.9, 4999.5, 8999.1]):
         assert abs(got - want) < 1e-6
     assert all(r.rank_ok for r in out)
+
+
+def test_mad_outliers_flags_extreme_not_inliers(spark):
+    from orientdb_etl_spark.functions.profiling import mad_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = mad_outliers(df, "v", "g", threshold=3.5).collect()
+    assert [r.id for r in got] == [9]
+    # med=5.5, MAD=2.5 -> z = 994.5 / (1.4826*2.5)
+    assert abs(got[0].robust_z - 994.5 / (1.4826 * 2.5)) < 1e-3
+
+
+def test_mad_outliers_zero_mad_group_yields_no_flags(spark):
+    """Over half identical values => MAD=0 => score undefined: no flags
+    rather than flagging every non-median row via divide-by-~0."""
+    from orientdb_etl_spark.functions.profiling import mad_outliers
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 5, 100])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    assert mad_outliers(df, "v", None).count() == 0
+
+
+def test_mad_outliers_per_group_independence(spark):
+    """Each group gets its own median/MAD: a value that is extreme in one
+    group is typical in another."""
+    from orientdb_etl_spark.functions.profiling import mad_outliers
+
+    rows = [(i, "small", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 3, 2, 50])]
+    rows += [(100 + i, "big", float(v)) for i, v in enumerate([40, 50, 60, 45, 55, 50, 48])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {(r.g, r.id) for r in mad_outliers(df, "v", "g", threshold=3.5).collect()}
+    assert got == {("small", 7)}  # 50 is an outlier among 1-3, not among 40-60

@@ -202,3 +202,59 @@ def test_funnel_counts_ordering(spark):
     )
     out = funnel_counts(ev, ["view", "click", "purchase"]).first()
     assert (out.n1_view, out.n2_click, out.n3_purchase) == (3, 2, 1)
+
+
+def test_rolling_agg_hand_computed_frames(spark):
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    # one user, events at t=0,30,61,100s; 60s trailing window (inclusive)
+    rows = [(i, 1, float(10 * (i + 1)), t) for i, t in enumerate([0, 30, 61, 100])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, sec long"
+    ).selectExpr("event_id", "user_id", "value", "timestamp_seconds(sec) AS ts")
+    out = {
+        r.event_id: (r.roll_n, r.roll_sum)
+        for r in rolling_agg(
+            df, "ts", "user_id", {"roll_n": "count(1)", "roll_sum": "sum(value)"}, 60
+        ).collect()
+    }
+    assert out[0] == (1, 10.0)          # frame [-60, 0] = {0}
+    assert out[1] == (2, 30.0)          # frame [-30, 30] = {0, 30}
+    assert out[2] == (2, 50.0)          # frame [1, 61] = {30, 61}; 0 is OUT
+    assert out[3] == (2, 70.0)          # frame [40, 100] = {61, 100}
+
+
+def test_rolling_agg_range_peers_share_frame(spark):
+    """Two events in the same second are RANGE peers: both see both."""
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0, 50), (1, 1, 2.0, 50)],
+        "event_id long, user_id long, value double, sec long",
+    ).selectExpr("event_id", "user_id", "value", "timestamp_seconds(sec) AS ts")
+    out = rolling_agg(df, "ts", "user_id", {"s": "sum(value)"}, 10).collect()
+    assert all(r.s == 3.0 for r in out)
+
+
+def test_rolling_agg_refuses_unkeyed(spark):
+    import pytest
+
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    df = spark.range(5).selectExpr("id", "timestamp_seconds(id) AS ts")
+    with pytest.raises(ValueError, match="partition keys"):
+        rolling_agg(df, "ts", None, {"n": "count(1)"}, 60)
+
+
+def test_rolling_agg_plan_partitioned_no_single_task(spark):
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "timestamp_seconds(id) AS ts"
+    )
+    plan = (
+        rolling_agg(df, "ts", "user_id", {"n": "count(1)"}, 60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan  # keyed window, never one task
