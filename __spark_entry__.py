@@ -3717,7 +3717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q9→asof_join_events, window_running→salted_join,
     multimodal_resize→line_dedup — multimodal stays covered by
     features+frames) so the temporal-join, skew-mitigation, and
-    corpus-line-dedup families also carry hard driver rows. The full
+    corpus-line-dedup families also carry hard driver rows. Round 5 swaps
+    three more same-family duplicates (stdin_source→http_manifest,
+    link_multivalue→html_extract, stream_sliding_2h→semantic_dedup) so
+    distributed ingestion, HTML extraction, and semantic dedup carry hard
+    driver rows too; every displaced query stays hash-checked in
+    queries_all. The full
     fine-grained surface (every pre-consolidation query) remains in
     :func:`queries_all`, which the local gate (tools/check_correctness.py),
     tests, and bench.py run.
@@ -3734,7 +3739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_parse": q_json_parse,
         "merge_upsert": q_merge_upsert,
         "link_fk": q_link_fk,
-        "link_multivalue": q_link_multivalue,
+        # round 5: link_multivalue's slot carries the HTML→text extractor
+        # (first stage of the crawl-curation path); multi-value links stay
+        # hash-checked in queries_all and driver-exercised via link_fk's
+        # family
+        "html_extract": q_html_extract,
         "vertex_labels": q_vertex_labels,
         "edges_graph": q_edges_graph,
         "edge_create_placeholders": q_edge_create_placeholders,
@@ -3763,7 +3772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery_avg": q_scalar_subquery_avg,
         # streaming (availableNow batch-parity)
         "stream_events_hourly": q_stream_events_hourly,
-        "stream_sliding_2h": q_stream_sliding_2h,
+        # round 5: stream_sliding_2h's slot carries SemDeDup semantic
+        # dedup (embedding k-means cells); sliding windows stay
+        # hash-checked in queries_all and covered by stream_events_hourly
+        "semantic_dedup": q_semantic_dedup,
         "stream_dedup_users": q_stream_dedup_users,
         # training-data operators
         "text_metrics": q_text_metrics,
@@ -3914,6 +3926,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rolling_agg": q_rolling_agg,
             # round 5: median/MAD robust outlier detection
             "mad_outliers": q_mad_outliers,
+            # consolidated out of the 50-row driver registry in round 5
+            # (slots ceded to html_extract / semantic_dedup) — still
+            # hash-checked here
+            "link_multivalue": q_link_multivalue,
+            "stream_sliding_2h": q_stream_sliding_2h,
         }
     )
     return out
