@@ -3289,6 +3289,28 @@ def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for 12 probe
+    users — width 256 forces real collisions so the certificate is
+    non-trivial: est is the sketch answer, exact the true count, `over`
+    the never-undercount guarantee (must be true for every row). The
+    sketch shuffle moves ≤ depth×width rows regardless of corpus size."""
+    from orientdb_etl_spark.functions.profiling import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", width=256, depth=4)
+    probes = ev.select("user_id").filter(F.col("user_id") % 13 == 0).distinct()
+    est = cms_estimate(sketch, probes, "user_id", width=256, depth=4)
+    exact = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "est", "exact", (F.col("est") >= F.col("exact")).alias("over")
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust modified-z-score outliers (median/MAD, Iglewicz-Hoaglin)
     per event_type — two grouped EXACT-percentile aggregations whose tiny
@@ -3926,6 +3948,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rolling_agg": q_rolling_agg,
             # round 5: median/MAD robust outlier detection
             "mad_outliers": q_mad_outliers,
+            # round 5: count-min sketch certificate (fixed-memory counts)
+            "cms_certificate": q_cms_certificate,
             # consolidated out of the 50-row driver registry in round 5
             # (slots ceded to html_extract / semantic_dedup) — still
             # hash-checked here
@@ -4731,6 +4755,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
             "RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)"
+        ),
+        "cms_certificate": (
+            # the identical Carter-Wegman rows replayed in SQL: row d uses
+            # its own multiplier alpha_d (profiling._CMS_ALPHAS);
+            # bucket_d = ((id % P) * alpha_d + 42 + 97d) % P % 256
+            "WITH ks AS (SELECT * FROM (VALUES (0, 2654435761), "
+            "(1, 2246822519), (2, 3266489917), (3, 668265263)) t(d, a)), "
+            "buck AS (SELECT d, ((user_id % 1000003) * a + 42 + 97*d) "
+            "% 1000003 % 256 AS b FROM events CROSS JOIN ks), "
+            "sk AS (SELECT d, b, count(*) AS c FROM buck GROUP BY d, b), "
+            "q AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0), "
+            "qb AS (SELECT user_id, d, ((user_id % 1000003) * a + 42 + 97*d) "
+            "% 1000003 % 256 AS b FROM q CROSS JOIN ks), "
+            "est AS (SELECT user_id, min(coalesce(c, 0)) AS est "
+            "FROM qb LEFT JOIN sk USING (d, b) GROUP BY user_id), "
+            "ex AS (SELECT user_id, count(*) AS exact FROM events "
+            "WHERE user_id % 13 = 0 GROUP BY user_id) "
+            "SELECT user_id, est, exact, est >= exact AS over "
+            "FROM est JOIN ex USING (user_id)"
         ),
         "mad_outliers": (
             # two-stage exact median/MAD, modified z > 3.5; MAD=0 groups

@@ -126,6 +126,8 @@ HEADLINE = [
     "rolling_agg",
     # round-5 median/MAD robust outliers (two scalar-attach aggs)
     "mad_outliers",
+    # round-5 count-min sketch certificate (sketch-sized shuffle)
+    "cms_certificate",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

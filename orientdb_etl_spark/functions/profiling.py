@@ -179,6 +179,133 @@ def mad_outliers(
     )
 
 
+# Per-depth multipliers for the count-min Carter-Wegman hash rows —
+# public xxHash/MurmurHash mixing constants, all odd and < 2^32 so
+# (key mod P) * alpha stays < 2^52: overflow-free in any engine.
+_CMS_ALPHAS = [
+    2654435761,
+    2246822519,
+    3266489917,
+    668265263,
+    374761393,
+    2870177450,
+]
+_CMS_PRIME = 1_000_003
+
+
+def _cms_bucket(key_col: str | F.Column, d: int, width: int, seed: int) -> F.Column:
+    """Row-d bucket: ((k mod P) * alpha_d + seed + 97d) mod P mod width.
+    Mirrored verbatim by the SQL oracle."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    a = _CMS_ALPHAS[d]
+    mixed = F.pmod(k.cast("long"), F.lit(_CMS_PRIME)) * F.lit(a) + F.lit(
+        seed + 97 * d
+    )
+    return F.pmod(F.pmod(mixed, F.lit(_CMS_PRIME)), F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an integer
+    key column: ``depth`` hash rows × ``width`` buckets of counts —
+    FIXED-size frequency state regardless of key cardinality, the scale
+    story exact ``heavy_hitters`` can't offer (its shuffle carries one
+    row per distinct key; the sketch carries depth×width rows, period).
+
+    Returns the sketch as a DataFrame (d, bucket, cnt). Estimates come
+    from :func:`cms_estimate`; the classic guarantees hold: estimates
+    never undercount, and overshoot ≤ (e/width)·N with prob 1-(1/e)^depth.
+
+    Hashing is an engine-portable Carter-Wegman family — row d uses its
+    OWN multiplier, so the rows have genuinely different collision sets
+    (a shifted-seed single-multiplier family would be affine-related:
+    two keys colliding in row 0 would collide in EVERY row and depth
+    would buy nothing). Replayable in plain SQL, which is what makes the
+    estimates oracle-checkable; swap in xxhash64 per row for
+    production-grade independence at the cost of SQL portability.
+
+    Plan: one explode (×depth) + one groupBy(d, bucket) whose map-side
+    partial agg reduces each task's output to ≤ depth×width rows before
+    the shuffle — the shuffle moves sketch-sized state, not data.
+    """
+    if not 1 <= depth <= len(_CMS_ALPHAS):
+        raise ValueError(
+            f"depth must be in [1, {len(_CMS_ALPHAS)}] "
+            f"(one multiplier per hash row), got {depth}"
+        )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(key_col, d, width, seed).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (width, depth, seed):
+    cell-wise sum — the linearity that makes sketches composable across
+    shards, snapshots, or streaming micro-batches (build per partition of
+    a 100 TB corpus, merge depth×width-sized results; or keep a running
+    sketch via foreachBatch: merge each batch's sketch into the store).
+    The merged estimate equals the estimate over the concatenated data
+    exactly (same hash rows, sums commute)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys_df``: the estimate
+    is min over the depth rows of the key's bucket counts (width/depth/
+    seed must match :func:`cms_build`). The sketch broadcasts (≤
+    depth×width rows by construction) — the query side never shuffles."""
+    probes = keys_df.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(key_col, d, width, seed).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.d", "p.bucket")
+    return (
+        # left join: a (d, bucket) absent from the sketch means NO key
+        # hashed there — count 0, so unseen keys estimate to 0 instead
+        # of silently dropping
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -474,6 +474,20 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             df, cfg["valueField"], cfg.get("by"),
             float(cfg.get("threshold", 3.5)),
         )
+    if method == "cms":
+        # count-min sketch: fixed-memory frequency state. Without a
+        # probeTable the sketch itself is the output (persist it, query
+        # later); with one, returns (key, est) for the probe keys.
+        width = int(cfg.get("width", 2048))
+        depth = int(cfg.get("depth", 4))
+        seed = int(cfg.get("seed", 42))
+        sketch = P.cms_build(df, cfg["keyField"], width, depth, seed)
+        if "probeTable" not in cfg:
+            return sketch
+        return P.cms_estimate(
+            sketch, ctx.tables[cfg["probeTable"]], cfg["keyField"],
+            width, depth, seed,
+        )
     raise ValueError(f"unknown profile method {method!r}")
 
 

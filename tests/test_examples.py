@@ -287,3 +287,36 @@ def test_config_incremental_crawl_example(spark, tmp_path):
     # 2 surviving rows can fill at most 2 of the 4 requested range
     # partitions; empty partitions write no file
     assert 1 <= len(glob.glob(f"{out}/part-*.parquet")) <= 4
+
+
+def test_config_web_rebalance_example(spark):
+    """Crawl rebalancing from JSON config: htmlExtract → normalize → C4
+    → temperature mixture → weighted final draw."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-web-rebalance.json"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><body><script>var x=1;</script><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+    )
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("pages", pages)
+    out = p.run().outputs["web_rebalanced"]
+    rows = out.collect()
+    assert 0 < len(rows) <= 200
+    # extraction really ran: no tags or script bodies survive
+    assert all("<" not in r.text and "var x=1" not in r.text for r in rows)
+    # deterministic: second run yields the identical id set
+    p2 = Pipeline(cfg, spark=spark)
+    p2.register_table("pages", pages)
+    ids2 = {r.doc_id for r in p2.run().outputs["web_rebalanced"].collect()}
+    assert {r.doc_id for r in rows} == ids2

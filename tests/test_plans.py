@@ -447,3 +447,47 @@ def test_domain_cap_partial_window_group_limit(spark):
     # one exchange for the window; the planted-literal union adds none
     n_exch = plan.count("Exchange (")
     assert n_exch == 1, plan
+
+
+def test_html_extract_is_scan_fused_zero_exchanges(spark):
+    """The regex chain is pure projection: no shuffle anywhere."""
+    plan = _plan(spark, "html_extract")
+    assert "Exchange" not in plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """The G-row rates table must broadcast onto the corpus — a
+    sort-merge join here would shuffle the corpus for a 20-row dim."""
+    from orientdb_etl_spark.functions.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = temperature_sample(docs, "source", "doc_id", "n_chars", 0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_shuffle_carries_sketch_not_rows(spark):
+    """Partial hash aggregation must run BEFORE the exchange so each
+    task ships at most depth*width sketch rows, never data rows."""
+    from orientdb_etl_spark.functions.profiling import cms_build
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = cms_build(ev, "user_id", width=64, depth=3)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # partial agg appears upstream (later in the bottom-up text) of the
+    # exchange; both present exactly once each side
+    assert "Exchange hashpartitioning" in plan
+    pa = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    ex = plan.index("Exchange hashpartitioning")
+    assert len(pa) >= 2 and min(pa) < ex < max(pa)
+
+
+def test_mad_outliers_no_window_no_global_sort(spark):
+    plan = _plan(spark, "mad_outliers")
+    assert "Window" not in plan
+    # exact percentile is an ObjectHashAggregate, never a global sort
+    assert "TakeOrderedAndProject" not in plan
+    # group medians broadcast back onto the stream
+    assert "BroadcastHashJoin" in plan

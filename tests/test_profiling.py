@@ -196,3 +196,52 @@ def test_mad_outliers_per_group_independence(spark):
     df = spark.createDataFrame(rows, "id long, g string, v double")
     got = {(r.g, r.id) for r in mad_outliers(df, "v", "g", threshold=3.5).collect()}
     assert got == {("small", 7)}  # 50 is an outlier among 1-3, not among 40-60
+
+
+def test_cms_never_undercounts_and_is_exact_at_wide_width(spark):
+    from orientdb_etl_spark.functions.profiling import cms_build, cms_estimate
+
+    # zipf-ish: key i appears (50 - i) times, i in 0..49
+    rows = [(i,) for i in range(50) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "k long")
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+
+    # wide sketch: collisions vanish, estimates are exact
+    sk = cms_build(df, "k", width=4096, depth=4)
+    est = {r.k: r.est for r in cms_estimate(sk, keys, "k", width=4096, depth=4).collect()}
+    assert est == {i: 50 - i for i in range(50)}
+
+    # narrow sketch: collisions inflate, but NEVER undercount
+    sk2 = cms_build(df, "k", width=16, depth=4)
+    est2 = {r.k: r.est for r in cms_estimate(sk2, keys, "k", width=16, depth=4).collect()}
+    assert all(est2[i] >= 50 - i for i in range(50))
+
+
+def test_cms_sketch_size_bounded_and_unseen_key_zero(spark):
+    from orientdb_etl_spark.functions.profiling import cms_build, cms_estimate
+
+    df = spark.range(10_000).selectExpr("id % 997 AS k")
+    sk = cms_build(df, "k", width=64, depth=3)
+    assert sk.count() <= 3 * 64  # state bound independent of key count
+    ghost = spark.createDataFrame([(123_456_789,)], "k long")
+    got = cms_estimate(sk, ghost, "k", width=64, depth=3).collect()
+    # an unseen key may collide (overestimate) but must not be dropped
+    assert len(got) == 1 and got[0].est >= 0
+
+
+def test_cms_merge_equals_sketch_of_concatenation(spark):
+    """Linearity: merge(sketch(A), sketch(B)) == sketch(A ∪ B) cell for
+    cell — the property that makes per-shard/per-micro-batch builds
+    composable."""
+    from orientdb_etl_spark.functions.profiling import cms_build, cms_merge
+
+    a = spark.range(0, 3000).selectExpr("id % 331 AS k")
+    b = spark.range(3000, 5000).selectExpr("id % 331 AS k")
+    merged = cms_merge(
+        cms_build(a, "k", width=128, depth=3),
+        cms_build(b, "k", width=128, depth=3),
+    )
+    whole = cms_build(a.unionByName(b), "k", width=128, depth=3)
+    m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    w = {(r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert m == w

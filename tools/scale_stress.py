@@ -179,6 +179,45 @@ def main() -> None:
     ).count()
     out["t_semantic_dedup"] = round(time.time() - t0, 2)
 
+    # --- fixed-state frequency sketch on the scaled events -------------
+    # key cardinality stays fixed (same user_ids) while row count scales
+    # by ``factor``: the sketch row count must NOT move — that is the
+    # whole point of sketching (state bound independent of data volume)
+    from orientdb_etl_spark.functions.profiling import cms_build
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    bigev = ev
+    for i in range(1, factor):
+        bigev = bigev.unionByName(
+            ev.select(
+                (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                "ts", "user_id", "value",
+            )
+        )
+    bigev = bigev.repartition(32).localCheckpoint()
+    out["n_events_scaled"] = bigev.count()
+    t0 = time.time()
+    out["cms_rows_base"] = cms_build(ev, "user_id", width=2048, depth=4).count()
+    out["t_cms_base"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["cms_rows_scaled"] = cms_build(
+        bigev, "user_id", width=2048, depth=4
+    ).count()
+    out["t_cms_scaled"] = round(time.time() - t0, 2)
+
+    # --- keyed rolling time-RANGE window on the scaled events ----------
+    # frames get ``factor``× denser per user (same time span, more rows):
+    # per-key sliding state grows with window density, wall time should
+    # stay near-linear in row count
+    t0 = time.time()
+    out["rolling_rows_scaled"] = rolling_agg(
+        bigev, "ts", ["user_id"], {"rn": "count(1)", "rs": "sum(value)"}, 7200
+    ).count()
+    out["t_rolling_scaled"] = round(time.time() - t0, 2)
+
     # --- LSH-bucketed k-NN join on the scaled embeddings ---------------
     t0 = time.time()
     out["pairwise_rows"] = pairwise_topk_join(
