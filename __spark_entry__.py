@@ -3311,6 +3311,27 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join: urgent orders' keys become a
+    broadcast bitmap that drops non-matching lineitem rows BEFORE the
+    shuffle; the exact join runs on survivors only. The oracle is the
+    PLAIN join — identical results is the whole correctness claim (no
+    false negatives; false positives die in the join)."""
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = bloom_prefilter_join(li, urgent, "l_orderkey", how="inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust modified-z-score outliers (median/MAD, Iglewicz-Hoaglin)
     per event_type — two grouped EXACT-percentile aggregations whose tiny
@@ -3950,6 +3971,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mad_outliers": q_mad_outliers,
             # round 5: count-min sketch certificate (fixed-memory counts)
             "cms_certificate": q_cms_certificate,
+            # round 5: Bloom semi-join reduction (oracle = plain join)
+            "bloom_join": q_bloom_join,
             # consolidated out of the 50-row driver registry in round 5
             # (slots ceded to html_extract / semantic_dedup) — still
             # hash-checked here
@@ -4774,6 +4797,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "bloom_join": (
+            # the PLAIN join — the prefilter must be result-invisible
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "round(sum(l_extendedprice), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY l_returnflag"
         ),
         "mad_outliers": (
             # two-stage exact median/MAD, modified z > 3.5; MAD=0 groups

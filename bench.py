@@ -128,6 +128,8 @@ HEADLINE = [
     "mad_outliers",
     # round-5 count-min sketch certificate (sketch-sized shuffle)
     "cms_certificate",
+    # round-5 Bloom semi-join reduction (pre-shuffle big-side prune)
+    "bloom_join",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -140,12 +140,6 @@ def build_gram_bloom(
     4 Gbit filter is a 512 MB collect regardless of how many billions of
     grams went in — the position LIST, which can be 100× larger, stays
     distributed."""
-    import numpy as np
-    import pandas as pd
-
-    if m_bits % 8 != 0:
-        raise ValueError("m_bits must be a multiple of 8")
-    chunk_bits = min(m_bits, 1 << 23)  # 1 MiB chunks
     grams = exploded_gram_hashes(eval_df, text_col, n, keep=[]).select(
         F.col("_gh")
     )
@@ -160,9 +154,30 @@ def build_gram_bloom(
                 ]
             )
         ).alias("pos")
-    ).withColumn("chunk", (F.col("pos") / chunk_bits).cast("long"))
+    )
+    return pack_bloom_positions(pos, m_bits)
 
+
+def pack_bloom_positions(pos: DataFrame, m_bits: int) -> "np.ndarray":
+    """Pack a single-column DataFrame of bit positions (``pos`` in
+    [0, m_bits)) into a Bloom bitmap — the distributed-build stage shared
+    by :func:`build_gram_bloom` (n-gram decontamination) and
+    ``skew.bloom_prefilter_join`` (join-key semi-join reduction).
+
+    Executors build 1 MiB bitmap chunks with ``applyInPandas`` over
+    position ranges (one shuffle of 8-byte position rows); the driver
+    collects and concatenates only the ``m_bits/8`` bitmap bytes — the
+    position list, which can be 100× larger, stays distributed."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits % 8 != 0:
+        raise ValueError("m_bits must be a multiple of 8")
+    chunk_bits = min(m_bits, 1 << 23)  # 1 MiB chunks
     bytes_per_chunk = chunk_bits // 8
+    pos = pos.select(F.col(pos.columns[0]).alias("pos")).withColumn(
+        "chunk", (F.col("pos") / chunk_bits).cast("long")
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         chunk = int(pdf["chunk"].iloc[0])

@@ -72,3 +72,93 @@ def salted_join_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> D
         int(cfg.get("salt", 8)),
         cfg.get("how", "inner"),
     )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+) -> DataFrame:
+    """Equi-join with a Bloom semi-join reduction on the big side: build
+    a Bloom bitmap of the SMALL side's join keys, broadcast the bitmap
+    (m_bits/8 bytes REGARDLESS of key count), drop big-side rows that
+    cannot match BEFORE the shuffle, then run the exact join on the
+    survivors.
+
+    The result is EXACTLY the plain join: Bloom filters have no false
+    negatives (every matching row survives the prefilter), and false
+    positives are eliminated by the join itself — which is what makes
+    this oracle-checkable against the unfiltered join.
+
+    When to use: the small side's distinct-key table is too large to
+    broadcast as a hash map (so Spark would pick a shuffle join moving
+    BOTH sides), but the match rate on the big side is low — the classic
+    fact⋈filtered-dim at 100 TB. The bitmap stays broadcast-sized at any
+    key count (fp rate ≈ (1-e^{-kN/m})^k); only the surviving fraction of
+    the big side enters the shuffle. This is the manual form of Spark's
+    runtime row-group Bloom filtering, usable where the optimizer's
+    version doesn't reach (non-parquet sources, streaming foreachBatch,
+    multi-column keys).
+
+    Restricted to inner/semi joins: an outer join needs the NON-matching
+    rows too, so a prefilter would change the result.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/semi joins, got {how!r} "
+            "(outer joins need the non-matching rows the prefilter drops)"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = big.sparkSession
+
+    gh = F.xxhash64(*[F.col(c) for c in keys])
+    pos_cols = [F.pmod(F.xxhash64(F.lit(i), gh), F.lit(m_bits)) for i in range(k)]
+
+    from orientdb_etl_spark.functions.decontam import pack_bloom_positions
+
+    small_gh = small.select(F.xxhash64(*[F.col(c) for c in keys]).alias("_gh"))
+    pos = small_gh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("_gh")), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    bits = pack_bloom_positions(pos, m_bits)
+    bc = spark.sparkContext.broadcast(bits)
+
+    def _might_contain(*cols):
+        b = bc.value
+        ok = np.ones(len(cols[0]), dtype=bool)
+        for c in cols:
+            idx = c.to_numpy(dtype=np.int64)
+            ok &= (b[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    might_contain = F.pandas_udf(_might_contain, "boolean")
+    survivors = big.filter(might_contain(*pos_cols))
+    return survivors.join(small, keys, how)
+
+
+@register("bloomJoin")
+def bloom_join_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"bloomJoin": {"table": "dim", "on": ["key"],
+    "how": "inner", "mBits": 8388608, "k": 5}} — the pipeline frame is
+    the big side, the registered table the small side."""
+    return bloom_prefilter_join(
+        df,
+        ctx.tables[cfg["table"]],
+        cfg["on"],
+        how=str(cfg.get("how", "inner")),
+        m_bits=int(cfg.get("mBits", 1 << 23)),
+        k=int(cfg.get("k", 5)),
+    )

@@ -491,3 +491,21 @@ def test_mad_outliers_no_window_no_global_sort(spark):
     assert "TakeOrderedAndProject" not in plan
     # group medians broadcast back onto the stream
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_prefilter_probe_runs_before_join(spark):
+    """The big side's Bloom probe (Arrow-batched) must sit BELOW the
+    join in the plan — the semi-join reduction happens pre-shuffle."""
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    big = spark.range(10_000).selectExpr("id AS k", "id AS v")
+    small = spark.range(0, 10_000, 100).selectExpr("id AS k")
+    plan = bloom_prefilter_join(big, small, "k")._jdf.queryExecution().executedPlan().toString()
+    # probe is a vectorized Python (Arrow) eval feeding a Filter that
+    # appears on the big-side branch, not after the join
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    join_at = min(
+        (plan.index(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if t in plan),
+    )
+    probe_at = plan.index("EvalPython")
+    assert probe_at > join_at  # bottom-up text: deeper operators print later

@@ -129,3 +129,65 @@ def test_aqe_skew_join_mitigation_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """The prefilter must be result-invisible: no false negatives, and
+    false positives die in the exact join."""
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    big = spark.range(20_000).selectExpr("id AS k", "id * 2 AS v")
+    small = spark.range(0, 20_000, 37).selectExpr(
+        "id AS k", "concat('d', id) AS name"
+    )
+    got = bloom_prefilter_join(big, small, "k").orderBy("k").collect()
+    want = big.join(small, "k").orderBy("k").collect()
+    assert got == want
+    assert len(got) == len(range(0, 20_000, 37))
+
+
+def test_bloom_prefilter_join_narrow_bitmap_still_exact(spark):
+    """A deliberately tiny bitmap (high fp rate) must still give the
+    exact join result — only the prefilter's selectivity degrades."""
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    big = spark.range(5_000).selectExpr("id AS k")
+    small = spark.range(0, 5_000, 100).selectExpr("id AS k")
+    got = sorted(r.k for r in bloom_prefilter_join(big, small, "k", m_bits=256, k=2).collect())
+    assert got == list(range(0, 5_000, 100))
+
+
+def test_bloom_prefilter_join_refuses_outer(spark):
+    import pytest
+
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    df = spark.range(10).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_prefilter_join(df, df, "k", how="left")
+
+
+def test_bloom_prefilter_join_multi_column_key(spark):
+    from orientdb_etl_spark.operators.skew import bloom_prefilter_join
+
+    big = spark.range(1_000).selectExpr("id % 10 AS a", "id % 7 AS b", "id AS v")
+    small = spark.createDataFrame([(3, 2), (5, 5)], "a long, b long")
+    got = bloom_prefilter_join(big, small, ["a", "b"]).count()
+    want = big.join(small, ["a", "b"]).count()
+    assert got == want > 0
+
+
+def test_bloom_join_config_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    big = spark.range(2_000).selectExpr("id AS k", "id AS v")
+    dim = spark.range(0, 2_000, 50).selectExpr("id AS k")
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "fact"}},
+            "transformers": [{"bloomJoin": {"table": "dim", "on": ["k"]}}],
+        },
+        spark=spark,
+    )
+    p.register_table("fact", big).register_table("dim", dim)
+    assert p.compile().count() == 40
