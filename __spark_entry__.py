@@ -3311,6 +3311,17 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user sketches per event_type + an ALL row
+    whose estimate comes from UNIONING the per-group sketches (never
+    re-scanning) — certified against exact distincts; the oracle pins
+    exact counts and the expected within-tolerance outcome."""
+    from orientdb_etl_spark.functions.profiling import hll_union_certificate
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_union_certificate(ev, "user_id", "event_type", lg_k=14, tol=0.05)
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered fact⋈dim join: urgent orders' keys become a
     broadcast bitmap that drops non-matching lineitem rows BEFORE the
@@ -3973,6 +3984,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cms_certificate": q_cms_certificate,
             # round 5: Bloom semi-join reduction (oracle = plain join)
             "bloom_join": q_bloom_join,
+            # round 5: mergeable HLL sketches + union certificate
+            "hll_union": q_hll_union,
             # consolidated out of the 50-row driver registry in round 5
             # (slots ceded to html_extract / semantic_dedup) — still
             # hash-checked here
@@ -4797,6 +4810,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "hll_union": (
+            # exact distincts per scope; within_tol pinned true — the
+            # sketch (Spark-side only) must land inside 5% to hash-match
+            "SELECT event_type AS scope, "
+            "count(DISTINCT user_id) AS n_exact, TRUE AS within_tol "
+            "FROM events GROUP BY event_type "
+            "UNION ALL SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events"
         ),
         "bloom_join": (
             # the PLAIN join — the prefilter must be result-invisible

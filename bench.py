@@ -130,6 +130,8 @@ HEADLINE = [
     "cms_certificate",
     # round-5 Bloom semi-join reduction (pre-shuffle big-side prune)
     "bloom_join",
+    # round-5 mergeable HLL union certificate (sketch-sized shuffle)
+    "hll_union",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -111,6 +111,59 @@ def approx_distinct_certificate(
     )
 
 
+def hll_union_certificate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lg_k: int = 14,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``), certified: one row per group with the exact
+    distinct count and whether the sketch estimate landed within ``tol``
+    relative error, plus an ``ALL`` row whose estimate comes from
+    ``hll_union_agg`` over the PER-GROUP sketches — not from re-scanning
+    the data. That union row is the property that matters at 100 TB:
+    sketch each partition/day/shard once (binary column, ~2^lg_k bytes),
+    then answer "distinct over any combination" by merging sketches
+    instead of re-aggregating raw data.
+
+    Unlike ``approx_count_distinct`` (a scalar you cannot compose), the
+    sketch objects are storable and mergeable; unlike exact
+    ``count_distinct``, the shuffle carries sketch bytes, not one row
+    per distinct value. The exact side here exists only to make the
+    certificate falsifiable at fixture scale.
+    """
+    per = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sk"),
+        F.count_distinct(F.col(value_col)).alias("n_exact"),
+    )
+    per_rows = per.select(
+        F.col(group_col).cast("string").alias("scope"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("_sk") - F.col("n_exact"))
+            <= F.lit(tol) * F.col("n_exact")
+        ).alias("within_tol"),
+    )
+    global_exact = df.agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    union_row = (
+        per.agg(F.hll_union_agg(F.col("_sk")).alias("_u"))
+        .join(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("_u") - F.col("n_exact"))
+                <= F.lit(tol) * F.col("n_exact")
+            ).alias("within_tol"),
+        )
+    )
+    return per_rows.unionByName(union_row)
+
+
 def heavy_hitters(
     df: DataFrame, key_col: str, k: int = 20, round_share: int = 6
 ) -> DataFrame:

@@ -474,6 +474,12 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             df, cfg["valueField"], cfg.get("by"),
             float(cfg.get("threshold", 3.5)),
         )
+    if method == "hll":
+        # mergeable distinct-count sketches + union certificate
+        return P.hll_union_certificate(
+            df, cfg["valueField"], cfg["groupField"],
+            int(cfg.get("lgK", 14)), float(cfg.get("tol", 0.05)),
+        )
     if method == "cms":
         # count-min sketch: fixed-memory frequency state. Without a
         # probeTable the sketch itself is the output (persist it, query

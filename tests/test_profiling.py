@@ -245,3 +245,36 @@ def test_cms_merge_equals_sketch_of_concatenation(spark):
     m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     w = {(r.d, r.bucket): r.cnt for r in whole.collect()}
     assert m == w
+
+
+def test_hll_union_of_shards_equals_whole_sketch(spark):
+    """The mergeability law: union of per-shard sketches estimates the
+    SAME value as one sketch over the whole data (deterministic
+    algorithm, same input set)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).selectExpr("id % 4 AS shard", "id % 9973 AS v")
+    per = df.groupBy("shard").agg(F.hll_sketch_agg("v", F.lit(12)).alias("sk"))
+    merged_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("e")
+    ).first().e
+    whole_est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("e")
+    ).first().e
+    assert merged_est == whole_est
+    # and the estimate is close to the true 9,973
+    assert abs(merged_est - 9973) <= 0.05 * 9973
+
+
+def test_hll_union_certificate_rows_and_flags(spark):
+    from orientdb_etl_spark.functions.profiling import hll_union_certificate
+
+    df = spark.range(12_000).selectExpr(
+        "concat('g', id % 3) AS g", "id % 701 AS v"
+    )
+    got = {r.scope: (r.n_exact, r.within_tol) for r in
+           hll_union_certificate(df, "v", "g", lg_k=14).collect()}
+    assert set(got) == {"g0", "g1", "g2", "ALL"}
+    # every group sees all 701 values (12000/3 = 4000 > 701 consecutive)
+    assert all(n == 701 for n, _ in got.values())
+    assert all(ok for _, ok in got.values())
