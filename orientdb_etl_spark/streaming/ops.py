@@ -422,3 +422,45 @@ def stream_seen_filter(
     if mode == "filter":
         return joined.filter(~F.col("seen_before")).drop("seen_before")
     return joined
+
+
+def foreach_batch_sketch(
+    target_path: str,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+):
+    """``foreachBatch`` callback maintaining a running count-min sketch
+    over a stream: each micro-batch's sketch lands in its OWN epoch
+    directory (``target_path/epoch=<id>/``), and readers merge across
+    epochs with :func:`read_stream_sketch`.
+
+    Per-epoch directories are what make this exactly-once under
+    checkpoint replay: a replayed batch OVERWRITES its own epoch instead
+    of double-merging into an accumulator (CMS merge is a sum — NOT
+    idempotent — so the merge must happen at read time over
+    deterministic per-epoch states, the same discipline as the bucketed
+    upsert sink's partition overwrite). Per-batch I/O is sketch-sized:
+    ≤ depth×width rows written, nothing read.
+    """
+    from orientdb_etl_spark.functions.profiling import cms_build
+
+    def fn(batch_df, epoch_id: int) -> None:
+        sk = cms_build(batch_df, key_col, width, depth, seed)
+        sk.write.mode("overwrite").parquet(f"{target_path}/epoch={epoch_id}")
+
+    return fn
+
+
+def read_stream_sketch(spark, target_path: str):
+    """Merge the per-epoch count-min sketches written by
+    :func:`foreach_batch_sketch` into one queryable sketch (cell-wise
+    sum — CMS linearity means the result equals a batch build over the
+    whole stream's data). Feed it to ``profiling.cms_estimate``."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orientdb_etl_spark.functions.profiling import cms_merge
+
+    epochs = spark.read.parquet(target_path).select("d", "bucket", "cnt")
+    return cms_merge(epochs)

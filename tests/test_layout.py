@@ -138,3 +138,34 @@ def test_zorder_key_wide_range_no_overflow(spark):
     # monotone in ts (small moves together here, so full key is monotone)
     ks = [keyed[i] for i in range(5)]
     assert ks == sorted(ks) and len(set(ks)) == 5
+
+
+def test_file_key_ranges_show_zorder_clustering(spark, tmp_path):
+    """The audit must make clustering measurable: a z-ordered layout's
+    per-file ranges are narrow in BOTH dimensions; a hash-shuffled
+    layout's files each span ~the full domain."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.layout import file_key_ranges, zorder_write
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_write(df, zpath, ["x", "y"], bits=8, num_files=16)
+    df.repartition(16).write.parquet(rpath)
+
+    def mean_span(path):
+        audit = file_key_ranges(spark.read.parquet(path), ["x", "y"]).collect()
+        spans = [
+            (r.max_x - r.min_x) + (r.max_y - r.min_y) for r in audit
+        ]
+        return sum(spans) / len(spans), len(audit)
+
+    z_span, z_files = mean_span(zpath)
+    r_span, r_files = mean_span(rpath)
+    assert z_files == 16 and r_files == 16
+    # z-ordered files cover a fraction of the domain per dimension;
+    # random files cover essentially all of it (~398 combined span)
+    assert z_span < r_span / 2

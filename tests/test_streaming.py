@@ -573,3 +573,59 @@ def test_stream_manifest_ingest_dead_letters_failures(spark, tmp_path):
     errs = spark.read.parquet(errors).collect()
     assert len(errs) == 1 and errs[0].url.endswith("nope.txt")
     assert errs[0].status == -1 and "FileNotFoundError" in errs[0].error
+
+
+def test_streaming_cms_sketch_maintenance_linearity(spark, tmp_path):
+    """Running sketch over micro-batches: per-epoch sketch dirs merged at
+    read time must estimate EXACTLY like one batch build over all the
+    data (CMS linearity), and replaying an epoch must not double-count
+    (overwrite-own-epoch idempotence)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import cms_build, cms_estimate
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_sketch,
+        read_stream_sketch,
+    )
+
+    src = tmp_path / "src"
+    # 4 files => multiple micro-batches with maxFilesPerTrigger=1
+    for i in range(4):
+        spark.range(i * 1000, (i + 1) * 1000).selectExpr(
+            "id % 313 AS k"
+        ).coalesce(1).write.parquet(str(src / f"part{i}"))
+    all_df = spark.read.parquet(str(src / "part*"))
+    schema = all_df.schema
+    target = str(tmp_path / "sketch")
+
+    fn = foreach_batch_sketch(target, "k", width=512, depth=3)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(fn)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_sketch(spark, target)
+    whole = cms_build(all_df, "k", width=512, depth=3)
+    m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    w = {(r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert m == w  # linearity across micro-batches
+
+    # estimates queryable from the merged sketch
+    probes = spark.createDataFrame([(0,), (312,)], "k long")
+    est = {r.k: r.est for r in cms_estimate(merged, probes, "k", width=512, depth=3).collect()}
+    exact = {r.k: r.n for r in all_df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert est[0] >= exact[0] and est[312] >= exact[312]
+
+    # replay epoch 0 (checkpoint recovery): same data, same epoch dir —
+    # the merged sketch must be unchanged (overwrite, not double-merge)
+    first = spark.read.parquet(str(src / "part0")).selectExpr("k")
+    fn(first, 0)
+    spark.catalog.refreshByPath(target)  # epoch 0's files were replaced
+    m2 = {(r.d, r.bucket): r.cnt for r in read_stream_sketch(spark, target).collect()}
+    assert m2 == w
