@@ -3311,6 +3311,31 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source — the grouped top-k whose
+    rank-filter shape compiles to WindowGroupLimit with a PARTIAL
+    pre-shuffle prune (each map task ships at most groups×k rows)."""
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return topk_per_group(
+        docs, "source", ["n_chars DESC", "doc_id ASC"], 3, rank_col="rank"
+    ).select("doc_id", "source", "n_chars", "rank")
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at the [5%, 95%] exact percentiles —
+    scalar-attach bounds broadcast back, clip as pure projection (the
+    outlier treatment that KEEPS the row; mad_outliers drops/flags)."""
+    from orientdb_etl_spark.functions.sampling import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(ev, "value", 0.05, 0.95, by="event_type", out_col="value_w")
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 4).alias("value_w")
+    )
+
+
 def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user sketches per event_type + an ALL row
     whose estimate comes from UNIONING the per-group sketches (never
@@ -3986,6 +4011,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_join": q_bloom_join,
             # round 5: mergeable HLL sketches + union certificate
             "hll_union": q_hll_union,
+            # round 5: grouped top-k (partial WindowGroupLimit)
+            "topk_groups": q_topk_groups,
+            # round 5: percentile winsorization (scalar-attach clip)
+            "winsorize": q_winsorize,
             # consolidated out of the 50-row driver registry in round 5
             # (slots ceded to html_extract / semantic_dedup) — still
             # hash-checked here
@@ -4810,6 +4839,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "topk_groups": (
+            "SELECT doc_id, source, n_chars, rank FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS rank FROM documents) "
+            "WHERE rank <= 3"
+        ),
+        "winsorize": (
+            # identical interpolated-percentile bounds + clip; NULL
+            # values stay NULL in both engines
+            "WITH b AS (SELECT event_type, "
+            "quantile_cont(value, 0.05) AS lo, "
+            "quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) "
+            "SELECT event_id, e.event_type, "
+            "CASE WHEN value IS NULL THEN NULL "
+            "ELSE round(greatest(lo, least(hi, value)), 4) END AS value_w "
+            "FROM events e JOIN b ON e.event_type = b.event_type"
         ),
         "hll_union": (
             # exact distincts per scope; within_tol pinned true — the

@@ -132,6 +132,10 @@ HEADLINE = [
     "bloom_join",
     # round-5 mergeable HLL union certificate (sketch-sized shuffle)
     "hll_union",
+    # round-5 grouped top-k (partial WindowGroupLimit)
+    "topk_groups",
+    # round-5 percentile winsorization (scalar-attach clip)
+    "winsorize",
     "multimodal_frames",
     # round-2 single-scan merged queries (driver-registry headliners)
     "text_metrics",

@@ -321,3 +321,46 @@ def quantile_bucket(
         )
         .drop("_qb")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip values to the [lower, upper] exact-percentile
+    bounds (globally or per group) — the outlier treatment that KEEPS the
+    row (contrast mad_outliers, which flags/drops). Standard before
+    computing means/variances that a single glitch value would dominate.
+
+    Plan shape: one grouped (or scalar) exact-percentile aggregation
+    whose tiny result broadcasts back; the clip itself is a pure
+    projection. At 100 TB use percentile_approx for the bounds — the
+    attach/clip shape is unchanged. NULL values pass through NULL
+    (percentile ignores them; clipping them would invent data).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out_col = out_col or value_col
+    bounds_agg = F.expr(
+        f"percentile({value_col}, array({lower}, {upper}))"
+    ).alias("_wb")
+    if by is not None:
+        bounds = df.groupBy(by).agg(bounds_agg)
+        joined = df.join(F.broadcast(bounds), by)
+    else:
+        joined = df.join(F.broadcast(df.agg(bounds_agg)))
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col(value_col).isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.greatest(
+                F.element_at("_wb", 1),
+                F.least(F.element_at("_wb", 2), F.col(value_col).cast("double")),
+            )
+        ),
+    ).drop("_wb")

@@ -30,13 +30,19 @@ _SORT_RE = re.compile(
 )
 
 
-def _sort_exprs(ctx: PipelineContext, items: list[str]) -> list:
-    """Parse `expr [ASC|DESC] [NULLS FIRST|LAST]` — F.expr alone rejects
-    ORDER BY modifiers."""
+def _sort_exprs(
+    ctx: PipelineContext | None, items: list[str]
+) -> list:
+    """Parse `expr [ASC|DESC] [NULLS FIRST|LAST]` — F.expr alone does NOT
+    accept ORDER BY modifiers (and silently misparses some forms), so
+    every operator taking sort strings must route through here. ctx=None
+    skips OSQL variable rendering (pure-function callers)."""
     out = []
     for item in items:
         m = _SORT_RE.match(item.strip())
-        col = F.expr(translate_osql(m.group("expr"), ctx.variables))
+        col = F.expr(
+            translate_osql(m.group("expr"), ctx.variables) if ctx else m.group("expr")
+        )
         desc = (m.group("dir") or "").upper() == "DESC"
         nulls = (m.group("nulls") or "").upper()
         if desc:
@@ -157,3 +163,47 @@ def window_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
     ``fn() OVER (PARTITION BY ... ORDER BY ...)`` expressions."""
     extra = [translate_osql(e, ctx.variables) for e in cfg["columns"]]
     return df.selectExpr("*", *extra)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: str | list[str],
+    order_by: list[str],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows WITHIN each group (the grouped complement of the global
+    ``topk`` transformer): rank by ``order_by`` inside each key and keep
+    ranks ≤ k.
+
+    The rank-filter shape compiles to Spark's ``WindowGroupLimit`` with a
+    PARTIAL pass before the shuffle — each map task pre-prunes to its own
+    local top-k per group, so the exchange carries at most
+    tasks × groups × k rows instead of everything (same machinery the
+    per-domain cap relies on). ``rank_col`` keeps the rank in the output
+    when named.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    # _sort_exprs, NOT bare F.expr: "col DESC" needs the modifier parser
+    w = Window.partitionBy(*keys).orderBy(*_sort_exprs(None, order_by))
+    out = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+    )
+    if rank_col:
+        return out.withColumnRenamed("_rk", rank_col)
+    return out.drop("_rk")
+
+
+@register("topkPerGroup")
+def topk_per_group_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"topkPerGroup": {"by": ["source"],
+    "orderBy": ["n_chars DESC"], "k": 3, "rankField": "rank"}}"""
+    return topk_per_group(
+        df, cfg["by"], list(cfg["orderBy"]), int(cfg["k"]),
+        cfg.get("rankField"),
+    )

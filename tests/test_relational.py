@@ -109,3 +109,48 @@ def test_bm25_config_transformer(spark):
     )
     rows = out.collect()
     assert [r.doc_id for r in rows][:2] == [0, 1] and rows[0].bm25 > rows[1].bm25
+
+
+def test_topk_per_group_exact_and_rank(spark):
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    rows = [(g, i, v) for g in ("a", "b") for i, v in enumerate([5, 9, 1, 9, 3])]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = topk_per_group(df, "g", ["v DESC", "i ASC"], 2, rank_col="rank").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append((r.rank, r.i, r.v))
+    # v=9 at i=1 and i=3; tie broken by i ascending
+    assert sorted(by_g["a"]) == [(1, 1, 9), (2, 3, 9)]
+    assert sorted(by_g["b"]) == [(1, 1, 9), (2, 3, 9)]
+
+
+def test_topk_per_group_plan_partial_window_group_limit(spark):
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    df = spark.range(10_000).selectExpr("id % 50 AS g", "id AS v")
+    plan = (
+        topk_per_group(df, "g", ["v DESC"], 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank filter must become WindowGroupLimit with a Partial
+    # pre-shuffle pass — not a full window over all rows
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_topk_per_group_config(spark):
+    from orientdb_etl_spark import Pipeline
+
+    df = spark.range(100).selectExpr("id % 4 AS g", "id AS v")
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"topkPerGroup": {"by": ["g"], "orderBy": ["v DESC"], "k": 1}}
+            ],
+        },
+        spark=spark,
+    ).register_table("t", df)
+    got = {(r.g, r.v) for r in p.compile().collect()}
+    assert got == {(0, 96), (1, 97), (2, 98), (3, 99)}

@@ -252,3 +252,35 @@ def test_temperature_rates_flatten_toward_small_domains(spark):
     assert 280 <= counts["big"] <= 520  # expectation 400
     with pytest.raises(ValueError, match="alpha"):
         temperature_rates(df, "g", alpha=0.0)
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.sampling import winsorize
+
+    # values 1..100: p05 = 5.95, p95 = 95.05 (linear interpolation)
+    df = spark.range(1, 101).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    got = {r.id: r.vw for r in winsorize(df, "v", 0.05, 0.95, out_col="vw").collect()}
+    assert abs(got[1] - 5.95) < 1e-9 and abs(got[3] - 5.95) < 1e-9
+    assert abs(got[100] - 95.05) < 1e-9
+    assert got[50] == 50.0  # interior values untouched
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, "v", 0.9, 0.5)
+
+
+def test_winsorize_null_passthrough_and_groups(spark):
+    from orientdb_etl_spark.functions.sampling import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 11)]
+    rows += [("b", 100 + i, float(1000 * i)) for i in range(1, 11)]
+    rows.append(("a", 999, None))
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r.id: r.v for r in winsorize(df, "v", 0.1, 0.9, by="g").collect()}
+    assert got[999] is None                 # NULL stays NULL
+    assert got[5] == 5.0                    # interior of group a
+    # group b: values 1000..10000 → p10 = 1900, p90 = 9100 (interpolated)
+    assert abs(got[101] - 1900.0) < 1e-9    # 1000 clipped UP to b's p10
+    assert abs(got[110] - 9100.0) < 1e-9    # 10000 clipped DOWN to b's p90
+    # group bounds are independent: a's clips stay inside a's range
+    assert max(v for k, v in got.items() if k < 100 and v is not None) < 10.0
