@@ -3311,6 +3311,32 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop-distances from customer 1 over the undirected
+    customer↔supplier trade graph (distinct order pairs; supplier ids
+    offset by 1e6 to disambiguate the bipartite sides), capped at 3
+    hops. Frontier BFS: one equi-join + one anti-join per hop. The
+    oracle is a DuckDB recursive CTE taking min(d) per vertex — same
+    discipline as the dedup_clusters recursive oracle."""
+    from orientdb_etl_spark.functions.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    return bfs_distances(edges, sources, max_hops=3)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4011,6 +4037,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_join": q_bloom_join,
             # round 5: mergeable HLL sketches + union certificate
             "hll_union": q_hll_union,
+            # round 5: BFS shortest paths (recursive-CTE oracle)
+            "bfs_distances": q_bfs_distances,
             # round 5: grouped top-k (partial WindowGroupLimit)
             "topk_groups": q_topk_groups,
             # round 5: percentile winsorization (scalar-attach clip)
@@ -4839,6 +4867,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "bfs_distances": (
+            # recursive CTE BFS; min(d) per vertex == first-discovery
+            # distance. UNION (distinct) keeps the recursion bounded.
+            "WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey AS c, "
+            "l_suppkey + 1000000 AS s FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "e AS (SELECT c AS src, s AS dst FROM pairs "
+            "UNION ALL SELECT s, c FROM pairs), "
+            "r(id, d) AS (SELECT CAST(1 AS BIGINT), 0 "
+            "UNION SELECT e.dst, r.d + 1 FROM r "
+            "JOIN e ON e.src = r.id WHERE r.d < 3) "
+            "SELECT id, min(d) AS dist FROM r GROUP BY id"
         ),
         "topk_groups": (
             "SELECT doc_id, source, n_chars, rank FROM ("

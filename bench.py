@@ -134,6 +134,8 @@ HEADLINE = [
     "hll_union",
     # round-5 grouped top-k (partial WindowGroupLimit)
     "topk_groups",
+    # round-5 frontier BFS over the trade graph (join-expand per hop)
+    "bfs_distances",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

@@ -209,3 +209,68 @@ def pagerank_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Data
         int(cfg.get("iterations", 8)),
         float(cfg.get("damping", 0.85)),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Minimum hop-distance from a set of source vertices: frontier BFS
+    as iterated join-expand (the relational Pregel shape, same family as
+    this module's PageRank). Returns (id, dist) for every vertex within
+    ``max_hops`` of any source; unreachable vertices are absent.
+
+    Each hop is ONE equi-join of the current frontier against the edge
+    frame (shuffled on the join key) + an anti-join against the settled
+    set — a vertex enters the result at its FIRST discovery, which in
+    BFS is its minimum distance, so no re-relaxation pass is needed
+    (contrast weighted shortest paths). ``localCheckpoint`` truncates
+    lineage per hop; the loop stops early when a frontier empties, and
+    ``max_hops`` caps pathological diameters the same way the
+    connected-components iteration is capped.
+
+    The frontier anti-join keeps per-hop work at |frontier ⋈ edges|,
+    never |vertices|²; on a 1000-executor cluster the edge frame is the
+    one large operand — partition it once on ``src`` and every hop
+    reuses that layout.
+    """
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges[src])
+            .select(F.col(dst).alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+@register("bfs")
+def bfs_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"bfs": {"sourcesTable": "seeds", "src": "src",
+    "dst": "dst", "idField": "id", "maxHops": 5}} — the pipeline frame
+    is the edge list, the registered table the seed vertices."""
+    return bfs_distances(
+        df,
+        ctx.tables[cfg["sourcesTable"]],
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        id_col=cfg.get("idField", "id"),
+        max_hops=int(cfg.get("maxHops", 10)),
+    )

@@ -146,3 +146,54 @@ def test_triangles_and_cc_config_transformers(spark):
     )
     labels = {r.id: r.label for r in cc}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_bfs_distances_path_graph_exact(spark):
+    """Path 0→1→2→3→4 plus a shortcut 0→3: first discovery = min dist."""
+    from orientdb_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # 3 via shortcut, 4 via 3
+
+
+def test_bfs_distances_max_hops_cap_and_unreachable(spark):
+    from orientdb_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(100, 101)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}          # capped at 2 hops
+    assert 100 not in got and 101 not in got  # disconnected component absent
+
+
+def test_bfs_distances_multi_source_takes_nearest(spark):
+    from orientdb_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (9, 3)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (9,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=10).collect()}
+    assert got[3] == 1  # nearest source (9) wins, not the 3-hop path from 0
+
+
+def test_bfs_config_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "e"}},
+            "transformers": [{"bfs": {"sourcesTable": "seeds", "maxHops": 1}}],
+        },
+        spark=spark,
+    ).register_table("e", edges).register_table("seeds", seeds)
+    got = {(r.id, r.dist) for r in p.compile().collect()}
+    assert got == {(0, 0), (1, 1)}
