@@ -3311,6 +3311,29 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the token array (config `explode` with position) —
+    pure per-row Generate node, no shuffle; oracle zips DuckDB's
+    parallel unnest with a generated index."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (config `unpivot`) over two lineitem metrics —
+    Spark's native Expand node: one pass, rows × 2 output, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        [F.col("l_quantity"), F.col("l_tax")],
+        "metric",
+        "value",
+    )
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop-distances from customer 1 over the undirected
     customer↔supplier trade graph (distinct order pairs; supplier ids
@@ -4039,6 +4062,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_union": q_hll_union,
             # round 5: BFS shortest paths (recursive-CTE oracle)
             "bfs_distances": q_bfs_distances,
+            # round 5: explode/unpivot reshaping (Generate / Expand)
+            "explode_tokens": q_explode_tokens,
+            "unpivot_metrics": q_unpivot_metrics,
             # round 5: grouped top-k (partial WindowGroupLimit)
             "topk_groups": q_topk_groups,
             # round 5: percentile winsorization (scalar-attach clip)
@@ -4867,6 +4893,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "explode_tokens": (
+            # parallel unnest zips positionally in DuckDB
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts "
+            "FROM documents WHERE doc_id < 20) "
+            "SELECT doc_id, "
+            "unnest(generate_series(0, len(parts) - 1)) AS pos, "
+            "unnest(parts) AS token FROM s"
+        ),
+        "unpivot_metrics": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "
+            "l_quantity AS value FROM lineitem WHERE l_orderkey < 200 "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax "
+            "FROM lineitem WHERE l_orderkey < 200"
         ),
         "bfs_distances": (
             # recursive CTE BFS; min(d) per vertex == first-discovery

@@ -136,6 +136,9 @@ HEADLINE = [
     "topk_groups",
     # round-5 frontier BFS over the trade graph (join-expand per hop)
     "bfs_distances",
+    # round-5 reshaping (Generate / Expand nodes, no shuffle)
+    "explode_tokens",
+    "unpivot_metrics",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

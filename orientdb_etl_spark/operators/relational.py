@@ -207,3 +207,38 @@ def topk_per_group_transformer(
         df, cfg["by"], list(cfg["orderBy"]), int(cfg["k"]),
         cfg.get("rankField"),
     )
+
+
+@register("explode")
+def explode_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"explode": {"field": "tokens", "outField": "token",
+    "position": "pos", "outer": false}} — one row per array element
+    (posexplode when ``position`` names the index column; outer keeps
+    rows with empty/null arrays as a single null row). Pure per-row
+    expansion — no shuffle; downstream aggregations see the exploded
+    cardinality, so explode as LATE as the plan allows."""
+    field = cfg["field"]
+    out = cfg.get("outField", field)
+    pos = cfg.get("position")
+    outer = bool(cfg.get("outer", False))
+    if pos:
+        fn = F.posexplode_outer if outer else F.posexplode
+        gen = fn(F.col(field)).alias(pos, out)
+    else:
+        fn = F.explode_outer if outer else F.explode
+        gen = fn(F.col(field)).alias(out)
+    return df.select(*[c for c in df.columns if c != field], gen)
+
+
+@register("unpivot")
+def unpivot_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"unpivot": {"ids": ["o_orderkey"], "values": ["a", "b"],
+    "varField": "metric", "valueField": "value"}} — wide → long (melt),
+    the inverse of the pivot aggregation mode. Compiles to Spark's
+    native Expand node: one pass, rows × |values| output, no shuffle."""
+    return df.unpivot(
+        [F.col(c) for c in cfg["ids"]],
+        [F.col(c) for c in cfg["values"]],
+        cfg.get("varField", "variable"),
+        cfg.get("valueField", "value"),
+    )

@@ -154,3 +154,48 @@ def test_topk_per_group_config(spark):
     ).register_table("t", df)
     got = {(r.g, r.v) for r in p.compile().collect()}
     assert got == {(0, 96), (1, 97), (2, 98), (3, 99)}
+
+
+def test_explode_transformer_variants(spark):
+    from orientdb_etl_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id long, xs array<string>"
+    )
+
+    def run(cfg):
+        p = Pipeline(
+            {"extractor": {"table": {"name": "t"}}, "transformers": [cfg]},
+            spark=spark,
+        ).register_table("t", df)
+        return p.compile().collect()
+
+    inner = run({"explode": {"field": "xs", "outField": "x"}})
+    assert sorted((r.id, r.x) for r in inner) == [(1, "a"), (1, "b")]
+
+    outer = run({"explode": {"field": "xs", "outField": "x", "outer": True}})
+    got = sorted(
+        ((r.id, r.x) for r in outer), key=lambda t: (t[0], t[1] or "")
+    )
+    assert got == [(1, "a"), (1, "b"), (2, None), (3, None)]
+
+    posed = run({"explode": {"field": "xs", "outField": "x", "position": "i"}})
+    assert sorted((r.id, r.i, r.x) for r in posed) == [(1, 0, "a"), (1, 1, "b")]
+
+
+def test_unpivot_transformer_melt(spark):
+    from orientdb_etl_spark import Pipeline
+
+    df = spark.createDataFrame([(1, 10.0, 0.5)], "k long, qty double, tax double")
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"unpivot": {"ids": ["k"], "values": ["qty", "tax"],
+                             "varField": "metric", "valueField": "v"}}
+            ],
+        },
+        spark=spark,
+    ).register_table("t", df)
+    got = sorted((r.k, r.metric, r.v) for r in p.compile().collect())
+    assert got == [(1, "qty", 10.0), (1, "tax", 0.5)]
