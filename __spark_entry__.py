@@ -3311,6 +3311,28 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from the event observation log: per user, collapse
+    consecutive runs of identical event_type into validity intervals
+    (valid_from, valid_to; NULL while current). One keyed exchange
+    shared by all three window passes; event_id breaks timestamp ties
+    so the history replays identically in both engines."""
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_history(
+        ev, "user_id", "ts", ["event_type"], tie_cols=["event_id"]
+    )
+    # open rows use the far-future end date, capped inside pandas ns range (also keeps the
+    # driver's canonicalizer off NULL-timestamp cells)
+    return out.select(
+        "user_id", "event_type", "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+
+
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode of the token array (config `explode` with position) —
     pure per-row Generate node, no shuffle; oracle zips DuckDB's
@@ -4062,6 +4084,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_union": q_hll_union,
             # round 5: BFS shortest paths (recursive-CTE oracle)
             "bfs_distances": q_bfs_distances,
+            # round 5: SCD2 change history (CDC observations → intervals)
+            "scd2_history": q_scd2_history,
             # round 5: explode/unpivot reshaping (Generate / Expand)
             "explode_tokens": q_explode_tokens,
             "unpivot_metrics": q_unpivot_metrics,
@@ -4893,6 +4917,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "scd2_history": (
+            # identical run-collapse: change flag via lag, run id via
+            # running sum, interval close via lead over run starts
+            "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR event_type IS DISTINCT FROM lag(event_type) OVER w "
+            "THEN 1 ELSE 0 END AS chg FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM o), "
+            "f AS (SELECT user_id, event_type, ts AS valid_from, run "
+            "FROM r WHERE chg = 1) "
+            "SELECT user_id, event_type, valid_from, "
+            "coalesce(lead(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY run), TIMESTAMP '2200-01-01 00:00:00') "
+            "AS valid_to FROM f"
         ),
         "explode_tokens": (
             # parallel unnest zips positionally in DuckDB

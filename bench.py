@@ -139,6 +139,8 @@ HEADLINE = [
     # round-5 reshaping (Generate / Expand nodes, no shuffle)
     "explode_tokens",
     "unpivot_metrics",
+    # round-5 SCD2 change history (one keyed exchange, 3 window passes)
+    "scd2_history",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

@@ -317,6 +317,76 @@ def rolling_agg_transformer(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a stream of
+    observations (key, attrs, ts): collapse consecutive runs of identical
+    attribute values per key into validity intervals —
+    ``valid_from`` = first observation of the run, ``valid_to`` = start
+    of the next run (NULL while current). The standard CDC-to-warehouse
+    shape: replaying the observation log yields the same history, and
+    point-in-time queries become ``valid_from <= t AND (valid_to > t OR
+    valid_to IS NULL)`` range lookups.
+
+    Plan: one keyed shuffle feeds three window passes over the same
+    (key, ts) partitioning — change-flag (lag), run-id (running sum),
+    then the interval close (lead over run starts) — Spark reuses the
+    sort/partitioning across same-spec windows, so it stays ONE exchange
+    (no per-run groupBy shuffle: run starts/ends come from window
+    endpoints). State per key is the frame row, spillable.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    # tie_cols make same-timestamp observation order deterministic —
+    # without them, lag() over tied timestamps is partition-layout
+    # dependent and the history is not replayable
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(a).eqNullSafe(F.lag(a).over(w))
+    # the key's FIRST observation always opens a run — even when every
+    # attribute is NULL (eqNullSafe(NULL, lag=NULL) would claim "same")
+    first_row = F.lag(ts_col).over(w).isNull()
+    runs = (
+        df.withColumn(
+            "_chg",
+            F.when(first_row | ~same, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    wr = Window.partitionBy(*keys).orderBy(F.col("_run").asc())
+    first_in_run = runs.filter(F.col("_chg") == 1).select(
+        *keys, *attr_cols, F.col(ts_col).alias("valid_from"), "_run"
+    )
+    return (
+        first_in_run.withColumn(
+            "valid_to", F.lead("valid_from").over(wr)
+        ).drop("_run")
+    )
+
+
+@register("scd2")
+def scd2_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"scd2": {"keys": ["user_id"], "on": "ts",
+    "attributes": ["plan", "region"], "tieBreakers": ["event_id"]}}"""
+    return scd2_history(
+        df, cfg["keys"], cfg["on"], list(cfg["attributes"]),
+        cfg.get("tieBreakers"),
+    )
+
+
 @register("asofJoin")
 def asof_join_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

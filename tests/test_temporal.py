@@ -258,3 +258,57 @@ def test_rolling_agg_plan_partitioned_no_single_task(spark):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan  # keyed window, never one task
+
+
+def test_scd2_history_collapses_runs(spark):
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, "free", 10), (1, "free", 20), (1, "pro", 30), (1, "free", 40),
+        (2, "pro", 15),
+    ]
+    df = spark.createDataFrame(rows, "uid long, plan string, sec long").selectExpr(
+        "uid", "plan", "timestamp_seconds(sec) AS ts", "sec AS oid"
+    )
+    got = sorted(
+        (r.uid, r.plan, r.valid_from.second + r.valid_from.minute * 60 if r.valid_from else None,
+         r.valid_to.second + r.valid_to.minute * 60 if r.valid_to else None)
+        for r in scd2_history(df, "uid", "ts", ["plan"], ["oid"]).collect()
+    )
+    # user 1: free [10,30) -> pro [30,40) -> free [40, open); user 2: pro open
+    assert got == [
+        (1, "free", 10, 30), (1, "free", 40, None), (1, "pro", 30, 40),
+        (2, "pro", 15, None),
+    ]
+
+
+def test_scd2_history_null_attr_first_row_not_lost(spark):
+    """A key whose first observation has NULL attributes must still open
+    a run (eqNullSafe(NULL, lag NULL) would otherwise claim 'same')."""
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (1, "x", 20)], "uid long, plan string, sec long"
+    ).selectExpr("uid", "plan", "timestamp_seconds(sec) AS ts", "sec AS oid")
+    got = scd2_history(df, "uid", "ts", ["plan"], ["oid"]).collect()
+    assert len(got) == 2
+    assert {r.plan for r in got} == {None, "x"}
+
+
+def test_scd2_history_point_in_time_lookup(spark):
+    """The intervals must answer as-of queries correctly."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    rows = [(1, "a", i) for i in range(0, 50, 10)] + [(1, "b", i) for i in range(50, 100, 10)]
+    df = spark.createDataFrame(rows, "uid long, v string, sec long").selectExpr(
+        "uid", "v", "timestamp_seconds(sec) AS ts", "sec AS oid"
+    )
+    hist = scd2_history(df, "uid", "ts", ["v"], ["oid"])
+    t = F.lit("1970-01-01 00:00:55").cast("timestamp")
+    at = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).collect()
+    assert len(at) == 1 and at[0].v == "b"
