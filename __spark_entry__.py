@@ -3311,6 +3311,33 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source E-S weighted draws (k=2 by document length) — grouped
+    weighted sampling in one WindowGroupLimit pass; the oracle replays
+    the identical -ln(u)/w key rank per group."""
+    from orientdb_etl_spark.functions.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=2
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: 30-minute activity intervals per user coalesced
+    wherever they overlap — running-max-of-previous-ends flags island
+    starts; one keyed exchange, two windows, one aggregation."""
+    from orientdb_etl_spark.operators.temporal import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e")
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history from the event observation log: per user, collapse
     consecutive runs of identical event_type into validity intervals
@@ -4086,6 +4113,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bfs_distances": q_bfs_distances,
             # round 5: SCD2 change history (CDC observations → intervals)
             "scd2_history": q_scd2_history,
+            # round 5: grouped weighted draws + interval coalescing
+            "weighted_groups": q_weighted_groups,
+            "merge_intervals": q_merge_intervals,
             # round 5: explode/unpivot reshaping (Generate / Expand)
             "explode_tokens": q_explode_tokens,
             "unpivot_metrics": q_unpivot_metrics,
@@ -4917,6 +4947,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "weighted_groups": (
+            "WITH b AS (SELECT doc_id, source, n_chars, "
+            "-ln((((doc_id + 42) % 1000003) * 2654435761 % 1000003 + 1) "
+            "/ 1000004.0) / CAST(n_chars AS DOUBLE) AS k "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), "
+            "r AS (SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source ORDER BY k, doc_id) "
+            "AS rk FROM b) "
+            "SELECT doc_id, source, n_chars FROM r WHERE rk <= 2"
+        ),
+        "merge_intervals": (
+            # island starts where start > running max of previous ends
+            "WITH iv AS (SELECT user_id, ts AS s, "
+            "ts + INTERVAL 30 MINUTE AS e FROM events), "
+            "fl AS (SELECT *, CASE WHEN max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "IS NULL OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS nw FROM iv), "
+            "isl AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM fl) "
+            "SELECT user_id, min(s) AS s, max(e) AS e, "
+            "count(*) AS n_merged FROM isl GROUP BY user_id, island"
         ),
         "scd2_history": (
             # identical run-collapse: change flag via lag, run id via

@@ -141,6 +141,9 @@ HEADLINE = [
     "unpivot_metrics",
     # round-5 SCD2 change history (one keyed exchange, 3 window passes)
     "scd2_history",
+    # round-5 grouped weighted draws + gaps-and-islands coalescing
+    "weighted_groups",
+    "merge_intervals",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

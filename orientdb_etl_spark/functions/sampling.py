@@ -364,3 +364,40 @@ def winsorize(
             )
         ),
     ).drop("_wb")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHIN each group: k rows
+    per group, inclusion probability rising with weight, deterministic
+    (same hash-derived keys as :func:`weighted_sample`). The grouped
+    complement — per-domain quality-weighted draws in one pass.
+
+    Plan: one shuffle (window partition on the group key); the
+    rank-filter compiles to WindowGroupLimit with a partial pre-shuffle
+    prune, so each map task ships at most groups×k candidate rows.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_bucket(id_col, _PRIME, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_PRIME + 1)
+    )
+    key = -F.log(u) / w.cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

@@ -477,3 +477,61 @@ def funnel_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         ts_col=cfg.get("tsField", "ts"),
         type_col=cfg.get("typeField", "event_type"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: str | list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key (the gaps-and-
+    islands problem): an interval starts a new island iff its start
+    exceeds the running maximum of all previous ends. Returns one row
+    per island: (keys, start, end, n_merged).
+
+    Plan: one keyed shuffle feeding two window passes over the same
+    (key, start) ordering — running-max-of-ends (lagged) for the island
+    flag, running sum for the island id — then one aggregation per
+    island. Same single-exchange discipline as scd2_history; state per
+    key is the frame row.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )
+
+
+@register("mergeIntervals")
+def merge_intervals_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"mergeIntervals": {"keys": ["user_id"],
+    "start": "valid_from", "end": "valid_to"}}"""
+    return merge_intervals(df, cfg["keys"], cfg["start"], cfg["end"])

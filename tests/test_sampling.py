@@ -284,3 +284,27 @@ def test_winsorize_null_passthrough_and_groups(spark):
     assert abs(got[110] - 9100.0) < 1e-9    # 10000 clipped DOWN to b's p90
     # group bounds are independent: a's clips stay inside a's range
     assert max(v for k, v in got.items() if k < 100 and v is not None) < 10.0
+
+
+def test_weighted_sample_per_group_exact_python_replay(spark):
+    import math
+
+    from orientdb_etl_spark.functions.sampling import weighted_sample_per_group
+
+    rows = [(i, f"g{i % 3}", float(1 + (i * 11) % 30)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = sorted(
+        (r.g, r.doc_id)
+        for r in weighted_sample_per_group(df, "g", "doc_id", "w", k=4).collect()
+    )
+
+    def key(i, w, seed=42):
+        b = ((i + seed) % 1_000_003) * 2654435761 % 1_000_003
+        return -math.log((b + 1) / 1_000_004.0) / w
+
+    want = []
+    for g in ("g0", "g1", "g2"):
+        members = [(i, w) for i, gg, w in rows if gg == g]
+        members.sort(key=lambda t: (key(*t), t[0]))
+        want += [(g, i) for i, _ in members[:4]]
+    assert got == sorted(want)

@@ -312,3 +312,27 @@ def test_scd2_history_point_in_time_lookup(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).collect()
     assert len(at) == 1 and at[0].v == "b"
+
+
+def test_merge_intervals_islands_and_gaps(spark):
+    from orientdb_etl_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # key a: [0,10] [5,20] [20,25] chain into one island; [40,50] alone
+        ("a", 0, 10), ("a", 5, 20), ("a", 20, 25), ("a", 40, 50),
+        # an interval CONTAINED in an earlier one must not split the island
+        ("a", 6, 8),
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted((r.k, r.s, r.e, r.n_merged) for r in merge_intervals(df, "k", "s", "e").collect())
+    assert got == [("a", 0, 25, 4), ("a", 40, 50, 1), ("b", 0, 1, 1)]
+
+
+def test_merge_intervals_touching_counts_as_overlap(spark):
+    """start == previous end merges (closed intervals touch)."""
+    from orientdb_etl_spark.operators.temporal import merge_intervals
+
+    df = spark.createDataFrame([("k", 0, 10), ("k", 10, 20)], "k string, s long, e long")
+    got = merge_intervals(df, "k", "s", "e").collect()
+    assert len(got) == 1 and (got[0].s, got[0].e, got[0].n_merged) == (0, 20, 2)
