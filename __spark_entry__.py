@@ -3311,6 +3311,36 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values — scalar min/max
+    attach + explicit bucket arithmetic replayed verbatim by the SQL
+    twin (no engine-specific width_bucket internals at boundaries)."""
+    from orientdb_etl_spark.functions.profiling import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", bins=20)
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of four lineitem metrics in ONE
+    aggregation pass (6 corr aggregates share one scan + one shuffle)."""
+    from orientdb_etl_spark.functions.profiling import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: first-touch cohorts,
+    distinct-active cells, cohort sizes broadcast back for fractions."""
+    from orientdb_etl_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", bucket_seconds=7 * 86400)
+
+
 def q_weighted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source E-S weighted draws (k=2 by document length) — grouped
     weighted sampling in one WindowGroupLimit pass; the oracle replays
@@ -4116,6 +4146,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: grouped weighted draws + interval coalescing
             "weighted_groups": q_weighted_groups,
             "merge_intervals": q_merge_intervals,
+            # round 5: profiling analytics (histogram / correlations /
+            # cohort retention)
+            "histogram": q_histogram,
+            "corr_matrix": q_corr_matrix,
+            "cohort_retention": q_cohort_retention,
             # round 5: explode/unpivot reshaping (Generate / Expand)
             "explode_tokens": q_explode_tokens,
             "unpivot_metrics": q_unpivot_metrics,
@@ -4947,6 +4982,45 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "histogram": (
+            # the SAME explicit bucket arithmetic, verbatim
+            "WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, "
+            "CAST(max(value) AS DOUBLE) AS mx FROM events), "
+            "b AS (SELECT CASE WHEN mn = mx THEN 1 ELSE "
+            "least(CAST(floor((value - mn) / (mx - mn) * 20) + 1 AS INTEGER), 20) "
+            "END AS bucket, mn, mx FROM events, s WHERE value IS NOT NULL) "
+            "SELECT bucket, round(mn + (bucket - 1) * ((mx - mn) / 20), 6) AS lo, "
+            "round(mn + bucket * ((mx - mn) / 20), 6) AS hi, "
+            "count(*) AS n FROM b GROUP BY bucket, mn, mx"
+        ),
+        "corr_matrix": (
+            "WITH c AS (SELECT round(corr(l_quantity, l_extendedprice), 6) AS c0, "
+            "round(corr(l_quantity, l_discount), 6) AS c1, "
+            "round(corr(l_quantity, l_tax), 6) AS c2, "
+            "round(corr(l_extendedprice, l_discount), 6) AS c3, "
+            "round(corr(l_extendedprice, l_tax), 6) AS c4, "
+            "round(corr(l_discount, l_tax), 6) AS c5 FROM lineitem) "
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS corr FROM c "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM c "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM c "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM c "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM c "
+            "UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM c"
+        ),
+        "cohort_retention": (
+            "WITH b AS (SELECT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS bk FROM events), "
+            "f AS (SELECT user_id, min(bk) AS cohort FROM b GROUP BY user_id), "
+            "j AS (SELECT b.user_id, f.cohort AS cohort_bucket, "
+            "b.bk - f.cohort AS \"offset\" FROM b JOIN f USING (user_id)), "
+            "cells AS (SELECT cohort_bucket, \"offset\", "
+            "count(DISTINCT user_id) AS n_users FROM j GROUP BY 1, 2), "
+            "sz AS (SELECT cohort AS cohort_bucket, count(*) AS size "
+            "FROM f GROUP BY 1) "
+            "SELECT cells.cohort_bucket, \"offset\", n_users, "
+            "round(n_users / size, 6) AS frac FROM cells "
+            "JOIN sz USING (cohort_bucket)"
         ),
         "weighted_groups": (
             "WITH b AS (SELECT doc_id, source, n_chars, "

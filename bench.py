@@ -144,6 +144,10 @@ HEADLINE = [
     # round-5 grouped weighted draws + gaps-and-islands coalescing
     "weighted_groups",
     "merge_intervals",
+    # round-5 profiling analytics (scalar-attach / single-pass shapes)
+    "histogram",
+    "corr_matrix",
+    "cohort_retention",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

@@ -552,3 +552,76 @@ def apply_snapshot_diff(
         *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
     )
     return kept.unionByName(replaced)
+
+
+def histogram(df: DataFrame, value_col: str, bins: int = 20) -> DataFrame:
+    """Equi-width histogram: one scalar min/max aggregation broadcast
+    back, then ``width_bucket`` as a pure expression and one grouped
+    count — two passes, no sort, no window (the profiling counterpart of
+    quantile_bucket's equi-DEPTH buckets). Returns only non-empty
+    buckets: (bucket, lo, hi, n) with 1-based bucket ids; the max value
+    folds into the top bucket (SQL width_bucket's bins+1 overflow is
+    clamped). NULL values are excluded — they belong to no bin. A
+    constant column degenerates to one bucket of zero width (handled
+    in-plan: no driver-side peek, no extra scan).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).cast("double").alias("_mn"), F.max(v).cast("double").alias("_mx")
+    )
+    joined = df.filter(v.isNotNull()).join(F.broadcast(stats))
+    # explicit width_bucket arithmetic (floor((v-mn)/(mx-mn)*bins)+1,
+    # clamped) instead of the builtin: the SQL twin replays the SAME
+    # float expression, so boundary values bin identically in any engine
+    bucket = F.when(F.col("_mn") == F.col("_mx"), F.lit(1)).otherwise(
+        F.least(
+            (
+                F.floor(
+                    (v.cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * bins
+                )
+                + 1
+            ).cast("int"),
+            F.lit(bins),
+        )
+    )
+    width = (F.col("_mx") - F.col("_mn")) / bins
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.first("_mn") + (F.col("bucket") - 1) * F.first(width), 6)
+            .alias("lo"),
+            F.round(F.first("_mn") + F.col("bucket") * F.first(width), 6)
+            .alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregation pass
+    (all C(k,2) corr aggregates share the same scan and partial-agg
+    shuffle; contrast k² separate .corr() calls = k² scans). Returns the
+    upper triangle as rows: (col_a, col_b, corr)."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.round(F.corr(a, b), round_to).alias(f"_c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
+        )
+    )

@@ -535,3 +535,62 @@ def merge_intervals_transformer(
     """Config form: {"mergeIntervals": {"keys": ["user_id"],
     "start": "valid_from", "end": "valid_to"}}"""
     return merge_intervals(df, cfg["keys"], cfg["start"], cfg["end"])
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the time bucket of
+    their FIRST event; each cell is how many (and what fraction of) the
+    cohort was active ``offset`` buckets later. The product-analytics
+    staple, as three aggregations:
+
+    1. first-touch per user (groupBy min — map-side combinable),
+    2. distinct active users per (cohort, offset) — the only
+       user-cardinality shuffle,
+    3. cohort sizes (offset 0) broadcast back for the fraction.
+
+    Returns (cohort_bucket, offset, n_users, frac). frac is rounded to
+    6 places; cohort_bucket is the epoch-bucket index (multiply by
+    ``bucket_seconds`` for the timestamp).
+    """
+    # double cast via TIMESTAMP: raw-parquet TIMESTAMP_NTZ won't cast to
+    # double directly (session TZ is pinned UTC, same fix as rolling_agg)
+    bucket = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / bucket_seconds
+    )
+    first = (
+        df.groupBy(user_col)
+        .agg(F.min(bucket).alias("_cohort"))
+    )
+    joined = df.join(first, user_col).select(
+        F.col("_cohort").alias("cohort_bucket"),
+        (bucket - F.col("_cohort")).alias("offset"),
+        F.col(user_col),
+    )
+    cells = joined.groupBy("cohort_bucket", "offset").agg(
+        F.count_distinct(F.col(user_col)).alias("n_users")
+    )
+    sizes = first.groupBy(F.col("_cohort").alias("cohort_bucket")).agg(
+        F.count(F.lit(1)).alias("_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_bucket")
+        .withColumn("frac", F.round(F.col("n_users") / F.col("_size"), 6))
+        .drop("_size")
+    )
+
+
+@register("cohortRetention")
+def cohort_retention_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"cohortRetention": {"userField": "user_id",
+    "on": "ts", "bucketSeconds": 604800}}"""
+    return cohort_retention(
+        df, cfg["userField"], cfg["on"],
+        int(cfg.get("bucketSeconds", 7 * 86400)),
+    )

@@ -278,3 +278,40 @@ def test_hll_union_certificate_rows_and_flags(spark):
     # every group sees all 701 values (12000/3 = 4000 > 701 consecutive)
     assert all(n == 701 for n, _ in got.values())
     assert all(ok for _, ok in got.values())
+
+
+def test_histogram_bins_and_clamp(spark):
+    from orientdb_etl_spark.functions.profiling import histogram
+
+    df = spark.range(0, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+    got = {r.bucket: (r.lo, r.hi, r.n) for r in histogram(df, "v", bins=10).collect()}
+    assert set(got) == set(range(1, 11))
+    # 0..100 over 10 bins of width 10; max value folds into bucket 10
+    assert got[1] == (0.0, 10.0, 10)
+    assert got[10] == (90.0, 100.0, 11)
+    assert sum(n for _, _, n in got.values()) == 101
+
+
+def test_histogram_nulls_excluded_and_constant_column(spark):
+    from orientdb_etl_spark.functions.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(5.0,), (5.0,), (None,)], "v double"
+    )
+    got = histogram(df, "v", bins=4).collect()
+    assert len(got) == 1 and got[0].bucket == 1 and got[0].n == 2
+
+
+def test_correlation_matrix_known_values(spark):
+    from orientdb_etl_spark.functions.profiling import correlation_matrix
+
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) AS a",
+        "CAST(2 * id + 3 AS DOUBLE) AS b",   # perfectly correlated
+        "CAST(-id AS DOUBLE) AS c",          # perfectly anti-correlated
+    )
+    got = {(r.col_a, r.col_b): r.corr for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+    assert len(got) == 3  # upper triangle only

@@ -336,3 +336,27 @@ def test_merge_intervals_touching_counts_as_overlap(spark):
     df = spark.createDataFrame([("k", 0, 10), ("k", 10, 20)], "k string, s long, e long")
     got = merge_intervals(df, "k", "s", "e").collect()
     assert len(got) == 1 and (got[0].s, got[0].e, got[0].n_merged) == (0, 20, 2)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from orientdb_etl_spark.operators.temporal import cohort_retention
+
+    # bucket = 10s; users 1,2 first appear in bucket 0; user 1 returns in
+    # bucket 1 and 2, user 2 only in bucket 2. User 3 starts in bucket 1.
+    rows = [
+        (1, 5), (1, 15), (1, 25),
+        (2, 7), (2, 27),
+        (3, 12),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long").selectExpr(
+        "user_id", "timestamp_seconds(sec) AS ts"
+    )
+    got = {
+        (r.cohort_bucket, r.offset): (r.n_users, r.frac)
+        for r in cohort_retention(df, "user_id", "ts", bucket_seconds=10).collect()
+    }
+    assert got[(0, 0)] == (2, 1.0)
+    assert got[(0, 1)] == (1, 0.5)   # only user 1 back in bucket 1
+    assert got[(0, 2)] == (2, 1.0)   # both back in bucket 2
+    assert got[(1, 0)] == (1, 1.0)   # user 3's own cohort
+    assert len(got) == 4
