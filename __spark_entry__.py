@@ -3311,6 +3311,34 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median NULL imputation: every 11th event's value is nulled
+    deterministically, then filled from its event_type's exact median —
+    scalar-attach + coalesce, no window."""
+    from orientdb_etl_spark.functions.preprocess import impute
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    out = impute(ev, ["value"], "median", by="event_type")
+    return out.select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-scores of value (sample stddev) — scalar-attach
+    mean/sd broadcast back; zero-variance groups yield NULL scores."""
+    from orientdb_etl_spark.functions.preprocess import standardize
+
+    ev = _t(spark, sf_dir, "events")
+    return standardize(ev, ["value"], by="event_type").select(
+        "event_id", "event_type", "value_z"
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 20-bin histogram of event values — scalar min/max
     attach + explicit bucket arithmetic replayed verbatim by the SQL
@@ -4146,6 +4174,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: grouped weighted draws + interval coalescing
             "weighted_groups": q_weighted_groups,
             "merge_intervals": q_merge_intervals,
+            # round 5: numeric prep (group-median impute / z-scores)
+            "impute_median": q_impute_median,
+            "standardize": q_standardize,
             # round 5: profiling analytics (histogram / correlations /
             # cohort retention)
             "histogram": q_histogram,
@@ -4982,6 +5013,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "impute_median": (
+            "WITH v AS (SELECT event_id, event_type, "
+            "CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value "
+            "FROM events), "
+            "m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+            "FROM v GROUP BY event_type) "
+            "SELECT event_id, v.event_type, "
+            "round(coalesce(v.value, m.med), 4) AS value "
+            "FROM v JOIN m ON v.event_type = m.event_type"
+        ),
+        "standardize": (
+            "WITH s AS (SELECT event_type, avg(value) AS mu, "
+            "stddev_samp(value) AS sd FROM events GROUP BY event_type) "
+            "SELECT event_id, e.event_type, "
+            "CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS value_z "
+            "FROM events e JOIN s ON e.event_type = s.event_type"
         ),
         "histogram": (
             # the SAME explicit bucket arithmetic, verbatim

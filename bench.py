@@ -148,6 +148,9 @@ HEADLINE = [
     "histogram",
     "corr_matrix",
     "cohort_retention",
+    # round-5 numeric prep (group statistics broadcast back)
+    "impute_median",
+    "standardize",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

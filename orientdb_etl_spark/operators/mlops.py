@@ -152,6 +152,28 @@ def normalize_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Dat
     )
 
 
+@register("impute")
+def impute_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"impute": {"columns": ["value"], "strategy": "median",
+    "by": "event_type"}} — NULL fill from group statistics."""
+    from orientdb_etl_spark.functions.preprocess import impute
+
+    return impute(
+        df, list(cfg["columns"]), cfg.get("strategy", "mean"), cfg.get("by")
+    )
+
+
+@register("standardize")
+def standardize_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"standardize": {"columns": ["value"], "by": "event_type",
+    "suffix": "_z"}} — per-group z-scores appended."""
+    from orientdb_etl_spark.functions.preprocess import standardize
+
+    return standardize(
+        df, list(cfg["columns"]), cfg.get("by"), cfg.get("suffix", "_z")
+    )
+
+
 @register("htmlExtract")
 def html_extract_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"htmlExtract": {"htmlField": "html", "outField": "text"}} —

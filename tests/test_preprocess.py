@@ -1,0 +1,55 @@
+"""Numeric prep: imputation and standardization (scalar-attach shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.functions.preprocess import impute, standardize
+
+
+def test_impute_mean_median_constant(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", None),
+         (4, "b", 100.0), (5, "b", None)],
+        "id long, g string, v double",
+    )
+    mean = {r.id: r.v for r in impute(df, ["v"], "mean", by="g").collect()}
+    assert mean[3] == 15.0 and mean[5] == 100.0
+    med = {r.id: r.v for r in impute(df, ["v"], "median", by="g").collect()}
+    assert med[3] == 15.0  # exact interpolated median of {10, 20}
+    const = {r.id: r.v for r in impute(df, ["v"], -1).collect()}
+    assert const[3] == -1.0 and const[5] == -1.0 and const[1] == 10.0
+    with pytest.raises(ValueError, match="strategy"):
+        impute(df, ["v"], "mode")
+
+
+def test_impute_all_null_group_stays_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "b", 5.0)],
+        "id long, g string, v double",
+    )
+    got = {r.id: r.v for r in impute(df, ["v"], "mean", by="g").collect()}
+    assert got[1] is None and got[2] is None  # no invented data
+    assert got[3] == 5.0
+
+
+def test_standardize_known_z_and_zero_variance(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+         (4, "c", 7.0), (5, "c", 7.0)],
+        "id long, g string, v double",
+    )
+    got = {r.id: r.v_z for r in standardize(df, ["v"], by="g").collect()}
+    # group a: mean 20, sample sd 10 -> z = -1, 0, 1
+    assert got[1] == -1.0 and got[2] == 0.0 and got[3] == 1.0
+    # constant group: no z-score, not infinities
+    assert got[4] is None and got[5] is None
+
+
+def test_standardize_plan_is_broadcast_attach(spark):
+    df = spark.range(1000).selectExpr("id % 5 AS g", "CAST(id AS DOUBLE) AS v")
+    plan = standardize(df, ["v"], by="g")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
