@@ -236,3 +236,94 @@ def test_snapshot_diff_apply_roundtrip_property(spark):
         got = sorted(((r.k, r.v, r.w) for r in rebuilt.collect()))
         want = sorted(new_rows)
         assert got == want, f"trial {trial}: roundtrip mismatch"
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=60),   # start
+        st.integers(min_value=0, max_value=30),   # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_intervals)
+@_settings
+def test_merge_intervals_matches_python_sweep(spark, items):
+    """For ANY interval set: islands equal the classic sorted sweep, and
+    the result covers exactly the union of inputs."""
+    from orientdb_etl_spark.operators.temporal import merge_intervals
+
+    rows = [(k, s, s + ln) for k, s, ln in items]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r.k, r.s, r.e, r.n_merged)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+
+    want = []
+    by_key: dict = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+                n += 1
+            else:
+                want.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        want.append((k, cur_s, cur_e, n))
+    assert got == sorted(want)
+
+
+_observations = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.sampled_from(["x", "y", None]),          # attr (nullable)
+        st.integers(min_value=0, max_value=40),     # second (ties allowed)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_observations)
+@_settings
+def test_scd2_history_matches_python_run_collapse(spark, items):
+    """For ANY observation log (ties, NULL attrs): the history equals
+    the sequential run-collapse, intervals chain per key, and exactly
+    one open row per key exists."""
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    rows = [(k, a, s, i) for i, (k, a, s) in enumerate(items)]
+    df = spark.createDataFrame(
+        rows, "k long, attr string, sec long, oid long"
+    ).selectExpr("k", "attr", "timestamp_seconds(sec) AS ts", "oid")
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from.second + 60 * r.valid_from.minute,
+             (r.valid_to.second + 60 * r.valid_to.minute) if r.valid_to else None)
+            for r in scd2_history(df, "k", "ts", ["attr"], ["oid"]).collect()
+        ),
+        key=repr,
+    )
+
+    want = []
+    by_key: dict = {}
+    for k, a, s, i in rows:
+        by_key.setdefault(k, []).append((s, i, a))
+    for k, obs in by_key.items():
+        obs.sort()
+        runs = []
+        for s, _, a in obs:
+            if not runs or runs[-1][1] != a:
+                runs.append([s, a])
+        for j, (s, a) in enumerate(runs):
+            nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+            want.append((k, a, s, nxt))
+    assert got == sorted(want, key=repr)
