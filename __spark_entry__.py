@@ -1911,6 +1911,26 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof direction="nearest": each click carries the same
+    user's CLOSEST purchase in time (either direction; equidistant ties
+    take the backward match — pandas parity). Same single union-tag
+    shuffle as the directional as-of; the oracle picks per-click via a
+    LATERAL min-|Δt| subquery with the identical tie order."""
+    from orientdb_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purch, on="ts", by="user_id", direction="nearest"
+    ).select("event_id", "user_id", F.col("value").alias("nearest_purchase"))
+
+
 def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/temporal.py): clicks falling inside the
     30-minute attribution window before each purchase by the same user.
@@ -4174,6 +4194,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: grouped weighted draws + interval coalescing
             "weighted_groups": q_weighted_groups,
             "merge_intervals": q_merge_intervals,
+            # round 5: merge_asof nearest-direction parity
+            "asof_nearest": q_asof_nearest,
             # round 5: numeric prep (group-median impute / z-scores)
             "impute_median": q_impute_median,
             "standardize": q_standardize,
@@ -5013,6 +5035,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id % 13 = 0 GROUP BY user_id) "
             "SELECT user_id, est, exact, est >= exact AS over "
             "FROM est JOIN ex USING (user_id)"
+        ),
+        "asof_nearest": (
+            # per click: LATERAL pick of min |Δt|; ties order the earlier
+            # purchase first (= backward preference)
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT c.event_id, c.user_id, m.value AS nearest_purchase "
+            "FROM c LEFT JOIN LATERAL (SELECT p.value FROM p "
+            "WHERE p.user_id = c.user_id "
+            "ORDER BY abs(epoch(p.ts) - epoch(c.ts)), p.ts LIMIT 1) m ON true"
         ),
         "impute_median": (
             "WITH v AS (SELECT event_id, event_type, "

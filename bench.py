@@ -162,6 +162,8 @@ HEADLINE = [
     # temporal joins (union-window asof, bucketized range)
     "asof_join_events",
     "range_join_attribution",
+    # round-5 merge_asof nearest-direction parity (same single shuffle)
+    "asof_nearest",
     # round-2 TPC-H-shape completions
     "q4_order_priority",
     "q8_market_share",

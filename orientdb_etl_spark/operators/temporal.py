@@ -81,8 +81,16 @@ def asof_join(
     orders the right row first (visible to a same-ts left row), forward
     orders it last and scans with ``first`` over the following frame.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        # both candidates from ONE union-tagged window pass (backward
+        # layout: an equal-ts right row lands in the preceding frame with
+        # distance 0 and wins regardless); equidistant ties prefer the
+        # backward match, pandas merge_asof parity
+        return _asof_nearest(left, right, on, by, tolerance, right_cols, suffix)
     by = _as_list(by)
     rcols = right_cols or [c for c in right.columns if c != on and c not in by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
@@ -132,6 +140,89 @@ def asof_join(
             F.col("_m._on") >= F.col("_l." + on) - tol
             if direction == "backward"
             else F.col("_m._on") <= F.col("_l." + on) + tol
+        )
+        out = out.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & in_range, F.col("_m"))
+        )
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in rcols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by,
+    tolerance,
+    right_cols,
+    suffix: str,
+) -> DataFrame:
+    """merge_asof direction="nearest": same union-tag/single-shuffle
+    shape as the directional paths, but BOTH candidates (most recent
+    preceding, earliest following) come from the one sorted pass and the
+    smaller absolute distance wins — equidistant ties take the backward
+    match (pandas parity)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    by = _as_list(by)
+    rcols = right_cols or [c for c in right.columns if c != on and c not in by]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    pay = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in rcols]
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        pay.alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_t", "_side")
+    b = F.last("_pay", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = F.first("_pay", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        unioned.withColumn("_b", b)
+        .withColumn("_f", f)
+        .filter(F.col("_l").isNotNull())
+    )
+
+    is_ntz = isinstance(right.schema[on].dataType, TimestampNTZType)
+
+    def _num(c):
+        return (c.cast("timestamp") if is_ntz else c).cast("double")
+
+    lts = F.col("_l." + on)
+    bd = _num(lts) - _num(F.col("_b._on"))
+    fd = _num(F.col("_f._on")) - _num(lts)
+    chosen = (
+        F.when(F.col("_b").isNull(), F.col("_f"))
+        .when(F.col("_f").isNull(), F.col("_b"))
+        .when(bd <= fd, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    out = out.withColumn("_m", chosen)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        in_range = (F.col("_m._on") >= lts - tol) & (
+            F.col("_m._on") <= lts + tol
         )
         out = out.withColumn(
             "_m", F.when(F.col("_m").isNotNull() & in_range, F.col("_m"))

@@ -360,3 +360,47 @@ def test_cohort_retention_hand_computed(spark):
     assert got[(0, 2)] == (2, 1.0)   # both back in bucket 2
     assert got[(1, 0)] == (1, 1.0)   # user 3's own cohort
     assert len(got) == 4
+
+
+def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", direction="nearest"
+        ).collect()
+    }
+    # trade 1 @10:00: quotes at 09:59 (60s back) vs 10:05 (300s fwd) -> back
+    assert out[1] == 10.0
+    # trade 2 @10:05: exact-ts quote wins with distance 0
+    assert out[2] == 11.0
+    # trade 3 @10:01: only future quote 10:02 -> forward match
+    assert out[3] == 20.0
+    # no quotes for C at all
+    assert out[4] is None
+
+
+def test_asof_nearest_equidistant_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:10"))], "lid int, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), 1.0),
+         ("A", _ts("2024-01-01 10:00:20"), 2.0)],
+        "sym string, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="ts", by="sym", direction="nearest").first()
+    assert out.px == 1.0  # 10s either way -> backward wins (pandas parity)
+
+
+def test_asof_nearest_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", direction="nearest",
+            tolerance="INTERVAL 30 seconds",
+        ).collect()
+    }
+    assert out[1] is None   # nearest (60s) is beyond the 30s bound
+    assert out[2] == 11.0   # distance 0
