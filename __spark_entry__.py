@@ -1670,6 +1670,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom WWW'03): teleport mass flows
+    only to every-10th supplier, ranking the ships-to graph by proximity
+    to that seed set. Same join-agg loop as uniform PageRank; the SQL
+    oracle unrolls the identical recurrence with the seeded teleport
+    vector."""
+    from orientdb_etl_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .filter(F.col("id") % 10 == 0)
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=6, seeds=seeds)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank CTE chain — the exact seeded
+    recurrence of functions/graph.py:pagerank(seeds=...)."""
+    sql = (
+        "WITH e AS (SELECT DISTINCT l.l_suppkey AS src, "
+        "o.o_custkey + 1000000 AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1), "
+        "sc AS (SELECT count(*) AS ns FROM nodes "
+        "WHERE id % 10 = 0 AND id < 1000000), "
+        "tele AS (SELECT id, CASE WHEN id % 10 = 0 AND id < 1000000 "
+        "THEN 1.0 / sc.ns ELSE 0.0 END AS p FROM nodes, sc), "
+        "pr0 AS (SELECT id, p AS rank FROM tele)"
+    )
+    for i in range(1, iterations + 1):
+        sql += (
+            f", pr{i} AS (SELECT t.id, "
+            f"(1 - {damping}) * t.p + {damping} * coalesce(s.c, 0) AS rank "
+            f"FROM tele t LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(p.rank / d.deg) AS c "
+            f"FROM pr{i - 1} p JOIN deg d ON p.id = d.id "
+            f"JOIN e ON p.id = e.src GROUP BY e.dst) s ON t.id = s.id)"
+        )
+    return sql + f" SELECT id, round(rank, 6) AS rank FROM pr{iterations}"
+
+
 def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
     """Unrolled-iteration PageRank CTE chain (recursive CTEs disallow the
     grouped aggregate over the recursive reference, so unroll instead) —
@@ -4196,6 +4249,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "merge_intervals": q_merge_intervals,
             # round 5: merge_asof nearest-direction parity
             "asof_nearest": q_asof_nearest,
+            # round 5: personalized PageRank (seeded teleport)
+            "pagerank_personalized": q_pagerank_personalized,
             # round 5: numeric prep (group-median impute / z-scores)
             "impute_median": q_impute_median,
             "standardize": q_standardize,
@@ -5648,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.c_mktsegment"
         ),
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_personalized": _ppr_oracle_sql(),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_extendedprice), 2) AS sum_price, "

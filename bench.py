@@ -136,6 +136,8 @@ HEADLINE = [
     "topk_groups",
     # round-5 frontier BFS over the trade graph (join-expand per hop)
     "bfs_distances",
+    # round-5 personalized PageRank (seeded teleport, same loop)
+    "pagerank_personalized",
     # round-5 reshaping (Generate / Expand nodes, no shuffle)
     "explode_tokens",
     "unpivot_metrics",

@@ -112,6 +112,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 8,
     damping: float = 0.85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank → (id, rank).
 
@@ -125,6 +126,14 @@ def pagerank(
     deterministic and avoids a per-iteration driver action; the
     per-iteration ``localCheckpoint`` bounds lineage, which is what keeps
     iteration N's plan identical in size to iteration 1's at any scale.
+
+    ``seeds`` (a 1-column ``id`` frame) switches to PERSONALIZED
+    PageRank: teleport mass (1-d) flows only to the seed set (p(v) =
+    1/|S| on seeds, 0 elsewhere; r_0 = p), ranking vertices by proximity
+    to the seeds — the similar-entities/recommendation variant
+    (Jeh & Widom WWW'03). Same join-agg loop; the teleport vector is a
+    per-node column attached once, so the per-iteration cost is
+    identical to the uniform case.
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -135,11 +144,26 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if seeds is not None:
+        seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+        marked = nodes.join(
+            F.broadcast(seed_ids.withColumn("_s", F.lit(1))), "id", "left"
+        )
+        n_seeds = marked.filter(F.col("_s").isNotNull()).count()
+        if n_seeds == 0:
+            raise ValueError("seeds contain no vertex present in the graph")
+        nodes = marked.select(
+            "id",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("_p"),
+        ).localCheckpoint(eager=True)
+    else:
+        nodes = nodes.withColumn("_p", F.lit(1.0 / n_nodes))
     out_deg = e.groupBy(F.col("_src").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.col("_p").alias("rank"))
     for _ in range(iterations):
         contrib = (
             ranks.join(out_deg, "id")
@@ -155,9 +179,10 @@ def pagerank(
             nodes.join(contrib, "id", "left")
             .select(
                 "id",
-                (F.lit(base) + damping * F.coalesce(F.col("_in"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(1.0 - damping) * F.col("_p")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

@@ -320,3 +320,25 @@ def test_config_web_rebalance_example(spark):
     p2.register_table("pages", pages)
     ids2 = {r.doc_id for r in p2.run().outputs["web_rebalanced"].collect()}
     assert {r.doc_id for r in rows} == ids2
+
+
+def test_config_warehouse_analytics_example(spark):
+    """standardize → rollingAgg → scd2 chained from JSON config: the
+    history output carries validity intervals with exactly one open row
+    per user, and the intermediate columns flowed through."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-warehouse-analytics.json"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("events", ev)
+    out = p.run().outputs["user_history"]
+    rows = out.collect()
+    assert {"user_id", "event_type", "valid_from", "valid_to"} <= set(out.columns)
+    n_users = ev.select("user_id").distinct().count()
+    open_rows = [r for r in rows if r.valid_to is None]
+    assert len(open_rows) == n_users  # exactly one current version each
+    # intervals are well-formed
+    assert all(r.valid_to is None or r.valid_to > r.valid_from for r in rows)

@@ -197,3 +197,30 @@ def test_bfs_config_transformer(spark):
     ).register_table("e", edges).register_table("seeds", seeds)
     got = {(r.id, r.dist) for r in p.compile().collect()}
     assert got == {(0, 0), (1, 1)}
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    from orientdb_etl_spark.functions.graph import pagerank
+
+    # two disconnected 3-cycles; seeding only the first must leave the
+    # second with EXACTLY zero rank (no uniform teleport leakage)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.rank for r in pagerank(edges, iterations=8, seeds=seeds).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0 and got[12] == 0.0
+    assert got[0] > got[1] > 0  # seed holds the most mass; cycle spreads it
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # no dangling: mass conserved
+
+
+def test_personalized_pagerank_rejects_foreign_seeds(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    ghost = spark.createDataFrame([(99,)], "id long")
+    with pytest.raises(ValueError, match="no vertex"):
+        pagerank(edges, seeds=ghost)
