@@ -134,10 +134,10 @@ HEADLINE = [
     "hll_union",
     # round-5 grouped top-k (partial WindowGroupLimit)
     "topk_groups",
-    # round-5 frontier BFS over the trade graph (join-expand per hop)
+    # round-5 frontier BFS over the trade graph (join-expand per hop;
+    # 3 bounded hops with early stop — stays in the headline, unlike the
+    # fixed-iteration pagerank loops excluded below)
     "bfs_distances",
-    # round-5 personalized PageRank (seeded teleport, same loop)
-    "pagerank_personalized",
     # round-5 reshaping (Generate / Expand nodes, no shuffle)
     "explode_tokens",
     "unpivot_metrics",
