@@ -173,7 +173,14 @@ def pack_bloom_positions(pos: DataFrame, m_bits: int) -> "np.ndarray":
 
     if m_bits % 8 != 0:
         raise ValueError("m_bits must be a multiple of 8")
-    chunk_bits = min(m_bits, 1 << 23)  # 1 MiB chunks
+    # chunk sizing: cap at 1 MiB for driver-assembly granularity, but
+    # ALSO floor the chunk count at ~32 so the pack stage parallelizes —
+    # with a single chunk every position row would funnel through one
+    # applyInPandas task (the default 8 Mbit bitmap used to do exactly
+    # that). Chunk boundaries don't change the bitmap, only the split.
+    chunk_bits = min(1 << 23, max(1 << 16, m_bits // 32))
+    if m_bits % chunk_bits != 0:
+        chunk_bits = m_bits  # tiny/odd bitmaps: one chunk, correct > parallel
     bytes_per_chunk = chunk_bits // 8
     pos = pos.select(F.col(pos.columns[0]).alias("pos")).withColumn(
         "chunk", (F.col("pos") / chunk_bits).cast("long")

@@ -509,3 +509,36 @@ def test_bloom_prefilter_probe_runs_before_join(spark):
     )
     probe_at = plan.index("EvalPython")
     assert probe_at > join_at  # bottom-up text: deeper operators print later
+
+
+def test_scd2_three_windows_share_one_exchange(spark):
+    """The change-flag, run-id, and interval-close windows all use the
+    same (key, ts) partitioning — Catalyst must plan ONE hash exchange,
+    not three."""
+    from orientdb_etl_spark.operators.temporal import scd2_history
+
+    df = spark.range(1000).selectExpr(
+        "id % 20 AS k", "concat('v', id % 3) AS attr",
+        "timestamp_seconds(id) AS ts", "id AS oid"
+    )
+    plan = (
+        scd2_history(df, "k", "ts", ["attr"], ["oid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_merge_intervals_single_keyed_exchange_before_agg(spark):
+    """Running-max + island-id windows share one keyed exchange; the
+    per-island aggregation reuses the same partitioning (partial agg on
+    already-partitioned data adds no new wide exchange)."""
+    from orientdb_etl_spark.operators.temporal import merge_intervals
+
+    df = spark.range(1000).selectExpr("id % 20 AS k", "id AS s", "id + 5 AS e")
+    plan = (
+        merge_intervals(df, "k", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # windows: 1, agg: ≤1
+    assert "SinglePartition" not in plan

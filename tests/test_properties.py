@@ -327,3 +327,37 @@ def test_scd2_history_matches_python_run_collapse(spark, items):
             nxt = runs[j + 1][0] if j + 1 < len(runs) else None
             want.append((k, a, s, nxt))
     assert got == sorted(want, key=repr)
+
+
+_events_for_rolling = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=120),   # second (ties allowed)
+        st.integers(min_value=-5, max_value=5),    # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_events_for_rolling)
+@_settings
+def test_rolling_agg_matches_python_reference(spark, items):
+    """For ANY event set (ties included): every row's trailing-60s frame
+    equals the brute-force [t-60, t] filter per key — RANGE peers at
+    equal truncated seconds all included."""
+    from orientdb_etl_spark.operators.temporal import rolling_agg
+
+    rows = [(i, k, s, float(v)) for i, (k, s, v) in enumerate(items)]
+    df = spark.createDataFrame(
+        rows, "rid long, k long, sec long, v double"
+    ).selectExpr("rid", "k", "v", "sec", "timestamp_seconds(sec) AS ts")
+    got = {
+        r.rid: (r.n, r.s)
+        for r in rolling_agg(
+            df, "ts", ["k"], {"n": "count(1)", "s": "sum(v)"}, 60
+        ).collect()
+    }
+    for rid, k, sec, v in rows:
+        frame = [(v2) for _, k2, s2, v2 in rows if k2 == k and sec - 60 <= s2 <= sec]
+        assert got[rid] == (len(frame), sum(frame)), (rid, k, sec)
