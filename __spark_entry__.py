@@ -3384,6 +3384,39 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: two partial rollups of
+    orders (split by key range, each aggregated independently) merged by
+    state combination — the result must EQUAL the full re-aggregation,
+    which is exactly what the oracle computes. Merging touches
+    state-sized tables only, never the fact table twice."""
+    from orientdb_etl_spark.operators.relational import merge_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def part(pred):
+        return (
+            orders.filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_totalprice").alias("total"),
+                F.max("o_totalprice").alias("mx"),
+            )
+        )
+
+    base = part(F.col("o_orderkey") < 100_000)
+    delta = part(F.col("o_orderkey") >= 100_000)
+    merged = merge_rollup(
+        [base, delta],
+        ["o_orderpriority"],
+        {"n": "sum", "total": "sum", "mx": "max"},
+    )
+    return merged.select(
+        "o_orderpriority", "n", F.round("total", 2).alias("total"), "mx"
+    )
+
+
 def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-median NULL imputation: every 11th event's value is nulled
     deterministically, then filled from its event_type's exact median —
@@ -4251,6 +4284,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_nearest": q_asof_nearest,
             # round 5: personalized PageRank (seeded teleport)
             "pagerank_personalized": q_pagerank_personalized,
+            # round 5: incremental rollup maintenance (merge law)
+            "merge_rollup": q_merge_rollup,
             # round 5: numeric prep (group-median impute / z-scores)
             "impute_median": q_impute_median,
             "standardize": q_standardize,
@@ -5102,6 +5137,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM c LEFT JOIN LATERAL (SELECT p.value FROM p "
             "WHERE p.user_id = c.user_id "
             "ORDER BY abs(epoch(p.ts) - epoch(c.ts)), p.ts LIMIT 1) m ON true"
+        ),
+        "merge_rollup": (
+            # the FULL re-aggregation — merged partials must equal it
+            "SELECT o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS total, "
+            "max(o_totalprice) AS mx FROM orders GROUP BY o_orderpriority"
         ),
         "impute_median": (
             "WITH v AS (SELECT event_id, event_type, "

@@ -153,6 +153,8 @@ HEADLINE = [
     # round-5 numeric prep (group statistics broadcast back)
     "impute_median",
     "standardize",
+    # round-5 incremental rollup maintenance (state-sized merge)
+    "merge_rollup",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

@@ -242,3 +242,49 @@ def unpivot_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         cfg.get("varField", "variable"),
         cfg.get("valueField", "value"),
     )
+
+
+def merge_rollup(
+    parts: list[DataFrame],
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Merge partial aggregate tables into the rollup of their union —
+    incremental materialized-view maintenance: aggregate each new
+    partition/day ONCE, then combine states instead of re-scanning
+    history. ``merges`` maps each state column to its combiner:
+    ``"sum"`` (counts and sums), ``"min"``/``"max"``. Averages must be
+    carried as (sum, count) state pairs and divided after the merge —
+    avg states do not combine, which is why this function refuses a
+    mean combiner outright. The merge law (merge of partials == rollup
+    of the whole) is exactly CMS/HLL linearity applied to relational
+    states, and the gate row pins it against a full re-aggregation.
+
+    Plan: union of the (already tiny) partial tables + one groupBy —
+    state-sized work, never data-sized.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {c: m for c, m in merges.items() if m not in allowed}
+    if bad:
+        raise ValueError(
+            f"unmergeable combiners {bad}: only {sorted(allowed)} states "
+            "combine (carry avg as sum+count and divide after)"
+        )
+    if not parts:
+        raise ValueError("merge_rollup needs at least one partial table")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    aggs = [getattr(F, m)(c).alias(c) for c, m in merges.items()]
+    return out.groupBy(*keys).agg(*aggs)
+
+
+@register("mergeRollup")
+def merge_rollup_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"mergeRollup": {"tables": ["day1_agg"], "keys":
+    ["k"], "merges": {"n": "sum", "total": "sum", "mx": "max"}}} — the
+    pipeline frame is one partial; ``tables`` name the others."""
+    others = [ctx.tables[t] for t in cfg.get("tables", [])]
+    return merge_rollup([df, *others], list(cfg["keys"]), dict(cfg["merges"]))

@@ -199,3 +199,29 @@ def test_unpivot_transformer_melt(spark):
     ).register_table("t", df)
     got = sorted((r.k, r.metric, r.v) for r in p.compile().collect())
     assert got == [(1, "qty", 10.0), (1, "tax", 0.5)]
+
+
+def test_merge_rollup_law_and_refusals(spark):
+    """merge(partials) == rollup(whole), for arbitrary splits; avg-style
+    states are refused outright."""
+    import pytest
+
+    from orientdb_etl_spark.operators.relational import merge_rollup
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+
+    parts = [agg(df.filter(f"id % 3 = {i}")) for i in range(3)]
+    merged = merge_rollup(parts, ["k"], {"n": "sum", "s": "sum", "mn": "min", "mx": "max"})
+    whole = agg(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    with pytest.raises(ValueError, match="unmergeable"):
+        merge_rollup(parts, ["k"], {"n": "avg"})
+    with pytest.raises(ValueError, match="at least one"):
+        merge_rollup([], ["k"], {"n": "sum"})
