@@ -3384,6 +3384,23 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity check: plant re-keyed copies of every 10th doc,
+    hash-split the corpus, and surface the fingerprints whose copies
+    straddle splits. One fingerprint groupBy — no pair materialization.
+    The oracle replays the identical plant + split + group."""
+    from orientdb_etl_spark.functions.dedup import split_leakage
+    from orientdb_etl_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    split = hash_split(corpus, "doc_id", {"train": 0.8, "val": 0.2})
+    return split_leakage(split, "split", "text", "doc_id")
+
+
 def q_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: two partial rollups of
     orders (split by key range, each aggregated independently) merged by
@@ -4286,6 +4303,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pagerank_personalized": q_pagerank_personalized,
             # round 5: incremental rollup maintenance (merge law)
             "merge_rollup": q_merge_rollup,
+            # round 5: cross-split exact-dup leakage check
+            "split_leakage": q_split_leakage,
             # round 5: numeric prep (group-median impute / z-scores)
             "impute_median": q_impute_median,
             "standardize": q_standardize,
@@ -5137,6 +5156,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM c LEFT JOIN LATERAL (SELECT p.value FROM p "
             "WHERE p.user_id = c.user_id "
             "ORDER BY abs(epoch(p.ts) - epoch(c.ts)), p.ts LIMIT 1) m ON true"
+        ),
+        "split_leakage": (
+            # identical plant + hash-split + fingerprint group
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "sp AS (SELECT doc_id, text, CASE WHEN "
+            "((doc_id + 42) % 1000003) * 2654435761 % 1000000 < 800000 "
+            "THEN 'train' ELSE 'val' END AS split FROM corpus), "
+            "g AS (SELECT md5(trim(regexp_replace(regexp_replace("
+            "lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) "
+            "AS fingerprint, split, doc_id FROM sp) "
+            "SELECT fingerprint, count(*) AS n_docs, "
+            "list_sort(list_distinct(list(split))) AS splits, "
+            "list_sort(list(doc_id)) AS doc_ids "
+            "FROM g GROUP BY fingerprint HAVING len(list_distinct(list(split))) > 1"
         ),
         "merge_rollup": (
             # the FULL re-aggregation — merged partials must equal it

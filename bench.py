@@ -155,6 +155,8 @@ HEADLINE = [
     "standardize",
     # round-5 incremental rollup maintenance (state-sized merge)
     "merge_rollup",
+    # round-5 cross-split leakage check (fingerprint group, no pairs)
+    "split_leakage",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

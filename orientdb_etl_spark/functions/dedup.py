@@ -1107,3 +1107,41 @@ def semantic_dedup(
         .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate leakage across train/val/test splits: canonical
+    fingerprints (case/whitespace/punctuation-invariant) whose documents
+    appear in MORE THAN ONE split — the eval-integrity check every split
+    assignment should pass before a benchmark number is trusted (a doc
+    memorized from train and echoed in val inflates eval silently;
+    complement of `decontaminate`, which checks against an EXTERNAL eval
+    set).
+
+    Returns one row per leaking fingerprint: (fingerprint, n_docs,
+    splits sorted, doc_ids sorted). Plan: ONE groupBy on the fingerprint
+    (map-side partial agg); no pair materialization — a fingerprint
+    duplicated k times across splits costs one k-sized group, never k²
+    pairs. An empty result is the passing state.
+    """
+    from orientdb_etl_spark.functions.text import doc_fingerprint
+
+    return (
+        df.select(
+            doc_fingerprint(text_col).alias("fingerprint"),
+            F.col(split_col).alias("_split"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set("_split")).alias("splits"),
+            F.array_sort(F.collect_list("_id")).alias("doc_ids"),
+        )
+        .filter(F.size("splits") > 1)
+    )

@@ -1357,3 +1357,30 @@ def test_html_to_text_sql_twin_byte_identical(spark):
     con.executemany("INSERT INTO c VALUES (?, ?)", [(i, c) for i, c in enumerate(cases)])
     got_duck = dict(con.execute(f"SELECT id, {html_to_text_sql('h')} FROM c").fetchall())
     assert got_spark == got_duck
+
+
+def test_split_leakage_detects_cross_split_dups_only(spark):
+    from orientdb_etl_spark.functions.dedup import split_leakage
+
+    rows = [
+        (1, "train", "The Quick   Brown fox!"),   # dup of 2 ACROSS splits
+        (2, "val", "the quick brown fox"),        # (case/space/punct differ)
+        (3, "train", "same split twin"),          # dup of 4 WITHIN train
+        (4, "train", "same split twin"),
+        (5, "val", "a unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = split_leakage(df, "split").collect()
+    assert len(got) == 1  # within-split dup and unique doc do NOT leak
+    assert got[0].doc_ids == [1, 2] and got[0].splits == ["train", "val"]
+    assert got[0].n_docs == 2
+
+
+def test_split_leakage_empty_is_passing_state(spark):
+    from orientdb_etl_spark.functions.dedup import split_leakage
+
+    df = spark.createDataFrame(
+        [(1, "train", "alpha"), (2, "val", "beta")],
+        "doc_id long, split string, text string",
+    )
+    assert split_leakage(df, "split").count() == 0
