@@ -3384,6 +3384,45 @@ def q_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value (32 replicas,
+    hash-ladder weights) — 2B aggregates over ONE scan, replica means
+    sorted in-plan. The oracle regenerates the identical weight ladder
+    per replica from the same thresholds."""
+    from orientdb_etl_spark.functions.profiling import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_ci(ev, "value", "event_id", B=32)
+
+
+def _bootstrap_oracle_sql(B: int = 32, seed: int = 42, alpha: float = 0.05) -> str:
+    """DuckDB twin of q_bootstrap_ci, generated from the SAME Poisson
+    inverse-CDF thresholds (profiling._POISSON_PPM)."""
+    from orientdb_etl_spark.functions.profiling import _POISSON_PPM
+
+    def ladder(b: int) -> str:
+        u = f"((event_id + {seed + 131 * b}) % 1000003) * 2654435761 % 1000000"
+        whens = " ".join(
+            f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POISSON_PPM)
+        )
+        return f"(CASE {whens} ELSE {len(_POISSON_PPM)} END)"
+
+    sums = ", ".join(
+        f"sum({ladder(b)} * v) AS wx{b}, sum({ladder(b)}) AS w{b}"
+        for b in range(B)
+    )
+    ratios = ", ".join(f"wx{b} / w{b}" for b in range(B))
+    lo = int(alpha / 2 * B) + 1
+    hi = B - int(alpha / 2 * B)
+    return (
+        "WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id FROM events), "
+        f"s AS (SELECT avg(v) AS mean, {sums} FROM u), "
+        f"m AS (SELECT mean, list_sort([{ratios}]) AS ms FROM s) "
+        f"SELECT round(mean, 4) AS mean, round(ms[{lo}], 4) AS ci_lo, "
+        f"round(ms[{hi}], 4) AS ci_hi, {B} AS n_replicas FROM m"
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-integrity check: plant re-keyed copies of every 10th doc,
     hash-split the corpus, and surface the fingerprints whose copies
@@ -4305,6 +4344,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "merge_rollup": q_merge_rollup,
             # round 5: cross-split exact-dup leakage check
             "split_leakage": q_split_leakage,
+            # round 5: Poisson-bootstrap mean CI (one-scan replicas)
+            "bootstrap_ci": q_bootstrap_ci,
             # round 5: numeric prep (group-median impute / z-scores)
             "impute_median": q_impute_median,
             "standardize": q_standardize,
@@ -5157,6 +5198,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.user_id = c.user_id "
             "ORDER BY abs(epoch(p.ts) - epoch(c.ts)), p.ts LIMIT 1) m ON true"
         ),
+        "bootstrap_ci": _bootstrap_oracle_sql(),
         "split_leakage": (
             # identical plant + hash-split + fingerprint group
             "WITH corpus AS (SELECT doc_id, text FROM documents "

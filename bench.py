@@ -157,6 +157,8 @@ HEADLINE = [
     "merge_rollup",
     # round-5 cross-split leakage check (fingerprint group, no pairs)
     "split_leakage",
+    # round-5 Poisson-bootstrap CI (2B aggregates, one scan)
+    "bootstrap_ci",
     # round-5 percentile winsorization (scalar-attach clip)
     "winsorize",
     "multimodal_frames",

@@ -554,6 +554,71 @@ def apply_snapshot_diff(
     return kept.unionByName(replaced)
 
 
+# P(Poisson(1) <= k) thresholds in parts-per-million — the inverse-CDF
+# ladder that turns a hash-uniform draw into a deterministic Poisson(1)
+# weight (truncated at 5: P(>5) ≈ 6e-5/5!, documented). Shared verbatim
+# with the SQL oracle generator.
+_POISSON_PPM = [367879, 735759, 919699, 981012, 996340]
+
+
+def _poisson_weight(id_col: str, b: int, seed: int) -> F.Column:
+    from orientdb_etl_spark.functions.sampling import hash_bucket
+
+    u = hash_bucket(id_col, 1_000_000, seed + 131 * b)
+    w = F.lit(len(_POISSON_PPM))
+    for k in reversed(range(len(_POISSON_PPM))):
+        w = F.when(u < _POISSON_PPM[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    B: int = 32,
+    alpha: float = 0.05,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Percentile confidence interval for the MEAN via the Poisson
+    bootstrap (Chamandy et al., Google 2012 — the bootstrap that
+    distributes: each replica reweights every row by an independent
+    Poisson(1) count, so no replica needs to know n or draw jointly).
+    Randomness is the deterministic id-hash ladder, so replicas replay
+    identically on any cluster layout and in the SQL twin.
+
+    ONE aggregation pass: all B replicas' (Σwx, Σw) pairs are computed
+    as 2B aggregate expressions over a single scan (map-side partials) —
+    never B scans, never a B× row explosion. The B replica means then
+    sort in-plan (array_sort over a 1-row array) and the CI bounds are
+    element picks. Returns one row: (mean, ci_lo, ci_hi, n_replicas).
+
+    NULL values contribute nothing (sum ignores them) — filter upstream
+    if NULLs should invalidate the estimate. Poisson weights truncate at
+    5 (P ≈ 6e-5 per draw), identically in both engines.
+    """
+    if B < 4:
+        raise ValueError(f"B must be >= 4, got {B}")
+    v = F.col(value_col).cast("double")
+    aggs = [F.avg(v).alias("_mean")]
+    for b in range(B):
+        w = _poisson_weight(id_col, b, seed).cast("double")
+        aggs.append(F.sum(w * v).alias(f"_wx_{b}"))
+        aggs.append(F.sum(w).alias(f"_w_{b}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(*[F.col(f"_wx_{b}") / F.col(f"_w_{b}") for b in range(B)])
+    )
+    lo_i = int(alpha / 2 * B) + 1            # 1-based element_at
+    hi_i = B - int(alpha / 2 * B)
+    return one.select(
+        F.round("_mean", round_to).alias("mean"),
+        F.round(F.element_at(means, lo_i), round_to).alias("ci_lo"),
+        F.round(F.element_at(means, hi_i), round_to).alias("ci_hi"),
+        F.lit(B).alias("n_replicas"),
+    )
+
+
 def histogram(df: DataFrame, value_col: str, bins: int = 20) -> DataFrame:
     """Equi-width histogram: one scalar min/max aggregation broadcast
     back, then ``width_bucket`` as a pure expression and one grouped

@@ -315,3 +315,31 @@ def test_correlation_matrix_known_values(spark):
     assert got[("a", "c")] == -1.0
     assert got[("b", "c")] == -1.0
     assert len(got) == 3  # upper triangle only
+
+
+def test_bootstrap_ci_brackets_truth_and_narrows_with_n(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.profiling import bootstrap_ci
+
+    small = spark.range(200).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    big = spark.range(20_000).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    rs = bootstrap_ci(small, "v", "id", B=32).first()
+    rb = bootstrap_ci(big, "v", "id", B=32).first()
+    # the CI brackets the sample mean and the true 49.5
+    assert rs.ci_lo <= rs.mean <= rs.ci_hi
+    assert rs.ci_lo < 49.5 < rs.ci_hi
+    assert rb.ci_lo < 49.5 < rb.ci_hi
+    # 100x more data -> markedly narrower interval
+    assert (rb.ci_hi - rb.ci_lo) < (rs.ci_hi - rs.ci_lo) / 3
+    with pytest.raises(ValueError, match="B must be"):
+        bootstrap_ci(small, "v", "id", B=2)
+
+
+def test_bootstrap_ci_deterministic_and_partition_invariant(spark):
+    from orientdb_etl_spark.functions.profiling import bootstrap_ci
+
+    df = spark.range(1000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    a = bootstrap_ci(df, "v", "id", B=16).first()
+    b = bootstrap_ci(df.repartition(13), "v", "id", B=16).first()
+    assert (a.mean, a.ci_lo, a.ci_hi) == (b.mean, b.ci_lo, b.ci_hi)
