@@ -596,6 +596,11 @@ def bootstrap_ci(
     NULL values contribute nothing (sum ignores them) — filter upstream
     if NULLs should invalidate the estimate. Poisson weights truncate at
     5 (P ≈ 6e-5 per draw), identically in both engines.
+
+    Quantile granularity is 1/B: at the default B=32 the 95% bounds are
+    the extreme order statistics (conservative — wider than nominal);
+    raise B toward ~200 for tight quantiles. Cost is linear in B (2B
+    aggregate expressions), still one scan.
     """
     if B < 4:
         raise ValueError(f"B must be >= 4, got {B}")
