@@ -4091,6 +4091,63 @@ def q_sample_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split").limit(50)
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test between purchase and click event
+    values — ONE conditional-aggregate pass (no per-group scans); the
+    oracle replays the identical moment arithmetic."""
+    from orientdb_etl_spark.functions.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", "value", "purchase", "click")
+
+
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope per second,
+    intercept, r²) via covar_samp/var_samp closed form — one grouped
+    aggregation pass; x is floor-epoch seconds on both engines."""
+    from orientdb_etl_spark.functions.stats import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return group_trend(
+        ev, ["event_type"], F.col("ts").cast("long").cast("double"), "value"
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of purchase values against click values
+    (10 reference-range buckets, PSI_EPS floor): the snapshot-drift gate.
+    Bucket arithmetic mirrors the histogram oracle verbatim."""
+    from orientdb_etl_spark.functions.stats import psi
+
+    ev = _t(spark, sf_dir, "events")
+    return psi(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        bins=10,
+    )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between signup and error values,
+    computed relationally: per-distinct-value counts, one ordered window
+    over the aggregated frame, scalar max ECDF gap + 5% critical value."""
+    from orientdb_etl_spark.functions.stats import ks_2sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_2sample(ev, "event_type", "value", "signup", "error")
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue within each order priority —
+    rank-formula Gini in one keyed exchange (rank window and aggregate
+    share the partitioning); tie order provably cancels out."""
+    from orientdb_etl_spark.functions.stats import gini
+
+    orders = _t(spark, sf_dir, "orders")
+    return gini(orders, ["o_orderpriority"], "o_totalprice")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4366,6 +4423,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # hash-checked here
             "link_multivalue": q_link_multivalue,
             "stream_sliding_2h": q_stream_sliding_2h,
+            # round 5 (late): inferential stats / drift family
+            "welch_ttest": q_welch_ttest,
+            "group_trend": q_group_trend,
+            "psi_drift": q_psi_drift,
+            "ks_test": q_ks_test,
+            "gini_concentration": q_gini_concentration,
         }
     )
     return out
@@ -6309,6 +6372,97 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok, "
             "TRUE AS exact_stage_keeps_min_ok "
             "FROM corpus"
+        ),
+        "welch_ttest": (
+            # identical conditional-moment arithmetic, one pass
+            "WITH s AS (SELECT "
+            "count(CASE WHEN event_type = 'purchase' THEN value END) AS n_a, "
+            "count(CASE WHEN event_type = 'click' THEN value END) AS n_b, "
+            "avg(CASE WHEN event_type = 'purchase' THEN value END) AS ma, "
+            "avg(CASE WHEN event_type = 'click' THEN value END) AS mb, "
+            "var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS va, "
+            "var_samp(CASE WHEN event_type = 'click' THEN value END) AS vb "
+            "FROM events) "
+            "SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, "
+            "round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat, "
+            "round(pow(va / n_a + vb / n_b, 2) / "
+            "(pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 2) "
+            "AS welch_df, "
+            "abs((ma - mb) / sqrt(va / n_a + vb / n_b)) > 1.96 AS significant "
+            "FROM s"
+        ),
+        "group_trend": (
+            # covar_samp/var_samp closed form; x = floor-epoch seconds
+            "WITH g AS (SELECT event_type, "
+            "count(CASE WHEN ts IS NOT NULL AND value IS NOT NULL THEN 1 END) "
+            "AS n, "
+            "covar_samp(CAST(floor(epoch(ts)) AS DOUBLE), value) AS cov, "
+            "var_samp(CAST(floor(epoch(ts)) AS DOUBLE)) AS vx, "
+            "var_samp(value) AS vy, "
+            "avg(CAST(floor(epoch(ts)) AS DOUBLE)) AS mx, avg(value) AS my "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, n, round(cov / vx, 6) AS slope, "
+            "round(my - (cov / vx) * mx, 6) AS intercept, "
+            "round(CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2 "
+            "FROM g WHERE n >= 3 AND vx > 0"
+        ),
+        "psi_drift": (
+            # reference-range buckets: the histogram arithmetic verbatim,
+            # clamped into end buckets; PSI_EPS floor on proportions
+            "WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, "
+            "CAST(max(value) AS DOUBLE) AS mx, count(value) AS nr "
+            "FROM events WHERE event_type = 'click'), "
+            "nc AS (SELECT count(value) AS ncur FROM events "
+            "WHERE event_type = 'purchase'), "
+            "rb AS (SELECT CASE WHEN mn = mx THEN 1 ELSE "
+            "greatest(least(CAST(floor((value - mn) / (mx - mn) * 10) + 1 "
+            "AS INTEGER), 10), 1) END AS bucket "
+            "FROM events, s WHERE event_type = 'click' AND value IS NOT NULL), "
+            "cb AS (SELECT CASE WHEN mn = mx THEN 1 ELSE "
+            "greatest(least(CAST(floor((value - mn) / (mx - mn) * 10) + 1 "
+            "AS INTEGER), 10), 1) END AS bucket "
+            "FROM events, s WHERE event_type = 'purchase' "
+            "AND value IS NOT NULL), "
+            "r AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1), "
+            "c AS (SELECT bucket, count(*) AS n_cur FROM cb GROUP BY 1), "
+            "j AS (SELECT bucket, "
+            "greatest(coalesce(n_ref, 0) / nr, 0.000001) AS p_ref, "
+            "greatest(coalesce(n_cur, 0) / ncur, 0.000001) AS p_cur "
+            "FROM r FULL OUTER JOIN c USING (bucket), s, nc) "
+            "SELECT bucket, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur, "
+            "round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term, "
+            "round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6) "
+            "AS psi_total FROM j"
+        ),
+        "ks_test": (
+            "WITH pv AS (SELECT value AS v, "
+            "count(CASE WHEN event_type = 'signup' THEN 1 END) AS ca, "
+            "count(CASE WHEN event_type = 'error' THEN 1 END) AS cb "
+            "FROM events WHERE event_type IN ('signup', 'error') "
+            "AND value IS NOT NULL GROUP BY value), "
+            "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+            "CAST(sum(cb) AS BIGINT) AS n_b FROM pv), "
+            "c AS (SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) "
+            "AS fa, sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb "
+            "FROM pv), "
+            "d AS (SELECT n_a, n_b, max(abs(fa / n_a - fb / n_b)) AS dd "
+            "FROM c, t GROUP BY n_a, n_b) "
+            "SELECT n_a, n_b, round(dd, 6) AS d_stat, "
+            "round(1.358 * sqrt((n_a + n_b) / (n_a * n_b)), 6) AS d_crit, "
+            "dd > 1.358 * sqrt((n_a + n_b) / (n_a * n_b)) AS significant "
+            "FROM d"
+        ),
+        "gini_concentration": (
+            # rank-formula Gini; tie order cancels (equal x swap freely)
+            "WITH r AS (SELECT o_orderpriority, o_totalprice AS x, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice) AS i "
+            "FROM orders WHERE o_totalprice IS NOT NULL), "
+            "g AS (SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, "
+            "sum(i * x) AS six FROM r GROUP BY 1) "
+            "SELECT o_orderpriority, n, "
+            "round(CASE WHEN sx <> 0 THEN 2.0 * six / (n * sx) "
+            "- (n + 1) / n END, 6) AS gini FROM g"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain
