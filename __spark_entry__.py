@@ -4091,6 +4091,58 @@ def q_sample_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split").limit(50)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback EWMA of event values per user (alpha=0.3,
+    lookback=8, event_id tiebreak) — 8 lag() expressions over ONE keyed
+    exchange; the oracle replays the identical Python-float weight
+    literals (see _ewma_oracle)."""
+    from orientdb_etl_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(
+        ev, "user_id", "ts", "value", alpha=0.3, lookback=8, tiebreak="event_id"
+    ).select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint flags on event values per user
+    (k=0.5, h=3): the sequential max(0, S+z-k) recursion in its closed
+    running-sum-minus-running-min window form — one keyed exchange, no
+    stateful scan."""
+    from orientdb_etl_spark.operators.temporal import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, "user_id", "ts", "value", k=0.5, h=3.0, tiebreak="event_id"
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "changepoint",
+    )
+
+
+def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
+    """DuckDB twin of q_ewma: the SAME (1-alpha)^i Python float reprs as
+    ewma() passes to F.lit, so the engines share bit-identical weights."""
+    num, den = [], []
+    for i in range(lookback):
+        w = repr((1.0 - alpha) ** i)
+        x = "value" if i == 0 else f"lag(value, {i}) OVER w"
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN ({x}) * {w} ELSE 0.0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return (
+        "WITH b AS (SELECT event_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events), "
+        "t AS (SELECT event_id, user_id, "
+        f"({' + '.join(num)}) AS num, ({' + '.join(den)}) AS den "
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)) "
+        "SELECT event_id, user_id, "
+        "round(CASE WHEN den > 0 THEN num / den END, 6) AS ewma FROM t"
+    )
+
+
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch unequal-variance t-test between purchase and click event
     values — ONE conditional-aggregate pass (no per-group scans); the
@@ -4425,6 +4477,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_sliding_2h": q_stream_sliding_2h,
             # round 5 (late): inferential stats / drift family
             "welch_ttest": q_welch_ttest,
+            "ewma": q_ewma,
+            "cusum": q_cusum,
             "group_trend": q_group_trend,
             "psi_drift": q_psi_drift,
             "ks_test": q_ks_test,
@@ -6372,6 +6426,29 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok, "
             "TRUE AS exact_stage_keeps_min_ok "
             "FROM corpus"
+        ),
+        "ewma": _ewma_oracle(),
+        "cusum": (
+            # closed-form CUSUM: cumsum minus running min, same windows
+            "WITH b AS (SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events), "
+            "s AS (SELECT *, avg(value) OVER (PARTITION BY user_id) AS mu, "
+            "stddev_samp(value) OVER (PARTITION BY user_id) AS sd FROM b), "
+            "z AS (SELECT event_id, user_id, es, "
+            "CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END AS z "
+            "FROM s), "
+            "c AS (SELECT event_id, user_id, es, "
+            "sum(z - 0.5) OVER w AS cp, sum(-z - 0.5) OVER w AS cn FROM z "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "m AS (SELECT event_id, user_id, "
+            "cp - least(0.0, min(cp) OVER w2) AS s_pos, "
+            "cn - least(0.0, min(cn) OVER w2) AS s_neg FROM c "
+            "WINDOW w2 AS (PARTITION BY user_id ORDER BY es, event_id "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT event_id, user_id, round(s_pos, 6) AS s_pos, "
+            "round(s_neg, 6) AS s_neg, "
+            "(s_pos > 3.0) OR (s_neg > 3.0) AS changepoint FROM m"
         ),
         "welch_ttest": (
             # identical conditional-moment arithmetic, one pass

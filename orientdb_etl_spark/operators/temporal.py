@@ -685,3 +685,145 @@ def cohort_retention_transformer(
         df, cfg["userField"], cfg["on"],
         int(cfg.get("bucketSeconds", 7 * 86400)),
     )
+
+
+def _epoch_order(ts_col: str, tiebreak: str | None) -> list[Column]:
+    """Deterministic window order: floor-epoch seconds (the NTZ-safe
+    double cast, same as :func:`rolling_agg`) plus an explicit tiebreak
+    column — with tied timestamps and no tiebreak, lag/cumsum windows
+    are nondeterministic across runs and engines."""
+    order = [F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)")]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    return order
+
+
+def ewma(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    lookback: int = 8,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing
+    ``lookback`` observations per key (the pandas ``ewm(adjust=True)``
+    form truncated to a bounded window):
+
+        y_t = sum_i (1-a)^i * x_{t-i} / sum_i (1-a)^i  (i over present lags)
+
+    Missing lags at a series head (and NULL values) drop out of BOTH the
+    numerator and the normalizer, so early rows are exact EWMAs of the
+    history that exists — no warm-up bias.
+
+    A bounded window is the scale-safe choice: the unbounded recursive
+    EWMA needs sequential per-key state (a stateful scan), while this
+    form is ``lookback`` lag() expressions over ONE keyed exchange —
+    whole-stage-codegen'd, spillable, identical semantics in any engine
+    with window lags. At (1-a)=0.7 and lookback=8 the truncation error
+    is <= 0.7^8 ~ 5.8% of the tail weight, and weights are Python float
+    literals so engines cannot disagree on them.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    keys = _as_list(keys)
+    w = Window.partitionBy(*keys).orderBy(*_epoch_order(ts_col, tiebreak))
+    v = F.col(value_col).cast("double")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for i in range(lookback):
+        weight = (1.0 - alpha) ** i
+        x = v if i == 0 else F.lag(v, i).over(w)
+        num = num + F.when(x.isNotNull(), x * F.lit(weight)).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col, F.when(den > 0, num / den).otherwise(F.lit(None))
+    )
+
+
+@register("ewma")
+def ewma_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"ewma": {"by": ["user_id"], "on": "ts",
+    "valueField": "value", "alpha": 0.3, "lookback": 8,
+    "tiebreak": "event_id", "output": "ewma"}}"""
+    return ewma(
+        df,
+        keys=cfg.get("by") or [],
+        ts_col=cfg["on"],
+        value_col=cfg["valueField"],
+        alpha=float(cfg.get("alpha", 0.3)),
+        lookback=int(cfg.get("lookback", 8)),
+        tiebreak=cfg.get("tiebreak"),
+        out_col=cfg.get("output", "ewma"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection per key (Page 1954): standardized
+    deviations accumulate in S+/S- and a row is flagged once either side
+    exceeds ``h``; ``k`` is the slack (in sigma units) absorbing noise.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + z_t - k)`` is
+    sequential, but has the closed window form
+
+        S_t = C_t - min(0, min_{j<=t} C_j),   C_t = sum_{j<=t} (z_j - k)
+
+    so the whole detector is: per-key mean/stddev (full-frame window),
+    one running sum, one running min per side — all over the SAME keyed
+    exchange (one shuffle total), no stateful scan, engine-portable.
+    Zero-variance keys standardize to z = 0 and never flag.
+
+    Appends ``s_pos``, ``s_neg``, ``changepoint``.
+    """
+    keys = _as_list(keys)
+    full = Window.partitionBy(*keys)
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*_epoch_order(ts_col, tiebreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col).cast("double")
+    mu = F.avg(v).over(full)
+    sd = F.stddev_samp(v).over(full)
+    z = F.when(sd > 0, (v - mu) / sd).otherwise(F.lit(0.0))
+    out = df.withColumn("_zp", z - F.lit(k)).withColumn("_zn", -z - F.lit(k))
+    for side, acc in (("s_pos", "_zp"), ("s_neg", "_zn")):
+        # materialize C first: a running-min OVER a running-sum would be
+        # an (illegal) nested window expression
+        out = out.withColumn(f"_c{side}", F.sum(acc).over(run)).withColumn(
+            side,
+            F.col(f"_c{side}")
+            - F.least(F.lit(0.0), F.min(f"_c{side}").over(run)),
+        )
+    return (
+        out.drop("_zp", "_zn", "_cs_pos", "_cs_neg")
+        .withColumn(
+            "changepoint", (F.col("s_pos") > h) | (F.col("s_neg") > h)
+        )
+    )
+
+
+@register("cusum")
+def cusum_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"cusum": {"by": ["user_id"], "on": "ts",
+    "valueField": "value", "k": 0.5, "h": 5.0, "tiebreak": "event_id"}}"""
+    return cusum_changepoints(
+        df,
+        keys=cfg.get("by") or [],
+        ts_col=cfg["on"],
+        value_col=cfg["valueField"],
+        k=float(cfg.get("k", 0.5)),
+        h=float(cfg.get("h", 5.0)),
+        tiebreak=cfg.get("tiebreak"),
+    )

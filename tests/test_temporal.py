@@ -404,3 +404,110 @@ def test_asof_nearest_tolerance(spark):
     }
     assert out[1] is None   # nearest (60s) is beyond the 30s bound
     assert out[2] == 11.0   # distance 0
+
+
+# ---------------------------------------------------------------------------
+# ewma / cusum_changepoints
+# ---------------------------------------------------------------------------
+
+
+def _series(spark, vals, key="k"):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (key, i, base + timedelta(minutes=i), None if v is None else float(v))
+            for i, v in enumerate(vals)
+        ],
+        "k string, i int, ts timestamp, v double",
+    )
+
+
+def test_ewma_matches_hand_weights(spark):
+    from orientdb_etl_spark.operators.temporal import ewma
+
+    df = _series(spark, [1, 2, 3])
+    rows = {
+        r.i: r.ewma
+        for r in ewma(df, "k", "ts", "v", alpha=0.5, tiebreak="i").collect()
+    }
+    assert abs(rows[0] - 1.0) < 1e-12
+    assert abs(rows[1] - (2 + 0.5 * 1) / 1.5) < 1e-12
+    assert abs(rows[2] - (3 + 0.5 * 2 + 0.25 * 1) / 1.75) < 1e-12
+
+
+def test_ewma_skips_null_lags_in_normalizer(spark):
+    from orientdb_etl_spark.operators.temporal import ewma
+
+    df = _series(spark, [1, None, 3])
+    rows = {
+        r.i: r.ewma
+        for r in ewma(df, "k", "ts", "v", alpha=0.5, tiebreak="i").collect()
+    }
+    # at i=2: lag1 is NULL -> excluded from numerator AND normalizer
+    assert abs(rows[2] - (3 + 0.25 * 1) / 1.25) < 1e-12
+    assert rows[1] == 1.0  # only the lag-1 history exists
+
+
+def test_ewma_bounded_lookback(spark):
+    from orientdb_etl_spark.operators.temporal import ewma
+
+    df = _series(spark, list(range(10)))
+    rows = ewma(df, "k", "ts", "v", alpha=0.5, lookback=2, tiebreak="i").collect()
+    last = [r.ewma for r in sorted(rows, key=lambda r: r.i)][-1]
+    # only x_9 and x_8 participate
+    assert abs(last - (9 + 0.5 * 8) / 1.5) < 1e-12
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    import statistics
+
+    from orientdb_etl_spark.operators.temporal import cusum_changepoints
+
+    vals = [0.0] * 10 + [5.0] * 5
+    df = _series(spark, vals)
+    out = {
+        r.i: r
+        for r in cusum_changepoints(
+            df, "k", "ts", "v", k=0.5, h=3.0, tiebreak="i"
+        ).collect()
+    }
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert abs(out[i].s_pos - sp) < 1e-9, i
+        assert abs(out[i].s_neg - sn) < 1e-9, i
+        assert out[i].changepoint == (sp > 3.0 or sn > 3.0)
+    # the level shift must actually fire the detector
+    assert any(out[i].changepoint for i in range(10, 15))
+    assert not any(out[i].changepoint for i in range(10))
+
+
+def test_cusum_zero_variance_never_flags(spark):
+    from orientdb_etl_spark.operators.temporal import cusum_changepoints
+
+    df = _series(spark, [7.0] * 8)
+    rows = cusum_changepoints(df, "k", "ts", "v", tiebreak="i").collect()
+    assert all(r.s_pos == 0.0 and r.s_neg == 0.0 for r in rows)
+    assert not any(r.changepoint for r in rows)
+
+
+def test_ewma_cusum_transformers(spark):
+    from orientdb_etl_spark.context import PipelineContext
+    from orientdb_etl_spark.operators import get_transformer
+
+    df = _series(spark, [1, 2, 3, 10])
+    ctx = PipelineContext(spark)
+    e = get_transformer("ewma")(
+        ctx, df, {"by": ["k"], "on": "ts", "valueField": "v", "tiebreak": "i"}
+    )
+    assert "ewma" in e.columns and e.count() == 4
+    c = get_transformer("cusum")(
+        ctx, df, {"by": ["k"], "on": "ts", "valueField": "v", "tiebreak": "i"}
+    )
+    assert {"s_pos", "s_neg", "changepoint"} <= set(c.columns)
