@@ -4143,6 +4143,33 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
     )
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit over three real FK edges
+    plus one deliberately broken one (parent restricted to even
+    suppkeys) — distinct-key LEFT joins, orphan counts, ok flags."""
+    from orientdb_etl_spark.functions.expectations import referential_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return referential_audit(
+        [
+            {"name": "lineitem.l_orderkey -> orders", "child": li,
+             "fk": "l_orderkey", "parent": orders, "pk": "o_orderkey"},
+            {"name": "orders.o_custkey -> customer", "child": orders,
+             "fk": "o_custkey", "parent": cust, "pk": "c_custkey"},
+            {"name": "supplier.s_nationkey -> nation", "child": supp,
+             "fk": "s_nationkey", "parent": nation, "pk": "n_nationkey"},
+            {"name": "lineitem.l_suppkey -> supplier[even]", "child": li,
+             "fk": "l_suppkey",
+             "parent": supp.filter(F.col("s_suppkey") % 2 == 0),
+             "pk": "s_suppkey"},
+        ]
+    )
+
+
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch unequal-variance t-test between purchase and click event
     values — ONE conditional-aggregate pass (no per-group scans); the
@@ -4477,6 +4504,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_sliding_2h": q_stream_sliding_2h,
             # round 5 (late): inferential stats / drift family
             "welch_ttest": q_welch_ttest,
+            "fk_audit": q_fk_audit,
             "ewma": q_ewma,
             "cusum": q_cusum,
             "group_trend": q_group_trend,
@@ -6426,6 +6454,34 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok, "
             "TRUE AS exact_stage_keeps_min_ok "
             "FROM corpus"
+        ),
+        "fk_audit": (
+            # one LEFT-join-against-distinct-keys scalar block per edge
+            "WITH a AS (SELECT count(*) AS n_rows, count(l_orderkey) AS nn, "
+            "count(CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL THEN 1 "
+            "END) AS no FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey "
+            "AS pk FROM orders) p ON l_orderkey = p.pk), "
+            "b AS (SELECT count(*) AS n_rows, count(o_custkey) AS nn, "
+            "count(CASE WHEN o_custkey IS NOT NULL AND pk IS NULL THEN 1 "
+            "END) AS no FROM orders LEFT JOIN (SELECT DISTINCT c_custkey "
+            "AS pk FROM customer) p ON o_custkey = p.pk), "
+            "c AS (SELECT count(*) AS n_rows, count(s_nationkey) AS nn, "
+            "count(CASE WHEN s_nationkey IS NOT NULL AND pk IS NULL THEN 1 "
+            "END) AS no FROM supplier LEFT JOIN (SELECT DISTINCT "
+            "n_nationkey AS pk FROM nation) p ON s_nationkey = p.pk), "
+            "d AS (SELECT count(*) AS n_rows, count(l_suppkey) AS nn, "
+            "count(CASE WHEN l_suppkey IS NOT NULL AND pk IS NULL THEN 1 "
+            "END) AS no FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey "
+            "AS pk FROM supplier WHERE s_suppkey % 2 = 0) p "
+            "ON l_suppkey = p.pk) "
+            "SELECT 'lineitem.l_orderkey -> orders' AS \"constraint\", "
+            "n_rows, nn AS n_nonnull, no AS n_orphans, no = 0 AS ok FROM a "
+            "UNION ALL SELECT 'orders.o_custkey -> customer', "
+            "n_rows, nn, no, no = 0 FROM b "
+            "UNION ALL SELECT 'supplier.s_nationkey -> nation', "
+            "n_rows, nn, no, no = 0 FROM c "
+            "UNION ALL SELECT 'lineitem.l_suppkey -> supplier[even]', "
+            "n_rows, nn, no, no = 0 FROM d"
         ),
         "ewma": _ewma_oracle(),
         "cusum": (

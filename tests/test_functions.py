@@ -1384,3 +1384,37 @@ def test_split_leakage_empty_is_passing_state(spark):
         "doc_id long, split string, text string",
     )
     assert split_leakage(df, "split").count() == 0
+
+
+def test_referential_audit_counts_orphans(spark):
+    from orientdb_etl_spark.functions.expectations import referential_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    rows = referential_audit(
+        [
+            {"name": "child.fk -> parent", "child": child, "fk": "fk",
+             "parent": parent, "pk": "pk"},
+            {"name": "self", "child": parent, "fk": "pk",
+             "parent": parent, "pk": "pk"},
+        ]
+    ).collect()
+    r = {x.constraint: x for x in rows}
+    a = r["child.fk -> parent"]
+    # NULL fk is not an orphan (SQL FK semantics); 99 is
+    assert (a.n_rows, a.n_nonnull, a.n_orphans, a.ok) == (4, 3, 1, False)
+    b = r["self"]
+    assert (b.n_orphans, b.ok) == (0, True)
+
+
+def test_referential_audit_duplicate_parents_not_double_counted(spark):
+    from orientdb_etl_spark.functions.expectations import referential_audit
+
+    child = spark.createDataFrame([(1, 10)], "id int, fk int")
+    parent = spark.createDataFrame([(10,), (10,), (10,)], "pk int")
+    row = referential_audit(
+        [{"child": child, "fk": "fk", "parent": parent, "pk": "pk"}]
+    ).collect()[0]
+    assert (row.n_rows, row.n_orphans) == (1, 0)
