@@ -4143,6 +4143,28 @@ def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: part names with one
+    deterministically deleted character fuzzy-joined back to the part
+    table at d=1 via lossless PassJoin segment blocking (equi-join on
+    segments, no cross join — plan-asserted in tests); the oracle IS the
+    brute-force cross join + levenshtein filter, which the blocking must
+    reproduce exactly."""
+    from orientdb_etl_spark.functions.linkage import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    variants = part.select(
+        (F.col("p_partkey") + 1_000_000).alias("v_id"),
+        F.expr(
+            "concat(substring(p_name, 1, p_partkey % length(p_name)), "
+            "substring(p_name, p_partkey % length(p_name) + 2))"
+        ).alias("v_name"),
+    )
+    return fuzzy_join(
+        variants, part, "v_name", "p_name", "v_id", "p_partkey", max_dist=1
+    )
+
+
 def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit over three real FK edges
     plus one deliberately broken one (parent restricted to even
@@ -4504,6 +4526,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_sliding_2h": q_stream_sliding_2h,
             # round 5 (late): inferential stats / drift family
             "welch_ttest": q_welch_ttest,
+            "fuzzy_join": q_fuzzy_join,
             "fk_audit": q_fk_audit,
             "ewma": q_ewma,
             "cusum": q_cusum,
@@ -6454,6 +6477,17 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS survivors_le_distinct_ok, TRUE AS survivors_nonempty_ok, "
             "TRUE AS exact_stage_keeps_min_ok "
             "FROM corpus"
+        ),
+        "fuzzy_join": (
+            # the oracle is deliberately the BRUTE-FORCE join the
+            # PassJoin blocking claims to equal
+            "WITH v AS (SELECT p_partkey + 1000000 AS v_id, "
+            "substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) "
+            "|| substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) "
+            "+ 2) AS v_name FROM part) "
+            "SELECT v_id, p_partkey, v_name, p_name, "
+            "levenshtein(v_name, p_name) AS dist FROM v, part "
+            "WHERE levenshtein(v_name, p_name) <= 1"
         ),
         "fk_audit": (
             # one LEFT-join-against-distinct-keys scalar block per edge
