@@ -3629,6 +3629,29 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, sources, max_hops=3)
 
 
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """35-core of the customer↔supplier trade graph (same bipartite
+    construction as bfs_distances): iterative Matula–Beck peeling until
+    no vertex of in-subgraph degree < 35 remains. The oracle is the SAME
+    peel unrolled to 8 fixed rounds (kcore_rounds_sql — one Python
+    generator emits both engines' SQL-shaped recursion; peeling is
+    monotone, so any round count ≥ the data's peel depth — measured 2 at
+    every SF — gives the identical fixpoint)."""
+    from orientdb_etl_spark.functions.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore(pairs, k=35)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4534,6 +4557,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "psi_drift": q_psi_drift,
             "ks_test": q_ks_test,
             "gini_concentration": q_gini_concentration,
+            # round 5 (late): k-core decomposition (unrolled-peel oracle)
+            "kcore_trade": q_kcore_trade,
         }
     )
     return out
@@ -6635,4 +6660,21 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain
     # decontamination oracle (same hits, same counts)
     sql["bloom_decontam"] = sql["decontaminate"]
+    # k-core oracle: the same peel unrolled to 8 fixed rounds by the ONE
+    # Python generator both engines share (peel depth measured 2 at every
+    # SF; monotone peeling makes extra rounds no-ops)
+    from orientdb_etl_spark.functions.graph import kcore_rounds_sql
+
+    sql["kcore_trade"] = kcore_rounds_sql(
+        35,
+        rounds=8,
+        materialized=True,
+        edges_cte=(
+            "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
+            "l_suppkey + 1000000 AS s FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey) "
+            "SELECT c AS src, s AS dst FROM pairs "
+            "UNION ALL SELECT s, c FROM pairs"
+        ),
+    )
     return sql

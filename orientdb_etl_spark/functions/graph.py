@@ -299,3 +299,111 @@ def bfs_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
         id_col=cfg.get("idField", "id"),
         max_hops=int(cfg.get("maxHops", 10)),
     )
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected simple-graph normal form: both orientations of every
+    edge, self-loops dropped, duplicates collapsed — the input contract
+    for :func:`kcore` (and the same shape triangle_count builds
+    internally). One distinct (= one shuffle)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core: the maximal subgraph in which every vertex has degree
+    >= k, by iterative peeling (Matula–Beck) — drop all vertices of
+    degree < k, recompute degrees, repeat to fixpoint. Returns
+    ``(node, degree)`` with each survivor's degree INSIDE the core.
+
+    Each round is one hash-aggregate (degrees) + two semi-joins (keep
+    edges whose both endpoints survive) over the shrinking edge frame —
+    all shuffled on the vertex key, so at cluster scale the edge frame
+    keeps one partitioning across rounds. ``localCheckpoint`` truncates
+    lineage; the loop exits when a round removes nothing (the fixpoint —
+    running further rounds is a no-op, which is what lets a
+    fixed-round unrolled oracle replay it, see :func:`kcore_rounds_sql`).
+    Random graphs converge in a handful of rounds; ``max_iter`` caps
+    adversarial chains.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = symmetrize(edges, src, dst).localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(int(max_iter)):
+        if n_edges == 0:
+            break
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("src").alias("_v"))
+        )
+        nxt = (
+            cur.join(keep, cur["src"] == keep["_v"], "left_semi")
+            .join(keep.select(F.col("_v").alias("_w")),
+                  cur["dst"] == F.col("_w"), "left_semi")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        cur, n_edges = nxt, n_nxt
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def kcore_rounds_sql(
+    k: int, rounds: int, edges_cte: str, materialized: bool = False
+) -> str:
+    """The SAME peeling unrolled to ``rounds`` fixed rounds as portable
+    SQL (Spark SQL and DuckDB both run it verbatim) — the oracle twin of
+    :func:`kcore`. ``edges_cte`` must yield the symmetrized distinct
+    (src, dst) frame. Because peeling is monotone, any round count at or
+    past the fixpoint gives the identical answer, so the oracle only
+    needs ``rounds`` >= the data's peel depth (tests pin that margin).
+
+    ``materialized=True`` emits ``AS MATERIALIZED`` CTEs (DuckDB syntax;
+    Spark SQL rejects it) — REQUIRED for DuckDB beyond ~3 rounds: its
+    optimizer inlines each CTE at every reference site, and each round
+    references the previous one three times, so plain CTEs re-expand the
+    base scan 3^rounds times (observed as "Too many open files" at
+    rounds=8). Spark materializes per-round via the engine path instead;
+    the plain form is only used in small cross-engine tests.
+    """
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [f"e0 AS {mat}({edges_cte})"]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"n{r} AS {mat}(SELECT src AS v FROM e{r-1} "
+            f"GROUP BY src HAVING count(*) >= {int(k)})"
+        )
+        parts.append(
+            f"e{r} AS {mat}(SELECT e.src, e.dst FROM e{r-1} e "
+            f"JOIN n{r} a ON e.src = a.v JOIN n{r} b ON e.dst = b.v)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src AS node, count(*) AS degree FROM e{rounds} GROUP BY src"
+    )
+
+
+@register("kcore")
+def kcore_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"kcore": {"k": 3, "src": "src", "dst": "dst",
+    "maxIter": 30}} — the pipeline frame is the edge list."""
+    return kcore(
+        df,
+        k=int(cfg["k"]),
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        max_iter=int(cfg.get("maxIter", 30)),
+    )

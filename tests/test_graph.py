@@ -224,3 +224,53 @@ def test_personalized_pagerank_rejects_foreign_seeds(spark):
     ghost = spark.createDataFrame([(99,)], "id long")
     with pytest.raises(ValueError, match="no vertex"):
         pagerank(edges, seeds=ghost)
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    from orientdb_etl_spark.functions.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    out = {r.node: r.degree for r in kcore(_edges(spark, clique + tail), 3).collect()}
+    # K5 survives at k=3 with in-core degree 4; the pendant chain peels
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_path_fully_peels_multiround(spark):
+    from orientdb_etl_spark.functions.graph import kcore
+
+    path = [(i, i + 1) for i in range(9)]
+    assert kcore(_edges(spark, path), 2).count() == 0
+
+
+def test_kcore_k1_drops_only_isolated_selfloops(spark):
+    from orientdb_etl_spark.functions.graph import kcore
+
+    out = kcore(_edges(spark, [(1, 2), (3, 3)]), 1)
+    assert {r.node for r in out.collect()} == {1, 2}
+
+
+def test_kcore_matches_unrolled_sql(spark):
+    from orientdb_etl_spark.functions.graph import kcore, kcore_rounds_sql, symmetrize
+
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(60)] + [
+        (a, b) for a in range(6) for b in range(6) if a < b
+    ]
+    e = _edges(spark, pairs)
+    symmetrize(e).createOrReplaceTempView("kc_edges")
+    # rounds=3 > the graph's measured peel depth of 2; keep it small in
+    # Spark — plain (non-MATERIALIZED) CTEs are inlined at each of the 3
+    # reference sites per round, so the plan grows 3^rounds
+    sql = kcore_rounds_sql(4, rounds=3, edges_cte="SELECT src, dst FROM kc_edges")
+    expect = {(r.node, r.degree) for r in spark.sql(sql).collect()}
+    got = {(r.node, r.degree) for r in kcore(e, 4).collect()}
+    assert got == expect and len(got) > 0
