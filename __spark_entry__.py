@@ -3652,6 +3652,22 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(pairs, k=35)
 
 
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level association rules (support / confidence / lift) over
+    brand-level order baskets — exact Apriori pair mining with the
+    lossless frequent-item prefilter. min_pair_count=300 keeps 205 of
+    the 300 possible brand pairs at sf0.01, so the HAVING floor does
+    real filtering in both engines."""
+    from orientdb_etl_spark.functions.basket import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return frequent_pairs(baskets, "basket", "item", min_pair_count=300)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4559,6 +4575,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gini_concentration": q_gini_concentration,
             # round 5 (late): k-core decomposition (unrolled-peel oracle)
             "kcore_trade": q_kcore_trade,
+            # round 5 (late): pair-level association rules (Apriori)
+            "frequent_pairs": q_frequent_pairs,
         }
     )
     return out
@@ -6643,6 +6661,25 @@ def oracle_sql() -> dict[str, str]:
             "round(1.358 * sqrt((n_a + n_b) / (n_a * n_b)), 6) AS d_crit, "
             "dd > 1.358 * sqrt((n_a + n_b) / (n_a * n_b)) AS significant "
             "FROM d"
+        ),
+        "frequent_pairs": (
+            # exact pair-level association rules; item counts over the FULL
+            # basket set (prefilter is lossless, result-invisible)
+            "WITH baskets AS (SELECT DISTINCT l_orderkey AS basket, "
+            "p_brand AS item FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey), "
+            "nb AS (SELECT count(DISTINCT basket) AS n FROM baskets), "
+            "item_n AS (SELECT item, count(*) AS n FROM baskets GROUP BY item), "
+            "pairs AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "count(*) AS pair_n FROM baskets a "
+            "JOIN baskets b ON a.basket = b.basket AND a.item < b.item "
+            "GROUP BY 1, 2 HAVING count(*) >= 300) "
+            "SELECT item_a, item_b, pair_n, ia.n AS n_a, ib.n AS n_b, "
+            "round(pair_n / CAST(nb.n AS DOUBLE), 6) AS support, "
+            "round(pair_n / CAST(ia.n AS DOUBLE), 6) AS confidence_ab, "
+            "round(pair_n * CAST(nb.n AS DOUBLE) / (ia.n * ib.n), 6) AS lift "
+            "FROM pairs JOIN item_n ia ON pairs.item_a = ia.item "
+            "JOIN item_n ib ON pairs.item_b = ib.item CROSS JOIN nb"
         ),
         "gini_concentration": (
             # rank-formula Gini; tie order cancels (equal x swap freely)
