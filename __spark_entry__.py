@@ -3668,6 +3668,29 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(baskets, "basket", "item", min_pair_count=300)
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (event_id tiebreak — the fixture has colliding timestamps): counts
+    plus row-normalized next-event probabilities."""
+    from orientdb_etl_spark.operators.temporal import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(
+        ev, "user_id", "event_type", "ts", tiebreak="event_id"
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers over their order history (recency
+    from the dataset max order date, frequency = order count, monetary =
+    summed total price at cents precision), scored 1..5 by exact
+    quantile bucket — scalar-attach scoring, no global-ntile window."""
+    from orientdb_etl_spark.operators.temporal import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice", k=5)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4577,6 +4600,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kcore_trade": q_kcore_trade,
             # round 5 (late): pair-level association rules (Apriori)
             "frequent_pairs": q_frequent_pairs,
+            # round 5 (late): Markov transitions + RFM segmentation
+            "transitions": q_transitions,
+            "rfm_segments": q_rfm_segments,
         }
     )
     return out
@@ -6680,6 +6706,45 @@ def oracle_sql() -> dict[str, str]:
             "round(pair_n * CAST(nb.n AS DOUBLE) / (ia.n * ib.n), 6) AS lift "
             "FROM pairs JOIN item_n ia ON pairs.item_a = ia.item "
             "JOIN item_n ib ON pairs.item_b = ib.item CROSS JOIN nb"
+        ),
+        "transitions": (
+            # lead() over the identical deterministic (epoch, event_id)
+            # order; probabilities row-normalized per from_state
+            "WITH steps AS (SELECT event_type AS from_state, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY floor(epoch(ts)), event_id) AS to_state FROM events), "
+            "c AS (SELECT from_state, to_state, count(*) AS n FROM steps "
+            "WHERE to_state IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT c.from_state, c.to_state, n, "
+            "round(n / CAST(tot AS DOUBLE), 6) AS p "
+            "FROM c JOIN t USING (from_state)"
+        ),
+        "rfm_segments": (
+            # same exact interpolated quantile boundaries + strictly-above
+            # counting as quantile_buckets; ties share the LOWER bucket in
+            # both engines (the reason this scoring is portable and a
+            # global ntile is not)
+            "WITH per AS (SELECT o_custkey AS entity, "
+            "max(floor(epoch(CAST(o_orderdate AS TIMESTAMP)))) AS _last, "
+            "count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary "
+            "FROM orders GROUP BY 1), "
+            "mx AS (SELECT max(_last) AS m FROM per), "
+            "base AS (SELECT entity, CAST(m - _last AS BIGINT) AS recency_s, "
+            "frequency, monetary FROM per CROSS JOIN mx), "
+            "q AS (SELECT "
+            "quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS qr, "
+            "quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf, "
+            "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS qm FROM base) "
+            "SELECT entity, recency_s, frequency, monetary, "
+            "5 - len(list_filter(qr, b -> recency_s > b)) AS r_score, "
+            "len(list_filter(qf, b -> frequency > b)) + 1 AS f_score, "
+            "len(list_filter(qm, b -> monetary > b)) + 1 AS m_score, "
+            "CAST(5 - len(list_filter(qr, b -> recency_s > b)) AS VARCHAR) "
+            "|| '-' || CAST(len(list_filter(qf, b -> frequency > b)) + 1 "
+            "AS VARCHAR) || '-' || "
+            "CAST(len(list_filter(qm, b -> monetary > b)) + 1 AS VARCHAR) "
+            "AS segment FROM base CROSS JOIN q"
         ),
         "gini_concentration": (
             # rank-formula Gini; tie order cancels (equal x swap freely)

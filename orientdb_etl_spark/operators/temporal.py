@@ -827,3 +827,131 @@ def cusum_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
         h=float(cfg.get("h", 5.0)),
         tiebreak=cfg.get("tiebreak"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    seq_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-sequence event
+    streams: for every consecutive (state, next-state) step within a
+    sequence, the count ``n`` and the row-normalized probability
+    ``p = n / Σ n over the same from_state`` — the "what happens after
+    X?" table behind next-event dashboards and behavioral clustering.
+
+    Plan shape: ONE window (lag/lead shuffles once on the sequence key —
+    the same partitioning every per-sequence operator here reuses), one
+    map-side-combinable pair count, and a from_state total that is tiny
+    (|states|² ceiling) and broadcasts back. Ties in ``ts_col`` make
+    lead() nondeterministic, so pass ``tiebreak`` whenever timestamps
+    can collide (the gate always does).
+    """
+    w = Window.partitionBy(seq_col).orderBy(*_epoch_order(ts_col, tiebreak))
+    steps = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .withColumn("p", F.round(F.col("n") / F.col("_tot"), round_to))
+        .drop("_tot")
+    )
+
+
+@register("transitions")
+def transitions_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"transitions": {"by": "user_id", "stateField":
+    "event_type", "on": "ts", "tiebreak": "event_id"}}"""
+    return transition_counts(
+        df,
+        seq_col=cfg["by"],
+        state_col=cfg["stateField"],
+        ts_col=cfg["on"],
+        tiebreak=cfg.get("tiebreak"),
+        round_to=int(cfg.get("round", 6)),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes '94, the retention-marketing staple):
+    per entity, Recency (seconds since its last event, measured from the
+    dataset's max event time), Frequency (event count) and Monetary
+    (summed value, rounded to cents), each scored 1..k by exact
+    k-quantile bucket — k is best on every axis (most recent / most
+    frequent / highest spend) — plus the concatenated segment label.
+
+    Scale shape: one per-entity aggregation (map-side combinable), one
+    single-row max that broadcasts back, then three
+    :func:`~orientdb_etl_spark.functions.sampling.quantile_bucket`
+    scalar-attach passes over the (already tiny relative to events)
+    per-entity frame — NO global-ORDER-BY ntile window anywhere, so
+    nothing funnels through one task. Quantile ties share a bucket
+    (identically in the SQL twin), which is what makes the scoring
+    engine-portable; ntile's equal-count split is not.
+    """
+    from orientdb_etl_spark.functions.sampling import quantile_bucket
+
+    per = df.groupBy(F.col(id_col).alias("entity")).agg(
+        F.max(F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(value_col), 2).alias("monetary"),
+    )
+    mx = per.agg(F.max("_last").alias("_mx"))
+    per = (
+        per.join(F.broadcast(mx))
+        .withColumn("recency_s", (F.col("_mx") - F.col("_last")).cast("long"))
+        .drop("_mx", "_last")
+    )
+    per = quantile_bucket(per, "recency_s", k, "_rb")
+    per = quantile_bucket(per, "frequency", k, "_fb")
+    per = quantile_bucket(per, "monetary", k, "_mb")
+    r = (F.lit(k) - F.col("_rb")).alias("r_score")  # longest-ago bucket -> 1
+    f_ = (F.col("_fb") + 1).alias("f_score")
+    m = (F.col("_mb") + 1).alias("m_score")
+    return per.select(
+        "entity",
+        "recency_s",
+        "frequency",
+        "monetary",
+        r,
+        f_,
+        m,
+        F.concat_ws(
+            "-",
+            (F.lit(k) - F.col("_rb")),
+            (F.col("_fb") + 1),
+            (F.col("_mb") + 1),
+        ).alias("segment"),
+    )
+
+
+@register("rfm")
+def rfm_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"rfm": {"idField": "user_id", "on": "ts",
+    "valueField": "value", "k": 5}}"""
+    return rfm_segments(
+        df,
+        id_col=cfg["idField"],
+        ts_col=cfg["on"],
+        value_col=cfg["valueField"],
+        k=int(cfg.get("k", 5)),
+    )

@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from orientdb_etl_spark.operators.temporal import rfm_segments, transition_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# transition_counts
+# ---------------------------------------------------------------------------
+
+
+def test_transitions_counts_and_probs(spark):
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T00:01:00"), "cart", 0.0),
+        (1, _t("2026-01-01T00:02:00"), "buy", 0.0),
+        (2, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (2, _t("2026-01-01T00:01:00"), "view", 0.0),
+        (2, _t("2026-01-01T00:02:00"), "cart", 0.0),
+    ]
+    out = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_counts(
+            _ev(spark, rows), "user_id", "event_type", "ts"
+        ).collect()
+    }
+    assert out == {
+        ("view", "cart"): (2, 0.666667),
+        ("view", "view"): (1, 0.333333),
+        ("cart", "buy"): (1, 1.0),
+    }
+
+
+def test_transitions_no_cross_sequence_steps(spark):
+    # last event of user 1 must NOT chain into first event of user 2
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "a", 0.0),
+        (2, _t("2026-01-01T00:01:00"), "b", 0.0),
+    ]
+    assert (
+        transition_counts(_ev(spark, rows), "user_id", "event_type", "ts").count()
+        == 0
+    )
+
+
+def test_transitions_tiebreak_orders_equal_timestamps(spark):
+    t0 = _t("2026-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [(1, t0, "a", 1), (1, t0, "b", 2), (1, t0, "c", 3)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {
+        (r.from_state, r.to_state)
+        for r in transition_counts(
+            df, "user_id", "event_type", "ts", tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_and_segment(spark):
+    # 4 users with strictly increasing recency/frequency/monetary spread
+    rows = []
+    for u in range(1, 5):
+        for j in range(u):  # frequency = u
+            rows.append((u, _t(f"2026-01-0{u}T00:00:00"), "e", 10.0 * u))
+    out = {r.entity: r for r in
+           rfm_segments(_ev(spark, rows), "user_id", "ts", "value", k=2).collect()}
+    # user 4: most recent, most frequent, highest spend -> best on all axes
+    assert out[4].segment == "2-2-2"
+    assert out[1].segment == "1-1-1"
+    assert out[4].frequency == 4 and out[4].monetary == pytest.approx(160.0)
+    # user with the latest event has recency 0
+    assert out[4].recency_s == 0
+    for r in out.values():
+        assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+
+
+def test_rfm_bucket_ties_share_a_bucket(spark):
+    # all users identical -> every metric sits ON the quantile boundary,
+    # ties go to the LOWER bucket in every engine
+    rows = [(u, _t("2026-01-01T00:00:00"), "e", 5.0) for u in (1, 2, 3)]
+    segs = {r.segment for r in
+            rfm_segments(_ev(spark, rows), "user_id", "ts", "value", k=2).collect()}
+    assert segs == {"2-1-1"}  # recency 0 = best bucket; freq/monetary tie low
+
+
+def test_rfm_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "e", 1.0),
+        (2, _t("2026-01-02T00:00:00"), "e", 2.0),
+    ]
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"rfm": {"idField": "user_id", "on": "ts",
+                         "valueField": "value", "k": 2}}
+            ],
+            "loader": {"memory": {"view": "res"}},
+        },
+        spark=spark,
+    ).register_table("t", _ev(spark, rows))
+    assert p.run().outputs["res"].count() == 2
+
+
+def test_transitions_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "a", 0.0),
+        (1, _t("2026-01-01T00:01:00"), "b", 0.0),
+    ]
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"transitions": {"by": "user_id", "stateField": "event_type",
+                                 "on": "ts"}}
+            ],
+            "loader": {"memory": {"view": "res"}},
+        },
+        spark=spark,
+    ).register_table("t", _ev(spark, rows))
+    got = p.run().outputs["res"].collect()
+    assert len(got) == 1 and got[0].p == 1.0
