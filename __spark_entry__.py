@@ -3691,6 +3691,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice", k=5)
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing retail price
+    and size jointly — the distributed threshold plan (per-x aggregate +
+    range-partitioned exclusive prefix-min, no pairwise join); the
+    oracle is the literal NOT EXISTS dominance definition."""
+    from orientdb_etl_spark.operators.relational import skyline2d
+
+    part = _t(spark, sf_dir, "part")
+    return skyline2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4603,6 +4618,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (late): Markov transitions + RFM segmentation
             "transitions": q_transitions,
             "rfm_segments": q_rfm_segments,
+            # round 5 (late): 2-D skyline / Pareto frontier
+            "skyline_parts": q_skyline_parts,
         }
     )
     return out
@@ -6745,6 +6762,16 @@ def oracle_sql() -> dict[str, str]:
             "AS VARCHAR) || '-' || "
             "CAST(len(list_filter(qm, b -> monetary > b)) + 1 AS VARCHAR) "
             "AS segment FROM base CROSS JOIN q"
+        ),
+        "skyline_parts": (
+            # the literal dominance definition; the Spark plan's
+            # threshold decomposition must reproduce it exactly
+            "SELECT p_partkey, p_retailprice, p_size FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b "
+            "WHERE b.p_retailprice <= a.p_retailprice "
+            "AND b.p_size <= a.p_size "
+            "AND (b.p_retailprice < a.p_retailprice "
+            "OR b.p_size < a.p_size))"
         ),
         "gini_concentration": (
             # rank-formula Gini; tie order cancels (equal x swap freely)

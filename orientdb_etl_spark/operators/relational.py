@@ -288,3 +288,101 @@ def merge_rollup_transformer(
     pipeline frame is one partial; ``tables`` name the others."""
     others = [ctx.tables[t] for t in cfg.get("tables", [])]
     return merge_rollup([df, *others], list(cfg["keys"]), dict(cfg["merges"]))
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    minimize_y: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01): the rows
+    no other row dominates, where q dominates p iff q is <= p on both
+    axes (after direction normalization) and strictly better on at least
+    one. Duplicate points are both kept (neither dominates the other);
+    rows with a NULL on either axis are excluded (dominance undefined).
+
+    Plan shape — the 2-D case needs NO pairwise join and NO global
+    window. A point p is dominated iff
+
+      min(y over x' < x)  <= y    OR    min(y over x' = x)  <  y
+
+    Both thresholds come from the per-distinct-x frame (one hash
+    aggregation). The strictly-smaller-x running minimum is computed
+    DISTRIBUTED: range-partition the per-x frame, take each partition's
+    exclusive local running min (a window partitioned BY partition id —
+    never a single-task global window), collect only the per-partition
+    minima (<= shuffle-partition count rows, the same bounded-driver
+    discipline as the streaming bucket-id collect) and broadcast their
+    exclusive prefix back. Thresholds then join to the input on x —
+    co-partitioned with the aggregation's own shuffle. Works unchanged
+    at any row count; only |distinct x| touches the prefix machinery.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    sx = F.col(x_col) if minimize_x else (-F.col(x_col))
+    sy = F.col(y_col) if minimize_y else (-F.col(y_col))
+    keyed = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("_sx", sx.cast("double"))
+        .withColumn("_sy", sy.cast("double"))
+    )
+    perx = keyed.groupBy("_sx").agg(F.min("_sy").alias("_ymin"))
+    n = int(
+        partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        perx.repartitionByRange(n, "_sx")
+        .sortWithinPartitions("_sx")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_sx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lm", F.min("_ymin").over(w)).localCheckpoint()
+    # bounded driver state: one row per range partition
+    pid_mins = {
+        r["_pid"]: r["_m"]
+        for r in local.groupBy("_pid").agg(F.min("_ymin").alias("_m")).collect()
+    }
+    pref_rows, acc = [], None
+    for pid in sorted(pid_mins):
+        pref_rows.append((pid, acc))
+        acc = pid_mins[pid] if acc is None else min(acc, pid_mins[pid])
+    pref = spark.createDataFrame(pref_rows, "_pid int, _pref double")
+    thresholds = (
+        local.join(F.broadcast(pref), "_pid", "left")
+        .select(
+            "_sx",
+            "_ymin",
+            F.least(F.col("_lm"), F.col("_pref")).alias("_mlt"),
+        )
+    )
+    survivors = (
+        keyed.join(thresholds, "_sx")
+        .filter(
+            (F.col("_mlt").isNull() | (F.col("_mlt") > F.col("_sy")))
+            & (F.col("_ymin") >= F.col("_sy"))
+        )
+    )
+    return survivors.drop("_sx", "_sy", "_ymin", "_mlt")
+
+
+@register("skyline")
+def skyline_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"skyline": {"x": "p_retailprice", "y": "p_size",
+    "maximizeX": false, "maximizeY": false}}."""
+    return skyline2d(
+        df,
+        x_col=cfg["x"],
+        y_col=cfg["y"],
+        minimize_x=not cfg.get("maximizeX", False),
+        minimize_y=not cfg.get("maximizeY", False),
+        partitions=int(cfg["partitions"]) if "partitions" in cfg else None,
+    )
