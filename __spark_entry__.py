@@ -3706,6 +3706,17 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) classification of parts by summed lineitem
+    revenue — integer-cents running sum over the distributed prefix
+    (range partition + bounded per-partition-total collect), classes
+    decided on the 6dp-rounded cumulative share in both engines."""
+    from orientdb_etl_spark.operators.relational import abc_classes
+
+    li = _t(spark, sf_dir, "lineitem")
+    return abc_classes(li, ["l_partkey"], "l_extendedprice")
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4620,6 +4631,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rfm_segments": q_rfm_segments,
             # round 5 (late): 2-D skyline / Pareto frontier
             "skyline_parts": q_skyline_parts,
+            # round 5 (late): ABC classification (cumulative Pareto classes)
+            "abc_parts": q_abc_parts,
         }
     )
     return out
@@ -6772,6 +6785,23 @@ def oracle_sql() -> dict[str, str]:
             "AND b.p_size <= a.p_size "
             "AND (b.p_retailprice < a.p_retailprice "
             "OR b.p_size < a.p_size))"
+        ),
+        "abc_parts": (
+            # integer-cents cumulative sum in the identical (cents DESC,
+            # key) total order; class from the 6dp-rounded share exactly
+            # as the Spark side
+            "WITH per AS (SELECT l_partkey, "
+            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(cents) AS tot FROM per), "
+            "c AS (SELECT l_partkey, cents, sum(cents) OVER "
+            "(ORDER BY cents DESC, l_partkey ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum FROM per) "
+            "SELECT l_partkey, round(cents / 100.0, 2) AS value, "
+            "round(cum * 1.0 / tot, 6) AS cum_share, "
+            "CASE WHEN round(cum * 1.0 / tot, 6) <= 0.8 THEN 'A' "
+            "WHEN round(cum * 1.0 / tot, 6) <= 0.95 THEN 'B' "
+            "ELSE 'C' END AS abc_class FROM c CROSS JOIN t"
         ),
         "gini_concentration": (
             # rank-formula Gini; tie order cancels (equal x swap freely)

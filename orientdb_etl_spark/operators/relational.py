@@ -290,6 +290,83 @@ def merge_rollup_transformer(
     return merge_rollup([df, *others], list(cfg["keys"]), dict(cfg["merges"]))
 
 
+def exclusive_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    agg: str,
+    out_col: str,
+    pref_type: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running aggregate (``min`` or ``sum``) of ``val_col``
+    over the total order given by ``order_cols`` — WITHOUT the global
+    ORDER BY window that would funnel every row through one task.
+
+    The distributed-scan pattern: range-partition on the order columns
+    (so partition i holds an order-contiguous slice), take each
+    partition's exclusive local running aggregate (window partitioned BY
+    partition id), collect only the per-partition totals (<=
+    shuffle-partition-count rows — the bounded-driver discipline), fold
+    their exclusive prefix on the driver and broadcast it back. The
+    result is independent of the partition boundaries (associativity),
+    which the tests pin. Rows where ``out_col`` is NULL had no
+    predecessor (empty prefix); for ``sum`` callers usually coalesce to
+    0, for ``min`` NULL is the honest answer.
+
+    NOTE for ``sum`` on floating point: grouped folding is not
+    bit-associative — use integer-valued columns (e.g. cents) when the
+    result must replay exactly in another engine.
+    """
+    from pyspark.sql import Window
+
+    if agg not in ("min", "sum"):
+        raise ValueError(f"agg must be 'min' or 'sum', got {agg!r}")
+    fn = F.min if agg == "min" else F.sum
+    spark = df.sparkSession
+    n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_loc", fn(val_col).over(w)).localCheckpoint()
+    # bounded driver state: one row per range partition
+    pid_tot = {
+        r["_pid"]: r["_a"]
+        for r in local.groupBy("_pid").agg(fn(val_col).alias("_a")).collect()
+    }
+    pref_rows, acc = [], None
+    for pid in sorted(pid_tot):
+        pref_rows.append((pid, acc))
+        t = pid_tot[pid]
+        if t is not None:
+            if acc is None:
+                acc = t
+            else:
+                acc = min(acc, t) if agg == "min" else acc + t
+    pref = spark.createDataFrame(pref_rows, f"_pid int, _pref {pref_type}")
+    combined = (
+        F.least(F.col("_loc"), F.col("_pref"))
+        if agg == "min"
+        else F.when(
+            F.col("_loc").isNull() & F.col("_pref").isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col("_loc"), F.lit(0)) + F.coalesce(F.col("_pref"), F.lit(0))
+        )
+    )
+    return (
+        local.join(F.broadcast(pref), "_pid", "left")
+        .withColumn(out_col, combined)
+        .drop("_pid", "_loc", "_pref")
+    )
+
+
 def skyline2d(
     df: DataFrame,
     x_col: str,
@@ -320,9 +397,6 @@ def skyline2d(
     co-partitioned with the aggregation's own shuffle. Works unchanged
     at any row count; only |distinct x| touches the prefix machinery.
     """
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
     sx = F.col(x_col) if minimize_x else (-F.col(x_col))
     sy = F.col(y_col) if minimize_y else (-F.col(y_col))
     keyed = (
@@ -331,39 +405,9 @@ def skyline2d(
         .withColumn("_sy", sy.cast("double"))
     )
     perx = keyed.groupBy("_sx").agg(F.min("_sy").alias("_ymin"))
-    n = int(
-        partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    ranged = (
-        perx.repartitionByRange(n, "_sx")
-        .sortWithinPartitions("_sx")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("_sx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn("_lm", F.min("_ymin").over(w)).localCheckpoint()
-    # bounded driver state: one row per range partition
-    pid_mins = {
-        r["_pid"]: r["_m"]
-        for r in local.groupBy("_pid").agg(F.min("_ymin").alias("_m")).collect()
-    }
-    pref_rows, acc = [], None
-    for pid in sorted(pid_mins):
-        pref_rows.append((pid, acc))
-        acc = pid_mins[pid] if acc is None else min(acc, pid_mins[pid])
-    pref = spark.createDataFrame(pref_rows, "_pid int, _pref double")
-    thresholds = (
-        local.join(F.broadcast(pref), "_pid", "left")
-        .select(
-            "_sx",
-            "_ymin",
-            F.least(F.col("_lm"), F.col("_pref")).alias("_mlt"),
-        )
-    )
+    thresholds = exclusive_prefix(
+        perx, ["_sx"], "_ymin", "min", "_mlt", "double", partitions
+    ).select("_sx", "_ymin", "_mlt")
     survivors = (
         keyed.join(thresholds, "_sx")
         .filter(
@@ -384,5 +428,75 @@ def skyline_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         y_col=cfg["y"],
         minimize_x=not cfg.get("maximizeX", False),
         minimize_y=not cfg.get("maximizeY", False),
+        partitions=int(cfg["partitions"]) if "partitions" in cfg else None,
+    )
+
+
+def abc_classes(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    thresholds: tuple[float, float] = (0.8, 0.95),
+    partitions: int | None = None,
+) -> DataFrame:
+    """ABC (Pareto 80/95) classification: entities ranked by summed
+    value descending, classed 'A' while the running cumulative share is
+    <= thresholds[0], 'B' while <= thresholds[1], else 'C' — the
+    inventory-analysis staple ("which 20% of parts carry 80% of
+    revenue?").
+
+    Exactness discipline: per-entity values are fixed to integer CENTS
+    (round(sum·100)) before the running sum, so the cumulative total is
+    exact integer arithmetic — grouped float folding is not
+    bit-associative and a last-ulp wobble at a threshold boundary would
+    flip a class between engines. The running sum itself is
+    :func:`exclusive_prefix` over (cents DESC, keys) — range-partitioned
+    distributed prefix, no single-task global window. Ties are broken by
+    the key columns, so the order (and therefore every class) is total
+    and engine-portable.
+
+    Returns key columns + ``value`` (the rounded sum), ``cum_share``
+    (6dp) and ``abc_class``.
+    """
+    lo, hi = float(thresholds[0]), float(thresholds[1])
+    if not (0.0 < lo < hi <= 1.0):
+        raise ValueError(f"thresholds must satisfy 0 < lo < hi <= 1, got {thresholds}")
+    per = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.expr(f"CAST(round(sum({value_col}) * 100) AS BIGINT)").alias("_cents")
+    )
+    per = per.withColumn("_ord", -F.col("_cents"))
+    total = per.agg(F.sum("_cents").alias("_tot"))
+    pre = exclusive_prefix(
+        per, ["_ord", *key_cols], "_cents", "sum", "_ex", "bigint", partitions
+    )
+    cum = (F.coalesce(F.col("_ex"), F.lit(0)) + F.col("_cents")).alias("_cum")
+    out = (
+        pre.join(F.broadcast(total))
+        .withColumn("_cum", cum)
+        .withColumn(
+            "cum_share",
+            F.round(F.col("_cum") / F.col("_tot").cast("double"), 6),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= lo, F.lit("A"))
+            .when(F.col("cum_share") <= hi, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+        .withColumn("value", F.round(F.col("_cents") / 100.0, 2))
+    )
+    return out.select(*key_cols, "value", "cum_share", "abc_class")
+
+
+@register("abc")
+def abc_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"abc": {"keys": ["l_partkey"], "valueField":
+    "l_extendedprice", "thresholds": [0.8, 0.95]}}."""
+    thr = cfg.get("thresholds", [0.8, 0.95])
+    return abc_classes(
+        df,
+        key_cols=list(cfg["keys"]),
+        value_col=cfg["valueField"],
+        thresholds=(float(thr[0]), float(thr[1])),
         partitions=int(cfg["partitions"]) if "partitions" in cfg else None,
     )
