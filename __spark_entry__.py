@@ -3717,6 +3717,16 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_classes(li, ["l_partkey"], "l_extendedprice")
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-to-convert from first view to first purchase
+    strictly after it (floor-epoch seconds both sides) — the per-user
+    drill-down of the funnel gate row."""
+    from orientdb_etl_spark.operators.temporal import conversion_lag
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_lag(ev, "user_id", "ts", "event_type", "view", "purchase")
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4633,6 +4643,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skyline_parts": q_skyline_parts,
             # round 5 (late): ABC classification (cumulative Pareto classes)
             "abc_parts": q_abc_parts,
+            # round 5 (late): per-user time-to-convert
+            "conversion_lag": q_conversion_lag,
         }
     )
     return out
@@ -6785,6 +6797,18 @@ def oracle_sql() -> dict[str, str]:
             "AND b.p_size <= a.p_size "
             "AND (b.p_retailprice < a.p_retailprice "
             "OR b.p_size < a.p_size))"
+        ),
+        "conversion_lag": (
+            # identical floor-epoch first/first-after discipline
+            "WITH a AS (SELECT user_id AS entity, "
+            "CAST(min(floor(epoch(ts))) AS BIGINT) AS t_from FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "b AS (SELECT e.user_id AS entity, a.t_from, "
+            "CAST(min(floor(epoch(e.ts))) AS BIGINT) AS t_to "
+            "FROM events e JOIN a ON e.user_id = a.entity "
+            "WHERE e.event_type = 'purchase' "
+            "AND floor(epoch(e.ts)) > a.t_from GROUP BY 1, 2) "
+            "SELECT entity, t_from, t_to, t_to - t_from AS lag_s FROM b"
         ),
         "abc_parts": (
             # integer-cents cumulative sum in the identical (cents DESC,

@@ -955,3 +955,59 @@ def rfm_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
         value_col=cfg["valueField"],
         k=int(cfg.get("k", 5)),
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_step: str,
+    to_step: str,
+) -> DataFrame:
+    """Time-to-convert: for every entity that completed ``to_step``
+    strictly after its FIRST ``from_step``, the epoch-seconds of both
+    firsts and the lag between them — the per-user drill-down behind
+    :func:`funnel_counts`' aggregate view (same strictly-after
+    discipline), feeding lag histograms / percentile dashboards.
+
+    Plan shape: two user-keyed aggregations over type-filtered slices
+    (both partial-aggregated map-side, both pushed-down scans at the
+    source) and one equi-join on the user key — the frames shrink to
+    |converting users| before anything wide happens. Comparisons run on
+    floor-epoch seconds (the engine's portable time base), so a
+    same-second "conversion" does NOT count as after.
+    """
+    epoch = F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)")
+    first_a = (
+        df.filter(F.col(type_col) == from_step)
+        .groupBy(F.col(user_col).alias("entity"))
+        .agg(F.min(epoch).alias("t_from"))
+    )
+    lagged = (
+        df.filter(F.col(type_col) == to_step)
+        .select(F.col(user_col).alias("entity"), epoch.alias("_tb"))
+        .join(first_a, "entity")
+        .filter(F.col("_tb") > F.col("t_from"))
+        .groupBy("entity", "t_from")
+        .agg(F.min("_tb").alias("t_to"))
+    )
+    return lagged.select(
+        "entity", "t_from", "t_to", (F.col("t_to") - F.col("t_from")).alias("lag_s")
+    )
+
+
+@register("conversionLag")
+def conversion_lag_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"conversionLag": {"userField": "user_id", "on":
+    "ts", "typeField": "event_type", "from": "view", "to": "purchase"}}"""
+    return conversion_lag(
+        df,
+        user_col=cfg["userField"],
+        ts_col=cfg["on"],
+        type_col=cfg["typeField"],
+        from_step=cfg["from"],
+        to_step=cfg["to"],
+    )

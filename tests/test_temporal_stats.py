@@ -144,3 +144,60 @@ def test_transitions_transformer(spark):
     ).register_table("t", _ev(spark, rows))
     got = p.run().outputs["res"].collect()
     assert len(got) == 1 and got[0].p == 1.0
+
+
+# ---------------------------------------------------------------------------
+# conversion_lag
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_lag_first_to_first_after(spark):
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T00:00:30"), "view", 0.0),    # later view ignored
+        (1, _t("2026-01-01T00:02:00"), "purchase", 0.0),
+        (1, _t("2026-01-01T00:05:00"), "purchase", 0.0),  # later buy ignored
+        (2, _t("2026-01-01T00:01:00"), "purchase", 0.0),  # buy BEFORE any view
+        (2, _t("2026-01-01T00:02:00"), "view", 0.0),
+        (3, _t("2026-01-01T00:00:00"), "view", 0.0),      # never converts
+    ]
+    from orientdb_etl_spark.operators.temporal import conversion_lag
+
+    out = {r.entity: r for r in conversion_lag(
+        _ev(spark, rows), "user_id", "ts", "event_type", "view", "purchase"
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1].lag_s == 120
+
+
+def test_conversion_lag_same_second_not_after(spark):
+    t0 = _t("2026-01-01T00:00:00")
+    rows = [(1, t0, "view", 0.0), (1, t0, "purchase", 0.0)]
+    from orientdb_etl_spark.operators.temporal import conversion_lag
+
+    assert conversion_lag(
+        _ev(spark, rows), "user_id", "ts", "event_type", "view", "purchase"
+    ).count() == 0
+
+
+def test_conversion_lag_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T00:00:45"), "purchase", 0.0),
+    ]
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"conversionLag": {"userField": "user_id", "on": "ts",
+                                   "typeField": "event_type",
+                                   "from": "view", "to": "purchase"}}
+            ],
+            "loader": {"memory": {"view": "res"}},
+        },
+        spark=spark,
+    ).register_table("t", _ev(spark, rows))
+    got = p.run().outputs["res"].collect()
+    assert len(got) == 1 and got[0].lag_s == 45
