@@ -3727,6 +3727,16 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_lag(ev, "user_id", "ts", "event_type", "view", "purchase")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smooth idf), ranked on the
+    unrounded score with a term tie-break — the per-doc keyword
+    extraction inverse of the bm25_rank gate row."""
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4645,6 +4655,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "abc_parts": q_abc_parts,
             # round 5 (late): per-user time-to-convert
             "conversion_lag": q_conversion_lag,
+            # round 5 (late): per-doc TF-IDF keyword extraction
+            "tfidf_keywords": q_tfidf_keywords,
         }
     )
     return out
@@ -6797,6 +6809,24 @@ def oracle_sql() -> dict[str, str]:
             "AND b.p_size <= a.p_size "
             "AND (b.p_retailprice < a.p_retailprice "
             "OR b.p_size < a.p_size))"
+        ),
+        "tfidf_keywords": (
+            # same tokenization dialect as bm25_rank; smooth idf with the
+            # identical association order; rank on unrounded score
+            "WITH nz AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "lt AS (SELECT doc_id, lower(unnest(toks)) AS term FROM nz), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM lt GROUP BY 1, 2), "
+            "dft AS (SELECT term, count(*) AS _dft FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS _n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "tf.tf * (ln((_n + 1.0) / (_dft + 1.0)) + 1.0) AS _score "
+            "FROM tf JOIN dft USING (term) CROSS JOIN n), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY _score DESC, term) AS rank FROM sc) "
+            "SELECT doc_id, term, tf, round(_score, 4) AS tfidf, rank "
+            "FROM rk WHERE rank <= 3"
         ),
         "conversion_lag": (
             # identical floor-epoch first/first-after discipline

@@ -720,3 +720,60 @@ def normalize_text(
     if strip_controls:
         col = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     return df.withColumn(out, col)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (Spärck Jones '72 weighting in
+    the smooth-idf form sklearn standardized: ``tf · (ln((N+1)/(df+1))
+    + 1)``) — per-doc keyword extraction, the inverse view of
+    :func:`bm25_scores` (which scores docs against one fixed query).
+
+    Plan shape: tokenize+explode is one Generate (no shuffle), the
+    (doc, term) tf count is ONE grouped shuffle, per-term document
+    frequency aggregates off that same frame, and the scored frame joins
+    back on the term key — vocabulary-sized, so Catalyst/AQE picks
+    broadcast vs shuffle by its real size (a web-scale vocabulary is NOT
+    reliably broadcastable; don't force it). The per-doc top-k is the
+    rank-filter shape that compiles to WindowGroupLimit with a partial
+    pre-shuffle prune. N (corpus size) is a single-row broadcast.
+    Ranking is on the unrounded score with a term tie-break, so the
+    selection is total and portable; the emitted score rounds to 4dp.
+    """
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_raw")
+    )
+    tf = (
+        toks.select(F.col(id_col), F.lower(F.col("_raw")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_dft"))
+        .filter(F.col("_dft") >= int(min_df))
+    )
+    n = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("_dft") + 1.0)) + 1.0),
+        )
+    )
+    return topk_per_group(
+        scored, id_col, ["_score DESC", "term ASC"], int(k), rank_col="rank"
+    ).select(
+        id_col, "term", "tf", F.round("_score", 4).alias("tfidf"), "rank"
+    )
+
+

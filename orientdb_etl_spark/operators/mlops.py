@@ -243,6 +243,24 @@ def bm25_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
     )
 
 
+@register("tfidfTopk")
+def tfidf_topk_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"tfidfTopk": {"idField": "doc_id", "textField": "text", "k": 5,
+    "minDf": 1}} — top-k TF-IDF keywords per document (the inverse view
+    of bm25: per-doc extraction, not per-query ranking)."""
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(
+        df,
+        id_col=cfg.get("idField", "doc_id"),
+        text_col=cfg.get("textField", "text"),
+        k=int(cfg.get("k", 5)),
+        min_df=int(cfg.get("minDf", 1)),
+    )
+
+
 @register("quality")
 def quality_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"quality": {"textField": "text", "method": "gopher"|"c4"|"ngram",

@@ -1418,3 +1418,68 @@ def test_referential_audit_duplicate_parents_not_double_counted(spark):
         [{"child": child, "fk": "fk", "parent": parent, "pk": "pk"}]
     ).collect()[0]
     assert (row.n_rows, row.n_orphans) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_scores_and_ranks(spark):
+    import math
+
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.tfidf))
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    idf = lambda dft: math.log((3 + 1) / (dft + 1)) + 1
+    assert by_doc[1][0][1] == "apple"
+    assert by_doc[1][0][3] == round(2 * idf(1), 4)
+    # every doc has <= 2 keywords, ranks 1..k contiguous
+    for doc, rows in by_doc.items():
+        assert [r[0] for r in sorted(rows)] == list(range(1, len(rows) + 1))
+
+
+def test_tfidf_topk_tie_breaks_by_term(spark):
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")], "doc_id long, text string"
+    )
+    # both terms in doc 1 have identical tf and df -> identical score;
+    # rank 1 must be the lexicographically smaller term in both docs
+    out = {(r.doc_id, r.rank): r.term
+           for r in tfidf_topk(docs, "doc_id", "text", k=2).collect()}
+    assert out[(1, 1)] == "apple" and out[(2, 1)] == "apple"
+
+
+def test_tfidf_topk_min_df_drops_rare_terms(spark):
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common")], "doc_id long, text string"
+    )
+    terms = {r.term for r in
+             tfidf_topk(docs, "doc_id", "text", k=5, min_df=2).collect()}
+    assert terms == {"common"}
+
+
+def test_tfidf_topk_empty_text_yields_no_rows(spark):
+    from orientdb_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "word")], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=3).collect()
+    assert {r.doc_id for r in out} == {3}
