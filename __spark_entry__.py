@@ -3737,6 +3737,28 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, "doc_id", "text", k=3)
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common 5-step event-path prefixes per user
+    (event_id tiebreak); the k-boundary is total-ordered (n DESC, path
+    ASC), so the cut is deterministic in both engines."""
+    from orientdb_etl_spark.operators.temporal import top_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_paths(
+        ev, "user_id", "ts", "event_type", max_len=5, k=20, tiebreak="event_id"
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropies and mutual information (nats) of order priority vs
+    order status — one grouped count re-aggregated for both marginals,
+    entropy by the ln(n) - sum(c ln c)/n identity."""
+    from orientdb_etl_spark.functions.stats import mutual_information
+
+    orders = _t(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
 def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest documents per source — the grouped top-k whose
     rank-filter shape compiles to WindowGroupLimit with a PARTIAL
@@ -4657,6 +4679,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "conversion_lag": q_conversion_lag,
             # round 5 (late): per-doc TF-IDF keyword extraction
             "tfidf_keywords": q_tfidf_keywords,
+            # round 5 (late): top event-path prefixes
+            "top_paths": q_top_paths,
+            # round 5 (late): categorical entropy / mutual information
+            "mutual_information": q_mutual_information,
         }
     )
     return out
@@ -6809,6 +6835,37 @@ def oracle_sql() -> dict[str, str]:
             "AND b.p_size <= a.p_size "
             "AND (b.p_retailprice < a.p_retailprice "
             "OR b.p_size < a.p_size))"
+        ),
+        "mutual_information": (
+            # identical ln(n) - sum(c*ln(c))/n identity, explicit
+            # arithmetic; marginals re-aggregate the joint counts
+            "WITH d AS (SELECT o_orderpriority AS a, o_orderstatus AS b "
+            "FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "j AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2), "
+            "jn AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "sum(c * ln(c * 1.0)) AS jcl FROM j), "
+            "ma AS (SELECT sum(c * ln(c * 1.0)) AS acl FROM "
+            "(SELECT a, sum(c) AS c FROM j GROUP BY 1)), "
+            "mb AS (SELECT sum(c * ln(c * 1.0)) AS bcl FROM "
+            "(SELECT b, sum(c) AS c FROM j GROUP BY 1)) "
+            "SELECT n, round(ln(n * 1.0) - acl / n, 6) AS h_a, "
+            "round(ln(n * 1.0) - bcl / n, 6) AS h_b, "
+            "round(ln(n * 1.0) - jcl / n, 6) AS h_ab, "
+            "round((ln(n * 1.0) - acl / n) + (ln(n * 1.0) - bcl / n) "
+            "- (ln(n * 1.0) - jcl / n), 6) AS mi "
+            "FROM jn CROSS JOIN ma CROSS JOIN mb"
+        ),
+        "top_paths": (
+            # same deterministic (epoch, event_id) order; string_agg in
+            # rn order builds the identical path strings
+            "WITH rn AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY floor(epoch(ts)), event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+            "AS path FROM rn WHERE rn <= 5 GROUP BY 1), "
+            "c AS (SELECT path, count(*) AS n FROM p GROUP BY 1) "
+            "SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20"
         ),
         "tfidf_keywords": (
             # same tokenization dialect as bm25_rank; smooth idf with the

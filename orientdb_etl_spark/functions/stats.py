@@ -313,3 +313,43 @@ def gini(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
             F.when(F.col("_sx") != 0, val).otherwise(F.lit(None)), 6
         ).alias("gini"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shannon entropy of two categorical columns and their mutual
+    information (nats): one row ``(n, h_a, h_b, h_ab, mi)`` with
+    ``mi = H(A) + H(B) - H(A,B)`` — the dependence audit behind feature
+    selection and leakage checks ("does this column secretly encode the
+    label?"). Rows with a NULL on either side are excluded (they belong
+    to no cell).
+
+    Plan shape: ONE grouped count over (a, b); both marginals re-aggregate
+    that (tiny) joint frame, so the input is scanned once. Entropies use
+    the ``H = ln(n) - Σ c·ln(c) / n`` identity — one aggregate per
+    frame, no per-row probability column. All arithmetic is explicit
+    and portable; results round to ``round_to``.
+    """
+    d = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b")).where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    joint = d.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    clogc = F.sum(F.expr("_c * ln(_c * 1.0)"))
+    jn = joint.agg(
+        F.sum("_c").alias("_n"), clogc.alias("_jcl")
+    )
+    ma = joint.groupBy("_a").agg(F.sum("_c").alias("_c")).agg(clogc.alias("_acl"))
+    mb = joint.groupBy("_b").agg(F.sum("_c").alias("_c")).agg(clogc.alias("_bcl"))
+    out = jn.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    h = lambda cl: F.expr(f"ln(_n * 1.0) - {cl} / _n")  # noqa: E731
+    return out.select(
+        F.col("_n").alias("n"),
+        F.round(h("_acl"), round_to).alias("h_a"),
+        F.round(h("_bcl"), round_to).alias("h_b"),
+        F.round(h("_jcl"), round_to).alias("h_ab"),
+        F.round(h("_acl") + h("_bcl") - h("_jcl"), round_to).alias("mi"),
+    )

@@ -298,10 +298,14 @@ def exclusive_prefix(
     out_col: str,
     pref_type: str,
     partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exclusive running aggregate (``min`` or ``sum``) of ``val_col``
     over the total order given by ``order_cols`` — WITHOUT the global
     ORDER BY window that would funnel every row through one task.
+    ``checkpoint=False`` skips the localCheckpoint that normally stops
+    the window recomputing for the partition-total collect — the plan
+    stays inspectable (plan tests use this) at the cost of one repeat.
 
     The distributed-scan pattern: range-partition on the order columns
     (so partition i holds an order-contiguous slice), take each
@@ -335,7 +339,9 @@ def exclusive_prefix(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("_loc", fn(val_col).over(w)).localCheckpoint()
+    local = ranged.withColumn("_loc", fn(val_col).over(w))
+    if checkpoint:
+        local = local.localCheckpoint()
     # bounded driver state: one row per range partition
     pid_tot = {
         r["_pid"]: r["_a"]

@@ -1011,3 +1011,60 @@ def conversion_lag_transformer(
         from_step=cfg["from"],
         to_step=cfg["to"],
     )
+
+
+def top_paths(
+    df: DataFrame,
+    seq_col: str,
+    ts_col: str,
+    type_col: str,
+    max_len: int = 5,
+    k: int = 20,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k most common event paths: each sequence's first ``max_len``
+    event types in time order joined with '>' (``view>click>purchase``),
+    counted across sequences — the path-exploration complement of
+    :func:`transition_counts` (whole prefixes, not single steps).
+
+    Plan shape: one row_number window on the sequence key, then the
+    per-sequence path build is a groupBy on the SAME key — the second
+    stage reuses the window's partitioning, so the path construction
+    adds no exchange. Path counting is map-side combinable and the
+    final top-k is TakeOrderedAndProject (per-partition heads + one
+    merge, no global sort). (count DESC, path ASC) is a total order, so
+    the k-boundary is deterministic and engine-portable.
+    """
+    w = Window.partitionBy(seq_col).orderBy(*_epoch_order(ts_col, tiebreak))
+    rn = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= int(max_len)
+    )
+    paths = rn.groupBy(seq_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", F.col(type_col).alias("_t")))
+                ),
+                lambda x: x["_t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("path").asc()).limit(int(k))
+
+
+@register("topPaths")
+def top_paths_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"topPaths": {"by": "user_id", "on": "ts",
+    "typeField": "event_type", "maxLen": 5, "k": 20,
+    "tiebreak": "event_id"}}"""
+    return top_paths(
+        df,
+        seq_col=cfg["by"],
+        ts_col=cfg["on"],
+        type_col=cfg["typeField"],
+        max_len=int(cfg.get("maxLen", 5)),
+        k=int(cfg.get("k", 20)),
+        tiebreak=cfg.get("tiebreak"),
+    )

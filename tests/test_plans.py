@@ -542,3 +542,60 @@ def test_merge_intervals_single_keyed_exchange_before_agg(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # windows: 1, agg: ≤1
     assert "SinglePartition" not in plan
+
+
+def test_tfidf_topk_partial_window_group_limit(spark):
+    plan = _plan(spark, "tfidf_keywords")
+    # per-doc top-k must compile to WindowGroupLimit with the Partial
+    # pre-shuffle prune, and the final cut is the rank filter, not a sort
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_top_paths_reuses_sequence_partitioning(spark):
+    plan = _plan(spark, "top_paths")
+    # the per-sequence path build (groupBy user_id) must reuse the
+    # window's hashpartitioning(user_id) — exactly one user_id exchange
+    assert plan.count("hashpartitioning(user_id") == 1
+    # and the final top-k is TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_skyline_no_cartesian(spark):
+    plan = _plan(spark, "skyline_parts")
+    assert "CartesianProduct" not in plan
+
+
+def test_exclusive_prefix_plan_is_range_partitioned_not_global(spark):
+    # the distributed prefix (shared by skyline2d and abc_classes):
+    # rangepartitioning exchange for the order-contiguous slices, window
+    # partitioned BY _pid — NEVER a global unpartitioned ORDER BY window.
+    # checkpoint=False keeps the plan inspectable (the production path
+    # localCheckpoints, which truncates explain output).
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = exclusive_prefix(
+        df, ["k"], "v", "sum", "pre", "bigint", partitions=4, checkpoint=False
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "rangepartitioning(k" in plan
+    assert "hashpartitioning(_pid" in plan
+    # global window would be a SinglePartition exchange feeding Window
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+
+def test_conversion_lag_filters_pushed(spark):
+    plan = _plan(spark, "conversion_lag")
+    # both step filters reach the events scan
+    assert "EqualTo(event_type,view)" in plan.replace(" ", "")
+    assert "EqualTo(event_type,purchase)" in plan.replace(" ", "")

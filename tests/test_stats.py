@@ -143,3 +143,41 @@ def test_gini_tie_order_invariant(spark):
     assert a == b
     # closed form: sorted x = [1,1,1,2,2,3], sum=10, sum(i*x)=42
     assert abs(a - round(2 * 42 / (6 * 10) - 7 / 6, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+
+def test_mi_independent_is_zero(spark):
+    import itertools
+
+    from orientdb_etl_spark.functions.stats import mutual_information
+
+    # perfectly independent uniform grid: MI must be exactly 0
+    rows = list(itertools.product(["x", "y"], ["p", "q", "r"])) * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r.n == 24 and r.mi == 0.0
+
+
+def test_mi_identical_columns_equal_entropy(spark):
+    import math
+
+    from orientdb_etl_spark.functions.stats import mutual_information
+
+    rows = [("x", "x")] * 3 + [("y", "y")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r.h_a == r.h_b == r.h_ab == round(h, 6)
+    assert r.mi == round(h, 6)  # MI(A, A) = H(A)
+
+
+def test_mi_nulls_excluded(spark):
+    from orientdb_etl_spark.functions.stats import mutual_information
+
+    rows = [("x", "p"), ("x", None), (None, "p"), ("y", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert mutual_information(df, "a", "b").collect()[0].n == 2

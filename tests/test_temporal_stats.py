@@ -201,3 +201,64 @@ def test_conversion_lag_transformer(spark):
     ).register_table("t", _ev(spark, rows))
     got = p.run().outputs["res"].collect()
     assert len(got) == 1 and got[0].lag_s == 45
+
+
+# ---------------------------------------------------------------------------
+# top_paths
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_orders_and_truncates(spark):
+    from orientdb_etl_spark.operators.temporal import top_paths
+
+    rows = []
+    for u in (1, 2):
+        rows += [
+            (u, _t("2026-01-01T00:00:00"), "view", 0.0),
+            (u, _t("2026-01-01T00:01:00"), "click", 0.0),
+            (u, _t("2026-01-01T00:02:00"), "buy", 0.0),
+        ]
+    rows += [
+        (3, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (3, _t("2026-01-01T00:01:00"), "view", 0.0),
+    ]
+    out = [(r.path, r.n) for r in top_paths(
+        _ev(spark, rows), "user_id", "ts", "event_type", max_len=2, k=10
+    ).collect()]
+    # max_len=2 truncates the 3-step journeys to their 2-step prefix
+    assert out == [("view>click", 2), ("view>view", 1)]
+
+
+def test_top_paths_k_boundary_tiebreaks_by_path(spark):
+    from orientdb_etl_spark.operators.temporal import top_paths
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "b", 0.0),
+        (2, _t("2026-01-01T00:00:00"), "a", 0.0),
+    ]
+    out = [r.path for r in top_paths(
+        _ev(spark, rows), "user_id", "ts", "event_type", k=1
+    ).collect()]
+    assert out == ["a"]  # equal counts -> lexicographic path wins the cut
+
+
+def test_top_paths_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "x", 0.0),
+        (1, _t("2026-01-01T00:01:00"), "y", 0.0),
+    ]
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"topPaths": {"by": "user_id", "on": "ts",
+                              "typeField": "event_type", "k": 5}}
+            ],
+            "loader": {"memory": {"view": "res"}},
+        },
+        spark=spark,
+    ).register_table("t", _ev(spark, rows))
+    got = p.run().outputs["res"].collect()
+    assert len(got) == 1 and got[0].path == "x>y"
