@@ -195,6 +195,18 @@ HEADLINE = [
     "grouping_sets",
     "window_lead_lag",
     "salted_join",
+    # round-5 (late) behavioral / warehouse analytics wave. kcore_trade
+    # stays out by the fixed-iteration rule (data-dependent peel rounds,
+    # like pagerank); everything here is a one-plan query.
+    "frequent_pairs",
+    "transitions",
+    "rfm_segments",
+    "skyline_parts",
+    "abc_parts",
+    "conversion_lag",
+    "tfidf_keywords",
+    "top_paths",
+    "mutual_information",
 ]
 
 

@@ -225,6 +225,49 @@ def main() -> None:
     ).count()
     out["t_pairwise"] = round(time.time() - t0, 2)
 
+    # --- association-rule basket cap under a degenerate mega-basket ----
+    # one basket holding EVERY item (s·(s-1)/2 pair fan-out, the
+    # quadratic hazard frequent_pairs documents): measure the capped run
+    # and the pair count the cap removed (on the pair stream, not
+    # materialized), mirroring the LSH bucket-cap evidence above
+    from orientdb_etl_spark.functions.basket import frequent_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 2000).alias("item"),
+    )
+    mega = spark.range(out["n_docs_base"]).select(
+        F.lit(999_999_999).alias("basket"), (F.col("id") % 2000).alias("item")
+    )
+    skewed = li.unionByName(mega).repartition(32).localCheckpoint()
+    out["n_basket_rows"] = skewed.count()
+
+    def _pair_stream(b):
+        # the raw candidate fan-out the cap bounds (pre-aggregation)
+        a = b.select("basket", F.col("item").alias("_ia"))
+        c = b.select("basket", F.col("item").alias("_ib"))
+        return a.join(c, "basket").filter(F.col("_ia") < F.col("_ib")).count()
+
+    dedup_b = skewed.distinct()
+    sized = dedup_b.groupBy("basket").agg(F.count(F.lit(1)).alias("_sz"))
+    kept = dedup_b.join(
+        sized.filter(F.col("_sz") <= 100).select("basket"), "basket", "left_semi"
+    )
+    out["pair_stream_uncapped"] = _pair_stream(dedup_b)
+    out["pair_stream_capped"] = _pair_stream(kept)
+    # uncapped timed FIRST so any warm-up cost lands on the run the cap
+    # is supposed to beat; min_pair_count=2 keeps the output non-empty
+    t0 = time.time()
+    out["pairs_uncapped"] = frequent_pairs(
+        skewed, "basket", "item", min_pair_count=2
+    ).count()
+    out["t_pairs_uncapped"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["pairs_capped"] = frequent_pairs(
+        skewed, "basket", "item", min_pair_count=2, max_basket_size=100
+    ).count()
+    out["t_pairs_capped"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
 
 
