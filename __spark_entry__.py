@@ -4379,6 +4379,59 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini(orders, ["o_orderpriority"], "o_totalprice")
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V between order priority
+    and status — one joint-count pass with re-aggregated marginals (the
+    o²/(row·col) identity absorbs empty cells exactly)."""
+    from orientdb_etl_spark.functions.stats import chi_square
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of event values — digit extracted via
+    integer/string arithmetic (no log10-of-value float wobble); all nine
+    digits densified from a literal frame."""
+    from orientdb_etl_spark.functions.stats import benford_digits
+
+    ev = _t(spark, sf_dir, "events")
+    return benford_digits(ev, "value")
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test purchase-vs-click — midranks from
+    per-distinct-value counts + the distributed exclusive prefix sum
+    (never a global ORDER BY window); integer-exact rank arithmetic."""
+    from orientdb_etl_spark.functions.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "purchase", "click")
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-arrival series, lags 1..12 —
+    the raw frame collapses to a by-construction-small bucket series in
+    one pass; k-shifts via a lag-exploded self-join on the bucket key."""
+    from orientdb_etl_spark.functions.stats import acf
+
+    ev = _t(spark, sf_dir, "events")
+    return acf(ev, "ts", max_lag=12)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil–Sen robust slope of value over time —
+    median of pairwise slopes under a deterministic per-group cap (the
+    frequent_pairs quadratic-guard discipline); median as explicit
+    middle order statistics so both engines select identically."""
+    from orientdb_etl_spark.functions.stats import theil_sen
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    return theil_sen(ev, "event_type", "x", "value", max_group_size=120)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4683,6 +4736,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_paths": q_top_paths,
             # round 5 (late): categorical entropy / mutual information
             "mutual_information": q_mutual_information,
+            # round 5 (late): inferential-stats second wave
+            "chi_square": q_chi_square,
+            "benford": q_benford,
+            "mann_whitney": q_mann_whitney,
+            "acf_hourly": q_acf_hourly,
+            "theil_sen": q_theil_sen,
         }
     )
     return out
@@ -6925,6 +6984,115 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, n, "
             "round(CASE WHEN sx <> 0 THEN 2.0 * six / (n * sx) "
             "- (n + 1) / n END, 6) AS gini FROM g"
+        ),
+        "chi_square": (
+            # the o^2/(row*col) identity — exact including empty cells;
+            # marginals re-aggregate the joint counts
+            "WITH d AS (SELECT o_orderpriority AS a, o_orderstatus AS b "
+            "FROM orders WHERE o_orderpriority IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "j AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2), "
+            "ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM j GROUP BY 1), "
+            "mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1), "
+            "st AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "sum(c * c / (ra * 1.0 * cb)) AS q, "
+            "count(DISTINCT j.a) AS r, count(DISTINCT j.b) AS s2 "
+            "FROM j JOIN ma USING (a) JOIN mb USING (b)) "
+            "SELECT n, r, s2 AS s, (r - 1) * (s2 - 1) AS dof, "
+            "round(greatest(n * q - n, 0.0), 6) AS chi2, "
+            "round(CASE WHEN least(r - 1, s2 - 1) > 0 THEN "
+            "sqrt(greatest(n * q - n, 0.0) / (n * least(r - 1, s2 - 1))) "
+            "END, 6) AS cramers_v FROM st"
+        ),
+        "benford": (
+            # first digit via integer/string arithmetic (replays
+            # bit-identically; no log10-of-value), digits densified
+            "WITH v AS (SELECT CAST(floor(abs(value)) AS BIGINT) AS iv "
+            "FROM events), "
+            "c AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INTEGER) "
+            "AS digit, count(*) AS n_d FROM v WHERE iv >= 1 GROUP BY 1), "
+            "g AS (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) "
+            "AS digit), "
+            "dense AS (SELECT g.digit, CAST(coalesce(c.n_d, 0) AS BIGINT) "
+            "AS n_d FROM g LEFT JOIN c USING (digit)), "
+            "t AS (SELECT CAST(sum(n_d) AS BIGINT) AS tot FROM dense) "
+            "SELECT digit, n_d, round(n_d / (tot * 1.0), 6) AS obs_p, "
+            "round(log10(1.0 + 1.0 / digit), 6) AS exp_p, "
+            "round(abs(n_d / (tot * 1.0) - log10(1.0 + 1.0 / digit)), 6) "
+            "AS abs_dev FROM dense, t ORDER BY digit"
+        ),
+        "mann_whitney": (
+            # midrank identity over per-distinct-value counts; the
+            # running count is a window here, exclusive_prefix in Spark
+            # — integer counts make both exact; midranks are exact
+            # half-integers so the double sums replay bit-identically
+            "WITH d AS (SELECT value AS v, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa "
+            "FROM events WHERE event_type IN ('purchase', 'click') "
+            "AND value IS NOT NULL), "
+            "pv AS (SELECT v, count(*) AS t, CAST(sum(isa) AS BIGINT) AS ca "
+            "FROM d GROUP BY 1), "
+            "pp AS (SELECT v, t, ca, CAST(coalesce(sum(t) OVER "
+            "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS lt FROM pv), "
+            "s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+            "CAST(sum(t - ca) AS BIGINT) AS n_b, "
+            "sum(ca * (lt + (t + 1) / 2.0)) AS ra, "
+            "CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM pp) "
+            "SELECT n_a, n_b, round(ra - n_a * (n_a + 1) / 2.0, 1) AS u_a, "
+            "round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) / "
+            "sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) - "
+            "ties / ((n_a + n_b) * 1.0 * (n_a + n_b - 1)))), 6) AS z_stat, "
+            "abs((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) / "
+            "sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) - "
+            "ties / ((n_a + n_b) * 1.0 * (n_a + n_b - 1))))) > 1.96 "
+            "AS significant FROM s"
+        ),
+        "acf_hourly": (
+            # zero-filled hourly series; full-series mean/denominator
+            # (the standard biased estimator); k-shift via t + lag join
+            "WITH b AS (SELECT CAST(floor(floor(epoch(CAST(ts AS "
+            "TIMESTAMP))) / 3600) AS BIGINT) AS t, count(*) AS x "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b), "
+            "g AS (SELECT unnest(generate_series((SELECT lo FROM mm), "
+            "(SELECT hi FROM mm))) AS t), "
+            "s AS (SELECT g.t, CAST(coalesce(b.x, 0) AS DOUBLE) AS x "
+            "FROM g LEFT JOIN b USING (t)), "
+            "m AS (SELECT avg(x) AS mv FROM s), "
+            "dn AS (SELECT sum((x - mv) * (x - mv)) AS c0 FROM s, m), "
+            "l AS (SELECT CAST(unnest(generate_series(1, 12)) AS INTEGER) "
+            "AS lag), "
+            "pr AS (SELECT l.lag, s1.x AS xl, s2.x AS xr "
+            "FROM l, s s1, s s2 WHERE s2.t = s1.t + l.lag) "
+            "SELECT lag, count(*) AS n_pairs, "
+            "round(sum((xl - mv) * (xr - mv)) / (SELECT c0 FROM dn), 6) "
+            "AS acf FROM pr, m GROUP BY lag ORDER BY lag"
+        ),
+        "theil_sen": (
+            # identical deterministic cap (row_number over (x, y)) and
+            # middle-order-statistic median; duplicate (x, y) rows make
+            # the kept multiset and slope multiset order-independent
+            "WITH b0 AS (SELECT event_type AS g, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS DOUBLE) AS x, "
+            "CAST(value AS DOUBLE) AS y FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "b AS (SELECT g, x, y, row_number() OVER "
+            "(PARTITION BY g ORDER BY x, y) AS rn FROM b0), "
+            "k AS (SELECT * FROM b WHERE rn <= 120), "
+            "sl AS (SELECT l.g, (r.y - l.y) / (r.x - l.x) AS s "
+            "FROM k l JOIN k r ON l.g = r.g AND l.rn < r.rn "
+            "AND l.x <> r.x), "
+            "rk AS (SELECT g, s, row_number() OVER "
+            "(PARTITION BY g ORDER BY s) AS sr FROM sl), "
+            "sz AS (SELECT g, count(*) AS n_slopes FROM sl GROUP BY 1), "
+            "us AS (SELECT g, count(*) AS n_used FROM k GROUP BY 1), "
+            "md AS (SELECT rk.g, sz.n_slopes, round(avg(s), 6) AS ts_slope "
+            "FROM rk JOIN sz USING (g) "
+            "WHERE sr * 2 = n_slopes + 1 OR sr * 2 = n_slopes "
+            "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
+            "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
+            "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

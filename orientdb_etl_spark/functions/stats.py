@@ -30,6 +30,11 @@ __all__ = [
     "psi",
     "ks_2sample",
     "gini",
+    "chi_square",
+    "benford_digits",
+    "mann_whitney_u",
+    "acf",
+    "theil_sen",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -352,4 +357,331 @@ def mutual_information(
         F.round(h("_bcl"), round_to).alias("h_b"),
         F.round(h("_jcl"), round_to).alias("h_ab"),
         F.round(h("_acl") + h("_bcl") - h("_jcl"), round_to).alias("mi"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — one row ``(n, r, s, dof,
+    chi2, cramers_v)``. The inferential complement of
+    :func:`mutual_information` (same joint-count frame, a test statistic
+    instead of an information measure). NULL on either side excludes the
+    row (it belongs to no cell).
+
+    Uses the identity ``chi2 = n * (sum over observed cells of
+    o^2 / (row_total * col_total)) - n`` which is EXACT including
+    structurally-empty cells (an o=0 cell contributes 0 to the sum and
+    exactly its expected count to the classical form — the identity
+    absorbs both), so no dense r×s expected-count frame is ever built.
+
+    Plan shape: ONE grouped count over (a, b); both marginals
+    re-aggregate that tiny joint frame and broadcast back onto it —
+    the input is scanned once, like :func:`mutual_information`.
+    No p-value: neither engine ships a chi-square CDF; ``chi2`` and
+    ``dof`` let the caller apply any critical-value table.
+    """
+    d = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b")).where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    joint = d.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = joint.groupBy("_a").agg(F.sum("_c").alias("_ra"))
+    mb = joint.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    cell = joint.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+    agg = cell.agg(
+        F.sum("_c").alias("_n"),
+        # CAST, not a `* 1.0` literal: Spark parses 1.0 as DECIMAL and
+        # decimal division would diverge from the oracle's double math
+        F.sum(F.expr("(_c * _c) / (CAST(_ra AS DOUBLE) * _cb)")).alias("_q"),
+        F.countDistinct("_a").alias("r"),
+        F.countDistinct("_b").alias("s"),
+    )
+    # clamp: the identity is >= 0 analytically, but float residue can
+    # leave n*q - n at ~-1e-13 and sqrt(negative) would NaN Cramér's V
+    chi2 = F.greatest(F.col("_n") * F.col("_q") - F.col("_n"), F.lit(0.0))
+    return agg.select(
+        F.col("_n").alias("n"),
+        "r",
+        "s",
+        ((F.col("r") - 1) * (F.col("s") - 1)).alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        # a 1×k table has dof 0: Cramér's V is undefined there (NULL),
+        # not a divide-by-zero (ANSI mode would raise)
+        F.round(
+            F.when(
+                F.least(F.col("r") - 1, F.col("s") - 1) > 0,
+                F.sqrt(
+                    chi2 / (F.col("_n") * F.least(F.col("r") - 1, F.col("s") - 1))
+                ),
+            ),
+            round_to,
+        ).alias("cramers_v"),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic bulk-data plausibility audit (Nigrini's forensic-accounting
+    test): naturally-occurring magnitudes follow
+    ``P(d) = log10(1 + 1/d)``; fabricated or truncated data usually
+    don't. Returns nine rows ``(digit, n_d, obs_p, exp_p, abs_dev)``
+    with every digit 1..9 present (zero-count digits included).
+
+    Only rows with ``floor(value) >= 1`` participate: the first digit is
+    then the leading character of the INTEGER part — pure integer/string
+    arithmetic that replays bit-identically in any engine, avoiding the
+    ``floor(v / 10^floor(log10(v)))`` float form whose log10 can wobble
+    at exact powers of ten.
+
+    Plan shape: one filtered grouped count (9 groups, map-side combine),
+    right-joined onto a literal 9-row digit frame; the total broadcast
+    back. Scalar output regardless of input size.
+    """
+    digit = F.substring(
+        F.col("_iv").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.select(F.floor(F.abs(F.col(value_col))).alias("_iv"))
+        .where(F.col("_iv") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    dense = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_d", F.lit(0)).alias("n_d")
+    )
+    tot = dense.agg(F.sum("n_d").alias("_tot"))
+    exp_p = F.expr("log10(1.0 + 1.0 / digit)")
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_d",
+            F.round(F.col("n_d") / F.col("_tot"), round_to).alias("obs_p"),
+            F.round(exp_p, round_to).alias("exp_p"),
+            F.round(
+                F.abs(F.col("n_d") / F.col("_tot") - exp_p), round_to
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric complement of :func:`welch_ttest` (no normality
+    assumption; detects any stochastic-dominance shift). One row:
+    ``(n_a, n_b, u_a, z_stat, significant)`` with the normal
+    approximation and the standard tie correction; ``significant``
+    flags |z| > 1.96.
+
+    Rank computation NEVER builds a global ORDER BY window over raw
+    rows. The midrank identity — rank(v) = (# values < v) +
+    (ties(v)+1)/2 — needs only per-distinct-value counts plus their
+    running sum, so: ONE grouped count over distinct values (the frame
+    shrinks to |distinct|), then :func:`~orientdb_etl_spark.operators.
+    relational.exclusive_prefix` for the distributed running count
+    (range partitioning, never an Exchange SinglePartition), then one
+    scalar aggregate. Tie correction sum(t^3 - t) folds over the same
+    frame. Counts are integers throughout — the prefix sum is exact;
+    midranks are half-integers, exactly representable in doubles.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    a = F.col(group_col) == group_a
+    d = (
+        df.where((a | (F.col(group_col) == group_b)) & F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("_v"), a.alias("_isa"))
+    )
+    per_v = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_ca"),
+    )
+    pv = exclusive_prefix(per_v, ["_v"], "_t", "sum", "_lt", "bigint")
+    agg = pv.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum(F.col("_t") - F.col("_ca")).alias("n_b"),
+        F.sum(
+            F.col("_ca")
+            * (F.coalesce(F.col("_lt"), F.lit(0)) + (F.col("_t") + 1) / 2.0)
+        ).alias("_ra"),
+        F.sum(F.expr("_t * _t * _t - _t")).alias("_ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("_ra") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a") * F.col("n_b") / 2.0
+    sig2 = (
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    )
+    z = (u_a - mu) / F.sqrt(sig2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(z, round_to).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 24,
+    bucket_seconds: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of the event-arrival series: bucket the
+    timestamps (default hourly), zero-fill the gaps, and compute the
+    sample ACF ``r_k = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2``
+    for lags 1..max_lag — the seasonality/burstiness audit behind
+    "is traffic hourly-periodic?" Returns ``(lag, n_pairs, acf)``.
+
+    Scale shape: the raw frame collapses to per-bucket counts in ONE
+    map-side-combinable aggregation; everything after operates on the
+    series frame whose size is time-range / bucket — bounded by
+    CONSTRUCTION, independent of row volume (a decade of hourly buckets
+    is 87k rows). Gaps zero-fill via ``spark.range(min, max+1)`` (only
+    two scalars ever reach the driver); the k-shifted products come from
+    one self-join on ``t + k`` after a lag explode — shuffled on the
+    bucket key, never a global ORDER BY window. Mean and denominator use
+    the full zero-filled series (the standard biased estimator, which
+    keeps |r_k| <= 1 and is what statsmodels/R compute).
+    """
+    spark = df.sparkSession
+    b = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_seconds)
+            ).alias("_t")
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    if lo is None:
+        raise ValueError(f"acf: no non-null timestamps in {ts_col!r}")
+    series = (
+        spark.range(int(lo), int(hi) + 1)
+        .select(F.col("id").alias("_t"))
+        .join(b, "_t", "left")
+        .select("_t", F.coalesce("_x", F.lit(0)).cast("double").alias("_x"))
+    )
+    mom = series.agg(F.avg("_x").alias("_m"))
+    # denominator: sum (x - m)^2 over the FULL series
+    sm = series.crossJoin(F.broadcast(mom))
+    den = sm.agg(F.sum(F.expr("(_x - _m) * (_x - _m)")).alias("_c0")).first()["_c0"]
+    if not den:
+        raise ValueError("acf: constant series has no autocorrelation")
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    left = sm.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("_t") + F.col("lag")).alias("_t"), (F.col("_x") - F.col("_m")).alias("_dl")
+    )
+    right = sm.select("_t", (F.col("_x") - F.col("_m")).alias("_dr"))
+    return (
+        left.join(right, "_t")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("_dl") * F.col("_dr")) / F.lit(float(den)), round_to).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_group_size: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` — up to ~29% outlier
+    contamination leaves the estimate intact, where the OLS slope of
+    :func:`group_trend` would be dragged arbitrarily. Returns
+    ``(group, n_used, n_slopes, ts_slope)``.
+
+    The quadratic hazard (s·(s-1)/2 pairs per group) is bounded by an
+    EXPLICIT deterministic cap, the :func:`~orientdb_etl_spark.functions.
+    basket.frequent_pairs` discipline: each group keeps its first
+    ``max_group_size`` rows in (x, y) order (a per-GROUP window
+    row_number — partitioned, never global), so a group contributes at
+    most ``max_group_size^2 / 2`` slopes no matter how hot it is.
+    Dropping deterministically, not sampling, keeps the oracle replay
+    exact. The pair build is ONE self-equi-join on the group key; the
+    median is two order statistics via a per-group slope window (exact
+    lower/upper middle average — identical selection in any engine, no
+    interpolating percentile built-in whose convention could differ).
+    """
+    rn = F.row_number().over(
+        Window.partitionBy("_g").orderBy("_x", "_y")
+    )
+    base = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") <= max_group_size)
+    )
+    l_, r_ = base.alias("l"), base.alias("r")
+    slopes = (
+        l_.join(r_, (F.col("l._g") == F.col("r._g")) & (F.col("l._rn") < F.col("r._rn")))
+        .where(F.col("l._x") != F.col("r._x"))
+        .select(
+            F.col("l._g").alias("_g"),
+            (
+                (F.col("r._y") - F.col("l._y")) / (F.col("r._x") - F.col("l._x"))
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy("_s")
+    ranked = slopes.withColumn("_sr", F.row_number().over(w))
+    sized = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("n_slopes"))
+    used = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_used"))
+    # middle order statistics: _sr*2 == n+1 selects the single middle of
+    # an odd run; _sr*2 in {n, n+2} the two middles of an even run (the
+    # odd-n condition is unsatisfiable for even n and vice versa)
+    med = (
+        ranked.join(F.broadcast(sized), "_g")
+        .where(
+            (F.col("_sr") * 2 == F.col("n_slopes") + 1)
+            | (F.col("_sr") * 2 == F.col("n_slopes"))
+            | (F.col("_sr") * 2 == F.col("n_slopes") + 2)
+        )
+        .groupBy("_g", "n_slopes")
+        .agg(F.round(F.avg("_s"), round_to).alias("ts_slope"))
+    )
+    return (
+        med.join(used, "_g")
+        .select(
+            F.col("_g").alias(group_col), "n_used", "n_slopes", "ts_slope"
+        )
+        .orderBy(group_col)
     )

@@ -181,3 +181,234 @@ def test_mi_nulls_excluded(spark):
     rows = [("x", "p"), ("x", None), (None, "p"), ("y", "q")]
     df = spark.createDataFrame(rows, "a string, b string")
     assert mutual_information(df, "a", "b").collect()[0].n == 2
+
+
+# ---------------------------------------------------------------------------
+# chi_square
+# ---------------------------------------------------------------------------
+
+
+def _cat(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_chi_square_matches_hand_computed_2x2(spark):
+    from orientdb_etl_spark.functions.stats import chi_square
+
+    # observed: [[10, 20], [30, 40]]
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    row = chi_square(_cat(spark, rows), "a", "b").collect()[0]
+    o = {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30, ("y", "q"): 40}
+    n = 100
+    ra = {"x": 30, "y": 70}
+    cb = {"p": 40, "q": 60}
+    chi2 = sum(
+        (c - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), c in o.items()
+    )
+    assert (row.n, row.r, row.s, row.dof) == (100, 2, 2, 1)
+    assert abs(row.chi2 - round(chi2, 6)) < 1e-6
+    assert abs(row.cramers_v - round(math.sqrt(chi2 / n), 6)) < 1e-6
+
+
+def test_chi_square_independent_is_zero(spark):
+    from orientdb_etl_spark.functions.stats import chi_square
+
+    # perfect product distribution: every (a, b) cell = 5 rows
+    rows = [(a, b) for a in "xyz" for b in "pq" for _ in range(5)]
+    row = chi_square(_cat(spark, rows), "a", "b").collect()[0]
+    assert row.chi2 == 0.0
+    assert row.cramers_v == 0.0
+    assert row.dof == 2
+
+
+def test_chi_square_perfect_association(spark):
+    from orientdb_etl_spark.functions.stats import chi_square
+
+    rows = [("x", "p")] * 7 + [("y", "q")] * 9
+    row = chi_square(_cat(spark, rows), "a", "b").collect()[0]
+    # Cramér's V = 1 for a diagonal table
+    assert row.cramers_v == 1.0
+
+
+def test_chi_square_nulls_excluded(spark):
+    from orientdb_etl_spark.functions.stats import chi_square
+
+    rows = [("x", "p")] * 4 + [(None, "p")] * 3 + [("x", None)] * 2
+    row = chi_square(_cat(spark, rows), "a", "b").collect()[0]
+    assert row.n == 4
+    # the surviving table is 1×1: dof 0, Cramér's V undefined (NULL)
+    assert row.dof == 0 and row.cramers_v is None
+
+
+# ---------------------------------------------------------------------------
+# benford_digits
+# ---------------------------------------------------------------------------
+
+
+def test_benford_all_digits_present_and_proportions(spark):
+    from orientdb_etl_spark.functions.stats import benford_digits
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 12, 19, 2, 25, 3, 999]], "v double"
+    )
+    rows = benford_digits(df, "v").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    got = {r.digit: r.n_d for r in rows}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert abs(got[1] / 7 - rows[0].obs_p) < 1e-6
+    assert abs(rows[0].exp_p - round(math.log10(2), 6)) < 1e-9
+
+
+def test_benford_sub_one_and_negative_values(spark):
+    from orientdb_etl_spark.functions.stats import benford_digits
+
+    # |value| < 1 excluded; negatives keep their leading digit via abs
+    df = spark.createDataFrame(
+        [(0.5,), (0.01,), (-34.2,), (7.0,), (None,)], "v double"
+    )
+    rows = benford_digits(df, "v").collect()
+    got = {r.digit: r.n_d for r in rows}
+    assert got[3] == 1 and got[7] == 1
+    assert sum(got.values()) == 2
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_reference_with_ties(spark):
+    from orientdb_etl_spark.functions.stats import mann_whitney_u
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    df = _vals(spark, [("a", x) for x in a] + [("b", x) for x in b])
+    row = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # midranks by hand over sorted pool [1,2,2,2,4,4,5,6,7]:
+    # rank(1)=1, rank(2)=(2+3+4)/3=3, rank(4)=5.5, rank(5)=7, rank(6)=8,
+    # rank(7)=9  ->  R_a = 1 + 3 + 3 + 7 + 9 = 23
+    na, nb = 5, 4
+    ra = 23.0
+    u_a = ra - na * (na + 1) / 2
+    mu = na * nb / 2
+    ties = (3**3 - 3) + (2**3 - 2)
+    nn = na + nb
+    sig2 = na * nb / 12 * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (u_a - mu) / math.sqrt(sig2)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.u_a == round(u_a, 1)
+    assert abs(row.z_stat - round(z, 6)) < 1e-9
+    assert row.significant == (abs(z) > 1.96)
+
+
+def test_mann_whitney_identical_groups_z_zero(spark):
+    from orientdb_etl_spark.functions.stats import mann_whitney_u
+
+    vals = [float(i % 11) for i in range(99)]
+    df = _vals(
+        spark, [("a", x) for x in vals] + [("b", x) for x in vals]
+    )
+    row = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert row.z_stat == 0.0
+    assert not row.significant
+
+
+# ---------------------------------------------------------------------------
+# acf
+# ---------------------------------------------------------------------------
+
+
+def _event_times(spark, hours):
+    # one event per listed hour index (hour 0 = epoch)
+    return spark.createDataFrame(
+        [(f"2024-01-01 {h:02d}:30:00",) for h in hours], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+
+
+def test_acf_periodic_series(spark):
+    from orientdb_etl_spark.functions.stats import acf
+
+    # events only in even hours over 0..23 -> series alternates 1,0,...
+    hours = [h for h in range(24) if h % 2 == 0]
+    rows = acf(_event_times(spark, hours), "ts", max_lag=4).collect()
+    got = {r.lag: r.acf for r in rows}
+    # replay the estimator in plain python
+    x = [1.0 if h % 2 == 0 else 0.0 for h in range(23)]  # buckets 0..22
+    m = sum(x) / len(x)
+    c0 = sum((v - m) ** 2 for v in x)
+
+    def ref(k):
+        return round(
+            sum((x[t] - m) * (x[t + k] - m) for t in range(len(x) - k)) / c0, 6
+        )
+
+    for k in range(1, 5):
+        assert abs(got[k] - ref(k)) < 1e-6
+    assert got[2] > 0.8 and got[1] < 0
+
+
+def test_acf_zero_fills_gaps(spark):
+    from orientdb_etl_spark.functions.stats import acf
+
+    # hours 0 and 5 only: the series must span 6 buckets (4 zero-filled)
+    rows = acf(_event_times(spark, [0, 5]), "ts", max_lag=5).collect()
+    got = {r.lag: r.n_pairs for r in rows}
+    assert got == {1: 5, 2: 4, 3: 3, 4: 2, 5: 1}
+
+
+def test_acf_constant_series_raises(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.stats import acf
+
+    with _pytest.raises(ValueError, match="constant"):
+        acf(_event_times(spark, list(range(6))), "ts", max_lag=2)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen
+# ---------------------------------------------------------------------------
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double, y double")
+
+
+def test_theil_sen_exact_line_with_outlier(spark):
+    from orientdb_etl_spark.functions.stats import theil_sen
+
+    # y = 2x + 1 on 9 points plus one wild outlier: median slope stays 2
+    pts = [("a", float(x), 2.0 * x + 1.0) for x in range(9)]
+    pts.append(("a", 9.0, 500.0))
+    row = theil_sen(_xy(spark, pts), "g", "x", "y").collect()[0]
+    assert row.n_used == 10
+    assert row.n_slopes == 45
+    assert row.ts_slope == 2.0
+
+
+def test_theil_sen_even_slope_count_averages_middles(spark):
+    from orientdb_etl_spark.functions.stats import theil_sen
+
+    # 4 points -> 6 slopes; median = mean of 3rd and 4th sorted slopes
+    pts = [("a", 0.0, 0.0), ("a", 1.0, 1.0), ("a", 2.0, 4.0), ("a", 3.0, 9.0)]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (_, x1, y1) in enumerate(pts)
+        for (_, x2, y2) in pts[i + 1 :]
+    )
+    want = round((slopes[2] + slopes[3]) / 2, 6)
+    row = theil_sen(_xy(spark, pts), "g", "x", "y").collect()[0]
+    assert row.ts_slope == want
+
+
+def test_theil_sen_cap_is_deterministic(spark):
+    from orientdb_etl_spark.functions.stats import theil_sen
+
+    pts = [("a", float(x), float(x)) for x in range(50)]
+    r1 = theil_sen(_xy(spark, pts), "g", "x", "y", max_group_size=10).collect()[0]
+    assert r1.n_used == 10
+    assert r1.n_slopes == 45
+    assert r1.ts_slope == 1.0
