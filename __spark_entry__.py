@@ -4432,6 +4432,17 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(ev, "event_type", "x", "value", max_group_size=120)
 
 
+def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard self-join at 0.9 via lossless prefix
+    filtering (All-Pairs/PPJoin) — rarest-first prefixes anti-skew the
+    candidate join; the oracle is the brute-force token-level join the
+    losslessness theorem makes it equal to."""
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return set_similarity_join(docs, "doc_id", "text", threshold=0.9)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4742,6 +4753,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mann_whitney": q_mann_whitney,
             "acf_hourly": q_acf_hourly,
             "theil_sen": q_theil_sen,
+            # round 5 (late): exact set-similarity join (prefix filter)
+            "set_sim_join": q_set_sim_join,
         }
     )
     return out
@@ -7093,6 +7106,23 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "set_sim_join": (
+            # brute-force token-level Jaccard — the prefix filter is
+            # lossless, so the blocked Spark plan must equal this
+            # exactly; same tokenization dialect as tfidf_keywords
+            "WITH tk AS (SELECT DISTINCT doc_id, lower(unnest("
+            "regexp_split_to_array(trim(text), '\\s+'))) AS tok "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY 1), "
+            "iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter FROM tk a JOIN tk b "
+            "ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "round(inter / (sa.s + sb.s - inter * 1.0), 6) AS jaccard "
+            "FROM iv JOIN sz sa ON iv.id_a = sa.doc_id "
+            "JOIN sz sb ON iv.id_b = sb.doc_id "
+            "WHERE inter / (sa.s + sb.s - inter * 1.0) >= 0.9"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -84,3 +84,85 @@ def test_fuzzy_join_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def _brute_jaccard_pairs(rows, t):
+    toks = {
+        i: set(txt.lower().split())
+        for i, txt in rows
+        if txt is not None and txt.strip()
+    }
+    out = {}
+    ids = sorted(toks)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            if union and inter / union >= t:
+                out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+def test_set_similarity_join_equals_brute_force(spark):
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "quick brown fox jumps over the lazy dog the"),  # same set as 1
+        (4, "something completely different here entirely"),
+        (5, "the quick brown fox leaps over the lazy dog"),
+        (6, None),
+        (7, "   "),
+    ]
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in set_similarity_join(_docs(spark, rows), "id", "text", t).collect()
+        }
+        assert got == _brute_jaccard_pairs(rows, t), f"threshold {t}"
+
+
+def test_set_similarity_join_duplicate_tokens_collapse(spark):
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    # repeated tokens count once: "a a a b" vs "a b" is Jaccard 1.0
+    rows = [(1, "a a a b"), (2, "b a")]
+    got = set_similarity_join(_docs(spark, rows), "id", "text", 0.99).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_set_similarity_join_size_filter_is_lossless(spark):
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    # |x|=3, |y|=10 can never reach J >= 0.5; a 5-token subset of 10 can
+    rows = [
+        (1, "a b c"),
+        (2, "a b c d e f g h i j"),
+        (3, "a b c d e"),
+        (4, "a b c d e x y z w v"),
+    ]
+    got = {
+        (r.id_a, r.id_b)
+        for r in set_similarity_join(_docs(spark, rows), "id", "text", 0.5).collect()
+    }
+    # (1,3)=3/5, (2,3)=5/10, (3,4)=5/10; (2,4)=5/15 and (1,2)=(1,4)=3/10 fail
+    assert got == {(1, 3), (2, 3), (3, 4)}
+
+
+def test_set_similarity_join_threshold_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    with _pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(_docs(spark, [(1, "a")]), "id", "text", 0.0)
