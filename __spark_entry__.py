@@ -4443,6 +4443,22 @@ def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, "doc_id", "text", threshold=0.9)
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid spatial radius join over deterministic per-user
+    coordinates (Knuth-hash placement both engines replay) — cell
+    blocking, exact BIGINT distance predicate, no dedup pass; oracle is
+    the all-pairs filter the blocking is equivalent to."""
+    from orientdb_etl_spark.functions.spatial import grid_radius_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("id"),
+        F.expr("((user_id + 17) % 1000003) * 2654435761 % 10000").alias("x"),
+        F.expr("((user_id + 71) % 1000003) * 2654435761 % 10000").alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", 120)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4755,6 +4771,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "theil_sen": q_theil_sen,
             # round 5 (late): exact set-similarity join (prefix filter)
             "set_sim_join": q_set_sim_join,
+            # round 5 (late): integer-grid spatial radius join
+            "radius_join": q_radius_join,
         }
     )
     return out
@@ -7123,6 +7141,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM iv JOIN sz sa ON iv.id_a = sa.doc_id "
             "JOIN sz sb ON iv.id_b = sb.doc_id "
             "WHERE inter / (sa.s + sb.s - inter * 1.0) >= 0.9"
+        ),
+        "radius_join": (
+            # all-pairs filter — cell blocking is exact, pure BIGINT
+            # distance predicate so the boundary replays bit-identically
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "p AS (SELECT user_id AS id, "
+            "((user_id + 17) % 1000003) * 2654435761 % 10000 AS x, "
+            "((user_id + 71) % 1000003) * 2654435761 % 10000 AS y FROM u) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "AS BIGINT) AS dist2 "
+            "FROM p a JOIN p b ON a.id < b.id "
+            "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "<= 14400"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain
