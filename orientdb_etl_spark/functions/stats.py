@@ -483,6 +483,7 @@ def mann_whitney_u(
     group_a: str,
     group_b: str,
     round_to: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
     nonparametric complement of :func:`welch_ttest` (no normality
@@ -513,7 +514,11 @@ def mann_whitney_u(
         F.count(F.lit(1)).alias("_t"),
         F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("_ca"),
     )
-    pv = exclusive_prefix(per_v, ["_v"], "_t", "sum", "_lt", "bigint")
+    # checkpoint=False keeps the plan inspectable for the plan audit
+    # (localCheckpoint truncates explain output — the layout.py rule)
+    pv = exclusive_prefix(
+        per_v, ["_v"], "_t", "sum", "_lt", "bigint", checkpoint=checkpoint
+    )
     agg = pv.agg(
         F.sum("_ca").alias("n_a"),
         F.sum(F.col("_t") - F.col("_ca")).alias("n_b"),

@@ -599,3 +599,73 @@ def test_conversion_lag_filters_pushed(spark):
     # both step filters reach the events scan
     assert "EqualTo(event_type,view)" in plan.replace(" ", "")
     assert "EqualTo(event_type,purchase)" in plan.replace(" ", "")
+
+
+def test_set_sim_join_no_cartesian_no_python(spark):
+    plan = _plan(spark, "set_sim_join")
+    # prefix filtering must make this an equi-join on the prefix token —
+    # never a cross/nested-loop join; Jaccard verify is JVM array ops
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_radius_join_equi_join_on_cell_key(spark):
+    plan = _plan(spark, "radius_join")
+    # 3x3 cell blocking compiles to an equi-join keyed on (_cx, _cy);
+    # the distance predicate is a post-join filter, not a join loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cx" in plan and "_cy" in plan
+
+
+def test_mann_whitney_rank_via_range_partitioned_prefix(spark):
+    # checkpoint=False keeps the prefix subtree inspectable (the
+    # production default localCheckpoints, which truncates explain)
+    from orientdb_etl_spark.functions.stats import mann_whitney_u
+
+    ev = E.queries_all.__globals__["_t"](spark, SF, "events")
+    df = mann_whitney_u(
+        ev, "event_type", "value", "purchase", "click", checkpoint=False
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # midranks via exclusive_prefix: the running count runs over
+    # rangepartitioned order-contiguous slices of the distinct-value
+    # frame — never a global ORDER BY window over raw rows
+    assert "rangepartitioning(_v" in plan
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_chi_square_marginals_reuse_joint_exchange(spark):
+    # the two marginal re-aggregations must physically SHARE the joint
+    # groupBy(a, b) exchange (ReuseExchange), not rescan the input —
+    # reuse is applied in the executed plan, so run it first
+    df = E.queries_all()["chi_square"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("ReusedExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_reuses_count_exchange_no_python(spark):
+    df = E.queries_all()["benford"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the digit-count exchange feeds both the dense frame and the total
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_theil_sen_pair_join_is_group_keyed(spark):
+    plan = _plan(spark, "theil_sen")
+    # the quadratic pair build must be an equi-join on the group key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
