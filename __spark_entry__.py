@@ -4459,6 +4459,80 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_radius_join(pts, "id", "x", "y", 120)
 
 
+def _holt_oracle(alpha: float = 0.3, lookback: int = 8, horizon: int = 1) -> str:
+    """DuckDB twin of q_holt: the ewma lag-sum generator applied twice
+    (value → s1 → s2) with the SAME Python float weight reprs, then the
+    Brown level/trend/forecast identities verbatim."""
+
+    def parts(col: str, wname: str) -> tuple[str, str]:
+        num, den = [], []
+        for i in range(lookback):
+            w = repr((1.0 - alpha) ** i)
+            x = col if i == 0 else f"lag({col}, {i}) OVER {wname}"
+            num.append(f"CASE WHEN {x} IS NOT NULL THEN ({x}) * {w} ELSE 0.0 END")
+            den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+        return " + ".join(num), " + ".join(den)
+
+    n1, d1 = parts("value", "w")
+    n2, d2 = parts("s1", "w2")
+    k = repr(alpha / (1.0 - alpha))
+    h = repr(float(horizon))
+    return (
+        "WITH b AS (SELECT event_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events), "
+        f"t1 AS (SELECT event_id, user_id, es, "
+        f"CASE WHEN ({d1}) > 0 THEN ({n1}) / ({d1}) END AS s1 "
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)), "
+        f"t2 AS (SELECT event_id, user_id, s1, "
+        f"CASE WHEN ({d2}) > 0 THEN ({n2}) / ({d2}) END AS s2 "
+        "FROM t1 WINDOW w2 AS (PARTITION BY user_id ORDER BY es, event_id)) "
+        "SELECT event_id, user_id, "
+        "round(2.0 * s1 - s2, 6) AS level, "
+        f"round({k} * (s1 - s2), 6) AS trend, "
+        f"round((2.0 * s1 - s2) + {h} * ({k} * (s1 - s2)), 6) AS forecast "
+        "FROM t2"
+    )
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double-exponential smoothing per user (alpha=0.3,
+    lookback=8, event_id tiebreak): two lag-sum Window passes sharing
+    one keyed exchange; level/trend/one-step forecast closed forms."""
+    from orientdb_etl_spark.operators.temporal import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear(
+        ev, "user_id", "ts", "value", alpha=0.3, lookback=8,
+        tiebreak="event_id", horizon=1,
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-profile anomaly flags over the zero-filled
+    hourly arrival series — phase profiles re-aggregate the
+    by-construction-small bucket series and broadcast back."""
+    from orientdb_etl_spark.functions.stats import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "ts", period=24, z_thresh=3.0)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit of the corpus token rank-frequency curve —
+    ranks via the range-partitioned exclusive prefix over the
+    vocabulary frame (no global ORDER BY window over raw tokens)."""
+    from orientdb_etl_spark.functions.profiling import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4773,6 +4847,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "set_sim_join": q_set_sim_join,
             # round 5 (late): integer-grid spatial radius join
             "radius_join": q_radius_join,
+            # round 5 (late): Brown double smoothing (Holt linear trend)
+            "holt": q_holt,
+            # round 5 (late): seasonal-profile anomaly + Zipf audit
+            "seasonal_anomaly": q_seasonal_anomaly,
+            "zipf_fit": q_zipf_fit,
         }
     )
     return out
@@ -7155,6 +7234,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM p a JOIN p b ON a.id < b.id "
             "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
             "<= 14400"
+        ),
+        "holt": _holt_oracle(),
+        "seasonal_anomaly": (
+            # same zero-filled series as acf_hourly; phase = t % 24;
+            # degenerate phases (np<=1 or sd=0) yield NULL z, never flag
+            "WITH b AS (SELECT CAST(floor(floor(epoch(CAST(ts AS "
+            "TIMESTAMP))) / 3600) AS BIGINT) AS t, count(*) AS x "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b), "
+            "g AS (SELECT unnest(generate_series((SELECT lo FROM mm), "
+            "(SELECT hi FROM mm))) AS t), "
+            "s AS (SELECT g.t, CAST(coalesce(b.x, 0) AS DOUBLE) AS x, "
+            "g.t % 24 AS ph FROM g LEFT JOIN b USING (t)), "
+            "p AS (SELECT ph, avg(x) AS mp, stddev_samp(x) AS sp, "
+            "count(*) AS np FROM s GROUP BY 1) "
+            "SELECT s.t AS bucket, s.ph AS phase, CAST(s.x AS BIGINT) AS x, "
+            "round(mp, 6) AS mean_p, round(sp, 6) AS sd_p, "
+            "round(CASE WHEN np > 1 AND sp > 0 THEN (s.x - mp) / sp END, 6) "
+            "AS z, "
+            "coalesce(abs(CASE WHEN np > 1 AND sp > 0 THEN (s.x - mp) / sp "
+            "END) > 3.0, FALSE) AS is_anomaly "
+            "FROM s JOIN p USING (ph) ORDER BY bucket"
+        ),
+        "zipf_fit": (
+            # same tokenization dialect; rank = row_number by (freq
+            # desc, token) — the window here, exclusive_prefix in Spark
+            "WITH tok AS (SELECT lower(unnest(regexp_split_to_array("
+            "trim(text), '\\s+'))) AS tk FROM documents), "
+            "c AS (SELECT tk, count(*) AS c FROM tok "
+            "WHERE length(tk) > 0 GROUP BY 1), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) "
+            "AS rank FROM c), "
+            "g AS (SELECT count(*) AS vocab, CAST(sum(c) AS BIGINT) "
+            "AS total_tokens, covar_samp(ln(rank * 1.0), ln(c * 1.0)) "
+            "AS cov, var_samp(ln(rank * 1.0)) AS vx, "
+            "var_samp(ln(c * 1.0)) AS vy, avg(ln(rank * 1.0)) AS mx, "
+            "avg(ln(c * 1.0)) AS my FROM r) "
+            "SELECT vocab, total_tokens, round(cov / vx, 6) AS zipf_slope, "
+            "round(my - (cov / vx) * mx, 6) AS intercept, "
+            "round(CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END, 6) "
+            "AS r2 FROM g"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -695,3 +695,72 @@ def correlation_matrix(
             f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` over the whole vocabulary — one row
+    ``(vocab, total_tokens, zipf_slope, intercept, r2)``. Natural
+    language sits near slope −1; a corpus whose slope collapses toward 0
+    (flat — template/boilerplate spam) or plunges steeply (tiny
+    effective vocabulary) fails the plausibility audit. The corpus-level
+    companion of the per-document quality scores in :mod:`text`.
+
+    Rank assignment never uses a global ORDER BY window: tokens are
+    ranked by (freq desc, token) via
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    over the VOCABULARY frame (already collapsed to one row per token by
+    the count aggregate) — rank = exclusive running count + 1, range
+    partitioned. The OLS uses ``covar_samp``/``var_samp`` closed forms
+    (the :func:`~orientdb_etl_spark.functions.stats.group_trend`
+    discipline) over (ln rank, ln freq).
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    tok = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("_tok")
+        )
+        .where(F.length("_tok") > 0)
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_negc", -F.col("_c"))
+        .withColumn("_one", F.lit(1).cast("bigint"))
+    )
+    ranked = exclusive_prefix(
+        tok, ["_negc", "_tok"], "_one", "sum", "_r0", "bigint"
+    ).select(
+        (F.coalesce(F.col("_r0"), F.lit(0)) + 1).alias("_rank"),
+        "_c",
+    )
+    lx = F.log(F.col("_rank").cast("double"))
+    ly = F.log(F.col("_c").cast("double"))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("_c").alias("total_tokens"),
+        F.covar_samp(lx, ly).alias("_cov"),
+        F.var_samp(lx).alias("_vx"),
+        F.var_samp(ly).alias("_vy"),
+        F.avg(lx).alias("_mx"),
+        F.avg(ly).alias("_my"),
+    )
+    slope = F.col("_cov") / F.col("_vx")
+    return g.select(
+        "vocab",
+        "total_tokens",
+        F.round(slope, round_to).alias("zipf_slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), round_to).alias("intercept"),
+        F.round(
+            F.when(
+                F.col("_vy") > 0,
+                (F.col("_cov") * F.col("_cov")) / (F.col("_vx") * F.col("_vy")),
+            ),
+            round_to,
+        ).alias("r2"),
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "mann_whitney_u",
     "acf",
     "theil_sen",
+    "seasonal_anomaly",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -689,4 +690,81 @@ def theil_sen(
             F.col("_g").alias(group_col), "n_used", "n_slopes", "ts_slope"
         )
         .orderBy(group_col)
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    period: int = 24,
+    z_thresh: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-profile anomaly detection on the arrival series: bucket
+    the timestamps, zero-fill gaps (an EMPTY hour is an anomaly a
+    non-densified series would silently skip), group buckets by phase
+    ``t % period`` (hour-of-day for hourly buckets, hour-of-week with
+    period=168), and flag buckets whose count deviates from THEIR
+    phase's mean by more than ``z_thresh`` sample standard deviations —
+    "is 3 AM Tuesday unusually quiet for a 3 AM?" rather than a global
+    threshold that fires on every daily peak. Returns the full series
+    ``(bucket, phase, x, mean_p, sd_p, z, is_anomaly)``.
+
+    Scale shape: like :func:`acf`, the raw frame collapses to the
+    bucket series (time-range / bucket rows — bounded by construction)
+    in one map-side-combinable pass; phase profiles re-aggregate that
+    tiny frame and broadcast back. Degenerate phases (sd = 0 or a
+    single observation) yield NULL z and never flag.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2 buckets, got {period}")
+    spark = df.sparkSession
+    b = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_seconds)
+            ).alias("_t")
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    if lo is None:
+        raise ValueError(f"seasonal_anomaly: no non-null timestamps in {ts_col!r}")
+    series = (
+        spark.range(int(lo), int(hi) + 1)
+        .select(F.col("id").alias("_t"))
+        .join(b, "_t", "left")
+        .select(
+            "_t",
+            F.coalesce("_x", F.lit(0)).cast("double").alias("_x"),
+            (F.col("_t") % period).alias("_ph"),
+        )
+    )
+    prof = series.groupBy("_ph").agg(
+        F.avg("_x").alias("_mp"),
+        F.stddev_samp("_x").alias("_sp"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    z = F.when(
+        (F.col("_np") > 1) & (F.col("_sp") > 0),
+        (F.col("_x") - F.col("_mp")) / F.col("_sp"),
+    )
+    return (
+        series.join(F.broadcast(prof), "_ph")
+        .select(
+            F.col("_t").alias("bucket"),
+            F.col("_ph").alias("phase"),
+            F.col("_x").cast("bigint").alias("x"),
+            F.round("_mp", round_to).alias("mean_p"),
+            F.round("_sp", round_to).alias("sd_p"),
+            F.round(z, round_to).alias("z"),
+            F.coalesce(F.abs(z) > F.lit(float(z_thresh)), F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -761,6 +761,72 @@ def ewma_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFram
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    lookback: int = 8,
+    tiebreak: str | None = None,
+    horizon: int = 1,
+) -> DataFrame:
+    """Brown's double exponential smoothing (Holt-style linear trend)
+    per key: smooth once (:func:`ewma`), smooth the smoothed series
+    again with the SAME weights, then the closed-form identities
+
+        level_t    = 2·S'_t − S''_t
+        trend_t    = α/(1−α) · (S'_t − S''_t)
+        forecast_t = level_t + horizon · trend_t
+
+    (Brown 1963 — the h-step-ahead linear forecast a level-only EWMA
+    systematically lags on trending series). Adds ``level``, ``trend``,
+    ``forecast`` columns.
+
+    Scale shape: two windowed lag-sum passes that share ONE keyed
+    exchange (same partition/order — the second Window reuses the
+    first's sort), each a fixed chain of lag() expressions inside
+    whole-stage codegen. No recursion, no state: the bounded-lookback
+    form is what makes double smoothing expressible as plain windows,
+    and fixed left-associated expression sums (not grouped folds) are
+    how both engines stay bit-identical.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(
+            f"alpha must be in (0, 1) for the trend identity, got {alpha}"
+        )
+    s1 = ewma(
+        df, keys, ts_col, value_col, alpha, lookback, tiebreak, out_col="_s1"
+    )
+    s2 = ewma(s1, keys, ts_col, "_s1", alpha, lookback, tiebreak, out_col="_s2")
+    k = alpha / (1.0 - alpha)
+    level = 2.0 * F.col("_s1") - F.col("_s2")
+    trend = F.lit(k) * (F.col("_s1") - F.col("_s2"))
+    return (
+        s2.withColumn("level", level)
+        .withColumn("trend", trend)
+        .withColumn("forecast", level + F.lit(float(horizon)) * trend)
+        .drop("_s1", "_s2")
+    )
+
+
+@register("holt")
+def holt_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"holt": {"by": ["user_id"], "on": "ts",
+    "valueField": "value", "alpha": 0.3, "lookback": 8,
+    "tiebreak": "event_id", "horizon": 1}}"""
+    return holt_linear(
+        df,
+        keys=cfg.get("by") or [],
+        ts_col=cfg["on"],
+        value_col=cfg["valueField"],
+        alpha=float(cfg.get("alpha", 0.3)),
+        lookback=int(cfg.get("lookback", 8)),
+        tiebreak=cfg.get("tiebreak"),
+        horizon=int(cfg.get("horizon", 1)),
+    )
+
+
 def cusum_changepoints(
     df: DataFrame,
     keys: str | list[str],

@@ -412,3 +412,96 @@ def test_theil_sen_cap_is_deterministic(spark):
     assert r1.n_used == 10
     assert r1.n_slopes == 45
     assert r1.ts_slope == 1.0
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+
+def _hourly_events(spark, counts):
+    # counts[i] events in hour-bucket i (hours since 2024-01-01 00:00 UTC)
+    rows = []
+    for h, c in enumerate(counts):
+        d, hh = divmod(h, 24)
+        rows += [(f"2024-01-{d + 1:02d} {hh:02d}:15:00",)] * c
+    return spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_seasonal_anomaly_flags_phase_outlier_not_daily_peak(spark):
+    from orientdb_etl_spark.functions.stats import seasonal_anomaly
+
+    # 6 days of a strong daily pattern: quiet nights (2), busy noon (40).
+    # Day 5's hour 0 spikes to 41 — tiny vs the noon peak, huge vs other
+    # midnights. A global threshold misses it; the phase profile must not.
+    counts = []
+    for day in range(6):
+        for hh in range(24):
+            base = 40 if hh == 12 else 2
+            counts.append(base + (1 if (day, hh) in ((0, 3), (2, 7)) else 0))
+    counts[4 * 24 + 0] = 41  # midnight spike on day 5
+    out = seasonal_anomaly(_hourly_events(spark, counts), "ts", z_thresh=2.0)
+    flagged = {r.bucket % (24 * 365 * 100) for r in out.where("is_anomaly").collect()}
+    rel = {b % 24 for b in flagged}
+    assert 0 in rel  # the midnight spike's phase
+    noon = [r for r in out.collect() if r.phase == 12]
+    assert all(not r.is_anomaly for r in noon)  # ordinary peaks don't flag
+
+
+def test_seasonal_anomaly_zero_filled_hour_can_flag(spark):
+    from orientdb_etl_spark.functions.stats import seasonal_anomaly
+
+    # constant 10/hour except one MISSING hour on the last day — the
+    # zero-filled bucket must exist and carry the most extreme z
+    counts = [10] * (24 * 5)
+    counts[24 * 4 + 6] = 0
+    out = seasonal_anomaly(_hourly_events(spark, counts), "ts", z_thresh=1.5)
+    rows = out.collect()
+    assert len(rows) == 24 * 5  # mid-range empty hour: full span kept
+    zero = [r for r in rows if r.x == 0]
+    assert len(zero) == 1 and zero[0].is_anomaly
+
+
+def test_seasonal_anomaly_degenerate_phase_never_flags(spark):
+    from orientdb_etl_spark.functions.stats import seasonal_anomaly
+
+    # 24 buckets, period 24: every phase has exactly one observation
+    out = seasonal_anomaly(_hourly_events(spark, [3] * 24), "ts")
+    rows = out.collect()
+    assert all(r.z is None and not r.is_anomaly for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit (profiling)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_exact_power_law(spark):
+    import math as _math
+
+    from orientdb_etl_spark.functions.profiling import zipf_fit
+
+    # construct counts c_r = round(1000 * r^-1): OLS slope must be ~ -1
+    words = [f"w{r}" for r in range(1, 21)]
+    rows = []
+    for r, w in enumerate(words, start=1):
+        rows += [(w + " ",)] * round(1000 / r)
+    df = spark.createDataFrame([(" ".join(t[0] for t in rows),)], "text string")
+    out = zipf_fit(df, "text").collect()[0]
+    assert out.vocab == 20
+    assert out.total_tokens == sum(round(1000 / r) for r in range(1, 21))
+    assert abs(out.zipf_slope - (-1.0)) < 0.01
+    assert out.r2 > 0.999
+
+
+def test_zipf_fit_uniform_corpus_slope_zero(spark):
+    from orientdb_etl_spark.functions.profiling import zipf_fit
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta " * 25,)], "text string"
+    )
+    out = zipf_fit(df, "text").collect()[0]
+    assert out.vocab == 4
+    assert out.zipf_slope == 0.0 or abs(out.zipf_slope) < 1e-9

@@ -262,3 +262,85 @@ def test_top_paths_transformer(spark):
     ).register_table("t", _ev(spark, rows))
     got = p.run().outputs["res"].collect()
     assert len(got) == 1 and got[0].path == "x>y"
+
+
+# ---------------------------------------------------------------------------
+# holt_linear (Brown double smoothing)
+# ---------------------------------------------------------------------------
+
+
+def _holt_ref(xs, alpha, lookback, horizon=1):
+    """Plain-python replay of the bounded-lookback double smoothing."""
+
+    def sm(series, t):
+        num = den = 0.0
+        for i in range(lookback):
+            j = t - i
+            if j < 0 or series[j] is None:
+                continue
+            w = (1.0 - alpha) ** i
+            num += series[j] * w
+            den += w
+        return num / den if den > 0 else None
+
+    s1 = [sm(xs, t) for t in range(len(xs))]
+    s2 = [sm(s1, t) for t in range(len(xs))]
+    k = alpha / (1.0 - alpha)
+    out = []
+    for a, b in zip(s1, s2):
+        if a is None or b is None:
+            out.append((None, None, None))
+        else:
+            lvl, tr = 2.0 * a - b, k * (a - b)
+            out.append((lvl, tr, lvl + horizon * tr))
+    return out
+
+
+def test_holt_matches_python_reference(spark):
+    from orientdb_etl_spark.operators.temporal import holt_linear
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 8.0, 7.0, 9.0, 11.0]
+    df = spark.createDataFrame(
+        [("u", f"2024-01-01 00:{i:02d}:00", i, x) for i, x in enumerate(xs)],
+        "k string, ts string, i long, v double",
+    )
+    rows = (
+        holt_linear(df, "k", "ts", "v", alpha=0.3, lookback=8, tiebreak="i")
+        .orderBy("i")
+        .collect()
+    )
+    ref = _holt_ref(xs, 0.3, 8)
+    for r, (lvl, tr, fc) in zip(rows, ref):
+        assert abs(r.level - lvl) < 1e-9
+        assert abs(r.trend - tr) < 1e-9
+        assert abs(r.forecast - fc) < 1e-9
+
+
+def test_holt_tracks_linear_trend(spark):
+    from orientdb_etl_spark.operators.temporal import holt_linear
+
+    # exact line y = 2t: once the lookback window is saturated the
+    # one-step forecast must overshoot the level in the trend direction
+    # and beat the level-only EWMA's lag
+    df = spark.createDataFrame(
+        [("u", f"2024-01-01 00:{i:02d}:00", i, 2.0 * i) for i in range(20)],
+        "k string, ts string, i long, v double",
+    )
+    last = (
+        holt_linear(df, "k", "ts", "v", alpha=0.5, lookback=8, tiebreak="i")
+        .orderBy("i")
+        .collect()[-1]
+    )
+    assert last.trend > 1.5  # close to the true slope 2
+    assert last.forecast > last.level
+
+
+def test_holt_alpha_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.operators.temporal import holt_linear
+
+    df = spark.createDataFrame([("u", "2024-01-01", 1, 1.0)],
+                               "k string, ts string, i long, v double")
+    with _pytest.raises(ValueError, match="alpha"):
+        holt_linear(df, "k", "ts", "v", alpha=1.0)
