@@ -4533,6 +4533,38 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text")
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge per user: latest/earliest non-null event type
+    under a deterministic total order (epoch·10^5 + event_id), max
+    value, mode event type with smallest-value tie-break — one hash
+    aggregate plus one mode sub-aggregation on the same key."""
+    from orientdb_etl_spark.functions.linkage import golden_record
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_ord",
+        F.unix_timestamp(F.col("ts").cast("timestamp")) * 100000
+        + F.col("event_id") % 100000,
+    )
+    return golden_record(
+        ev,
+        "user_id",
+        {
+            "last_event": ("latest", "event_type"),
+            "first_event": ("earliest", "event_type"),
+            "max_value": ("max", "value"),
+            "top_event": ("mode", "event_type"),
+        },
+        order_col="_ord",
+    ).select(
+        "user_id",
+        "n_records",
+        "last_event",
+        "first_event",
+        F.round("max_value", 6).alias("max_value"),
+        "top_event",
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4852,6 +4884,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (late): seasonal-profile anomaly + Zipf audit
             "seasonal_anomaly": q_seasonal_anomaly,
             "zipf_fit": q_zipf_fit,
+            # round 5 (late): MDM survivorship merge
+            "golden_record": q_golden_record,
         }
     )
     return out
@@ -7275,6 +7309,28 @@ def oracle_sql() -> dict[str, str]:
             "round(my - (cov / vx) * mx, 6) AS intercept, "
             "round(CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END, 6) "
             "AS r2 FROM g"
+        ),
+        "golden_record": (
+            # arg_max/arg_min over the same deterministic total order;
+            # mode = row_number by (count desc, value) — identical
+            # tie-break in both engines
+            "WITH b AS (SELECT user_id, event_type, value, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 100000 "
+            "+ event_id % 100000 AS ord FROM events), "
+            "g AS (SELECT user_id, count(*) AS n_records, "
+            "arg_max(event_type, CASE WHEN event_type IS NOT NULL "
+            "THEN ord END) AS last_event, "
+            "arg_min(event_type, CASE WHEN event_type IS NOT NULL "
+            "THEN ord END) AS first_event, "
+            "max(value) AS max_value FROM b GROUP BY 1), "
+            "c AS (SELECT user_id, event_type, count(*) AS c FROM b "
+            "WHERE event_type IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT user_id, event_type AS top_event, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY c DESC, event_type) AS rn FROM c) "
+            "SELECT g.user_id, g.n_records, g.last_event, g.first_event, "
+            "round(g.max_value, 6) AS max_value, t.top_event "
+            "FROM g LEFT JOIN t ON g.user_id = t.user_id AND t.rn = 1"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -34,10 +34,10 @@ equi-joins, OMergeTransformer.java:61-101); §2.8 extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join", "set_similarity_join"]
+__all__ = ["fuzzy_join", "set_similarity_join", "golden_record"]
 
 
 def _index_segments(col: str, d: int) -> str:
@@ -237,3 +237,73 @@ def set_similarity_join(
             F.round("jaccard", round_to).alias("jaccard"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    rules: "dict[str, tuple[str, str]]",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): collapse every entity
+    cluster to ONE row, choosing each output field by an explicit rule —
+    the step after :func:`fuzzy_join` +
+    :func:`~orientdb_etl_spark.functions.dedup.connected_component_labels`
+    have decided which rows ARE the same entity.
+
+    ``rules`` maps output name → ``(rule, field)`` with rules:
+
+    * ``latest`` / ``earliest`` — the non-NULL value at max/min
+      ``order_col`` (required; make it a deterministic total order, e.g.
+      epoch·10^6 + sequence, or ties pick an engine-dependent winner)
+    * ``max`` / ``min`` — extreme value (NULLs ignored)
+    * ``mode`` — most frequent non-NULL value, ties to the smallest
+      value (deterministic)
+
+    Always includes ``n_records`` (cluster size).
+
+    Scale shape: latest/earliest/max/min all fold into ONE hash
+    aggregate on the entity key (``max_by``/``min_by`` are ordinary
+    map-side-combinable aggregates — survivorship needs no window and
+    no self-join). Each ``mode`` field adds one (key, value) count +
+    per-key arg-max, re-aggregating on the SAME key so AQE coalesces
+    the exchanges; mode frames join back broadcast-free on the key.
+    """
+    plain_aggs: list = [F.count(F.lit(1)).alias("n_records")]
+    mode_fields: list[tuple[str, str]] = []
+    for out, (rule, field) in rules.items():
+        f = F.col(field)
+        if rule in ("latest", "earliest"):
+            if order_col is None:
+                raise ValueError(f"rule {rule!r} for {out!r} needs order_col")
+            ordv = F.when(f.isNotNull(), F.col(order_col))
+            agg = F.max_by(f, ordv) if rule == "latest" else F.min_by(f, ordv)
+            plain_aggs.append(agg.alias(out))
+        elif rule == "max":
+            plain_aggs.append(F.max(f).alias(out))
+        elif rule == "min":
+            plain_aggs.append(F.min(f).alias(out))
+        elif rule == "mode":
+            mode_fields.append((out, field))
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for {out!r} "
+                "(latest|earliest|max|min|mode)"
+            )
+    out_df = df.groupBy(F.col(key_col)).agg(*plain_aggs)
+    for out, field in mode_fields:
+        counted = (
+            df.where(F.col(field).isNotNull())
+            .groupBy(key_col, field)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("_c").desc(), F.col(field).asc()
+        )
+        top = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(key_col, F.col(field).alias(out))
+        )
+        out_df = out_df.join(top, key_col, "left")
+    return out_df

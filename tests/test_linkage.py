@@ -166,3 +166,69 @@ def test_set_similarity_join_threshold_validation(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         set_similarity_join(_docs(spark, [(1, "a")]), "id", "text", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# golden_record
+# ---------------------------------------------------------------------------
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(
+        rows, "entity bigint, ord bigint, name string, score double"
+    )
+
+
+def test_golden_record_rules(spark):
+    from orientdb_etl_spark.functions.linkage import golden_record
+
+    rows = [
+        (1, 10, "alice", 5.0),
+        (1, 20, None, 9.0),      # NULL must not win 'latest'
+        (1, 15, "alicia", 2.0),
+        (1, 12, "alice", 7.0),
+        (2, 5, "bob", 1.0),
+    ]
+    out = {
+        r.entity: r
+        for r in golden_record(
+            _records(spark, rows),
+            "entity",
+            {
+                "last_name": ("latest", "name"),
+                "first_name": ("earliest", "name"),
+                "best_score": ("max", "score"),
+                "common_name": ("mode", "name"),
+            },
+            order_col="ord",
+        ).collect()
+    }
+    e1 = out[1]
+    assert e1.n_records == 4
+    assert e1.last_name == "alicia"   # ord 15 is the max NON-NULL name
+    assert e1.first_name == "alice"
+    assert e1.best_score == 9.0
+    assert e1.common_name == "alice"  # 2 of 3 non-null names
+    assert out[2].last_name == "bob" and out[2].n_records == 1
+
+
+def test_golden_record_mode_tie_breaks_to_smallest(spark):
+    from orientdb_etl_spark.functions.linkage import golden_record
+
+    rows = [(1, 1, "zeta", 0.0), (1, 2, "alpha", 0.0)]
+    r = golden_record(
+        _records(spark, rows), "entity", {"common_name": ("mode", "name")}
+    ).collect()[0]
+    assert r.common_name == "alpha"
+
+
+def test_golden_record_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.linkage import golden_record
+
+    df = _records(spark, [(1, 1, "a", 1.0)])
+    with _pytest.raises(ValueError, match="order_col"):
+        golden_record(df, "entity", {"x": ("latest", "name")})
+    with _pytest.raises(ValueError, match="rule"):
+        golden_record(df, "entity", {"x": ("newest", "name")})
