@@ -207,6 +207,20 @@ HEADLINE = [
     "tfidf_keywords",
     "top_paths",
     "mutual_information",
+    # round-5 (final) wave: inferential stats, similarity/spatial joins,
+    # smoothing, survivorship — all one-plan queries (acf/seasonal
+    # collect only two scalars for the series span, the rfm discipline)
+    "chi_square",
+    "benford",
+    "mann_whitney",
+    "acf_hourly",
+    "theil_sen",
+    "set_sim_join",
+    "radius_join",
+    "holt",
+    "seasonal_anomaly",
+    "zipf_fit",
+    "golden_record",
 ]
 
 

@@ -204,6 +204,10 @@ def set_similarity_join(
             F.col("_s") - F.ceil(F.lit(float(threshold)) * F.col("_s")) + 1,
         )
     )
+    # cache discipline (SCALE.md): the ordered-set frame feeds the prefix
+    # explode AND both sides of the verification join — uncached, the
+    # tokenize + vocabulary join + collect_list subtree runs three times
+    ordered = ordered.cache()
     pref = ordered.select(
         "_id", "_s", F.explode(F.slice("_ord", 1, F.col("_p"))).alias("_tok")
     )
