@@ -4565,6 +4565,26 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities (3
+    rounds, min-label tie-break) on the customer↔supplier trade graph —
+    the same bipartite construction as kcore_trade; the oracle is the
+    identical rounds unrolled by lpa_rounds_sql."""
+    from orientdb_etl_spark.functions.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, rounds=3)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4886,6 +4906,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zipf_fit": q_zipf_fit,
             # round 5 (late): MDM survivorship merge
             "golden_record": q_golden_record,
+            # round 5 (late): deterministic LPA communities
+            "label_prop": q_label_prop,
         }
     )
     return out
@@ -7341,6 +7363,19 @@ def oracle_sql() -> dict[str, str]:
     # SF; monotone peeling makes extra rounds no-ops)
     from orientdb_etl_spark.functions.graph import kcore_rounds_sql
 
+    from orientdb_etl_spark.functions.graph import lpa_rounds_sql
+
+    sql["label_prop"] = lpa_rounds_sql(
+        rounds=3,
+        materialized=True,
+        edges_cte=(
+            "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
+            "l_suppkey + 1000000 AS s FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey) "
+            "SELECT c AS src, s AS dst FROM pairs "
+            "UNION ALL SELECT s, c FROM pairs"
+        ),
+    )
     sql["kcore_trade"] = kcore_rounds_sql(
         35,
         rounds=8,

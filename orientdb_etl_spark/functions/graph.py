@@ -30,6 +30,8 @@ __all__ = [
     "degrees",
     "pagerank",
     "triangle_count",
+    "label_propagation",
+    "lpa_rounds_sql",
 ]
 
 
@@ -406,4 +408,95 @@ def kcore_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
         src=cfg.get("src", "src"),
         dst=cfg.get("dst", "dst"),
         max_iter=int(cfg.get("maxIter", 30)),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007), fully deterministic: every node starts
+    labelled with its own id; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label. Returns ``(node, label)`` after ``rounds`` rounds.
+
+    Determinism is a deliberate departure from the paper's
+    random-order asynchronous update (which is irreproducible by
+    design): synchronous rounds + the min-label tie-break make the
+    result a pure function of (graph, rounds) — which is what lets a
+    fixed-round SQL oracle replay it (:func:`lpa_rounds_sql`) and makes
+    reruns stable at 100 TB. Known cost: bipartite-ish regions can
+    oscillate with period 2 instead of converging — callers pick
+    ``rounds`` (communities stabilize in a handful on real graphs;
+    labels after ANY fixed round count are still a valid clustering).
+
+    Scale shape per round: one edges⋈labels equi-join on the vertex key
+    + one (node, label) count + one max_by argmax per node — all
+    shuffled on the vertex key (the partitioning reuses across rounds),
+    no window. ``localCheckpoint`` bounds lineage. The symmetrized
+    frame guarantees every node has ≥1 neighbor, so no keep-own-label
+    outer join is needed.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    ed = symmetrize(edges, src, dst).localCheckpoint()
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(int(rounds)):
+        nbr = ed.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max_by(
+                    F.col("label"),
+                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def lpa_rounds_sql(rounds: int, edges_cte: str, materialized: bool = False) -> str:
+    """Portable unrolled twin of :func:`label_propagation` — one Python
+    generator emits both engines' SQL. ``edges_cte`` must yield the
+    symmetrized distinct (src, dst) frame. The argmax is row_number by
+    (count DESC, label ASC): a different mechanism than the engine
+    path's max_by, but the same deterministic selection."""
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [
+        f"e AS {mat}({edges_cte})",
+        f"l0 AS {mat}(SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"c{r} AS {mat}(SELECT e.src AS node, l.label, count(*) AS c "
+            f"FROM e JOIN l{r-1} l ON e.dst = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS {mat}(SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT node, label FROM l{rounds}"
+
+
+@register("labelPropagation")
+def label_propagation_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"labelPropagation": {"src": "src", "dst": "dst",
+    "rounds": 3}}"""
+    return label_propagation(
+        df,
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        rounds=int(cfg.get("rounds", 3)),
     )

@@ -274,3 +274,76 @@ def test_kcore_matches_unrolled_sql(spark):
     expect = {(r.node, r.degree) for r in spark.sql(sql).collect()}
     got = {(r.node, r.degree) for r in kcore(e, 4).collect()}
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from orientdb_etl_spark.functions.graph import label_propagation
+
+    # two triangles joined by one bridge edge: each triangle must share
+    # one label, and the labels differ across the triangles
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    out = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, tri1 + tri2 + [(3, 10)]), rounds=4
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    from orientdb_etl_spark.functions.graph import label_propagation
+
+    pairs = [(i, (i * 7) % 23) for i in range(40) if i != (i * 7) % 23]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(e.repartition(17), rounds=3).collect()))
+    assert a == b
+
+
+def test_lpa_matches_unrolled_python(spark):
+    from collections import Counter
+
+    from orientdb_etl_spark.functions.graph import label_propagation
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
+    rounds = 3
+    # plain-python synchronous replay with min-label tie-break
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            c = Counter(lab[n] for n in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    got = {
+        r.node: r.label
+        for r in label_propagation(_edges(spark, pairs), rounds=rounds).collect()
+    }
+    assert got == lab
+
+
+def test_lpa_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.graph import label_propagation
+
+    with _pytest.raises(ValueError, match="rounds"):
+        label_propagation(_edges(spark, [(1, 2)]), rounds=0)
