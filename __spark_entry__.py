@@ -4585,6 +4585,34 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, rounds=3)
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting over events: active split into new /
+    retained / resurrected per period, churn from the per-period lag
+    identity (no extra user-level join)."""
+    from orientdb_etl_spark.operators.temporal import growth_accounting
+
+    ev = _t(spark, sf_dir, "events")
+    return growth_accounting(ev, "user_id", "ts", bucket_seconds=604800)
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over per-user activity lifetimes (hours
+    between first and last event; deterministic 75% observed flag) —
+    at-risk counts and the log-survival fold both via the distributed
+    exclusive prefix over the distinct-duration frame."""
+    from orientdb_etl_spark.functions.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    life = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.floor((F.max(es) - F.min(es)) / 3600).alias("dur"))
+        .withColumn("obs", F.col("user_id") % 4 != 0)
+    )
+    return kaplan_meier(life, "dur", "obs")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4908,6 +4936,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "golden_record": q_golden_record,
             # round 5 (late): deterministic LPA communities
             "label_prop": q_label_prop,
+            # round 5 (late): growth accounting
+            "growth_accounting": q_growth_accounting,
+            # round 5 (late): Kaplan–Meier survival
+            "kaplan_meier": q_kaplan_meier,
         }
     )
     return out
@@ -7353,6 +7385,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.user_id, g.n_records, g.last_event, g.first_event, "
             "round(g.max_value, 6) AS max_value, t.top_event "
             "FROM g LEFT JOIN t ON g.user_id = t.user_id AND t.rn = 1"
+        ),
+        "growth_accounting": (
+            # same (user, period) presence + window classification;
+            # churn falls out of the per-period lag identity
+            "WITH pres AS (SELECT DISTINCT user_id AS u, "
+            "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) "
+            "AS BIGINT) AS p FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "tg AS (SELECT p, "
+            "(min(p) OVER (PARTITION BY u) = p) AS isnew, "
+            "(lag(p) OVER (PARTITION BY u ORDER BY p) = p - 1) AS isret "
+            "FROM pres), "
+            "a AS (SELECT p, count(*) AS active, "
+            "CAST(sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS new_users, "
+            "CAST(sum(CASE WHEN coalesce(isret, FALSE) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS retained FROM tg GROUP BY 1) "
+            "SELECT p AS period, active, new_users, retained, "
+            "active - new_users - retained AS resurrected, "
+            "CASE WHEN lag(p) OVER (ORDER BY p) = p - 1 "
+            "THEN lag(active) OVER (ORDER BY p) - retained END AS churned "
+            "FROM a ORDER BY period"
+        ),
+        "kaplan_meier": (
+            # product-limit via exp(cumsum ln); the fatal-time row
+            # (d = n_risk) is special-cased to exactly 0.0 in both
+            # engines — DuckDB would raise on ln(0), Spark NULLs it
+            "WITH life AS (SELECT user_id, "
+            "CAST(floor((max(floor(epoch(CAST(ts AS TIMESTAMP)))) - "
+            "min(floor(epoch(CAST(ts AS TIMESTAMP))))) / 3600) AS BIGINT) "
+            "AS dur, user_id % 4 <> 0 AS obs FROM events "
+            "WHERE ts IS NOT NULL GROUP BY user_id), "
+            "d AS (SELECT dur AS t, count(*) AS c, "
+            "CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d "
+            "FROM life GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM d), "
+            "p AS (SELECT t, c, d, CAST(coalesce(sum(c) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS bef FROM d), "
+            "e AS (SELECT t, (SELECT n FROM tot) - bef AS n_risk, d "
+            "AS n_events FROM p WHERE d > 0), "
+            "s AS (SELECT t, n_risk, n_events, "
+            "CASE WHEN n_events < n_risk "
+            "THEN ln(1.0 - n_events / (n_risk * 1.0)) ELSE 0.0 END AS lt "
+            "FROM e) "
+            "SELECT t, n_risk, n_events, "
+            "round(CASE WHEN n_events = n_risk THEN 0.0 ELSE "
+            "exp(sum(lt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) "
+            "AS survival FROM s ORDER BY t"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

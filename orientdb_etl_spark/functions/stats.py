@@ -36,6 +36,7 @@ __all__ = [
     "acf",
     "theil_sen",
     "seasonal_anomaly",
+    "kaplan_meier",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -767,4 +768,78 @@ def seasonal_anomaly(
             ),
         )
         .orderBy("bucket")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring: one row per
+    distinct event time ``t`` (durations where >= 1 OBSERVED event
+    happened) with ``(t, n_risk, n_events, survival)`` where
+
+        n_risk_t  = #subjects with duration >= t
+        S(t)      = prod over event times u <= t of (1 - d_u / n_risk_u)
+
+    — the product-limit curve behind retention/churn lifetime analysis
+    (Kaplan & Meier 1958). Censored subjects (``observed_col`` false)
+    leave the risk set at their duration without contributing an event;
+    ties follow the standard convention (events at ``t`` precede
+    censorings at ``t``, both counted at risk).
+
+    Scale shape: subjects collapse to per-duration (total, observed)
+    counts in ONE aggregation; the at-risk count is total-minus-
+    exclusive-prefix over that distinct-duration frame and the product
+    folds as exp(prefix sum of ln terms) — both via
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    (range partitioned, never a global raw-row window). Integer
+    arithmetic for the risk counts; the only float fold is the ln sum
+    over the (tiny) event-time frame. A time where every at-risk
+    subject dies gets survival exactly 0.0 (no ln(0): Spark would NULL
+    it, DuckDB would raise — both engines special-case the row).
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    life = df.select(
+        F.col(duration_col).cast("bigint").alias("_t"),
+        F.col(observed_col).cast("boolean").alias("_obs"),
+    ).where(F.col(duration_col).isNotNull())
+    per_t = life.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.when(F.col("_obs"), 1).otherwise(0)).alias("_d"),
+    )
+    total = per_t.agg(F.sum("_c").alias("_n"))
+    risk = (
+        exclusive_prefix(per_t, ["_t"], "_c", "sum", "_before", "bigint")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_t",
+            "_d",
+            (F.col("_n") - F.coalesce(F.col("_before"), F.lit(0))).alias("_nr"),
+        )
+        .where(F.col("_d") > 0)
+    )
+    # a fatal time (d == n_risk) can only be the LAST event time, so the
+    # dummy 0.0 term never pollutes earlier rows
+    lnterm = F.when(
+        F.col("_d") < F.col("_nr"),
+        F.log(F.lit(1.0) - F.col("_d") / F.col("_nr")),
+    ).otherwise(F.lit(0.0))
+    folded = exclusive_prefix(
+        risk.withColumn("_ln", lnterm), ["_t"], "_ln", "sum", "_lnpref", "double"
+    )
+    surv = F.when(F.col("_d") == F.col("_nr"), F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.col("_lnpref"), F.lit(0.0)) + F.col("_ln"))
+    )
+    return (
+        folded.select(
+            F.col("_t").alias("t"),
+            F.col("_nr").alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.round(surv, round_to).alias("survival"),
+        )
+        .orderBy("t")
     )

@@ -1134,3 +1134,86 @@ def top_paths_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Dat
         k=int(cfg.get("k", 20)),
         tiebreak=cfg.get("tiebreak"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Product-analytics growth accounting: per period, split the
+    active-user count into **new** (first-ever period), **retained**
+    (also active the previous period) and **resurrected** (active
+    before, but not last period), plus **churned** = last period's
+    actives who did not return. The per-period identity
+    ``churned_p = active_{p-1} − retained_p`` means churn needs NO
+    extra user-level join — it falls out of a lag over the tiny
+    per-period frame.
+
+    Returns ``(period, active, new_users, retained, resurrected,
+    churned)`` ordered by period; ``churned`` is NULL for the first
+    period (no predecessor to churn from).
+
+    Scale shape: ONE distinct on (user, period), then a user-keyed
+    window (min period + lag period — both over the same partitioning,
+    one exchange) classifies every (user, period) row; one period
+    aggregate collapses to ≤ time-range/bucket rows and the churn lag
+    runs over that by-construction-tiny frame.
+    """
+    p = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(bucket_seconds)
+    )
+    pres = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), p.alias("_p"))
+        .distinct()
+    )
+    w = Window.partitionBy("_u").orderBy("_p")
+    tagged = pres.select(
+        "_p",
+        (F.min("_p").over(w) == F.col("_p")).alias("_is_new"),
+        (F.lag("_p").over(w) == F.col("_p") - 1).alias("_is_ret"),
+    )
+    agg = tagged.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("_is_new"), 1).otherwise(0)).alias("new_users"),
+        F.sum(
+            F.when(F.coalesce(F.col("_is_ret"), F.lit(False)), 1).otherwise(0)
+        ).alias("retained"),
+    )
+    wp = Window.orderBy("_p")
+    # the global window here is over the per-period frame: time-range /
+    # bucket rows by construction, not data-sized
+    return (
+        agg.withColumn("_prev_active", F.lag("active").over(wp))
+        .withColumn("_prev_p", F.lag("_p").over(wp))
+        .select(
+            F.col("_p").alias("period"),
+            "active",
+            "new_users",
+            "retained",
+            (F.col("active") - F.col("new_users") - F.col("retained")).alias(
+                "resurrected"
+            ),
+            F.when(
+                F.col("_prev_p") == F.col("_p") - 1,
+                F.col("_prev_active") - F.col("retained"),
+            ).alias("churned"),
+        )
+        .orderBy("period")
+    )
+
+
+@register("growthAccounting")
+def growth_accounting_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"growthAccounting": {"userField": "user_id",
+    "on": "ts", "bucketSeconds": 604800}}"""
+    return growth_accounting(
+        df,
+        cfg["userField"],
+        cfg["on"],
+        int(cfg.get("bucketSeconds", 604800)),
+    )

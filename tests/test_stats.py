@@ -505,3 +505,65 @@ def test_zipf_fit_uniform_corpus_slope_zero(spark):
     out = zipf_fit(df, "text").collect()[0]
     assert out.vocab == 4
     assert out.zipf_slope == 0.0 or abs(out.zipf_slope) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def _lifetimes(spark, rows):
+    return spark.createDataFrame(rows, "dur bigint, obs boolean")
+
+
+def _km_ref(rows):
+    """Plain-python product-limit replay."""
+    from collections import Counter
+
+    total = len(rows)
+    cnt = Counter(d for d, _ in rows)
+    dth = Counter(d for d, o in rows if o)
+    out, s, seen = [], 1.0, 0
+    for t in sorted(cnt):
+        n_risk = total - seen
+        seen += cnt[t]
+        d = dth.get(t, 0)
+        if d == 0:
+            continue
+        s = 0.0 if d == n_risk else s * (1.0 - d / n_risk)
+        out.append((t, n_risk, d, round(s, 6)))
+    return out
+
+
+def test_kaplan_meier_matches_reference(spark):
+    from orientdb_etl_spark.functions.stats import kaplan_meier
+
+    # classic textbook-style data with censoring interleaved
+    rows = [
+        (1, True), (2, True), (2, False), (3, True), (4, False),
+        (5, True), (5, True), (6, False), (8, True), (9, False),
+    ]
+    got = [
+        (r.t, r.n_risk, r.n_events, r.survival)
+        for r in kaplan_meier(_lifetimes(spark, rows), "dur", "obs").collect()
+    ]
+    assert got == _km_ref(rows)
+
+
+def test_kaplan_meier_censored_only_times_absent(spark):
+    from orientdb_etl_spark.functions.stats import kaplan_meier
+
+    rows = [(1, True), (2, False), (3, True)]
+    got = kaplan_meier(_lifetimes(spark, rows), "dur", "obs").collect()
+    assert [r.t for r in got] == [1, 3]
+    # censoring at 2 still shrank the risk set for t=3
+    assert got[1].n_risk == 1
+
+
+def test_kaplan_meier_everyone_dies_hits_zero(spark):
+    from orientdb_etl_spark.functions.stats import kaplan_meier
+
+    rows = [(1, True), (2, True), (2, True)]
+    got = kaplan_meier(_lifetimes(spark, rows), "dur", "obs").collect()
+    assert got[-1].survival == 0.0
+    assert got[-1].n_events == got[-1].n_risk == 2

@@ -3,6 +3,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from orientdb_etl_spark.operators.temporal import rfm_segments, transition_counts
 
@@ -344,3 +345,54 @@ def test_holt_alpha_validation(spark):
                                "k string, ts string, i long, v double")
     with _pytest.raises(ValueError, match="alpha"):
         holt_linear(df, "k", "ts", "v", alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting
+# ---------------------------------------------------------------------------
+
+
+def _activity(spark, pairs, bucket=100):
+    # (user, period) pairs expressed as one event at period*bucket seconds
+    rows = [(u, p * bucket) for u, p in pairs]
+    return spark.createDataFrame(rows, "user_id bigint, es bigint").select(
+        "user_id", F.timestamp_seconds(F.col("es")).alias("ts")
+    )
+
+
+def test_growth_accounting_classification(spark):
+    from orientdb_etl_spark.operators.temporal import growth_accounting
+
+    # p0: users 1,2 new. p1: 1 retained, 3 new; 2 churns.
+    # p2: nobody.  (gap periods have no row)  p3: 2 resurrected, 1 res.
+    pairs = [(1, 0), (2, 0), (1, 1), (3, 1), (1, 3), (2, 3)]
+    rows = {
+        r.period: r
+        for r in growth_accounting(
+            _activity(spark, pairs), "user_id", "ts", bucket_seconds=100
+        ).collect()
+    }
+    p0, p1, p3 = rows[0], rows[1], rows[3]
+    assert (p0.active, p0.new_users, p0.retained, p0.resurrected) == (2, 2, 0, 0)
+    assert p0.churned is None
+    assert (p1.active, p1.new_users, p1.retained, p1.resurrected) == (2, 1, 1, 0)
+    assert p1.churned == 1  # user 2 left
+    # period 2 has no activity -> no row; period 3 follows a gap:
+    # nobody can be "retained", churn vs p2 is undefined (NULL)
+    assert (p3.active, p3.new_users, p3.retained, p3.resurrected) == (2, 0, 0, 2)
+    assert p3.churned is None
+
+
+def test_growth_accounting_identity_holds(spark):
+    import random
+
+    from orientdb_etl_spark.operators.temporal import growth_accounting
+
+    rng = random.Random(3)
+    pairs = {(rng.randrange(30), rng.randrange(8)) for _ in range(120)}
+    rows = growth_accounting(
+        _activity(spark, sorted(pairs)), "user_id", "ts", bucket_seconds=100
+    ).collect()
+    for r in rows:
+        assert r.active == r.new_users + r.retained + r.resurrected
+        assert r.resurrected >= 0
