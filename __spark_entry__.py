@@ -4613,6 +4613,30 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(life, "dur", "obs")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution of purchases over
+    click/view touchpoints in the trailing 30 minutes — range_join
+    pairing (bucketized equi-join), per-conversion rank/count window,
+    exact small-integer credit fractions the oracle replays."""
+    from orientdb_etl_spark.operators.temporal import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view"))
+    conv = ev.where(F.col("event_type") == "purchase")
+    return attribution(
+        touches,
+        conv,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        "ts",
+        window_seconds=1800,
+        model="position",
+        tiebreak="event_id",
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4940,6 +4964,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "growth_accounting": q_growth_accounting,
             # round 5 (late): Kaplan–Meier survival
             "kaplan_meier": q_kaplan_meier,
+            # round 5 (late): multi-touch attribution
+            "attribution": q_attribution,
         }
     )
     return out
@@ -7434,6 +7460,28 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN n_events = n_risk THEN 0.0 ELSE "
             "exp(sum(lt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) "
             "AS survival FROM s ORDER BY t"
+        ),
+        "attribution": (
+            # inclusive [ts-30min, ts] pairing like range_join; same
+            # (ts, event_id) rank order; exact small-integer credit
+            "WITH t AS (SELECT user_id AS u, ts AS tts, "
+            "event_type AS channel, event_id AS tb FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "c AS (SELECT user_id AS u, event_id AS cid, ts AS we "
+            "FROM events WHERE event_type = 'purchase'), "
+            "p AS (SELECT c.cid, t.channel, t.tts, t.tb FROM t JOIN c "
+            "ON t.u = c.u AND t.tts >= c.we - INTERVAL 30 MINUTE "
+            "AND t.tts <= c.we), "
+            "r AS (SELECT cid, channel, "
+            "row_number() OVER (PARTITION BY cid ORDER BY tts, tb) AS rn, "
+            "count(*) OVER (PARTITION BY cid) AS k FROM p), "
+            "cr AS (SELECT channel, cid, "
+            "CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5 "
+            "WHEN rn = 1 THEN 0.4 WHEN rn = k THEN 0.4 "
+            "ELSE 0.2 / (k - 2) END AS credit FROM r) "
+            "SELECT channel, count(DISTINCT cid) AS conversions_touched, "
+            "round(sum(credit), 6) AS credit "
+            "FROM cr GROUP BY channel ORDER BY channel"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

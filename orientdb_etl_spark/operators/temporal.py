@@ -1217,3 +1217,115 @@ def growth_accounting_transformer(
         cfg["on"],
         int(cfg.get("bucketSeconds", 604800)),
     )
+
+
+def attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str,
+    touch_ts: str,
+    channel_col: str,
+    conv_id: str,
+    conv_ts: str,
+    window_seconds: int,
+    model: str = "linear",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's credit over
+    the touchpoints in its trailing window, then total credit per
+    channel — ``(channel, conversions_touched, credit)``.
+
+    Models (k = touches in the conversion's window):
+
+    * ``linear`` — 1/k each
+    * ``first_touch`` / ``last_touch`` — all credit to one end
+    * ``position`` — U-shaped 40/20/40: 0.4 first, 0.4 last, the
+      middle k−2 split 0.2 evenly (k=1 → 1.0, k=2 → 0.5/0.5)
+
+    Credit fractions are exact double divisions of small integers, so
+    a SQL twin replays them bit-identically; per-conversion rank uses
+    ``(touch_ts, tiebreak)`` — pass a unique tiebreak or tied
+    timestamps make first/last nondeterministic.
+
+    Scale shape: the touch↔conversion pairing is
+    :func:`range_join` (bucketized equi-join — never a cartesian);
+    rank/count run in one window over the conversion key; the final
+    per-channel aggregate is map-side combinable. Conversions with zero
+    touches contribute nothing (no outer join needed for credit).
+    """
+    if model not in ("linear", "first_touch", "last_touch", "position"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    t = touches.select(
+        F.col(user_col).alias("_u"),
+        F.col(touch_ts).alias("_tts"),
+        F.col(channel_col).alias("channel"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("_u"),
+        F.col(conv_id).alias("_cid"),
+        (F.col(conv_ts) - F.expr(f"INTERVAL {int(window_seconds)} seconds")).alias(
+            "_ws"
+        ),
+        F.col(conv_ts).alias("_we"),
+    )
+    # range_join keeps unmatched points with NULL interval columns —
+    # only touches that actually fell inside some window earn credit
+    paired = range_join(
+        t, c, "_tts", "_ws", "_we", by="_u",
+        bucket_seconds=max(int(window_seconds), 1),
+    ).where(F.col("_cid").isNotNull())
+    order = [F.col("_tts")] + ([F.col("_tb")] if tiebreak else [])
+    w = Window.partitionBy("_cid").orderBy(*order)
+    ranked = (
+        paired.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(Window.partitionBy("_cid")))
+    )
+    if model == "linear":
+        credit = F.lit(1.0) / F.col("_k")
+    elif model == "first_touch":
+        credit = F.when(F.col("_rn") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        credit = F.when(F.col("_rn") == F.col("_k"), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    else:  # position (U-shaped 40/20/40)
+        credit = (
+            F.when(F.col("_k") == 1, F.lit(1.0))
+            .when(F.col("_k") == 2, F.lit(0.5))
+            .when(F.col("_rn") == 1, F.lit(0.4))
+            .when(F.col("_rn") == F.col("_k"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (F.col("_k") - 2))
+        )
+    return (
+        ranked.withColumn("_cr", credit)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct(F.col("_cid")).alias("conversions_touched"),
+            F.round(F.sum("_cr"), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register("attribution")
+def attribution_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"attribution": {"conversions": "conv_view",
+    "userField": "user_id", "on": "ts", "channelField": "channel",
+    "convId": "conv_id", "convTs": "ts", "windowSeconds": 1800,
+    "model": "linear", "tiebreak": "event_id"}}"""
+    conv = _resolve(ctx, cfg["conversions"])
+    return attribution(
+        df,
+        conv,
+        cfg["userField"],
+        cfg["on"],
+        cfg["channelField"],
+        cfg["convId"],
+        cfg["convTs"],
+        int(cfg.get("windowSeconds", 1800)),
+        model=cfg.get("model", "linear"),
+        tiebreak=cfg.get("tiebreak"),
+    )

@@ -396,3 +396,81 @@ def test_growth_accounting_identity_holds(spark):
     for r in rows:
         assert r.active == r.new_users + r.retained + r.resurrected
         assert r.resurrected >= 0
+
+
+# ---------------------------------------------------------------------------
+# attribution
+# ---------------------------------------------------------------------------
+
+
+def _touch_conv(spark):
+    # user 1: touches at t=0(email),100(ads),200(search); conv at 250 (w=300)
+    # user 2: one touch at t=50(ads); conv at 100
+    # user 3: touch OUTSIDE the window (conv 1000, touch at 100)
+    touches = spark.createDataFrame(
+        [
+            (1, 0, "email", 10),
+            (1, 100, "ads", 11),
+            (1, 200, "search", 12),
+            (2, 50, "ads", 20),
+            (3, 100, "email", 30),
+        ],
+        "user_id bigint, es bigint, channel string, tid bigint",
+    ).select("user_id", F.timestamp_seconds(F.col("es")).alias("ts"),
+             "channel", "tid")
+    conv = spark.createDataFrame(
+        [(1, 250, 91), (2, 100, 92), (3, 1000, 93)],
+        "user_id bigint, es bigint, cid bigint",
+    ).select("user_id", F.timestamp_seconds(F.col("es")).alias("ts"), "cid")
+    return touches, conv
+
+
+def _run(spark, model):
+    from orientdb_etl_spark.operators.temporal import attribution
+
+    touches, conv = _touch_conv(spark)
+    return {
+        r.channel: (r.conversions_touched, r.credit)
+        for r in attribution(
+            touches, conv, "user_id", "ts", "channel", "cid", "ts",
+            window_seconds=300, model=model, tiebreak="tid",
+        ).collect()
+    }
+
+
+def test_attribution_linear(spark):
+    got = _run(spark, "linear")
+    # user1: 3 touches -> 1/3 each; user2: 1 touch -> 1.0; user3: none
+    assert got["email"] == (1, round(1 / 3, 6))
+    assert got["ads"] == (2, round(1 / 3 + 1.0, 6))
+    assert got["search"] == (1, round(1 / 3, 6))
+
+
+def test_attribution_first_and_last(spark):
+    first = _run(spark, "first_touch")
+    assert first["email"] == (1, 1.0)
+    assert first["ads"] == (2, 1.0)   # 0 from user1 + 1.0 from user2
+    assert first["search"] == (1, 0.0)
+    last = _run(spark, "last_touch")
+    assert last["search"] == (1, 1.0)
+    assert last["ads"] == (2, 1.0)
+    assert last["email"] == (1, 0.0)
+
+
+def test_attribution_position_u_shape(spark):
+    got = _run(spark, "position")
+    # user1 k=3: email 0.4 (first), search 0.4 (last), ads 0.2; user2 k=1: ads 1.0
+    assert got["email"] == (1, 0.4)
+    assert got["search"] == (1, 0.4)
+    assert got["ads"] == (2, 1.2)
+
+
+def test_attribution_model_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.operators.temporal import attribution
+
+    touches, conv = _touch_conv(spark)
+    with _pytest.raises(ValueError, match="model"):
+        attribution(touches, conv, "user_id", "ts", "channel", "cid", "ts",
+                    300, model="shapley")
