@@ -4637,6 +4637,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of every event type's value distribution
+    onto the 'click' reference distribution — keyed percent-rank
+    windows, a 101-row broadcast reference curve (bounded by
+    construction), type-1 forward-filled quantiles."""
+    from orientdb_etl_spark.functions.preprocess import quantile_map
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return quantile_map(ev, "event_type", "value", "click", n_q=100)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4966,6 +4977,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kaplan_meier": q_kaplan_meier,
             # round 5 (late): multi-touch attribution
             "attribution": q_attribution,
+            # round 5 (late): quantile normalization
+            "quantile_map": q_quantile_map,
         }
     )
     return out
@@ -7482,6 +7495,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT channel, count(DISTINCT cid) AS conversions_touched, "
             "round(sum(credit), 6) AS credit "
             "FROM cr GROUP BY channel ORDER BY channel"
+        ),
+        "quantile_map": (
+            # NULLs excluded from ranking (engines disagree on NULL
+            # order); identical rank->bucket float expression; type-1
+            # forward-filled 101-bucket reference curve
+            "WITH base AS (SELECT event_id, event_type AS g, value AS v "
+            "FROM events), "
+            "nn AS (SELECT event_id, g, v, CAST(floor(percent_rank() OVER "
+            "(PARTITION BY g ORDER BY v) * 100) AS INTEGER) AS b "
+            "FROM base WHERE v IS NOT NULL), "
+            "curve AS (SELECT b, max(v) AS q FROM nn WHERE g = 'click' "
+            "GROUP BY 1), "
+            "grid AS (SELECT CAST(unnest(generate_series(0, 100)) "
+            "AS INTEGER) AS b), "
+            "dense AS (SELECT grid.b, last_value(c.q IGNORE NULLS) OVER "
+            "(ORDER BY grid.b ROWS UNBOUNDED PRECEDING) AS q "
+            "FROM grid LEFT JOIN curve c USING (b)), "
+            "m AS (SELECT nn.event_id, nn.g, nn.v, d.q FROM nn "
+            "JOIN dense d USING (b) "
+            "UNION ALL SELECT event_id, g, v, NULL FROM base "
+            "WHERE v IS NULL) "
+            "SELECT event_id, g AS event_type, v AS value, "
+            "round(q, 6) AS mapped FROM m"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -14,7 +14,7 @@ set constants per row but computes no corpus statistics; SURVEY §2.3.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,4 +88,69 @@ def standardize(
         )
     return joined.drop(
         *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
+    )
+
+
+def quantile_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group,
+    n_q: int = 100,
+    out_col: str = "mapped",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution mapping (quantile normalization): replace every
+    value with the REFERENCE group's empirical quantile at the value's
+    within-group percent rank — after mapping, every group follows the
+    reference group's distribution. The cross-group bias-correction
+    step (microarray quantile normalization, climate-model quantile
+    mapping) for "instrument A reads systematically hotter than B".
+
+    Mechanics: within-group ``percent_rank`` (a keyed window), the
+    reference group's curve discretized onto ``n_q + 1`` equal-rank
+    buckets (per-bucket max, forward-filled — the type-1 / lower
+    empirical quantile), each row's bucket looked up in that curve.
+    Adds ``out_col``; NULL values pass through as NULL.
+
+    Scale shape: one keyed window per group (no global sort); the
+    reference curve is ``n_q + 1`` rows BY CONSTRUCTION — broadcast to
+    every executor regardless of data size; its forward-fill window
+    runs over those rows only. Rank→bucket arithmetic is the identical
+    float expression in both engines (same doubles, same floor), which
+    is what the oracle twin relies on.
+    """
+    if n_q < 1:
+        raise ValueError(f"n_q must be >= 1, got {n_q}")
+    w = Window.partitionBy("_g").orderBy("_v")
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v"), "*"
+    )
+    # rank ONLY non-null rows: engines disagree on where NULLs sort
+    # (Spark NULLS FIRST, DuckDB NULLS LAST), and a null must not shift
+    # real values' percent ranks anyway
+    nn = base.where(F.col("_v").isNotNull()).withColumn(
+        "_b", F.floor(F.percent_rank().over(w) * n_q).cast("int")
+    )
+    nl = base.where(F.col("_v").isNull()).withColumn(
+        "_b", F.lit(None).cast("int")
+    )
+    ranked = nn.unionByName(nl)
+    curve = (
+        ranked.where((F.col("_g") == ref_group) & F.col("_v").isNotNull())
+        .groupBy("_b")
+        .agg(F.max("_v").alias("_q"))
+    )
+    grid = df.sparkSession.range(0, n_q + 1).select(F.col("id").cast("int").alias("_b"))
+    wg = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    dense = (
+        grid.join(curve, "_b", "left")
+        # tiny frame: n_q + 1 rows — the global window is bounded by
+        # construction, and the forward fill is the type-1 quantile
+        .withColumn("_q", F.last("_q", ignorenulls=True).over(wg))
+    )
+    return (
+        ranked.join(F.broadcast(dense), "_b", "left")
+        .withColumn(out_col, F.round(F.col("_q"), round_to))
+        .drop("_b", "_q", "_g", "_v")
     )

@@ -53,3 +53,57 @@ def test_standardize_plan_is_broadcast_attach(spark):
     plan = standardize(df, ["v"], by="g")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quantile_map
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_map_identity_on_reference_group(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.preprocess import quantile_map
+
+    # reference group mapped onto itself must reproduce its own values
+    # (n_q large enough that each value owns a bucket)
+    rows = [("ref", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_map(df, "g", "v", "ref", n_q=100, out_col="m")
+    assert all(r.m == r.v for r in out.collect())
+
+
+def test_quantile_map_shifts_distribution_onto_reference(spark):
+    from orientdb_etl_spark.functions.preprocess import quantile_map
+
+    # group b = group a + 100: after mapping, b's values equal a's
+    rows = [("a", float(v)) for v in range(20)] + [
+        ("b", float(v) + 100.0) for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_map(df, "g", "v", "a", n_q=100, out_col="m")
+    got = sorted(r.m for r in out.where("g = 'b'").collect())
+    assert got == sorted(float(v) for v in range(20))
+
+
+def test_quantile_map_nulls_pass_through(spark):
+    from orientdb_etl_spark.functions.preprocess import quantile_map
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", None), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_map(df, "g", "v", "a", n_q=10, out_col="m").collect()
+    bynull = {r.v: r.m for r in out if r.g == "b"}
+    assert bynull[None] is None
+    # b's only non-null value has percent_rank 0 -> maps to a's minimum,
+    # and the null row did NOT shift that rank
+    assert bynull[5.0] == 1.0
+
+
+def test_quantile_map_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.preprocess import quantile_map
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError, match="n_q"):
+        quantile_map(df, "g", "v", "a", n_q=0)
