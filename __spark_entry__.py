@@ -4648,6 +4648,16 @@ def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_map(ev, "event_type", "value", "click", n_q=100)
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded view→click→purchase funnel: every step within one
+    hour of the user's first view, in order — per-step user-keyed
+    aggregations with the deadline carried down the funnel."""
+    from orientdb_etl_spark.operators.temporal import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(ev, ["view", "click", "purchase"], 3600)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4979,6 +4989,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "attribution": q_attribution,
             # round 5 (late): quantile normalization
             "quantile_map": q_quantile_map,
+            # round 5 (late): time-bounded funnel
+            "window_funnel": q_window_funnel,
         }
     )
     return out
@@ -7518,6 +7530,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE v IS NULL) "
             "SELECT event_id, g AS event_type, v AS value, "
             "round(q, 6) AS mapped FROM m"
+        ),
+        "window_funnel": (
+            # anchored at the user's FIRST view; each later step must be
+            # strictly after the previous step's first time and within
+            # the deadline — the documented deterministic variant
+            "WITH e AS (SELECT user_id AS u, event_type AS t, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es "
+            "FROM events), "
+            "s1 AS (SELECT u, min(es) AS ft, min(es) + 3600 AS dl "
+            "FROM e WHERE t = 'view' GROUP BY u), "
+            "s2 AS (SELECT e.u, s1.dl, min(es) AS ft FROM e JOIN s1 "
+            "ON e.u = s1.u WHERE t = 'click' AND es > s1.ft "
+            "AND es <= s1.dl GROUP BY e.u, s1.dl), "
+            "s3 AS (SELECT e.u, min(es) AS ft FROM e JOIN s2 "
+            "ON e.u = s2.u WHERE t = 'purchase' AND es > s2.ft "
+            "AND es <= s2.dl GROUP BY e.u) "
+            "SELECT (SELECT count(*) FROM s1) AS n1_view, "
+            "(SELECT count(*) FROM s2) AS n2_click, "
+            "(SELECT count(*) FROM s3) AS n3_purchase"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

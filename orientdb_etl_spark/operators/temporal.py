@@ -1329,3 +1329,81 @@ def attribution_transformer(
         model=cfg.get("model", "linear"),
         tiebreak=cfg.get("tiebreak"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
+    shape, deterministic variant): count users completing each step IN
+    ORDER with every step inside ``window_seconds`` of the user's FIRST
+    step-1 completion. One summary row ``(n1_<s>, n2_<s>, ...)``.
+
+    Anchoring at the first step-1 event (rather than scanning every
+    anchor for the best window) keeps the operator a chain of per-step
+    user-keyed aggregations — the :func:`funnel_counts` shape plus one
+    deadline column carried down the funnel — instead of a per-user
+    sequential scan; the trade-off (a user who fails from the first
+    anchor but would succeed from a later one is not counted) is
+    documented and replayed exactly by the SQL oracle.
+
+    Scale shape: per step one filtered slice + one user-keyed join +
+    one min aggregate; frames shrink monotonically; final row is a
+    cross join of single-row counts.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    es = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")))
+    prev = None
+    stage_counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), es.alias("_es")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_es").alias("_ft"))
+            cur = cur.withColumn(
+                "_deadline", F.col("_ft") + F.lit(int(window_seconds))
+            )
+        else:
+            cur = (
+                ev.join(prev, "_u")
+                .filter(
+                    (F.col("_es") > F.col("_ft"))
+                    & (F.col("_es") <= F.col("_deadline"))
+                )
+                .groupBy("_u", "_deadline")
+                .agg(F.min("_es").alias("_ft"))
+            )
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).alias(f"n{i + 1}_{step}"))
+        )
+        prev = cur.select("_u", "_ft", "_deadline")
+    out = stage_counts[0]
+    for c in stage_counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+@register("windowFunnel")
+def window_funnel_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"windowFunnel": {"steps": ["view", "click",
+    "purchase"], "windowSeconds": 3600, "userField": "user_id",
+    "on": "ts", "typeField": "event_type"}}"""
+    return window_funnel(
+        df,
+        list(cfg["steps"]),
+        int(cfg.get("windowSeconds", 3600)),
+        user_col=cfg.get("userField", "user_id"),
+        ts_col=cfg.get("on", "ts"),
+        type_col=cfg.get("typeField", "event_type"),
+    )

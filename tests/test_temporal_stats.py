@@ -474,3 +474,56 @@ def test_attribution_model_validation(spark):
     with _pytest.raises(ValueError, match="model"):
         attribution(touches, conv, "user_id", "ts", "channel", "cid", "ts",
                     300, model="shapley")
+
+
+# ---------------------------------------------------------------------------
+# window_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_window_funnel_enforces_order_and_deadline(spark):
+    from orientdb_etl_spark.operators.temporal import window_funnel
+
+    rows = [
+        # user 1 completes all 3 inside the hour
+        (1, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T00:10:00"), "click", 0.0),
+        (1, _t("2026-01-01T00:20:00"), "buy", 0.0),
+        # user 2: click BEFORE view -> stops at view
+        (2, _t("2026-01-01T00:10:00"), "view", 0.0),
+        (2, _t("2026-01-01T00:05:00"), "click", 0.0),
+        # user 3: click after the 1h deadline from first view
+        (3, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (3, _t("2026-01-01T01:30:00"), "click", 0.0),
+        # user 4: buy exactly AT the deadline (inclusive)
+        (4, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (4, _t("2026-01-01T00:30:00"), "click", 0.0),
+        (4, _t("2026-01-01T01:00:00"), "buy", 0.0),
+    ]
+    row = window_funnel(
+        _ev(spark, rows), ["view", "click", "buy"], 3600
+    ).collect()[0]
+    assert row.n1_view == 4
+    assert row.n2_click == 2   # users 1 and 4
+    assert row.n3_buy == 2     # user 4's buy at t+3600 is inclusive
+
+
+def test_window_funnel_anchor_is_first_step_one(spark):
+    from orientdb_etl_spark.operators.temporal import window_funnel
+
+    # the documented trade-off: a LATER view would open a valid window,
+    # but the anchor is the FIRST view, so the user does not convert
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T05:00:00"), "view", 0.0),
+        (1, _t("2026-01-01T05:10:00"), "click", 0.0),
+    ]
+    row = window_funnel(_ev(spark, rows), ["view", "click"], 3600).collect()[0]
+    assert (row.n1_view, row.n2_click) == (1, 0)
+
+
+def test_window_funnel_validation(spark):
+    from orientdb_etl_spark.operators.temporal import window_funnel
+
+    with pytest.raises(ValueError, match="window_seconds"):
+        window_funnel(_ev(spark, []), ["a"], 0)
