@@ -1,0 +1,80 @@
+"""audit_plan: each rule must fire on a planted bad plan and stay
+quiet on the good twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.planaudit import audit_plan
+
+
+def _rules(findings):
+    return {f["rule"] for f in findings}
+
+
+def test_clean_aggregate_has_no_findings(spark):
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    assert audit_plan(df) == []
+
+
+def test_cartesian_flagged(spark):
+    a, b = spark.range(10), spark.range(10)
+    got = audit_plan(a.crossJoin(b))
+    assert "cartesian" in _rules(got) or "nested_loop_join" in _rules(got)
+    assert got[0]["severity"] in ("error", "warn")
+
+
+def test_global_window_flagged_partitioned_not(spark):
+    df = spark.range(100).select("id", (F.col("id") % 5).alias("k"))
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert "global_window" in _rules(audit_plan(bad))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert "global_window" not in _rules(audit_plan(good))
+
+
+def test_row_python_flagged(spark):
+    from pyspark.sql.types import LongType
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    bad = spark.range(10).select(plus_one("id").alias("y"))
+    got = audit_plan(bad)
+    assert "row_python" in _rules(got)
+    assert got[0]["severity"] == "error"
+
+
+def test_unpushed_filter_and_clean_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k")
+    ).write.mode("overwrite").parquet(p)
+    t = spark.read.parquet(p)
+    # cast around the column defeats pushdown
+    bad = t.filter(F.col("k").cast("string") == "3")
+    assert "unpushed_filter" in _rules(audit_plan(bad))
+    good = t.filter(F.col("k") == 3)
+    assert "unpushed_filter" not in _rules(audit_plan(good))
+
+
+def test_wide_scan_threshold(spark, tmp_path):
+    p = str(tmp_path / "wide.parquet")
+    cols = [F.col("id").alias(f"c{i}") for i in range(30)]
+    spark.range(50).select(*cols).write.mode("overwrite").parquet(p)
+    wide = spark.read.parquet(p)
+    assert "wide_scan" in _rules(audit_plan(wide.filter(F.col("c0") > 1)))
+    assert "wide_scan" not in _rules(
+        audit_plan(wide.select("c0", "c1"), max_read_cols=24)
+    )
+
+
+def test_findings_ordered_most_severe_first(spark):
+    from pyspark.sql.types import LongType
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).crossJoin(
+        spark.range(3).select(F.col("id").alias("j"))
+    ).select(plus_one("id").alias("y"))
+    sev = [f["severity"] for f in audit_plan(df)]
+    assert sev == sorted(sev, key=("error", "warn", "info").index)
