@@ -4658,6 +4658,26 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_funnel(ev, ["view", "click", "purchase"], 3600)
 
 
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking over part names (window 5): global
+    rank via the range-partitioned exclusive prefix, 1-D bucket probe
+    — every in-window pair found exactly once."""
+    from orientdb_etl_spark.functions.linkage import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=5)
+
+
+def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length collapse of per-user event streams (event_id
+    tiebreak): gaps-and-islands run ids from one keyed window cumsum,
+    runs collapsed in the same exchange."""
+    from orientdb_etl_spark.operators.temporal import collapse_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return collapse_runs(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4991,6 +5011,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantile_map": q_quantile_map,
             # round 5 (late): time-bounded funnel
             "window_funnel": q_window_funnel,
+            # round 5 (late): sorted-neighborhood blocking + run collapse
+            "snm_pairs": q_snm_pairs,
+            "collapse_runs": q_collapse_runs,
         }
     )
     return out
@@ -7549,6 +7572,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT count(*) FROM s1) AS n1_view, "
             "(SELECT count(*) FROM s2) AS n2_click, "
             "(SELECT count(*) FROM s3) AS n3_purchase"
+        ),
+        "snm_pairs": (
+            # the window here IS the semantics being verified; Spark
+            # ranks via the distributed exclusive prefix instead
+            "WITH r AS (SELECT p_partkey AS id, "
+            "row_number() OVER (ORDER BY p_name, p_partkey) AS rn "
+            "FROM part WHERE p_name IS NOT NULL) "
+            "SELECT least(a.id, b.id) AS id_a, "
+            "greatest(a.id, b.id) AS id_b, b.rn - a.rn AS rank_dist "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 5"
+        ),
+        "collapse_runs": (
+            # identical gaps-and-islands run ids (null-safe lag compare,
+            # keyed cumsum) and per-run min/max/count
+            "WITH b AS (SELECT user_id, event_type, event_id, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es "
+            "FROM events WHERE ts IS NOT NULL), "
+            "l AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM "
+            "lag(event_type) OVER w THEN 0 ELSE 1 END AS st FROM b "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)), "
+            "r AS (SELECT *, sum(st) OVER (PARTITION BY user_id "
+            "ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM l) "
+            "SELECT user_id, event_type, min(es) AS start_es, "
+            "max(es) AS end_es, count(*) AS n_events "
+            "FROM r GROUP BY user_id, run, event_type "
+            "ORDER BY user_id, start_es"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

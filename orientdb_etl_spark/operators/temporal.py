@@ -1407,3 +1407,64 @@ def window_funnel_transformer(
         ts_col=cfg.get("on", "ts"),
         type_col=cfg.get("typeField", "event_type"),
     )
+
+
+def collapse_runs(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Run-length collapse of per-key event streams: consecutive events
+    with the SAME state fold into one row ``(keys..., state, start_es,
+    end_es, n_events)`` — the de-chatter step before transition/funnel
+    analysis (a sensor reporting "OK" 10,000 times in a row is one run,
+    not 10,000 transitions) and the state-duration building block
+    ("how long was each machine in ERROR?").
+
+    Gaps-and-islands via the run-id trick: a run starts where the state
+    differs from its lag; the running count of starts (a keyed window
+    cumsum — integer, exact) is the run id; one groupBy collapses each
+    run. Both windows and the aggregate share ONE key exchange. NULL
+    states form runs like any other value (lag comparison is
+    null-safe).
+    """
+    keys = _as_list(keys)
+    if not keys:
+        raise ValueError("collapse_runs needs at least one key column")
+    es = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")))
+    order = [F.col("_es")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    run = F.sum(
+        F.when(
+            F.col(state_col).eqNullSafe(F.lag(state_col).over(w)), 0
+        ).otherwise(1)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    base = df.where(F.col(ts_col).isNotNull()).withColumn("_es", es)
+    return (
+        base.withColumn("_run", run)
+        .groupBy(*keys, F.col("_run"), F.col(state_col))
+        .agg(
+            F.min("_es").alias("start_es"),
+            F.max("_es").alias("end_es"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_run")
+        .orderBy(*keys, "start_es")
+    )
+
+
+@register("collapseRuns")
+def collapse_runs_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"collapseRuns": {"by": ["user_id"], "on": "ts",
+    "stateField": "event_type", "tiebreak": "event_id"}}"""
+    return collapse_runs(
+        df,
+        cfg.get("by") or [],
+        cfg["on"],
+        cfg["stateField"],
+        tiebreak=cfg.get("tiebreak"),
+    )

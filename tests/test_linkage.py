@@ -232,3 +232,49 @@ def test_golden_record_validation(spark):
         golden_record(df, "entity", {"x": ("latest", "name")})
     with _pytest.raises(ValueError, match="rule"):
         golden_record(df, "entity", {"x": ("newest", "name")})
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_snm_equals_rank_window_brute_force(spark):
+    from orientdb_etl_spark.functions.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"name{(i * 13) % 40:03d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {
+        (r.id_a, r.id_b, r.rank_dist)
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=4).collect()
+    }
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = set()
+    for i, (ia, _) in enumerate(ranked):
+        for j in range(i + 1, min(i + 4, len(ranked))):
+            ib = ranked[j][0]
+            want.add((min(ia, ib), max(ia, ib), j - i))
+    assert got == want
+
+
+def test_snm_no_duplicate_pairs_and_null_keys_dropped(spark):
+    from orientdb_etl_spark.functions.linkage import sorted_neighborhood_pairs
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, None)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = [
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=3).collect()
+    ]
+    assert sorted(got) == [(1, 2), (1, 3), (2, 3)]
+    assert len(got) == len(set(got))
+
+
+def test_snm_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, k string")
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "k", window=1)

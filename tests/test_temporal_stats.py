@@ -527,3 +527,50 @@ def test_window_funnel_validation(spark):
 
     with pytest.raises(ValueError, match="window_seconds"):
         window_funnel(_ev(spark, []), ["a"], 0)
+
+
+# ---------------------------------------------------------------------------
+# collapse_runs
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_runs_basic(spark):
+    from orientdb_etl_spark.operators.temporal import collapse_runs
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "ok", 0.0),
+        (1, _t("2026-01-01T00:01:00"), "ok", 0.0),
+        (1, _t("2026-01-01T00:02:00"), "err", 0.0),
+        (1, _t("2026-01-01T00:03:00"), "ok", 0.0),   # ok again = NEW run
+        (2, _t("2026-01-01T00:00:00"), "ok", 0.0),
+    ]
+    got = [
+        (r.user_id, r.event_type, r.n_events)
+        for r in collapse_runs(_ev(spark, rows), "user_id", "ts", "event_type")
+        .orderBy("user_id", "start_es")
+        .collect()
+    ]
+    assert got == [(1, "ok", 2), (1, "err", 1), (1, "ok", 1), (2, "ok", 1)]
+
+
+def test_collapse_runs_null_states_form_runs(spark):
+    from orientdb_etl_spark.operators.temporal import collapse_runs
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), None, 0.0),
+        (1, _t("2026-01-01T00:01:00"), None, 0.0),
+        (1, _t("2026-01-01T00:02:00"), "a", 0.0),
+    ]
+    got = collapse_runs(_ev(spark, rows), "user_id", "ts", "event_type").collect()
+    assert [(r.event_type, r.n_events) for r in got] == [(None, 2), ("a", 1)]
+
+
+def test_collapse_runs_duration_bounds(spark):
+    from orientdb_etl_spark.operators.temporal import collapse_runs
+
+    rows = [
+        (1, _t("2026-01-01T00:00:00"), "x", 0.0),
+        (1, _t("2026-01-01T00:10:00"), "x", 0.0),
+    ]
+    r = collapse_runs(_ev(spark, rows), "user_id", "ts", "event_type").collect()[0]
+    assert r.end_es - r.start_es == 600
