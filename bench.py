@@ -221,6 +221,17 @@ HEADLINE = [
     "seasonal_anomaly",
     "zipf_fit",
     "golden_record",
+    # round-5 (last) wave. label_prop is bounded at 3 fixed rounds —
+    # included under the bfs_distances precedent, not the open-ended
+    # fixed-point rule that excludes pagerank/kcore/dedup_clusters.
+    "label_prop",
+    "growth_accounting",
+    "kaplan_meier",
+    "attribution",
+    "quantile_map",
+    "window_funnel",
+    "snm_pairs",
+    "collapse_runs",
 ]
 
 

@@ -342,3 +342,30 @@ def test_config_warehouse_analytics_example(spark):
     assert len(open_rows) == n_users  # exactly one current version each
     # intervals are well-formed
     assert all(r.valid_to is None or r.valid_to > r.valid_from for r in rows)
+
+
+def test_config_lifecycle_analytics_example(spark):
+    """growthAccounting + windowFunnel on side branches (output
+    attribute), collapseRuns on the main lineage — three behavioral
+    summaries from one config over one events frame."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-lifecycle-analytics.json"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("events", ev)
+    res = p.run()
+    runs = res.outputs["state_runs"]
+    assert {"user_id", "event_type", "start_es", "end_es", "n_events"} <= set(
+        runs.columns
+    )
+    # runs never exceed the raw event count and compress repeats
+    assert runs.count() <= ev.count()
+    growth = res.outputs["growth"].collect()
+    assert all(
+        r.active == r.new_users + r.retained + r.resurrected for r in growth
+    )
+    funnel = res.outputs["funnel"].collect()[0]
+    assert funnel.n1_view >= funnel.n2_click >= funnel.n3_purchase
