@@ -4678,6 +4678,16 @@ def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_runs(ev, "user_id", "ts", "event_type", tiebreak="event_id")
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id: hottest keys,
+    share, ratio-to-mean, and the suggested salt factor for
+    salted_join — TakeOrderedAndProject top-k, no global sort."""
+    from orientdb_etl_spark.functions.profiling import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_k=10)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5014,6 +5024,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (late): sorted-neighborhood blocking + run collapse
             "snm_pairs": q_snm_pairs,
             "collapse_runs": q_collapse_runs,
+            # round 5 (late): key-skew diagnostic
+            "key_skew": q_key_skew,
         }
     )
     return out
@@ -7599,6 +7611,23 @@ def oracle_sql() -> dict[str, str]:
             "max(es) AS end_es, count(*) AS n_events "
             "FROM r GROUP BY user_id, run, event_type "
             "ORDER BY user_id, start_es"
+        ),
+        "key_skew": (
+            # identical (count desc, key) top-k order and mean/salt
+            # arithmetic; NULL keys count like any value
+            "WITH c AS (SELECT user_id AS key, count(*) AS n "
+            "FROM events GROUP BY 1), "
+            "s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) "
+            "AS total_rows, max(n) AS mx FROM c), "
+            "t AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10), "
+            "r AS (SELECT key, n, row_number() OVER "
+            "(ORDER BY n DESC, key) AS rank FROM t) "
+            "SELECT rank, key, n, "
+            "round(n / (total_rows * 1.0), 6) AS share, "
+            "round(n / (total_rows * 1.0 / n_keys), 6) AS ratio_to_mean, "
+            "n_keys, total_rows, "
+            "CAST(ceil(mx / (total_rows * 1.0 / n_keys)) AS BIGINT) "
+            "AS suggested_salt FROM r, s ORDER BY rank"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

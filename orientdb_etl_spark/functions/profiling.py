@@ -30,7 +30,7 @@ observability surface to content statistics, same spirit as its
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from orientdb_etl_spark.functions.decontam import _gram_array_from_tokens
@@ -763,4 +763,61 @@ def zipf_fit(
             ),
             round_to,
         ).alias("r2"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top-``top_k`` hottest
+    keys with their share of all rows, each key's ratio to the mean key
+    population, and a suggested salt factor — the pre-flight for "will
+    this groupBy/join key melt one reducer at 100 TB?" (pairs with
+    :func:`~orientdb_etl_spark.operators.skew.salted_join`, whose salt
+    count this suggests). Returns ``(rank, key, n, share, ratio_to_mean,
+    n_keys, total_rows, suggested_salt)`` — the last three repeated
+    (scalar broadcast) so the frame is self-contained.
+
+    ``suggested_salt = ceil(max_n / mean_n)`` — the factor that splits
+    the hottest key into roughly mean-sized sub-keys; 1 means no salting
+    needed. NULL keys count as a key (they hash to one reducer like any
+    other value — the classic surprise skew source).
+
+    Scale shape: one map-side-combinable count per key, a scalar
+    aggregate over the (already collapsed) key frame, and a top-k that
+    compiles to TakeOrderedAndProject — no global sort, no window.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("_max_n"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(int(top_k))
+    mean_n = F.col("total_rows") / F.col("n_keys")
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        # the rank window runs over <= top_k rows — bounded by the limit
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total_rows"), round_to).alias("share"),
+            F.round(F.col("n") / mean_n, round_to).alias("ratio_to_mean"),
+            "n_keys",
+            "total_rows",
+            F.ceil(F.col("_max_n") / mean_n).cast("bigint").alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy("rank")
     )

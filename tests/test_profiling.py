@@ -343,3 +343,54 @@ def test_bootstrap_ci_deterministic_and_partition_invariant(spark):
     a = bootstrap_ci(df, "v", "id", B=16).first()
     b = bootstrap_ci(df.repartition(13), "v", "id", B=16).first()
     assert (a.mean, a.ci_lo, a.ci_hi) == (b.mean, b.ci_lo, b.ci_hi)
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_hot_key_and_salt(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import key_skew_profile
+
+    # 1 hot key with 90 rows, 9 keys with 10 rows each -> mean = 18,
+    # max ratio = 5, suggested salt = ceil(90/18) = 5
+    df = spark.range(90).select(F.lit("hot").alias("k")).unionByName(
+        spark.range(90).select(
+            F.concat(F.lit("c"), (F.col("id") % 9)).alias("k")
+        )
+    )
+    rows = key_skew_profile(df, "k", top_k=3).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    top = rows[0]
+    assert top.key == "hot" and top.n == 90
+    assert top.n_keys == 10 and top.total_rows == 180
+    assert top.ratio_to_mean == 5.0
+    assert top.suggested_salt == 5
+    assert abs(top.share - 0.5) < 1e-9
+
+
+def test_key_skew_profile_uniform_no_salt(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import key_skew_profile
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    rows = key_skew_profile(df, "k", top_k=5).collect()
+    assert all(r.suggested_salt == 1 for r in rows)
+    assert all(r.ratio_to_mean == 1.0 for r in rows)
+
+
+def test_key_skew_profile_null_key_counts(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(None,)] * 7 + [("a",)] * 2 + [("b",)], "k string"
+    )
+    rows = key_skew_profile(df, "k", top_k=2).collect()
+    assert rows[0].key is None and rows[0].n == 7
+    assert rows[0].n_keys == 3
