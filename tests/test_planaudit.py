@@ -78,3 +78,24 @@ def test_findings_ordered_most_severe_first(spark):
     ).select(plus_one("id").alias("y"))
     sev = [f["severity"] for f in audit_plan(df)]
     assert sev == sorted(sev, key=("error", "warn", "info").index)
+
+
+def test_driver_registry_has_no_error_severity_plans(spark):
+    """Dogfood: every driver-registry query's physical plan must be free
+    of error-severity hazards (cartesian products, row-Python stages,
+    unpartitioned ORDER BY windows). Warn/info findings are allowed —
+    e.g. the q11 scalar-threshold BroadcastNestedLoopJoin is the
+    documented legitimate use."""
+    import __spark_entry__ as E
+
+    SF = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in E.queries().items():
+        errs = [
+            f["rule"]
+            for f in audit_plan(fn(spark, SF))
+            if f["severity"] == "error"
+        ]
+        if errs:
+            bad[name] = errs
+    assert bad == {}
