@@ -4688,6 +4688,32 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, "user_id", top_k=10)
 
 
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman–Ford (4 synchronous relaxation rounds) over the
+    quantity-weighted customer↔supplier graph from every 50th customer
+    — integer weights keep min-plus exact at any fold order; oracle is
+    the identical rounds unrolled by sssp_rounds_sql."""
+    from orientdb_etl_spark.functions.graph import weighted_sssp
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    p0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("s"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    ed = p0.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(p0.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seeds = orders.where(F.col("o_custkey") % 50 == 0).select(
+        F.col("o_custkey").alias("id")
+    )
+    return weighted_sssp(ed, seeds, rounds=4)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5026,6 +5052,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "collapse_runs": q_collapse_runs,
             # round 5 (late): key-skew diagnostic
             "key_skew": q_key_skew,
+            # round 5 (late): bounded weighted shortest paths
+            "weighted_sssp": q_weighted_sssp,
         }
     )
     return out
@@ -7638,8 +7666,23 @@ def oracle_sql() -> dict[str, str]:
     # SF; monotone peeling makes extra rounds no-ops)
     from orientdb_etl_spark.functions.graph import kcore_rounds_sql
 
-    from orientdb_etl_spark.functions.graph import lpa_rounds_sql
+    from orientdb_etl_spark.functions.graph import lpa_rounds_sql, sssp_rounds_sql
 
+    sql["weighted_sssp"] = sssp_rounds_sql(
+        rounds=4,
+        materialized=True,
+        edges_cte=(
+            "WITH p0 AS (SELECT o_custkey AS c, l_suppkey + 1000000 AS s, "
+            "CAST(min(l_quantity) AS BIGINT) AS w FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2) "
+            "SELECT c AS src, s AS dst, w FROM p0 "
+            "UNION ALL SELECT s, c, w FROM p0"
+        ),
+        sources_cte=(
+            "SELECT DISTINCT o_custkey AS id FROM orders "
+            "WHERE o_custkey % 50 = 0"
+        ),
+    )
     sql["label_prop"] = lpa_rounds_sql(
         rounds=3,
         materialized=True,

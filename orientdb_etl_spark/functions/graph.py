@@ -32,6 +32,8 @@ __all__ = [
     "triangle_count",
     "label_propagation",
     "lpa_rounds_sql",
+    "weighted_sssp",
+    "sssp_rounds_sql",
 ]
 
 
@@ -500,3 +502,91 @@ def label_propagation_transformer(
         dst=cfg.get("dst", "dst"),
         rounds=int(cfg.get("rounds", 3)),
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+    rounds: int = 4,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by ``rounds``
+    synchronous Bellman–Ford relaxations — the weighted complement of
+    :func:`bfs_distances`. Returns ``(id, dist)``: the minimum-weight
+    path using at most ``rounds`` edges from any source (vertices
+    beyond that are absent). Weights must be non-negative; use INTEGER
+    weights when the result must replay exactly in another engine
+    (integer min-plus is exact at any fold order; float sums are not).
+
+    Unlike BFS, first discovery is NOT final under weights — a longer
+    hop count can be cheaper — so every round re-relaxes: one
+    dist⋈edges equi-join on the vertex key, a union with the standing
+    distances, and a min per vertex. All three shuffle on the vertex
+    key (one partitioning reused across rounds); ``localCheckpoint``
+    bounds lineage; the loop exits early once a round improves nothing.
+    Fixed synchronous rounds + min-fold determinism make the result a
+    pure function of (graph, rounds) — replayable by
+    :func:`sssp_rounds_sql`, the same contract as
+    :func:`label_propagation` / :func:`kcore`.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    ed = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    ).localCheckpoint()
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(int(rounds)):
+        relax = (
+            dist.join(ed, dist["id"] == ed["_s"])
+            .select(F.col("_d").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # fixpoint check: same vertex set AND no shorter distance
+        if nxt.count() == dist.count():
+            improved = (
+                nxt.alias("n")
+                .join(dist.alias("o"), "id")
+                .where(F.col("n.dist") < F.col("o.dist"))
+                .limit(1)
+                .count()
+            )
+            if improved == 0:
+                dist = nxt
+                break
+        dist = nxt
+    return dist
+
+
+def sssp_rounds_sql(rounds: int, edges_cte: str, sources_cte: str,
+                    materialized: bool = False) -> str:
+    """Portable unrolled twin of :func:`weighted_sssp` — one generator,
+    both engines. ``edges_cte`` yields (src, dst, w); ``sources_cte``
+    yields (id)."""
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [
+        f"e AS {mat}({edges_cte})",
+        f"d0 AS {mat}(SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist "
+        f"FROM ({sources_cte}))",
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"d{r} AS {mat}(SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{r-1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, d{r-1}.dist + e.w AS dist "
+            f"FROM d{r-1} JOIN e ON d{r-1}.id = e.src) GROUP BY id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT id, dist FROM d{rounds}"

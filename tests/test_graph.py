@@ -347,3 +347,70 @@ def test_lpa_validation(spark):
 
     with _pytest.raises(ValueError, match="rounds"):
         label_propagation(_edges(spark, [(1, 2)]), rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sssp
+# ---------------------------------------------------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src bigint, dst bigint, w bigint")
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+def test_sssp_prefers_cheaper_longer_path(spark):
+    from orientdb_etl_spark.functions.graph import weighted_sssp
+
+    # 1->4 direct costs 10; 1->2->3->4 costs 3: BFS would say 1 hop,
+    # weighted SSSP must relax to the cheaper 3-hop path
+    edges = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    got = {
+        r.id: r.dist
+        for r in weighted_sssp(
+            _wedges(spark, edges), _seeds(spark, [1]), rounds=4
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_rounds_bound_path_length(spark):
+    from orientdb_etl_spark.functions.graph import weighted_sssp
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    got = {
+        r.id: r.dist
+        for r in weighted_sssp(
+            _wedges(spark, edges), _seeds(spark, [1]), rounds=2
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # vertex 4 needs 3 edges: absent
+
+
+def test_sssp_multi_source_takes_minimum(spark):
+    from orientdb_etl_spark.functions.graph import weighted_sssp
+
+    edges = [(1, 3, 5), (2, 3, 1)]
+    got = {
+        r.id: r.dist
+        for r in weighted_sssp(
+            _wedges(spark, edges), _seeds(spark, [1, 2]), rounds=2
+        ).collect()
+    }
+    assert got[3] == 1
+
+
+def test_sssp_early_exit_at_fixpoint(spark):
+    from orientdb_etl_spark.functions.graph import weighted_sssp
+
+    # tiny graph settles in 2 rounds; asking for 10 must return the
+    # same answer (fixpoint early-exit, monotone relaxation)
+    edges = [(1, 2, 2), (2, 1, 2)]
+    a = sorted(map(tuple, weighted_sssp(
+        _wedges(spark, edges), _seeds(spark, [1]), rounds=2).collect()))
+    b = sorted(map(tuple, weighted_sssp(
+        _wedges(spark, edges), _seeds(spark, [1]), rounds=10).collect()))
+    assert a == b == [(1, 0), (2, 2)]
