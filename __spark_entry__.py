@@ -4714,6 +4714,20 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sssp(ed, seeds, rounds=4)
 
 
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item CF over brand baskets (Amazon's "customers who
+    bought"): cosine over co-occurrence via the frequent_pairs build,
+    top-3 neighbors per item through the partial WindowGroupLimit."""
+    from orientdb_etl_spark.functions.basket import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return item_similarity(baskets, "basket", "item", top_k=3, min_pair_count=300)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5054,6 +5068,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key_skew": q_key_skew,
             # round 5 (late): bounded weighted shortest paths
             "weighted_sssp": q_weighted_sssp,
+            # round 5 (late): item-to-item collaborative filtering
+            "item_similarity": q_item_similarity,
         }
     )
     return out
@@ -7656,6 +7672,33 @@ def oracle_sql() -> dict[str, str]:
             "n_keys, total_rows, "
             "CAST(ceil(mx / (total_rows * 1.0 / n_keys)) AS BIGINT) "
             "AS suggested_salt FROM r, s ORDER BY rank"
+        ),
+        "item_similarity": (
+            # the frequent_pairs pair build symmetrized; identical
+            # cosine arithmetic and (cosine desc, neighbor) top-3
+            "WITH baskets AS (SELECT DISTINCT l_orderkey AS basket, "
+            "p_brand AS item FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey), "
+            "item_n AS (SELECT item, count(*) AS n FROM baskets "
+            "GROUP BY item), "
+            "pairs AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "count(*) AS pair_n FROM baskets a "
+            "JOIN baskets b ON a.basket = b.basket AND a.item < b.item "
+            "GROUP BY 1, 2 HAVING count(*) >= 300), "
+            "pn AS (SELECT item_a, item_b, pair_n, ia.n AS na, ib.n AS nb "
+            "FROM pairs JOIN item_n ia ON pairs.item_a = ia.item "
+            "JOIN item_n ib ON pairs.item_b = ib.item), "
+            "sym AS (SELECT item_a AS item, item_b AS neighbor, pair_n, "
+            "na AS ni, nb AS nj FROM pn "
+            "UNION ALL SELECT item_b, item_a, pair_n, nb, na FROM pn), "
+            "rk AS (SELECT item, neighbor, pair_n, "
+            "pair_n / sqrt(ni * nj) AS cos, "
+            "row_number() OVER (PARTITION BY item "
+            "ORDER BY pair_n / sqrt(ni * nj) DESC, neighbor) AS rn "
+            "FROM sym) "
+            "SELECT item, neighbor, pair_n, round(cos, 6) AS cosine "
+            "FROM rk WHERE rn <= 3 "
+            "ORDER BY item, cosine DESC, neighbor"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -232,6 +232,10 @@ HEADLINE = [
     "window_funnel",
     "snm_pairs",
     "collapse_runs",
+    "key_skew",
+    # weighted_sssp: bounded 4 rounds, the bfs/label_prop precedent
+    "weighted_sssp",
+    "item_similarity",
 ]
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.operators import register
 
-__all__ = ["frequent_pairs"]
+__all__ = ["frequent_pairs", "item_similarity"]
 
 
 def frequent_pairs(
@@ -125,4 +125,72 @@ def frequent_pairs_transformer(
             int(cfg["maxBasketSize"]) if "maxBasketSize" in cfg else None
         ),
         round_to=int(cfg.get("round", 6)),
+    )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 5,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-to-item collaborative filtering (Linden, Smith & York —
+    IEEE Internet Computing 2003, the Amazon "customers who bought
+    this" algorithm): cosine similarity over basket co-occurrence,
+    ``sim(i, j) = c_ij / sqrt(c_i · c_j)``, keeping each item's top-k
+    neighbors. Returns ``(item, neighbor, pair_n, cosine)`` — both
+    directions of every kept pair, ranked per item by
+    ``(cosine desc, neighbor asc)``.
+
+    Scale shape: the pair build IS :func:`frequent_pairs`'s (one
+    basket-key exchange under the lossless Apriori prefilter and the
+    explicit basket-size cap); symmetrization doubles the (tiny) pair
+    frame, not the basket stream; per-item top-k compiles to the
+    partial WindowGroupLimit prune. The cosine denominator uses the
+    SAME basket-level item counts the pair frame already carries — no
+    extra scan.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_pair_count=min_pair_count,
+        max_basket_size=max_basket_size,
+    ).select("item_a", "item_b", "pair_n", "n_a", "n_b")
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_n",
+        F.col("n_a").alias("_ni"),
+        F.col("n_b").alias("_nj"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_n",
+            F.col("n_b").alias("_ni"),
+            F.col("n_a").alias("_nj"),
+        )
+    )
+    cos = F.col("pair_n") / F.sqrt(F.col("_ni") * F.col("_nj"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        cos.desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(top_k))
+        .select(
+            "item",
+            "neighbor",
+            "pair_n",
+            F.round(cos, round_to).alias("cosine"),
+        )
+        .orderBy("item", F.col("cosine").desc(), "neighbor")
     )

@@ -77,3 +77,57 @@ def test_frequent_pairs_transformer(spark):
     ).register_table("t", _baskets(spark, rows))
     got = p.run().outputs["res"].collect()
     assert len(got) == 1 and got[0].lift == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# item_similarity
+# ---------------------------------------------------------------------------
+
+
+def test_item_similarity_cosine_and_symmetry(spark):
+    import math
+
+    from orientdb_etl_spark.functions.basket import item_similarity
+
+    # baskets: {a,b} x3, {a,c} x1  -> c_a=4, c_b=3, c_c=1
+    rows = []
+    for i in range(3):
+        rows += [(i, "a"), (i, "b")]
+    rows += [(9, "a"), (9, "c")]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    got = {
+        (r.item, r.neighbor): (r.pair_n, r.cosine)
+        for r in item_similarity(df, "basket", "item", min_pair_count=1).collect()
+    }
+    cos_ab = round(3 / math.sqrt(4 * 3), 6)
+    cos_ac = round(1 / math.sqrt(4 * 1), 6)
+    assert got[("a", "b")] == (3, cos_ab)
+    assert got[("b", "a")] == (3, cos_ab)  # both directions present
+    assert got[("a", "c")] == (1, cos_ac)
+    assert ("b", "c") not in got  # never co-occur
+
+
+def test_item_similarity_topk_cuts_per_item(spark):
+    from orientdb_etl_spark.functions.basket import item_similarity
+
+    # item "hub" co-occurs with x1..x4 at descending strength
+    rows = []
+    bid = 0
+    for rank, other in enumerate(["x1", "x2", "x3", "x4"]):
+        for _ in range(4 - rank):
+            rows += [(bid, "hub"), (bid, other)]
+            bid += 1
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    out = item_similarity(df, "basket", "item", top_k=2, min_pair_count=1)
+    hub = [r.neighbor for r in out.where("item = 'hub'").collect()]
+    assert hub == ["x1", "x2"]
+
+
+def test_item_similarity_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.basket import item_similarity
+
+    df = spark.createDataFrame([(1, "a")], "basket bigint, item string")
+    with _pytest.raises(ValueError, match="top_k"):
+        item_similarity(df, "basket", "item", top_k=0)
