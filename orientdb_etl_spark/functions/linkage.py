@@ -139,6 +139,78 @@ def fuzzy_join(
     )
 
 
+def _ordered_token_sets(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """(_id, _ord, _s, _p): rarest-first ordered DISTINCT token sets
+    with sizes and Jaccard prefix lengths — the shared blocking input
+    of :func:`set_similarity_join` (and the scale-stress evidence
+    harness, which replays the candidate stage standalone)."""
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("_toks"),
+        )
+        .where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    )
+    tok = base.select("_id", F.explode("_toks").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        tok.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_df, _tok))), "
+                "x -> x._tok)"
+            ).alias("_ord")
+        )
+        .withColumn("_s", F.size("_ord"))
+        .withColumn(
+            "_p",
+            F.col("_s") - F.ceil(F.lit(float(threshold)) * F.col("_s")) + 1,
+        )
+    )
+
+
+def _prefix_candidates(ordered: DataFrame, threshold: float) -> DataFrame:
+    """Distinct candidate pairs (_ida < _idb) from the prefix equi-join
+    + size filter + PPJoin positional filter (Xiao et al. WWW'08) — all
+    three LOSSLESS: for the MINIMAL shared token (0-based positions i,
+    j) the true overlap is at most 1 + min(sx-(i+1), sy-(j+1)), and a
+    true pair's minimal shared token sits in both prefixes at positions
+    where that bound >= the equivalent-overlap threshold
+    ceil(t/(1+t)·(sx+sy)); keeping a pair when ANY shared prefix
+    occurrence passes therefore keeps every true pair while pruning
+    candidates whose shared tokens all sit too deep."""
+    pref = ordered.select(
+        "_id",
+        "_s",
+        F.posexplode(F.slice("_ord", 1, F.col("_p"))).alias("_pos", "_tok"),
+    )
+    l_, r_ = pref.alias("l"), pref.alias("r")
+    t = float(threshold)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("l._s") + F.col("r._s")))
+    ubound = 1 + F.least(
+        F.col("l._s") - (F.col("l._pos") + 1),
+        F.col("r._s") - (F.col("r._pos") + 1),
+    )
+    return (
+        l_.join(
+            r_,
+            (F.col("l._tok") == F.col("r._tok"))
+            & (F.col("l._id") < F.col("r._id"))
+            # size filter: J >= t implies t·|x| <= |y| <= |x|/t
+            & (F.col("r._s") * t <= F.col("l._s"))
+            & (F.col("l._s") * t <= F.col("r._s")),
+        )
+        .where(ubound >= alpha)
+        .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+        .distinct()
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -178,53 +250,12 @@ def set_similarity_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("_toks"),
-        )
-        .where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
-    )
-    tok = base.select("_id", F.explode("_toks").alias("_tok"))
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ordered = (
-        tok.join(freq, "_tok")
-        .groupBy("_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_df, _tok))), "
-                "x -> x._tok)"
-            ).alias("_ord")
-        )
-        .withColumn("_s", F.size("_ord"))
-        .withColumn(
-            "_p",
-            F.col("_s") - F.ceil(F.lit(float(threshold)) * F.col("_s")) + 1,
-        )
-    )
+    ordered = _ordered_token_sets(df, id_col, text_col, threshold)
     # cache discipline (SCALE.md): the ordered-set frame feeds the prefix
     # explode AND both sides of the verification join — uncached, the
     # tokenize + vocabulary join + collect_list subtree runs three times
     ordered = ordered.cache()
-    pref = ordered.select(
-        "_id", "_s", F.explode(F.slice("_ord", 1, F.col("_p"))).alias("_tok")
-    )
-    l_, r_ = pref.alias("l"), pref.alias("r")
-    t = float(threshold)
-    cand = (
-        l_.join(
-            r_,
-            (F.col("l._tok") == F.col("r._tok"))
-            & (F.col("l._id") < F.col("r._id"))
-            # size filter: J >= t implies t·|x| <= |y| <= |x|/t
-            & (F.col("r._s") * t <= F.col("l._s"))
-            & (F.col("l._s") * t <= F.col("r._s")),
-        )
-        .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
-        .distinct()
-    )
+    cand = _prefix_candidates(ordered, threshold)
     full = ordered.select("_id", "_ord")
     fa = full.select(F.col("_id").alias("_ida"), F.col("_ord").alias("_ta"))
     fb = full.select(F.col("_id").alias("_idb"), F.col("_ord").alias("_tb"))

@@ -285,43 +285,15 @@ def main() -> None:
     res = set_similarity_join(sdocs, "doc_id", "text", threshold=0.9)
     out["setsim_true_pairs"] = res.count()
     out["t_setsim"] = round(time.time() - t0, 2)
-    # candidate stream size: replay the blocking stages standalone
-    base = sdocs.select(
-        F.col("doc_id").alias("_id"),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("_toks"),
-    ).where(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
-    tok = base.select("_id", F.explode("_toks").alias("_tok"))
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ordered = (
-        tok.join(freq, "_tok")
-        .groupBy("_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_df, _tok))), "
-                "x -> x._tok)"
-            ).alias("_ord")
-        )
-        .withColumn("_s", F.size("_ord"))
-        .withColumn("_p", F.col("_s") - F.ceil(0.9 * F.col("_s")) + 1)
+    # candidate stream size: the REAL blocking stages (shared helpers —
+    # includes the PPJoin positional filter), not a drifting copy
+    from orientdb_etl_spark.functions.linkage import (
+        _ordered_token_sets,
+        _prefix_candidates,
     )
-    pref = ordered.select(
-        "_id", "_s", F.explode(F.slice("_ord", 1, F.col("_p"))).alias("_tok")
-    )
-    lp, rp = pref.alias("l"), pref.alias("r")
-    out["setsim_candidates"] = (
-        lp.join(
-            rp,
-            (F.col("l._tok") == F.col("r._tok"))
-            & (F.col("l._id") < F.col("r._id"))
-            & (F.col("r._s") * 0.9 <= F.col("l._s"))
-            & (F.col("l._s") * 0.9 <= F.col("r._s")),
-        )
-        .select("l._id", "r._id")
-        .distinct()
-        .count()
-    )
+
+    ordered = _ordered_token_sets(sdocs, "doc_id", "text", 0.9).cache()
+    out["setsim_candidates"] = _prefix_candidates(ordered, 0.9).count()
 
     print(json.dumps(out))
 
