@@ -4728,6 +4728,17 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_similarity(baskets, "basket", "item", top_k=3, min_pair_count=300)
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of event_type by value (pseudo-count
+    20 toward the global prior) — one (sum, count) per category, scalar
+    prior broadcast, category frame joined back under AQE."""
+    from orientdb_etl_spark.functions.preprocess import target_encode
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return target_encode(ev, "event_type", "value", method="smoothed",
+                         smoothing=20.0)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5070,6 +5081,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weighted_sssp": q_weighted_sssp,
             # round 5 (late): item-to-item collaborative filtering
             "item_similarity": q_item_similarity,
+            # round 5 (late): target encoding
+            "target_encode": q_target_encode,
         }
     )
     return out
@@ -7699,6 +7712,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT item, neighbor, pair_n, round(cos, 6) AS cosine "
             "FROM rk WHERE rn <= 3 "
             "ORDER BY item, cosine DESC, neighbor"
+        ),
+        "target_encode": (
+            # identical shrinkage arithmetic; NULL cat/target rows keep
+            # NULL encoding and feed no statistics
+            "WITH v AS (SELECT event_id, event_type, value FROM events), "
+            "s AS (SELECT event_type AS cat, sum(value) AS sm, "
+            "count(*) AS n FROM v WHERE event_type IS NOT NULL "
+            "AND value IS NOT NULL GROUP BY 1), "
+            "p AS (SELECT avg(value) AS prior FROM v "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL) "
+            "SELECT event_id, event_type, value, "
+            "round(CASE WHEN event_type IS NOT NULL AND value IS NOT NULL "
+            "THEN (sm + 20.0 * prior) / (n + 20.0) END, 6) AS encoded "
+            "FROM v LEFT JOIN s ON v.event_type = s.cat CROSS JOIN p"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -154,3 +154,65 @@ def quantile_map(
         .withColumn(out_col, F.round(F.col("_q"), round_to))
         .drop("_b", "_q", "_g", "_v")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    method: str = "smoothed",
+    smoothing: float = 20.0,
+    out_col: str = "encoded",
+    round_to: int = 6,
+) -> DataFrame:
+    """Target (mean) encoding of a categorical column — the
+    high-cardinality-categorical workhorse (Micci-Barreca, SIGKDD
+    Explorations 2001). Adds ``out_col``:
+
+    * ``smoothed`` — ``(sum_c + m·prior) / (n_c + m)``: the category
+      mean shrunk toward the global prior by pseudo-count ``m``
+      (``smoothing``); rare categories land near the prior instead of
+      memorizing noise.
+    * ``loo`` — leave-one-out: ``(sum_c − y_i) / (n_c − 1)``, the
+      train-time variant that excludes each row's OWN target so the
+      encoding never leaks the row's label into its feature; singleton
+      categories (n_c = 1) yield NULL (no peers to learn from).
+
+    Rows with NULL category or target keep a NULL encoding and do not
+    contribute to any category's statistics.
+
+    Scale shape: one map-side-combinable (sum, count) per category plus
+    a scalar prior; the category frame joins back on the category key
+    (AQE decides broadcast vs shuffle — a web-scale vocabulary is not
+    reliably broadcastable). LOO needs no second pass: the subtraction
+    uses the row's own target against the category totals.
+    """
+    if method not in ("smoothed", "loo"):
+        raise ValueError(f"method must be smoothed|loo, got {method!r}")
+    c, y = F.col(cat_col), F.col(target_col).cast("double")
+    valid = c.isNotNull() & y.isNotNull()
+    stats = (
+        df.where(valid)
+        .groupBy(c.alias("_cat"))
+        .agg(F.sum(y).alias("_sum"), F.count(F.lit(1)).alias("_n"))
+    )
+    prior = df.where(valid).agg(F.avg(y).alias("_prior"))
+    joined = (
+        df.join(stats, c == F.col("_cat"), "left")
+        .crossJoin(F.broadcast(prior))
+    )
+    if method == "smoothed":
+        m = float(smoothing)
+        enc = (F.col("_sum") + F.lit(m) * F.col("_prior")) / (
+            F.col("_n") + F.lit(m)
+        )
+    else:
+        enc = F.when(
+            F.col("_n") > 1, (F.col("_sum") - y) / (F.col("_n") - 1)
+        )
+    return (
+        joined.withColumn(
+            out_col, F.round(F.when(valid, enc), round_to)
+        )
+        .drop("_cat", "_sum", "_n", "_prior")
+    )

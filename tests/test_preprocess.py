@@ -107,3 +107,56 @@ def test_quantile_map_validation(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with _pytest.raises(ValueError, match="n_q"):
         quantile_map(df, "g", "v", "a", n_q=0)
+
+
+# ---------------------------------------------------------------------------
+# target_encode
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_smoothed_shrinks_rare_to_prior(spark):
+    from orientdb_etl_spark.functions.preprocess import target_encode
+
+    # 'big' has 10 rows at mean 1.0; 'rare' has 1 row at 100.0;
+    # prior = (10*1 + 100)/11 = 10.0
+    rows = [("big", 1.0)] * 10 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    got = {
+        r.c: r.encoded
+        for r in target_encode(df, "c", "y", smoothing=20.0).collect()
+    }
+    prior = 10.0
+    assert got["big"] == round((10 * 1.0 + 20 * prior) / 30, 6)
+    # the rare category lands close to the prior, far from its own 100
+    assert abs(got["rare"] - (100 + 20 * prior) / 21) < 1e-6  # 6dp rounding
+    assert abs(got["rare"] - prior) < abs(100.0 - prior) / 4
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from orientdb_etl_spark.functions.preprocess import target_encode
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("solo", 7.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    got = [
+        (r.c, r.y, r.encoded)
+        for r in target_encode(df, "c", "y", method="loo")
+        .orderBy("c", "y")
+        .collect()
+    ]
+    # each 'a' row sees the mean of the OTHER two
+    assert got[0] == ("a", 1.0, 4.0)
+    assert got[1] == ("a", 3.0, 3.0)
+    assert got[2] == ("a", 5.0, 2.0)
+    assert got[3][2] is None  # singleton has no peers
+
+
+def test_target_encode_nulls_inert(spark):
+    from orientdb_etl_spark.functions.preprocess import target_encode
+
+    rows = [("a", 2.0), ("a", None), (None, 9.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = target_encode(df, "c", "y", smoothing=0.0).collect()
+    by = {(r.c, r.y): r.encoded for r in out}
+    assert by[("a", 2.0)] == 2.0  # null target did not dilute the mean
+    assert by[("a", None)] is None
+    assert by[(None, 9.0)] is None
