@@ -4739,6 +4739,26 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          smoothing=20.0)
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the customer↔brand
+    interaction matrix: 3 never-bought brands per customer picked by
+    the shared Knuth hash — reproducible in both engines."""
+    from orientdb_etl_spark.functions.sampling import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    inter = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.substring("p_brand", 7, 2).cast("int").alias("i"),
+        )
+    )
+    return negative_samples(inter, "u", "i", k=3, seed=7)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5083,6 +5103,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "item_similarity": q_item_similarity,
             # round 5 (late): target encoding
             "target_encode": q_target_encode,
+            # round 5 (late): deterministic negative sampling
+            "negative_samples": q_negative_samples,
         }
     )
     return out
@@ -7726,6 +7748,26 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN event_type IS NOT NULL AND value IS NOT NULL "
             "THEN (sm + 20.0 * prior) / (n + 20.0) END, 6) AS encoded "
             "FROM v LEFT JOIN s ON v.event_type = s.cat CROSS JOIN p"
+        ),
+        "negative_samples": (
+            # identical Knuth hash over (u*131 + i + seed) and
+            # (hash, item) pick order
+            "WITH inter AS (SELECT DISTINCT o_custkey AS u, "
+            "CAST(substr(p_brand, 7, 2) AS INTEGER) AS i FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN part ON l_partkey = p_partkey), "
+            "us AS (SELECT DISTINCT u FROM inter), "
+            "it AS (SELECT DISTINCT i FROM inter), "
+            "cand AS (SELECT us.u, it.i FROM us CROSS JOIN it "
+            "LEFT JOIN inter ON inter.u = us.u AND inter.i = it.i "
+            "WHERE inter.u IS NULL), "
+            "h AS (SELECT u, i, "
+            "((((u * 131 + i) % 1000003) * 2654435761 % 1000003) + 7) "
+            "% 1000003 * 2654435761 % 1000000000 AS hv FROM cand), "
+            "r AS (SELECT u, i, row_number() OVER (PARTITION BY u "
+            "ORDER BY hv, i) AS rank FROM h) "
+            "SELECT u, i, CAST(rank AS INTEGER) AS rank FROM r "
+            "WHERE rank <= 3 ORDER BY u, rank"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -401,3 +401,66 @@ def weighted_sample_per_group(
         .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling for recommender training: for
+    every user, ``k`` items they did NOT interact with, picked by the
+    shared Knuth hash over (user, item) — reproducible across runs and
+    engines, unlike RNG-based sampling. Returns ``(user, item, rank)``
+    with rank 1..k in hash order. Items must be integer ids (hash
+    arithmetic); users with fewer than ``k`` non-items get what exists.
+
+    Scale shape: candidates are users × the DISTINCT item vocabulary —
+    this implementation targets the bounded-vocabulary regime (brands,
+    categories, warehouses: the item frame broadcasts; candidate count
+    = |users|·|items|). For web-scale item sets, pre-bucket items by
+    hash and sample within the user's probe buckets instead — the
+    LSH-bucketed ANN discipline; this operator documents the boundary
+    rather than silently degrading. The anti-join against interactions
+    is one shuffle on (user, item); the per-user pick is a keyed window
+    over ≤ |items| rows per user.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    u = interactions.select(F.col(user_col).alias("_u")).distinct()
+    it = interactions.select(F.col(item_col).alias("_i")).distinct()
+    seen = interactions.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).distinct()
+    cand = u.crossJoin(F.broadcast(it)).join(seen, ["_u", "_i"], "left_anti")
+    # two Knuth rounds with the seed added AFTER the first scramble: an
+    # additive pre-scramble seed would make seed+1 equivalent to item+1
+    # (a shift), leaving per-user pick ORDER nearly seed-insensitive on
+    # contiguous item-id ranges
+    m1 = F.pmod(
+        F.pmod(
+            F.col("_u").cast("long") * 131 + F.col("_i").cast("long"),
+            F.lit(_PRIME),
+        )
+        * F.lit(_MULT),
+        F.lit(_PRIME),
+    )
+    hsh = F.pmod(
+        F.pmod(m1 + F.lit(seed), F.lit(_PRIME)) * F.lit(_MULT),
+        F.lit(1_000_000_000),
+    )
+    w = Window.partitionBy("_u").orderBy(hsh.asc(), F.col("_i").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_i").alias(item_col),
+            "rank",
+        )
+        .orderBy(user_col, "rank")
+    )

@@ -308,3 +308,45 @@ def test_weighted_sample_per_group_exact_python_replay(spark):
         members.sort(key=lambda t: (key(*t), t[0]))
         want += [(g, i) for i, _ in members[:4]]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_never_returns_interactions(spark):
+    from orientdb_etl_spark.functions.sampling import negative_samples
+
+    rows = [(u, i) for u in range(5) for i in range(10) if (u + i) % 3 == 0]
+    df = spark.createDataFrame(rows, "u bigint, i bigint")
+    got = negative_samples(df, "u", "i", k=3).collect()
+    seen = set(rows)
+    assert all((r.u, r.i) not in seen for r in got)
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r.u, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_user.values())
+    assert all(len(v) <= 3 for v in per_user.values())
+
+
+def test_negative_samples_deterministic_and_seed_sensitive(spark):
+    from orientdb_etl_spark.functions.sampling import negative_samples
+
+    rows = [(u, i) for u in range(4) for i in range(12) if (u + i) % 3 != 0]
+    df = spark.createDataFrame(rows, "u bigint, i bigint")
+    a = sorted(map(tuple, negative_samples(df, "u", "i", k=2, seed=7).collect()))
+    b = sorted(map(tuple, negative_samples(df.repartition(9), "u", "i", k=2, seed=7).collect()))
+    c = sorted(map(tuple, negative_samples(df, "u", "i", k=2, seed=8).collect()))
+    assert a == b          # partitioning-invariant
+    assert a != c          # seed changes the draw
+
+
+def test_negative_samples_short_vocab_gives_fewer(spark):
+    from orientdb_etl_spark.functions.sampling import negative_samples
+
+    # user 0 interacted with 2 of 3 items -> only 1 negative available
+    rows = [(0, 0), (0, 1), (1, 2)]
+    df = spark.createDataFrame(rows, "u bigint, i bigint")
+    got = [r for r in negative_samples(df, "u", "i", k=5).collect() if r.u == 0]
+    assert [(r.i, r.rank) for r in got] == [(2, 1)]
