@@ -4759,6 +4759,39 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(inter, "u", "i", k=3, seed=7)
 
 
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic scores both engines replay: Knuth-hash
+    base in [0, 1) scaled 0.7, +0.3 when the label (purchase) is true —
+    an informative-but-imperfect classifier for the eval metrics."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.expr("((event_id + 11) % 1000003) * 2654435761 % 1000") / F.lit(
+        1000.0
+    )
+    label = F.col("event_type") == "purchase"
+    return ev.select(
+        (base * F.lit(0.7) + F.when(label, F.lit(0.3)).otherwise(F.lit(0.0)))
+        .alias("score"),
+        label.cast("int").alias("y"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann–Whitney rank identity —
+    midranks from distinct-score counts + the distributed exclusive
+    prefix; no global sort, no pairwise join."""
+    from orientdb_etl_spark.functions.mleval import roc_auc
+
+    return roc_auc(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (10 equal-width bins) + Brier score over the
+    synthetic scores — one grouped pass, bins rows out at any scale."""
+    from orientdb_etl_spark.functions.mleval import calibration_curve
+
+    return calibration_curve(_scored_events(spark, sf_dir), "score", "y")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5105,6 +5138,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "target_encode": q_target_encode,
             # round 5 (late): deterministic negative sampling
             "negative_samples": q_negative_samples,
+            # round 5 (late): model-eval metrics
+            "roc_auc": q_roc_auc,
+            "calibration": q_calibration,
         }
     )
     return out
@@ -7768,6 +7804,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY hv, i) AS rank FROM h) "
             "SELECT u, i, CAST(rank AS INTEGER) AS rank FROM r "
             "WHERE rank <= 3 ORDER BY u, rank"
+        ),
+        "roc_auc": (
+            # Mann–Whitney rank identity on the same synthetic scores;
+            # the running count is a window here, exclusive_prefix in
+            # Spark — integer/half-integer arithmetic, bit-identical
+            "WITH sc AS (SELECT ((event_id + 11) % 1000003) * 2654435761 "
+            "% 1000 / 1000.0 * 0.7 + CASE WHEN event_type = 'purchase' "
+            "THEN 0.3 ELSE 0.0 END AS v, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events), "
+            "pv AS (SELECT v, count(*) AS t, CAST(sum(y) AS BIGINT) AS cp "
+            "FROM sc GROUP BY 1), "
+            "pp AS (SELECT v, t, cp, CAST(coalesce(sum(t) OVER "
+            "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS lt FROM pv), "
+            "s AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos, "
+            "CAST(sum(t - cp) AS BIGINT) AS n_neg, "
+            "sum(cp * (lt + (t + 1) / 2.0)) AS rpos FROM pp) "
+            "SELECT n_pos, n_neg, "
+            "round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) END, 6) "
+            "AS auc FROM s"
+        ),
+        "calibration": (
+            # identical clamped equal-width binning and per-bin means;
+            # brier = sum of squared errors / total, repeated per row
+            "WITH sc AS (SELECT ((event_id + 11) % 1000003) * 2654435761 "
+            "% 1000 / 1000.0 * 0.7 + CASE WHEN event_type = 'purchase' "
+            "THEN 0.3 ELSE 0.0 END AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events), "
+            "p AS (SELECT greatest(least(CAST(floor(s * 10) AS INTEGER) "
+            "+ 1, 10), 1) AS bin, count(*) AS n, avg(s) AS ms, "
+            "avg(CAST(y AS DOUBLE)) AS fp, "
+            "sum((s - y) * (s - y)) AS se FROM sc GROUP BY 1), "
+            "t AS (SELECT sum(se) / sum(n) AS brier FROM p) "
+            "SELECT bin, n, round(ms, 6) AS mean_score, "
+            "round(fp, 6) AS frac_pos, round(ms - fp, 6) AS gap, "
+            "round(brier, 6) AS brier FROM p, t ORDER BY bin"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -1,0 +1,120 @@
+"""Model-evaluation metrics at warehouse scale: ROC-AUC, calibration.
+
+The scoring-pipeline counterpart of :mod:`stats`: once a model's scores
+land in a table, these compute the offline-eval numbers — without
+collecting predictions to a driver (the sklearn habit that dies at
+100 TB).
+
+* :func:`roc_auc` — exact tie-corrected AUC via the Mann–Whitney
+  identity ``AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)``: the
+  probability a random positive outscores a random negative. Midranks
+  come from per-distinct-score counts plus the range-partitioned
+  exclusive prefix (the :func:`stats.mann_whitney_u` machinery) — no
+  global ORDER BY window over predictions, no pairwise join. Integer
+  rank arithmetic replays bit-identically in a SQL oracle.
+* :func:`calibration_curve` — equal-width probability bins with mean
+  predicted vs observed positive rate per bin (the reliability
+  diagram), plus each bin's contribution to the Brier score; the
+  weighted ``brier`` column repeats the scalar so the frame is
+  self-contained. One grouped pass; ``bins`` rows out regardless of
+  input size.
+
+Reference scope: no evaluation surface exists in the reference ETL
+(OETLProcessor.java:252-283); §2.8 extension like stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["roc_auc", "calibration_curve"]
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC (tie-corrected, trapezoidal-equivalent) — one row
+    ``(n_pos, n_neg, auc)``. ``label_col`` must be boolean-like (cast
+    to int 0/1); NULL score or label rows are excluded. Degenerate
+    inputs (no positives or no negatives) yield NULL auc.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    d = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    per_v = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum("_y").alias("_cp"),
+    )
+    pv = exclusive_prefix(per_v, ["_v"], "_t", "sum", "_lt", "bigint")
+    agg = pv.agg(
+        F.sum("_cp").alias("n_pos"),
+        F.sum(F.col("_t") - F.col("_cp")).alias("n_neg"),
+        F.sum(
+            F.col("_cp")
+            * (F.coalesce(F.col("_lt"), F.lit(0)) + (F.col("_t") + 1) / 2.0)
+        ).alias("_rpos"),
+    )
+    auc = (
+        F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), round_to
+        ).alias("auc"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram: scores clamped into ``bins`` equal-width
+    [0, 1] bins; per occupied bin ``(bin, n, mean_score, frac_pos,
+    gap)`` with ``gap = mean_score − frac_pos`` (signed
+    over/under-confidence) and the scalar ``brier`` —
+    ``mean((score − label)²)`` over ALL rows — repeated per row.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    d = df.select(s.alias("_s"), y.alias("_y")).where(
+        s.isNotNull() & y.isNotNull()
+    )
+    b = F.greatest(
+        F.least(F.floor(F.col("_s") * bins).cast("int") + 1, F.lit(bins)),
+        F.lit(1),
+    )
+    per = d.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_s").alias("_ms"),
+        F.avg(F.col("_y").cast("double")).alias("_fp"),
+        F.sum(F.expr("(_s - _y) * (_s - _y)")).alias("_se"),
+    )
+    tot = per.agg(
+        (F.sum("_se") / F.sum("n")).alias("_brier")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round("_ms", round_to).alias("mean_score"),
+            F.round("_fp", round_to).alias("frac_pos"),
+            F.round(F.col("_ms") - F.col("_fp"), round_to).alias("gap"),
+            F.round("_brier", round_to).alias("brier"),
+        )
+        .orderBy("bin")
+    )

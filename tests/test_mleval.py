@@ -1,0 +1,66 @@
+"""ROC-AUC and calibration: verified against plain-python references."""
+
+from __future__ import annotations
+
+import pytest
+
+from orientdb_etl_spark.functions.mleval import calibration_curve, roc_auc
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "s double, y int")
+
+
+def _auc_ref(rows):
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_pairwise_reference_with_ties(spark):
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    r = roc_auc(_scored(spark, rows), "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (5, 5)
+    assert abs(r.auc - round(_auc_ref(rows), 6)) < 1e-9
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert roc_auc(_scored(spark, perfect), "s", "y").collect()[0].auc == 1.0
+    inverted = [(s, 1 - y) for s, y in perfect]
+    assert roc_auc(_scored(spark, inverted), "s", "y").collect()[0].auc == 0.0
+
+
+def test_roc_auc_degenerate_one_class_null(spark):
+    rows = [(0.9, 1), (0.1, 1)]
+    assert roc_auc(_scored(spark, rows), "s", "y").collect()[0].auc is None
+
+
+def test_calibration_bins_and_brier(spark):
+    rows = [
+        (0.05, 0), (0.05, 0), (0.15, 0), (0.15, 1),
+        (0.95, 1), (0.95, 1), (0.95, 0),
+    ]
+    out = calibration_curve(_scored(spark, rows), "s", "y", bins=10).collect()
+    by = {r.bin: r for r in out}
+    assert by[1].n == 2 and by[1].frac_pos == 0.0
+    assert by[2].frac_pos == 0.5
+    assert by[10].n == 3 and abs(by[10].frac_pos - round(2 / 3, 6)) < 1e-9
+    brier = sum((s - y) ** 2 for s, y in rows) / len(rows)
+    assert all(abs(r.brier - round(brier, 6)) < 1e-9 for r in out)
+    # gap is signed over-confidence
+    assert abs(by[10].gap - round(0.95 - 2 / 3, 6)) < 1e-9
+
+
+def test_calibration_clamps_out_of_range(spark):
+    rows = [(-0.2, 0), (1.3, 1)]
+    out = calibration_curve(_scored(spark, rows), "s", "y", bins=10).collect()
+    assert sorted(r.bin for r in out) == [1, 10]
+    with pytest.raises(ValueError, match="bins"):
+        calibration_curve(_scored(spark, rows), "s", "y", bins=1)
