@@ -4792,6 +4792,26 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_curve(_scored_events(spark, sf_dir), "score", "y")
 
 
+def q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains/lift table over the synthetic scores —
+    global rank via the exclusive prefix over (-score, event_id), never
+    an ntile window; cumulative pass over the 10-row bucket frame."""
+    from orientdb_etl_spark.functions.mleval import gains_chart
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.expr("((event_id + 11) % 1000003) * 2654435761 % 1000") / F.lit(
+        1000.0
+    )
+    label = F.col("event_type") == "purchase"
+    scored = ev.select(
+        "event_id",
+        (base * F.lit(0.7) + F.when(label, F.lit(0.3)).otherwise(F.lit(0.0)))
+        .alias("score"),
+        label.cast("int").alias("y"),
+    )
+    return gains_chart(scored, "score", "y", "event_id", n_buckets=10)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5141,6 +5161,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (late): model-eval metrics
             "roc_auc": q_roc_auc,
             "calibration": q_calibration,
+            "gains_chart": q_gains_chart,
         }
     )
     return out
@@ -7843,6 +7864,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bin, n, round(ms, 6) AS mean_score, "
             "round(fp, 6) AS frac_pos, round(ms - fp, 6) AS gap, "
             "round(brier, 6) AS brier FROM p, t ORDER BY bin"
+        ),
+        "gains_chart": (
+            # identical (score desc, event_id) rank and equal-count
+            # bucket arithmetic; cumulative over the 10-row frame
+            "WITH sc AS (SELECT event_id, "
+            "((event_id + 11) % 1000003) * 2654435761 % 1000 / 1000.0 "
+            "* 0.7 + CASE WHEN event_type = 'purchase' THEN 0.3 "
+            "ELSE 0.0 END AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events), "
+            "tt AS (SELECT count(*) AS tot, CAST(sum(y) AS BIGINT) AS np "
+            "FROM sc), "
+            "rk AS (SELECT s, y, row_number() OVER "
+            "(ORDER BY s DESC, event_id) - 1 AS rk FROM sc), "
+            "b AS (SELECT CAST(floor(rk * 10 / (SELECT tot FROM tt)) + 1 "
+            "AS INTEGER) AS bucket, count(*) AS n, "
+            "CAST(sum(y) AS BIGINT) AS n_pos FROM rk GROUP BY 1), "
+            "c AS (SELECT bucket, n, n_pos, "
+            "CAST(sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED "
+            "PRECEDING) AS BIGINT) AS cum_pos, "
+            "CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cum_n FROM b) "
+            "SELECT bucket, n, n_pos, cum_pos, "
+            "round(cum_pos / CAST(np AS DOUBLE), 6) AS capture, "
+            "round((cum_pos / CAST(np AS DOUBLE)) / "
+            "(cum_n / CAST(tot AS DOUBLE)), 6) AS lift "
+            "FROM c, tt ORDER BY bucket"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

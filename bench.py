@@ -236,6 +236,11 @@ HEADLINE = [
     # weighted_sssp: bounded 4 rounds, the bfs/label_prop precedent
     "weighted_sssp",
     "item_similarity",
+    "target_encode",
+    "negative_samples",
+    "roc_auc",
+    "calibration",
+    "gains_chart",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_curve"]
+__all__ = ["roc_auc", "calibration_curve", "gains_chart"]
 
 
 def roc_auc(
@@ -118,3 +118,81 @@ def calibration_curve(
         )
         .orderBy("bin")
     )
+
+
+def gains_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank rows by score (descending,
+    ``id_col`` as the deterministic tie-break — REQUIRED unique so both
+    engines cut tied scores identically), split into ``n_buckets``
+    equal-count buckets, and per bucket report ``(bucket, n, n_pos,
+    cum_pos, capture, lift)`` where ``capture`` is the fraction of ALL
+    positives found in the top buckets so far and ``lift`` is capture
+    relative to random targeting ("the top decile captures 34% of
+    churners — 3.4× lift"): the campaign-targeting readout of the same
+    scores :func:`roc_auc` summarizes.
+
+    Scale shape: the global rank comes from the range-partitioned
+    exclusive prefix over ``(-score, id)`` (never a global ntile
+    window); per-bucket sums collapse to ``n_buckets`` rows and the
+    cumulative pass is a window over that by-construction-tiny frame.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    d = (
+        df.select(
+            (-F.col(score_col).cast("double")).alias("_ns"),
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .withColumn("_one", F.lit(1).cast("bigint"))
+    )
+    ranked = exclusive_prefix(d, ["_ns", "_id"], "_one", "sum", "_r0", "bigint")
+    ranked = ranked.withColumn("_rk", F.coalesce(F.col("_r0"), F.lit(0)))
+    total = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_np")
+    )
+    bucket = F.floor(F.col("_rk") * n_buckets / F.col("_n")) + 1
+    per = (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.first("_n").alias("_n"),
+            F.first("_np").alias("_np"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # windows over the n_buckets-row frame only — bounded by construction
+    cum_pos = F.sum("n_pos").over(w)
+    cum_n = F.sum("n").over(w)
+    return per.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "n_pos",
+        cum_pos.alias("cum_pos"),
+        F.round(
+            F.when(F.col("_np") > 0, cum_pos / F.col("_np")), round_to
+        ).alias("capture"),
+        F.round(
+            F.when(
+                F.col("_np") > 0,
+                (cum_pos / F.col("_np")) / (cum_n / F.col("_n")),
+            ),
+            round_to,
+        ).alias("lift"),
+    ).orderBy("bucket")

@@ -64,3 +64,40 @@ def test_calibration_clamps_out_of_range(spark):
     assert sorted(r.bin for r in out) == [1, 10]
     with pytest.raises(ValueError, match="bins"):
         calibration_curve(_scored(spark, rows), "s", "y", bins=1)
+
+
+def test_gains_chart_perfect_ranking(spark):
+    from orientdb_etl_spark.functions.mleval import gains_chart
+
+    # 100 rows, 20 positives all in the top 20 scores: the top two
+    # deciles capture everything, lift of decile 1 = 5x
+    rows = [(float(100 - i), i, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, id bigint, y int")
+    out = {r.bucket: r for r in gains_chart(df, "s", "y", "id").collect()}
+    assert out[1].n == 10 and out[1].n_pos == 10
+    assert out[1].lift == 5.0 and out[1].capture == 0.5
+    assert out[2].capture == 1.0 and out[2].cum_pos == 20
+    assert out[10].capture == 1.0 and out[10].lift == 1.0
+
+
+def test_gains_chart_random_scores_lift_near_one(spark):
+    from orientdb_etl_spark.functions.mleval import gains_chart
+
+    # label independent of score: final lift exactly 1, buckets equal-count
+    rows = [(float((i * 37) % 101), i, i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "s double, id bigint, y int")
+    out = gains_chart(df, "s", "y", "id").collect()
+    assert [r.n for r in out] == [20] * 10
+    assert out[-1].lift == 1.0
+
+
+def test_gains_chart_deterministic_under_ties(spark):
+    from orientdb_etl_spark.functions.mleval import gains_chart
+
+    rows = [(1.0, i, i % 3 == 0) for i in range(30)]  # ALL scores tied
+    df = spark.createDataFrame(
+        [(s, i, int(y)) for s, i, y in rows], "s double, id bigint, y int"
+    )
+    a = [tuple(r) for r in gains_chart(df, "s", "y", "id").collect()]
+    b = [tuple(r) for r in gains_chart(df.repartition(7), "s", "y", "id").collect()]
+    assert a == b  # id tie-break makes tied scores deterministic
