@@ -4812,6 +4812,99 @@ def q_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gains_chart(scored, "score", "y", "event_id", n_buckets=10)
 
 
+def q_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity audit (Shannon/Pielou/Simpson) —
+    one grouped count over (source, lang), one re-aggregation."""
+    from orientdb_etl_spark.functions.stats import diversity_metrics
+
+    return diversity_metrics(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of the event-type mix, first half of
+    the month vs second — the epsilon-free categorical drift check."""
+    from orientdb_etl_spark.functions.stats import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn(
+        "_early", F.dayofmonth(F.col("ts").cast("timestamp")) <= 15
+    )
+    return js_divergence(flagged, "event_type", "_early")
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation quantity-vs-price — midranks from the
+    distributed exclusive prefix (never a global ORDER BY window);
+    exact half-integer rank sums."""
+    from orientdb_etl_spark.functions.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the k event types — pooled midranks via
+    the mann_whitney machinery, one per-group fold, tie-corrected."""
+    from orientdb_etl_spark.functions.stats import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of time-to-first-purchase per
+    user (days from first event; users who never purchase are censored
+    at their last event) — additive counterpart of Kaplan–Meier."""
+    from orientdb_etl_spark.functions.stats import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+    ).cast("bigint")
+    pu = ev.groupBy("user_id").agg(
+        F.min(day).alias("_d0"),
+        F.max(day).alias("_d1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("_dp"),
+    )
+    life = pu.select(
+        (
+            F.coalesce(F.col("_dp"), F.col("_d1")) - F.col("_d0") + 1
+        ).alias("duration"),
+        F.col("_dp").isNotNull().alias("observed"),
+    )
+    return nelson_aalen(life, "duration", "observed")
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction on a synthetic user-split experiment:
+    pre/post per-user spend in integer cents (floor — identical in both
+    engines), arm from the Knuth-scrambled user hash; θ from exact
+    integer moments, var_adj via the covariance identity."""
+    from orientdb_etl_spark.functions.stats import cuped
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    early = F.dayofmonth(F.col("ts").cast("timestamp")) <= 15
+    cents = F.floor(F.col("value") * 100)
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(early, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.sum(F.when(early, F.lit(0)).otherwise(cents))
+        .cast("bigint")
+        .alias("post_cents"),
+    )
+    armed = pu.withColumn(
+        "arm",
+        F.expr(
+            "CAST((user_id + 7) % 1000003 * 2654435761 % 2 AS INT)"
+        ),
+    )
+    return cuped(armed, "user_id", "arm", "pre_cents", "post_cents")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5162,6 +5255,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "roc_auc": q_roc_auc,
             "calibration": q_calibration,
             "gains_chart": q_gains_chart,
+            # round 5 (late): inferential-stats wave 2
+            "lang_diversity": q_lang_diversity,
+            "jsd_drift": q_jsd_drift,
+            "spearman": q_spearman,
+            "kruskal": q_kruskal,
+            "nelson_aalen": q_nelson_aalen,
+            "cuped": q_cuped,
         }
     )
     return out
@@ -7891,6 +7991,155 @@ def oracle_sql() -> dict[str, str]:
             "round((cum_pos / CAST(np AS DOUBLE)) / "
             "(cum_n / CAST(tot AS DOUBLE)), 6) AS lift "
             "FROM c, tt ORDER BY bucket"
+        ),
+        "lang_diversity": (
+            # H = ln(n) - Σ c·ln c / n identity; Σc² stays integer so
+            # the Simpson ratio is one deterministic double division
+            "WITH cell AS (SELECT source AS g, lang AS c, count(*) AS n "
+            "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "per AS (SELECT g, CAST(sum(n) AS BIGINT) AS n, "
+            "count(*) AS k, sum(n * ln(CAST(n AS DOUBLE))) AS cl, "
+            "CAST(sum(n * n) AS BIGINT) AS c2, "
+            "CAST(max(n) AS BIGINT) AS top FROM cell GROUP BY 1) "
+            "SELECT g AS source, n, k, "
+            "round(ln(CAST(n AS DOUBLE)) - cl / n, 6) AS entropy, "
+            "round(CASE WHEN k > 1 THEN (ln(CAST(n AS DOUBLE)) - cl / n) "
+            "/ ln(CAST(k AS DOUBLE)) END, 6) AS entropy_norm, "
+            "round(1.0 - c2 / (CAST(n AS DOUBLE) * n), 6) AS simpson, "
+            "round(top / CAST(n AS DOUBLE), 6) AS top_share "
+            "FROM per ORDER BY source"
+        ),
+        "jsd_drift": (
+            # p·ln(p/m) terms are 0 at p = 0 and m > 0 wherever the
+            # category exists — no epsilon; one fold over the cat frame
+            "WITH d AS (SELECT event_type AS c, "
+            "(day(CAST(ts AS TIMESTAMP)) <= 15) AS f FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "cell AS (SELECT c, "
+            "CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+            "CAST(sum(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS b "
+            "FROM d GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, "
+            "CAST(sum(b) AS BIGINT) AS nb FROM cell), "
+            "t AS (SELECT a, b, na, nb, a / CAST(na AS DOUBLE) AS p, "
+            "b / CAST(nb AS DOUBLE) AS q FROM cell, tot), "
+            "s AS (SELECT max(na) AS n_p, max(nb) AS n_q, count(*) AS k, "
+            "sum(CASE WHEN a > 0 THEN p * ln(p / ((p + q) / 2)) "
+            "ELSE 0.0 END + CASE WHEN b > 0 THEN q * ln(q / ((p + q) / 2)) "
+            "ELSE 0.0 END) AS s FROM t) "
+            "SELECT n_p, n_q, k, round(s / 2, 6) AS jsd, "
+            "round(s / 2 / ln(2.0), 6) AS jsd_norm FROM s"
+        ),
+        "spearman": (
+            # midranks via the running distinct-value count (window here,
+            # exclusive_prefix in Spark — integer-exact either way);
+            # centered Pearson with mean rank (n+1)/2 exactly
+            "WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL), "
+            "rx AS (SELECT x, CAST(coalesce(sum(t) OVER (ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) + (t + 1) / 2.0 AS rkx FROM "
+            "(SELECT x, count(*) AS t FROM d GROUP BY 1)), "
+            "ry AS (SELECT y, CAST(coalesce(sum(t) OVER (ORDER BY y "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) + (t + 1) / 2.0 AS rky FROM "
+            "(SELECT y, count(*) AS t FROM d GROUP BY 1)), "
+            "j AS (SELECT rkx, rky FROM d JOIN rx USING (x) "
+            "JOIN ry USING (y)), "
+            "a AS (SELECT count(*) AS n, sum(rkx * rky) AS sxy, "
+            "sum(rkx * rkx) AS sxx, sum(rky * rky) AS syy FROM j), "
+            "f AS (SELECT n, sxy, sxx, syy, "
+            "n * ((n + 1) / 2.0) * ((n + 1) / 2.0) AS nm2 FROM a) "
+            "SELECT n, round(CASE WHEN "
+            "sqrt((sxx - nm2) * (syy - nm2)) > 0 THEN "
+            "(sxy - nm2) / sqrt((sxx - nm2) * (syy - nm2)) END, 6) AS rho "
+            "FROM f"
+        ),
+        "kruskal": (
+            # pooled midranks; R_j exact (integer counts × half-integer
+            # midranks); standard tie correction
+            "WITH d AS (SELECT event_type AS g, value AS v FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "pv AS (SELECT v, count(*) AS t FROM d GROUP BY 1), "
+            "m AS (SELECT v, CAST(coalesce(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) + (t + 1) / 2.0 AS mr FROM pv), "
+            "gv AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2), "
+            "pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj, "
+            "sum(c * mr) AS rj FROM gv JOIN m USING (v) GROUP BY 1), "
+            "ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties "
+            "FROM pv), "
+            "a AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k, "
+            "sum(rj * rj / nj) AS s FROM pg) "
+            "SELECT n, k, k - 1 AS dof, "
+            "round(12.0 / (n * (n + 1)) * s - 3.0 * (n + 1), 6) AS h, "
+            "round(CASE WHEN (1.0 - ties / (n * n * n - n)) > 0 THEN "
+            "(12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)) / "
+            "(1.0 - ties / (n * n * n - n)) END, 6) AS h_corrected "
+            "FROM a, ties"
+        ),
+        "nelson_aalen": (
+            # per-user lifetime days; at-risk = total minus exclusive
+            # prefix; cumulative d/n fold over the tiny event-time frame
+            "WITH pu AS (SELECT user_id, "
+            "min(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) "
+            "AS BIGINT)) AS d0, "
+            "max(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) "
+            "AS BIGINT)) AS d1, "
+            "min(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) "
+            "AS BIGINT) END) AS dp "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "life AS (SELECT coalesce(dp, d1) - d0 + 1 AS t, "
+            "(dp IS NOT NULL) AS obs FROM pu), "
+            "pt AS (SELECT t, count(*) AS c, "
+            "CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d "
+            "FROM life GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pt), "
+            "r0 AS (SELECT t, d, n - CAST(coalesce(sum(c) OVER "
+            "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS nr FROM pt, tot), "
+            "r AS (SELECT * FROM r0 WHERE d > 0), "
+            "h AS (SELECT t, nr, d, sum(d / CAST(nr AS DOUBLE)) OVER "
+            "(ORDER BY t ROWS UNBOUNDED PRECEDING) AS ch FROM r) "
+            "SELECT t, nr AS n_risk, d AS n_events, "
+            "round(ch, 6) AS cum_hazard FROM h ORDER BY t"
+        ),
+        "cuped": (
+            # exact integer moments (floor-cents), θ pooled, var_adj via
+            # var(y) - 2θ·cov + θ²·var(x) — a fixed chain of scalar IEEE
+            # ops, identical left-associative parenthesization in both
+            "WITH pu AS (SELECT user_id, "
+            "CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN "
+            "CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS xi, "
+            "CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 "
+            "ELSE CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) "
+            "AS yi FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY 1), "
+            "d AS (SELECT CAST((user_id + 7) % 1000003 * 2654435761 % 2 "
+            "AS INTEGER) AS arm, CAST(xi AS DOUBLE) AS x, "
+            "CAST(yi AS DOUBLE) AS y FROM pu), "
+            "mm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx FROM d), "
+            "gl AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) "
+            "AS th, sx / n AS mx FROM mm), "
+            "am AS (SELECT arm, count(*) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+            "sum(y * y) AS syy FROM d GROUP BY 1), "
+            "v AS (SELECT arm, n, sx, sy, th, mx, "
+            "(syy - sy * sy / n) / (n - 1) AS vy, "
+            "(sxx - sx * sx / n) / (n - 1) AS vx, "
+            "(sxy - sx * sy / n) / (n - 1) AS cxy FROM am, gl), "
+            "w AS (SELECT arm, n, sx, sy, th, mx, vy, "
+            "vy - 2 * th * cxy + th * th * vx AS va FROM v) "
+            "SELECT arm, n, round(sy / n, 6) AS mean_post, "
+            "round(sy / n - th * (sx / n - mx), 6) AS mean_adj, "
+            "round(sqrt(vy), 6) AS std_post, round(sqrt(va), 6) AS std_adj, "
+            "round(CASE WHEN vy > 0 THEN 1.0 - va / vy END, 6) "
+            "AS var_reduction FROM w ORDER BY arm"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -37,6 +37,12 @@ __all__ = [
     "theil_sen",
     "seasonal_anomaly",
     "kaplan_meier",
+    "nelson_aalen",
+    "diversity_metrics",
+    "js_divergence",
+    "spearman_corr",
+    "kruskal_wallis",
+    "cuped",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -843,3 +849,373 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator with right-censoring:
+    one row per distinct event time ``t`` with ``(t, n_risk, n_events,
+    cum_hazard)`` where ``H(t) = sum over event times u <= t of
+    d_u / n_risk_u`` — the additive counterpart of :func:`kaplan_meier`
+    (Aalen 1978); preferred when the hazard itself (not survival) is the
+    modeling target, and it never degenerates at a fatal time (no
+    ``ln(0)`` special case: the last increment is just ``d/n = 1``).
+
+    Scale shape: identical to :func:`kaplan_meier` — subjects collapse
+    to per-duration counts in ONE aggregation, the at-risk count is
+    total-minus-exclusive-prefix, and the cumulative sum folds over the
+    tiny distinct-event-time frame via
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`.
+    Risk-set arithmetic is all integer; the only float fold is the
+    ``d/n`` sum over event times.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    life = df.select(
+        F.col(duration_col).cast("bigint").alias("_t"),
+        F.col(observed_col).cast("boolean").alias("_obs"),
+    ).where(F.col(duration_col).isNotNull())
+    per_t = life.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.when(F.col("_obs"), 1).otherwise(0)).alias("_d"),
+    )
+    total = per_t.agg(F.sum("_c").alias("_n"))
+    risk = (
+        exclusive_prefix(per_t, ["_t"], "_c", "sum", "_before", "bigint")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_t",
+            "_d",
+            (F.col("_n") - F.coalesce(F.col("_before"), F.lit(0))).alias("_nr"),
+        )
+        .where(F.col("_d") > 0)
+    )
+    term = F.col("_d") / F.col("_nr")
+    folded = exclusive_prefix(
+        risk.withColumn("_h", term), ["_t"], "_h", "sum", "_hpref", "double"
+    )
+    return (
+        folded.select(
+            F.col("_t").alias("t"),
+            F.col("_nr").alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.round(
+                F.coalesce(F.col("_hpref"), F.lit(0.0)) + F.col("_h"), round_to
+            ).alias("cum_hazard"),
+        )
+        .orderBy("t")
+    )
+
+
+def diversity_metrics(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group categorical diversity: one row per group with
+    ``(group, n, k, entropy, entropy_norm, simpson, top_share)`` —
+    Shannon entropy in nats, Pielou-normalized entropy ``H / ln(k)``
+    (NULL for single-category groups, where evenness is undefined),
+    Gini–Simpson index ``1 - sum p_i^2`` and the top category's share.
+    The mixture-health audit a corpus build runs per source/shard:
+    "did this slice collapse onto one language/domain?".
+
+    Plan shape: ONE grouped count over (group, category) — the frame
+    shrinks to |groups|·|cats| — then one re-aggregation per group.
+    Entropy uses ``H = ln(n) - sum c·ln(c) / n`` (one fold, no per-row
+    probability column); ``sum c^2`` stays integer so the Simpson ratio
+    is a single deterministic double division.
+    """
+    g, c = F.col(group_col), F.col(cat_col)
+    cell = (
+        df.where(g.isNotNull() & c.isNotNull())
+        .select(g.alias("_g"), c.alias("_c"))
+        .groupBy("_g", "_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_g = cell.groupBy("_g").agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("_n * ln(CAST(_n AS DOUBLE))")).alias("_cl"),
+        F.sum(F.expr("_n * _n")).alias("_c2"),
+        F.max("_n").alias("_top"),
+    )
+    h = F.expr("ln(CAST(n AS DOUBLE)) - _cl / n")
+    return per_g.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "k",
+        F.round(h, round_to).alias("entropy"),
+        F.round(
+            F.when(F.col("k") > 1, h / F.expr("ln(CAST(k AS DOUBLE))")),
+            round_to,
+        ).alias("entropy_norm"),
+        F.round(
+            F.lit(1.0) - F.col("_c2") / F.expr("CAST(n AS DOUBLE) * n"), round_to
+        ).alias("simpson"),
+        F.round(F.col("_top") / F.expr("CAST(n AS DOUBLE)"), round_to).alias(
+            "top_share"
+        ),
+    ).orderBy(group_col)
+
+
+def js_divergence(
+    df: DataFrame,
+    cat_col: str,
+    flag_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the categorical distributions
+    of the ``flag_col``-true rows (P) and the false rows (Q): one row
+    ``(n_p, n_q, k, jsd, jsd_norm)`` in nats, with ``jsd_norm = jsd /
+    ln(2)`` in [0, 1]. The symmetric, always-finite drift measure —
+    unlike KL/PSI it needs no epsilon smoothing for categories present
+    on only one side (the ``p·ln(p/m)`` term is 0 at p = 0, and m > 0
+    whenever the category exists at all), which is exactly the regime of
+    snapshot-over-snapshot topic/language drift checks (Lin 1991).
+
+    Plan shape: ONE grouped count over (category, flag) pivoted to
+    per-category (a, b) counts, two broadcast scalars, one fold over the
+    tiny category frame. NULL categories and NULL flags are excluded.
+    """
+    c, fl = F.col(cat_col), F.col(flag_col).cast("boolean")
+    cell = (
+        df.where(c.isNotNull() & fl.isNotNull())
+        .select(c.alias("_c"), fl.alias("_f"))
+        .groupBy("_c")
+        .agg(
+            F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("_a"),
+            F.sum(F.when(F.col("_f"), 0).otherwise(1)).alias("_b"),
+        )
+    )
+    tot = cell.agg(F.sum("_a").alias("_na"), F.sum("_b").alias("_nb"))
+    t = cell.crossJoin(F.broadcast(tot))
+    p = F.col("_a") / F.col("_na")
+    q = F.col("_b") / F.col("_nb")
+    m = (p + q) / 2
+    term = F.when(F.col("_a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        F.col("_b") > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    agg = t.agg(
+        F.max("_na").alias("n_p"),
+        F.max("_nb").alias("n_q"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term).alias("_s"),
+    )
+    jsd = F.col("_s") / 2
+    return agg.select(
+        "n_p",
+        "n_q",
+        "k",
+        F.round(jsd, round_to).alias("jsd"),
+        F.round(jsd / F.log(F.lit(2.0)), round_to).alias("jsd_norm"),
+    )
+
+
+def _midranks(d: DataFrame, val: str, out: str, checkpoint: bool) -> DataFrame:
+    """Distinct-value midrank map for ``val``: ``(val, out)`` with
+    ``out = (# values < v) + (ties(v)+1)/2`` — the :func:`mann_whitney_u`
+    rank machinery factored for reuse (one grouped count, one
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`,
+    never a global raw-row ORDER BY window). Counts are integers, so
+    midranks are exact half-integers."""
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    per_v = d.groupBy(val).agg(F.count(F.lit(1)).alias("_t"))
+    pv = exclusive_prefix(
+        per_v, [val], "_t", "sum", "_lt", "bigint", checkpoint=checkpoint
+    )
+    return pv.select(
+        val,
+        (
+            F.coalesce(F.col("_lt"), F.lit(0)) + (F.col("_t") + 1) / 2.0
+        ).alias(out),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_to: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — one row
+    ``(n, rho)``. The monotone-association check that survives outliers
+    and nonlinearity (Pearson on midranks, the standard tie-aware
+    definition). Rows with a NULL on either side are excluded.
+
+    Scale shape: two distinct-value midrank maps (grouped count +
+    distributed exclusive prefix each — the :func:`mann_whitney_u`
+    machinery, never a global window), joined back onto the rows, then
+    ONE moment aggregate. Midranks are exact half-integers, so every
+    sum (Σr, Σr², Σrxry) is exact in doubles at any realistic n and the
+    final expression replays bit-identically in the oracle. The centered
+    form uses mean rank = (n+1)/2 exactly — no catastrophic n·Σ
+    products.
+    """
+    d = df.select(
+        F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+    ).where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    rx = _midranks(d.select("_x"), "_x", "_rx", checkpoint)
+    ry = _midranks(d.select("_y"), "_y", "_ry", checkpoint)
+    ranked = d.join(rx, "_x").join(ry, "_y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    mean = (F.col("n") + 1) / 2.0
+    nm2 = F.col("n") * mean * mean
+    num = F.col("_sxy") - nm2
+    den = F.sqrt((F.col("_sxx") - nm2) * (F.col("_syy") - nm2))
+    return agg.select(
+        "n",
+        F.round(
+            F.when(den > 0, num / den), round_to
+        ).alias("rho"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Kruskal–Wallis H test: does ``value_col`` differ in location
+    across the k groups of ``group_col``? One row ``(n, k, dof, h,
+    h_corrected)`` with the standard tie correction ``C = 1 -
+    Σ(t³-t)/(N³-N)`` (``h_corrected`` NULL when every value ties — C =
+    0). The k-sample extension of :func:`mann_whitney_u`; no p-value for
+    the same reason as :func:`chi_square` (no chi-square CDF in either
+    engine — ``h`` is chi-square with ``dof = k-1`` under H0).
+
+    Scale shape: pooled midranks from the shared distinct-value
+    machinery (:func:`_midranks` — grouped count + exclusive prefix),
+    one (group, value) count frame joined to the rank map, one per-group
+    fold, one scalar fold over the k-row frame. Rank sums R_j are exact
+    (integer counts × half-integer midranks).
+    """
+    d = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    ranks = _midranks(d.select("_v"), "_v", "_m", checkpoint)
+    per_gv = d.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    per_g = (
+        per_gv.join(ranks, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_nj"),
+            F.sum(F.col("_c") * F.col("_m")).alias("_rj"),
+        )
+    )
+    ties = d.groupBy("_v").agg(F.count(F.lit(1)).alias("_t")).agg(
+        F.sum(F.expr("_t * _t * _t - _t")).alias("_ties")
+    )
+    agg = per_g.agg(
+        F.sum("_nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_rj") * F.col("_rj") / F.col("_nj")).alias("_s"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1)) * F.col("_s") - 3.0 * (n + 1)
+    corr = F.lit(1.0) - F.col("_ties") / (n * n * n - n)
+    return agg.select(
+        "n",
+        "k",
+        (F.col("k") - 1).alias("dof"),
+        F.round(h, round_to).alias("h"),
+        F.round(F.when(corr > 0, h / corr), round_to).alias("h_corrected"),
+    )
+
+
+def cuped(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for A/B experiments (Deng et al.
+    WSDM'13): adjust each unit's experiment-period metric by its
+    PRE-period metric, ``y_adj = y - θ·(x - mean(x))`` with the pooled
+    ``θ = cov(x, y) / var(x)``, and report per-arm
+    ``(arm, n, mean_post, mean_adj, std_post, std_adj, var_reduction)``.
+    Dispersion is reported as standard deviations, not raw variances:
+    cent-scale metrics make variances ~1e9, where the 6-decimal round
+    sits past double's 15-16 significant digits and the two engines'
+    round() algorithms land on ADJACENT doubles — sqrt compresses the
+    magnitude back inside the portable range.
+    Because θ is pooled and x is pre-assignment, the adjustment is
+    unbiased for the treatment effect while removing the x-explained
+    variance — the standard way to cut experiment runtimes 30-50%.
+
+    Input is one row per unit (already aggregated): ``unit_col`` is
+    documentation of that grain. **Pass integer-valued metrics** (e.g.
+    cents) — every Σx/Σy/Σxy/Σxx/Σyy moment is then an exact
+    (order-independent) integer sum, and everything downstream is a
+    fixed chain of scalar IEEE ops, so the oracle replays bit-
+    identically. ``var_adj`` comes from the identity ``var(y) -
+    2θ·cov(x,y) + θ²·var(x)`` — never a second variance pass over
+    derived doubles (whose fold order would differ between engines).
+    Plan shape: one pooled moment pass (θ), one per-arm moment pass;
+    both are single hash-aggregates over a per-unit frame that is
+    already tiny relative to the raw events.
+    """
+    x = F.col(pre_col).cast("double")
+    y = F.col(post_col).cast("double")
+    d = df.select(
+        F.col(arm_col).alias("_arm"), x.alias("_x"), y.alias("_y")
+    ).where(x.isNotNull() & y.isNotNull())
+
+    def _moments(frame, keys: list[str]) -> DataFrame:
+        g = frame.groupBy(*keys) if keys else frame
+        return g.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+
+    # pooled θ = (n·Σxy - Σx·Σy) / (n·Σxx - Σx·Σx); the cancellation-
+    # prone raw form is fine because cent-scale integer sums are exact
+    mom = _moments(d, [])
+    theta = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    glob = mom.select(
+        theta.alias("_theta"), (F.col("_sx") / F.col("_n")).alias("_mx")
+    )
+
+    arm = _moments(d, ["_arm"]).crossJoin(F.broadcast(glob))
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    th = F.col("_theta")
+    var_y = (F.col("_syy") - sy * sy / n) / (n - 1)
+    var_x = (F.col("_sxx") - sx * sx / n) / (n - 1)
+    cov_xy = (F.col("_sxy") - sx * sy / n) / (n - 1)
+    var_adj = var_y - 2 * th * cov_xy + th * th * var_x
+    out = arm.select(
+        F.col("_arm").alias(arm_col),
+        n.alias("n"),
+        F.round(sy / n, round_to).alias("mean_post"),
+        F.round(sy / n - th * (sx / n - F.col("_mx")), round_to).alias(
+            "mean_adj"
+        ),
+        F.round(F.sqrt(var_y), round_to).alias("std_post"),
+        F.round(F.sqrt(var_adj), round_to).alias("std_adj"),
+        F.round(
+            F.when(var_y > 0, F.lit(1.0) - var_adj / var_y), round_to
+        ).alias("var_reduction"),
+    )
+    return out.orderBy(arm_col)

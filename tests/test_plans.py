@@ -669,3 +669,21 @@ def test_theil_sen_pair_join_is_group_keyed(spark):
     # the quadratic pair build must be an equi-join on the group key
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spearman_ranks_via_range_partitioned_prefix(spark):
+    # both midrank maps use the distributed exclusive prefix — never a
+    # global ORDER BY window over raw rows, never a Python UDF
+    from orientdb_etl_spark.functions.stats import spearman_corr
+
+    li = E.queries_all.__globals__["_t"](spark, SF, "lineitem")
+    df = spearman_corr(
+        li, "l_quantity", "l_extendedprice", checkpoint=False
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning(_x" in plan
+    assert "rangepartitioning(_y" in plan
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "BatchEvalPython" not in plan

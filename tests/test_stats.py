@@ -567,3 +567,207 @@ def test_kaplan_meier_everyone_dies_hits_zero(spark):
     got = kaplan_meier(_lifetimes(spark, rows), "dur", "obs").collect()
     assert got[-1].survival == 0.0
     assert got[-1].n_events == got[-1].n_risk == 2
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen
+
+
+def test_nelson_aalen_matches_hand_computation(spark):
+    from orientdb_etl_spark.functions.stats import nelson_aalen
+
+    # durations: events at 1 (d=1), 2 (d=2), censor at 3, event at 4
+    rows = [(1, True), (2, True), (2, True), (3, False), (4, True)]
+    df = spark.createDataFrame(rows, "dur long, obs boolean")
+    out = nelson_aalen(df, "dur", "obs").collect()
+    got = {r.t: (r.n_risk, r.n_events, r.cum_hazard) for r in out}
+    assert got[1] == (5, 1, round(1 / 5, 6))
+    assert got[2] == (4, 2, round(1 / 5 + 2 / 4, 6))
+    # censored-only time 3 emits no row; at t=4 the risk set is 1
+    assert 3 not in got
+    assert got[4] == (1, 1, round(1 / 5 + 2 / 4 + 1 / 1, 6))
+
+
+def test_nelson_aalen_fatal_last_time_no_special_case(spark):
+    from orientdb_etl_spark.functions.stats import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1, True), (1, True)], "dur long, obs boolean"
+    )
+    out = nelson_aalen(df, "dur", "obs").collect()
+    assert len(out) == 1 and out[0].cum_hazard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# diversity_metrics
+
+
+def test_diversity_metrics_hand_values(spark):
+    import math
+
+    from orientdb_etl_spark.functions.stats import diversity_metrics
+
+    rows = (
+        [("A", "x")] * 2 + [("A", "y")] * 2 + [("B", "z")] * 3
+    )
+    df = spark.createDataFrame(rows, "src string, cat string")
+    out = {r.src: r for r in diversity_metrics(df, "src", "cat").collect()}
+    a = out["A"]
+    assert (a.n, a.k) == (4, 2)
+    assert a.entropy == round(math.log(2), 6)
+    assert a.entropy_norm == 1.0
+    assert a.simpson == 0.5
+    assert a.top_share == 0.5
+    b = out["B"]
+    # single-category group: zero entropy, evenness undefined (NULL)
+    assert (b.n, b.k, b.entropy, b.simpson, b.top_share) == (3, 1, 0.0, 0.0, 1.0)
+    assert b.entropy_norm is None
+
+
+def test_diversity_metrics_excludes_nulls(spark):
+    from orientdb_etl_spark.functions.stats import diversity_metrics
+
+    rows = [("A", "x"), ("A", None), (None, "y")]
+    df = spark.createDataFrame(rows, "src string, cat string")
+    out = diversity_metrics(df, "src", "cat").collect()
+    assert len(out) == 1 and out[0].n == 1
+
+
+# ---------------------------------------------------------------------------
+# js_divergence
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from orientdb_etl_spark.functions.stats import js_divergence
+
+    same = [("x", True)] * 3 + [("y", True)] * 2 + [("x", False)] * 3 + [
+        ("y", False)
+    ] * 2
+    row = js_divergence(
+        spark.createDataFrame(same, "c string, f boolean"), "c", "f"
+    ).collect()[0]
+    assert row.jsd == 0.0 and row.jsd_norm == 0.0
+
+    disjoint = [("x", True)] * 4 + [("y", False)] * 6
+    row = js_divergence(
+        spark.createDataFrame(disjoint, "c string, f boolean"), "c", "f"
+    ).collect()[0]
+    # maximal divergence: jsd = ln 2, normalized exactly 1
+    import math
+
+    assert row.jsd == round(math.log(2), 6)
+    assert row.jsd_norm == 1.0
+
+
+def test_js_divergence_one_sided_category_finite(spark):
+    from orientdb_etl_spark.functions.stats import js_divergence
+
+    rows = [("x", True)] * 3 + [("x", False)] * 2 + [("y", False)] * 2
+    row = js_divergence(
+        spark.createDataFrame(rows, "c string, f boolean"), "c", "f"
+    ).collect()[0]
+    assert row.jsd is not None and 0 < row.jsd < 0.6931
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+
+
+def test_spearman_perfect_monotone(spark):
+    from orientdb_etl_spark.functions.stats import spearman_corr
+
+    rows = [(float(i), float(i**3)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0].rho == 1.0
+    rows = [(float(i), float(-i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0].rho == -1.0
+
+
+def test_spearman_ties_match_hand_midranks(spark):
+    from orientdb_etl_spark.functions.stats import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [10.0, 20.0, 30.0, 30.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    rho = spearman_corr(df, "x", "y").collect()[0].rho
+    # midranks: x -> [1, 2.5, 2.5, 4]; y -> [1, 2, 3.5, 3.5]
+    rx, ry = [1, 2.5, 2.5, 4], [1, 2, 3.5, 3.5]
+    n = 4
+    m = (n + 1) / 2
+    num = sum(a * b for a, b in zip(rx, ry)) - n * m * m
+    den = (
+        (sum(a * a for a in rx) - n * m * m)
+        * (sum(b * b for b in ry) - n * m * m)
+    ) ** 0.5
+    assert rho == round(num / den, 6)
+
+
+def test_spearman_constant_column_null(spark):
+    from orientdb_etl_spark.functions.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    assert spearman_corr(df, "x", "y").collect()[0].rho is None
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis
+
+
+def test_kruskal_wallis_hand_computation(spark):
+    from orientdb_etl_spark.functions.stats import kruskal_wallis
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0], "c": [7.0, 8.0, 9.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    # no ties: ranks are 1..9, R = [6, 15, 24], N = 9
+    n, s = 9, (36 / 3 + 225 / 3 + 576 / 3)
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    assert (row.n, row.k, row.dof) == (9, 3, 2)
+    assert row.h == round(h, 6)
+    assert row.h_corrected == row.h  # no ties -> correction is identity
+
+
+def test_kruskal_wallis_all_tied_null_correction(spark):
+    from orientdb_etl_spark.functions.stats import kruskal_wallis
+
+    rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = kruskal_wallis(df, "g", "v").collect()[0]
+    assert row.h_corrected is None  # C = 0: every value ties
+
+
+# ---------------------------------------------------------------------------
+# cuped
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    from orientdb_etl_spark.functions.stats import cuped
+
+    # y = 2x exactly: theta = 2, adjusted variance exactly 0
+    rows = [(i, i % 2, 100 + 7 * i, 2 * (100 + 7 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "u long, arm int, x long, y long")
+    out = cuped(df, "u", "arm", "x", "y").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.std_adj == 0.0
+        assert r.var_reduction == 1.0
+        assert r.std_post > 0
+
+
+def test_cuped_unrelated_covariate_keeps_means(spark):
+    from orientdb_etl_spark.functions.stats import cuped
+
+    # x constant-ish noise uncorrelated with y: theta ~ small, adjusted
+    # means stay near raw means and variance is not inflated much
+    rows = [
+        (i, i % 2, (i * 37) % 11, 1000 + (i * 13) % 7) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "u long, arm int, x long, y long")
+    out = cuped(df, "u", "arm", "x", "y").collect()
+    for r in out:
+        assert abs(r.mean_adj - r.mean_post) < 5.0
+        assert r.std_adj <= r.std_post * 1.1
