@@ -4905,6 +4905,50 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped(armed, "user_id", "arm", "pre_cents", "post_cents")
 
 
+def q_islands_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive URGENT orderkeys —
+    the key - rank island label with rank from the distributed
+    exclusive prefix (never a global ORDER BY window)."""
+    from orientdb_etl_spark.functions.profiling import key_islands
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return key_islands(o, "o_orderkey")
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency of per-user-per-day activity spans:
+    +1/-1 deltas collapse per boundary instant, running sum via the
+    exclusive prefix, top-20 peaks with a deterministic tie-break."""
+    from orientdb_etl_spark.operators.temporal import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast(
+        "bigint"
+    )
+    day = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+    ).cast("bigint")
+    iv = ev.groupBy("user_id", day.alias("_day")).agg(
+        F.min(sec).alias("s"), (F.max(sec) + 1).alias("e")
+    )
+    return peak_concurrency(iv, "s", "e", top_k=20)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the part projection of the
+    order-part bipartite graph (shared baskets weighted 1/ln|b|),
+    pairs sharing >= 2 orders; basket cap bounds the quadratic
+    fan-out."""
+    from orientdb_etl_spark.functions.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    return adamic_adar(
+        li, "l_orderkey", "l_partkey", min_common=2, max_basket_size=50
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5262,6 +5306,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kruskal": q_kruskal,
             "nelson_aalen": q_nelson_aalen,
             "cuped": q_cuped,
+            "islands_urgent": q_islands_urgent,
+            "peak_concurrency": q_peak_concurrency,
+            "adamic_adar": q_adamic_adar,
         }
     )
     return out
@@ -8140,6 +8187,57 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(vy), 6) AS std_post, round(sqrt(va), 6) AS std_adj, "
             "round(CASE WHEN vy > 0 THEN 1.0 - va / vy END, 6) "
             "AS var_reduction FROM w ORDER BY arm"
+        ),
+        "islands_urgent": (
+            # classic key - row_number island label (window here; the
+            # Spark side uses the distributed exclusive prefix)
+            "WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k "
+            "FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "AND o_orderkey IS NOT NULL), "
+            "i AS (SELECT k, k - row_number() OVER (ORDER BY k) AS isl "
+            "FROM k) "
+            "SELECT min(k) AS island_start, max(k) AS island_end, "
+            "count(*) AS n_keys FROM i GROUP BY isl ORDER BY island_start"
+        ),
+        "peak_concurrency": (
+            # per-(user, day) activity spans [min, max+1); ties collapse
+            # to one net delta per boundary BEFORE any ordering, so the
+            # running sum needs no within-timestamp tie rule
+            "WITH iv AS (SELECT user_id, "
+            "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) "
+            "AS BIGINT) AS d, "
+            "min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) "
+            "AS s, "
+            "max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) + 1 "
+            "AS e FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), "
+            "del AS (SELECT t, CAST(sum(dd) AS BIGINT) AS net FROM "
+            "(SELECT s AS t, 1 AS dd FROM iv "
+            "UNION ALL SELECT e, -1 FROM iv) GROUP BY 1), "
+            "c AS (SELECT t, CAST(sum(net) OVER (ORDER BY t "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency "
+            "FROM del) "
+            "SELECT t, concurrency FROM c "
+            "ORDER BY concurrency DESC, t LIMIT 20"
+        ),
+        "adamic_adar": (
+            # item-projection self-join per basket, 1/ln|b| weights;
+            # single-item baskets drop, cap mirrors the Spark call
+            "WITH b AS (SELECT DISTINCT l_orderkey AS basket, "
+            "l_partkey AS item FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), "
+            "s AS (SELECT basket, count(*) AS sz FROM b GROUP BY 1), "
+            "keep AS (SELECT basket, sz FROM s "
+            "WHERE sz >= 2 AND sz <= 50), "
+            "p AS (SELECT b.basket, b.item, keep.sz FROM b "
+            "JOIN keep USING (basket)), "
+            "j AS (SELECT p1.item AS item_a, p2.item AS item_b, p1.sz "
+            "FROM p p1 JOIN p p2 ON p1.basket = p2.basket "
+            "AND p1.item < p2.item), "
+            "g AS (SELECT item_a, item_b, count(*) AS n_common, "
+            "sum(1.0 / ln(CAST(sz AS DOUBLE))) AS aa FROM j "
+            "GROUP BY 1, 2) "
+            "SELECT item_a, item_b, n_common, round(aa, 6) AS aa_score "
+            "FROM g WHERE n_common >= 2"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -590,3 +590,60 @@ def sssp_rounds_sql(rounds: int, edges_cte: str, sources_cte: str,
             f"FROM d{r-1} JOIN e ON d{r-1}.id = e.src) GROUP BY id)"
         )
     return "WITH " + ", ".join(parts) + f" SELECT id, dist FROM d{rounds}"
+
+
+def adamic_adar(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_common: int = 1,
+    max_basket_size: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores over the item projection of a
+    bipartite (basket, item) graph: for each unordered item pair with
+    ``item_a < item_b``, ``(item_a, item_b, n_common, aa_score)`` where
+    ``aa_score = sum over shared baskets b of 1 / ln(|b|)`` — common
+    neighbors weighted inversely by how promiscuous the neighbor is
+    (Adamic & Adar 2003), the standard "people who bought X also
+    bought Y" candidate scorer that doesn't let megabaskets dominate.
+
+    Scale shape: the :func:`~orientdb_etl_spark.functions.basket.
+    frequent_pairs` discipline — single-item baskets drop (they form no
+    pairs, and ln(1) = 0 would be a division hazard), ``max_basket_size``
+    caps the quadratic per-basket fan-out (the LSH bucket-cap rule: a
+    degenerate hot basket of size B emits B² pairs), one self-join per
+    basket on the pruned frame, ONE grouped shuffle on the pair key.
+    """
+    b, i = F.col(basket_col), F.col(item_col)
+    baskets = (
+        df.select(b.alias("basket"), i.alias("item"))
+        .where(b.isNotNull() & i.isNotNull())
+        .distinct()
+    )
+    sized = baskets.groupBy("basket").agg(F.count(F.lit(1)).alias("_sz"))
+    cond = F.col("_sz") >= 2
+    if max_basket_size is not None:
+        cond = cond & (F.col("_sz") <= int(max_basket_size))
+    keep = sized.filter(cond)
+    pruned = baskets.join(F.broadcast(keep), "basket")
+    a = pruned.select("basket", F.col("item").alias("item_a"), "_sz")
+    c = pruned.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(c, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("_sz").cast("double"))).alias(
+                "_aa"
+            ),
+        )
+        .filter(F.col("n_common") >= int(min_common))
+    )
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "n_common",
+        F.round(F.col("_aa"), round_to).alias("aa_score"),
+    )

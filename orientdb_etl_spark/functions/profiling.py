@@ -821,3 +821,40 @@ def key_skew_profile(
         )
         .orderBy("rank")
     )
+
+
+def key_islands(df: DataFrame, key_col: str) -> DataFrame:
+    """Gaps-and-islands over an integer key column: one row per maximal
+    run of consecutive present keys, ``(island_start, island_end,
+    n_keys)`` ordered by start — the completeness audit for sequence
+    columns (missing id ranges = lost batches, holes in ingestion).
+    The classic ``key - rank(key)`` island label, computed WITHOUT a
+    global ORDER BY window: rank comes from
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    (range-partitioned running count over the distinct-key frame), so
+    the plan scales to arbitrarily many keys — the tiny output frame is
+    the only thing ever ordered.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    keys = (
+        df.select(F.col(key_col).cast("bigint").alias("_k"))
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = exclusive_prefix(keys, ["_k"], "_one", "sum", "_r", "bigint")
+    islands = (
+        ranked.withColumn(
+            "_island", F.col("_k") - F.coalesce(F.col("_r"), F.lit(0))
+        )
+        .groupBy("_island")
+        .agg(
+            F.min("_k").alias("island_start"),
+            F.max("_k").alias("island_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select("island_start", "island_end", "n_keys")
+        .orderBy("island_start")
+    )
+    return islands

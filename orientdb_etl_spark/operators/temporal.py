@@ -1468,3 +1468,44 @@ def collapse_runs_transformer(
         cfg["stateField"],
         tiebreak=cfg.get("tiebreak"),
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Sweep-line concurrency over half-open intervals ``[start, end)``:
+    how many intervals overlap at each boundary instant, top ``top_k``
+    peaks as ``(t, concurrency)`` (ordered concurrency desc, t asc — a
+    deterministic tie-break). The capacity-planning primitive: peak
+    simultaneous sessions/jobs/connections.
+
+    Scale shape: intervals collapse to a per-distinct-boundary NET delta
+    (+1 starts, -1 ends — ties collapse in ONE grouped aggregation, so
+    no within-timestamp ordering is ever needed), then the running sum
+    is :func:`~orientdb_etl_spark.operators.relational.
+    exclusive_prefix` over the boundary frame — range-partitioned, never
+    a global ORDER BY window over raw rows. Only the final top-k
+    (TakeOrderedAndProject) sees an ordering, and only over the
+    already-collapsed boundary frame. Integer deltas make every
+    concurrency exact.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    s, e = F.col(start_col).cast("bigint"), F.col(end_col).cast("bigint")
+    both = df.where(s.isNotNull() & e.isNotNull())
+    starts = both.select(s.alias("_t"), F.lit(1).alias("_d"))
+    ends = both.select(e.alias("_t"), F.lit(-1).alias("_d"))
+    deltas = (
+        starts.unionAll(ends).groupBy("_t").agg(F.sum("_d").alias("_net"))
+    )
+    pref = exclusive_prefix(deltas, ["_t"], "_net", "sum", "_before", "bigint")
+    conc = pref.select(
+        F.col("_t").alias("t"),
+        (F.coalesce(F.col("_before"), F.lit(0)) + F.col("_net")).alias(
+            "concurrency"
+        ),
+    )
+    return conc.orderBy(F.desc("concurrency"), F.asc("t")).limit(top_k)

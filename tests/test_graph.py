@@ -414,3 +414,32 @@ def test_sssp_early_exit_at_fixpoint(spark):
     b = sorted(map(tuple, weighted_sssp(
         _wedges(spark, edges), _seeds(spark, [1]), rounds=10).collect()))
     assert a == b == [(1, 0), (2, 2)]
+
+
+def test_adamic_adar_hand_weights(spark):
+    import math
+
+    from orientdb_etl_spark.functions.graph import adamic_adar
+
+    # baskets: b1 = {x, y}, b2 = {x, y, z}, b3 = {x} (drops: size 1)
+    rows = [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+            ("b2", "z"), ("b3", "x")]
+    df = spark.createDataFrame(rows, "b string, i string")
+    out = {(r.item_a, r.item_b): r for r in
+           adamic_adar(df, "b", "i").collect()}
+    xy = out[("x", "y")]
+    assert xy.n_common == 2
+    assert xy.aa_score == round(1 / math.log(2) + 1 / math.log(3), 6)
+    assert out[("x", "z")].aa_score == round(1 / math.log(3), 6)
+    assert out[("y", "z")].n_common == 1
+
+
+def test_adamic_adar_basket_cap_and_min_common(spark):
+    from orientdb_etl_spark.functions.graph import adamic_adar
+
+    rows = [("big", f"i{k}") for k in range(10)] + [
+        ("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")]
+    df = spark.createDataFrame(rows, "b string, i string")
+    out = adamic_adar(df, "b", "i", min_common=2, max_basket_size=5).collect()
+    # the size-10 basket is capped away; only (a, b) shares 2 baskets
+    assert [(r.item_a, r.item_b, r.n_common) for r in out] == [("a", "b", 2)]

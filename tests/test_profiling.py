@@ -394,3 +394,32 @@ def test_key_skew_profile_null_key_counts(spark):
     rows = key_skew_profile(df, "k", top_k=2).collect()
     assert rows[0].key is None and rows[0].n == 7
     assert rows[0].n_keys == 3
+
+
+def test_key_islands_hand_case(spark):
+    from orientdb_etl_spark.functions.profiling import key_islands
+
+    keys = [1, 2, 3, 7, 8, 10, 15, 16, 17, 18]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = [tuple(r) for r in key_islands(df, "k").collect()]
+    assert out == [(1, 3, 3), (7, 8, 2), (10, 10, 1), (15, 18, 4)]
+
+
+def test_key_islands_dedups_and_ignores_nulls(spark):
+    from orientdb_etl_spark.functions.profiling import key_islands
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (4,)], "k long"
+    )
+    out = [tuple(r) for r in key_islands(df, "k").collect()]
+    assert out == [(1, 2, 2), (4, 4, 1)]
+
+
+def test_key_islands_partition_invariant(spark):
+    from orientdb_etl_spark.functions.profiling import key_islands
+
+    keys = [i for i in range(500) if i % 17 != 0]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = [tuple(r) for r in key_islands(df, "k").collect()]
+    b = [tuple(r) for r in key_islands(df.repartition(13), "k").collect()]
+    assert a == b and sum(r[2] for r in a) == len(keys)

@@ -511,3 +511,33 @@ def test_ewma_cusum_transformers(spark):
         ctx, df, {"by": ["k"], "on": "ts", "valueField": "v", "tiebreak": "i"}
     )
     assert {"s_pos", "s_neg", "changepoint"} <= set(c.columns)
+
+
+def test_peak_concurrency_hand_case(spark):
+    from orientdb_etl_spark.operators.temporal import peak_concurrency
+
+    # [0,10) [5,15) [5,8) -> conc: t0=1, t5=3, t8=2, t10=1, t15=0
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (5, 8)], "s long, e long"
+    )
+    out = [tuple(r) for r in peak_concurrency(iv, "s", "e", top_k=3).collect()]
+    assert out == [(5, 3), (8, 2), (0, 1)]
+
+
+def test_peak_concurrency_half_open_no_false_overlap(spark):
+    from orientdb_etl_spark.operators.temporal import peak_concurrency
+
+    # [0,5) and [5,10) touch but never overlap
+    iv = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
+    out = peak_concurrency(iv, "s", "e", top_k=1).collect()
+    assert out[0].concurrency == 1
+
+
+def test_peak_concurrency_ignores_null_endpoints(spark):
+    from orientdb_etl_spark.operators.temporal import peak_concurrency
+
+    iv = spark.createDataFrame(
+        [(0, 10), (None, 4), (6, None)], "s long, e long"
+    )
+    out = peak_concurrency(iv, "s", "e", top_k=1).collect()
+    assert out[0].concurrency == 1
