@@ -4949,6 +4949,17 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means on the integer-quantized embedding
+    grid (k=8, 2 rounds, Knuth-hash seeding) — exact BIGINT distances
+    and round-half-up integer centroid means make every round replay
+    bit-identically in the unrolled SQL twin."""
+    from orientdb_etl_spark.functions.clustering import kmeans_cluster_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(emb, "embedding", "vec_id", k=8, rounds=2)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5309,6 +5320,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "islands_urgent": q_islands_urgent,
             "peak_concurrency": q_peak_concurrency,
             "adamic_adar": q_adamic_adar,
+            "kmeans": q_kmeans,
         }
     )
     return out
@@ -8249,6 +8261,12 @@ def oracle_sql() -> dict[str, str]:
     from orientdb_etl_spark.functions.graph import kcore_rounds_sql
 
     from orientdb_etl_spark.functions.graph import lpa_rounds_sql, sssp_rounds_sql
+
+    # k-means oracle: the same integer-grid Lloyd rounds unrolled by the
+    # ONE generator both engines share (clustering.kmeans_rounds_sql)
+    from orientdb_etl_spark.functions.clustering import kmeans_rounds_sql
+
+    sql["kmeans"] = kmeans_rounds_sql(k=8, rounds=2)
 
     sql["weighted_sssp"] = sssp_rounds_sql(
         rounds=4,

@@ -1,0 +1,272 @@
+"""Distributed k-means over embedding columns — Lloyd's algorithm on an
+integer-quantized grid so every round replays bit-identically in a SQL
+oracle.
+
+Why quantize: float centroid means are grouped float folds, which are
+not bit-associative — two engines (or two partitionings) legitimately
+disagree in the last ulp, and after a few rounds one flipped boundary
+assignment cascades into different clusters. Quantizing each coordinate
+to ``floor(x * scale)`` (scale a power of two — FLOAT→DOUBLE widening
+and the multiply are both exact) makes every distance an exact BIGINT
+and every centroid update an exact integer division with an explicit
+round-half-up rule, so k-means becomes a deterministic integer program:
+any engine that follows the same rules lands on the same clusters.
+
+Scale shape (the IVF discipline from :mod:`similarity`): the only
+driver-side state is the k×dims centroid table collected once per round
+(bounded, like ``ivf_index``'s centroids); assignment is a single
+narrow map over the quantized vectors with the centroids broadcast as
+literals (k·dims comparisons per row, no shuffle); the update is ONE
+hash-aggregate on (cluster, dim-wise sums) per round. ``rounds`` is a
+fixed small constant — this is the bounded-iteration rule the dedup
+connected-components follows, not an unbounded convergence loop.
+
+Reference scope note: the reference ETL (OETLProcessor.java:252-283) has
+no clustering surface; this extends the §2.8 analytics layer the same
+way similarity.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_quantized", "kmeans_cluster_stats", "kmeans_rounds_sql"]
+
+#: Knuth multiplicative constant — the repo-wide portable hash (sampling.py).
+_KNUTH = 2654435761
+_MOD = 1000003
+
+
+def _quantize(vec_col: str, scale: int) -> F.Column:
+    # FLOAT → DOUBLE widening is exact; scale is a power of two so the
+    # multiply is exact; floor of an exact double is engine-independent
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+
+
+def _seed_centroids(
+    q: DataFrame, id_col: str, k: int, seed: int
+) -> list[list[int]]:
+    """First ``k`` quantized vectors in Knuth-hash order of the id — a
+    deterministic, engine-portable 'random' seed pick; the collect is
+    k rows (driver-bounded by construction)."""
+    rows = (
+        q.select(
+            "_q",
+            F.expr(
+                f"({id_col} + {seed}) % {_MOD} * {_KNUTH} % {_MOD}"
+            ).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    return [list(r["_q"]) for r in rows]
+
+
+def _dist2(cent: list[int]) -> F.Column:
+    arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+    return F.aggregate(
+        F.zip_with("_q", arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    dists = F.array(*[_dist2(c) for c in cents])
+    return q.withColumn("_dists", dists).select(
+        "*",
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("_dists").alias("_d2"),
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 1024,
+    seed: int = 7,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run ``rounds`` Lloyd iterations and return ``(assignments,
+    centroids)`` where assignments carries ``(id_col, cluster, _d2)``
+    for the FINAL assignment against the round-``rounds`` centroids,
+    and centroids is the final integer centroid table.
+
+    Update rule: per-cluster per-dim integer mean with explicit
+    round-half-up, ``floor((2·sum + n) / (2·n))`` — both engines divide
+    exact integers as doubles and floor, and the quotient can never sit
+    within an ulp of an integer for these magnitudes, so the result is
+    engine-independent. A cluster that receives no members keeps its
+    previous centroid (deterministic; the oracle replicates via left
+    join + coalesce).
+    """
+    dims = len(df.select(vec_col).first()[0])
+    q = (
+        df.select(F.col(id_col), _quantize(vec_col, scale).alias("_q"))
+        .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .cache()
+    )
+    cents = _seed_centroids(q, id_col, k, seed)
+    for _ in range(int(rounds)):
+        asg = _assign(q, cents)
+        sums = (
+            asg.select(
+                "cluster", F.posexplode("_q").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (
+                r["s"],
+                r["n"],
+            )
+        new_cents = []
+        for j in range(k):
+            if j in by_cluster:
+                new_cents.append(
+                    [
+                        _int_mean(*by_cluster[j][d])
+                        for d in range(dims)
+                    ]
+                )
+            else:
+                new_cents.append(cents[j])
+        cents = new_cents
+    # materialize the final assignment (executor-side, one narrow row
+    # per vector) so the round-cached quantized frame can be released —
+    # the cache-discipline rule from SCALE.md: whoever caches, unpersists
+    final = (
+        _assign(q, cents)
+        .select(F.col(id_col), "cluster", F.col("_d2").alias("dist2"))
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
+    return final, cents
+
+
+def _int_mean(s: int, n: int) -> int:
+    """floor((2s + n) / (2n)) — round-half-up integer mean, written in
+    plain integer arithmetic so the driver-side fold is exact."""
+    import math
+
+    return math.floor((2 * s + n) / (2 * n)) if n else 0
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Gate-facing wrapper: ``(cluster, n, inertia)`` per final cluster,
+    ordered by cluster id — inertia is the exact BIGINT sum of squared
+    quantized distances, so the whole result hash-matches the unrolled
+    SQL twin (:func:`kmeans_rounds_sql`)."""
+    final, _ = kmeans_quantized(
+        df, vec_col, id_col, k=k, rounds=rounds, scale=scale, seed=seed
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist2").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_rounds_sql(
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 1024,
+    seed: int = 7,
+    table: str = "embeddings",
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    materialized: bool = True,
+) -> str:
+    """Portable unrolled twin of :func:`kmeans_cluster_stats` — one
+    generator, both engines' constants. Distances via zipped parallel
+    unnest (value + subscript), centroid updates via the same
+    ``floor((2s + n) / (2n))`` rule, empty clusters keep the previous
+    centroid through a left join + coalesce. MATERIALIZED CTEs: DuckDB
+    inlines plain CTEs at every reference site, and the round
+    recursion references each centroid table k times."""
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [
+        # quantized vectors exploded to (id, dim, v) once
+        f"qv AS {mat}(SELECT {id_col} AS id, "
+        f"list_transform({vec}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q "
+        f"FROM {table} WHERE {id_col} IS NOT NULL "
+        f"AND {vec} IS NOT NULL)",
+        f"qd AS {mat}(SELECT id, unnest(q) AS v, "
+        f"CAST(unnest(range(1, len(q) + 1)) AS INTEGER) AS dim FROM qv)",
+        # seed pick: first k ids in Knuth-hash order, cluster = rank
+        f"seed AS {mat}(SELECT id, CAST(row_number() OVER (ORDER BY "
+        f"(id + {seed}) % {_MOD} * {_KNUTH} % {_MOD}, id) - 1 AS INTEGER) "
+        f"AS cluster FROM qv ORDER BY "
+        f"(id + {seed}) % {_MOD} * {_KNUTH} % {_MOD}, id LIMIT {k})",
+        f"c0 AS {mat}(SELECT seed.cluster, qd.dim, qd.v AS c "
+        f"FROM seed JOIN qd USING (id))",
+    ]
+    for r in range(1, int(rounds) + 1):
+        prev = f"c{r-1}"
+        parts.append(
+            # per-(id, cluster) exact integer distance, then argmin with
+            # min-cluster tie-break (matches array_position-of-first)
+            f"d{r} AS {mat}(SELECT qd.id, {prev}.cluster, "
+            f"sum((qd.v - {prev}.c) * (qd.v - {prev}.c)) AS d2 "
+            f"FROM qd JOIN {prev} USING (dim) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{r} AS {mat}(SELECT id, cluster FROM ("
+            f"SELECT id, cluster, row_number() OVER (PARTITION BY id "
+            f"ORDER BY d2, cluster) AS rn FROM d{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{r} AS {mat}(SELECT a{r}.cluster, qd.dim, "
+            f"CAST(floor((2 * sum(qd.v) + count(*)) / "
+            f"(2 * count(*))) AS BIGINT) AS c "
+            f"FROM a{r} JOIN qd USING (id) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{r} AS {mat}(SELECT {prev}.cluster, {prev}.dim, "
+            f"coalesce(m{r}.c, {prev}.c) AS c FROM {prev} "
+            f"LEFT JOIN m{r} ON m{r}.cluster = {prev}.cluster "
+            f"AND m{r}.dim = {prev}.dim)"
+        )
+    rr = int(rounds)
+    parts.append(
+        f"df AS {mat}(SELECT qd.id, c{rr}.cluster, "
+        f"sum((qd.v - c{rr}.c) * (qd.v - c{rr}.c)) AS d2 "
+        f"FROM qd JOIN c{rr} USING (dim) GROUP BY 1, 2)"
+    )
+    parts.append(
+        f"af AS {mat}(SELECT id, cluster, d2 FROM ("
+        f"SELECT id, cluster, d2, row_number() OVER (PARTITION BY id "
+        f"ORDER BY d2, cluster) AS rn FROM df) WHERE rn = 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT cluster, count(*) AS n, "
+        "CAST(sum(d2) AS BIGINT) AS inertia FROM af "
+        "GROUP BY cluster ORDER BY cluster"
+    )

@@ -1483,3 +1483,106 @@ def test_tfidf_topk_empty_text_yields_no_rows(spark):
     )
     out = tfidf_topk(docs, "doc_id", "text", k=3).collect()
     assert {r.doc_id for r in out} == {3}
+
+
+# ---------------------------------------------------------------------------
+# clustering: quantized k-means
+
+
+def _toy_vectors(spark, n=60, dims=4, shift=0.0):
+    rows = []
+    for i in range(n):
+        c = i % 3
+        base = [float(c * 10 + d + shift) for d in range(dims)]
+        # deterministic sub-grid jitter, well inside cluster separation
+        rows.append((i, [b + ((i * 7 + d) % 5) / 10.0 for d, b in enumerate(base)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separated_clusters_recovered(spark):
+    from orientdb_etl_spark.functions.clustering import (
+        kmeans_cluster_stats,
+        kmeans_quantized,
+    )
+
+    df = _toy_vectors(spark)
+    final, cents = kmeans_quantized(
+        df, "embedding", "vec_id", k=3, rounds=3
+    )
+    rows = final.collect()
+    # well-separated generators: every vec with the same i%3 lands in
+    # the same cluster
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in by_true.values())
+    stats = kmeans_cluster_stats(
+        df, "embedding", "vec_id", k=3, rounds=3
+    ).collect()
+    assert sum(r.n for r in stats) == 60
+
+
+def test_kmeans_partition_invariant(spark):
+    from orientdb_etl_spark.functions.clustering import kmeans_cluster_stats
+
+    df = _toy_vectors(spark)
+    a = [tuple(r) for r in
+         kmeans_cluster_stats(df, "embedding", "vec_id", k=3, rounds=2).collect()]
+    b = [tuple(r) for r in
+         kmeans_cluster_stats(df.repartition(7), "embedding", "vec_id",
+                              k=3, rounds=2).collect()]
+    assert a == b
+
+
+def test_kmeans_inertia_non_increasing_with_rounds(spark):
+    from orientdb_etl_spark.functions.clustering import kmeans_cluster_stats
+
+    df = _toy_vectors(spark)
+
+    def total(rounds):
+        return sum(
+            r.inertia
+            for r in kmeans_cluster_stats(
+                df, "embedding", "vec_id", k=3, rounds=rounds
+            ).collect()
+        )
+
+    # Lloyd monotonicity survives the integer rounding at this
+    # separation; 1 -> 3 rounds must not increase total inertia
+    assert total(3) <= total(1)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from orientdb_etl_spark.functions.clustering import kmeans_quantized
+
+    # k larger than the number of distinct points: some clusters end
+    # up empty and must keep their seed centroid without crashing
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    final, cents = kmeans_quantized(df, "embedding", "vec_id", k=4, rounds=2)
+    assert final.count() == 10
+    assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+
+
+def test_kmeans_sql_twin_matches_on_toy_frame(spark, tmp_path):
+    import duckdb
+
+    from orientdb_etl_spark.functions.clustering import (
+        kmeans_cluster_stats,
+        kmeans_rounds_sql,
+    )
+
+    df = _toy_vectors(spark, n=40)
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+    back = spark.read.parquet(p)
+    got = [tuple(map(int, r)) for r in
+           kmeans_cluster_stats(back, "embedding", "vec_id",
+                                k=3, rounds=2).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = [tuple(map(int, r)) for r in
+            con.execute(kmeans_rounds_sql(k=3, rounds=2)).fetchall()]
+    assert got == want
