@@ -4960,6 +4960,65 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_stats(emb, "embedding", "vec_id", k=8, rounds=2)
 
 
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV of order priority against the finished-status label —
+    one grouped count, broadcast totals, smoothed credit-scoring
+    arithmetic."""
+    from orientdb_etl_spark.functions.preprocess import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    return woe_iv(
+        o.withColumn("_y", (F.col("o_orderstatus") == "F").cast("int")),
+        "o_orderpriority",
+        "_y",
+    )
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump threshold on event value vs the purchase label —
+    chained exclusive-prefix running counts, weighted-Gini argmin with
+    a smallest-threshold tie-break."""
+    from orientdb_etl_spark.functions.preprocess import best_split
+
+    ev = _t(spark, sf_dir, "events")
+    return best_split(
+        ev.withColumn("_y", (F.col("event_type") == "purchase").cast("int")),
+        "value",
+        "_y",
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value (step interpolation,
+    integer cents · Δt) — a key-partitioned window, never global."""
+    from orientdb_etl_spark.operators.temporal import twap
+
+    ev = _t(spark, sf_dir, "events")
+    return twap(ev, "user_id", "ts", "value", "event_id")
+
+
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard routing with its minimal-disruption
+    certificate: per 8-shard bucket, how many keys move when a 9th
+    shard is added (~1/9 — never a full rehash)."""
+    from orientdb_etl_spark.functions.sampling import rendezvous_shards
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    a8 = rendezvous_shards(cust, "c_custkey", shards=8)
+    a9 = rendezvous_shards(cust, "c_custkey", shards=9, out_col="shard9")
+    j = a8.join(a9, "c_custkey")
+    return (
+        j.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                (F.col("shard") != F.col("shard9")).cast("int")
+            ).alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5321,6 +5380,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "peak_concurrency": q_peak_concurrency,
             "adamic_adar": q_adamic_adar,
             "kmeans": q_kmeans,
+            "woe_iv": q_woe_iv,
+            "best_split": q_best_split,
+            "twap": q_twap,
+            "rendezvous": q_rendezvous,
         }
     )
     return out
@@ -8250,6 +8313,97 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT item_a, item_b, n_common, round(aa, 6) AS aa_score "
             "FROM g WHERE n_common >= 2"
+        ),
+        "woe_iv": (
+            # smoothed WOE/IV; iv uses the UNROUNDED woe, matching the
+            # Spark expression tree
+            "WITH cell AS (SELECT o_orderpriority AS f, count(*) AS n, "
+            "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_pos FROM orders "
+            "WHERE o_orderpriority IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL GROUP BY 1), "
+            "c2 AS (SELECT f, n, n_pos, n - n_pos AS n_neg FROM cell), "
+            "tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, "
+            "CAST(sum(n_neg) AS BIGINT) AS tn, count(*) AS k FROM c2), "
+            "t AS (SELECT f, n, n_pos, n_neg, "
+            "(n_pos + 0.5) / (tp + 0.5 * k) AS dp, "
+            "(n_neg + 0.5) / (tn + 0.5 * k) AS dn FROM c2, tot), "
+            "sc AS (SELECT f, n, n_pos, n_neg, ln(dp / dn) AS woe, "
+            "(dp - dn) * ln(dp / dn) AS ivc FROM t), "
+            "iv AS (SELECT sum(ivc) AS ivt FROM sc) "
+            "SELECT f AS o_orderpriority, n, n_pos, n_neg, "
+            "round(woe, 6) AS woe, round(ivc, 6) AS iv_contrib, "
+            "round(ivt, 6) AS iv_total FROM sc, iv ORDER BY o_orderpriority"
+        ),
+        "best_split": (
+            # inclusive running (count, positives) via the exclusive
+            # window + own row; weighted Gini argmin, smallest-v ties
+            "WITH d AS (SELECT value AS v, CASE WHEN event_type = "
+            "'purchase' THEN 1 ELSE 0 END AS y FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+            "pv AS (SELECT v, count(*) AS t, CAST(sum(y) AS BIGINT) AS p "
+            "FROM d GROUP BY 1), "
+            "pp AS (SELECT v, t, p, CAST(coalesce(sum(t) OVER "
+            "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS lt, "
+            "CAST(coalesce(sum(p) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lp "
+            "FROM pv), "
+            "tot AS (SELECT CAST(sum(t) AS BIGINT) AS n, "
+            "CAST(sum(p) AS BIGINT) AS pos FROM pv), "
+            "c AS (SELECT v, lt + t AS nl, lp + p AS posl, n, pos "
+            "FROM pp, tot), "
+            "e AS (SELECT v, nl, posl, nl - posl AS negl, n - nl AS nr, "
+            "pos - posl AS posr, n, pos FROM c), "
+            "f AS (SELECT v, nl, nr, posl, negl, posr, nr - posr AS negr, "
+            "n, pos FROM e), "
+            "g AS (SELECT v, nl, nr, 2.0 * (posl * negl / "
+            "CAST(nl AS DOUBLE) + posr * negr / CAST(nr AS DOUBLE)) / n "
+            "AS imp, 2.0 * (pos * (n - pos)) / "
+            "(CAST(n AS DOUBLE) * n) AS gp FROM f WHERE nr > 0) "
+            "SELECT v AS split_value, nl AS n_left, nr AS n_right, "
+            "round(gp, 6) AS gini_parent, round(imp, 6) AS gini_split, "
+            "round(gp - imp, 6) AS gain FROM g ORDER BY imp, v LIMIT 1"
+        ),
+        "twap": (
+            # step interpolation: each value holds until the next event;
+            # (ts, event_id) ordering makes duplicate-ts Δt deterministic
+            "WITH d AS (SELECT user_id AS k, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s, "
+            "CAST(floor(value * 100) AS BIGINT) AS c, event_id AS id "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "st AS (SELECT k, s, c, lead(s) OVER (PARTITION BY k "
+            "ORDER BY s, id) - s AS dt FROM d), "
+            "g AS (SELECT k, count(*) AS nh, "
+            "CAST(sum(dt) AS BIGINT) AS span_seconds, "
+            "CAST(sum(c * dt) AS BIGINT) AS wsum FROM st "
+            "WHERE dt IS NOT NULL GROUP BY 1) "
+            "SELECT k AS user_id, nh + 1 AS n_obs, span_seconds, "
+            "round(wsum / CAST(span_seconds AS DOUBLE) / 100.0, 6) "
+            "AS twap FROM g WHERE span_seconds > 0 ORDER BY user_id"
+        ),
+        "rendezvous": (
+            # highest-random-weight routing at 8 and 9 shards; the
+            # per-bucket moved count is the minimal-disruption receipt
+            "WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer "
+            "WHERE c_custkey IS NOT NULL), "
+            "e8 AS (SELECT k, s, (k + s * 7919 + 0) % 1000003 "
+            "* 2654435761 % 1000003 AS h FROM keys, "
+            "(SELECT unnest(range(0, 8)) AS s)), "
+            "m8 AS (SELECT k, max(h) AS hm FROM e8 GROUP BY 1), "
+            "a8 AS (SELECT e8.k, CAST(min(s) AS INTEGER) AS shard "
+            "FROM e8 JOIN m8 ON e8.k = m8.k AND e8.h = m8.hm GROUP BY 1), "
+            "e9 AS (SELECT k, s, (k + s * 7919 + 0) % 1000003 "
+            "* 2654435761 % 1000003 AS h FROM keys, "
+            "(SELECT unnest(range(0, 9)) AS s)), "
+            "m9 AS (SELECT k, max(h) AS hm FROM e9 GROUP BY 1), "
+            "a9 AS (SELECT e9.k, CAST(min(s) AS INTEGER) AS shard9 "
+            "FROM e9 JOIN m9 ON e9.k = m9.k AND e9.h = m9.hm GROUP BY 1) "
+            "SELECT shard, count(*) AS n_keys, "
+            "CAST(sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_moved FROM a8 JOIN a9 ON a8.k = a9.k "
+            "GROUP BY shard ORDER BY shard"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

@@ -216,3 +216,144 @@ def target_encode(
         )
         .drop("_cat", "_sum", "_n", "_prior")
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smooth: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value per category of
+    ``feature_col`` against a binary ``label_col``: one row per category
+    ``(feature, n, n_pos, n_neg, woe, iv_contrib, iv_total)`` with
+    Laplace smoothing ``smooth`` added to each cell (the credit-scoring
+    convention — keeps one-sided categories finite without dropping
+    them). ``woe = ln(dist_pos / dist_neg)``, ``iv_contrib =
+    (dist_pos - dist_neg) · woe``, ``iv_total`` repeated on every row
+    (IV < 0.02 useless, > 0.5 suspicious — the standard screen).
+
+    Scale shape: ONE grouped count over categories (the frame shrinks to
+    |categories|), one broadcast scalar of the label totals, pure
+    expressions after that. Integer counts keep every ratio a single
+    deterministic double op; the iv_total fold runs over the tiny
+    category frame.
+    """
+    f, y = F.col(feature_col), F.col(label_col).cast("int")
+    cell = (
+        df.where(f.isNotNull() & y.isNotNull())
+        .select(f.alias("_f"), y.alias("_y"))
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+        )
+        .withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    )
+    tot = cell.agg(
+        F.sum("n_pos").alias("_tp"),
+        F.sum("n_neg").alias("_tn"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    t = cell.crossJoin(F.broadcast(tot))
+    s = float(smooth)
+    dp = (F.col("n_pos") + s) / (F.col("_tp") + s * F.col("_k"))
+    dn = (F.col("n_neg") + s) / (F.col("_tn") + s * F.col("_k"))
+    woe = F.log(dp / dn)
+    scored = t.select(
+        F.col("_f").alias(feature_col),
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, round_to).alias("woe"),
+        ((dp - dn) * woe).alias("_ivc"),
+    )
+    iv = scored.agg(F.sum("_ivc").alias("_iv"))
+    return (
+        scored.crossJoin(F.broadcast(iv))
+        .select(
+            feature_col,
+            "n",
+            "n_pos",
+            "n_neg",
+            "woe",
+            F.round(F.col("_ivc"), round_to).alias("iv_contrib"),
+            F.round(F.col("_iv"), round_to).alias("iv_total"),
+        )
+        .orderBy(feature_col)
+    )
+
+
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Decision-stump split finder: the threshold ``v`` on
+    ``feature_col`` minimizing the weighted Gini impurity of the
+    ``x <= v`` / ``x > v`` partition against a binary label. One row:
+    ``(split_value, n_left, n_right, gini_parent, gini_split, gain)``
+    with the deterministic tie-break "smallest threshold".
+
+    Scale shape: candidates collapse to per-distinct-value (count,
+    positives) in ONE aggregation, both running sums come from the
+    range-partitioned
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    (chained — never a global ORDER BY window over raw rows), and the
+    winner is a TakeOrderedAndProject over the distinct-value frame.
+    Integer counts make each candidate's impurity a fixed chain of
+    double ops — exactly replayable in the SQL twin. The classic
+    single-feature CART step, distributed.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    d = df.select(
+        F.col(feature_col).alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).where(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+    per_v = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"), F.sum("_y").alias("_p")
+    )
+    pv = exclusive_prefix(
+        per_v, ["_v"], "_t", "sum", "_lt", "bigint", checkpoint=checkpoint
+    )
+    pv = exclusive_prefix(
+        pv, ["_v"], "_p", "sum", "_lp", "bigint", checkpoint=checkpoint
+    )
+    tot = per_v.agg(
+        F.sum("_t").alias("_n"), F.sum("_p").alias("_pos")
+    )
+    c = pv.crossJoin(F.broadcast(tot))
+    nl = F.coalesce(F.col("_lt"), F.lit(0)) + F.col("_t")
+    posl = F.coalesce(F.col("_lp"), F.lit(0)) + F.col("_p")
+    negl = nl - posl
+    nr = F.col("_n") - nl
+    posr = F.col("_pos") - posl
+    negr = nr - posr
+    # weighted Gini: 2·(posl·negl/nl + posr·negr/nr)/n — integer
+    # numerators, one division per side, deterministic in both engines
+    imp = (
+        2.0
+        * (
+            posl * negl / nl.cast("double")
+            + posr * negr / nr.cast("double")
+        )
+        / F.col("_n")
+    )
+    gp = (
+        2.0
+        * (F.col("_pos") * (F.col("_n") - F.col("_pos")))
+        / (F.col("_n").cast("double") * F.col("_n"))
+    )
+    cand = c.where(nr > 0).select(
+        F.col("_v").alias("split_value"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(gp, 6).alias("gini_parent"),
+        F.round(imp, 6).alias("gini_split"),
+        F.round(gp - imp, 6).alias("gain"),
+        imp.alias("_raw_imp"),
+    )
+    return cand.orderBy("_raw_imp", "split_value").limit(1).drop("_raw_imp")

@@ -464,3 +464,48 @@ def negative_samples(
         )
         .orderBy(user_col, "rank")
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str,
+    shards: int = 8,
+    seed: int = 0,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to the shard with the maximal portable hash h(key, s) — the
+    routing rule whose defining property is MINIMAL DISRUPTION: growing
+    from k to k+1 shards moves only the ~1/(k+1) of keys whose new
+    shard wins, never a full rehash (Thaler & Ravishankar 1996; what
+    consistent hashing approximates). Returns the input with ``out_col``
+    attached.
+
+    Scale shape: the ×shards explode runs over the DISTINCT-key frame
+    only; winner = max hash with first-winner (smallest s) tie-break via
+    one grouped aggregate — deterministic and identical in the SQL twin;
+    the assignment joins back on the key (co-partitioned with the
+    distinct's shuffle). Duplicate input rows keep their multiplicity;
+    NULL keys get a NULL shard. The hash is the repo-wide Knuth
+    scramble, so any engine can recompute the routing.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    keys = df.select(F.col(key_col)).where(F.col(key_col).isNotNull()).distinct()
+    e = keys.withColumn(
+        "_s", F.explode(F.expr(f"sequence(0, {int(shards) - 1})"))
+    ).withColumn(
+        "_h",
+        F.expr(
+            f"({key_col} + _s * 7919 + {int(seed)}) % 1000003 "
+            f"* 2654435761 % 1000003"
+        ),
+    )
+    hm = e.groupBy(key_col).agg(F.max("_h").alias("_hm"))
+    asg = (
+        e.join(hm, key_col)
+        .where(F.col("_h") == F.col("_hm"))
+        .groupBy(key_col)
+        .agg(F.min("_s").cast("int").alias(out_col))
+    )
+    return df.join(asg, key_col, "left")

@@ -1509,3 +1509,64 @@ def peak_concurrency(
         ),
     )
     return conc.orderBy(F.desc("concurrency"), F.asc("t")).limit(top_k)
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted average value per key over an irregular event
+    series: each observation holds until the NEXT event (step
+    interpolation), so ``twap = Σ value_i · Δt_i / Σ Δt_i`` — the
+    correct mean for sensors/prices sampled at uneven intervals, where
+    the arithmetic mean over-weights bursts. One row per key:
+    ``(key, n_obs, span_seconds, twap)``; keys with a single event (no
+    holding interval) are dropped — their TWAP is undefined.
+
+    Scale shape: ONE window partitioned BY KEY (ordered ts, then
+    ``id_col`` as the deterministic tie-break — duplicate timestamps
+    otherwise make Δt assignment engine-dependent), one grouped
+    aggregate. Values quantize to integer cents so Σ cents·Δt is an
+    exact BIGINT and the final division is one deterministic double op
+    (the CUPED rule). Never a global window — partitioned windows scale
+    with the key cardinality.
+    """
+    from pyspark.sql import Window
+
+    sec = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ).cast("bigint")
+    d = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        sec.alias("_s"),
+        F.floor(F.col(value_col) * 100).cast("bigint").alias("_c"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_k").orderBy("_s", "_id")
+    stepped = d.withColumn("_dt", F.lead("_s").over(w) - F.col("_s"))
+    out = (
+        stepped.where(F.col("_dt").isNotNull())
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_nh"),
+            F.sum("_dt").alias("span_seconds"),
+            F.sum(F.col("_c") * F.col("_dt")).alias("_wsum"),
+        )
+        .where(F.col("span_seconds") > 0)
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        (F.col("_nh") + 1).alias("n_obs"),
+        "span_seconds",
+        F.round(
+            F.col("_wsum") / F.col("span_seconds") / 100.0, round_to
+        ).alias("twap"),
+    ).orderBy(key_col)

@@ -160,3 +160,60 @@ def test_target_encode_nulls_inert(spark):
     assert by[("a", 2.0)] == 2.0  # null target did not dilute the mean
     assert by[("a", None)] is None
     assert by[(None, 9.0)] is None
+
+
+# ---------------------------------------------------------------------------
+# woe_iv / best_split
+
+
+def test_woe_iv_hand_case(spark):
+    import math
+
+    from orientdb_etl_spark.functions.preprocess import woe_iv
+
+    # cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "f string, y int")
+    out = {r.f: r for r in woe_iv(df, "f", "y").collect()}
+    tp, tn, k, s = 4, 4, 2, 0.5
+    dp_a, dn_a = (3 + s) / (tp + s * k), (1 + s) / (tn + s * k)
+    woe_a = math.log(dp_a / dn_a)
+    assert out["A"].woe == round(woe_a, 6)
+    assert out["A"].iv_contrib == round((dp_a - dn_a) * woe_a, 6)
+    # symmetric construction: B mirrors A
+    assert out["B"].woe == round(-woe_a, 6)
+    assert out["A"].iv_total == out["B"].iv_total
+    assert out["A"].iv_total > 0
+
+
+def test_woe_iv_one_sided_category_finite(spark):
+    from orientdb_etl_spark.functions.preprocess import woe_iv
+
+    rows = [("A", 1)] * 5 + [("B", 0)] * 5
+    df = spark.createDataFrame(rows, "f string, y int")
+    out = woe_iv(df, "f", "y").collect()
+    assert all(r.woe is not None for r in out)  # smoothing keeps it finite
+
+
+def test_best_split_perfectly_separable(spark):
+    from orientdb_etl_spark.functions.preprocess import best_split
+
+    rows = [(float(v), 0) for v in range(10)] + [
+        (float(v), 1) for v in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = best_split(df, "x", "y").collect()[0]
+    assert r.split_value == 9.0  # x <= 9 is pure-negative
+    assert r.gini_split == 0.0
+    assert r.gain == r.gini_parent == 0.5
+    assert (r.n_left, r.n_right) == (10, 10)
+
+
+def test_best_split_tie_breaks_to_smallest_threshold(spark):
+    from orientdb_etl_spark.functions.preprocess import best_split
+
+    # constant label: every split has impurity 0; smallest v must win
+    rows = [(float(v), 1) for v in range(5)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = best_split(df, "x", "y").collect()[0]
+    assert r.split_value == 0.0 and r.gini_parent == 0.0

@@ -350,3 +350,34 @@ def test_negative_samples_short_vocab_gives_fewer(spark):
     df = spark.createDataFrame(rows, "u bigint, i bigint")
     got = [r for r in negative_samples(df, "u", "i", k=5).collect() if r.u == 0]
     assert [(r.i, r.rank) for r in got] == [(2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_shards
+
+
+def test_rendezvous_minimal_disruption(spark):
+    from orientdb_etl_spark.functions.sampling import rendezvous_shards
+
+    keys = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    a8 = rendezvous_shards(keys, "k", shards=8)
+    a9 = rendezvous_shards(keys, "k", shards=9, out_col="shard9")
+    j = a8.join(a9, "k").collect()
+    moved = [r for r in j if r.shard != r.shard9]
+    # the defining property: every key that moves, moves TO the new
+    # shard (its old winner is unchanged among shards 0..7)
+    assert all(r.shard9 == 8 for r in moved)
+    assert 0 < len(moved) < len(j) / 4  # ~1/9 expected, never a rehash
+
+
+def test_rendezvous_preserves_duplicates_and_nulls(spark):
+    from orientdb_etl_spark.functions.sampling import rendezvous_shards
+
+    df = spark.createDataFrame([(1,), (1,), (None,), (2,)], "k long")
+    out = rendezvous_shards(df, "k", shards=4).collect()
+    assert len(out) == 4
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r.k, []).append(r.shard)
+    assert len(by_k[1]) == 2 and len(set(by_k[1])) == 1
+    assert by_k[None] == [None]

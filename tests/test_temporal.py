@@ -541,3 +541,40 @@ def test_peak_concurrency_ignores_null_endpoints(spark):
     )
     out = peak_concurrency(iv, "s", "e", top_k=1).collect()
     assert out[0].concurrency == 1
+
+
+def test_twap_step_interpolation_hand_case(spark):
+    from orientdb_etl_spark.operators.temporal import twap
+
+    # value 10 holds 0..100 (100s), value 20 holds 100..400 (300s):
+    # twap = (10*100 + 20*300) / 400 = 17.5; last event has no interval
+    rows = [(1, 0, 10.0, 1), (1, 100, 20.0, 2), (1, 400, 99.0, 3)]
+    df = spark.createDataFrame(rows, "k long, t long, v double, id long")
+    ts = df.withColumn("t", F.col("t").cast("timestamp"))
+    out = twap(ts, "k", "t", "v", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_obs, r.span_seconds, r.twap) == (3, 400, 17.5)
+
+
+def test_twap_duplicate_timestamps_deterministic(spark):
+    from orientdb_etl_spark.operators.temporal import twap
+
+    # two events at t=0: the (ts, id) order gives id=1 a zero-length
+    # hold and id=2 the full interval — same answer on any partitioning
+    rows = [(1, 0, 10.0, 1), (1, 0, 50.0, 2), (1, 100, 99.0, 3)]
+    df = spark.createDataFrame(rows, "k long, t long, v double, id long")
+    ts = df.withColumn("t", F.col("t").cast("timestamp"))
+    a = twap(ts, "k", "t", "v", "id").collect()[0]
+    b = twap(ts.repartition(5), "k", "t", "v", "id").collect()[0]
+    assert a.twap == b.twap == 50.0
+
+
+def test_twap_single_event_key_dropped(spark):
+    from orientdb_etl_spark.operators.temporal import twap
+
+    rows = [(1, 0, 10.0, 1), (2, 0, 5.0, 2), (1, 60, 20.0, 3)]
+    df = spark.createDataFrame(rows, "k long, t long, v double, id long")
+    ts = df.withColumn("t", F.col("t").cast("timestamp"))
+    out = twap(ts, "k", "t", "v", "id").collect()
+    assert [r.k for r in out] == [1]
