@@ -671,3 +671,166 @@ def bpe_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
             out_col=cfg.get("outField", "bpe_symbols"),
         )
     raise ValueError(f"unknown bpe mode {mode!r}")
+
+
+@register("analyze")
+def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"analyze": {"method": ..., ...}} — the inferential-statistics
+    surface (functions/stats.py + preprocess.py) as one config
+    transformer, dispatching on ``method``:
+
+    - ``welch`` / ``mannWhitney``: {"groupField", "valueField",
+      "groupA", "groupB"}
+    - ``kruskal``: {"groupField", "valueField"}
+    - ``spearman``: {"xField", "yField"}
+    - ``chiSquare`` / ``mutualInformation``: {"aField", "bField"}
+    - ``diversity``: {"groupField", "categoryField"}
+    - ``jsd``: {"categoryField", "flagField"}
+    - ``kaplanMeier`` / ``nelsonAalen``: {"durationField",
+      "observedField"}
+    - ``cuped``: {"unitField", "armField", "preField", "postField"}
+    - ``woeIv``: {"featureField", "labelField", "smooth": 0.5}
+    - ``bestSplit``: {"featureField", "labelField"}
+    """
+    from orientdb_etl_spark.functions import stats as S
+    from orientdb_etl_spark.functions.preprocess import best_split, woe_iv
+
+    m = str(cfg.get("method", ""))
+    if m == "welch":
+        return S.welch_ttest(
+            df, cfg["groupField"], cfg["valueField"], cfg["groupA"], cfg["groupB"]
+        )
+    if m == "mannWhitney":
+        return S.mann_whitney_u(
+            df, cfg["groupField"], cfg["valueField"], cfg["groupA"], cfg["groupB"]
+        )
+    if m == "kruskal":
+        return S.kruskal_wallis(df, cfg["groupField"], cfg["valueField"])
+    if m == "spearman":
+        return S.spearman_corr(df, cfg["xField"], cfg["yField"])
+    if m == "chiSquare":
+        return S.chi_square(df, cfg["aField"], cfg["bField"])
+    if m == "mutualInformation":
+        return S.mutual_information(df, cfg["aField"], cfg["bField"])
+    if m == "diversity":
+        return S.diversity_metrics(
+            df, cfg["groupField"], cfg["categoryField"]
+        )
+    if m == "jsd":
+        return S.js_divergence(df, cfg["categoryField"], cfg["flagField"])
+    if m == "kaplanMeier":
+        return S.kaplan_meier(df, cfg["durationField"], cfg["observedField"])
+    if m == "nelsonAalen":
+        return S.nelson_aalen(df, cfg["durationField"], cfg["observedField"])
+    if m == "cuped":
+        return S.cuped(
+            df,
+            cfg["unitField"],
+            cfg["armField"],
+            cfg["preField"],
+            cfg["postField"],
+        )
+    if m == "woeIv":
+        return woe_iv(
+            df,
+            cfg["featureField"],
+            cfg["labelField"],
+            smooth=float(cfg.get("smooth", 0.5)),
+        )
+    if m == "bestSplit":
+        return best_split(df, cfg["featureField"], cfg["labelField"])
+    raise ValueError(f"unknown analyze method {m!r}")
+
+
+@register("cluster")
+def cluster_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"cluster": {"vecField": "embedding", "idField": "vec_id",
+    "k": 8, "rounds": 2, "stats": false}} — quantized-grid k-means
+    (functions/clustering.py); ``stats`` true emits (cluster, n,
+    inertia), else per-id assignments."""
+    from orientdb_etl_spark.functions.clustering import (
+        kmeans_cluster_stats,
+        kmeans_quantized,
+    )
+
+    args = dict(
+        k=int(cfg.get("k", 8)),
+        rounds=int(cfg.get("rounds", 2)),
+        scale=int(cfg.get("scale", 1024)),
+        seed=int(cfg.get("seed", 7)),
+    )
+    if cfg.get("stats"):
+        return kmeans_cluster_stats(
+            df, cfg["vecField"], cfg["idField"], **args
+        )
+    final, _ = kmeans_quantized(df, cfg["vecField"], cfg["idField"], **args)
+    return final
+
+
+@register("shard")
+def shard_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"shard": {"keyField": "id", "shards": 8, "seed": 0,
+    "outField": "shard"}} — rendezvous-hash routing
+    (functions/sampling.py)."""
+    from orientdb_etl_spark.functions.sampling import rendezvous_shards
+
+    return rendezvous_shards(
+        df,
+        cfg["keyField"],
+        shards=int(cfg.get("shards", 8)),
+        seed=int(cfg.get("seed", 0)),
+        out_col=cfg.get("outField", "shard"),
+    )
+
+
+@register("twap")
+def twap_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"twap": {"keyField", "tsField", "valueField", "idField"}} —
+    step-interpolated time-weighted average (operators/temporal.py)."""
+    from orientdb_etl_spark.operators.temporal import twap
+
+    return twap(
+        df, cfg["keyField"], cfg["tsField"], cfg["valueField"], cfg["idField"]
+    )
+
+
+@register("islands")
+def islands_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"islands": {"keyField": "id"}} — gaps-and-islands key-coverage
+    audit (functions/profiling.py)."""
+    from orientdb_etl_spark.functions.profiling import key_islands
+
+    return key_islands(df, cfg["keyField"])
+
+
+@register("concurrency")
+def concurrency_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"concurrency": {"startField", "endField", "topK": 20}} —
+    sweep-line peak concurrency over half-open intervals
+    (operators/temporal.py)."""
+    from orientdb_etl_spark.operators.temporal import peak_concurrency
+
+    return peak_concurrency(
+        df, cfg["startField"], cfg["endField"], top_k=int(cfg.get("topK", 20))
+    )
+
+
+@register("linkPredict")
+def link_predict_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"linkPredict": {"basketField", "itemField", "minCommon": 1,
+    "maxBasketSize": null}} — Adamic–Adar scores over the bipartite
+    item projection (functions/graph.py)."""
+    from orientdb_etl_spark.functions.graph import adamic_adar
+
+    mbs = cfg.get("maxBasketSize")
+    return adamic_adar(
+        df,
+        cfg["basketField"],
+        cfg["itemField"],
+        min_common=int(cfg.get("minCommon", 1)),
+        max_basket_size=int(mbs) if mbs is not None else None,
+    )

@@ -378,3 +378,143 @@ def test_weighted_temperature_html_config_transformers(spark):
     # temperature stage kept all of 'small' (rate 1e6) and thinned 'big'
     kept_small = sum(1 for r in got if r.source == "small")
     assert kept_small > 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 config transformers: analyze / cluster / shard / twap /
+# islands / concurrency / linkPredict
+
+
+def test_analyze_transformer_dispatch(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0), ("c", 9.0)],
+        "g string, v double",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"analyze": {"method": "kruskal", "groupField": "g",
+                             "valueField": "v"}}
+            ],
+        },
+        tables={"t": df},
+    )
+    assert out.collect()[0].k == 3
+
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"analyze": {"method": "diversity", "groupField": "g",
+                             "categoryField": "v"}}
+            ],
+        },
+        tables={"t": df},
+    )
+    assert out.count() == 3
+
+    with pytest.raises(ValueError, match="unknown analyze method"):
+        run_mem(
+            spark,
+            {
+                "extractor": {"table": {"name": "t"}},
+                "transformers": [{"analyze": {"method": "nope"}}],
+            },
+            tables={"t": df},
+        )
+
+
+def test_cluster_and_shard_transformers(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 2 * 10), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "e"}},
+            "transformers": [
+                {"cluster": {"vecField": "embedding", "idField": "vec_id",
+                             "k": 2, "rounds": 2, "stats": True}}
+            ],
+        },
+        tables={"e": emb},
+    )
+    rows = out.collect()
+    assert sum(r.n for r in rows) == 20
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "k"}},
+            "transformers": [{"shard": {"keyField": "k", "shards": 4}}],
+        },
+        tables={"k": keys},
+    )
+    shards = {r.shard for r in out.collect()}
+    assert shards <= {0, 1, 2, 3} and len(shards) > 1
+
+
+def test_twap_islands_concurrency_linkpredict_transformers(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, 10.0, 1), (1, 100, 20.0, 2), (1, 200, 30.0, 3)],
+        "k long, t long, v double, id long",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "ev"}},
+            "transformers": [
+                {"twap": {"keyField": "k", "tsField": "t",
+                          "valueField": "v", "idField": "id"}}
+            ],
+        },
+        tables={"ev": ev},
+    )
+    assert out.collect()[0].twap == 15.0
+
+    keys = spark.createDataFrame([(1,), (2,), (5,)], "k long")
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "kk"}},
+            "transformers": [{"islands": {"keyField": "k"}}],
+        },
+        tables={"kk": keys},
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 2), (5, 5, 1)]
+
+    iv = spark.createDataFrame([(0, 10), (5, 15)], "s long, e long")
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "iv"}},
+            "transformers": [
+                {"concurrency": {"startField": "s", "endField": "e",
+                                 "topK": 1}}
+            ],
+        },
+        tables={"iv": iv},
+    )
+    assert out.collect()[0].concurrency == 2
+
+    b = spark.createDataFrame(
+        [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y")],
+        "b string, i string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "b"}},
+            "transformers": [
+                {"linkPredict": {"basketField": "b", "itemField": "i",
+                                 "minCommon": 2}}
+            ],
+        },
+        tables={"b": b},
+    )
+    assert out.collect()[0].n_common == 2
