@@ -241,6 +241,22 @@ HEADLINE = [
     "roc_auc",
     "calibration",
     "gains_chart",
+    # round-5 late wave: inferential stats 2 + sequence/graph/routing;
+    # kmeans is bounded (2 Lloyd rounds) — the bfs/weighted_sssp precedent
+    "lang_diversity",
+    "jsd_drift",
+    "spearman",
+    "kruskal",
+    "nelson_aalen",
+    "cuped",
+    "islands_urgent",
+    "peak_concurrency",
+    "adamic_adar",
+    "kmeans",
+    "woe_iv",
+    "best_split",
+    "twap",
+    "rendezvous",
 ]
 
 
