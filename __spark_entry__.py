@@ -5019,6 +5019,110 @@ def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition of the customer ↔
+    supplier trade graph — three map-side-combinable aggregation
+    passes (canonical edges, per-community degree sums, intra-edge
+    count); Q is one fixed chain of double ops over exact BIGINTs."""
+    from orientdb_etl_spark.functions.graph import modularity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("node"),
+            F.col("c_nationkey").alias("label"),
+        )
+        .unionAll(
+            _t(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + F.lit(1_000_000)).alias("node"),
+                F.col("s_nationkey").alias("label"),
+            )
+        )
+    )
+    return modularity(edges, labels)
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage scores over
+    sorted-neighborhood candidate pairs of customers: u-probabilities
+    estimated from value frequencies (k+1 exact integers to the
+    driver), per-field log-likelihood weights as pure JVM CASE/ln
+    expressions over two equi-joins."""
+    from orientdb_etl_spark.functions.linkage import (
+        fellegi_sunter,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_mktsegment", window=4
+    )
+    return fellegi_sunter(
+        cust,
+        "c_custkey",
+        pairs,
+        {"c_mktsegment": 0.9, "c_nationkey": 0.85},
+    )
+
+
+def q_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution on customers: name-sorted
+    neighborhood blocking → Fellegi–Sunter scoring → net-positive
+    match edges → star-contraction components → survivorship golden
+    records. The oracle replays the same pipeline with a recursive-CTE
+    min-label closure."""
+    from orientdb_etl_spark.functions.linkage import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    return resolve_entities(
+        cust,
+        "c_custkey",
+        "c_name",
+        {"c_mktsegment": 0.9, "c_nationkey": 0.85},
+        rules={
+            "max_bal": ("max", "c_acctbal"),
+            "first_name": ("earliest", "c_name"),
+            "top_segment": ("mode", "c_mktsegment"),
+        },
+        threshold=0.0,
+        window=3,
+        order_col="c_custkey",
+    )
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between hourly click and purchase
+    arrival series (lags −6..6) — the acf plan doubled: one bucket
+    aggregation, zero-filled common spine, shifted products via a
+    lag-exploded equi-join on the bucket key."""
+    from orientdb_etl_spark.functions.stats import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return cross_correlation(
+        ev, "ts", "event_type", "click", "purchase", max_lag=6
+    )
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single level-shift changepoint of the hourly event-arrival
+    series (binary-segmentation step 1): two-segment SSE argmin over
+    exact BIGINT prefix sums from the distributed exclusive prefix."""
+    from orientdb_etl_spark.functions.stats import changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return changepoint(ev, "ts")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5384,6 +5488,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "best_split": q_best_split,
             "twap": q_twap,
             "rendezvous": q_rendezvous,
+            # round 5 (closing): community quality + probabilistic ER
+            "modularity": q_modularity,
+            "fellegi_sunter": q_fellegi_sunter,
+            "resolve_entities": q_resolve_entities,
+            # round 5 (closing): lead-lag + changepoint time-series
+            "cross_correlation": q_cross_correlation,
+            "changepoint": q_changepoint,
         }
     )
     return out
@@ -5585,6 +5696,102 @@ def _zorder_oracle() -> str:
         "s AS (SELECT min(o_custkey) AS _zmin_0, max(o_custkey) AS _zmax_0, "
         "min(o_days) AS _zmin_1, max(o_days) AS _zmax_1 FROM b) "
         f"SELECT o_orderkey, {key} AS zkey FROM b CROSS JOIN s"
+    )
+
+
+#: shared stats CTE for the Fellegi-Sunter oracles: n and the per-field
+#: sum-of-squared-counts as exact BIGINTs — the SAME aggregates the Spark
+#: path collects to the driver and embeds as literals.
+_FS_ST_SQL = (
+    "st AS (SELECT count(*) AS _n, "
+    "(SELECT CAST(sum(c * c) AS BIGINT) FROM (SELECT count(*) AS c "
+    "FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)) "
+    "AS _s2_0, "
+    "(SELECT CAST(sum(c * c) AS BIGINT) FROM (SELECT count(*) AS c "
+    "FROM customer WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey)) "
+    "AS _s2_1 FROM customer)"
+)
+_FS_AB_SQL = (
+    "aa AS (SELECT c_custkey AS id_a, CAST(c_mktsegment AS VARCHAR) AS _a_0, "
+    "CAST(c_nationkey AS VARCHAR) AS _a_1 FROM customer), "
+    "bb AS (SELECT c_custkey AS id_b, CAST(c_mktsegment AS VARCHAR) AS _b_0, "
+    "CAST(c_nationkey AS VARCHAR) AS _b_1 FROM customer)"
+)
+
+
+def _fs_weights() -> tuple[str, str]:
+    """The per-field weight terms from the ONE generator both engines
+    share (linkage.fs_weight_sql) — Spark embeds driver-collected exact
+    integers as literals, the oracle passes column references to the
+    same aggregates; the double op chain is identical either way."""
+    from orientdb_etl_spark.functions.linkage import fs_weight_sql
+
+    return (
+        fs_weight_sql(0, 0.9, "_n", "_s2_0"),
+        fs_weight_sql(1, 0.85, "_n", "_s2_1"),
+    )
+
+
+def _fellegi_oracle() -> str:
+    """DuckDB replay of q_fellegi_sunter: the snm_pairs rank blocking
+    (window here, distributed exclusive prefix in Spark), then the
+    shared weight expressions over the joined record pair."""
+    w0, w1 = _fs_weights()
+    return (
+        "WITH r AS (SELECT c_custkey AS id, row_number() OVER "
+        "(ORDER BY c_mktsegment, c_custkey) AS rn FROM customer "
+        "WHERE c_mktsegment IS NOT NULL), "
+        "pr AS (SELECT least(a.id, b.id) AS id_a, "
+        "greatest(a.id, b.id) AS id_b FROM r a JOIN r b "
+        "ON b.rn > a.rn AND b.rn - a.rn < 4), "
+        f"{_FS_ST_SQL}, {_FS_AB_SQL} "
+        "SELECT id_a, id_b, "
+        "CAST((_a_0 IS NOT DISTINCT FROM _b_0 AND _a_0 IS NOT NULL) "
+        "AS INTEGER) AS agree_c_mktsegment, "
+        "CAST((_a_1 IS NOT DISTINCT FROM _b_1 AND _a_1 IS NOT NULL) "
+        "AS INTEGER) AS agree_c_nationkey, "
+        f"round({w0} + {w1}, 6) AS score "
+        "FROM pr JOIN aa USING (id_a) JOIN bb USING (id_b) CROSS JOIN st"
+    )
+
+
+def _resolve_oracle() -> str:
+    """DuckDB replay of q_resolve_entities: name-rank blocking, shared
+    FS weights, net-positive edges, recursive-CTE min-label closure
+    (star contraction in Spark), then the golden_record survivorship
+    aggregates with identical tie-breaks."""
+    w0, w1 = _fs_weights()
+    return (
+        "WITH RECURSIVE r AS (SELECT c_custkey AS id, row_number() OVER "
+        "(ORDER BY c_name, c_custkey) AS rn FROM customer "
+        "WHERE c_name IS NOT NULL), "
+        f"{_FS_ST_SQL}, {_FS_AB_SQL}, "
+        "pr AS (SELECT least(a.id, b.id) AS id_a, "
+        "greatest(a.id, b.id) AS id_b FROM r a JOIN r b "
+        "ON b.rn > a.rn AND b.rn - a.rn < 3), "
+        f"sc AS (SELECT id_a, id_b, round({w0} + {w1}, 6) AS score "
+        "FROM pr JOIN aa USING (id_a) JOIN bb USING (id_b) CROSS JOIN st), "
+        "ed AS (SELECT id_a AS a, id_b AS b FROM sc WHERE score >= 0.0 "
+        "UNION ALL SELECT id_b, id_a FROM sc WHERE score >= 0.0), "
+        "reach(id, label) AS (SELECT a AS id, a AS label FROM ed "
+        "UNION SELECT e.a AS id, rc.label FROM ed e "
+        "JOIN reach rc ON rc.id = e.b), "
+        "lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id), "
+        "ent AS (SELECT coalesce(l.label, c.c_custkey) AS entity_id, "
+        "c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment "
+        "FROM customer c LEFT JOIN lab l ON c.c_custkey = l.id), "
+        "g AS (SELECT entity_id, count(*) AS n_records, "
+        "max(c_acctbal) AS max_bal, "
+        "arg_min(c_name, CASE WHEN c_name IS NOT NULL THEN c_custkey END) "
+        "AS first_name FROM ent GROUP BY 1), "
+        "mc AS (SELECT entity_id, c_mktsegment, count(*) AS c FROM ent "
+        "WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2), "
+        "mt AS (SELECT entity_id, c_mktsegment AS top_segment, "
+        "row_number() OVER (PARTITION BY entity_id "
+        "ORDER BY c DESC, c_mktsegment) AS rn2 FROM mc) "
+        "SELECT g.entity_id, g.n_records, g.max_bal, g.first_name, "
+        "mt.top_segment FROM g LEFT JOIN mt "
+        "ON g.entity_id = mt.entity_id AND mt.rn2 = 1"
     )
 
 
@@ -8405,10 +8612,116 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_moved FROM a8 JOIN a9 ON a8.k = a9.k "
             "GROUP BY shard ORDER BY shard"
         ),
+        "modularity": (
+            # canonical undirected trade edges, degrees joined to the
+            # nation labels, per-community degree sums, intra-edge
+            # count; Q replays the identical double op chain over
+            # exact BIGINT aggregates
+            "WITH e0 AS (SELECT DISTINCT o_custkey AS a, "
+            "l_suppkey + 1000000 AS b FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "lab AS (SELECT c_custkey AS n, c_nationkey AS g "
+            "FROM customer UNION ALL "
+            "SELECT s_suppkey + 1000000, s_nationkey FROM supplier), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) "
+            "GROUP BY 1), "
+            "dl AS (SELECT deg.d, lab.g FROM deg JOIN lab "
+            "ON deg.n = lab.n), "
+            "comm AS (SELECT g, CAST(sum(d) AS BIGINT) AS dc "
+            "FROM dl GROUP BY 1), "
+            "sums AS (SELECT count(*) AS nc, "
+            "CAST(sum(dc * dc) AS BIGINT) AS d2 FROM comm), "
+            "intra AS (SELECT CAST(sum(CASE WHEN x.g = y.g THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS ie FROM e0 "
+            "JOIN lab x ON e0.a = x.n JOIN lab y ON e0.b = y.n), "
+            "base AS (SELECT count(*) AS m FROM e0), "
+            "nn AS (SELECT count(*) AS nv FROM deg) "
+            "SELECT m AS m_edges, nv AS n_nodes, nc AS n_communities, "
+            "ie AS intra_edges, "
+            "round(CAST(ie AS DOUBLE) / CAST(m AS DOUBLE) - "
+            "CAST(d2 AS DOUBLE) / ((CAST(m AS DOUBLE) + CAST(m AS DOUBLE)) "
+            "* (CAST(m AS DOUBLE) + CAST(m AS DOUBLE))), 6) "
+            "AS q_modularity FROM base, nn, sums, intra"
+        ),
+        "cross_correlation": (
+            # the acf_hourly oracle doubled: two zero-filled series on
+            # the COMMON observed spine, full-series means and
+            # denominators, k-shift via t + lag join
+            "WITH b AS (SELECT event_type AS l, "
+            "CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600) "
+            "AS BIGINT) AS t, count(*) AS x FROM events "
+            "WHERE ts IS NOT NULL "
+            "AND event_type IN ('click', 'purchase') GROUP BY 1, 2), "
+            "mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b), "
+            "g AS (SELECT unnest(generate_series((SELECT lo FROM mm), "
+            "(SELECT hi FROM mm))) AS t), "
+            "sx AS (SELECT g.t, CAST(coalesce(b.x, 0) AS DOUBLE) AS x "
+            "FROM g LEFT JOIN b ON b.t = g.t AND b.l = 'click'), "
+            "sy AS (SELECT g.t, CAST(coalesce(b.x, 0) AS DOUBLE) AS x "
+            "FROM g LEFT JOIN b ON b.t = g.t AND b.l = 'purchase'), "
+            "dx AS (SELECT t, x - (SELECT avg(x) FROM sx) AS d FROM sx), "
+            "dy AS (SELECT t, x - (SELECT avg(x) FROM sy) AS d FROM sy), "
+            "dn AS (SELECT sqrt((SELECT sum(d * d) FROM dx)) * "
+            "sqrt((SELECT sum(d * d) FROM dy)) AS den), "
+            "l AS (SELECT CAST(unnest(generate_series(-6, 6)) AS INTEGER) "
+            "AS lag), "
+            "pr AS (SELECT l.lag, a.d AS dl, b2.d AS dr "
+            "FROM l, dx a, dy b2 WHERE b2.t = a.t + l.lag) "
+            "SELECT lag, count(*) AS n_pairs, "
+            "round(sum(dl * dr) / (SELECT den FROM dn), 6) AS xcorr "
+            "FROM pr GROUP BY lag ORDER BY lag"
+        ),
+        "changepoint": (
+            # dense zero-filled hourly series; running (Σx, Σx²) via the
+            # exclusive window (distributed exclusive prefix in Spark);
+            # two-segment SSE argmin with earliest-boundary tie-break —
+            # every SSE is the identical double chain over exact BIGINTs
+            "WITH b AS (SELECT CAST(floor(floor(epoch(CAST(ts AS "
+            "TIMESTAMP))) / 3600) AS BIGINT) AS t, count(*) AS x "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b), "
+            "s AS (SELECT g.t, CAST(coalesce(b.x, 0) AS BIGINT) AS x "
+            "FROM (SELECT unnest(generate_series((SELECT lo FROM mm), "
+            "(SELECT hi FROM mm))) AS t) g LEFT JOIN b USING (t)), "
+            "p AS (SELECT t, x, x * x AS x2, "
+            "CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS ps1, "
+            "CAST(coalesce(sum(x * x) OVER w, 0) AS BIGINT) AS ps2 "
+            "FROM s WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING)), "
+            "tot AS (SELECT CAST(sum(x) AS BIGINT) AS s1, "
+            "CAST(sum(x * x) AS BIGINT) AS s2, count(*) AS nb FROM s), "
+            "c AS (SELECT t, t - (SELECT lo FROM mm) + 1 AS k, "
+            "ps1 + x AS s1k, ps2 + x2 AS s2k, s1, s2, nb, "
+            "nb - (t - (SELECT lo FROM mm) + 1) AS nr FROM p, tot), "
+            "e AS (SELECT t, k, nr, s1k, s2k, s1 - s1k AS s1r, "
+            "s2 - s2k AS s2r, s1, s2, nb, "
+            "CAST(s2k AS DOUBLE) - CAST(s1k AS DOUBLE) * "
+            "CAST(s1k AS DOUBLE) / CAST(k AS DOUBLE) AS ssel, "
+            "CAST(s2 - s2k AS DOUBLE) - CAST(s1 - s1k AS DOUBLE) * "
+            "CAST(s1 - s1k AS DOUBLE) / CAST(nb - k AS DOUBLE) AS sser, "
+            "CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+            "CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS sset "
+            "FROM c WHERE nr > 0) "
+            "SELECT CAST(nb AS INTEGER) AS n_buckets, "
+            "(t + 1) * 3600 AS split_epoch, k AS n_before, nr AS n_after, "
+            "round(CAST(s1k AS DOUBLE) / CAST(k AS DOUBLE), 6) "
+            "AS mean_before, "
+            "round(CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE), 6) "
+            "AS mean_after, "
+            "round(sset, 6) AS sse_total, "
+            "round(ssel + sser, 6) AS sse_split, "
+            "round(sset - (ssel + sser), 6) AS gain "
+            "FROM e ORDER BY ssel + sser, split_epoch LIMIT 1"
+        ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain
     # decontamination oracle (same hits, same counts)
     sql["bloom_decontam"] = sql["decontaminate"]
+    # Fellegi-Sunter oracles share the ONE weight generator with the
+    # Spark path (linkage.fs_weight_sql)
+    sql["fellegi_sunter"] = _fellegi_oracle()
+    sql["resolve_entities"] = _resolve_oracle()
     # k-core oracle: the same peel unrolled to 8 fixed rounds by the ONE
     # Python generator both engines share (peel depth measured 2 at every
     # SF; monotone peeling makes extra rounds no-ops)

@@ -257,6 +257,14 @@ HEADLINE = [
     "best_split",
     "twap",
     "rendezvous",
+    # round-5 closing wave: community quality, probabilistic linkage
+    # scoring, lead-lag + changepoint series analytics.
+    # resolve_entities stays OUT (iterative star-contraction components
+    # — the pagerank/dedup_clusters exclusion rule).
+    "modularity",
+    "fellegi_sunter",
+    "cross_correlation",
+    "changepoint",
 ]
 
 

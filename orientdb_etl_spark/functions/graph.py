@@ -34,6 +34,7 @@ __all__ = [
     "lpa_rounds_sql",
     "weighted_sssp",
     "sssp_rounds_sql",
+    "modularity",
 ]
 
 
@@ -646,4 +647,92 @@ def adamic_adar(
         "item_b",
         "n_common",
         F.round(F.col("_aa"), round_to).alias("aa_score"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a vertex partition (Newman & Girvan 2004):
+    ``Q = Σ_c [ e_c/m − (d_c/2m)² ]`` over the undirected simple graph
+    (self-loops dropped, duplicate edges collapsed) — the quality
+    certificate for :func:`label_propagation` output, answering "are
+    these communities denser than chance?" One row: ``(m_edges,
+    n_nodes, n_communities, intra_edges, q_modularity)``.
+
+    Scale shape: three aggregation passes, all map-side combinable —
+    the canonical undirected edge set (least/greatest + distinct, one
+    shuffle), degrees joined to labels for per-community degree sums,
+    and intra-community edge counts via two label equi-joins on the
+    edge endpoints. Every aggregate is an exact BIGINT; the final Q is
+    one fixed chain of double ops (squares cast to double before
+    multiplying), so the oracle replays it bit-identically. Unlabeled
+    vertices raise — a partition that misses graph nodes is a caller
+    bug, not a quantity to silently mis-normalize.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_lab")
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    dlab = deg.join(lab, "_n", "left")
+    n_unlabeled = dlab.where(F.col("_lab").isNull()).limit(1).count()
+    if n_unlabeled:
+        raise ValueError(
+            "modularity: the partition misses vertices present in the "
+            "edge set — label every graph node before scoring"
+        )
+    comm = dlab.groupBy("_lab").agg(F.sum("_deg").alias("_dc"))
+    sums = comm.agg(
+        F.count(F.lit(1)).alias("_nc"),
+        F.sum(F.col("_dc") * F.col("_dc")).alias("_d2"),
+    )
+    la = lab.select(F.col("_n").alias("_a"), F.col("_lab").alias("_la"))
+    lb = lab.select(F.col("_n").alias("_b"), F.col("_lab").alias("_lb"))
+    intra = (
+        und.join(la, "_a")
+        .join(lb, "_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0)
+            ).alias("_intra")
+        )
+    )
+    base = und.agg(F.count(F.lit(1)).alias("_m")).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("_nn")))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    two_m = d(F.col("_m")) + d(F.col("_m"))
+    q = d(F.col("_intra")) / d(F.col("_m")) - d(F.col("_d2")) / (
+        two_m * two_m
+    )
+    return (
+        base.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            F.col("_m").alias("m_edges"),
+            F.col("_nn").alias("n_nodes"),
+            F.col("_nc").alias("n_communities"),
+            F.col("_intra").alias("intra_edges"),
+            F.round(q, round_to).alias("q_modularity"),
+        )
     )

@@ -37,7 +37,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join", "set_similarity_join", "golden_record", "sorted_neighborhood_pairs"]
+__all__ = [
+    "fuzzy_join",
+    "set_similarity_join",
+    "golden_record",
+    "sorted_neighborhood_pairs",
+    "fellegi_sunter",
+    "fs_weight_sql",
+    "resolve_entities",
+]
 
 
 def _index_segments(col: str, d: int) -> str:
@@ -402,3 +410,161 @@ def sorted_neighborhood_pairs(
             (F.col("_rb") - F.col("_ra")).alias("rank_dist"),
         )
     )
+
+
+def fs_weight_sql(i: int, m: float, n_expr: str, s2_expr: str) -> str:
+    """ONE generator emits the per-field Fellegi–Sunter weight term for
+    BOTH engines (the lpa_rounds_sql discipline): agree → ``ln(m/u)``,
+    disagree → ``ln((1-m)/(1-u))`` with the u-probability ``s2/n²``
+    left SYMBOLIC — the Spark path passes exact-integer literals, the
+    oracle passes column references to the same aggregates, and every
+    double op runs in the same order, so the scores replay
+    bit-identically. Compared fields are the string-cast columns
+    ``_a_{i}`` / ``_b_{i}``; agreement means both non-NULL and equal.
+    """
+    agree = f"(_a_{i} IS NOT DISTINCT FROM _b_{i} AND _a_{i} IS NOT NULL)"
+    nn = f"(CAST({n_expr} AS DOUBLE) * CAST({n_expr} AS DOUBLE))"
+    mm = f"CAST({m!r} AS DOUBLE)"
+    wa = f"ln({mm} * {nn} / CAST({s2_expr} AS DOUBLE))"
+    wd = (
+        f"ln((CAST(1 AS DOUBLE) - {mm}) / "
+        f"(CAST(1 AS DOUBLE) - CAST({s2_expr} AS DOUBLE) / {nn}))"
+    )
+    return f"CASE WHEN {agree} THEN {wa} ELSE {wd} END"
+
+
+def fellegi_sunter(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fields,
+    m: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi & Sunter, JASA
+    1969): given candidate pairs from ANY blocking scheme in this
+    module (:func:`sorted_neighborhood_pairs`, the PassJoin segments of
+    :func:`fuzzy_join`, :func:`set_similarity_join` prefixes), score
+    each pair with the sum of per-field log-likelihood weights —
+    ``ln(m/u)`` when the field agrees, ``ln((1-m)/(1-u))`` when it
+    disagrees. ``m`` (P(agree | same entity)) is supplied — per field
+    via ``fields={"col": m, ...}`` or one value for a plain list;
+    ``u`` (P(agree | random pair)) is ESTIMATED from the data as the
+    frequency-match probability ``Σ_v count(v)² / n²`` — the standard
+    value-frequency estimate, so rare-value agreement weighs more.
+
+    Returns ``(id_a, id_b, agree_<field>..., score)``.
+
+    Scale shape: the u statistics come from ONE posexplode →
+    (field, value) count shuffle over k·n rows (k = field count), then
+    k+1 exact integers reach the driver (the bounded-driver
+    discipline) and are embedded as literals — scoring itself is two
+    co-partitioned equi-joins of the pair stream against the record
+    table plus pure JVM CASE/ln expressions, no window, no UDF.
+    Degenerate fields fail loudly: all-NULL (u = 0) and constant
+    (u = 1) columns have infinite weights and raise ``ValueError``.
+    Counts square inside BIGINT — exact up to ~3·10⁹ rows per value,
+    beyond which the u estimate needs a sampled pass (document, don't
+    silently overflow).
+    """
+    items = (
+        list(fields.items())
+        if isinstance(fields, dict)
+        else [(f, m) for f in fields]
+    )
+    if not items:
+        raise ValueError("fellegi_sunter needs at least one field")
+    k = len(items)
+    arr = F.array(*[F.col(f).cast("string") for f, _ in items])
+    kv = df.select(F.posexplode(arr).alias("_fi", "_v")).where(
+        F.col("_v").isNotNull()
+    )
+    srow = (
+        kv.groupBy("_fi", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy()
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("_fi") == i, F.col("_c") * F.col("_c"))
+                ).alias(f"_s2_{i}")
+                for i in range(k)
+            ]
+        )
+        .first()
+    )
+    n = df.count()
+    weights: list[str] = []
+    for i, (fld, mi) in enumerate(items):
+        s2 = srow[f"_s2_{i}"] or 0
+        if not (0 < s2 < n * n):
+            raise ValueError(
+                f"field {fld!r} is degenerate for linkage (sum of squared "
+                f"counts {s2} vs n²={n * n}): all-NULL or constant columns "
+                "carry infinite Fellegi-Sunter weight"
+            )
+        if not (0.0 < mi < 1.0):
+            raise ValueError(f"m for {fld!r} must be in (0, 1), got {mi}")
+        weights.append(fs_weight_sql(i, mi, str(n), str(int(s2))))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).cast("string").alias(f"_a_{i}") for i, (f, _) in enumerate(items)],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).cast("string").alias(f"_b_{i}") for i, (f, _) in enumerate(items)],
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    agree_cols = [
+        F.expr(
+            f"CAST((_a_{i} IS NOT DISTINCT FROM _b_{i} "
+            f"AND _a_{i} IS NOT NULL) AS INT)"
+        ).alias(f"agree_{f}")
+        for i, (f, _) in enumerate(items)
+    ]
+    score = F.expr(" + ".join(weights))
+    return j.select(
+        "id_a", "id_b", *agree_cols, F.round(score, round_to).alias("score")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    block_key: str,
+    fields,
+    rules: "dict[str, tuple[str, str]]",
+    m: float = 0.95,
+    threshold: float = 0.0,
+    window: int = 5,
+    order_col: str | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution — the ER counterpart of
+    ``curate_corpus``: sorted-neighborhood blocking on ``block_key`` →
+    :func:`fellegi_sunter` pair scoring → keep pairs with
+    ``score >= threshold`` (default 0: net positive evidence) →
+    star-contraction connected components → :func:`golden_record`
+    survivorship per entity. Returns one golden row per entity with
+    ``entity_id`` = the minimum member id and ``n_records``.
+
+    Every stage is a bounded-shuffle plan audited elsewhere: blocking
+    emits O(window·n) pairs via the exclusive-prefix rank buckets,
+    scoring is two equi-joins plus literal-weight expressions, the
+    component rounds touch only the thresholded match edges
+    (logarithmic in cluster size, never the corpus), and survivorship
+    folds into one hash aggregate per rule family. Records that match
+    nothing keep themselves as singleton entities (left join +
+    coalesce — no row is dropped).
+    """
+    from orientdb_etl_spark.functions.dedup import connected_component_labels
+
+    pairs = sorted_neighborhood_pairs(df, id_col, block_key, window=window)
+    scored = fellegi_sunter(df, id_col, pairs, fields, m=m)
+    edges = scored.where(F.col("score") >= threshold).select(
+        F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id")
+    )
+    labels = connected_component_labels(edges)
+    labeled = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("entity_id", F.coalesce(F.col("label"), F.col(id_col)))
+    return golden_record(labeled.drop("label"), "entity_id", rules, order_col)

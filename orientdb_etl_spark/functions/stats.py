@@ -43,6 +43,8 @@ __all__ = [
     "spearman_corr",
     "kruskal_wallis",
     "cuped",
+    "cross_correlation",
+    "changepoint",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -1219,3 +1221,191 @@ def cuped(
         ).alias("var_reduction"),
     )
     return out.orderBy(arm_col)
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    label_col: str,
+    label_x: str,
+    label_y: str,
+    max_lag: int = 12,
+    bucket_seconds: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event streams: bucket the
+    arrivals of ``label_x`` and ``label_y`` (default hourly), zero-fill
+    both series on the COMMON spine, and compute ``r_k = Σ_t (x_t -
+    m_x)(y_{t+k} - m_y) / sqrt(Σ(x-m_x)² Σ(y-m_y)²)`` for lags
+    ``-max_lag..max_lag`` — positive lag means x LEADS y by k buckets
+    (the "do errors precede churn?" / "does marketing lead signups?"
+    audit). Returns ``(lag, n_pairs, xcorr)``.
+
+    Scale shape — the :func:`acf` plan, doubled: the raw frame
+    collapses to per-(label, bucket) counts in ONE aggregation; all
+    later work runs on the series frame whose size is
+    time-range/bucket, bounded by CONSTRUCTION. Means and denominators
+    use each FULL zero-filled series (the biased estimator keeping
+    |r| <= 1); the shifted products come from one equi-join on
+    ``t + k`` after a lag explode — never a global ORDER BY window.
+    Only the spine bounds and the two denominators reach the driver.
+    """
+    spark = df.sparkSession
+    b = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(label_col).isin(label_x, label_y)
+        )
+        .select(
+            F.col(label_col).alias("_l"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_seconds)
+            ).alias("_t"),
+        )
+        .groupBy("_l", "_t")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    if lo is None:
+        raise ValueError(
+            f"cross_correlation: no rows for {label_x!r}/{label_y!r}"
+        )
+    spine = spark.range(int(lo), int(hi) + 1).select(F.col("id").alias("_t"))
+
+    def _series(lab: str) -> DataFrame:
+        s = b.where(F.col("_l") == lab).select("_t", "_x")
+        return spine.join(s, "_t", "left").select(
+            "_t", F.coalesce("_x", F.lit(0)).cast("double").alias("_x")
+        )
+
+    sx, sy = _series(label_x), _series(label_y)
+    mx = sx.agg(F.avg("_x").alias("_m"))
+    my = sy.agg(F.avg("_x").alias("_m"))
+    dx = sx.crossJoin(F.broadcast(mx)).select(
+        "_t", (F.col("_x") - F.col("_m")).alias("_d")
+    )
+    dy = sy.crossJoin(F.broadcast(my)).select(
+        "_t", (F.col("_x") - F.col("_m")).alias("_d")
+    )
+    denx = dx.agg(F.sum(F.col("_d") * F.col("_d"))).first()[0]
+    deny = dy.agg(F.sum(F.col("_d") * F.col("_d"))).first()[0]
+    if not denx or not deny:
+        raise ValueError("cross_correlation: a constant series has no correlation")
+    den = float(denx) ** 0.5 * float(deny) ** 0.5
+    lags = spark.range(-int(max_lag), int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = dx.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("_t") + F.col("lag")).alias("_t"),
+        F.col("_d").alias("_dl"),
+    )
+    return (
+        left.join(dy.select("_t", F.col("_d").alias("_dr")), "_t")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("_dl") * F.col("_dr")) / F.lit(den), round_to
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+def changepoint(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    round_to: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Single level-shift changepoint in the event-arrival series:
+    bucket the timestamps, zero-fill, and find the boundary minimizing
+    the two-segment sum of squared errors — exact binary-segmentation
+    step 1 (Scott & Knott 1974 lineage; the "when did the rate change?"
+    incident audit). One row: ``(n_buckets, split_epoch, n_before,
+    n_after, mean_before, mean_after, sse_total, sse_split, gain)``
+    where ``split_epoch`` starts the AFTER segment and the tie-break is
+    the earliest boundary.
+
+    Scale shape: the raw frame collapses to per-bucket integer counts
+    in ONE aggregation; the series frame is bounded by construction
+    (time-range/bucket). Because the spine is DENSE integers, a
+    bucket's position is ``t - lo + 1`` — no rank pass at all. Both
+    running sums (Σx, Σx²) come from the range-partitioned
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    (never a global ORDER BY window), every candidate's SSE is a fixed
+    chain of double ops over exact BIGINT prefix sums (squares cast to
+    double BEFORE multiplying — no bigint overflow at any scale), and
+    the winner is a TakeOrderedAndProject over the bucket frame.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    spark = df.sparkSession
+    b = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_seconds)
+            ).alias("_t")
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    if lo is None:
+        raise ValueError(f"changepoint: no non-null timestamps in {ts_col!r}")
+    n_buckets = int(hi) - int(lo) + 1
+    if n_buckets < 2:
+        raise ValueError("changepoint needs at least 2 buckets")
+    series = (
+        spark.range(int(lo), int(hi) + 1)
+        .select(F.col("id").alias("_t"))
+        .join(b, "_t", "left")
+        .select(
+            "_t",
+            F.coalesce("_x", F.lit(0)).cast("bigint").alias("_x"),
+        )
+        .withColumn("_x2", F.col("_x") * F.col("_x"))
+    )
+    pv = exclusive_prefix(
+        series, ["_t"], "_x", "sum", "_ps1", "bigint", checkpoint=checkpoint
+    )
+    pv = exclusive_prefix(
+        pv, ["_t"], "_x2", "sum", "_ps2", "bigint", checkpoint=checkpoint
+    )
+    tot = series.agg(
+        F.sum("_x").alias("_S1"), F.sum("_x2").alias("_S2")
+    )
+    c = pv.crossJoin(F.broadcast(tot))
+    k = (F.col("_t") - F.lit(int(lo)) + 1).cast("bigint")
+    s1k = (F.coalesce(F.col("_ps1"), F.lit(0)) + F.col("_x")).cast("bigint")
+    s2k = (F.coalesce(F.col("_ps2"), F.lit(0)) + F.col("_x2")).cast("bigint")
+    nn = F.lit(n_buckets).cast("bigint")
+    nr = nn - k
+    s1r = F.col("_S1") - s1k
+    s2r = F.col("_S2") - s2k
+    d = lambda col: col.cast("double")  # noqa: E731
+    sse_l = d(s2k) - d(s1k) * d(s1k) / d(k)
+    sse_r = d(s2r) - d(s1r) * d(s1r) / d(nr)
+    sse_t = d(F.col("_S2")) - d(F.col("_S1")) * d(F.col("_S1")) / d(nn)
+    cand = c.where(nr > 0).select(
+        ((F.col("_t") + 1) * F.lit(int(bucket_seconds))).alias("split_epoch"),
+        k.alias("n_before"),
+        nr.alias("n_after"),
+        F.round(d(s1k) / d(k), round_to).alias("mean_before"),
+        F.round(d(s1r) / d(nr), round_to).alias("mean_after"),
+        F.round(sse_t, round_to).alias("sse_total"),
+        F.round(sse_l + sse_r, round_to).alias("sse_split"),
+        F.round(sse_t - (sse_l + sse_r), round_to).alias("gain"),
+        (sse_l + sse_r).alias("_raw"),
+    )
+    return (
+        cand.orderBy("_raw", "split_epoch")
+        .limit(1)
+        .select(F.lit(n_buckets).alias("n_buckets"), "*")
+        .drop("_raw")
+    )

@@ -691,6 +691,9 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
     - ``cuped``: {"unitField", "armField", "preField", "postField"}
     - ``woeIv``: {"featureField", "labelField", "smooth": 0.5}
     - ``bestSplit``: {"featureField", "labelField"}
+    - ``crossCorrelation``: {"tsField", "labelField", "labelX",
+      "labelY", "maxLag": 12, "bucketSeconds": 3600}
+    - ``changepoint``: {"tsField", "bucketSeconds": 3600}
     """
     from orientdb_etl_spark.functions import stats as S
     from orientdb_etl_spark.functions.preprocess import best_split, woe_iv
@@ -739,6 +742,22 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         )
     if m == "bestSplit":
         return best_split(df, cfg["featureField"], cfg["labelField"])
+    if m == "crossCorrelation":
+        return S.cross_correlation(
+            df,
+            cfg["tsField"],
+            cfg["labelField"],
+            cfg["labelX"],
+            cfg["labelY"],
+            max_lag=int(cfg.get("maxLag", 12)),
+            bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        )
+    if m == "changepoint":
+        return S.changepoint(
+            df,
+            cfg["tsField"],
+            bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        )
     raise ValueError(f"unknown analyze method {m!r}")
 
 
@@ -833,4 +852,31 @@ def link_predict_transformer(
         cfg["itemField"],
         min_common=int(cfg.get("minCommon", 1)),
         max_basket_size=int(mbs) if mbs is not None else None,
+    )
+
+
+@register("resolve")
+def resolve_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"resolve": {"idField": "id", "blockField": "name",
+    "fields": {"city": 0.9, ...} | ["city", ...], "rules":
+    {"out": ["latest", "col"], ...}, "m": 0.95, "threshold": 0.0,
+    "window": 5, "orderField": null}} — end-to-end entity resolution
+    (functions/linkage.py): sorted-neighborhood blocking →
+    Fellegi–Sunter scoring → connected components → golden-record
+    survivorship."""
+    from orientdb_etl_spark.functions.linkage import resolve_entities
+
+    rules = {
+        out: (spec[0], spec[1]) for out, spec in dict(cfg["rules"]).items()
+    }
+    return resolve_entities(
+        df,
+        cfg["idField"],
+        cfg["blockField"],
+        cfg["fields"],
+        rules=rules,
+        m=float(cfg.get("m", 0.95)),
+        threshold=float(cfg.get("threshold", 0.0)),
+        window=int(cfg.get("window", 5)),
+        order_col=cfg.get("orderField"),
     )

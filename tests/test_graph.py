@@ -443,3 +443,47 @@ def test_adamic_adar_basket_cap_and_min_common(spark):
     out = adamic_adar(df, "b", "i", min_common=2, max_basket_size=5).collect()
     # the size-10 basket is capped away; only (a, b) shares 2 baskets
     assert [(r.item_a, r.item_b, r.n_common) for r in out] == [("a", "b", 2)]
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from orientdb_etl_spark.functions.graph import modularity
+
+    # two triangles {1,2,3} / {4,5,6} joined by bridge 3-4: m=7,
+    # intra=6, d_A=d_B=7 -> Q = 6/7 - 2*(7/14)^2 = 0.357143
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    # reversed duplicates + a self-loop must collapse away
+    e = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges] + [(1, 1)], "src long, dst long"
+    )
+    lab = spark.createDataFrame(
+        [(n, "A" if n <= 3 else "B") for n in range(1, 7)],
+        "node long, label string",
+    )
+    row = modularity(e, lab).collect()[0]
+    assert row.m_edges == 7
+    assert row.n_nodes == 6
+    assert row.n_communities == 2
+    assert row.intra_edges == 6
+    assert row.q_modularity == round(6 / 7 - 0.5, 6)
+
+
+def test_modularity_unlabeled_vertex_raises(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.graph import modularity
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    lab = spark.createDataFrame([(1, "A"), (2, "A")], "node long, label string")
+    with _pytest.raises(ValueError, match="misses vertices"):
+        modularity(e, lab).collect()
+
+
+def test_modularity_single_community_is_zero(spark):
+    from orientdb_etl_spark.functions.graph import modularity
+
+    # all nodes in one community: Q = m/m - (2m/2m)^2 = 0
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A")], "node long, label string"
+    )
+    assert modularity(e, lab).collect()[0].q_modularity == 0.0

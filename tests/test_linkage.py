@@ -278,3 +278,92 @@ def test_snm_validation(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, k string")
     with _pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, "id", "k", window=1)
+
+
+def _fs_records(spark):
+    rows = [
+        (1, "x", "s1"),
+        (2, "x", "s1"),
+        (3, "y", "s2"),
+        (4, "y", "s1"),
+        (5, None, "s2"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, city string, seg string")
+
+
+def test_fellegi_sunter_hand_weights(spark):
+    import math
+
+    from orientdb_etl_spark.functions.linkage import fellegi_sunter
+
+    df = _fs_records(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 5)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in fellegi_sunter(df, "id", pairs, ["city", "seg"], m=0.9).collect()
+    }
+    n = 5.0
+    # city counts: x:2, y:2 -> s2=8; seg counts: s1:3, s2:2 -> s2=13
+    wa_city = math.log(0.9 * n * n / 8.0)
+    wd_city = math.log(0.1 / (1.0 - 8.0 / (n * n)))
+    wa_seg = math.log(0.9 * n * n / 13.0)
+    wd_seg = math.log(0.1 / (1.0 - 13.0 / (n * n)))
+    r12 = out[(1, 2)]
+    assert (r12.agree_city, r12.agree_seg) == (1, 1)
+    assert r12.score == round(wa_city + wa_seg, 6)
+    r13 = out[(1, 3)]
+    assert (r13.agree_city, r13.agree_seg) == (0, 0)
+    assert r13.score == round(wd_city + wd_seg, 6)
+    # NULL city on id 5 counts as disagreement, seg agrees
+    r35 = out[(3, 5)]
+    assert (r35.agree_city, r35.agree_seg) == (0, 1)
+    assert r35.score == round(wd_city + wa_seg, 6)
+
+
+def test_fellegi_sunter_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.linkage import fellegi_sunter
+
+    df = _fs_records(spark).withColumn("const", __import__(
+        "pyspark.sql.functions", fromlist=["lit"]).lit("k"))
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with _pytest.raises(ValueError, match="degenerate"):
+        fellegi_sunter(df, "id", pairs, ["const"])
+    with _pytest.raises(ValueError, match="at least one field"):
+        fellegi_sunter(df, "id", pairs, [])
+    with _pytest.raises(ValueError, match="must be in"):
+        fellegi_sunter(df, "id", pairs, {"city": 1.5})
+
+
+def test_resolve_entities_end_to_end(spark):
+    from orientdb_etl_spark.functions.linkage import resolve_entities
+
+    rows = [
+        (1, "aaa", "x", "s"),
+        (2, "aab", "x", "s"),
+        (3, "aac", "y", "t"),
+        (4, "aad", "y", "t"),
+        (5, "zzz", "q", "r"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, nm string, city string, seg string")
+    out = {
+        r.entity_id: r
+        for r in resolve_entities(
+            df,
+            "id",
+            "nm",
+            ["city", "seg"],
+            rules={"first_nm": ("earliest", "nm"), "top_city": ("mode", "city")},
+            m=0.9,
+            window=2,
+            order_col="id",
+        ).collect()
+    }
+    # window-2 neighbors agreeing on both fields link: {1,2}, {3,4}; 5 alone
+    assert set(out) == {1, 3, 5}
+    assert out[1].n_records == 2 and out[1].first_nm == "aaa"
+    assert out[3].n_records == 2 and out[3].top_city == "y"
+    assert out[5].n_records == 1 and out[5].first_nm == "zzz"

@@ -518,3 +518,59 @@ def test_twap_islands_concurrency_linkpredict_transformers(spark):
         tables={"b": b},
     )
     assert out.collect()[0].n_common == 2
+
+
+def test_analyze_series_and_resolve_transformers(spark):
+    ev = spark.createDataFrame(
+        [("x", f"2024-01-01 00:{m:02d}:00") for m in (0, 3, 6)]
+        + [("y", f"2024-01-01 00:{m:02d}:00") for m in (2, 5, 8)],
+        "lab string, ts string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "ev"}},
+            "transformers": [
+                {"analyze": {"method": "crossCorrelation", "tsField": "ts",
+                             "labelField": "lab", "labelX": "x",
+                             "labelY": "y", "maxLag": 2,
+                             "bucketSeconds": 60}}
+            ],
+        },
+        tables={"ev": ev},
+    )
+    rows = {r.lag: r.xcorr for r in out.collect()}
+    assert max(rows, key=rows.get) == 2
+
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "ev"}},
+            "transformers": [
+                {"analyze": {"method": "changepoint", "tsField": "ts",
+                             "bucketSeconds": 60}}
+            ],
+        },
+        tables={"ev": ev},
+    )
+    assert out.collect()[0].n_buckets == 9
+
+    roster = spark.createDataFrame(
+        [(1, "aaa", "x"), (2, "aab", "x"), (3, "zzz", "q")],
+        "id bigint, nm string, city string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "r"}},
+            "transformers": [
+                {"resolve": {"idField": "id", "blockField": "nm",
+                             "fields": ["city"],
+                             "rules": {"first_nm": ["earliest", "nm"]},
+                             "window": 2, "orderField": "id"}}
+            ],
+        },
+        tables={"r": roster},
+    )
+    got = {r.entity_id: r.n_records for r in out.collect()}
+    assert got == {1: 2, 3: 1}

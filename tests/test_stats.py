@@ -771,3 +771,95 @@ def test_cuped_unrelated_covariate_keeps_means(spark):
     for r in out:
         assert abs(r.mean_adj - r.mean_post) < 5.0
         assert r.std_adj <= r.std_post * 1.1
+
+
+# ---------------------------------------------------------------------------
+# cross_correlation / changepoint
+
+
+def _minute_events(spark, counts_by_label):
+    rows = []
+    for lab, counts in counts_by_label.items():
+        for minute, c in enumerate(counts):
+            for k in range(c):
+                rows.append((lab, f"2024-01-01 00:{minute:02d}:{k:02d}"))
+    return spark.createDataFrame(rows, "lab string, ts string")
+
+
+def test_cross_correlation_detects_known_lead(spark):
+    from orientdb_etl_spark.functions.stats import cross_correlation
+
+    x = [5, 0, 0, 3, 0, 0, 7, 0, 0, 0]
+    y = [0, 0, 5, 0, 0, 3, 0, 0, 7, 0]  # x shifted right by 2
+    df = _minute_events(spark, {"x": x, "y": y})
+    out = {
+        r.lag: r
+        for r in cross_correlation(
+            df, "ts", "lab", "x", "y", max_lag=3, bucket_seconds=60
+        ).collect()
+    }
+    assert set(out) == set(range(-3, 4))
+    # the spine spans the OBSERVED bucket range: minute 0 (x) .. 8 (y)
+    xs, ys = x[:9], y[:9]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denx = sum((v - mx) ** 2 for v in xs)
+    deny = sum((v - my) ** 2 for v in ys)
+    den = denx**0.5 * deny**0.5
+    for k in range(-3, 4):
+        num = sum(
+            (xs[t] - mx) * (ys[t + k] - my)
+            for t in range(n)
+            if 0 <= t + k < n
+        )
+        assert out[k].xcorr == round(num / den, 6)
+        assert out[k].n_pairs == n - abs(k)
+    best = max(out.values(), key=lambda r: r.xcorr)
+    assert best.lag == 2
+
+
+def test_cross_correlation_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.stats import cross_correlation
+
+    df = _minute_events(spark, {"x": [1, 1, 1], "y": [2, 1, 2]})
+    with _pytest.raises(ValueError, match="no rows"):
+        cross_correlation(df, "ts", "lab", "missing", "also_missing").collect()
+    with _pytest.raises(ValueError, match="constant series"):
+        cross_correlation(df, "ts", "lab", "x", "y", max_lag=1,
+                          bucket_seconds=60).collect()
+
+
+def test_changepoint_finds_level_shift(spark):
+    from orientdb_etl_spark.functions.stats import changepoint
+
+    df = _minute_events(spark, {"e": [2, 2, 2, 2, 2, 10, 10, 10, 10, 10]})
+    row = changepoint(df, "ts", bucket_seconds=60).collect()[0]
+    assert row.n_buckets == 10
+    assert (row.n_before, row.n_after) == (5, 5)
+    assert (row.mean_before, row.mean_after) == (2.0, 10.0)
+    assert row.sse_split == 0.0
+    assert row.gain == row.sse_total > 0
+    # split_epoch starts the AFTER segment: minute 5 of 2024-01-01
+    import datetime as _dt
+
+    want = int(
+        _dt.datetime(2024, 1, 1, 0, 5, tzinfo=_dt.timezone.utc).timestamp()
+    )
+    assert row.split_epoch == want
+
+
+def test_changepoint_zero_fills_gaps_and_validates(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.stats import changepoint
+
+    # minutes 0 and 4 only: buckets 1-3 zero-fill, so n_buckets = 5
+    df = _minute_events(spark, {"e": [3, 0, 0, 0, 3]})
+    row = changepoint(df, "ts", bucket_seconds=60).collect()[0]
+    assert row.n_buckets == 5
+    assert row.n_before + row.n_after == 5
+    one = _minute_events(spark, {"e": [4]})
+    with _pytest.raises(ValueError, match="at least 2 buckets"):
+        changepoint(one, "ts", bucket_seconds=60)
