@@ -5123,6 +5123,108 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint(ev, "ts")
 
 
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test between even- and odd-keyed users'
+    activity lifetimes (the kaplan_meier cohort split in two) — at-risk
+    counts via total-minus-exclusive-prefix; only the two group totals
+    reach the driver."""
+    from orientdb_etl_spark.functions.stats import log_rank
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    life = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.floor((F.max(es) - F.min(es)) / 3600).alias("dur"))
+        .withColumn("obs", F.col("user_id") % 4 != 0)
+        .withColumn(
+            "grp",
+            F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(
+                F.lit("odd")
+            ),
+        )
+    )
+    return log_rank(life, "dur", "obs", "grp", "even", "odd")
+
+
+def q_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — the parametric
+    counterpart of the kruskal row; integer-cents Σx/Σx² keep the SS
+    decomposition exact across engines."""
+    from orientdb_etl_spark.functions.stats import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", "value")
+
+
+def q_levene_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equality-of-variances test of event value across
+    event types (|x − group median| fed to the same exact-integer ANOVA
+    tail) — the assumption check for q_anova_value."""
+    from orientdb_etl_spark.functions.stats import levene_bf
+
+    ev = _t(spark, sf_dir, "events")
+    return levene_bf(ev, "event_type", "value")
+
+
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (PR-AUC, step form) of the synthetic
+    scores — rank and running positive count from the exclusive prefix
+    over (−score, event_id); the class-imbalance-honest companion of
+    roc_auc."""
+    from orientdb_etl_spark.functions.mleval import average_precision
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.expr("((event_id + 11) % 1000003) * 2654435761 % 1000") / F.lit(
+        1000.0
+    )
+    label = F.col("event_type") == "purchase"
+    scored = ev.select(
+        "event_id",
+        (base * F.lit(0.7) + F.when(label, F.lit(0.3)).otherwise(F.lit(0.0)))
+        .alias("score"),
+        label.cast("int").alias("y"),
+    )
+    return average_precision(scored, "score", "y", "event_id")
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the documents corpus (support >= 5)
+    — selection on the raw probability ratio (pure arithmetic, so both
+    engines rank identically), ln applied only to the emitted score."""
+    from orientdb_etl_spark.functions.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, top_k=50)
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the p99-thresholded supplier
+    co-supply graph (the triangle_count projection): wedges from one
+    exact-integer degree aggregation, triangles via degree-ordered
+    orientation."""
+    from orientdb_etl_spark.functions.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = ps.alias("x"), ps.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .localCheckpoint()
+    )
+    thr = pairs.agg(F.expr("percentile(_shared, 0.99D)").alias("_thr"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("_shared") >= F.col("_thr"))
+        .select("src", "dst")
+    )
+    return clustering_coefficient(edges)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5495,6 +5597,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (closing): lead-lag + changepoint time-series
             "cross_correlation": q_cross_correlation,
             "changepoint": q_changepoint,
+            # round 5 (closing): survival comparison + parametric tests
+            "log_rank": q_log_rank,
+            "anova_value": q_anova_value,
+            "levene_value": q_levene_value,
+            # round 5 (closing): PR-AUC, collocations, transitivity
+            "avg_precision": q_avg_precision,
+            "pmi_bigrams": q_pmi_bigrams,
+            "clustering_coeff": q_clustering_coeff,
         }
     )
     return out
@@ -8713,6 +8823,170 @@ def oracle_sql() -> dict[str, str]:
             "round(ssel + sser, 6) AS sse_split, "
             "round(sset - (ssel + sser), 6) AS gain "
             "FROM e ORDER BY ssel + sser, split_epoch LIMIT 1"
+        ),
+        "log_rank": (
+            # kaplan_meier lifetimes split even/odd; at-risk via the
+            # exclusive window (exclusive prefix in Spark); e/v terms
+            # replay the identical double chains over exact BIGINTs
+            "WITH life AS (SELECT user_id, "
+            "CAST(floor((max(floor(epoch(CAST(ts AS TIMESTAMP)))) - "
+            "min(floor(epoch(CAST(ts AS TIMESTAMP))))) / 3600) AS BIGINT) "
+            "AS dur, user_id % 4 <> 0 AS obs, "
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga "
+            "FROM events WHERE ts IS NOT NULL GROUP BY user_id), "
+            "per AS (SELECT dur AS t, CAST(sum(ga) AS BIGINT) AS c1, "
+            "CAST(sum(1 - ga) AS BIGINT) AS c2, "
+            "CAST(sum(CASE WHEN obs AND ga = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS d1, "
+            "CAST(sum(CASE WHEN obs AND ga = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS d2 FROM life GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS na, "
+            "CAST(sum(c2) AS BIGINT) AS nb FROM per), "
+            "p AS (SELECT t, d1, d2, "
+            "CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS b1, "
+            "CAST(coalesce(sum(c2) OVER w, 0) AS BIGINT) AS b2 FROM per "
+            "WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING)), "
+            "e AS (SELECT t, d1, d2, d1 + d2 AS dt, "
+            "(SELECT na FROM tot) - b1 AS n1, "
+            "(SELECT nb FROM tot) - b2 AS n2 FROM p WHERE d1 + d2 > 0), "
+            "f AS (SELECT *, n1 + n2 AS nt FROM e), "
+            "g AS (SELECT count(*) AS k, CAST(sum(d1) AS BIGINT) AS o1, "
+            "CAST(sum(d2) AS BIGINT) AS o2, "
+            "sum(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE) / "
+            "CAST(nt AS DOUBLE)) AS e1, "
+            "sum(CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * "
+            "(CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)) * "
+            "(CAST(n2 AS DOUBLE) / CAST(nt AS DOUBLE)) * "
+            "(CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)) "
+            "ELSE 0.0 END) AS v FROM f) "
+            "SELECT (SELECT na FROM tot) AS n_a, "
+            "(SELECT nb FROM tot) AS n_b, k AS n_times, o1 AS obs_a, "
+            "round(e1, 6) AS exp_a, o2 AS obs_b, "
+            "round((CAST(o1 AS DOUBLE) + CAST(o2 AS DOUBLE)) - e1, 6) "
+            "AS exp_b, "
+            "round(CASE WHEN v > 0 THEN (CAST(o1 AS DOUBLE) - e1) * "
+            "(CAST(o1 AS DOUBLE) - e1) / v END, 6) AS chi2 FROM g"
+        ),
+        "anova_value": (
+            # integer-cents exact sums; F and eta2 as the identical
+            # double chains (only scale-free stats are emitted)
+            "WITH b AS (SELECT event_type AS g, "
+            "CAST(floor(value * 100) AS BIGINT) AS x FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "per AS (SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS s, "
+            "CAST(sum(x * x) AS BIGINT) AS q FROM b GROUP BY 1), "
+            "t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt, "
+            "CAST(sum(s) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS qt, "
+            "sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) AS sb FROM per), "
+            "u AS (SELECT k, nt, "
+            "sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / "
+            "CAST(nt AS DOUBLE) AS ssb, "
+            "CAST(qt AS DOUBLE) - sb AS ssw FROM t) "
+            "SELECT k AS k_groups, nt AS n_total, k - 1 AS df_between, "
+            "nt - k AS df_within, "
+            "round(CASE WHEN k - 1 > 0 AND nt - k > 0 AND ssw > 0 THEN "
+            "(ssb / CAST(k - 1 AS DOUBLE)) / "
+            "(ssw / CAST(nt - k AS DOUBLE)) END, 6) AS f_stat, "
+            "round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6) "
+            "AS eta_sq FROM u"
+        ),
+        "levene_value": (
+            # |2x - 2*median_g| exact-integer deviations, then the same
+            # ANOVA tail; quantile_cont of integers = Spark percentile
+            "WITH b0 AS (SELECT event_type AS g, "
+            "CAST(floor(value * 100) AS BIGINT) AS v FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "med AS (SELECT g, quantile_cont(v, 0.5) AS m FROM b0 "
+            "GROUP BY 1), "
+            "b AS (SELECT b0.g, abs(b0.v * 2 - CAST(med.m * 2.0 "
+            "AS BIGINT)) AS x FROM b0 JOIN med ON b0.g = med.g), "
+            "per AS (SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS s, "
+            "CAST(sum(x * x) AS BIGINT) AS q FROM b GROUP BY 1), "
+            "t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt, "
+            "CAST(sum(s) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS qt, "
+            "sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) AS sb FROM per), "
+            "u AS (SELECT k, nt, "
+            "sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / "
+            "CAST(nt AS DOUBLE) AS ssb, "
+            "CAST(qt AS DOUBLE) - sb AS ssw FROM t) "
+            "SELECT k AS k_groups, nt AS n_total, k - 1 AS df_between, "
+            "nt - k AS df_within, "
+            "round(CASE WHEN k - 1 > 0 AND nt - k > 0 AND ssw > 0 THEN "
+            "(ssb / CAST(k - 1 AS DOUBLE)) / "
+            "(ssw / CAST(nt - k AS DOUBLE)) END, 6) AS f_stat, "
+            "round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6) "
+            "AS eta_sq FROM u"
+        ),
+        "avg_precision": (
+            # identical (score desc, event_id) total order — the window
+            # here IS the semantics; Spark ranks via the exclusive prefix
+            "WITH sc AS (SELECT event_id, "
+            "((event_id + 11) % 1000003) * 2654435761 % 1000 / 1000.0 "
+            "* 0.7 + CASE WHEN event_type = 'purchase' THEN 0.3 "
+            "ELSE 0.0 END AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events), "
+            "rk AS (SELECT y, row_number() OVER "
+            "(ORDER BY s DESC, event_id) AS k, "
+            "CAST(sum(y) OVER (ORDER BY s DESC, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp FROM sc), "
+            "g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np, "
+            "sum(CASE WHEN y = 1 THEN CAST(cp AS DOUBLE) / "
+            "CAST(k AS DOUBLE) ELSE 0.0 END) AS aps FROM rk) "
+            "SELECT n, np AS n_pos, "
+            "round(CASE WHEN np > 0 THEN aps / CAST(np AS DOUBLE) END, 6) "
+            "AS average_precision FROM g"
+        ),
+        "pmi_bigrams": (
+            # same tokenization dialect as zipf/tfidf; bigrams via the
+            # bpe-oracle list comprehension; selection on the raw ratio
+            # (pure arithmetic), ln only on the emitted score
+            "WITH t AS (SELECT regexp_split_to_array(trim(text), "
+            r"'\s+') AS tk FROM documents WHERE text IS NOT NULL "
+            "AND length(trim(text)) > 0), "
+            "uni AS (SELECT lower(unnest(tk)) AS w FROM t), "
+            "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1), "
+            "nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc), "
+            "bg0 AS (SELECT unnest([struct_pack(w1 := lower(tk[j]), "
+            "w2 := lower(tk[j+1])) FOR j IN range(1, len(tk))]) AS p "
+            "FROM t), "
+            "pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS np "
+            "FROM bg0 GROUP BY 1, 2), "
+            "nb AS (SELECT CAST(sum(np) AS BIGINT) AS nb FROM pc), "
+            "sc AS (SELECT pc.w1, pc.w2, pc.np, "
+            "CAST(pc.np AS DOUBLE) * CAST(nu.nu AS DOUBLE) * "
+            "CAST(nu.nu AS DOUBLE) / (CAST(nb.nb AS DOUBLE) * "
+            "CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS r "
+            "FROM pc JOIN uc c1 ON pc.w1 = c1.w "
+            "JOIN uc c2 ON pc.w2 = c2.w CROSS JOIN nu CROSS JOIN nb "
+            "WHERE pc.np >= 5) "
+            "SELECT w1, w2, np AS n_pair, round(ln(r), 6) AS pmi "
+            "FROM sc ORDER BY r DESC, w1, w2 LIMIT 50"
+        ),
+        "clustering_coeff": (
+            # triangle_count's p99 co-supply projection + exact integer
+            # wedge count; same naive canonical triangle join
+            "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
+            "FROM lineitem), "
+            "pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c FROM ps x "
+            "JOIN ps y ON x.pk = y.pk AND x.s < y.s GROUP BY 1, 2), "
+            "t AS (SELECT quantile_cont(c, 0.99) AS q FROM pr), "
+            "e AS (SELECT a, b FROM pr, t WHERE c >= t.q), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+            "st AS (SELECT count(*) AS nv, "
+            "CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg), "
+            "m AS (SELECT count(*) AS me FROM e), "
+            "tr AS (SELECT CAST(count(*) AS BIGINT) AS ntr "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) "
+            "SELECT nv AS n_nodes, me AS n_edges, w AS n_wedges, "
+            "ntr AS n_triangles, "
+            "round(CASE WHEN w > 0 THEN 3.0 * CAST(ntr AS DOUBLE) / "
+            "CAST(w AS DOUBLE) END, 6) AS global_cc FROM m, st, tr"
         ),
     }
     # the Bloom pre-pass must be result-invisible: its oracle IS the plain

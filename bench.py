@@ -265,6 +265,12 @@ HEADLINE = [
     "fellegi_sunter",
     "cross_correlation",
     "changepoint",
+    "log_rank",
+    "anova_value",
+    "levene_value",
+    "avg_precision",
+    "pmi_bigrams",
+    "clustering_coeff",
 ]
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "weighted_sssp",
     "sssp_rounds_sql",
     "modularity",
+    "clustering_coefficient",
 ]
 
 
@@ -734,5 +735,65 @@ def modularity(
             F.col("_nc").alias("n_communities"),
             F.col("_intra").alias("intra_edges"),
             F.round(q, round_to).alias("q_modularity"),
+        )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
+) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the undirected
+    simple graph: ``C = 3·triangles / wedges`` with ``wedges =
+    Σ_v d_v(d_v−1)/2`` — how often two neighbors of a vertex are
+    themselves connected, the one-number "is this graph clumpy?"
+    companion of :func:`modularity`. One row: ``(n_nodes, n_edges,
+    n_wedges, n_triangles, global_cc)``.
+
+    Scale shape: the wedge count is one degree aggregation with exact
+    BIGINT arithmetic (Σ d(d−1)/2 of integer degrees — overflow only
+    past ~3·10⁹-degree hubs, far beyond any simple graph that fits);
+    triangles reuse :func:`triangle_count`'s degree-ordered orientation
+    (wedge fan-out bounded O(√m), Suri & Vassilvitskii WWW'11). The
+    final ratio is a fixed double chain over the three exact integers,
+    so the oracle replays it bit-identically. A wedge-free graph
+    (all degrees <= 1) yields NULL, not a division blow-up.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("_nv"),
+        # d(d-1) is even, so integer DIV keeps the wedge count an exact
+        # BIGINT at any scale (no double round-trip)
+        F.expr("sum(_d * (_d - 1) DIV 2)").cast("bigint").alias("_w"),
+    )
+    m = und.agg(F.count(F.lit(1)).alias("_m"))
+    tri = triangle_count(und, "_a", "_b")
+    d = lambda c: c.cast("double")  # noqa: E731
+    cc = F.when(
+        F.col("_w") > 0,
+        F.lit(3.0) * d(F.col("n_triangles")) / d(F.col("_w")),
+    )
+    return (
+        m.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("_nv").alias("n_nodes"),
+            F.col("_m").alias("n_edges"),
+            F.col("_w").alias("n_wedges"),
+            "n_triangles",
+            F.round(cc, round_to).alias("global_cc"),
         )
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_curve", "gains_chart"]
+__all__ = ["roc_auc", "calibration_curve", "gains_chart", "average_precision"]
 
 
 def roc_auc(
@@ -196,3 +196,53 @@ def gains_chart(
             round_to,
         ).alias("lift"),
     ).orderBy("bucket")
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact average precision (the area under the precision–recall
+    curve in its standard step form): ``AP = (1/P) Σ_{k: y_k = 1}
+    precision@k`` over the deterministic total order ``(score DESC,
+    id ASC)`` — the ranking metric that, unlike :func:`roc_auc`, does
+    not reward a model for ordering easy negatives correctly (the
+    class-imbalance regime of retrieval and near-dup detection). One
+    row: ``(n, n_pos, average_precision)``.
+
+    Scale shape: the global rank and the running positive count both
+    come from the range-partitioned
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    over ``(−score, id)`` — never a global ORDER BY window, no pairwise
+    join. ``precision@k = cum_pos/k`` is an exact-integer ratio per
+    positive row; the only float fold is their sum (terms in (0, 1]),
+    divided by the in-plan positive count.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    base = df.select(
+        (-F.col(score_col).cast("double")).alias("_negs"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("bigint").alias("_y"),
+        F.lit(1).cast("bigint").alias("_one"),
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    pv = exclusive_prefix(base, ["_negs", "_id"], "_one", "sum", "_r0", "bigint")
+    pv = exclusive_prefix(pv, ["_negs", "_id"], "_y", "sum", "_p0", "bigint")
+    k = (F.coalesce(F.col("_r0"), F.lit(0)) + 1).cast("bigint")
+    cum_pos = (F.coalesce(F.col("_p0"), F.lit(0)) + F.col("_y")).cast("bigint")
+    d = lambda c: c.cast("double")  # noqa: E731
+    term = F.when(F.col("_y") == 1, d(cum_pos) / d(k)).otherwise(F.lit(0.0))
+    agg = pv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(term).alias("_ap_sum"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0, F.col("_ap_sum") / d(F.col("n_pos"))
+    )
+    return agg.select(
+        "n", "n_pos", F.round(ap, round_to).alias("average_precision")
+    )

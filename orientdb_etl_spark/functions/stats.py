@@ -45,6 +45,9 @@ __all__ = [
     "cuped",
     "cross_correlation",
     "changepoint",
+    "log_rank",
+    "anova_oneway",
+    "levene_bf",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -1409,3 +1412,209 @@ def changepoint(
         .select(F.lit(n_buckets).alias("n_buckets"), "*")
         .drop("_raw")
     )
+
+
+def log_rank(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966): does group A's survival
+    curve differ from group B's? At each distinct EVENT time the
+    observed group-A deaths are compared with the hypergeometric
+    expectation ``d·n_a/n`` under the pooled-hazard null; the statistic
+    ``chi2 = (Σ(d_a − e_a))² / Σv`` is χ²(1). One row: ``(n_a, n_b,
+    n_times, obs_a, exp_a, obs_b, exp_b, chi2)`` — the significance
+    companion of :func:`kaplan_meier` (same tie conventions: events at
+    ``t`` precede censorings at ``t``).
+
+    Scale shape: subjects collapse to ONE per-duration aggregation with
+    both groups' (at-risk, death) counts as conditional sums; the
+    at-risk counts are total-minus-exclusive-prefix over the
+    distinct-duration frame (range partitioned, never a global ORDER BY
+    window); the two totals are the only driver-side state (exact
+    BIGINTs, embedded as literals so the oracle replays the identical
+    arithmetic). Risk-set math is all integer; the only float folds are
+    the e/v sums over the (tiny) event-time frame.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    life = df.select(
+        F.col(duration_col).cast("bigint").alias("_t"),
+        F.col(observed_col).cast("boolean").alias("_obs"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .when(F.col(group_col) == group_b, F.lit(0))
+        .alias("_ga"),
+    ).where(F.col(duration_col).isNotNull() & F.col("_ga").isNotNull())
+    per_t = life.groupBy("_t").agg(
+        F.sum(F.col("_ga")).alias("_c1"),
+        F.sum(1 - F.col("_ga")).alias("_c2"),
+        F.sum(F.when(F.col("_obs") & (F.col("_ga") == 1), 1).otherwise(0)).alias("_d1"),
+        F.sum(F.when(F.col("_obs") & (F.col("_ga") == 0), 1).otherwise(0)).alias("_d2"),
+    )
+    tot = per_t.agg(F.sum("_c1"), F.sum("_c2")).first()
+    n_a, n_b = int(tot[0] or 0), int(tot[1] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"log_rank: empty group (n_a={n_a}, n_b={n_b}) — both "
+            f"{group_a!r} and {group_b!r} need at least one subject"
+        )
+    pv = exclusive_prefix(per_t, ["_t"], "_c1", "sum", "_b1", "bigint")
+    pv = exclusive_prefix(pv, ["_t"], "_c2", "sum", "_b2", "bigint")
+    d = lambda c: c.cast("double")  # noqa: E731
+    ev = pv.select(
+        "_t",
+        "_d1",
+        "_d2",
+        (F.lit(n_a) - F.coalesce(F.col("_b1"), F.lit(0))).alias("_n1"),
+        (F.lit(n_b) - F.coalesce(F.col("_b2"), F.lit(0))).alias("_n2"),
+    ).where((F.col("_d1") + F.col("_d2")) > 0)
+    dt = (F.col("_d1") + F.col("_d2")).cast("bigint")
+    nt = (F.col("_n1") + F.col("_n2")).cast("bigint")
+    e1 = d(dt) * d(F.col("_n1")) / d(nt)
+    v = F.when(
+        nt > 1,
+        d(dt)
+        * (d(F.col("_n1")) / d(nt))
+        * (d(F.col("_n2")) / d(nt))
+        * (d(nt - dt) / d(nt - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_d1").alias("_o1"),
+        F.sum("_d2").alias("_o2"),
+        F.sum(e1).alias("_e1"),
+        F.sum(v).alias("_v"),
+    )
+    chi2 = F.when(
+        F.col("_v") > 0,
+        (d(F.col("_o1")) - F.col("_e1"))
+        * (d(F.col("_o1")) - F.col("_e1"))
+        / F.col("_v"),
+    )
+    return agg.select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.col("_k").alias("n_times"),
+        F.col("_o1").alias("obs_a"),
+        F.round(F.col("_e1"), round_to).alias("exp_a"),
+        F.col("_o2").alias("obs_b"),
+        F.round(
+            (d(F.col("_o1")) + d(F.col("_o2"))) - F.col("_e1"), round_to
+        ).alias("exp_b"),
+        F.round(chi2, round_to).alias("chi2"),
+    )
+
+
+def _anova_f(grouped: DataFrame, round_to: int) -> DataFrame:
+    """Shared one-way-ANOVA tail over a ``(_g, _x BIGINT)`` frame: one
+    per-group (n, Σx, Σx²) aggregation, then the between/within sum-of-
+    squares decomposition as a fixed chain of double ops over exact
+    integers. Only scale-free statistics are emitted (F, η²) — raw SS
+    magnitudes would be hostage to float-fold order across engines."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    per = grouped.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+    )
+    t = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.sum(d(F.col("_s")) * d(F.col("_s")) / d(F.col("_n"))).alias("_sb"),
+    )
+    ssb = F.col("_sb") - d(F.col("_st")) * d(F.col("_st")) / d(F.col("_nt"))
+    ssw = d(F.col("_qt")) - F.col("_sb")
+    dfb = (F.col("_k") - 1).cast("bigint")
+    dfw = (F.col("_nt") - F.col("_k")).cast("bigint")
+    f = F.when(
+        (dfb > 0) & (dfw > 0) & (ssw > 0),
+        (ssb / d(dfb)) / (ssw / d(dfw)),
+    )
+    eta = F.when(ssb + ssw > 0, ssb / (ssb + ssw))
+    return t.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_nt").alias("n_total"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        F.round(f, round_to).alias("f_stat"),
+        F.round(eta, round_to).alias("eta_sq"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F-test — the parametric counterpart of
+    :func:`kruskal_wallis`: do the group means differ more than the
+    within-group noise explains? One row: ``(k_groups, n_total,
+    df_between, df_within, f_stat, eta_sq)``.
+
+    Values quantize to integer units of ``1/scale`` (the
+    :func:`~orientdb_etl_spark.operators.temporal.twap` cents
+    discipline) so the per-group Σx and Σx² are EXACT BIGINTs — grouped
+    float folds are not bit-associative across engines, and raw
+    sums-of-squares at corpus scale would flip 6-dp rounding. F and η²
+    are scale-invariant, so the quantization cancels out of both. Σx²
+    stays exact while ``n·(scale·max|x|)² < 2⁶³`` — beyond that, shift
+    ``scale`` down (documented, never silent).
+
+    Scale shape: one grouped aggregation to k rows, one k-row global
+    fold — no window, no join, no driver state.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(value_col) * F.lit(int(scale)))
+        .cast("bigint")
+        .alias("_x"),
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    return _anova_f(g, round_to)
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe test for equality of group VARIANCES (Levene's
+    test with the median center — Brown & Forsythe 1974, the
+    robust-to-skew variant): one-way ANOVA of the absolute deviations
+    ``|x − median_g|``. One row, same schema as :func:`anova_oneway`.
+    Run it before trusting that test's equal-variance assumption.
+
+    Exactness: values quantize to integer ``1/scale`` units; the group
+    median of integers is integer-or-half-integer, so the deviations
+    ``|2x − 2·median|`` are EXACT BIGINTs and the ANOVA tail replays
+    bit-identically (F and η² are invariant to the doubling). The exact
+    ``percentile`` aggregate buffers one group's values per task — the
+    documented preprocess.py trade-off; at 100 TB swap in
+    ``percentile_approx`` (different test, same plan).
+    """
+    b = df.select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(value_col) * F.lit(int(scale)))
+        .cast("bigint")
+        .alias("_v"),
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    med = b.groupBy("_g").agg(
+        F.expr("percentile(_v, 0.5D)").alias("_med")
+    )
+    g = b.join(med, "_g").select(
+        "_g",
+        F.abs(
+            F.col("_v") * F.lit(2) - (F.col("_med") * F.lit(2.0)).cast("bigint")
+        ).alias("_x"),
+    )
+    return _anova_f(g, round_to)

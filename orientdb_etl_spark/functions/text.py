@@ -777,3 +777,82 @@ def tfidf_topk(
     )
 
 
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990): adjacent lowercased token bigrams scored with ``pmi =
+    ln(p(xy) / (p(x)·p(y)))`` where ``p(xy) = c_xy/N_bigrams`` and the
+    unigram probabilities use the full token count — the
+    phrase-discovery pass (\"new york\", \"machine learning\") that
+    feeds tokenizer vocab curation upstream of BPE. Returns the top
+    ``top_k`` pairs ``(w1, w2, n_pair, pmi)``; ``min_count`` floors the
+    pair support so rare-pair PMI noise (which maxes PMI at count 1)
+    never wins.
+
+    Scale shape: tokenize once, two Generate explodes (unigrams,
+    bigrams via an index transform — guarded ``size >= 2`` so
+    ``sequence()`` never descends), ONE grouped shuffle each, then the
+    pair frame joins the vocabulary-sized unigram counts on each side
+    (Catalyst/AQE picks broadcast vs shuffle by real vocab size). All
+    counts are exact BIGINTs; selection orders on the RAW probability
+    ratio (pure arithmetic — bit-identical across engines, unlike ln's
+    libm) with a (w1, w2) tie-break, compiling to
+    TakeOrderedAndProject; only the emitted score applies ``ln``.
+    """
+    low = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    toks = df.select(low.alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = uni.agg(
+        F.sum("_c").alias("_nu"),
+    )
+    bg = (
+        toks.where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "j -> struct(element_at(_t, j) AS w1, "
+                    "element_at(_t, j + 1) AS w2))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.w1", "_p.w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    nb = pairs.agg(F.sum("n_pair").alias("_nb"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    scored = (
+        pairs.where(F.col("n_pair") >= int(min_count))
+        .join(uni.select(F.col("w").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "_ratio",
+            d(F.col("n_pair"))
+            * d(F.col("_nu"))
+            * d(F.col("_nu"))
+            / (d(F.col("_nb")) * d(F.col("_c1")) * d(F.col("_c2"))),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_ratio").desc(), "w1", "w2")
+        .limit(int(top_k))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.log(F.col("_ratio")), round_to).alias("pmi"),
+        )
+    )

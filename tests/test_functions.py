@@ -1586,3 +1586,37 @@ def test_kmeans_sql_twin_matches_on_toy_frame(spark, tmp_path):
     want = [tuple(map(int, r)) for r in
             con.execute(kmeans_rounds_sql(k=3, rounds=2)).fetchall()]
     assert got == want
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from orientdb_etl_spark.functions.text import pmi_collocations
+
+    # "new york" appears 3x; fillers keep it from being the whole corpus
+    docs = [
+        ("new york is big",),
+        ("new york is old",),
+        ("i like new york",),
+        ("big and old",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_collocations(df, "text", min_count=2, top_k=5)
+    rows = {(r.w1, r.w2): r for r in out.collect()}
+    assert ("new", "york") in rows
+    r = rows[("new", "york")]
+    # counts: c_xy=3, nu=15 tokens, nb=11 bigrams, c_new=3, c_york=3
+    want = math.log(3 * 15 * 15 / (11 * 3 * 3))
+    assert r.n_pair == 3
+    assert r.pmi == round(want, 6)
+
+
+def test_pmi_collocations_min_count_and_short_docs(spark):
+    from orientdb_etl_spark.functions.text import pmi_collocations
+
+    docs = [("a b",), ("c",), ("",), (None,), ("a b",)]
+    df = spark.createDataFrame(docs, "text string")
+    rows = pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    # single-token / empty / null docs produce no bigrams and no crash
+    assert [(r.w1, r.w2, r.n_pair) for r in rows] == [("a", "b", 2)]
+    assert pmi_collocations(df, "text", min_count=3, top_k=10).count() == 0

@@ -487,3 +487,29 @@ def test_modularity_single_community_is_zero(spark):
         [(1, "A"), (2, "A"), (3, "A")], "node long, label string"
     )
     assert modularity(e, lab).collect()[0].q_modularity == 0.0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    from orientdb_etl_spark.functions.graph import clustering_coefficient
+
+    # triangle {1,2,3} with a pendant 3-4: degrees 2,2,3,1
+    # wedges = 1+1+3+0 = 5; triangles = 1; C = 3/5
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    r = clustering_coefficient(e).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (4, 4)
+    assert (r.n_wedges, r.n_triangles) == (5, 1)
+    assert r.global_cc == 0.6
+
+
+def test_clustering_coefficient_complete_and_wedgeless(spark):
+    from orientdb_etl_spark.functions.graph import clustering_coefficient
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = clustering_coefficient(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()[0]
+    assert r.global_cc == 1.0  # complete graph: every wedge closes
+    single = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert clustering_coefficient(single).collect()[0].global_cc is None

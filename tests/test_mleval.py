@@ -101,3 +101,35 @@ def test_gains_chart_deterministic_under_ties(spark):
     a = [tuple(r) for r in gains_chart(df, "s", "y", "id").collect()]
     b = [tuple(r) for r in gains_chart(df.repartition(7), "s", "y", "id").collect()]
     assert a == b  # id tie-break makes tied scores deterministic
+
+
+def test_average_precision_hand_computed(spark):
+    from orientdb_etl_spark.functions.mleval import average_precision
+
+    # order by score desc: y = [1, 0, 1, 1, 0]
+    rows = [(1, 0.9, 1), (2, 0.8, 0), (3, 0.7, 1), (4, 0.6, 1), (5, 0.5, 0)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    r = average_precision(df, "s", "y", "id").collect()[0]
+    want = (1 / 1 + 2 / 3 + 3 / 4) / 3
+    assert (r.n, r.n_pos) == (5, 3)
+    assert r.average_precision == round(want, 6)
+
+
+def test_average_precision_tie_break_and_degenerate(spark):
+    from orientdb_etl_spark.functions.mleval import average_precision
+
+    # tied scores cut by id asc: ids 1 (y=0), 2 (y=1) at same score
+    rows = [(1, 0.5, 0), (2, 0.5, 1)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    r = average_precision(df, "s", "y", "id").collect()[0]
+    assert r.average_precision == 0.5  # positive lands at rank 2
+    none = spark.createDataFrame([(1, 0.5, 0)], "id long, s double, y int")
+    assert average_precision(none, "s", "y", "id").collect()[0].average_precision is None
+
+
+def test_average_precision_perfect_ranking(spark):
+    from orientdb_etl_spark.functions.mleval import average_precision
+
+    rows = [(i, 1.0 - i / 100.0, 1 if i < 5 else 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    assert average_precision(df, "s", "y", "id").collect()[0].average_precision == 1.0

@@ -863,3 +863,103 @@ def test_changepoint_zero_fills_gaps_and_validates(spark):
     one = _minute_events(spark, {"e": [4]})
     with _pytest.raises(ValueError, match="at least 2 buckets"):
         changepoint(one, "ts", bucket_seconds=60)
+
+
+# ---------------------------------------------------------------------------
+# log_rank / anova_oneway / levene_bf
+
+
+def test_log_rank_identical_groups_is_zero(spark):
+    from orientdb_etl_spark.functions.stats import log_rank
+
+    rows = [(g, t, True) for g in ("a", "b") for t in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs boolean")
+    r = log_rank(df, "dur", "obs", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.n_times) == (5, 5, 5)
+    assert r.obs_a == 5 and r.obs_b == 5
+    assert r.exp_a == 5.0 and r.exp_b == 5.0
+    assert r.chi2 == 0.0
+
+
+def test_log_rank_hand_computed(spark):
+    from orientdb_etl_spark.functions.stats import log_rank
+
+    # group a dies at 1, 2; group b dies at 3; b censored at 4
+    rows = [("a", 1, True), ("a", 2, True), ("b", 3, True), ("b", 4, False)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs boolean")
+    r = log_rank(df, "dur", "obs", "g", "a", "b").collect()[0]
+    # t=1: n=4 (2a, 2b), d=1, e_a = 1*2/4 = .5, v = 1*(2/4)*(2/4)*(3/3)=.25
+    # t=2: n=3 (1a, 2b), d=1, e_a = 1/3,      v = (1/3)*(2/3)*(1) = 2/9
+    # t=3: n=2 (0a, 2b), d=1, e_a = 0,        v = 0
+    ea = 0.5 + 1 / 3
+    vv = 0.25 + 2 / 9
+    assert r.obs_a == 2 and r.obs_b == 1
+    assert r.exp_a == round(ea, 6)
+    assert r.exp_b == round(3 - ea, 6)
+    assert r.chi2 == round((2 - ea) ** 2 / vv, 6)
+
+
+def test_log_rank_empty_group_raises(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.stats import log_rank
+
+    df = spark.createDataFrame(
+        [("a", 1, True)], "g string, dur long, obs boolean"
+    )
+    with _pytest.raises(ValueError, match="empty group"):
+        log_rank(df, "dur", "obs", "g", "a", "b")
+
+
+def test_anova_oneway_hand_computed(spark):
+    from orientdb_etl_spark.functions.stats import anova_oneway
+
+    # groups with means 2, 4 and identical within-variance
+    rows = [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    # cents: a = (100, 300), b = (300, 500); ssb = 4e4 cents^2 * ... :
+    # grand mean 300; ssb = 2*(200-300)^2 + 2*(400-300)^2 = 40000 (x100^2)
+    # ssw = 2*(100^2) * 2 groups = 40000 (x100^2); f = (ssb/1)/(ssw/2) = 2
+    assert (r.k_groups, r.n_total) == (2, 4)
+    assert (r.df_between, r.df_within) == (1, 2)
+    assert r.f_stat == 2.0
+    assert r.eta_sq == 0.5
+
+
+def test_anova_oneway_degenerate_nulls(spark):
+    from orientdb_etl_spark.functions.stats import anova_oneway
+
+    # single group: df_between = 0 -> NULL f; constant values -> ssw = 0
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = anova_oneway(one, "g", "v").collect()[0]
+    assert r.f_stat is None
+    const = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    r = anova_oneway(const, "g", "v").collect()[0]
+    assert r.f_stat is None and r.eta_sq is None
+
+
+def test_levene_bf_detects_variance_difference(spark):
+    from orientdb_etl_spark.functions.stats import levene_bf
+
+    # same medians, wildly different spreads
+    rows = [("tight", 100.0 + d) for d in (-1, -0.5, 0, 0.5, 1)] + [
+        ("wide", 100.0 + d) for d in (-50, -25, 0, 25, 50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "g", "v").collect()[0]
+    assert (r.k_groups, r.n_total) == (2, 10)
+    assert r.f_stat > 5  # spread difference dominates
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)] + [("b", float(v) + 100) for v in (1, 2, 3)],
+        "g string, v double",
+    )
+    r = same.transform(lambda d: levene_bf(d, "g", "v")).collect()[0]
+    # identical |x - median| multisets in both groups: F exactly 0
+    assert r.f_stat == 0.0
