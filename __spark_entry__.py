@@ -5225,6 +5225,67 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(edges)
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer ↔ supplier trade graph
+    (bipartite graphs skew disassortative) — exact BIGINT degree
+    moments over the 2m directed pair representation, one fixed double
+    chain for r."""
+    from orientdb_etl_spark.functions.graph import assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return assortativity(edges)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the hourly event-arrival series — the
+    significance companion of theil_sen; the pair fold self-joins the
+    time-range-bounded bucket frame only, never raw rows."""
+    from orientdb_etl_spark.functions.stats import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall(ev, "ts")
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of event value per user — one hash aggregate;
+    open/close via min_by/max_by over the deterministic
+    epoch·10⁵ + event_id order (the golden_record total order)."""
+    from orientdb_etl_spark.operators.temporal import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, "user_id", "ts", "value", "event_id")
+
+
+def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / nDCG@10 / hit-rate@10 of the synthetic scores grouped by
+    user (per-query keyed window, bounded per-user cardinality) — DCG
+    terms from the ONE math_log2_sql generator both engines share."""
+    from orientdb_etl_spark.functions.mleval import ranking_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.expr("((event_id + 11) % 1000003) * 2654435761 % 1000") / F.lit(
+        1000.0
+    )
+    label = F.col("event_type") == "purchase"
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        (base * F.lit(0.7) + F.when(label, F.lit(0.3)).otherwise(F.lit(0.0)))
+        .alias("score"),
+        label.cast("int").alias("y"),
+    )
+    return ranking_metrics(scored, "user_id", "score", "y", "event_id", k=10)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5605,6 +5666,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "avg_precision": q_avg_precision,
             "pmi_bigrams": q_pmi_bigrams,
             "clustering_coeff": q_clustering_coeff,
+            # round 5 (closing): assortativity, MK trend, OHLC, ranking
+            "assortativity": q_assortativity,
+            "mann_kendall": q_mann_kendall,
+            "ohlc_hourly": q_ohlc,
+            "ranking_eval": q_ranking,
         }
     )
     return out
@@ -5902,6 +5968,43 @@ def _resolve_oracle() -> str:
         "SELECT g.entity_id, g.n_records, g.max_bal, g.first_name, "
         "mt.top_segment FROM g LEFT JOIN mt "
         "ON g.entity_id = mt.entity_id AND mt.rn2 = 1"
+    )
+
+
+def _ranking_oracle(k: int = 10) -> str:
+    """DuckDB replay of q_ranking: identical per-user (score desc,
+    event_id) order, DCG terms from the SAME math_log2_sql generator,
+    ideal DCG via a list-comprehension fold over ranks 1..min(P, k)."""
+    from orientdb_etl_spark.functions.mleval import math_log2_sql
+
+    term_r = math_log2_sql("r")
+    term_i = math_log2_sql("i")
+    return (
+        "WITH sc AS (SELECT user_id, event_id, "
+        "((event_id + 11) % 1000003) * 2654435761 % 1000 / 1000.0 "
+        "* 0.7 + CASE WHEN event_type = 'purchase' THEN 0.3 "
+        "ELSE 0.0 END AS s, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "rk AS (SELECT user_id, y, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY s DESC, event_id) AS r FROM sc), "
+        "pq AS (SELECT user_id, CAST(sum(y) AS BIGINT) AS np, "
+        "min(CASE WHEN y = 1 THEN r END) AS fr, "
+        f"sum(CASE WHEN y = 1 AND r <= {k} THEN {term_r} "
+        "ELSE 0.0 END) AS dcg FROM rk GROUP BY 1), "
+        "tot AS (SELECT count(*) AS n_queries FROM pq), "
+        "wp AS (SELECT np, fr, dcg, "
+        f"list_sum([{term_i} FOR i IN range(1, "
+        f"CAST(least(np, {k}) AS INTEGER) + 1)]) AS idcg "
+        "FROM pq WHERE np > 0), "
+        "ag AS (SELECT count(*) AS n_with_pos, "
+        "avg(1.0 / CAST(fr AS DOUBLE)) AS mrr0, "
+        "avg(dcg / idcg) AS ndcg0, "
+        f"avg(CAST(CASE WHEN fr <= {k} THEN 1 ELSE 0 END AS DOUBLE)) "
+        "AS hr0 FROM wp) "
+        "SELECT n_queries, n_with_pos, round(mrr0, 6) AS mrr, "
+        "round(ndcg0, 6) AS ndcg_at_k, round(hr0, 6) AS hit_rate_at_k "
+        "FROM tot, ag"
     )
 
 
@@ -8966,6 +9069,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w1, w2, np AS n_pair, round(ln(r), 6) AS pmi "
             "FROM sc ORDER BY r DESC, w1, w2 LIMIT 50"
         ),
+        "assortativity": (
+            # 2m directed pairs carry (d_j, d_k); exact BIGINT moments,
+            # identical double chain for r (mu repeated = same value)
+            "WITH e0 AS (SELECT DISTINCT o_custkey AS a, "
+            "l_suppkey + 1000000 AS b FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) "
+            "GROUP BY 1), "
+            "dir AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0), "
+            "p AS (SELECT dj.d AS j, dk.d AS k2 FROM dir "
+            "JOIN deg dj ON dir.a = dj.n JOIN deg dk ON dir.b = dk.n), "
+            "mom AS (SELECT count(*) AS m2, CAST(sum(j) AS BIGINT) AS s1, "
+            "CAST(sum(j * j) AS BIGINT) AS s2, "
+            "CAST(sum(j * k2) AS BIGINT) AS s11 FROM p), "
+            "nv AS (SELECT count(*) AS nv FROM deg) "
+            "SELECT nv AS n_nodes, CAST(m2 / 2 AS BIGINT) AS m_edges, "
+            "round(CASE WHEN CAST(s2 AS DOUBLE) / CAST(m2 AS DOUBLE) - "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE)) * "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE)) > 0 THEN "
+            "(CAST(s11 AS DOUBLE) / CAST(m2 AS DOUBLE) - "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE)) * "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE))) / "
+            "(CAST(s2 AS DOUBLE) / CAST(m2 AS DOUBLE) - "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE)) * "
+            "(CAST(s1 AS DOUBLE) / CAST(m2 AS DOUBLE))) END, 6) "
+            "AS r_assortativity FROM mom, nv"
+        ),
+        "mann_kendall": (
+            # zero-filled hourly series; pair fold on the bounded bucket
+            # frame; tie-corrected variance exact-integer until /18
+            "WITH b AS (SELECT CAST(floor(floor(epoch(CAST(ts AS "
+            "TIMESTAMP))) / 3600) AS BIGINT) AS t, count(*) AS x "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1), "
+            "mm AS (SELECT min(t) AS lo, max(t) AS hi, "
+            "CAST(max(t) - min(t) + 1 AS BIGINT) AS n FROM b), "
+            "s AS (SELECT g.t, CAST(coalesce(b.x, 0) AS BIGINT) AS x "
+            "FROM (SELECT unnest(generate_series((SELECT lo FROM mm), "
+            "(SELECT hi FROM mm))) AS t) g LEFT JOIN b USING (t)), "
+            "sj AS (SELECT CAST(sum(CASE WHEN r.x > l.x THEN 1 "
+            "WHEN r.x < l.x THEN -1 ELSE 0 END) AS BIGINT) AS sst "
+            "FROM s l JOIN s r ON r.t > l.t), "
+            "tg AS (SELECT x, count(*) AS c FROM s GROUP BY 1), "
+            "ties AS (SELECT count(*) AS ng, CAST(coalesce(sum(c * (c - 1) "
+            "* (2 * c + 5)), 0) AS BIGINT) AS tc FROM tg WHERE c > 1), "
+            "v AS (SELECT CAST(n * (n - 1) * (2 * n + 5) AS BIGINT) - tc "
+            "AS vn FROM mm, ties) "
+            "SELECT CAST((SELECT n FROM mm) AS INTEGER) AS n_buckets, "
+            "sst AS s_stat, ng AS n_tie_groups, "
+            "round(CAST(vn AS DOUBLE) / 18.0, 6) AS var_s, "
+            "round(CASE WHEN vn > 0 THEN "
+            "CASE WHEN sst > 0 THEN (CAST(sst AS DOUBLE) - 1.0) / "
+            "sqrt(CAST(vn AS DOUBLE) / 18.0) "
+            "WHEN sst < 0 THEN (CAST(sst AS DOUBLE) + 1.0) / "
+            "sqrt(CAST(vn AS DOUBLE) / 18.0) ELSE 0.0 END END, 6) AS z "
+            "FROM sj, ties, v"
+        ),
+        "ohlc_hourly": (
+            # one grouped pass; open/close via arg_min/arg_max over the
+            # golden_record deterministic total order
+            "WITH d AS (SELECT user_id, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, "
+            "CAST(value AS DOUBLE) AS v, event_id FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "b AS (SELECT user_id, es // 3600 AS bk, "
+            "es * 100000 + event_id % 100000 AS ord, v FROM d) "
+            "SELECT user_id, bk * 3600 AS bucket_start, "
+            "round(arg_min(v, ord), 6) AS open, round(max(v), 6) AS high, "
+            "round(min(v), 6) AS low, round(arg_max(v, ord), 6) AS close, "
+            "count(*) AS n_ticks FROM b GROUP BY 1, 2"
+        ),
         "clustering_coeff": (
             # triangle_count's p99 co-supply projection + exact integer
             # wedge count; same naive canonical triangle join
@@ -8996,6 +9171,8 @@ def oracle_sql() -> dict[str, str]:
     # Spark path (linkage.fs_weight_sql)
     sql["fellegi_sunter"] = _fellegi_oracle()
     sql["resolve_entities"] = _resolve_oracle()
+    # ranking oracle shares the ONE DCG-term generator (math_log2_sql)
+    sql["ranking_eval"] = _ranking_oracle()
     # k-core oracle: the same peel unrolled to 8 fixed rounds by the ONE
     # Python generator both engines share (peel depth measured 2 at every
     # SF; monotone peeling makes extra rounds no-ops)

@@ -271,6 +271,10 @@ HEADLINE = [
     "avg_precision",
     "pmi_bigrams",
     "clustering_coeff",
+    "assortativity",
+    "mann_kendall",
+    "ohlc_hourly",
+    "ranking_eval",
 ]
 
 

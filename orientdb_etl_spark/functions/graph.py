@@ -36,6 +36,7 @@ __all__ = [
     "sssp_rounds_sql",
     "modularity",
     "clustering_coefficient",
+    "assortativity",
 ]
 
 
@@ -796,4 +797,62 @@ def clustering_coefficient(
             "n_triangles",
             F.round(cc, round_to).alias("global_cc"),
         )
+    )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the edge set — positive means
+    hubs attach to hubs (social networks), negative means hubs attach
+    to leaves (the internet, supply graphs). One row: ``(n_nodes,
+    m_edges, r_assortativity)``; NULL r on degree-regular graphs (zero
+    variance).
+
+    Scale shape: one degree aggregation, one broadcastable degree join
+    per endpoint, then a single global fold of exact BIGINT moments
+    (Σj, Σj², Σjk over the 2m directed pair representation — exact
+    while ``Σd² < 2⁶³``, i.e. any graph short of ~10⁹-degree hubs on
+    10⁹ edges; beyond that the moments need doubles, documented). The
+    coefficient is a fixed chain of double ops over those integers, so
+    the oracle replays it bit-identically.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # both directions: each undirected edge contributes (d_a, d_b) and
+    # (d_b, d_a), making the j/k marginals identical by construction
+    directed = und.unionAll(und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    dj = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_dj"))
+    dk = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_dk"))
+    pairs = directed.join(dj, "_a").join(dk, "_b")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("_m2"),
+        F.sum("_dj").alias("_s1"),
+        F.sum(F.col("_dj") * F.col("_dj")).alias("_s2"),
+        F.sum(F.col("_dj") * F.col("_dk")).alias("_s11"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("_nv"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    mu = d(F.col("_s1")) / d(F.col("_m2"))
+    var = d(F.col("_s2")) / d(F.col("_m2")) - mu * mu
+    cov = d(F.col("_s11")) / d(F.col("_m2")) - mu * mu
+    r = F.when(var > 0, cov / var)
+    return mom.crossJoin(F.broadcast(nv)).select(
+        F.col("_nv").alias("n_nodes"),
+        (F.col("_m2") / 2).cast("bigint").alias("m_edges"),
+        F.round(r, round_to).alias("r_assortativity"),
     )

@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_curve", "gains_chart", "average_precision"]
+__all__ = [
+    "roc_auc",
+    "calibration_curve",
+    "gains_chart",
+    "average_precision",
+    "ranking_metrics",
+    "math_log2_sql",
+]
 
 
 def roc_auc(
@@ -245,4 +252,90 @@ def average_precision(
     )
     return agg.select(
         "n", "n_pos", F.round(ap, round_to).alias("average_precision")
+    )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query ranking quality rolled up to corpus scalars: MRR,
+    nDCG@k (binary gains), and hit-rate@k over the deterministic
+    per-query order ``(score DESC, id ASC)`` — the retrieval-eval
+    companion of :func:`average_precision` when results group by query
+    (user, search, session). Queries with no positive are excluded (no
+    reciprocal rank or ideal DCG exists for them); one row:
+    ``(n_queries, n_with_pos, mrr, ndcg_at_k, hit_rate_at_k)``.
+
+    Scale shape: ONE window partitioned BY QUERY (bounded per-query
+    cardinality — never a global sort) ranks rows; per-query metrics
+    fold in one hash aggregate and the corpus roll-up is a single
+    global fold of O(1)-magnitude terms. DCG terms use ``ln(2)/ln(r+1)``
+    with INTEGER rank arguments, so both engines feed libm the same
+    doubles; ranks (not float scores) drive every selection.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(id_col).alias("_id"),
+    ).where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(query_col).isNotNull()
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_id"))
+    r = base.withColumn("_r", F.row_number().over(w))
+    d = lambda c: c.cast("double")  # noqa: E731
+    per_q = r.groupBy("_q").agg(
+        F.sum("_y").alias("_np"),
+        F.min(F.when(F.col("_y") == 1, F.col("_r"))).alias("_fr"),
+        F.sum(
+            F.when(
+                (F.col("_y") == 1) & (F.col("_r") <= k),
+                F.expr(math_log2_sql("_r")),
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+    )
+    # ideal DCG@k for binary gains: positives stacked at ranks 1..min(P, k)
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(CAST(_np AS INT), {int(k)})), "
+        f"0.0D, (acc, i) -> acc + {math_log2_sql('i')})"
+    )
+    scored = per_q.where(F.col("_np") > 0).select(
+        "_q",
+        (F.lit(1.0) / d(F.col("_fr"))).alias("_rr"),
+        (F.col("_dcg") / idcg).alias("_ndcg"),
+        (F.col("_fr") <= k).cast("int").alias("_hit"),
+    )
+    n_all = per_q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_with_pos"),
+            F.round(F.avg("_rr"), round_to).alias("mrr"),
+            F.round(F.avg("_ndcg"), round_to).alias("ndcg_at_k"),
+            F.round(F.avg(d(F.col("_hit"))), round_to).alias("hit_rate_at_k"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select("n_queries", "n_with_pos", "mrr", "ndcg_at_k", "hit_rate_at_k")
+    )
+
+
+def math_log2_sql(rank_expr: str) -> str:
+    """The ONE DCG-term generator both engines share: ``ln(2)/ln(r+1)``
+    with the ln(2) literal pinned to Python's repr (CAST through DOUBLE
+    — a bare decimal literal would make Spark run DECIMAL division) so
+    Spark and DuckDB evaluate the identical double chain."""
+    import math
+
+    return (
+        f"CAST({math.log(2.0)!r} AS DOUBLE) / "
+        f"ln(CAST({rank_expr} AS DOUBLE) + 1.0)"
     )

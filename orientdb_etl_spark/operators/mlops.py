@@ -693,7 +693,12 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
     - ``bestSplit``: {"featureField", "labelField"}
     - ``crossCorrelation``: {"tsField", "labelField", "labelX",
       "labelY", "maxLag": 12, "bucketSeconds": 3600}
-    - ``changepoint``: {"tsField", "bucketSeconds": 3600}
+    - ``changepoint`` / ``mannKendall``: {"tsField",
+      "bucketSeconds": 3600}
+    - ``logRank``: {"durationField", "observedField", "groupField",
+      "groupA", "groupB"}
+    - ``anova`` / ``levene``: {"groupField", "valueField",
+      "scale": 100}
     """
     from orientdb_etl_spark.functions import stats as S
     from orientdb_etl_spark.functions.preprocess import best_split, woe_iv
@@ -757,6 +762,35 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             df,
             cfg["tsField"],
             bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        )
+    if m == "mannKendall":
+        return S.mann_kendall(
+            df,
+            cfg["tsField"],
+            bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+        )
+    if m == "logRank":
+        return S.log_rank(
+            df,
+            cfg["durationField"],
+            cfg["observedField"],
+            cfg["groupField"],
+            cfg["groupA"],
+            cfg["groupB"],
+        )
+    if m == "anova":
+        return S.anova_oneway(
+            df,
+            cfg["groupField"],
+            cfg["valueField"],
+            scale=int(cfg.get("scale", 100)),
+        )
+    if m == "levene":
+        return S.levene_bf(
+            df,
+            cfg["groupField"],
+            cfg["valueField"],
+            scale=int(cfg.get("scale", 100)),
         )
     raise ValueError(f"unknown analyze method {m!r}")
 
@@ -879,4 +913,38 @@ def resolve_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         threshold=float(cfg.get("threshold", 0.0)),
         window=int(cfg.get("window", 5)),
         order_col=cfg.get("orderField"),
+    )
+
+
+@register("ohlc")
+def ohlc_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"ohlc": {"keyField", "tsField", "valueField", "idField",
+    "bucketSeconds": 3600}} — OHLC candlestick resampling
+    (operators/temporal.py)."""
+    from orientdb_etl_spark.operators.temporal import ohlc_bars
+
+    return ohlc_bars(
+        df,
+        cfg["keyField"],
+        cfg["tsField"],
+        cfg["valueField"],
+        cfg["idField"],
+        bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+    )
+
+
+@register("rankEval")
+def rank_eval_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"rankEval": {"queryField", "scoreField", "labelField",
+    "idField", "k": 10}} — MRR / nDCG@k / hit-rate@k retrieval metrics
+    (functions/mleval.py)."""
+    from orientdb_etl_spark.functions.mleval import ranking_metrics
+
+    return ranking_metrics(
+        df,
+        cfg["queryField"],
+        cfg["scoreField"],
+        cfg["labelField"],
+        cfg["idField"],
+        k=int(cfg.get("k", 10)),
     )

@@ -1570,3 +1570,60 @@ def twap(
             F.col("_wsum") / F.col("span_seconds") / 100.0, round_to
         ).alias("twap"),
     ).orderBy(key_col)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """OHLC resampling: per (key, time bucket) the open / high / low /
+    close of an irregular value series plus the tick count — the
+    candlestick aggregation every market-data and sensor warehouse
+    ships. One row per occupied bucket: ``(key, bucket_start, open,
+    high, low, close, n_ticks)``; empty buckets are absent (gap-fill is
+    :func:`resample_gapfill`'s job).
+
+    Scale shape: ONE hash aggregate on (key, bucket) — open/close are
+    ``min_by``/``max_by`` over the deterministic total order
+    ``epoch·10⁵ + id mod 10⁵`` (the golden_record ordering; duplicate
+    timestamps would otherwise make open/close engine-dependent),
+    high/low/count are plain map-side-combinable aggregates. No window,
+    no join, no driver state.
+    """
+    sec = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ).cast("bigint")
+    d = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.floor(sec / F.lit(int(bucket_seconds))).cast("bigint").alias("_b"),
+        (sec * F.lit(100000) + F.col(id_col) % F.lit(100000)).alias("_ord"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return (
+        d.groupBy("_k", "_b")
+        .agg(
+            F.min_by("_v", "_ord").alias("_open"),
+            F.max("_v").alias("_high"),
+            F.min("_v").alias("_low"),
+            F.max_by("_v", "_ord").alias("_close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            (F.col("_b") * F.lit(int(bucket_seconds))).alias("bucket_start"),
+            F.round("_open", round_to).alias("open"),
+            F.round("_high", round_to).alias("high"),
+            F.round("_low", round_to).alias("low"),
+            F.round("_close", round_to).alias("close"),
+            "n_ticks",
+        )
+    )

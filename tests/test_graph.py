@@ -513,3 +513,33 @@ def test_clustering_coefficient_complete_and_wedgeless(spark):
     assert r.global_cc == 1.0  # complete graph: every wedge closes
     single = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert clustering_coefficient(single).collect()[0].global_cc is None
+
+
+def test_assortativity_star_is_negative(spark):
+    from orientdb_etl_spark.functions.graph import assortativity
+
+    # star K1,4: every edge joins degree 4 to degree 1 -> r = -1
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    r = assortativity(e).collect()[0]
+    assert (r.n_nodes, r.m_edges) == (5, 4)
+    assert r.r_assortativity == -1.0
+
+
+def test_assortativity_regular_graph_null(spark):
+    from orientdb_etl_spark.functions.graph import assortativity
+
+    # cycle C4: all degrees 2, zero variance -> NULL
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert assortativity(e).collect()[0].r_assortativity is None
+
+
+def test_assortativity_hand_computed_path(spark):
+    from orientdb_etl_spark.functions.graph import assortativity
+
+    # path 1-2-3: directed pairs (d_j, d_k) = (1,2),(2,1),(2,1),(1,2)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = assortativity(e).collect()[0]
+    # mu = 1.5, var = .25, cov = E[jk] - mu^2 = 2 - 2.25 = -.25 -> r=-1
+    assert r.r_assortativity == -1.0

@@ -133,3 +133,38 @@ def test_average_precision_perfect_ranking(spark):
     rows = [(i, 1.0 - i / 100.0, 1 if i < 5 else 0) for i in range(50)]
     df = spark.createDataFrame(rows, "id long, s double, y int")
     assert average_precision(df, "s", "y", "id").collect()[0].average_precision == 1.0
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from orientdb_etl_spark.functions.mleval import ranking_metrics
+
+    rows = [
+        # q1: positive at rank 2 of 3
+        ("q1", 0.9, 0, 1), ("q1", 0.8, 1, 2), ("q1", 0.7, 0, 3),
+        # q2: positives at ranks 1 and 3
+        ("q2", 0.9, 1, 1), ("q2", 0.8, 0, 2), ("q2", 0.7, 1, 3),
+        # q3: no positive -> excluded from the averages
+        ("q3", 0.5, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, y int, id long")
+    r = ranking_metrics(df, "q", "s", "y", "id", k=3).collect()[0]
+    assert (r.n_queries, r.n_with_pos) == (3, 2)
+    assert r.mrr == round((1 / 2 + 1 / 1) / 2, 6)
+    lg = lambda i: math.log(2.0) / math.log(i + 1.0)
+    ndcg1 = lg(2) / lg(1)
+    ndcg2 = (lg(1) + lg(3)) / (lg(1) + lg(2))
+    assert r.ndcg_at_k == round((ndcg1 + ndcg2) / 2, 6)
+    assert r.hit_rate_at_k == 1.0
+
+
+def test_ranking_metrics_k_cutoff_and_ties(spark):
+    from orientdb_etl_spark.functions.mleval import ranking_metrics
+
+    # positive beyond k: dcg@1 = 0, hit@1 = 0, but mrr still counts it
+    rows = [("q", 0.9, 0, 1), ("q", 0.9, 1, 2)]  # tie cut by id asc
+    df = spark.createDataFrame(rows, "q string, s double, y int, id long")
+    r = ranking_metrics(df, "q", "s", "y", "id", k=1).collect()[0]
+    assert r.mrr == 0.5  # positive ranked 2nd by the id tie-break
+    assert r.ndcg_at_k == 0.0 and r.hit_rate_at_k == 0.0

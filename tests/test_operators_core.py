@@ -574,3 +574,74 @@ def test_analyze_series_and_resolve_transformers(spark):
     )
     got = {r.entity_id: r.n_records for r in out.collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_analyze_anova_levene_mk_and_ohlc_rankeval_transformers(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "t"}},
+            "transformers": [
+                {"analyze": {"method": "anova", "groupField": "g",
+                             "valueField": "v"}}
+            ],
+        },
+        tables={"t": df},
+    )
+    assert out.collect()[0].f_stat == 2.0
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:%02d:00" % m,) for m in (0, 1, 2)], "ts string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "e"}},
+            "transformers": [
+                {"analyze": {"method": "mannKendall", "tsField": "ts",
+                             "bucketSeconds": 60}}
+            ],
+        },
+        tables={"e": ev},
+    )
+    assert out.collect()[0].s_stat == 0  # flat 1/1/1 series
+
+    ticks = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:01", 5.0, 1),
+         ("k", "2024-01-01 00:30:00", 9.0, 2)],
+        "k string, ts string, v double, id long",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "x"}},
+            "transformers": [
+                {"ohlc": {"keyField": "k", "tsField": "ts",
+                          "valueField": "v", "idField": "id"}}
+            ],
+        },
+        tables={"x": ticks},
+    )
+    r = out.collect()[0]
+    assert (r.open, r.close, r.n_ticks) == (5.0, 9.0, 2)
+
+    ranked = spark.createDataFrame(
+        [("q", 0.9, 1, 1), ("q", 0.8, 0, 2)],
+        "q string, s double, y int, id long",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "r"}},
+            "transformers": [
+                {"rankEval": {"queryField": "q", "scoreField": "s",
+                              "labelField": "y", "idField": "id"}}
+            ],
+        },
+        tables={"r": ranked},
+    )
+    assert out.collect()[0].mrr == 1.0

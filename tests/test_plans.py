@@ -687,3 +687,34 @@ def test_spearman_ranks_via_range_partitioned_prefix(spark):
     assert "rangepartitioning(_y" in plan
     assert "Exchange SinglePartition" not in plan.split("Window")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    """OHLC bars must be ONE hash aggregate — min_by/max_by fold
+    map-side; a window or self-join here would be a 100 TB regression."""
+    plan = _plan(spark, "ohlc_hourly")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mann_kendall_pair_join_broadcasts(spark):
+    """The MK pair fold runs on the bounded bucket frame and must be a
+    broadcast nested-loop pass, never a partitions-squared cartesian."""
+    plan = _plan(spark, "mann_kendall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ranking_metrics_window_is_query_partitioned(spark):
+    """The one window must partition by the query key — a global
+    (unpartitioned) sort over predictions would die at scale."""
+    plan = _plan(spark, "ranking_eval")
+    w = [ln for ln in plan.splitlines() if "partitionBy" in ln.lower()
+         or "windowspecdefinition" in ln.lower()]
+    assert any("_q" in ln for ln in w), w
+
+
+def test_assortativity_no_cartesian(spark):
+    plan = _plan(spark, "assortativity")
+    assert "CartesianProduct" not in plan

@@ -963,3 +963,36 @@ def test_levene_bf_detects_variance_difference(spark):
     r = same.transform(lambda d: levene_bf(d, "g", "v")).collect()[0]
     # identical |x - median| multisets in both groups: F exactly 0
     assert r.f_stat == 0.0
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from orientdb_etl_spark.functions.stats import mann_kendall
+
+    # strictly rising counts 1..6 -> S = 15 (every pair concordant)
+    rising = _minute_events(spark, {"e": [1, 2, 3, 4, 5, 6]})
+    r = mann_kendall(rising, "ts", bucket_seconds=60).collect()[0]
+    assert (r.n_buckets, r.s_stat, r.n_tie_groups) == (6, 15, 0)
+    # var = 6*5*17/18 = 28.333333, z = 14/sqrt(var)
+    assert r.var_s == round(6 * 5 * 17 / 18, 6)
+    assert r.z == round(14 / (6 * 5 * 17 / 18) ** 0.5, 6)
+
+    flat = _minute_events(spark, {"e": [3, 3, 3, 3]})
+    r = mann_kendall(flat, "ts", bucket_seconds=60).collect()[0]
+    # all tied: S = 0, one tie group of 4, var = (4*3*13 - 4*3*13)/18 = 0
+    assert (r.s_stat, r.n_tie_groups, r.var_s) == (0, 1, 0.0)
+    assert r.z is None  # degenerate variance
+
+
+def test_mann_kendall_zero_fill_and_validation(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.stats import mann_kendall
+
+    # events at minutes 0 and 2 only: minute 1 zero-fills
+    df = _minute_events(spark, {"e": [2, 0, 1]})
+    r = mann_kendall(df, "ts", bucket_seconds=60).collect()[0]
+    # series [2, 0, 1]: pairs (2,0)-1 (2,1)-1 (0,1)+1 -> S = -1
+    assert (r.n_buckets, r.s_stat) == (3, -1)
+    one = _minute_events(spark, {"e": [4]})
+    with _pytest.raises(ValueError, match="at least 2 buckets"):
+        mann_kendall(one, "ts", bucket_seconds=60)

@@ -578,3 +578,34 @@ def test_twap_single_event_key_dropped(spark):
     ts = df.withColumn("t", F.col("t").cast("timestamp"))
     out = twap(ts, "k", "t", "v", "id").collect()
     assert [r.k for r in out] == [1]
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from orientdb_etl_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        ("k", "2024-01-01 00:00:05", 10.0, 1),
+        ("k", "2024-01-01 00:20:00", 30.0, 2),
+        ("k", "2024-01-01 00:40:00", 5.0, 3),
+        ("k", "2024-01-01 00:59:59", 20.0, 4),
+        ("k", "2024-01-01 01:10:00", 7.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double, id long")
+    out = {r.bucket_start: r for r in ohlc_bars(df, "k", "ts", "v", "id").collect()}
+    assert len(out) == 2
+    b0 = sorted(out)[0]
+    r = out[b0]
+    assert (r.open, r.high, r.low, r.close, r.n_ticks) == (10.0, 30.0, 5.0, 20.0, 4)
+    assert out[b0 + 3600].open == 7.0
+
+
+def test_ohlc_bars_duplicate_ts_tiebreak(spark):
+    from orientdb_etl_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", 50.0, 9),
+        ("k", "2024-01-01 00:00:00", 60.0, 2),  # same second: id orders
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double, id long")
+    r = ohlc_bars(df, "k", "ts", "v", "id").collect()[0]
+    assert (r.open, r.close) == (60.0, 50.0)
