@@ -5286,6 +5286,121 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(scored, "user_id", "score", "y", "event_id", k=10)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit of the customer table:
+    one grouped pass on the (nation, segment) quasi tuple with an exact
+    distinct-sensitive count — the groupBy-priced privacy gate."""
+    from orientdb_etl_spark.functions.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="c_acctbal",
+        l_diversity=2,
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the event value series — one window
+    scan (running max) + one grouped aggregate sharing the same keyed
+    exchange; event_id tiebreak makes the prefix maximum a total order
+    both engines replay."""
+    from orientdb_etl_spark.functions.stats import max_drawdown
+
+    ev = _t(spark, sf_dir, "events")
+    return max_drawdown(ev, "user_id", "ts", "value", tiebreak="event_id")
+
+
+def q_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for P(value > 100) per event type — ONE
+    map-side-combinable aggregate + closed-form scalar math, the
+    per-segment conversion error bar."""
+    from orientdb_etl_spark.functions.stats import proportion_ci
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.where(F.col("value").isNotNull()).withColumn(
+        "_hi", F.col("value") > 100
+    )
+    return proportion_ci(flagged, "event_type", "_hi")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive trend/seasonal/remainder decomposition of the
+    hourly arrival series (2×24 centered MA) — everything after the
+    first aggregation runs on the time-range-bounded bucket frame."""
+    from orientdb_etl_spark.functions.stats import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_decompose(ev, "ts", 3600, 24)
+
+
+def _cosupply_p99_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triangle_count/clustering_coeff projection: p99-thresholded
+    supplier co-supply graph as canonical (src < dst) edges."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = ps.alias("x"), ps.alias("y")
+    pairs = (
+        x.join(
+            y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.s") < F.col("y.s"))
+        )
+        .groupBy(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .localCheckpoint()
+    )
+    thr = pairs.agg(F.expr("percentile(_shared, 0.99D)").alias("_thr"))
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("_shared") >= F.col("_thr"))
+        .select("src", "dst")
+    )
+
+
+def q_neighborhood_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-vertex ball sizes |B_r(v)| for r=1,2 on the p99
+    co-supply graph (ANF / closeness backbone) — frontier iteration on
+    (vertex, reached) pairs with anti-join dedup; the quadratic-leaning
+    exact form the HyperBall sketch replaces at corpus scale."""
+    from orientdb_etl_spark.functions.graph import neighborhood_function
+
+    edges = _cosupply_p99_edges(spark, sf_dir)
+    return neighborhood_function(edges, radius=2)
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall certificate: the HLL-sketch neighborhood function
+    (constant per-vertex state — the 100 TB form) joined against its
+    exact twin; per radius, how many vertices sit inside the standard
+    HLL error envelope (10% >> the 1.6% sigma of lgConfigK=12; small
+    balls are EXACT in sketch sparse mode). The oracle pins the
+    invariant: every vertex within envelope at every radius."""
+    from orientdb_etl_spark.functions.graph import (
+        hyperball,
+        neighborhood_function,
+    )
+
+    edges = _cosupply_p99_edges(spark, sf_dir).localCheckpoint()
+    exact = neighborhood_function(edges, radius=2)
+    approx = hyperball(edges, radius=2)
+    j = exact.join(approx, ["id", "radius"])
+    ok = (
+        F.abs(F.col("n_reach_approx") - F.col("n_reach"))
+        <= F.greatest(F.lit(1.0), F.lit(0.10) * F.col("n_reach"))
+    ).cast("int")
+    return (
+        j.groupBy("radius")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum(ok).cast("bigint").alias("n_within"),
+        )
+        .withColumn("all_within", F.col("n_within") == F.col("n_vertices"))
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5671,6 +5786,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mann_kendall": q_mann_kendall,
             "ohlc_hourly": q_ohlc,
             "ranking_eval": q_ranking,
+            # round 5 (final): privacy audit, downside risk, proportion
+            # CIs, MA decomposition, ANF exact + HyperBall certificate
+            "k_anonymity": q_k_anonymity,
+            "max_drawdown": q_max_drawdown,
+            "proportion_ci": q_proportion_ci,
+            "seasonal_decompose": q_seasonal_decompose,
+            "neighborhood_2hop": q_neighborhood_2hop,
+            "hyperball_cert": q_hyperball,
         }
     )
     return out
@@ -9223,5 +9346,108 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c AS src, s AS dst FROM pairs "
             "UNION ALL SELECT s, c FROM pairs"
         ),
+    )
+    sql["k_anonymity"] = (
+        # one grouped pass; the exact distinct-sensitive count and both
+        # violation flags fold into the same aggregate
+        "SELECT c_nationkey, c_mktsegment, count(*) AS n_rows, "
+        "count(DISTINCT c_acctbal) AS n_sensitive, "
+        "count(*) < 10 AS k_violation, "
+        "count(DISTINCT c_acctbal) < 2 AS l_violation "
+        "FROM customer GROUP BY 1, 2"
+    )
+    sql["max_drawdown"] = (
+        # running max over the (ts, event_id) total order, then one
+        # grouped aggregate on the same key
+        "WITH s AS (SELECT user_id, CAST(value AS DOUBLE) AS v, "
+        "max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) "
+        "SELECT user_id, count(*) AS n_points, round(max(v), 6) AS peak, "
+        "round(max(pk - v), 6) AS max_drawdown FROM s GROUP BY 1"
+    )
+    sql["proportion_ci"] = (
+        # Wilson interval — the double chain mirrors the Spark
+        # expression ordering term for term
+        "WITH b AS (SELECT event_type, (value > 100) AS ok FROM events "
+        "WHERE value IS NOT NULL), "
+        "a AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_success "
+        "FROM b GROUP BY 1), "
+        "c AS (SELECT event_type, n, n_success, "
+        "CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p, "
+        "CAST(n AS DOUBLE) AS nd FROM a) "
+        "SELECT event_type, n, n_success, round(p, 6) AS p_hat, "
+        "round((p + (1.959964 * 1.959964) / (2.0 * nd)) / "
+        "(1.0 + (1.959964 * 1.959964) / nd) - "
+        "1.959964 * sqrt(p * (1.0 - p) / nd + "
+        "(1.959964 * 1.959964) / (4.0 * nd * nd)) / "
+        "(1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_lo, "
+        "round((p + (1.959964 * 1.959964) / (2.0 * nd)) / "
+        "(1.0 + (1.959964 * 1.959964) / nd) + "
+        "1.959964 * sqrt(p * (1.0 - p) / nd + "
+        "(1.959964 * 1.959964) / (4.0 * nd * nd)) / "
+        "(1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi FROM c"
+    )
+    sql["seasonal_decompose"] = (
+        # zero-filled hourly series; 2x24 centered MA trend (NULL at the
+        # edges), per-phase mean of the detrended series re-centered to
+        # zero, remainder = x - trend - seasonal
+        "WITH b AS (SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))"
+        " / 3600) AS BIGINT) AS t, count(*) AS x FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1), "
+        "mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b), "
+        "g AS (SELECT unnest(generate_series((SELECT lo FROM mm), "
+        "(SELECT hi FROM mm))) AS t), "
+        "s AS (SELECT g.t, CAST(coalesce(b.x, 0) AS DOUBLE) AS x, "
+        "g.t % 24 AS ph FROM g LEFT JOIN b USING (t)), "
+        "w AS (SELECT t, x, ph, CASE WHEN count(*) OVER w25 = 25 THEN "
+        "(sum(x) OVER w25 + sum(x) OVER w23) / 48.0 END AS tr FROM s "
+        "WINDOW w25 AS (ORDER BY t ROWS BETWEEN 12 PRECEDING AND 12 "
+        "FOLLOWING), w23 AS (ORDER BY t ROWS BETWEEN 11 PRECEDING AND "
+        "11 FOLLOWING)), "
+        "p AS (SELECT ph, avg(x - tr) AS sraw FROM w WHERE tr IS NOT "
+        "NULL GROUP BY 1), "
+        "m AS (SELECT avg(sraw) AS sm FROM p), "
+        "c AS (SELECT ph, sraw - (SELECT sm FROM m) AS seas FROM p) "
+        "SELECT w.t * 3600 AS bucket_start, w.ph AS phase, w.x AS x, "
+        "round(w.tr, 6) AS trend, round(c.seas, 6) AS seasonal, "
+        "round(w.x - w.tr - c.seas, 6) AS remainder "
+        "FROM w LEFT JOIN c USING (ph)"
+    )
+    sql["neighborhood_2hop"] = (
+        # exact |B_1| and |B_2| on the p99 co-supply projection — the
+        # clustering_coeff graph; UNION dedups the 2-hop closure
+        "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
+        "FROM lineitem), "
+        "pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c FROM ps x "
+        "JOIN ps y ON x.pk = y.pk AND x.s < y.s GROUP BY 1, 2), "
+        "t AS (SELECT quantile_cont(c, 0.99) AS q FROM pr), "
+        "e AS (SELECT a, b FROM pr, t WHERE c >= t.q), "
+        "und AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e), "
+        "r2 AS (SELECT DISTINCT u1.s AS s, u2.d AS d FROM und u1 "
+        "JOIN und u2 ON u1.d = u2.s WHERE u2.d <> u1.s), "
+        "b2 AS (SELECT s, d FROM und UNION SELECT s, d FROM r2) "
+        "SELECT s AS id, 1 AS radius, count(*) AS n_reach FROM und "
+        "GROUP BY 1 UNION ALL "
+        "SELECT s AS id, 2 AS radius, count(*) AS n_reach FROM b2 "
+        "GROUP BY 1"
+    )
+    sql["hyperball_cert"] = (
+        # certificate twin: the exact vertex census per radius plus the
+        # pinned invariant — every vertex's HLL estimate inside the
+        # envelope (fixture balls sit in sketch sparse mode = exact)
+        "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
+        "FROM lineitem), "
+        "pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c FROM ps x "
+        "JOIN ps y ON x.pk = y.pk AND x.s < y.s GROUP BY 1, 2), "
+        "t AS (SELECT quantile_cont(c, 0.99) AS q FROM pr), "
+        "e AS (SELECT a, b FROM pr, t WHERE c >= t.q), "
+        "und AS (SELECT a AS s FROM e UNION SELECT b FROM e), "
+        "v AS (SELECT count(*) AS nv FROM und) "
+        "SELECT 1 AS radius, nv AS n_vertices, CAST(nv AS BIGINT) AS "
+        "n_within, TRUE AS all_within FROM v UNION ALL "
+        "SELECT 2 AS radius, nv, CAST(nv AS BIGINT), TRUE FROM v"
     )
     return sql

@@ -275,6 +275,15 @@ HEADLINE = [
     "mann_kendall",
     "ohlc_hourly",
     "ranking_eval",
+    # round-5 (final) wave: privacy audit, downside risk, proportion
+    # CIs, MA decomposition, ANF exact + HyperBall (both bounded at
+    # radius 2 — the bfs/weighted_sssp fixed-round precedent)
+    "k_anonymity",
+    "max_drawdown",
+    "proportion_ci",
+    "seasonal_decompose",
+    "neighborhood_2hop",
+    "hyperball_cert",
 ]
 
 
@@ -401,7 +410,19 @@ def _prod_incremental_near(spark, sf_dir):
     ).select("doc_id")
 
 
+def _prod_hyperball(spark, sf_dir):
+    """Production HyperBall alone (constant-size HLL state per vertex —
+    the 100 TB neighborhood function); the gate twin additionally runs
+    the exact pair-frontier baseline for its envelope certificate, which
+    is correctness cost, not operator cost."""
+    from orientdb_etl_spark.functions.graph import hyperball
+
+    edges = entry._cosupply_p99_edges(spark, sf_dir)
+    return hyperball(edges, radius=2)
+
+
 PROD_OVERRIDES = {
+    "hyperball_cert": _prod_hyperball,
     "semantic_dedup": _prod_semantic_dedup,
     "incremental_near": _prod_incremental_near,
     "dedup_minhash_survivors": _prod_dedup_minhash_survivors,

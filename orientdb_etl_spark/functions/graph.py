@@ -37,6 +37,8 @@ __all__ = [
     "modularity",
     "clustering_coefficient",
     "assortativity",
+    "neighborhood_function",
+    "hyperball",
 ]
 
 
@@ -856,3 +858,126 @@ def assortativity(
         (F.col("_m2") / 2).cast("bigint").alias("m_edges"),
         F.round(r, round_to).alias("r_assortativity"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """EXACT per-vertex neighborhood function on the undirected graph:
+    for every vertex ``id`` and every ``r in 1..radius``, the number of
+    DISTINCT vertices reachable in at most ``r`` hops (the vertex itself
+    excluded) — long format ``(id, radius, n_reach)``. This is the ball
+    size |B_r(v)| behind closeness/harmonic centrality and the
+    effective-diameter curve (Palmer et al. KDD'02 ANF; Boldi et al.
+    WWW'11 HyperBall compute the same quantity approximately).
+
+    Scale shape: frontier iteration on (vertex, reached) PAIRS — round r
+    joins the radius-(r-1) frontier to the edge frame on the reached
+    endpoint (one keyed shuffle) and anti-joins the accumulated reach
+    set to keep only NEW vertices, so each pair is materialized exactly
+    once and ``localCheckpoint`` truncates lineage per round. The pair
+    frame is Σ_v |B_radius(v)| rows — EXACT neighborhood functions are
+    inherently quadratic-leaning on dense graphs, which is why this is
+    the small-radius / sparsified-projection form; for corpus-scale
+    graphs or larger radii use :func:`hyperball`, whose per-vertex
+    state is a constant-size HLL sketch instead of the reach set
+    itself. ``max_pairs`` (checked per round) aborts rather than letting
+    a dense graph silently materialize a near-quadratic frame.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    und = symmetrize(edges, src, dst)
+    # reach = all (v, w) with 1 <= dist(v, w) <= r so far; frontier =
+    # exactly-dist-r pairs. Self pairs are excluded throughout.
+    frontier = und.select(F.col("src").alias("_v"), F.col("dst").alias("_w"))
+    frontier = frontier.localCheckpoint()
+    reach = frontier
+    out = frontier.groupBy(F.col("_v").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_reach")
+    ).select("id", F.lit(1).alias("radius"), "n_reach")
+    for r in range(2, int(radius) + 1):
+        hop = (
+            frontier.join(
+                und.select(F.col("src").alias("_w"), F.col("dst").alias("_x")),
+                "_w",
+            )
+            .select("_v", F.col("_x").alias("_w"))
+            .filter(F.col("_v") != F.col("_w"))
+            .distinct()
+        )
+        frontier = hop.join(reach, ["_v", "_w"], "left_anti").localCheckpoint()
+        reach = reach.unionByName(frontier).localCheckpoint()
+        if max_pairs is not None:
+            n = reach.count()
+            if n > int(max_pairs):
+                raise ValueError(
+                    f"neighborhood_function: reach-set pairs {n} exceed "
+                    f"max_pairs={max_pairs} at radius {r} — the graph is "
+                    "too dense for the exact form; use hyperball()"
+                )
+        out = out.unionByName(
+            reach.groupBy(F.col("_v").alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_reach"))
+            .select("id", F.lit(r).alias("radius"), "n_reach")
+        )
+    return out
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """APPROXIMATE per-vertex neighborhood function — HyperBall (Boldi,
+    Rosa & Vigna WWW'11) re-expressed relationally: each vertex carries
+    a constant-size HyperLogLog sketch of its ball; round r unions every
+    neighbor's radius-(r-1) sketch into the vertex's own, and the
+    estimate of |B_r(v)| is the sketch cardinality (minus the vertex
+    itself). Long format ``(id, radius, n_reach_approx)``, directly
+    comparable to :func:`neighborhood_function` — the exact twin is the
+    certificate (tests pin relative error at the HLL's standard
+    ~1.04/sqrt(2^lg_config_k) scale).
+
+    Scale shape: THE point of the sketch form. Exact balls need
+    Σ|B_r(v)| pairs (quadratic-leaning); here per-vertex state is one
+    2^lg_config_k-register sketch regardless of ball size, so every
+    round is one keyed shuffle of (vertex, sketch) rows joined to the
+    edge frame + one ``hll_union_agg`` — linear in edges, constant in
+    ball size. This is how ANF/effective-diameter runs on billion-edge
+    graphs. ``localCheckpoint`` per round keeps the plan O(1) in
+    ``radius``. Estimates are deterministic for a given input (HLL
+    hashing is seedless), so runs replay bit-identically.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    und = symmetrize(edges, src, dst).localCheckpoint()
+    verts = und.select(F.col("src").alias("_v")).distinct()
+    # ball(0) sketch = {v} itself; estimates subtract 1 to exclude self
+    sk = verts.groupBy("_v").agg(F.hll_sketch_agg("_v", F.lit(int(lg_config_k))).alias("_sk"))
+    sk = sk.localCheckpoint()
+    out = None
+    for r in range(1, int(radius) + 1):
+        contrib = und.join(
+            sk.withColumnRenamed("_v", "_u"), und["dst"] == F.col("_u")
+        ).select(F.col("src").alias("_v"), "_sk")
+        sk = (
+            contrib.unionByName(sk)
+            .groupBy("_v")
+            .agg(F.hll_union_agg("_sk").alias("_sk"))
+            .localCheckpoint()
+        )
+        est = sk.select(
+            F.col("_v").alias("id"),
+            F.lit(r).alias("radius"),
+            (F.hll_sketch_estimate("_sk") - F.lit(1)).cast("bigint").alias(
+                "n_reach_approx"
+            ),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

@@ -1,0 +1,92 @@
+"""Privacy / re-identification auditing over pipeline outputs.
+
+The reference loads person-shaped rows into OrientDB (its shipped
+examples are person/DBPedia datasets — reference `examples/` configs and
+OETLProcessor.java's CSV person pipelines) but has no way to ASK whether
+the loaded table is safe to release. This module adds the standard
+release-audit primitive: Sweeney's k-anonymity (IJUFKS 2002) with the
+l-diversity refinement (Machanavajjhala et al. ICDE'06) — "does every
+combination of quasi-identifiers hide each row among at least k others,
+and does each such group carry at least l distinct sensitive values?"
+
+Scale shape: ONE hash aggregate on the quasi-identifier tuple (count +
+count-distinct-sensitive fold into the same grouped pass, map-side
+combinable) — the audit costs the same as any groupBy at 100 TB and
+never materializes pairs or windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orientdb_etl_spark.context import PipelineContext
+from orientdb_etl_spark.operators import register
+
+__all__ = ["k_anonymity_audit"]
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_diversity: int = 2,
+    violations_only: bool = False,
+) -> DataFrame:
+    """Equivalence-class audit: group rows by the quasi-identifier tuple
+    and report, per class, its size and whether it violates k-anonymity
+    (``n_rows < k``); with ``sensitive_col`` also the number of DISTINCT
+    sensitive values and the l-diversity violation flag (``n_sensitive <
+    l_diversity`` — a class whose members all share one diagnosis is
+    re-identifying even when it is large). ``violations_only`` keeps
+    only failing classes — the release blocklist.
+
+    Returns ``(*quasi_cols, n_rows, k_violation[, n_sensitive,
+    l_violation])``. NULL quasi values form their own class (NULL is a
+    disclosure too: "the only row with an unknown ZIP").
+
+    Scale shape: one grouped aggregation on the quasi tuple; the
+    distinct-sensitive count is an exact ``count(DISTINCT)`` inside the
+    same grouped pass (one extra shuffle keyed identically, which AQE
+    coalesces). No joins, no windows, no driver state.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_audit needs at least one quasi column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out = out.withColumn("k_violation", F.col("n_rows") < F.lit(int(k)))
+    if sensitive_col is not None:
+        if l_diversity < 1:
+            raise ValueError(f"l_diversity must be >= 1, got {l_diversity}")
+        out = out.withColumn(
+            "l_violation", F.col("n_sensitive") < F.lit(int(l_diversity))
+        )
+    if violations_only:
+        cond = F.col("k_violation")
+        if sensitive_col is not None:
+            cond = cond | F.col("l_violation")
+        out = out.filter(cond)
+    return out
+
+
+@register("kAnonymity")
+def k_anonymity_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"kAnonymity": {"quasi": ["zip", "age"], "k": 5,
+    "sensitiveField": "diagnosis", "l": 2, "violationsOnly": true}}"""
+    return k_anonymity_audit(
+        df,
+        list(cfg["quasi"]),
+        k=int(cfg.get("k", 5)),
+        sensitive_col=cfg.get("sensitiveField"),
+        l_diversity=int(cfg.get("l", 2)),
+        violations_only=bool(cfg.get("violationsOnly", False)),
+    )

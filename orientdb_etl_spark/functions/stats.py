@@ -49,6 +49,9 @@ __all__ = [
     "anova_oneway",
     "levene_bf",
     "mann_kendall",
+    "max_drawdown",
+    "proportion_ci",
+    "seasonal_decompose",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -1713,4 +1716,206 @@ def mann_kendall(
         F.col("_ng").alias("n_tie_groups"),
         F.round(var_s, round_to).alias("var_s"),
         F.round(F.when(var_num > 0, z), round_to).alias("z"),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key maximum drawdown of a value series: with the series
+    ordered by time, the largest peak-to-trough drop ``max_t (max_{s<=t}
+    v_s − v_t)`` — the standard downside-risk summary for any cumulative
+    metric (portfolio value, retention curve, cumulative conversions).
+    Returns ``(key, n_points, peak, max_drawdown)`` where ``peak`` is
+    the series' global maximum and ``max_drawdown`` is in value units
+    (0 for a non-decreasing series).
+
+    ``tiebreak`` disambiguates equal timestamps (make it a total order —
+    e.g. an event id) so the running maximum is engine-independent;
+    without it, ties make the prefix maximum order-dependent and two
+    engines may legitimately disagree.
+
+    Scale shape: one window pass (running max over the key partition,
+    rows unbounded-preceding..current) + one grouped aggregate on the
+    SAME key, so the exchange is shared — two stages, one shuffle. No
+    self-joins, no driver state; drawdown is a prefix scan, exactly what
+    a window function is for.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = (
+        Window.partitionBy(F.col(key_col))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    scanned = (
+        df.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .withColumn("_peak", F.max(v).over(w))
+        .withColumn("_dd", F.col("_peak") - v)
+    )
+    return scanned.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.max(v), round_to).alias("peak"),
+        F.round(F.max("_dd"), round_to).alias("max_drawdown"),
+    )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Wilson score interval for a proportion (Wilson JASA
+    1927): ``(group, n, n_success, p_hat, ci_lo, ci_hi)`` with
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    — the interval that behaves at p̂ near 0/1 and small n where the
+    naive normal interval collapses or escapes [0, 1]; the standard
+    per-segment conversion-rate error bar. ``success_col`` is any
+    boolean-valued expression column (non-null rows count toward n).
+
+    Scale shape: ONE map-side-combinable grouped aggregate (count +
+    conditional count); the interval arithmetic is closed-form scalar
+    math on the aggregated frame. The cheapest possible statistic.
+    """
+    s = F.col(success_col).cast("boolean")
+    agg = (
+        df.where(s.isNotNull())
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(s, 1).otherwise(0)).cast("bigint").alias(
+                "n_success"
+            ),
+        )
+    )
+    zz = float(z) * float(z)
+    n = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / n
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        F.col(group_col),
+        "n",
+        "n_success",
+        F.round(p, round_to).alias("p_hat"),
+        F.round(center - half, round_to).alias("ci_lo"),
+        F.round(center + half, round_to).alias("ci_hi"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    period: int = 24,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition of the arrival series (the
+    moving-average method behind STL's initial pass): bucket and
+    zero-fill the series, estimate TREND as the centered moving
+    average over one full period (the symmetric window that cancels any
+    period-periodic component exactly), SEASONAL as the per-phase mean
+    of the detrended series re-centered to sum to zero over a period,
+    and REMAINDER as what's left. Returns the full series ``(bucket,
+    phase, x, trend, seasonal, remainder)``; edge buckets without a full
+    centered window carry NULL trend/remainder (honest NULLs beat
+    extrapolated ones).
+
+    For even ``period`` the centered MA is the standard 2×MA: the
+    window spans period+1 buckets with half weight on both endpoints.
+
+    Scale shape: the raw frame collapses to the bounded bucket series in
+    one pass (the :func:`seasonal_anomaly` discipline); trend is one
+    window scan over that tiny frame, the seasonal profile is one
+    re-aggregation broadcast back. Everything after the first
+    aggregation is O(time-range / bucket), independent of row volume.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2 buckets, got {period}")
+    spark = df.sparkSession
+    b = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_seconds))
+            ).alias("_t")
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    if lo is None:
+        raise ValueError(
+            f"seasonal_decompose: no non-null timestamps in {ts_col!r}"
+        )
+    series = (
+        spark.range(int(lo), int(hi) + 1)
+        .select(F.col("id").alias("_t"))
+        .join(b, "_t", "left")
+        .select(
+            "_t",
+            F.coalesce("_x", F.lit(0)).cast("double").alias("_x"),
+            (F.col("_t") % period).alias("_ph"),
+        )
+    )
+    p = int(period)
+    half = p // 2
+    wo = Window.orderBy("_t")
+    if p % 2 == 0:
+        # 2xMA: period+1 window, half-weight endpoints => (sum(full
+        # window) + sum(inner window)) / (2*period); NULL unless the
+        # full centered window exists
+        full_w = wo.rowsBetween(-half, half)
+        inner_w = wo.rowsBetween(-(half - 1), half - 1)
+        cnt = F.count(F.lit(1)).over(full_w)
+        trend = F.when(
+            cnt == p + 1,
+            (F.sum("_x").over(full_w) + F.sum("_x").over(inner_w))
+            / F.lit(2.0 * p),
+        )
+    else:
+        full_w = wo.rowsBetween(-half, half)
+        cnt = F.count(F.lit(1)).over(full_w)
+        trend = F.when(cnt == p, F.sum("_x").over(full_w) / F.lit(float(p)))
+    detr = series.withColumn("_tr", trend).withColumn(
+        "_de", F.col("_x") - F.col("_tr")
+    )
+    prof = detr.where(F.col("_de").isNotNull()).groupBy("_ph").agg(
+        F.avg("_de").alias("_sraw")
+    )
+    centered = prof.crossJoin(
+        F.broadcast(prof.agg(F.avg("_sraw").alias("_smean")))
+    ).select("_ph", (F.col("_sraw") - F.col("_smean")).alias("_seas"))
+    return (
+        detr.join(F.broadcast(centered), "_ph", "left")
+        .select(
+            (F.col("_t") * bucket_seconds).alias("bucket_start"),
+            F.col("_ph").alias("phase"),
+            F.col("_x").alias("x"),
+            F.round("_tr", round_to).alias("trend"),
+            F.round("_seas", round_to).alias("seasonal"),
+            F.round(
+                F.col("_x") - F.col("_tr") - F.col("_seas"), round_to
+            ).alias("remainder"),
+        )
     )

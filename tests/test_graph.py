@@ -543,3 +543,61 @@ def test_assortativity_hand_computed_path(spark):
     r = assortativity(e).collect()[0]
     # mu = 1.5, var = .25, cov = E[jk] - mu^2 = 2 - 2.25 = -.25 -> r=-1
     assert r.r_assortativity == -1.0
+
+
+# ---------- neighborhood_function / hyperball ----------
+
+
+def _nf_map(rows):
+    return {(r["id"], r["radius"]): r[2] for r in rows}
+
+
+def test_neighborhood_function_hand_computed(spark):
+    from orientdb_etl_spark.functions.graph import neighborhood_function
+
+    # path 1-2-3-4-5 with chord 1-3; separate component 6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (6, 7)], "src int, dst int"
+    )
+    got = _nf_map(neighborhood_function(edges, radius=3).collect())
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3 and got[(1, 3)] == 4
+    assert got[(3, 1)] == 3 and got[(3, 2)] == 4
+    assert got[(5, 1)] == 1 and got[(5, 3)] == 4
+    assert got[(6, 1)] == 1 and got[(6, 3)] == 1  # isolated pair saturates
+
+
+def test_neighborhood_function_max_pairs_guard(spark):
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.graph import neighborhood_function
+
+    # K5: every ball saturates instantly; 20 ordered pairs > cap 10
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "src int, dst int",
+    )
+    with _pt.raises(ValueError, match="max_pairs"):
+        neighborhood_function(edges, radius=2, max_pairs=10)
+    with _pt.raises(ValueError, match="radius"):
+        neighborhood_function(edges, radius=0)
+
+
+def test_hyperball_matches_exact_on_fixture_graph(spark):
+    """The HLL certificate: on a 60-vertex random graph the sketch
+    estimate tracks the exact neighborhood function within the standard
+    HLL error envelope (lgConfigK=12 -> ~1.6% sigma; assert 10%)."""
+    from orientdb_etl_spark.functions.graph import (
+        hyperball,
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * i + 7 * i + 3) % 60) for i in range(60)]
+        + [(i, (3 * i + 1) % 60) for i in range(60)],
+        "src int, dst int",
+    ).filter("src != dst")
+    exact = _nf_map(neighborhood_function(edges, radius=3).collect())
+    approx = _nf_map(hyperball(edges, radius=3).collect())
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.10 * ex), (k, ex, approx[k])

@@ -996,3 +996,123 @@ def test_mann_kendall_zero_fill_and_validation(spark):
     one = _minute_events(spark, {"e": [4]})
     with _pytest.raises(ValueError, match="at least 2 buckets"):
         mann_kendall(one, "ts", bucket_seconds=60)
+
+
+# ---------- max_drawdown ----------
+
+
+def test_max_drawdown_hand_computed(spark):
+    from orientdb_etl_spark.functions.stats import max_drawdown
+
+    df = spark.createDataFrame(
+        [
+            # key a: 10 -> 30 -> 20 -> 25 -> 5 : peak 30, max dd 30-5=25
+            ("a", 1, 10.0),
+            ("a", 2, 30.0),
+            ("a", 3, 20.0),
+            ("a", 4, 25.0),
+            ("a", 5, 5.0),
+            # key b monotone rising: dd 0
+            ("b", 1, 1.0),
+            ("b", 2, 2.0),
+            ("b", 3, 3.0),
+        ],
+        "k string, ts int, v double",
+    )
+    out = {
+        r["k"]: r
+        for r in max_drawdown(df, "k", "ts", "v").collect()
+    }
+    assert out["a"]["max_drawdown"] == 25.0
+    assert out["a"]["peak"] == 30.0
+    assert out["a"]["n_points"] == 5
+    assert out["b"]["max_drawdown"] == 0.0
+
+
+def test_max_drawdown_tiebreak_deterministic(spark):
+    from orientdb_etl_spark.functions.stats import max_drawdown
+
+    # two rows share ts=2; tiebreak id orders 100-valued row FIRST, so
+    # the 40-valued row sees peak 100 -> dd 60
+    df = spark.createDataFrame(
+        [("a", 1, 1, 50.0), ("a", 2, 2, 100.0), ("a", 2, 3, 40.0)],
+        "k string, ts int, id int, v double",
+    )
+    (row,) = max_drawdown(df, "k", "ts", "v", tiebreak="id").collect()
+    assert row["max_drawdown"] == 60.0
+    # nulls dropped
+    df2 = df.union(
+        spark.createDataFrame([("a", None, 9, 1.0)], df.schema)
+    )
+    (row2,) = max_drawdown(df2, "k", "ts", "v", tiebreak="id").collect()
+    assert row2["n_points"] == 3
+
+
+# ---------- proportion_ci ----------
+
+
+def test_proportion_ci_wilson_hand_computed(spark):
+    import math
+
+    from orientdb_etl_spark.functions.stats import proportion_ci
+
+    # g: 3 successes of 4 -> p=0.75, z=1.959964
+    rows = [("g", True)] * 3 + [("g", False)]
+    df = spark.createDataFrame(rows, "grp string, ok boolean")
+    (r,) = proportion_ci(df, "grp", "ok").collect()
+    z = 1.959964
+    n, p = 4.0, 0.75
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r["n"] == 4 and r["n_success"] == 3
+    assert abs(r["p_hat"] - 0.75) < 1e-9
+    assert abs(r["ci_lo"] - round(center - half, 6)) < 1e-9
+    assert abs(r["ci_hi"] - round(center + half, 6)) < 1e-9
+    # interval stays inside [0, 1] even at p_hat = 1
+    df2 = spark.createDataFrame([("h", True)] * 3, "grp string, ok boolean")
+    (r2,) = proportion_ci(df2, "grp", "ok").collect()
+    assert 0.0 <= r2["ci_lo"] <= r2["ci_hi"] <= 1.0
+
+
+# ---------- seasonal_decompose ----------
+
+
+def test_seasonal_decompose_recovers_pure_seasonal(spark):
+    from orientdb_etl_spark.functions.stats import seasonal_decompose
+
+    # 6 days of hourly arrivals with a pure period-4 pattern (counts
+    # 1,2,3,2 repeating) built by emitting that many events per hour
+    rows = []
+    pat = [1, 2, 3, 2]
+    for t in range(96):
+        for _ in range(pat[t % 4]):
+            rows.append((t * 3600,))
+    df = spark.createDataFrame(rows, "es bigint").selectExpr(
+        "CAST(from_unixtime(es) AS timestamp) AS ts"
+    )
+    out = seasonal_decompose(df, "ts", 3600, 4).orderBy("bucket_start")
+    got = out.collect()
+    assert len(got) == 96
+    mid = [r for r in got if r["trend"] is not None]
+    # centered MA of a pure periodic series is flat = mean(pattern) = 2
+    assert all(abs(r["trend"] - 2.0) < 1e-6 for r in mid)
+    # seasonal effects recover the centered pattern: -1, 0, +1, 0
+    want = {0: -1.0, 1: 0.0, 2: 1.0, 3: 0.0}
+    for r in mid:
+        assert abs(r["seasonal"] - want[r["phase"]]) < 1e-6
+        assert abs(r["remainder"]) < 1e-6
+    # edges (first/last half-window) carry NULL trend, never fake values
+    assert got[0]["trend"] is None and got[-1]["trend"] is None
+
+
+def test_seasonal_decompose_validation(spark):
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.stats import seasonal_decompose
+
+    df = spark.createDataFrame([(None,)], "ts timestamp")
+    with _pt.raises(ValueError, match="period"):
+        seasonal_decompose(df, "ts", 3600, 1)
+    with _pt.raises(ValueError, match="no non-null"):
+        seasonal_decompose(df, "ts", 3600, 4)
