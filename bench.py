@@ -410,6 +410,25 @@ def _prod_incremental_near(spark, sf_dir):
     ).select("doc_id")
 
 
+def _prod_set_sim_join(spark, sf_dir):
+    """Production pair-stream sink: a corpus dedup consumes similarity
+    pairs ENGINE-side (components / survivor pick) — it never collect()s
+    ~1M pairs through the Python driver, which is what the gate twin's
+    full materialization costs (~2x the operator at sf0.1). The
+    count+sum fold forces every pair and its score; bench times the
+    operator, the gate hash-checks the per-pair rows."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.linkage import set_similarity_join
+
+    docs = entry._t(spark, sf_dir, "documents")
+    out = set_similarity_join(docs, "doc_id", "text", threshold=0.9)
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("jaccard"), 3).alias("sum_jaccard"),
+    )
+
+
 def _prod_hyperball(spark, sf_dir):
     """Production HyperBall alone (constant-size HLL state per vertex —
     the 100 TB neighborhood function); the gate twin additionally runs
@@ -422,6 +441,7 @@ def _prod_hyperball(spark, sf_dir):
 
 
 PROD_OVERRIDES = {
+    "set_sim_join": _prod_set_sim_join,
     "hyperball_cert": _prod_hyperball,
     "semantic_dedup": _prod_semantic_dedup,
     "incremental_near": _prod_incremental_near,
