@@ -5401,6 +5401,42 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure blast radius: negative-balance BUILDING customers
+    as the deletion batch, broadcast-semi-joined into customer and
+    orders — per-table affected-row and distinct-subject counts. The
+    post-deletion re-run of the same audit is the completion
+    certificate (all zeros)."""
+    from orientdb_etl_spark.functions.privacy import erasure_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    subjects = cust.where(
+        (F.col("c_acctbal") < 0) & (F.col("c_mktsegment") == "BUILDING")
+    )
+    return erasure_audit(
+        subjects,
+        "c_custkey",
+        {
+            "customer": (cust, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+        },
+    )
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin naive vs seasonal-naive backtest of the hourly
+    per-event-type value series — per-key sequence() spine, two lag
+    forecasts over ONE keyed window, metrics as ratios of exact BIGINT
+    error sums (bit-identical across engines)."""
+    from orientdb_etl_spark.functions.stats import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    return forecast_backtest(
+        ev, "event_type", "ts", "value", bucket_seconds=3600, season=24
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5794,6 +5830,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "seasonal_decompose": q_seasonal_decompose,
             "neighborhood_2hop": q_neighborhood_2hop,
             "hyperball_cert": q_hyperball,
+            # round 5 (final): forecast evaluation, erasure blast radius
+            "forecast_backtest": q_forecast_backtest,
+            "erasure_audit": q_erasure_audit,
         }
     )
     return out
@@ -9449,5 +9488,57 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 1 AS radius, nv AS n_vertices, CAST(nv AS BIGINT) AS "
         "n_within, TRUE AS all_within FROM v UNION ALL "
         "SELECT 2 AS radius, nv, CAST(nv AS BIGINT), TRUE FROM v"
+    )
+    sql["forecast_backtest"] = (
+        # per-key zero-filled hourly spine, naive/seasonal-naive lags
+        # over one keyed window, exact BIGINT error sums → bit-identical
+        # MAE/RMSE/WAPE/MASE ratios
+        "WITH b AS (SELECT event_type, "
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND event_type IS NOT NULL GROUP BY 1, 2), "
+        "r AS (SELECT event_type, min(t) AS lo, max(t) AS hi FROM b "
+        "GROUP BY 1), "
+        "sp AS (SELECT event_type, unnest(generate_series(lo, hi)) AS t "
+        "FROM r), "
+        "s AS (SELECT sp.event_type, sp.t, "
+        "CAST(COALESCE(b.y, 0) AS BIGINT) AS y FROM sp "
+        "LEFT JOIN b ON b.event_type = sp.event_type AND b.t = sp.t), "
+        "w AS (SELECT event_type, y, "
+        "lag(y, 1) OVER (PARTITION BY event_type ORDER BY t) AS fn, "
+        "lag(y, 24) OVER (PARTITION BY event_type ORDER BY t) AS fs, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn "
+        "FROM s), "
+        "a AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(abs(y - fn)) AS BIGINT) AS an, "
+        "CAST(sum((y - fn) * (y - fn)) AS BIGINT) AS qn, "
+        "CAST(sum(abs(y - fs)) AS BIGINT) AS asn, "
+        "CAST(sum((y - fs) * (y - fs)) AS BIGINT) AS qs, "
+        "CAST(sum(abs(y)) AS BIGINT) AS ay "
+        "FROM w WHERE rn > 24 GROUP BY 1), "
+        "m AS (SELECT event_type, n, an, ay, 'naive' AS model, "
+        "an AS a, qn AS q FROM a UNION ALL "
+        "SELECT event_type, n, an, ay, 'seasonal_naive', asn, qs FROM a) "
+        "SELECT event_type, model, n AS n_eval, "
+        "round(CAST(a AS DOUBLE) / n / 100, 6) AS mae, "
+        "round(sqrt(CAST(q AS DOUBLE) / n) / 100, 6) AS rmse, "
+        "CASE WHEN ay > 0 THEN "
+        "round(CAST(a AS DOUBLE) / CAST(ay AS DOUBLE), 6) END AS wape, "
+        "CASE WHEN an > 0 THEN "
+        "round(CAST(a AS DOUBLE) / CAST(an AS DOUBLE), 6) END AS mase "
+        "FROM m"
+    )
+    sql["erasure_audit"] = (
+        # broadcast-sized subject set semi-joined into each table; one
+        # aggregate per table, distinct-subject count in the same pass
+        "WITH k AS (SELECT DISTINCT c_custkey AS ek FROM customer "
+        "WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING') "
+        "SELECT 'customer' AS table_name, count(*) AS n_rows_affected, "
+        "count(DISTINCT c_custkey) AS n_subjects_present "
+        "FROM customer JOIN k ON c_custkey = ek "
+        "UNION ALL "
+        "SELECT 'orders', count(*), count(DISTINCT o_custkey) "
+        "FROM orders JOIN k ON o_custkey = ek"
     )
     return sql

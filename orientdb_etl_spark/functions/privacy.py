@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.operators import register
 
-__all__ = ["k_anonymity_audit"]
+__all__ = ["erasure_audit", "k_anonymity_audit"]
 
 
 def k_anonymity_audit(
@@ -89,4 +89,69 @@ def k_anonymity_transformer(
         sensitive_col=cfg.get("sensitiveField"),
         l_diversity=int(cfg.get("l", 2)),
         violations_only=bool(cfg.get("violationsOnly", False)),
+    )
+
+
+def erasure_audit(
+    subjects: DataFrame,
+    subject_key: str,
+    tables: "dict[str, tuple[DataFrame, str]]",
+) -> DataFrame:
+    """Right-to-erasure pre-flight (GDPR art. 17 / CCPA deletion): given
+    the data subjects to erase and the FK column that reaches each
+    downstream table, report the cascade blast radius — per table, how
+    many rows reference an erased subject and how many of the requested
+    subjects actually appear there. The deletion job itself is then an
+    anti-join per table; this audit is what you review (and log) BEFORE
+    running it, and re-run afterwards expecting all zeros — the
+    completion certificate.
+
+    ``tables`` maps table name -> (DataFrame, fk_col). Returns one row
+    per table: ``(table_name, n_rows_affected, n_subjects_present)``.
+
+    Scale shape: the subject key set is broadcast (a deletion batch is
+    thousands of ids, never corpus-sized), so each table contributes one
+    broadcast semi-join + one aggregate — no shuffle of the fact
+    tables, and the per-table scans run as independent jobs. The
+    distinct-subject count folds into the same grouped pass.
+    """
+    if not tables:
+        raise ValueError("erasure_audit needs at least one table")
+    keys = F.broadcast(
+        subjects.select(F.col(subject_key).alias("_ek")).where(
+            F.col(subject_key).isNotNull()
+        ).distinct()
+    )
+    parts = []
+    for name, (df, fk) in tables.items():
+        hit = df.join(keys, df[fk] == F.col("_ek"), "inner")
+        parts.append(
+            hit.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows_affected"),
+                F.countDistinct(F.col(fk)).alias("n_subjects_present"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("erasure")
+def erasure_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"erasure": {"keyField": "c_custkey",
+    "tables": {"orders": "o_custkey", "customer": "c_custkey"}}} —
+    the incoming frame is the deletion batch; each audited table is a
+    registered pipeline table, mapped to the FK column the subjects
+    reach it through."""
+    return erasure_audit(
+        df,
+        cfg["keyField"],
+        {
+            name: (ctx.tables[name], fk)
+            for name, fk in dict(cfg["tables"]).items()
+        },
     )

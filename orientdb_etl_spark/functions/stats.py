@@ -1919,3 +1919,128 @@ def seasonal_decompose(
             ).alias("remainder"),
         )
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    season: int = 24,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling-origin one-step-ahead forecast evaluation per key: bucket
+    the series (default hourly), zero-fill gaps, forecast each bucket
+    with the two classical benchmarks — naive (previous bucket) and
+    seasonal naive (same bucket one season earlier, Hyndman & Athanasopoulos
+    FPP ch. 5) — and score them on every bucket after the first season.
+    Emits one row per (key, model): ``n_eval``, ``mae``, ``rmse``,
+    ``wape`` (Σ|e|/Σ|y| — the retail-forecasting workhorse), and
+    ``mase`` (Σ|e_model|/Σ|e_naive|; the naive row is 1.0 by
+    construction, so seasonal_naive's value IS its skill vs naive).
+    Any candidate model that can't beat these two numbers on the
+    holdout is not worth shipping — this is the pre-flight gate.
+
+    Scale shape: the raw frame collapses to per-(key, bucket) sums in
+    ONE map-side-combinable aggregation; the spine is a per-key
+    ``sequence()`` explode (bounded by time-range/bucket, never row
+    volume, and no per-key driver collect); forecasts are two ``lag``
+    expressions over one keyed window (single exchange, no global
+    sort); metrics are ratios of exact BIGINT sums (values floored to
+    integer ``scale``-ths), so both engines agree bit-for-bit — no
+    float accumulation-order hazard.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    b = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys))
+        )
+        .groupBy(
+            *keys,
+            F.floor(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_seconds)
+            ).alias("_t"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale).cast("long")
+            ).alias("_y")
+        )
+    )
+    spine = (
+        b.groupBy(*keys)
+        .agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_t"))
+    )
+    series = spine.join(b, [*keys, "_t"], "left").select(
+        *keys, "_t", F.coalesce("_y", F.lit(0)).cast("long").alias("_y")
+    )
+    w = Window.partitionBy(*keys).orderBy("_t")
+    scored = (
+        series.select(
+            *keys,
+            F.col("_y"),
+            F.lag("_y", 1).over(w).alias("_fn"),
+            F.lag("_y", season).over(w).alias("_fs"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") > season)
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.abs(F.col("_y") - F.col("_fn"))).alias("_an"),
+        F.sum(
+            (F.col("_y") - F.col("_fn")) * (F.col("_y") - F.col("_fn"))
+        ).alias("_qn"),
+        F.sum(F.abs(F.col("_y") - F.col("_fs"))).alias("_as"),
+        F.sum(
+            (F.col("_y") - F.col("_fs")) * (F.col("_y") - F.col("_fs"))
+        ).alias("_qs"),
+        F.sum(F.abs("_y")).alias("_ay"),
+    )
+    models = agg.select(
+        *keys,
+        F.col("_n"),
+        F.col("_an"),
+        F.col("_ay"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("model"),
+                    F.col("_an").alias("_a"),
+                    F.col("_qn").alias("_q"),
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("model"),
+                    F.col("_as").alias("_a"),
+                    F.col("_qs").alias("_q"),
+                ),
+            )
+        ).alias("_m"),
+    )
+    dn = F.col("_m._a").cast("double")
+    return models.select(
+        *keys,
+        F.col("_m.model").alias("model"),
+        F.col("_n").alias("n_eval"),
+        F.round(dn / F.col("_n") / scale, round_to).alias("mae"),
+        F.round(
+            F.sqrt(F.col("_m._q").cast("double") / F.col("_n")) / scale,
+            round_to,
+        ).alias("rmse"),
+        F.when(
+            F.col("_ay") > 0,
+            F.round(dn / F.col("_ay").cast("double"), round_to),
+        ).alias("wape"),
+        F.when(
+            F.col("_an") > 0,
+            F.round(dn / F.col("_an").cast("double"), round_to),
+        ).alias("mase"),
+    )

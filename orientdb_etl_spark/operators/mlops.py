@@ -699,6 +699,8 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
       "groupA", "groupB"}
     - ``anova`` / ``levene``: {"groupField", "valueField",
       "scale": 100}
+    - ``forecastBacktest``: {"by", "tsField", "valueField",
+      "bucketSeconds": 3600, "season": 24, "scale": 100}
     """
     from orientdb_etl_spark.functions import stats as S
     from orientdb_etl_spark.functions.preprocess import best_split, woe_iv
@@ -790,6 +792,16 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             df,
             cfg["groupField"],
             cfg["valueField"],
+            scale=int(cfg.get("scale", 100)),
+        )
+    if m == "forecastBacktest":
+        return S.forecast_backtest(
+            df,
+            cfg.get("by") or [],
+            cfg["tsField"],
+            cfg["valueField"],
+            bucket_seconds=int(cfg.get("bucketSeconds", 3600)),
+            season=int(cfg.get("season", 24)),
             scale=int(cfg.get("scale", 100)),
         )
     raise ValueError(f"unknown analyze method {m!r}")

@@ -72,3 +72,46 @@ def test_k_anonymity_transformer_registered(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["zip"] == 2
+
+
+def test_erasure_audit_counts_and_certificate(spark):
+    from orientdb_etl_spark.functions.privacy import erasure_audit
+
+    users = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "uid int, name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 4)], "oid int, uid int"
+    )
+    subjects = users.where("uid <= 2")
+    out = erasure_audit(
+        subjects, "uid", {"users": (users, "uid"), "orders": (orders, "uid")}
+    )
+    got = {r["table_name"]: r for r in out.collect()}
+    assert got["users"]["n_rows_affected"] == 2
+    assert got["users"]["n_subjects_present"] == 2
+    assert got["orders"]["n_rows_affected"] == 3  # uid 1 twice + uid 2
+    assert got["orders"]["n_subjects_present"] == 2
+    # completion certificate: after the deletion anti-joins, all zeros
+    users2 = users.join(subjects.select("uid"), "uid", "left_anti")
+    orders2 = orders.join(subjects.select("uid"), "uid", "left_anti")
+    post = erasure_audit(
+        subjects, "uid", {"users": (users2, "uid"), "orders": (orders2, "uid")}
+    )
+    assert all(
+        r["n_rows_affected"] == 0 and r["n_subjects_present"] == 0
+        for r in post.collect()
+    )
+    # the subject set rides a broadcast join — fact tables never shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_erasure_audit_validation(spark):
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.privacy import erasure_audit
+
+    df = spark.createDataFrame([(1,)], "uid int")
+    with _pt.raises(ValueError, match="at least one table"):
+        erasure_audit(df, "uid", {})

@@ -1116,3 +1116,44 @@ def test_seasonal_decompose_validation(spark):
         seasonal_decompose(df, "ts", 3600, 1)
     with _pt.raises(ValueError, match="no non-null"):
         seasonal_decompose(df, "ts", 3600, 4)
+
+
+def test_forecast_backtest_known_series(spark):
+    """Perfectly periodic series: seasonal naive is EXACT (mae=0,
+    mase=0) while naive pays the step cost every bucket; gap buckets
+    zero-fill into the spine; evaluation starts after one season."""
+    from orientdb_etl_spark.functions.stats import forecast_backtest
+
+    pat = [10.0, 20.0, 30.0]
+    rows = [
+        ("k", t * 3600, pat[t % 3])
+        for t in range(12)
+        if t != 7  # dropped bucket -> zero-filled, breaks periodicity
+    ]
+    df = spark.createDataFrame(rows, "k string, es bigint, v double").selectExpr(
+        "k", "CAST(from_unixtime(es) AS timestamp) AS ts", "v"
+    )
+    out = forecast_backtest(df, "k", "ts", "v", 3600, season=3)
+    got = {r["model"]: r for r in out.collect()}
+    assert set(got) == {"naive", "seasonal_naive"}
+    # 12 buckets, eval on rn > 3 -> 9 rows; naive mase = 1 by construction
+    assert got["naive"]["n_eval"] == 9
+    assert got["naive"]["mase"] == 1.0
+    # snaive errs ONLY where the zero-filled bucket breaks the cycle:
+    # t=7 (forecast 20, actual 0) and t=10 (forecast 0, actual 20)
+    assert abs(got["seasonal_naive"]["mae"] - (20.0 + 20.0) / 9) < 1e-6
+    # naive |e| over t=3..11: 20+10+10+20+10+30+20+10+10 = 140
+    assert abs(got["naive"]["mae"] - 140.0 / 9) < 1e-6
+    ay = 10 + 20 + 30 + 10 + 0 + 30 + 10 + 20 + 30  # |y| over eval rows
+    assert abs(got["naive"]["wape"] - 140.0 / ay) < 1e-6
+    assert abs(got["seasonal_naive"]["mase"] - 40.0 / 140.0) < 1e-6
+
+
+def test_forecast_backtest_validation(spark):
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.stats import forecast_backtest
+
+    df = spark.createDataFrame([("k", None, 1.0)], "k string, ts timestamp, v double")
+    with _pt.raises(ValueError, match="season"):
+        forecast_backtest(df, "k", "ts", "v", season=0)

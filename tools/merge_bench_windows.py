@@ -34,7 +34,12 @@ def main() -> None:
         q: [w["queries"][q] for w in wins if q in w["queries"]] for q in names
     }
     hosts = []
+    n_windows = 0
     for w in wins:
+        if "windows_host" in w:  # an already-merged artifact used as input
+            hosts.extend(w["windows_host"])
+            n_windows += len(w["windows_host"])
+            continue
         h = w.get("host", {})
         hosts.append(
             {
@@ -45,6 +50,7 @@ def main() -> None:
                 "window_total": w["value"],
             }
         )
+        n_windows += 1
     merged = {
         "metric": "headline_total",
         "value": round(sum(queries.values()), 3),
@@ -53,7 +59,7 @@ def main() -> None:
         "sf": wins[0]["sf"],
         "runs_per_query": wins[0].get("runs_per_query"),
         "aggregation": (
-            f"per-query min over {len(wins)} capture windows x "
+            f"per-query min over {n_windows} capture windows x "
             f"{wins[0].get('runs_per_query')} runs each; per-window host "
             "load/steal captured below (self-adjudication)"
         ),
