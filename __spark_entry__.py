@@ -5401,6 +5401,18 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality pre-flight for the lineitem
+    self-join on l_partkey (the candidate-pair hazard shape): per-key
+    count frames joined key-collapsed, never the join itself."""
+    from orientdb_etl_spark.functions.profiling import (
+        join_cardinality_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_estimate(li, li, "l_partkey", "l_partkey")
+
+
 def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR erasure blast radius: negative-balance BUILDING customers
     as the deletion batch, broadcast-semi-joined into customer and
@@ -5833,6 +5845,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (final): forecast evaluation, erasure blast radius
             "forecast_backtest": q_forecast_backtest,
             "erasure_audit": q_erasure_audit,
+            "join_cardinality": q_join_cardinality,
         }
     )
     return out
@@ -9540,5 +9553,21 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT 'orders', count(*), count(DISTINCT o_custkey) "
         "FROM orders JOIN k ON o_custkey = ek"
+    )
+    sql["join_cardinality"] = (
+        # per-key counts joined key-collapsed — exact fanout without
+        # running the join; deterministic (pairs desc, key asc) top-10
+        "WITH c AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem "
+        "WHERE l_partkey IS NOT NULL GROUP BY 1), "
+        "p AS (SELECT key, n AS n_left, n AS n_right, "
+        "CAST(n AS BIGINT) * CAST(n AS BIGINT) AS pairs FROM c), "
+        "s AS (SELECT CAST(sum(pairs) AS BIGINT) AS est_total_pairs, "
+        "count(*) AS n_matching_keys FROM p), "
+        "t AS (SELECT * FROM p ORDER BY pairs DESC, key ASC LIMIT 10) "
+        "SELECT CAST(row_number() OVER (ORDER BY pairs DESC, key ASC) "
+        "AS INT) AS rank, key, n_left, n_right, pairs, "
+        "round(CAST(pairs AS DOUBLE) / est_total_pairs, 6) "
+        "AS share_of_pairs, est_total_pairs, n_matching_keys "
+        "FROM t, s"
     )
     return sql

@@ -284,6 +284,10 @@ HEADLINE = [
     "seasonal_decompose",
     "neighborhood_2hop",
     "hyperball_cert",
+    # forecast evaluation + erasure blast radius
+    "forecast_backtest",
+    "erasure_audit",
+    "join_cardinality",
 ]
 
 

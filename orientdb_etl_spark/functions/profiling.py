@@ -858,3 +858,75 @@ def key_islands(df: DataFrame, key_col: str) -> DataFrame:
         .orderBy("island_start")
     )
     return islands
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pre-flight for a planned equi-join: EXACT output cardinality and
+    the keys that dominate it, computed from per-key counts WITHOUT
+    running the join — sum over matching keys of ``n_left * n_right``.
+    At 100 TB this is the audit that catches the accidental
+    many-to-many (a "unique" key that isn't) before it materializes
+    10^12 rows; the answer costs two key-collapsed aggregates instead
+    of the join itself. Returns the ``top_k`` fanout contributors:
+    ``(rank, key, n_left, n_right, pairs, share_of_pairs,
+    est_total_pairs, n_matching_keys)`` — the last two scalar-broadcast
+    so the frame is self-contained. Pairs with
+    :func:`key_skew_profile` (one-sided skew) the way a plan audit
+    pairs with an EXPLAIN.
+
+    Scale shape: one map-side-combinable count per side (frames
+    collapse to |keys| rows), an equi-join of the two collapsed frames,
+    a scalar aggregate, and a TakeOrderedAndProject top-k — no window
+    over data-sized frames, no shuffle of the original tables.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    per_key = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"),
+    )
+    stats = per_key.agg(
+        F.sum("pairs").alias("est_total_pairs"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    top = per_key.orderBy(
+        F.col("pairs").desc(), F.col("key").asc()
+    ).limit(int(top_k))
+    w = Window.orderBy(F.col("pairs").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        # rank window runs over <= top_k rows — bounded by the limit
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_left",
+            "n_right",
+            "pairs",
+            F.round(
+                F.col("pairs") / F.col("est_total_pairs"), round_to
+            ).alias("share_of_pairs"),
+            "est_total_pairs",
+            "n_matching_keys",
+        )
+        .orderBy("rank")
+    )

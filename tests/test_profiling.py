@@ -423,3 +423,31 @@ def test_key_islands_partition_invariant(spark):
     a = [tuple(r) for r in key_islands(df, "k").collect()]
     b = [tuple(r) for r in key_islands(df.repartition(13), "k").collect()]
     assert a == b and sum(r[2] for r in a) == len(keys)
+
+
+def test_join_cardinality_estimate_exact(spark):
+    """Estimate equals the true join output size; fanout contributors
+    ranked deterministically; null keys excluded (inner-join semantics)."""
+    from orientdb_etl_spark.functions.profiling import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), (None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("d",), (None,)], "k string"
+    )
+    out = join_cardinality_estimate(left, right, "k", "k", top_k=5)
+    rows = out.collect()
+    truth = left.join(right, "k").count()
+    assert rows[0]["est_total_pairs"] == truth == 7  # a:3*2 + b:1*1
+    assert rows[0]["n_matching_keys"] == 2
+    assert [r["key"] for r in rows] == ["a", "b"]
+    assert rows[0]["pairs"] == 6 and rows[1]["pairs"] == 1
+    assert abs(rows[0]["share_of_pairs"] - 6 / 7) < 1e-6  # rounded to 6dp
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="top_k"):
+        join_cardinality_estimate(left, right, "k", "k", top_k=0)
