@@ -5401,6 +5401,56 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per return flag — exact
+    type-1 weighted quantiles: distinct-value collapse, range-
+    partitioned prefix sum (no per-key ORDER BY window), pure-BIGINT
+    selection predicate."""
+    from orientdb_etl_spark.functions.profiling import (
+        weighted_percentiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        percentiles=[25, 50, 75, 90],
+    )
+
+
+def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-move root cause: which priorities / statuses drove the
+    1995→1996 order-revenue delta — per-dimension member deltas vs the
+    broadcast global delta, exact BIGINT cents, WindowGroupLimit
+    top-k."""
+    from orientdb_etl_spark.functions.stats import contribution_analysis
+
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.where(F.year("o_orderdate") == 1995)
+    after = orders.where(F.year("o_orderdate") == 1996)
+    return contribution_analysis(
+        before,
+        after,
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+        top_k=5,
+    )
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail on a deterministic 50/50
+    assignment derived from user_id parity — one arm-collapsed count,
+    chi-square GOF against the design broadcast onto the arms frame."""
+    from orientdb_etl_spark.functions.stats import srm_check
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    return srm_check(ev, "arm", {"A": 0.5, "B": 0.5})
+
+
 def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact join-output cardinality pre-flight for the lineitem
     self-join on l_partkey (the candidate-pair hazard shape): per-key
@@ -5846,6 +5896,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_backtest": q_forecast_backtest,
             "erasure_audit": q_erasure_audit,
             "join_cardinality": q_join_cardinality,
+            "contribution": q_contribution,
+            "srm_check": q_srm_check,
+            "weighted_percentiles": q_weighted_percentiles,
         }
     )
     return out
@@ -9569,5 +9622,85 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(pairs AS DOUBLE) / est_total_pairs, 6) "
         "AS share_of_pairs, est_total_pairs, n_matching_keys "
         "FROM t, s"
+    )
+    sql["contribution"] = (
+        # per-dimension member sums (exact BIGINT cents), full outer
+        # join per dimension, global delta broadcast, |delta| top-5
+        "WITH bb AS (SELECT * FROM orders WHERE year(o_orderdate) = 1995 "
+        "AND o_totalprice IS NOT NULL), "
+        "aa AS (SELECT * FROM orders WHERE year(o_orderdate) = 1996 "
+        "AND o_totalprice IS NOT NULL), "
+        "u AS ("
+        "SELECT 'o_orderpriority' AS dimension, value, "
+        "COALESCE(sb, 0) AS sb, COALESCE(sa, 0) AS sa FROM "
+        "(SELECT CAST(o_orderpriority AS VARCHAR) AS value, "
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sb FROM bb WHERE o_orderpriority IS NOT NULL GROUP BY 1) b "
+        "FULL OUTER JOIN "
+        "(SELECT CAST(o_orderpriority AS VARCHAR) AS value, "
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sa FROM aa WHERE o_orderpriority IS NOT NULL GROUP BY 1) a "
+        "USING (value) "
+        "UNION ALL "
+        "SELECT 'o_orderstatus', value, COALESCE(sb, 0), "
+        "COALESCE(sa, 0) FROM "
+        "(SELECT CAST(o_orderstatus AS VARCHAR) AS value, "
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sb FROM bb WHERE o_orderstatus IS NOT NULL GROUP BY 1) b "
+        "FULL OUTER JOIN "
+        "(SELECT CAST(o_orderstatus AS VARCHAR) AS value, "
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sa FROM aa WHERE o_orderstatus IS NOT NULL GROUP BY 1) a "
+        "USING (value)), "
+        "d AS (SELECT dimension, value, sb, sa, sa - sb AS dd, "
+        "sum(sa - sb) OVER (PARTITION BY dimension) AS td, "
+        "row_number() OVER (PARTITION BY dimension "
+        "ORDER BY abs(sa - sb) DESC, value ASC) AS rk FROM u) "
+        "SELECT dimension, value, "
+        "round(CAST(sb AS DOUBLE) / 100, 6) AS before, "
+        "round(CAST(sa AS DOUBLE) / 100, 6) AS after, "
+        "round(CAST(dd AS DOUBLE) / 100, 6) AS delta, "
+        "CASE WHEN td <> 0 THEN "
+        "round(CAST(dd AS DOUBLE) / CAST(td AS DOUBLE), 6) END "
+        "AS share_of_delta, CAST(rk AS INT) AS rank "
+        "FROM d WHERE rk <= 5"
+    )
+    sql["srm_check"] = (
+        # one arm-collapsed count; GOF statistic broadcast onto the
+        # arms frame (parity assignment replayed exactly)
+        "WITH c AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' "
+        "END AS arm, count(*) AS n FROM events GROUP BY 1), "
+        "d AS (SELECT 'A' AS arm, 0.5 AS expected_share UNION ALL "
+        "SELECT 'B', 0.5), "
+        "p AS (SELECT d.arm, COALESCE(c.n, 0) AS n, d.expected_share "
+        "FROM d LEFT JOIN c ON d.arm = c.arm), "
+        "t AS (SELECT sum(n) AS nt FROM p), "
+        "e AS (SELECT arm, n, expected_share, "
+        "expected_share * nt AS expected_n FROM p, t), "
+        "s AS (SELECT sum(CASE WHEN expected_n > 0 THEN "
+        "(n - expected_n) * (n - expected_n) / expected_n "
+        "ELSE 0.0 END) AS chi2, CAST(count(*) - 1 AS INT) AS dof FROM e) "
+        "SELECT arm, n, round(expected_share, 6) AS expected_share, "
+        "round(expected_n, 6) AS expected_n, round(chi2, 6) AS chi2, "
+        "dof FROM e, s ORDER BY arm"
+    )
+    sql["weighted_percentiles"] = (
+        # type-1 weighted quantile: distinct-value collapse, per-key
+        # cumulative weight, pure-BIGINT selection (cum*100 >= p*total)
+        "WITH a AS (SELECT l_returnflag AS k, l_extendedprice AS v, "
+        "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+        "AND l_quantity IS NOT NULL GROUP BY 1, 2), "
+        "c AS (SELECT k, v, w, "
+        "CAST(sum(w) OVER (PARTITION BY k ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum, CAST(sum(w) OVER (PARTITION BY k) AS BIGINT) AS tw "
+        "FROM a), "
+        "g AS (SELECT k, v, cum, tw, pct FROM c, "
+        "(VALUES (25), (50), (75), (90)) p(pct) "
+        "WHERE cum * 100 >= pct * tw) "
+        "SELECT k AS l_returnflag, pct AS percentile, "
+        "min(v) AS value, tw AS total_weight "
+        "FROM g GROUP BY 1, 2, tw ORDER BY 1, 2"
     )
     return sql

@@ -288,6 +288,9 @@ HEADLINE = [
     "forecast_backtest",
     "erasure_audit",
     "join_cardinality",
+    "contribution",
+    "srm_check",
+    "weighted_percentiles",
 ]
 
 

@@ -930,3 +930,77 @@ def join_cardinality_estimate(
         )
         .orderBy("rank")
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    keys: "str | list[str]",
+    value_col: str,
+    weight_col: str,
+    percentiles: "list[int]" = (25, 50, 75),
+) -> DataFrame:
+    """EXACT weighted percentiles per key (type-1 / lower quantile: the
+    smallest value whose inclusive cumulative weight reaches p% of the
+    key's total) — the survey-statistics / importance-weighted form of
+    ``percentile`` that Spark only ships unweighted. Percentiles are
+    INTEGER percents, so the selection predicate is pure BIGINT
+    arithmetic (``cum * 100 >= p * total``) — no float threshold, both
+    engines pick the identical row. Negative weights raise; zero-weight
+    rows never satisfy the predicate ahead of mass. Returns
+    ``(*keys, percentile, value, total_weight)``.
+
+    Scale shape: rows collapse to one partial-aggregated weight per
+    (key, value) first, so everything downstream runs on the distinct-
+    value frame; the cumulative weight comes from
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    over the (keys, value) total order (range-partitioned running sum —
+    bounded driver state, no per-key ORDER BY window, and the SAME path
+    serves the unkeyed global median where a keyed window would funnel
+    everything through one task); the per-key offset that turns the
+    global prefix into a within-key one is a broadcastable min per key.
+    Percentile fan-out is an array explode over the tiny grid.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ps = sorted({int(p) for p in percentiles})
+    if not ps or ps[0] < 1 or ps[-1] > 100:
+        raise ValueError(
+            f"percentiles must be integers in [1, 100], got {percentiles}"
+        )
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
+    agg = base.groupBy(
+        *keys, F.col(value_col).alias("_v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    neg = agg.where(F.col("_w") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"weights must be non-negative; key with negative total: {neg[0]}"
+        )
+    cum = exclusive_prefix(
+        agg, [*keys, "_v"], "_w", "sum", "_excl", "bigint"
+    ).withColumn("_excl", F.coalesce("_excl", F.lit(0)))
+    # within-key offset = the global prefix at the key's first value
+    offs = cum.groupBy(*keys).agg(
+        F.min("_excl").alias("_off"), F.sum("_w").alias("total_weight")
+    )
+    within = cum.join(offs, keys).select(
+        *keys,
+        "_v",
+        (F.col("_excl") - F.col("_off") + F.col("_w")).alias("_cum"),
+        "total_weight",
+    )
+    grid = F.explode(
+        F.array(*[F.lit(p) for p in ps])
+    ).alias("percentile")
+    hits = within.select(*keys, "_v", "_cum", "total_weight", grid).where(
+        F.col("_cum") * 100 >= F.col("percentile") * F.col("total_weight")
+    )
+    return (
+        hits.groupBy(*keys, "percentile", "total_weight")
+        .agg(F.min("_v").alias("value"))
+        .select(*keys, "percentile", "value", "total_weight")
+        .orderBy(*keys, "percentile")
+    )

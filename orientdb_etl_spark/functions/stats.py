@@ -2044,3 +2044,185 @@ def forecast_backtest(
             F.round(dn / F.col("_an").cast("double"), round_to),
         ).alias("mase"),
     )
+
+
+def contribution_analysis(
+    before: DataFrame,
+    after: DataFrame,
+    dims: "list[str]",
+    value_col: str,
+    top_k: int = 10,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Root-cause decomposition of a metric move: for each analysis
+    dimension, which member values drove the period-over-period delta
+    and what share of the total change each explains — the "why did
+    revenue drop 4%?" answer as a table. Returns the ``top_k``
+    contributors per dimension ranked by absolute delta:
+    ``(dimension, value, before, after, delta, share_of_delta, rank)``.
+    Shares sum to 1 over ALL members of a dimension (each dimension is
+    a complete partition of the same global delta), so offsetting
+    movers (+8% here, −12% there) surface instead of netting out.
+    NULL dimension values are excluded (they partition nothing).
+
+    Scale shape: per dimension, both frames collapse to one
+    map-side-combinable sum per member (exact BIGINT after flooring to
+    integer ``scale``-ths — cross-engine determinism), joined
+    member-collapsed with a full outer join; the global delta rides a
+    broadcast scalar; per-dimension top-k goes through
+    :func:`~orientdb_etl_spark.operators.relational.topk_per_group`
+    (partial WindowGroupLimit — map tasks pre-prune before the
+    exchange). The fact frames are scanned once per dimension and
+    nothing downstream scales with row volume.
+    """
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    if not dims:
+        raise ValueError("contribution_analysis needs at least one dim")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def _sums(df: DataFrame, dim: str, out: str) -> DataFrame:
+        return (
+            df.where(F.col(dim).isNotNull() & F.col(value_col).isNotNull())
+            .groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(
+                F.sum(
+                    F.floor(F.col(value_col) * scale).cast("long")
+                ).alias(out)
+            )
+        )
+
+    parts = []
+    for dim in dims:
+        b = _sums(before, dim, "_b")
+        a = _sums(after, dim, "_a")
+        j = (
+            b.join(a, "value", "full_outer")
+            .select(
+                F.lit(dim).alias("dimension"),
+                "value",
+                F.coalesce("_b", F.lit(0)).alias("_b"),
+                F.coalesce("_a", F.lit(0)).alias("_a"),
+            )
+            .withColumn("_d", F.col("_a") - F.col("_b"))
+        )
+        tot = j.agg(F.sum("_d").alias("_td"))
+        parts.append(j.crossJoin(F.broadcast(tot)))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    ranked = topk_per_group(
+        allp.withColumn("_ad", F.abs("_d")),
+        "dimension",
+        ["_ad DESC", "value ASC"],
+        int(top_k),
+        rank_col="rank",
+    )
+    return ranked.select(
+        "dimension",
+        "value",
+        F.round(F.col("_b").cast("double") / scale, round_to).alias(
+            "before"
+        ),
+        F.round(F.col("_a").cast("double") / scale, round_to).alias(
+            "after"
+        ),
+        F.round(F.col("_d").cast("double") / scale, round_to).alias(
+            "delta"
+        ),
+        F.when(
+            F.col("_td") != 0,
+            F.round(
+                F.col("_d").cast("double") / F.col("_td").cast("double"),
+                round_to,
+            ),
+        ).alias("share_of_delta"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("dimension", "rank")
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: "dict[str, float]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for experiments: chi-square
+    goodness-of-fit of observed arm counts against the DESIGNED
+    allocation — the first thing to check before reading any A/B
+    result, because a biased assignment invalidates everything
+    downstream (Fabijan et al., KDD'19 diagnostics). One row per arm:
+    ``(arm, n, expected_share, expected_n, chi2, dof)`` with the
+    scalar test statistic broadcast onto every row; compare ``chi2``
+    against the chi-square critical value at ``dof`` (no p-value —
+    neither engine ships the CDF; same convention as
+    :func:`chi_square`). Arms observed in the data but absent from
+    ``expected`` raise: an unknown arm IS the incident.
+
+    Scale shape: ONE map-side-combinable count per arm; everything
+    after operates on the arms-sized frame (a handful of rows).
+    """
+    if not expected:
+        raise ValueError("srm_check needs the designed allocation")
+    tot_share = sum(float(v) for v in expected.values())
+    if abs(tot_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"expected shares must sum to 1, got {tot_share}"
+        )
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expected.items())],
+        "arm string, expected_share double",
+    )
+    # anti-join probe, limit(1): never collects more than one row even
+    # when someone passes a high-cardinality column as the arm
+    unknown = (
+        counts.join(design.select("arm"), "arm", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if unknown:
+        raise ValueError(
+            f"arm not in the designed allocation: {unknown[0]['arm']!r}"
+        )
+    # full design frame (left join) so a silently EMPTY arm still
+    # contributes its expected count to the statistic
+    per = design.join(counts, "arm", "left").select(
+        "arm",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "expected_share",
+    )
+    tot = per.agg(F.sum("n").alias("_nt"))
+    e = per.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_n", F.col("expected_share") * F.col("_nt")
+    )
+    stat = e.agg(
+        F.sum(
+            F.when(
+                F.col("expected_n") > 0,
+                (F.col("n") - F.col("expected_n"))
+                * (F.col("n") - F.col("expected_n"))
+                / F.col("expected_n"),
+            ).otherwise(F.lit(0.0))
+        ).alias("_chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    )
+    return (
+        e.crossJoin(F.broadcast(stat))
+        .select(
+            "arm",
+            "n",
+            F.round("expected_share", round_to).alias("expected_share"),
+            F.round("expected_n", round_to).alias("expected_n"),
+            F.round("_chi2", round_to).alias("chi2"),
+            "dof",
+        )
+        .orderBy("arm")
+    )

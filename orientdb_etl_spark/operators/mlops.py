@@ -481,9 +481,10 @@ def decontaminate_transformer(
 
 @register("profile")
 def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
-    """{"profile": {"method": "columns"|"heavyHitters"|"ngramTopk", ...}}
-    — single-pass profiling as a config citizen (the audit stage of a
-    curation pipeline)."""
+    """{"profile": {"method": "columns"|"heavyHitters"|"ngramTopk"|
+    "diff"|"madOutliers"|"hll"|"cms"|"joinCardinality"|
+    "weightedPercentiles", ...}} — single-pass profiling as a config
+    citizen (the audit stage of a curation pipeline)."""
     from orientdb_etl_spark.functions import profiling as P
 
     method = str(cfg.get("method", "columns")).lower()
@@ -533,6 +534,17 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         return P.cms_estimate(
             sketch, ctx.tables[cfg["probeTable"]], cfg["keyField"],
             width, depth, seed,
+        )
+    if method == "joincardinality":
+        return P.join_cardinality_estimate(
+            df, ctx.tables[cfg["rightTable"]],
+            cfg["leftKey"], cfg["rightKey"],
+            top_k=int(cfg.get("topK", 10)),
+        )
+    if method == "weightedpercentiles":
+        return P.weighted_percentiles(
+            df, cfg.get("by") or [], cfg["valueField"],
+            cfg["weightField"], list(cfg.get("percentiles", [25, 50, 75])),
         )
     raise ValueError(f"unknown profile method {method!r}")
 
@@ -701,6 +713,9 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
       "scale": 100}
     - ``forecastBacktest``: {"by", "tsField", "valueField",
       "bucketSeconds": 3600, "season": 24, "scale": 100}
+    - ``contribution``: {"beforeTable", "dims", "valueField",
+      "topK": 10} — incoming frame is the AFTER period
+    - ``srm``: {"armField", "expected": {"A": 0.5, "B": 0.5}}
     """
     from orientdb_etl_spark.functions import stats as S
     from orientdb_etl_spark.functions.preprocess import best_split, woe_iv
@@ -804,6 +819,17 @@ def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             season=int(cfg.get("season", 24)),
             scale=int(cfg.get("scale", 100)),
         )
+    if m == "contribution":
+        return S.contribution_analysis(
+            ctx.tables[cfg["beforeTable"]],
+            df,
+            list(cfg["dims"]),
+            cfg["valueField"],
+            top_k=int(cfg.get("topK", 10)),
+            scale=int(cfg.get("scale", 100)),
+        )
+    if m == "srm":
+        return S.srm_check(df, cfg["armField"], dict(cfg["expected"]))
     raise ValueError(f"unknown analyze method {m!r}")
 
 

@@ -451,3 +451,45 @@ def test_join_cardinality_estimate_exact(spark):
 
     with _pt.raises(ValueError, match="top_k"):
         join_cardinality_estimate(left, right, "k", "k", top_k=0)
+
+
+def test_weighted_percentiles_exact(spark):
+    """Hand-checked type-1 weighted quantiles; unweighted degenerate
+    case matches plain percentile; result invariant to repartition."""
+    from orientdb_etl_spark.functions.profiling import weighted_percentiles
+
+    # key k: values 1..4 with weights 1,1,6,2 (total 10)
+    rows = [("k", 1.0, 1), ("k", 2.0, 1), ("k", 3.0, 6), ("k", 4.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    got = {
+        r["percentile"]: r
+        for r in weighted_percentiles(
+            df, "g", "v", "w", [10, 20, 50, 80, 100]
+        ).collect()
+    }
+    # cum: 1->1, 2->2, 3->8, 4->10
+    assert got[10]["value"] == 1.0   # cum*100=100 >= 10*10
+    assert got[20]["value"] == 2.0
+    assert got[50]["value"] == 3.0
+    assert got[80]["value"] == 3.0
+    assert got[100]["value"] == 4.0
+    assert got[50]["total_weight"] == 10
+    # duplicate values collapse before the prefix
+    dup = df.union(spark.createDataFrame([("k", 3.0, 4)], df.schema))
+    g2 = {
+        r["percentile"]: r["value"]
+        for r in weighted_percentiles(df.repartition(7), "g", "v", "w", [50]).collect()
+    }
+    assert g2[50] == 3.0
+    assert (
+        weighted_percentiles(dup, "g", "v", "w", [50]).collect()[0]["total_weight"]
+        == 14
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="percentiles"):
+        weighted_percentiles(df, "g", "v", "w", [0])
+    neg = spark.createDataFrame([("k", 1.0, -2)], "g string, v double, w int")
+    with _pt.raises(ValueError, match="non-negative"):
+        weighted_percentiles(neg, "g", "v", "w", [50])

@@ -1157,3 +1157,60 @@ def test_forecast_backtest_validation(spark):
     df = spark.createDataFrame([("k", None, 1.0)], "k string, ts timestamp, v double")
     with _pt.raises(ValueError, match="season"):
         forecast_backtest(df, "k", "ts", "v", season=0)
+
+
+def test_contribution_analysis_decomposition(spark):
+    """Per-dimension deltas partition the same global delta; shares sum
+    to 1 within each dimension; members absent from one period
+    zero-fill; NULL dim values drop."""
+    from orientdb_etl_spark.functions.stats import contribution_analysis
+
+    before = spark.createDataFrame(
+        [("x", "p", 10.0), ("x", "q", 20.0), ("y", "p", 30.0), (None, "p", 99.0)],
+        "d1 string, d2 string, v double",
+    )
+    after = spark.createDataFrame(
+        [("x", "p", 5.0), ("z", "q", 25.0), ("y", "p", 30.0)],
+        "d1 string, d2 string, v double",
+    )
+    out = contribution_analysis(before, after, ["d1", "d2"], "v", top_k=10)
+    rows = out.collect()
+    d1 = {r["value"]: r for r in rows if r["dimension"] == "d1"}
+    # global delta (NULL-d1 excluded): 60 -> 60 => 0; shares undefined
+    assert d1["x"]["before"] == 30.0 and d1["x"]["after"] == 5.0
+    assert d1["x"]["delta"] == -25.0
+    assert d1["z"]["before"] == 0.0 and d1["z"]["after"] == 25.0
+    assert d1["y"]["delta"] == 0.0
+    assert all(r["share_of_delta"] is None for r in d1.values())
+    # d2 keeps the NULL-d1 row (it has a d2 value): p 139->35, q 20->25
+    # so the d2 global delta is -104 + 5 = -99
+    d2 = {r["value"]: r for r in rows if r["dimension"] == "d2"}
+    assert d2["p"]["before"] == 139.0 and d2["p"]["after"] == 35.0
+    assert abs(d2["p"]["share_of_delta"] - (-104.0 / -99.0)) < 1e-6
+    assert abs(d2["q"]["share_of_delta"] - (5.0 / -99.0)) < 1e-6
+    # ranked by |delta| within dimension
+    assert d2["p"]["rank"] == 1 and d2["q"]["rank"] == 2
+
+
+def test_srm_check_detects_mismatch(spark):
+    from orientdb_etl_spark.functions.stats import srm_check
+
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("A",)] * 70 + [("B",)] * 30, "arm string"
+    )
+    out = srm_check(df, "arm", {"A": 0.5, "B": 0.5}).collect()
+    got = {r["arm"]: r for r in out}
+    # chi2 = (70-50)^2/50 + (30-50)^2/50 = 16; dof 1 -> flagrant SRM
+    assert got["A"]["n"] == 70 and got["A"]["expected_n"] == 50.0
+    assert abs(got["A"]["chi2"] - 16.0) < 1e-9 and got["A"]["dof"] == 1
+    # empty-but-designed arm still contributes its expected count
+    out2 = srm_check(df, "arm", {"A": 0.5, "B": 0.25, "C": 0.25}).collect()
+    got2 = {r["arm"]: r for r in out2}
+    assert got2["C"]["n"] == 0 and got2["C"]["expected_n"] == 25.0
+    # unknown observed arm raises (that IS the incident)
+    with _pt.raises(ValueError, match="not in the designed"):
+        srm_check(df, "arm", {"A": 1.0})
+    with _pt.raises(ValueError, match="sum to 1"):
+        srm_check(df, "arm", {"A": 0.5, "B": 0.3})
