@@ -535,6 +535,10 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
             sketch, ctx.tables[cfg["probeTable"]], cfg["keyField"],
             width, depth, seed,
         )
+    if method == "keyskew":
+        return P.key_skew_profile(
+            df, cfg["keyField"], int(cfg.get("topK", 10))
+        )
     if method == "joincardinality":
         return P.join_cardinality_estimate(
             df, ctx.tables[cfg["rightTable"]],

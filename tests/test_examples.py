@@ -369,3 +369,42 @@ def test_config_lifecycle_analytics_example(spark):
     )
     funnel = res.outputs["funnel"].collect()[0]
     assert funnel.n1_view >= funnel.n2_click >= funnel.n3_purchase
+
+
+def test_config_preflight_governance_example(spark):
+    """Pre-flight + governance config: key skew, join-cardinality
+    estimate, contribution analysis, and the expectations gate all on
+    output side branches; the gated frame passes through unchanged."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+    from pyspark.sql import functions as F
+
+    cfg = json.load(open(f"{EXAMPLES}/config-preflight-governance.json"))
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    cur = orders.where(F.year("o_orderdate") >= 1998)
+    prev = orders.where(F.year("o_orderdate") < 1998)
+    p = (
+        Pipeline(cfg, spark=spark)
+        .register_table("orders", cur)
+        .register_table("orders_prev", prev)
+        .register_table("customer", customer)
+    )
+    res = p.run()
+    # main lineage untouched by the audit side branches
+    assert res.outputs["gated_orders"].count() == cur.count()
+    skew = res.outputs["skew"].collect()
+    assert skew and all(r.suggested_salt >= 1 for r in skew)
+    fanout = res.outputs["fanout"].collect()
+    # orders->customer is many-to-one: est pairs == matching order rows
+    n_match = cur.join(
+        customer, cur["o_custkey"] == customer["c_custkey"]
+    ).count()
+    assert fanout[0]["est_total_pairs"] == n_match
+    moves = res.outputs["moves"].collect()
+    dims = {r["dimension"] for r in moves}
+    assert dims == {"o_orderpriority", "o_orderstatus"}
+    dq = {r["constraint"]: r for r in res.outputs["dq"].collect()}
+    assert all(r["passed"] for r in dq.values())
