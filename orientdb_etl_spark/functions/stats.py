@@ -198,9 +198,7 @@ def psi(
     stats = ref.agg(
         F.min(F.col(value_col).cast("double")).alias("_mn"),
         F.max(F.col(value_col).cast("double")).alias("_mx"),
-        F.count(value_col).alias("_n_ref"),
     )
-    n_cur = cur.agg(F.count(value_col).alias("_n_cur"))
 
     def _bucketed(df: DataFrame, out: str) -> DataFrame:
         *_, bucket = _psi_bucket(value_col, bins)
@@ -214,10 +212,25 @@ def psi(
 
     r = _bucketed(ref, "n_ref")
     c = _bucketed(cur, "n_cur")
+    return psi_from_counts(r, c)
+
+
+def psi_from_counts(r: DataFrame, c: DataFrame) -> DataFrame:
+    """PSI from pre-bucketed counts — ``r`` is ``(bucket, n_ref)``,
+    ``c`` is ``(bucket, n_cur)``, both bucketed against the SAME
+    reference edges. The counts-based core of :func:`psi`, shared with
+    the streaming drift monitor
+    (:func:`~orientdb_etl_spark.streaming.ops.read_stream_drift`) whose
+    current side exists only as per-epoch bucket counts. Identical
+    output contract to :func:`psi`; count sums are integers, so a
+    micro-batched accumulation equals the one-shot batch computation
+    exactly."""
+    nr = r.agg(F.sum("n_ref").alias("_n_ref"))
+    nc = c.agg(F.sum("n_cur").alias("_n_cur"))
     joined = (
         r.join(c, "bucket", "full_outer")
-        .join(F.broadcast(stats.select("_n_ref")))
-        .join(F.broadcast(n_cur))
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nc))
         .select(
             "bucket",
             (

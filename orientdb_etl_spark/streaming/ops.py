@@ -464,3 +464,96 @@ def read_stream_sketch(spark, target_path: str):
 
     epochs = spark.read.parquet(target_path).select("d", "bucket", "cnt")
     return cms_merge(epochs)
+
+
+def drift_bounds(ref, value_col: str) -> "tuple[float, float]":
+    """The two reference scalars a streaming drift monitor needs
+    (min/max of the reference snapshot — PSI buckets are equi-width
+    from the REFERENCE range). Collect is two doubles; compute once at
+    monitor start and pass to :func:`foreach_batch_drift` so every
+    micro-batch buckets against the identical edges
+    :func:`read_stream_drift` will use."""
+    row = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+    ).first()
+    if row["mn"] is None:
+        raise ValueError(f"drift_bounds: no non-null values in {value_col!r}")
+    return float(row["mn"]), float(row["mx"])
+
+
+def foreach_batch_drift(
+    target_path: str,
+    value_col: str,
+    ref_min: float,
+    ref_max: float,
+    bins: int = 10,
+):
+    """``foreachBatch`` callback maintaining streaming drift state: each
+    micro-batch's bucket counts (bucketed against the REFERENCE range,
+    out-of-range clamped into the end buckets — that IS drift) land in
+    their own epoch directory. Same exactly-once discipline as
+    :func:`foreach_batch_sketch`: a checkpoint-replayed batch OVERWRITES
+    its epoch instead of double-counting, because counts merge by sum at
+    read time. Per-batch I/O is ≤ ``bins`` rows.
+
+    Bucket arithmetic mirrors ``stats._psi_bucket`` exactly, so the
+    streamed PSI equals a batch :func:`~orientdb_etl_spark.functions.
+    stats.psi` over the concatenated micro-batches — pinned by test.
+    """
+    mn, mx = float(ref_min), float(ref_max)
+
+    def fn(batch_df, epoch_id: int) -> None:
+        v = F.col(value_col).cast("double")
+        if mn == mx:
+            bucket = F.lit(1)
+        else:
+            raw = F.floor((v - F.lit(mn)) / F.lit(mx - mn) * bins) + 1
+            bucket = F.greatest(
+                F.least(raw.cast("int"), F.lit(int(bins))), F.lit(1)
+            )
+        counts = (
+            batch_df.filter(v.isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{target_path}/epoch={epoch_id}"
+        )
+
+    return fn
+
+
+def read_stream_drift(spark, target_path: str, ref, value_col: str, bins: int = 10):
+    """Merge the per-epoch bucket counts written by
+    :func:`foreach_batch_drift` and score PSI against the reference
+    snapshot — same output contract as ``stats.psi`` (per-bucket
+    ``p_ref/p_cur/psi_term`` + grand ``psi_total``). Counts are
+    integers, so the merged result equals the one-shot batch PSI over
+    everything the stream has seen. The epochs frame is ≤ epochs×bins
+    rows; the reference side is one scalar aggregate + one bucketed
+    count of the reference frame."""
+    from orientdb_etl_spark.functions.stats import (
+        _psi_bucket,
+        psi_from_counts,
+    )
+
+    stats = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    *_, bucket = _psi_bucket(value_col, bins)
+    r = (
+        ref.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    c = (
+        spark.read.parquet(target_path)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n_cur"))
+    )
+    return psi_from_counts(r, c)

@@ -629,3 +629,66 @@ def test_streaming_cms_sketch_maintenance_linearity(spark, tmp_path):
     spark.catalog.refreshByPath(target)  # epoch 0's files were replaced
     m2 = {(r.d, r.bucket): r.cnt for r in read_stream_sketch(spark, target).collect()}
     assert m2 == w
+
+
+def test_streaming_drift_monitor_equals_batch_psi(spark, tmp_path):
+    """Streamed PSI (per-epoch bucket counts, merged at read) must equal
+    the one-shot batch psi() over the concatenated micro-batches, and
+    epoch replay must not double-count."""
+    from orientdb_etl_spark.functions.stats import psi
+    from orientdb_etl_spark.streaming.ops import (
+        drift_bounds,
+        foreach_batch_drift,
+        read_stream_drift,
+    )
+
+    src = tmp_path / "src"
+    # current stream drifts upward vs the reference
+    for i in range(4):
+        spark.range(i * 500, (i + 1) * 500).selectExpr(
+            "CAST(id % 100 + id % 7 AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(str(src / f"part{i}"))
+    ref = spark.range(2000).selectExpr("CAST(id % 80 AS DOUBLE) AS v")
+    all_cur = spark.read.parquet(str(src / "part*"))
+
+    mn, mx = drift_bounds(ref, "v")
+    assert (mn, mx) == (0.0, 79.0)
+    target = str(tmp_path / "drift")
+    fn = foreach_batch_drift(target, "v", mn, mx, bins=8)
+    q = (
+        spark.readStream.schema(all_cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(fn)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["bucket"]: r
+        for r in read_stream_drift(spark, target, ref, "v", bins=8).collect()
+    }
+    batch = {r["bucket"]: r for r in psi(ref, all_cur, "v", bins=8).collect()}
+    assert set(streamed) == set(batch)
+    for b in batch:
+        for f in ("p_ref", "p_cur", "psi_term", "psi_total"):
+            assert streamed[b][f] == batch[b][f]
+    # values past the reference max clamp into the top bucket => drift
+    assert streamed[8]["psi_total"] > 0.1
+
+    # replay epoch 0: overwrite-own-epoch keeps the merged state identical
+    first = spark.read.parquet(str(src / "part0"))
+    fn(first, 0)
+    spark.catalog.refreshByPath(target)
+    again = {
+        r["bucket"]: r["p_cur"]
+        for r in read_stream_drift(spark, target, ref, "v", bins=8).collect()
+    }
+    assert again == {b: r["p_cur"] for b, r in streamed.items()}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no non-null"):
+        drift_bounds(spark.createDataFrame([(None,)], "v double"), "v")
