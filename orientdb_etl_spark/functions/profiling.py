@@ -974,14 +974,17 @@ def weighted_percentiles(
     agg = base.groupBy(
         *keys, F.col(value_col).alias("_v")
     ).agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
-    neg = agg.where(F.col("_w") < 0).limit(1).collect()
-    if neg:
-        raise ValueError(
-            f"weights must be non-negative; key with negative total: {neg[0]}"
-        )
     cum = exclusive_prefix(
         agg, [*keys, "_v"], "_w", "sum", "_excl", "bigint"
     ).withColumn("_excl", F.coalesce("_excl", F.lit(0)))
+    # probe the CHECKPOINTED frame (exclusive_prefix materialized it) so
+    # the validation doesn't recompute the collapse — one bounded row
+    neg = cum.where(F.col("_w") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"weights must be non-negative; key with negative total: "
+            f"{neg[0]}"
+        )
     # within-key offset = the global prefix at the key's first value
     offs = cum.groupBy(*keys).agg(
         F.min("_excl").alias("_off"), F.sum("_w").alias("total_weight")

@@ -2188,6 +2188,9 @@ def srm_check(
         df.where(F.col(arm_col).isNotNull())
         .groupBy(F.col(arm_col).cast("string").alias("arm"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # arm-collapsed = arms-sized; checkpoint so the unknown-arm
+        # probe and the statistic share ONE scan of the input
+        .localCheckpoint()
     )
     spark = df.sparkSession
     design = spark.createDataFrame(
