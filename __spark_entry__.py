@@ -5401,6 +5401,38 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the nation trade-flow digraph
+    (supplier nation -> customer nation, kept above the p75 volume in
+    exact integer cents): FW-BW min-label coloring to fixed point,
+    oracle = recursive-CTE mutual reachability."""
+    from orientdb_etl_spark.functions.graph import scc
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pairs = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("vol")
+        )
+    )
+    thr = pairs.agg(F.expr("percentile(vol, 0.75)").alias("_q"))
+    edges = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("vol").cast("double") >= F.col("_q")
+    )
+    return scc(edges).orderBy("id")
+
+
 def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted price percentiles per return flag — exact
     type-1 weighted quantiles: distinct-value collapse, range-
@@ -5899,6 +5931,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contribution": q_contribution,
             "srm_check": q_srm_check,
             "weighted_percentiles": q_weighted_percentiles,
+            "scc_trade": q_scc_trade,
         }
     )
     return out
@@ -9702,5 +9735,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT k AS l_returnflag, pct AS percentile, "
         "min(v) AS value, tw AS total_weight "
         "FROM g GROUP BY 1, 2, tw ORDER BY 1, 2"
+    )
+    sql["scc_trade"] = (
+        # mutual reachability over the p75-thresholded nation trade
+        # digraph: scc(u) = min of u and every vertex mutually
+        # reachable with u (recursive closure is tiny — <= 25 nations)
+        "WITH RECURSIVE ps AS (SELECT s_nationkey AS src, "
+        "c_nationkey AS dst, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS vol "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), "
+        "t AS (SELECT quantile_cont(vol, 0.75) AS q FROM ps), "
+        "e AS (SELECT src, dst FROM ps, t "
+        "WHERE CAST(vol AS DOUBLE) >= q), "
+        "r AS (SELECT src, dst FROM e UNION "
+        "SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), "
+        "m AS (SELECT r1.src AS u, r1.dst AS v FROM r r1 "
+        "JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src), "
+        "vx AS (SELECT src AS id FROM e UNION SELECT dst FROM e) "
+        "SELECT vx.id, LEAST(vx.id, COALESCE(min(m.v), vx.id)) AS scc "
+        "FROM vx LEFT JOIN m ON m.u = vx.id GROUP BY vx.id ORDER BY 1"
     )
     return sql

@@ -981,3 +981,154 @@ def hyperball(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def _minlabel_fixpoint(
+    verts: DataFrame, edges: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Min-label propagation along directed edges to a FIXED POINT:
+    ``lab(u) = min(u, min over edges v->u of lab(v))`` iterated until no
+    label changes (each round: one equi-join + one grouped min, lineage
+    truncated per round). Returns ``(id, lab)`` where ``lab`` is the
+    minimum vertex id that can reach ``u``. Raises if ``max_rounds``
+    rounds don't converge — the same bounded-iteration discipline as
+    this module's other fixpoints, but asserted because :func:`scc`'s
+    correctness NEEDS the fixed point, not an approximation."""
+    lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint()
+    for _ in range(int(max_rounds)):
+        cand = (
+            lab.join(edges, lab["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        # label shortcut: lab(lab(u)) is also an ancestor of u (lab(u)
+        # reaches u, and anything reaching lab(u) reaches u) — folding
+        # it in each round doubles the effective hop length, so
+        # convergence is O(log diameter) rounds, not O(diameter) (the
+        # directed analogue of the CC star-contraction)
+        short = lab.join(
+            lab.select(
+                F.col("id").alias("lab"), F.col("lab").alias("_ll")
+            ),
+            "lab",
+        ).select("id", F.col("_ll").alias("lab"))
+        new = (
+            lab.select("id", "lab")
+            .unionByName(cand)
+            .unionByName(short)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("lab", "_old"), "id")
+            .where(F.col("lab") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+    raise ValueError(
+        f"min-label propagation did not converge in {max_rounds} rounds "
+        "(graph diameter exceeds the cap); raise max_rounds"
+    )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    max_phases: int = 30,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the directed
+    complement of the dedup family's (weakly) connected components.
+    Forward–backward min-label coloring (the relational form of the
+    FW-BW decomposition, Fleischer et al. IPDPS 2000 / Hong et al.
+    PPoPP'13): per phase, propagate the minimum vertex id to a fixed
+    point along forward edges (``fwd(u)`` = min id that reaches u) and
+    along reversed edges (``bwd(u)`` = min id u reaches); a vertex with
+    ``fwd(u) == bwd(u) == m`` is mutually reachable with ``m``, so it is
+    IN ``SCC(m)`` — those vertices retire with component id ``m``, the
+    unresolved subgraph shrinks, and the next phase runs on the
+    remainder. Returns ``(id, scc)`` for every vertex (isolated
+    vertices are their own component). Raises if ``max_phases`` phases
+    leave vertices unresolved (a long SCC-chain pathology — same
+    capped-iteration contract as the CC/k-core/LPA fixpoints, but
+    asserted because partial output would be WRONG, not approximate).
+
+    Scale shape: every phase is equi-joins + grouped mins on the
+    shrinking remainder (no windows, no pair explosion); the edge frame
+    re-filters to unresolved endpoints via two broadcast-or-shuffle
+    semi-joins per phase, and ``localCheckpoint`` truncates lineage at
+    every step. Real web/social graphs resolve in a handful of phases
+    (one giant SCC + trim-able periphery — the FW-BW-Trim literature);
+    the caps make the pathological case loud instead of silent.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done = None
+    remaining = verts
+    for _ in range(int(max_phases)):
+        if remaining.isEmpty():
+            break
+        sub = (
+            e.join(
+                remaining.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                remaining.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        fwd = _minlabel_fixpoint(remaining, sub, max_rounds)
+        bwd = _minlabel_fixpoint(
+            remaining,
+            sub.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            max_rounds,
+        )
+        both = fwd.withColumnRenamed("lab", "_f").join(
+            bwd.withColumnRenamed("lab", "_b"), "id"
+        )
+        members = (
+            both.where(F.col("_f") == F.col("_b"))
+            .select("id", F.col("_f").alias("scc"))
+            .localCheckpoint()
+        )
+        done = members if done is None else done.unionByName(members)
+        done = done.localCheckpoint()
+        remaining = remaining.join(members, "id", "left_anti").localCheckpoint()
+    if not remaining.isEmpty():
+        raise ValueError(
+            f"scc did not resolve all vertices in {max_phases} phases; "
+            "raise max_phases"
+        )
+    return done if done is not None else verts.select(
+        "id", F.col("id").alias("scc")
+    )
+
+
+@register("scc")
+def scc_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"scc": {"src": "src", "dst": "dst",
+    "maxRounds": 30, "maxPhases": 30}} — the pipeline frame is the
+    directed edge list."""
+    return scc(
+        df,
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        max_rounds=int(cfg.get("maxRounds", 30)),
+        max_phases=int(cfg.get("maxPhases", 30)),
+    )

@@ -601,3 +601,61 @@ def test_hyperball_matches_exact_on_fixture_graph(spark):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.10 * ex), (k, ex, approx[k])
+
+
+def test_scc_hand_graph_and_functional(spark):
+    """Two directed cycles + a tail + a feeder vertex resolve exactly;
+    a functional graph's SCCs are its cycles (every component shows one
+    multi-member SCC + singleton tail vertices); repartition-invariant."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.graph import scc
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (6, 1), (7, 4)],
+        "src int, dst int",
+    )
+    got = {r["id"]: r["scc"] for r in scc(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+    got2 = {r["id"]: r["scc"] for r in scc(edges.repartition(5)).collect()}
+    assert got2 == got
+
+    # functional graph u -> (17u + 7) mod 60: out-degree exactly 1, so
+    # every SCC with >1 member is a cycle; mutual reachability checked
+    # against the python transitive closure
+    n = 60
+    fg = spark.range(n).select(
+        F.col("id").cast("int").alias("src"),
+        ((F.col("id") * 17 + 7) % n).cast("int").alias("dst"),
+    )
+    res = {r["id"]: r["scc"] for r in scc(fg).collect()}
+    assert len(res) == n
+    succ = {u: (17 * u + 7) % n for u in range(n)}
+    reach = {u: set() for u in range(n)}
+    for u in range(n):
+        v = succ[u]
+        while v not in reach[u]:
+            reach[u].add(v)
+            v = succ[v]
+    for u in range(n):
+        comp = {v for v in reach[u] if u in reach[v]} | (
+            {u} if u in reach[u] else {u}
+        )
+        assert res[u] == min(min(comp), u)
+
+
+def test_scc_raises_on_phase_exhaustion(spark):
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.graph import scc
+
+    # a 4-chain of singleton SCCs with DESCENDING ids resolves one
+    # vertex per phase (the documented pathology) — cap at 1 phase
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1)], "src int, dst int"
+    )
+    with _pt.raises(ValueError, match="phases"):
+        scc(edges, max_phases=1)
+    # and succeeds with enough phases
+    got = {r["id"]: r["scc"] for r in scc(edges, max_phases=6).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
