@@ -9731,7 +9731,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM a), "
         "g AS (SELECT k, v, cum, tw, pct FROM c, "
         "(VALUES (25), (50), (75), (90)) p(pct) "
-        "WHERE cum * 100 >= pct * tw) "
+        "WHERE tw > 0 AND cum * 100 >= pct * tw) "
         "SELECT k AS l_returnflag, pct AS percentile, "
         "min(v) AS value, tw AS total_weight "
         "FROM g GROUP BY 1, 2, tw ORDER BY 1, 2"

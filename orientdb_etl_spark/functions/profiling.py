@@ -946,8 +946,9 @@ def weighted_percentiles(
     INTEGER percents, so the selection predicate is pure BIGINT
     arithmetic (``cum * 100 >= p * total``) — no float threshold, both
     engines pick the identical row. Negative weights raise; zero-weight
-    rows never satisfy the predicate ahead of mass. Returns
-    ``(*keys, percentile, value, total_weight)``.
+    rows never satisfy the predicate ahead of mass, and a key whose
+    weights sum to zero has no quantile (absent from the output).
+    Returns ``(*keys, percentile, value, total_weight)``.
 
     Scale shape: rows collapse to one partial-aggregated weight per
     (key, value) first, so everything downstream runs on the distinct-
@@ -999,7 +1000,13 @@ def weighted_percentiles(
         F.array(*[F.lit(p) for p in ps])
     ).alias("percentile")
     hits = within.select(*keys, "_v", "_cum", "total_weight", grid).where(
-        F.col("_cum") * 100 >= F.col("percentile") * F.col("total_weight")
+        # total_weight > 0: a key whose weights sum to zero has no
+        # quantile (0 >= p*0 would otherwise admit every value)
+        (F.col("total_weight") > 0)
+        & (
+            F.col("_cum") * 100
+            >= F.col("percentile") * F.col("total_weight")
+        )
     )
     return (
         hits.groupBy(*keys, "percentile", "total_weight")

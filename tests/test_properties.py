@@ -361,3 +361,50 @@ def test_rolling_agg_matches_python_reference(spark, items):
     for rid, k, sec, v in rows:
         frame = [(v2) for _, k2, s2, v2 in rows if k2 == k and sec - 60 <= s2 <= sec]
         assert got[rid] == (len(frame), sum(frame)), (rid, k, sec)
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                 # key
+            st.integers(min_value=-5, max_value=5),      # value
+            st.integers(min_value=0, max_value=4),       # weight (>= 0)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    p=st.sampled_from([1, 25, 50, 75, 100]),
+)
+def test_weighted_percentiles_matches_python_reference(spark, rows, p):
+    """Type-1 weighted quantile against a plain-python reference:
+    smallest value whose inclusive cumulative weight reaches p% of the
+    key total; zero-weight-only keys absent; repartition-invariant."""
+    from orientdb_etl_spark.functions.profiling import weighted_percentiles
+
+    df = spark.createDataFrame(
+        rows, "k string, v int, w int"
+    ).repartition(5)
+    got = {
+        (r["k"], r["percentile"]): (r["value"], r["total_weight"])
+        for r in weighted_percentiles(df, "k", "v", "w", [p]).collect()
+    }
+    # python reference over collapsed (key, value) weights
+    agg: dict = {}
+    for k, v, w in rows:
+        agg[(k, v)] = agg.get((k, v), 0) + w
+    keys = {k for k, _ in agg}
+    for k in keys:
+        vals = sorted(v for kk, v in agg if kk == k)
+        total = sum(agg[(k, v)] for v in vals)
+        if total == 0:
+            assert not any(kk == k for kk, _ in got)
+            continue
+        cum = 0
+        pick = None
+        for v in vals:
+            cum += agg[(k, v)]
+            if cum * 100 >= p * total:
+                pick = v
+                break
+        assert got[(k, p)] == (pick, total)
