@@ -408,3 +408,49 @@ def test_weighted_percentiles_matches_python_reference(spark, rows, p):
                 pick = v
                 break
         assert got[(k, p)] == (pick, total)
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.integers(min_value=-3, max_value=9), min_size=5, max_size=18
+    ),
+    season=st.sampled_from([1, 2, 3]),
+)
+def test_forecast_backtest_matches_python_reference(spark, vals, season):
+    """Naive/seasonal-naive error sums against a plain-python replay of
+    the same bucket series (consecutive hourly buckets, one key)."""
+    from orientdb_etl_spark.functions.stats import forecast_backtest
+
+    rows = [("k", t * 3600, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k string, es bigint, v double"
+    ).selectExpr("k", "CAST(from_unixtime(es) AS timestamp) AS ts", "v")
+    out = {
+        r["model"]: r
+        for r in forecast_backtest(df, "k", "ts", "v", 3600, season).collect()
+    }
+    y = [v * 100 for v in vals]  # integer cents, exactly as the engine
+    idx = list(range(season, len(y)))
+    if not idx:
+        assert not out
+        return
+    n = len(idx)
+    an = sum(abs(y[t] - y[t - 1]) for t in idx)
+    asn = sum(abs(y[t] - y[t - season]) for t in idx)
+    ay = sum(abs(y[t]) for t in idx)
+    assert out["naive"]["n_eval"] == n
+    assert abs(out["naive"]["mae"] - round(an / n / 100, 6)) < 1e-9
+    assert abs(
+        out["seasonal_naive"]["mae"] - round(asn / n / 100, 6)
+    ) < 1e-9
+    if ay:
+        assert abs(out["naive"]["wape"] - round(an / ay, 6)) < 1e-9
+    else:
+        assert out["naive"]["wape"] is None
+    if an:
+        assert abs(
+            out["seasonal_naive"]["mase"] - round(asn / an, 6)
+        ) < 1e-9
+    else:
+        assert out["seasonal_naive"]["mase"] is None
