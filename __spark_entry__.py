@@ -5401,6 +5401,17 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-row sample budget across
+    return-flag strata of lineitem price — exact-integer moments, fixed
+    double chain, largest-remainder integer split summing exactly to
+    the budget."""
+    from orientdb_etl_spark.functions.sampling import neyman_allocation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return neyman_allocation(li, "l_returnflag", "l_extendedprice", 1000)
+
+
 def q_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the nation trade-flow digraph
     (supplier nation -> customer nation, kept above the p75 volume in
@@ -5932,6 +5943,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "srm_check": q_srm_check,
             "weighted_percentiles": q_weighted_percentiles,
             "scc_trade": q_scc_trade,
+            "neyman_allocation": q_neyman,
         }
     )
     return out
@@ -9757,5 +9769,35 @@ def oracle_sql() -> dict[str, str]:
         "vx AS (SELECT src AS id FROM e UNION SELECT dst FROM e) "
         "SELECT vx.id, LEAST(vx.id, COALESCE(min(m.v), vx.id)) AS scc "
         "FROM vx LEFT JOIN m ON m.u = vx.id GROUP BY vx.id ORDER BY 1"
+    )
+    sql["neyman_allocation"] = (
+        # exact-integer moments -> fixed double chain -> largest-
+        # remainder integer split (frac desc, stratum asc)
+        "WITH b AS (SELECT l_returnflag AS k, "
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS x "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+        "AND l_returnflag IS NOT NULL), "
+        "per AS (SELECT k, count(*) AS n_rows, "
+        "CAST(sum(x) AS BIGINT) AS s1, "
+        "CAST(sum(x * x) AS BIGINT) AS s2 FROM b GROUP BY 1), "
+        "sd AS (SELECT k, n_rows, CASE WHEN n_rows > 1 THEN "
+        "sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+        "CAST(s1 AS DOUBLE) / n_rows) / (n_rows - 1), 0.0)) "
+        "ELSE 0.0 END AS sdev FROM per), "
+        "wt AS (SELECT k, n_rows, sdev, n_rows * sdev AS weight FROM sd), "
+        "tw AS (SELECT sum(weight) AS t FROM wt), "
+        "sh AS (SELECT k, n_rows, sdev, weight, "
+        "CASE WHEN t > 0 THEN weight / t ELSE 0.0 END AS share "
+        "FROM wt, tw), "
+        "ba AS (SELECT *, CAST(floor(1000 * share) AS BIGINT) AS base, "
+        "1000 * share - floor(1000 * share) AS frac FROM sh), "
+        "sb AS (SELECT CAST(sum(base) AS BIGINT) AS s FROM ba), "
+        "rk AS (SELECT ba.*, sb.s, row_number() OVER "
+        "(ORDER BY frac DESC, k ASC) AS r FROM ba, sb) "
+        "SELECT k AS l_returnflag, n_rows, "
+        "round(sdev / 100, 6) AS stddev, "
+        "round(weight / 100, 6) AS weight, round(share, 6) AS share, "
+        "CAST(base + CASE WHEN r <= 1000 - s THEN 1 ELSE 0 END "
+        "AS BIGINT) AS alloc_n FROM rk ORDER BY 1"
     )
     return sql

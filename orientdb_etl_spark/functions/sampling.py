@@ -9,7 +9,7 @@ these oracle-checkable in DuckDB, unlike rand()/sampleBy).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's 32-bit multiplicative constant; the id is reduced mod a prime
@@ -509,3 +509,104 @@ def rendezvous_shards(
         .agg(F.min("_s").cast("int").alias(out_col))
     )
     return df.join(asg, key_col, "left")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata: "str | list[str]",
+    value_col: str,
+    total_n: int,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Optimal (Neyman 1934) sample-size allocation across strata for a
+    fixed total budget: ``n_h ∝ N_h · S_h`` — strata that are bigger or
+    more variable get more of the sample, which minimizes the variance
+    of the stratified mean estimator. This is the DESIGN step that
+    :func:`stratified_sample` then executes (use ``alloc_n / n_rows``
+    as each stratum's rate). Integer allocations come from the
+    largest-remainder method, so they sum EXACTLY to ``total_n``
+    (when any stratum has positive variance; zero-variance strata
+    carry weight 0 — one row from them determines the stratum mean).
+    Returns ``(*strata, n_rows, stddev, weight, share, alloc_n)``.
+
+    Determinism: moments accumulate as exact BIGINT sums of integer
+    ``scale``-ths; the variance/stddev/share chain is a fixed double
+    expression over those exact integers, so both engines compute the
+    identical allocation (ties in the remainder rank break on the
+    stratum key). The largest-remainder rank is a window over the
+    strata-sized frame — bounded by the number of strata by
+    construction, never by row volume; everything upstream is ONE
+    map-side-combinable aggregate.
+    """
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    per = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.expr(" AND ".join(f"{s} IS NOT NULL" for s in strata))
+        )
+        .groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col(value_col) * scale).cast("long")
+            ).alias("_s1"),
+            F.sum(
+                F.floor(F.col(value_col) * scale).cast("long")
+                * F.floor(F.col(value_col) * scale).cast("long")
+            ).alias("_s2"),
+        )
+    )
+    sd = F.when(
+        F.col("n_rows") > 1,
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("_s2").cast("double")
+                    - F.col("_s1").cast("double")
+                    * F.col("_s1").cast("double")
+                    / F.col("n_rows")
+                )
+                / (F.col("n_rows") - 1),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    wtd = per.withColumn("_sd", sd).withColumn(
+        "weight", F.col("n_rows") * F.col("_sd")
+    )
+    tot = wtd.agg(F.sum("weight").alias("_tw"))
+    shared = wtd.crossJoin(F.broadcast(tot)).withColumn(
+        "share",
+        F.when(F.col("_tw") > 0, F.col("weight") / F.col("_tw")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    base = shared.withColumn(
+        "_base", F.floor(F.lit(int(total_n)) * F.col("share")).cast("long")
+    ).withColumn(
+        "_frac", F.lit(int(total_n)) * F.col("share") - F.col("_base")
+    )
+    sumbase = base.agg(F.sum("_base").alias("_sb"))
+    # largest-remainder rank: window over the strata-sized frame only
+    w = Window.orderBy(F.col("_frac").desc(), *[F.col(s).asc() for s in strata])
+    return (
+        base.crossJoin(F.broadcast(sumbase))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            *strata,
+            "n_rows",
+            F.round(F.col("_sd") / scale, round_to).alias("stddev"),
+            F.round(F.col("weight") / scale, round_to).alias("weight"),
+            F.round("share", round_to).alias("share"),
+            (
+                F.col("_base")
+                + (
+                    F.col("_rk") <= F.lit(int(total_n)) - F.col("_sb")
+                ).cast("long")
+            ).alias("alloc_n"),
+        )
+        .orderBy(*strata)
+    )

@@ -419,6 +419,13 @@ def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
             df, cfg["groupField"], cfg["idField"], cfg.get("massField"),
             float(cfg.get("alpha", 0.5)), seed,
         )
+    if method == "neyman":
+        # optimal allocation DESIGN (n_h ∝ N_h·S_h); feed alloc_n/n_rows
+        # back into the stratified executor
+        return S.neyman_allocation(
+            df, cfg["groupField"], cfg["valueField"], int(cfg["totalN"]),
+            scale=int(cfg.get("scale", 100)),
+        )
     raise ValueError(f"unknown sample method {method!r}")
 
 

@@ -381,3 +381,37 @@ def test_rendezvous_preserves_duplicates_and_nulls(spark):
         by_k.setdefault(r.k, []).append(r.shard)
     assert len(by_k[1]) == 2 and len(set(by_k[1])) == 1
     assert by_k[None] == [None]
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """n_h ∝ N_h·S_h; largest-remainder split sums exactly to the
+    budget; zero-variance strata get weight 0; validation raises."""
+    import pytest as _pt
+
+    from orientdb_etl_spark.functions.sampling import neyman_allocation
+
+    rows = (
+        # stratum a: 4 rows spread {0, 10} -> sd ~ 5.77
+        [("a", 0.0), ("a", 10.0), ("a", 0.0), ("a", 10.0)]
+        # stratum b: 8 constant rows -> sd 0, weight 0
+        + [("b", 5.0)] * 8
+        # stratum c: 2 rows spread {0, 100} -> sd ~ 70.7
+        + [("c", 0.0), ("c", 100.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: r for r in neyman_allocation(df, "k", "v", 10).collect()
+    }
+    import math
+
+    w_a = 4 * math.sqrt((4 * (2 * 1000**2) - 2000**2) / (4 * 3)) / 100
+    w_c = 2 * math.sqrt((2 * 10000**2 - 10000**2) / (2 * 1)) / 100
+    assert got["b"]["weight"] == 0.0 and got["b"]["alloc_n"] == 0
+    assert abs(got["a"]["weight"] - round(w_a, 6)) < 1e-6
+    assert abs(got["c"]["weight"] - round(w_c, 6)) < 1e-6
+    assert sum(r["alloc_n"] for r in got.values()) == 10
+    # c dominates: weight 141.4 vs a's 23.1
+    assert got["c"]["alloc_n"] > got["a"]["alloc_n"] > 0
+
+    with _pt.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "k", "v", 0)
