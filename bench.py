@@ -291,6 +291,7 @@ HEADLINE = [
     "contribution",
     "srm_check",
     "weighted_percentiles",
+    "neyman_allocation",
 ]
 
 
