@@ -4443,6 +4443,33 @@ def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, "doc_id", "text", threshold=0.9)
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT join (excerpt detection): 20-token
+    snippets carved from each document joined back against the full
+    corpus at |snip ∩ doc| / |snip| >= 1.0 — "which documents contain
+    every token of this excerpt". Lossless prefix filter with the
+    overlap bound depending on the LEFT size only; at t=1.0 the prefix
+    degenerates to the single R-rarest token, the indexed-containment
+    textbook plan. The fixture corpus is the dedup one (near-identical
+    token sets by design), so even full containment yields a dense pair
+    stream — the honest workload for this operator."""
+    from orientdb_etl_spark.functions.linkage import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    snips = docs.where(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).select(
+        F.col("doc_id").alias("snip_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 20),
+            " ",
+        ).alias("snip"),
+    )
+    return containment_join(
+        snips, "snip_id", "snip", docs, "doc_id", "text", threshold=1.0
+    )
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -5944,6 +5971,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weighted_percentiles": q_weighted_percentiles,
             "scc_trade": q_scc_trade,
             "neyman_allocation": q_neyman,
+            "containment_join": q_containment_join,
         }
     )
     return out
@@ -8428,6 +8456,29 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "containment_join": (
+            # brute-force token-level containment — the LEFT-size-only
+            # prefix filter is lossless, so the blocked Spark plan must
+            # equal this exactly; snippet construction replayed with the
+            # same slice-of-split; t=1.0 is exact in both engines so
+            # ceil(t*|L|) = |L| agrees everywhere
+            "WITH sn AS (SELECT doc_id AS snip_id, array_to_string("
+            "list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "1, 20), ' ') AS snip "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "lt AS (SELECT DISTINCT snip_id, unnest("
+            "regexp_split_to_array(snip, '\\s+')) AS tok FROM sn), "
+            "rt AS (SELECT DISTINCT doc_id, lower(unnest("
+            "regexp_split_to_array(trim(text), '\\s+'))) AS tok "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "sa AS (SELECT snip_id, count(*) AS s FROM lt GROUP BY 1), "
+            "iv AS (SELECT lt.snip_id, rt.doc_id, count(*) AS inter "
+            "FROM lt JOIN rt USING (tok) GROUP BY 1, 2) "
+            "SELECT iv.snip_id AS left_id, iv.doc_id AS right_id, "
+            "round(inter / (sa.s * 1.0), 6) AS containment "
+            "FROM iv JOIN sa USING (snip_id) "
+            "WHERE inter >= ceil(1.0 * sa.s)"
         ),
         "set_sim_join": (
             # brute-force token-level Jaccard — the prefix filter is

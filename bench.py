@@ -216,6 +216,7 @@ HEADLINE = [
     "acf_hourly",
     "theil_sen",
     "set_sim_join",
+    "containment_join",
     "radius_join",
     "holt",
     "seasonal_anomaly",
@@ -448,8 +449,23 @@ def _prod_hyperball(spark, sf_dir):
     return hyperball(edges, radius=2)
 
 
+def _prod_containment_join(spark, sf_dir):
+    """Production pair-stream sink for the containment join — same
+    discipline as _prod_set_sim_join: the count+sum fold forces every
+    (snippet, document) pair and its score engine-side instead of
+    collecting the dense pair stream through the driver."""
+    from pyspark.sql import functions as F
+
+    out = entry.q_containment_join(spark, sf_dir)
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("containment"), 3).alias("sum_containment"),
+    )
+
+
 PROD_OVERRIDES = {
     "set_sim_join": _prod_set_sim_join,
+    "containment_join": _prod_containment_join,
     "hyperball_cert": _prod_hyperball,
     "semantic_dedup": _prod_semantic_dedup,
     "incremental_near": _prod_incremental_near,

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "containment_join",
     "fuzzy_join",
     "set_similarity_join",
     "golden_record",
@@ -568,3 +569,117 @@ def resolve_entities(
         labels.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("entity_id", F.coalesce(F.col("label"), F.col(id_col)))
     return golden_record(labeled.drop("label"), "entity_id", rules, order_col)
+
+
+def containment_join(
+    left: DataFrame,
+    left_id: str,
+    left_text: str,
+    right: DataFrame,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact token-set CONTAINMENT join — the ASYMMETRIC complement of
+    :func:`set_similarity_join`: every (left, right) pair with
+    ``|L ∩ R| / |L| >= threshold`` (how much of the LEFT set sits
+    inside the right one) — quote/excerpt detection, "is this snippet
+    lifted from that document", subsumption dedup. Jaccard misses these
+    pairs when the two documents differ in length; containment is the
+    predicate that catches them.
+
+    Why lossless: if ``|L ∩ R| >= ceil(t·|L|)`` then at most
+    ``|L| - ceil(t·|L|)`` of L's tokens are missing from R, so among
+    L's first ``|L| - ceil(t·|L|) + 1`` tokens (under ANY fixed order)
+    at least one is in R — the prefix-filter pigeonhole with the
+    overlap bound depending on |L| only. The prefix joins against
+    R's FULL token postings (not R's prefix — containment has no lower
+    bound on R's missing tokens), plus the implied size filter
+    ``|R| >= ceil(t·|L|)``. Ordering L's tokens by ascending
+    document-frequency IN THE RIGHT FRAME anti-skews the join key and
+    lets prefix tokens absent from R produce zero candidates.
+
+    Scale shape: one exchange for R's token frequencies, one groupBy
+    per side to assemble distinct token sets, ONE prefix-vs-postings
+    equi-join for candidates (distinct pair stream), verification as
+    JVM ``array_intersect`` on the pair's two arrays — no UDFs, no
+    cross join, and the brute-force oracle can verify equality.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def _toks(df: DataFrame, idc: str, txt: str, idout: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(idout),
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(txt))), r"\s+")
+                ).alias("_toks"),
+            )
+            .where(
+                F.length(F.trim(F.coalesce(F.col(txt), F.lit("")))) > 0
+            )
+        )
+
+    lt = _toks(left, left_id, left_text, "_ll")
+    rt = _toks(right, right_id, right_text, "_rr").withColumn(
+        "_sb", F.size("_toks")
+    )
+    rpost = rt.select("_rr", F.explode("_toks").alias("_tok"))
+    rfreq = rpost.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # L's tokens ordered by R-frame rarity (absent-from-R tokens get
+    # df 0 -> front of the order -> zero-candidate prefix slots)
+    lord = (
+        lt.select("_ll", F.explode("_toks").alias("_tok"))
+        .join(rfreq, "_tok", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .groupBy("_ll")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_df, _tok))), "
+                "x -> x._tok)"
+            ).alias("_ord")
+        )
+        .withColumn("_sa", F.size("_ord"))
+        .withColumn(
+            "_p",
+            F.col("_sa")
+            - F.ceil(F.lit(float(threshold)) * F.col("_sa"))
+            + 1,
+        )
+        .cache()  # feeds the prefix explode AND the verification join
+    )
+    pref = lord.select(
+        "_ll",
+        "_sa",
+        F.explode(F.slice("_ord", F.lit(1), F.col("_p"))).alias("_tok"),
+    )
+    cand = (
+        pref.join(rpost, "_tok")
+        .select("_ll", "_sa", "_rr")
+        .distinct()
+        .join(rt.select("_rr", "_sb"), "_rr")
+        .where(
+            F.col("_sb") >= F.ceil(F.lit(float(threshold)) * F.col("_sa"))
+        )
+    )
+    fa = lord.select("_ll", F.col("_ord").alias("_ta"))
+    fb = rt.select("_rr", F.col("_toks").alias("_tb"))
+    ov = F.expr("size(array_intersect(_ta, _tb))")
+    return (
+        cand.join(fa, "_ll")
+        .join(fb, "_rr")
+        .withColumn("_ov", ov)
+        .where(
+            F.col("_ov")
+            >= F.ceil(F.lit(float(threshold)) * F.col("_sa"))
+        )
+        .select(
+            F.col("_ll").alias("left_id"),
+            F.col("_rr").alias("right_id"),
+            F.round(
+                F.col("_ov").cast("double") / F.col("_sa"), round_to
+            ).alias("containment"),
+        )
+    )

@@ -367,3 +367,103 @@ def test_resolve_entities_end_to_end(spark):
     assert out[1].n_records == 2 and out[1].first_nm == "aaa"
     assert out[3].n_records == 2 and out[3].top_city == "y"
     assert out[5].n_records == 1 and out[5].first_nm == "zzz"
+
+
+# ---------------------------------------------------------------- containment
+
+
+def _brute_containment(lrows, rrows, t):
+    """All (left, right) pairs with |L ∩ R| / |L| >= t on distinct
+    lowercased whitespace tokens — the predicate containment_join's
+    prefix filter must reproduce exactly."""
+    lt = {
+        i: set(txt.lower().split())
+        for i, txt in lrows
+        if txt is not None and txt.strip()
+    }
+    rt = {
+        i: set(txt.lower().split())
+        for i, txt in rrows
+        if txt is not None and txt.strip()
+    }
+    out = {}
+    for li, ls in lt.items():
+        for ri, rs in rt.items():
+            inter = len(ls & rs)
+            if ls and inter / len(ls) >= t:
+                out[(li, ri)] = round(inter / len(ls), 6)
+    return out
+
+
+def test_containment_join_equals_brute_force(spark):
+    from orientdb_etl_spark.functions.linkage import containment_join
+
+    lrows = [
+        (1, "quick brown fox"),                      # excerpt of 10
+        (2, "lazy dog naps"),                        # partial overlaps
+        (3, "entirely novel words nowhere else"),
+        (4, "the the the"),                          # collapses to one token
+        (5, None),
+        (6, "   "),
+    ]
+    rrows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "a lazy dog naps in the quick shade"),
+        (12, "unrelated corpus text entirely"),
+    ]
+    left = _docs(spark, lrows)
+    right = spark.createDataFrame(rrows, "rid int, body string")
+    for t in (0.5, 0.75, 1.0):
+        got = {
+            (r.left_id, r.right_id): r.containment
+            for r in containment_join(
+                left, "id", "text", right, "rid", "body", threshold=t
+            ).collect()
+        }
+        assert got == _brute_containment(lrows, rrows, t), f"threshold {t}"
+
+
+def test_containment_join_is_asymmetric(spark):
+    """A snippet fully inside a document scores 1.0 as the LEFT side but
+    far below threshold with the frames swapped — the asymmetry that
+    distinguishes containment from Jaccard."""
+    from orientdb_etl_spark.functions.linkage import containment_join
+
+    snip = [(1, "quick brown fox")]
+    doc = [(10, "the quick brown fox jumps over the lazy dog sleeping")]
+    fwd = containment_join(
+        _docs(spark, snip), "id", "text",
+        spark.createDataFrame(doc, "rid int, body string"), "rid", "body",
+        threshold=0.9,
+    ).collect()
+    assert [(r.left_id, r.right_id, r.containment) for r in fwd] == [(1, 10, 1.0)]
+    rev = containment_join(
+        spark.createDataFrame(doc, "rid int, body string"), "rid", "body",
+        _docs(spark, snip), "id", "text",
+        threshold=0.9,
+    ).collect()
+    assert rev == []  # only 3/9 of the doc's tokens sit in the snippet
+
+
+def test_containment_join_threshold_validation(spark):
+    from orientdb_etl_spark.functions.linkage import containment_join
+    import pytest
+
+    df = _docs(spark, [(1, "a b")])
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            containment_join(df, "id", "text", df, "id", "text", threshold=bad)
+
+
+def test_containment_join_no_cartesian_in_plan(spark):
+    from orientdb_etl_spark.functions.linkage import containment_join
+
+    left = _docs(spark, [(i, f"tok{i} common word") for i in range(20)])
+    right = spark.createDataFrame(
+        [(100 + i, f"common word tok{i} extra pad") for i in range(20)],
+        "rid int, body string",
+    )
+    out = containment_join(left, "id", "text", right, "rid", "body", 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
