@@ -4470,6 +4470,25 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search over the corpus inverted index:
+    one bigram and one trigram, unioned and tagged. The isin-over-
+    phrase-tokens filter reaches the scan, so work tracks the queried
+    tokens' posting lists, not corpus size; adjacency is verified with
+    shift-normalized array intersection (single grouped exchange, plan
+    test). Oracle is the unrolled positional join chain."""
+    from orientdb_etl_spark.functions.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        phrase_search(docs, "doc_id", "text", p).withColumn(
+            "phrase", F.lit(p)
+        )
+        for p in ("table hash", "slow hash batch")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -5972,6 +5991,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scc_trade": q_scc_trade,
             "neyman_allocation": q_neyman,
             "containment_join": q_containment_join,
+            "phrase_search": q_phrase_search,
         }
     )
     return out
@@ -8456,6 +8476,22 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "phrase_search": (
+            # unrolled positional join chains (one per phrase), tagged
+            # and unioned — the relational formulation the array
+            # intersection is equivalent to
+            "SELECT *, 'table hash' AS phrase FROM ("
+            + __import__(
+                "orientdb_etl_spark.functions.retrieval",
+                fromlist=["phrase_search_sql"],
+            ).phrase_search_sql("table hash")
+            + ") UNION ALL SELECT *, 'slow hash batch' AS phrase FROM ("
+            + __import__(
+                "orientdb_etl_spark.functions.retrieval",
+                fromlist=["phrase_search_sql"],
+            ).phrase_search_sql("slow hash batch")
+            + ")"
         ),
         "containment_join": (
             # brute-force token-level containment — the LEFT-size-only

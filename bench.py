@@ -217,6 +217,7 @@ HEADLINE = [
     "theil_sen",
     "set_sim_join",
     "containment_join",
+    "phrase_search",
     "radius_join",
     "holt",
     "seasonal_anomaly",

@@ -110,3 +110,117 @@ def hybrid_topk(
         F.col("rank_0").alias("bm25_rank"),
         F.col("rank_1").alias("cosine_rank"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the
+    retrieval primitive ``LIKE '%...%'`` cannot express on tokenized
+    text (token boundaries) and a full-text scan cannot afford at scale.
+
+    Semantics: whitespace tokenization lowercased (the corpus dialect
+    shared with BM25/tf-idf in functions/text.py); a hit at position p
+    means token ``p + i`` equals the phrase's i-th token for every slot
+    i — overlapping occurrences all count. Returns one row per document
+    containing the phrase: ``(id, n_hits, first_pos)`` with 0-based
+    ``first_pos``.
+
+    Scale shape: the postings explode is filtered to the PHRASE'S OWN
+    tokens before any shuffle (an ``isin`` over k literals, scan-fused)
+    — the classic inverted-index access pattern where work is
+    proportional to the queried tokens' posting lists, not the corpus.
+    ONE groupBy assembles per-document position arrays; adjacency is
+    verified with JVM ``array_intersect`` over shift-normalized
+    positions (slot i's positions shifted by -i), so a document's
+    verification is pure in-partition array math — no per-slot join
+    chain, no window, no UDF. 100 TB: partition the postings by token
+    (the inverted index a search engine materializes anyway) and the
+    single exchange is the grouped assembly of candidate documents; a
+    document with no phrase token at all contributes ZERO postings to
+    that exchange — the dominant filter is the isin pushdown, which
+    drops every non-phrase token at the scan."""
+    toks = phrase.lower().split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    uniq = sorted(set(toks))
+    post = (
+        df.where(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("_pos", "_tok"),
+        )
+        .where(F.col("_tok").isin(uniq))
+    )
+    grouped = post.groupBy("_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_tok") == t, F.col("_pos"))
+                )
+            ).alias(f"_p{j}")
+            for j, t in enumerate(uniq)
+        ]
+    )
+    # slot i's start positions = positions of its token shifted by -i;
+    # a phrase start is a position in EVERY slot's shifted set
+    hits = None
+    for i, t in enumerate(toks):
+        j = uniq.index(t)
+        shifted = F.expr(f"transform(_p{j}, x -> x - {i})")
+        hits = shifted if hits is None else F.array_intersect(hits, shifted)
+    return (
+        grouped.withColumn("_hits", hits)
+        .where(F.size("_hits") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_hits").alias("n_hits"),
+            F.array_min("_hits").alias("first_pos"),
+        )
+    )
+
+
+def phrase_search_sql(
+    phrase: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`phrase_search` — an UNROLLED positional
+    join chain (anchor postings joined to each subsequent slot at
+    ``pos + i``), the textbook relational formulation the array
+    intersection is equivalent to. Generated per phrase so the gate can
+    hash-check any phrase length."""
+    toks = phrase.lower().split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sql = (
+        f"WITH arr AS (SELECT {id_col} AS d, regexp_split_to_array("
+        f"lower(trim({text_col})), '\\s+') AS a FROM {table} "
+        f"WHERE length(trim(coalesce({text_col}, ''))) > 0), "
+        "p AS (SELECT d, unnest(a) AS tok, unnest(range(len(a))) AS pos "
+        "FROM arr), "
+        f"h AS (SELECT a0.d, a0.pos FROM (SELECT d, pos FROM p WHERE "
+        f"tok = {q(toks[0])}) a0"
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        sql += (
+            f" JOIN p p{i} ON p{i}.d = a0.d AND p{i}.pos = a0.pos + {i} "
+            f"AND p{i}.tok = {q(t)}"
+        )
+    sql += (
+        f") SELECT d AS {id_col}, count(*) AS n_hits, "
+        "min(pos) AS first_pos FROM h GROUP BY 1"
+    )
+    return sql

@@ -1620,3 +1620,101 @@ def test_pmi_collocations_min_count_and_short_docs(spark):
     # single-token / empty / null docs produce no bigrams and no crash
     assert [(r.w1, r.w2, r.n_pair) for r in rows] == [("a", "b", 2)]
     assert pmi_collocations(df, "text", min_count=3, top_k=10).count() == 0
+
+
+# ------------------------------------------------------------ phrase search
+
+
+def _brute_phrase(rows, phrase):
+    toks = phrase.lower().split()
+    out = {}
+    for i, txt in rows:
+        if txt is None or not txt.strip():
+            continue
+        ts = txt.lower().split()
+        hits = [
+            p
+            for p in range(len(ts) - len(toks) + 1)
+            if ts[p : p + len(toks)] == toks
+        ]
+        if hits:
+            out[i] = (len(hits), hits[0])
+    return out
+
+
+def test_phrase_search_equals_brute_force(spark):
+    from orientdb_etl_spark.functions.retrieval import phrase_search
+
+    rows = [
+        (1, "a b a b a"),          # overlapping "a b a" at 0 and 2
+        (2, "a b c a b a"),        # one hit at 3
+        (3, "b a b"),              # no "a b a"
+        (4, "a"),                  # shorter than the phrase
+        (5, None),
+        (6, "   "),
+        (7, "x a b a y a b a"),    # two disjoint hits
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for phrase in ("a b a", "a b", "a", "z q"):
+        got = {
+            r.id: (r.n_hits, r.first_pos)
+            for r in phrase_search(df, "id", "text", phrase).collect()
+        }
+        assert got == _brute_phrase(rows, phrase), f"phrase {phrase!r}"
+
+
+def test_phrase_search_duplicate_token_slots(spark):
+    """A phrase whose first and third slots share a token must not
+    conflate the two shifts ("the X the" in "the the the the")."""
+    from orientdb_etl_spark.functions.retrieval import phrase_search
+
+    rows = [(1, "the the the the")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.n_hits, r.first_pos)
+        for r in phrase_search(df, "id", "text", "the the the").collect()
+    }
+    assert got == _brute_phrase(rows, "the the the")  # 2 hits at 0
+
+
+def test_phrase_search_validation_and_sql_twin(spark):
+    import duckdb
+    import pytest
+
+    from orientdb_etl_spark.functions.retrieval import (
+        phrase_search,
+        phrase_search_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
+    with pytest.raises(ValueError):
+        phrase_search(df, "id", "text", "   ")
+    with pytest.raises(ValueError):
+        phrase_search_sql("")
+    # SQL twin replays the brute force on an in-memory relation
+    rows = [(1, "a b a b a"), (2, "b a b"), (3, "x y a b a")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {
+        d: (n, p)
+        for d, n, p in con.execute(phrase_search_sql("a b a")).fetchall()
+    }
+    assert got == _brute_phrase(rows, "a b a")
+
+
+def test_phrase_search_postings_filter_reaches_scan(spark, tmp_path):
+    """The isin-over-phrase-tokens filter must act BEFORE the grouped
+    exchange: the exploded postings frame is filtered by _tok, so the
+    plan carries the In predicate under the aggregate, and no cartesian
+    or python stage appears."""
+    from orientdb_etl_spark.functions.retrieval import phrase_search
+
+    p = f"{tmp_path}/docs.parquet"
+    spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(10)], "id int, text string"
+    ).write.parquet(p)
+    out = phrase_search(spark.read.parquet(p), "id", "text", "a b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1  # the single grouped assembly
