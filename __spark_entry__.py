@@ -4489,6 +4489,40 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_jw_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity scoring of the sorted-neighborhood-blocked
+    part-name pair stream (window 3) at jw >= 0.8 — the MDM fuzzy-match
+    composition: blocking bounds the pair stream linearly, the Arrow
+    scorer runs only on candidates. The Python automaton is pinned
+    bit-for-bit to DuckDB's jaro_winkler_similarity (fuzz-tested), which
+    is what lets the oracle hash-check a string-similarity operator."""
+    from orientdb_etl_spark.functions.linkage import (
+        jaro_winkler,
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=3)
+    nm = part.select("p_partkey", "p_name")
+    return (
+        pairs.join(
+            nm.select(
+                F.col("p_partkey").alias("id_a"), F.col("p_name").alias("nm_a")
+            ),
+            "id_a",
+        )
+        .join(
+            nm.select(
+                F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nm_b")
+            ),
+            "id_b",
+        )
+        .withColumn("jw", F.round(jaro_winkler("nm_a", "nm_b"), 6))
+        .where(F.col("jw") >= 0.8)
+        .select("id_a", "id_b", "jw")
+    )
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -5992,6 +6026,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "neyman_allocation": q_neyman,
             "containment_join": q_containment_join,
             "phrase_search": q_phrase_search,
+            "jw_link": q_jw_link,
         }
     )
     return out
@@ -8476,6 +8511,21 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "jw_link": (
+            # same SNM rank blocking as snm_pairs (window 3), scored by
+            # DuckDB's builtin jaro_winkler_similarity -- the Spark-side
+            # Arrow automaton is fuzz-pinned to it bit-for-bit; round
+            # BEFORE the threshold in both engines
+            "WITH r AS (SELECT p_partkey AS id, p_name AS nm, "
+            "row_number() OVER (ORDER BY p_name, p_partkey) AS rn "
+            "FROM part WHERE p_name IS NOT NULL), "
+            "p AS (SELECT least(a.id, b.id) AS id_a, "
+            "greatest(a.id, b.id) AS id_b, a.nm AS nm_a, b.nm AS nm_b "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 3), "
+            "s AS (SELECT id_a, id_b, "
+            "round(jaro_winkler_similarity(nm_a, nm_b), 6) AS jw FROM p) "
+            "SELECT id_a, id_b, jw FROM s WHERE jw >= 0.8"
         ),
         "phrase_search": (
             # unrolled positional join chains (one per phrase), tagged

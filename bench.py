@@ -218,6 +218,7 @@ HEADLINE = [
     "set_sim_join",
     "containment_join",
     "phrase_search",
+    "jw_link",
     "radius_join",
     "holt",
     "seasonal_anomaly",

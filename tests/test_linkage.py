@@ -467,3 +467,72 @@ def test_containment_join_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------- jaro-winkler
+
+
+def test_jaro_winkler_pinned_to_duckdb(spark):
+    """The scalar automaton must match DuckDB's jaro_winkler_similarity
+    (the gate oracle) bit-for-bit, including the 0.7 boost threshold,
+    the 4-char prefix cap, and the empty/window-0 edges."""
+    import duckdb
+
+    from orientdb_etl_spark.functions.linkage import _jaro_winkler_py
+
+    cases = [
+        ("martha", "marhta"),      # classic: 0.9611...
+        ("dixon", "dicksonx"),     # boost with prefix 2
+        ("jellyfish", "smellyfish"),
+        ("abcd", "abzz"),          # jaro 2/3 <= 0.7: NO boost
+        ("ab", "ba"),              # window 0: no matches at all
+        ("", "abc"),
+        ("", ""),
+        ("x", "xabcdefg"),         # jaro just over 0.7: boosted
+        ("prefixxx", "prefixyy"),  # prefix cap at 4
+        ("DWAYNE", "DUANE"),
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        exp = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchall()[0][0]
+        assert abs(_jaro_winkler_py(a, b) - exp) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_fuzz_vs_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from orientdb_etl_spark.functions.linkage import _jaro_winkler_py
+
+    rng = random.Random(42)
+    con = duckdb.connect()
+    for _ in range(500):
+        a = "".join(rng.choices("abcde", k=rng.randint(0, 12)))
+        b = "".join(rng.choices("abcde", k=rng.randint(0, 12)))
+        exp = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchall()[0][0]
+        assert abs(_jaro_winkler_py(a, b) - exp) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_column_nulls_and_values(spark):
+    from orientdb_etl_spark.functions.linkage import (
+        _jaro_winkler_py,
+        jaro_winkler,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "martha", "marhta"), (2, None, "x"), (3, "abc", None),
+         (4, "same", "same")],
+        "id int, a string, b string",
+    )
+    got = {
+        r.id: r.jw
+        for r in df.select("id", jaro_winkler("a", "b").alias("jw")).collect()
+    }
+    assert got[2] is None and got[3] is None
+    assert abs(got[1] - _jaro_winkler_py("martha", "marhta")) < 1e-12
+    assert got[4] == 1.0
