@@ -4523,6 +4523,26 @@ def q_jw_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders: one exact key FD
+    (o_orderkey -> o_custkey), two violated candidates, and a
+    constant-dependent FD -- n_groups / n_violating / TANE g3 per pair,
+    NULLs as values. Two-level aggregation per candidate (the second
+    exchange moves group counts, not rows), unioned."""
+    from orientdb_etl_spark.functions.profiling import fd_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    return fd_audit(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -6027,6 +6047,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "containment_join": q_containment_join,
             "phrase_search": q_phrase_search,
             "jw_link": q_jw_link,
+            "fd_audit": q_fd_audit,
         }
     )
     return out
@@ -8511,6 +8532,22 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "fd_audit": (
+            # generated twin: same two-level aggregation per candidate,
+            # sums cast to BIGINT for cross-engine integer agreement
+            __import__(
+                "orientdb_etl_spark.functions.profiling",
+                fromlist=["fd_audit_sql"],
+            ).fd_audit_sql(
+                "orders",
+                [
+                    ("o_orderkey", "o_custkey"),
+                    ("o_custkey", "o_orderpriority"),
+                    ("o_orderstatus", "o_orderpriority"),
+                    ("o_orderpriority", "o_orderstatus"),
+                ],
+            )
         ),
         "jw_link": (
             # same SNM rank blocking as snm_pairs (window 3), scored by

@@ -219,6 +219,7 @@ HEADLINE = [
     "containment_join",
     "phrase_search",
     "jw_link",
+    "fd_audit",
     "radius_join",
     "holt",
     "seasonal_anomaly",

@@ -1014,3 +1014,102 @@ def weighted_percentiles(
         .select(*keys, "percentile", "value", "total_weight")
         .orderBy(*keys, "percentile")
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    candidates: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``det → dep``
+    pair, exact violation statistics plus the TANE ``g3`` error measure
+    (Huhtala et al., Comput. J. 1999): the minimum fraction of rows that
+    must be removed for the FD to hold exactly —
+    ``(rows − Σ_groups max dep-value count) / rows``. ``g3 = 0`` iff the
+    FD holds. The data-profiling primitive behind key discovery, schema
+    normalization checks, and "is this column derivable" questions.
+
+    NULLs are values on both sides (a NULL determinant is its own group;
+    two rows with NULL dep agree), the TANE convention — grouping, not
+    ``count(distinct)``, is what makes that exact.
+
+    Returns one row per candidate:
+    ``(determinant, dependent, n_groups, n_violating, n_rows, exact,
+    g3)``.
+
+    Scale shape: per pair, ONE shuffle to ``(det, dep)`` counts, then a
+    partial-aggregated regroup to per-determinant stats (the second
+    exchange moves group-count rows, not data rows), then a scalar fold.
+    Pairs are independent branches of a union — each is its own
+    two-level aggregation; ``candidates`` is a bounded explicit list, so
+    the plan width is user-controlled, never schema-quadratic by
+    default (use :func:`fd_candidates` to enumerate)."""
+    if not candidates:
+        raise ValueError("candidates must be a non-empty list of (det, dep)")
+    outs = []
+    for det, dep in candidates:
+        if det == dep:
+            raise ValueError(f"determinant equals dependent: {det!r}")
+        pair = df.groupBy(
+            F.col(det).alias("_k"), F.col(dep).alias("_v")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        g = pair.groupBy("_k").agg(
+            F.count(F.lit(1)).alias("_ndep"),
+            F.max("_n").alias("_top"),
+            F.sum("_n").alias("_rows"),
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("_ndep") > 1).cast("long")).alias(
+                    "n_violating"
+                ),
+                F.sum("_rows").alias("n_rows"),
+                F.round(
+                    (F.sum("_rows") - F.sum("_top"))
+                    / F.sum("_rows").cast("double"),
+                    6,
+                ).alias("g3"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violating",
+                "n_rows",
+                (F.col("n_violating") == 0).alias("exact"),
+                "g3",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fd_candidates(cols: list[str]) -> list[tuple[str, str]]:
+    """All ordered pairs of ``cols`` — the bounded enumeration helper
+    for :func:`fd_audit` (|cols|·(|cols|−1) branches; keep the list
+    small on wide tables)."""
+    return [(a, b) for a in cols for b in cols if a != b]
+
+
+def fd_audit_sql(table: str, candidates: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_audit` — the same two-level aggregation
+    per pair, unioned; sums cast to BIGINT so integer types agree
+    cross-engine."""
+    parts = []
+    for det, dep in candidates:
+        parts.append(
+            f"(WITH p AS (SELECT {det} AS k, {dep} AS v, count(*) AS n "
+            f"FROM {table} GROUP BY 1, 2), "
+            "g AS (SELECT k, count(*) AS ndep, max(n) AS top, "
+            "sum(n) AS rws FROM p GROUP BY 1) "
+            f"SELECT '{det}' AS determinant, '{dep}' AS dependent, "
+            "count(*) AS n_groups, "
+            "CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating, "
+            "CAST(sum(rws) AS BIGINT) AS n_rows, "
+            "sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS exact, "
+            "round((sum(rws) - sum(top)) / (sum(rws) * 1.0), 6) AS g3 "
+            "FROM g)"
+        )
+    return " UNION ALL ".join(parts)

@@ -493,3 +493,85 @@ def test_weighted_percentiles_exact(spark):
     neg = spark.createDataFrame([("k", 1.0, -2)], "g string, v double, w int")
     with _pt.raises(ValueError, match="non-negative"):
         weighted_percentiles(neg, "g", "v", "w", [50])
+
+
+# ------------------------------------------------------------------ fd audit
+
+
+def test_fd_audit_hand_case(spark):
+    from orientdb_etl_spark.functions.profiling import fd_audit
+
+    rows = [
+        # k -> v holds exactly; v -> k is violated (v=1 maps to k 1,2)
+        (1, 1, "a"),
+        (1, 1, "a"),
+        (2, 1, "b"),
+        (3, 2, "b"),
+        (None, 2, "c"),   # NULL determinant is its own group
+        (4, None, "c"),   # NULL dependent is a value
+        (4, None, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, s string")
+    out = {
+        (r.determinant, r.dependent): r
+        for r in fd_audit(df, [("k", "v"), ("v", "k"), ("s", "v")]).collect()
+    }
+    kv = out[("k", "v")]
+    assert kv.exact and kv.n_violating == 0 and kv.g3 == 0.0
+    assert kv.n_groups == 5 and kv.n_rows == 7
+    vk = out[("v", "k")]
+    # v=1: ks {1,1,2} -> remove 1 row; v=2: {3,None} -> remove 1;
+    # v=None: {4,4} ok => g3 = 2/7
+    assert not vk.exact and vk.n_violating == 2
+    assert vk.g3 == round(2 / 7, 6)
+    sv = out[("s", "v")]
+    # s=a: v {1,1} ok; s=b: {1,2} violated (1); s=c: {2,None,None} (1)
+    assert sv.n_violating == 2 and sv.g3 == round(2 / 7, 6)
+
+
+def test_fd_audit_validation_and_candidates(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.profiling import (
+        fd_audit,
+        fd_candidates,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError):
+        fd_audit(df, [])
+    with pytest.raises(ValueError):
+        fd_audit(df, [("a", "a")])
+    assert fd_candidates(["a", "b", "c"]) == [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("c", "b"),
+    ]
+
+
+def test_fd_audit_sql_twin_matches(spark):
+    import duckdb
+
+    from orientdb_etl_spark.functions.profiling import (
+        fd_audit,
+        fd_audit_sql,
+    )
+
+    rows = [(i % 7, i % 3, i % 2) for i in range(50)] + [(None, 0, 1)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    cands = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = {
+        (r.determinant, r.dependent): (
+            r.n_groups, r.n_violating, r.n_rows, r.exact, r.g3
+        )
+        for r in fd_audit(df, cands).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a INT, b INT, c INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = {
+        (d, p): (ng, nv, nr, ex, g3)
+        for d, p, ng, nv, nr, ex, g3 in con.execute(
+            fd_audit_sql("t", cands)
+        ).fetchall()
+    }
+    assert got == exp
