@@ -4543,6 +4543,23 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document --
+    deterministic vowel-run syllable heuristic, sentence-punctuation
+    runs clamped to >= 1, all JVM regex/array arithmetic in one scan
+    (zero exchanges, plan test)."""
+    from orientdb_etl_spark.functions.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+        )
+        .select("doc_id", readability("text").alias("_r"))
+        .select("doc_id", "_r.*")
+    )
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -6048,6 +6065,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phrase_search": q_phrase_search,
             "jw_link": q_jw_link,
             "fd_audit": q_fd_audit,
+            "readability": q_readability,
         }
     )
     return out
@@ -8532,6 +8550,26 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "readability": (
+            # identical counts: whitespace words, [.!?]+ runs clamped to
+            # 1, vowel-run syllables + one per vowel-less word; same
+            # coefficient arithmetic, rounded to 6
+            "WITH b AS (SELECT doc_id, text, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS tk "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "c AS (SELECT doc_id, len(tk) AS n_words, "
+            "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+            "AS n_sentences, "
+            "len(regexp_extract_all(lower(text), '[aeiouy]+')) + "
+            "len(list_filter(tk, w -> NOT regexp_matches(w, '[aeiouy]'))) "
+            "AS n_syllables FROM b) "
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "round(206.835 - 1.015 * (n_words / (n_sentences * 1.0)) "
+            "- 84.6 * (n_syllables / (n_words * 1.0)), 6) AS flesch, "
+            "round(0.39 * (n_words / (n_sentences * 1.0)) "
+            "+ 11.8 * (n_syllables / (n_words * 1.0)) - 15.59, 6) "
+            "AS fk_grade FROM c"
         ),
         "fd_audit": (
             # generated twin: same two-level aggregation per candidate,

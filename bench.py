@@ -220,6 +220,7 @@ HEADLINE = [
     "phrase_search",
     "jw_link",
     "fd_audit",
+    "readability",
     "radius_join",
     "holt",
     "seasonal_anomaly",

@@ -856,3 +856,46 @@ def pmi_collocations(
             F.round(F.log(F.col("_ratio")), round_to).alias("pmi"),
         )
     )
+
+
+def readability(col: str | Column) -> Column:
+    """Flesch reading-ease + Flesch–Kincaid grade as a struct of
+    deterministic, SQL-replayable counts (Kincaid et al. 1975):
+
+    - ``n_words``: whitespace tokens;
+    - ``n_sentences``: runs of sentence-ending punctuation ``[.!?]+``,
+      clamped to >= 1 (a fragment is one sentence);
+    - ``n_syllables``: vowel-group runs ``[aeiouy]+`` over the lowercased
+      text, plus one per vowel-less word (every word counts at least one
+      syllable) — the standard cheap heuristic; vowel runs never cross
+      whitespace, so one global regexp count equals the per-word sum;
+    - ``flesch`` = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words);
+    - ``fk_grade`` = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59.
+
+    Everything is JVM regex/array arithmetic inside one scan — zero
+    exchanges, embarrassingly parallel at any scale — and each count is
+    expressible in ANSI SQL, which makes the scores hash-checkable.
+    NULL/blank text yields NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    blank = F.length(F.trim(F.coalesce(c, F.lit("")))) == 0
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(toks)
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    vowelless = F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]")))
+    n_syll = F.regexp_count(F.lower(c), F.lit("[aeiouy]+")) + vowelless
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return F.when(
+        ~blank,
+        F.struct(
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ).alias("flesch"),
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ).alias("fk_grade"),
+        ),
+    )

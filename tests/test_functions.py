@@ -1718,3 +1718,48 @@ def test_phrase_search_postings_filter_reaches_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1  # the single grouped assembly
+
+
+# ----------------------------------------------------------------- readability
+
+
+def test_readability_hand_counts(spark):
+    from orientdb_etl_spark.functions.text import readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps. It was fast! Really?"),
+            (2, "xyz 123 n7"),      # y counts; vowel-less words get 1 each
+            (3, None),
+            (4, "   "),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r.id: r
+        for r in df.select("id", readability("text").alias("r"))
+        .select("id", "r.*")
+        .collect()
+    }
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (9, 3, 10)
+    wps, spw = 9 / 3, 10 / 9
+    assert r1.flesch == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r1.fk_grade == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (3, 1, 3)
+    assert got[3].n_words is None and got[4].n_words is None
+
+
+def test_readability_no_exchange_in_plan(spark, tmp_path):
+    from orientdb_etl_spark.functions.text import readability
+
+    p = f"{tmp_path}/docs.parquet"
+    spark.createDataFrame(
+        [(i, "one two. three!") for i in range(10)], "id int, text string"
+    ).write.parquet(p)
+    out = spark.read.parquet(p).select(
+        "id", readability("text").alias("r")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
