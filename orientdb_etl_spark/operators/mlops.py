@@ -997,3 +997,76 @@ def rank_eval_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Dat
         cfg["idField"],
         k=int(cfg.get("k", 10)),
     )
+
+
+@register("containmentJoin")
+def containment_join_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"containmentJoin": {"idField", "textField", "rightTable",
+    "rightIdField", "rightTextField", "threshold": 0.8}} — asymmetric
+    token-set containment join (functions/linkage.py): the input frame
+    is the LEFT (excerpt) side, ``rightTable`` the corpus searched."""
+    from orientdb_etl_spark.functions.linkage import containment_join
+
+    return containment_join(
+        df,
+        cfg["idField"],
+        cfg["textField"],
+        ctx.tables[cfg["rightTable"]],
+        cfg["rightIdField"],
+        cfg["rightTextField"],
+        threshold=float(cfg.get("threshold", 0.8)),
+    )
+
+
+@register("phraseSearch")
+def phrase_search_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"phraseSearch": {"idField", "textField", "phrase"}} — exact
+    positional phrase search over the inverted index
+    (functions/retrieval.py)."""
+    from orientdb_etl_spark.functions.retrieval import phrase_search
+
+    return phrase_search(df, cfg["idField"], cfg["textField"], cfg["phrase"])
+
+
+@register("jwScore")
+def jw_score_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"jwScore": {"fieldA", "fieldB", "outField": "jw"}} —
+    Jaro–Winkler similarity of two string columns on an
+    (already-blocked) pair frame (functions/linkage.py)."""
+    from orientdb_etl_spark.functions.linkage import jaro_winkler
+
+    return df.withColumn(
+        cfg.get("outField", "jw"),
+        jaro_winkler(cfg["fieldA"], cfg["fieldB"]),
+    )
+
+
+@register("fdAudit")
+def fd_audit_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"fdAudit": {"candidates": [["det", "dep"], ...]}} —
+    functional-dependency audit with the TANE g3 error
+    (functions/profiling.py)."""
+    from orientdb_etl_spark.functions.profiling import fd_audit
+
+    return fd_audit(df, [tuple(c) for c in cfg["candidates"]])
+
+
+@register("readability")
+def readability_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"readability": {"textField", "outField": "readability"}} —
+    Flesch / Flesch–Kincaid struct column (functions/text.py)."""
+    from orientdb_etl_spark.functions.text import readability
+
+    return df.withColumn(
+        cfg.get("outField", "readability"), readability(cfg["textField"])
+    )

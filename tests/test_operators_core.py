@@ -645,3 +645,85 @@ def test_analyze_anova_levene_mk_and_ohlc_rankeval_transformers(spark):
         tables={"r": ranked},
     )
     assert out.collect()[0].mrr == 1.0
+
+
+def test_round5_completion_wave_transformers(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox. it runs!"), (2, "lazy dog naps")],
+        "id bigint, txt string",
+    )
+    snips = spark.createDataFrame(
+        [(10, "quick brown"), (11, "dog naps")], "sid bigint, s string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "snips"}},
+            "transformers": [
+                {"containmentJoin": {"idField": "sid", "textField": "s",
+                                     "rightTable": "docs",
+                                     "rightIdField": "id",
+                                     "rightTextField": "txt",
+                                     "threshold": 1.0}}
+            ],
+        },
+        tables={"snips": snips, "docs": docs},
+    )
+    assert {(r.left_id, r.right_id) for r in out.collect()} == {
+        (10, 1), (11, 2)
+    }
+
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"phraseSearch": {"idField": "id", "textField": "txt",
+                                  "phrase": "quick brown fox."}}
+            ],
+        },
+        tables={"docs": docs},
+    )
+    assert [(r.id, r.n_hits) for r in out.collect()] == [(1, 1)]
+
+    pairs = spark.createDataFrame(
+        [(1, "martha", "marhta")], "id int, a string, b string"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "p"}},
+            "transformers": [{"jwScore": {"fieldA": "a", "fieldB": "b"}}],
+        },
+        tables={"p": pairs},
+    )
+    assert abs(out.collect()[0].jw - 0.9611111111111111) < 1e-12
+
+    kv = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2), (2, 3)], "k int, v int"
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "kv"}},
+            "transformers": [
+                {"fdAudit": {"candidates": [["k", "v"]]}}
+            ],
+        },
+        tables={"kv": kv},
+    )
+    r = out.collect()[0]
+    assert r.n_violating == 1 and r.g3 == 0.25
+
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"readability": {"textField": "txt", "outField": "rd"}}
+            ],
+        },
+        tables={"docs": docs},
+    )
+    got = {r.id: r.rd for r in out.collect()}
+    assert got[1].n_sentences == 2 and got[2].n_sentences == 1
