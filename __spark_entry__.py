@@ -4560,6 +4560,21 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dataset-drift report: the full customer table as the
+    reference vs the positive-balance slice as the current snapshot --
+    per-column null-rate delta, exact distinct-count ratio, and
+    range-moved flag, from ONE single-pass profile aggregate per side
+    (the column_profile machinery)."""
+    from orientdb_etl_spark.functions.profiling import drift_report
+
+    cust = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    return drift_report(
+        cust, cust.where(F.col("c_acctbal") > 0), cols=cols
+    )
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -6066,6 +6081,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jw_link": q_jw_link,
             "fd_audit": q_fd_audit,
             "readability": q_readability,
+            "drift_report": q_drift_report,
         }
     )
     return out
@@ -8550,6 +8566,18 @@ def oracle_sql() -> dict[str, str]:
             "OR sr * 2 = n_slopes + 2 GROUP BY 1, 2) "
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
+        ),
+        "drift_report": (
+            # generated twin: one exact profile aggregate per side per
+            # column, unioned, deltas rounded to 6
+            __import__(
+                "orientdb_etl_spark.functions.profiling",
+                fromlist=["drift_report_sql"],
+            ).drift_report_sql(
+                "SELECT * FROM customer",
+                "SELECT * FROM customer WHERE c_acctbal > 0",
+                ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+            )
         ),
         "readability": (
             # identical counts: whitespace words, [.!?]+ runs clamped to

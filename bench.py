@@ -221,6 +221,7 @@ HEADLINE = [
     "jw_link",
     "fd_audit",
     "readability",
+    "drift_report",
     "radius_join",
     "holt",
     "seasonal_anomaly",

@@ -1113,3 +1113,103 @@ def fd_audit_sql(table: str, candidates: list[tuple[str, str]]) -> str:
             "FROM g)"
         )
     return " UNION ALL ".join(parts)
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch dataset-drift report between two snapshots: per shared
+    column, both sides' row/null/distinct/min/max profile plus the
+    comparison deltas — ``null_rate_delta`` (cur − ref),
+    ``ndv_ratio`` (cur/ref, NULL when the reference column is all-NULL)
+    and ``range_changed`` (either string-rendered extreme moved). The
+    companion of the streaming PSI monitor for the batch re-train gate:
+    PSI answers "did this one numeric distribution move", this answers
+    "which columns changed shape at all" across a whole table.
+
+    Scale shape: ONE single-pass aggregation per snapshot (the
+    :func:`column_profile` machinery — all columns in one `agg`, exact
+    distinct counts), then a column-name join of two |cols|-row frames;
+    nothing data-sized ever joins or shuffles twice."""
+    shared = cols or [c for c in ref.columns if c in set(cur.columns)]
+    if not shared:
+        raise ValueError("no shared columns to compare")
+    pr = column_profile(ref, shared, exact=True).select(
+        "column",
+        F.col("n_rows").alias("n_ref"),
+        F.col("n_null").alias("null_ref"),
+        F.col("n_distinct").alias("ndv_ref"),
+        F.col("min_value").alias("min_ref"),
+        F.col("max_value").alias("max_ref"),
+    )
+    pc = column_profile(cur, shared, exact=True).select(
+        "column",
+        F.col("n_rows").alias("n_cur"),
+        F.col("n_null").alias("null_cur"),
+        F.col("n_distinct").alias("ndv_cur"),
+        F.col("min_value").alias("min_cur"),
+        F.col("max_value").alias("max_cur"),
+    )
+    rate = lambda n, d: F.when(  # noqa: E731
+        F.col(d) > 0, F.col(n).cast("double") / F.col(d)
+    )
+    return (
+        pr.join(pc, "column")
+        .withColumn(
+            "null_rate_delta",
+            F.round(
+                rate("null_cur", "n_cur") - rate("null_ref", "n_ref"), 6
+            ),
+        )
+        .withColumn(
+            "ndv_ratio",
+            F.round(
+                F.when(
+                    F.col("ndv_ref") > 0,
+                    F.col("ndv_cur").cast("double") / F.col("ndv_ref"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "range_changed",
+            ~(
+                F.col("min_ref").eqNullSafe(F.col("min_cur"))
+                & F.col("max_ref").eqNullSafe(F.col("max_cur"))
+            ),
+        )
+    )
+
+
+def drift_report_sql(ref_sql: str, cur_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`drift_report` over two snapshot
+    sub-selects — one exact profile aggregate per side per column,
+    unioned; sums cast to BIGINT, deltas rounded to 6 like the engine."""
+    parts = []
+    for c in cols:
+        prof = (
+            "SELECT count(*) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS nn, "
+            f"count(DISTINCT {c}) AS nd, "
+            f"CAST(min({c}) AS VARCHAR) AS mn, "
+            f"CAST(max({c}) AS VARCHAR) AS mx"
+        )
+        parts.append(
+            f"(SELECT '{c}' AS column, r.n AS n_ref, r.nn AS null_ref, "
+            "r.nd AS ndv_ref, r.mn AS min_ref, r.mx AS max_ref, "
+            "c2.n AS n_cur, c2.nn AS null_cur, c2.nd AS ndv_cur, "
+            "c2.mn AS min_cur, c2.mx AS max_cur, "
+            "round((CASE WHEN c2.n > 0 THEN c2.nn / (c2.n * 1.0) END) - "
+            "(CASE WHEN r.n > 0 THEN r.nn / (r.n * 1.0) END), 6) "
+            "AS null_rate_delta, "
+            "CASE WHEN r.nd > 0 THEN round(c2.nd / (r.nd * 1.0), 6) END "
+            "AS ndv_ratio, "
+            "NOT (r.mn IS NOT DISTINCT FROM c2.mn "
+            "AND r.mx IS NOT DISTINCT FROM c2.mx) AS range_changed "
+            f"FROM ({prof} FROM ({ref_sql})) r, "
+            f"({prof} FROM ({cur_sql})) c2)"
+        )
+    return " UNION ALL ".join(parts)

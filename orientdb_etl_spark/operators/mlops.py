@@ -1070,3 +1070,17 @@ def readability_transformer(
     return df.withColumn(
         cfg.get("outField", "readability"), readability(cfg["textField"])
     )
+
+
+@register("driftReport")
+def drift_report_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"driftReport": {"refTable": "snapshot_v1", "columns": [...]}}
+    — batch dataset-drift report (functions/profiling.py): the input
+    frame is the CURRENT snapshot, ``refTable`` the reference."""
+    from orientdb_etl_spark.functions.profiling import drift_report
+
+    return drift_report(
+        ctx.tables[cfg["refTable"]], df, cols=cfg.get("columns")
+    )

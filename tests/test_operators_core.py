@@ -727,3 +727,20 @@ def test_round5_completion_wave_transformers(spark):
     )
     got = {r.id: r.rd for r in out.collect()}
     assert got[1].n_sentences == 2 and got[2].n_sentences == 1
+
+
+def test_drift_report_transformer(spark):
+    ref = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id int, v double")
+    cur = spark.createDataFrame([(3, 5.0), (4, None)], "id int, v double")
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "cur"}},
+            "transformers": [
+                {"driftReport": {"refTable": "ref", "columns": ["v"]}}
+            ],
+        },
+        tables={"cur": cur, "ref": ref},
+    )
+    r = out.collect()[0]
+    assert r.null_rate_delta == 0.5 and r.range_changed

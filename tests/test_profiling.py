@@ -575,3 +575,43 @@ def test_fd_audit_sql_twin_matches(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_drift_report_hand_case(spark):
+    from orientdb_etl_spark.functions.profiling import drift_report
+
+    ref = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "b", None), (4, None, 40.0)],
+        "id int, seg string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(5, "a", 10.0), (6, "c", 99.0), (7, None, None), (8, None, 5.0)],
+        "id int, seg string, v double",
+    )
+    got = {r.column: r for r in drift_report(ref, cur).collect()}
+    v = got["v"]
+    assert (v.n_ref, v.n_cur, v.null_ref, v.null_cur) == (4, 4, 1, 1)
+    assert v.null_rate_delta == 0.0
+    assert v.ndv_ratio == 1.0  # 3 distinct either side
+    assert v.range_changed  # max 40.0 -> 99.0
+    seg = got["seg"]
+    assert seg.null_rate_delta == round(2 / 4 - 1 / 4, 6)
+    assert seg.ndv_ratio == 1.0 and seg.range_changed  # {a,b} -> {a,c}
+    i = got["id"]
+    assert i.ndv_ratio == 1.0 and i.range_changed
+
+
+def test_drift_report_validation_and_all_null_ref(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.profiling import drift_report
+
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(1,)], "y int")
+    with pytest.raises(ValueError):
+        drift_report(a, b)
+    ref = spark.createDataFrame([(None,), (None,)], "v string")
+    cur = spark.createDataFrame([("z",)], "v string")
+    r = drift_report(ref, cur).collect()[0]
+    assert r.ndv_ratio is None  # all-NULL reference: ratio undefined
+    assert r.null_rate_delta == round(0 / 1 - 2 / 2, 6)
