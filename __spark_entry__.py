@@ -4575,6 +4575,71 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein SIGIR'98) of the
+    exact-cosine top-20 candidates for vec_id=0's query: k=8 picks at
+    lam=0.75 (binary-exact), objective and pairwise cosines rounded to
+    4dp before every argmax with id tie-breaks -- the determinism
+    discipline that lets the unrolled SQL oracle replay the exact
+    greedy selection."""
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+    from orientdb_etl_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    cands = brute_force_topk(emb, "embedding", "vec_id", q, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "vec_id",
+        F.round("cosine_sim", 4).alias("score"),
+        "embedding",
+    )
+    return mmr_diversify(
+        cands, "vec_id", "score", "embedding", k=8, lam=0.75
+    )
+
+
+def _mmr_oracle_sql(k: int = 8, depth: int = 20) -> str:
+    """Unrolled greedy MMR: depth-bounded candidate CTE (same raw-cosine
+    ordering as the ann_brute oracle, score rounded to 4dp after
+    selection), then k pick/update CTE pairs replaying the rounded
+    objective, rounded pairwise cosine, and id tie-break."""
+    cos_q = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    sim = (
+        "list_dot_product(s.v, p.v) / (sqrt(list_dot_product(s.v, s.v)) "
+        "* sqrt(list_dot_product(p.v, p.v)))"
+    )
+    ctes = [
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        "WHERE vec_id = 0)",
+        f"c0 AS (SELECT e.vec_id AS id, round({cos_q}, 4) AS score, "
+        "e.embedding::DOUBLE[] AS v FROM embeddings e, q "
+        f"ORDER BY {cos_q} DESC, e.vec_id ASC LIMIT {depth})",
+        "s0 AS (SELECT id, score, v, 0.0 AS ms FROM c0)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT * FROM s{i - 1} "
+            "ORDER BY round(0.75 * score - 0.25 * ms, 4) DESC, id ASC "
+            "LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"s{i} AS (SELECT s.id, s.score, s.v, "
+                f"greatest(s.ms, round({sim}, 4)) AS ms "
+                f"FROM s{i - 1} s, p{i} p WHERE s.id != p.id)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, id AS vec_id, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + unions
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-grid spatial radius join over deterministic per-user
     coordinates (Knuth-hash placement both engines replay) — cell
@@ -6082,6 +6147,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fd_audit": q_fd_audit,
             "readability": q_readability,
             "drift_report": q_drift_report,
+            "mmr_rerank": q_mmr_rerank,
         }
     )
     return out
@@ -8567,6 +8633,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md.g AS event_type, us.n_used, md.n_slopes, "
             "md.ts_slope FROM md JOIN us USING (g) ORDER BY event_type"
         ),
+        "mmr_rerank": _mmr_oracle_sql(),
         "drift_report": (
             # generated twin: one exact profile aggregate per side per
             # column, unioned, deltas rounded to 6

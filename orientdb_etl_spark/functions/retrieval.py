@@ -224,3 +224,81 @@ def phrase_search_sql(
         "min(pos) AS first_pos FROM h GROUP BY 1"
     )
     return sql
+
+
+def mmr_diversify(
+    cands: DataFrame,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) of a BOUNDED candidate list: greedily select ``k`` items
+    maximizing ``lam·relevance − (1−lam)·max_cosine_to_selected`` — the
+    standard diversification pass after first-stage retrieval (dedup of
+    near-identical hits in a RAG context window).
+
+    Determinism discipline (shared with :func:`hybrid_topk`): both the
+    MMR objective and the pairwise cosines are rounded to ``round_to``
+    BEFORE the argmax, ties broken by ascending id, so any engine
+    replaying the same rounded arithmetic selects identically — the
+    property the unrolled SQL oracle checks. Prefer a binary-exact
+    ``lam`` (0.75, 0.5) so ``lam·s`` folds identically cross-engine.
+
+    Scale shape: MMR is inherently sequential (selection i depends on
+    all previous picks), so it ONLY applies to depth-bounded candidate
+    lists — like :func:`rrf_fuse`, the corpus-sized work lives in the
+    upstream candidate generator. Each of the ``k`` rounds collects
+    exactly ONE row (the pick — bounded driver state, the k-means
+    centroid precedent) and updates the running max-similarity with a
+    JVM literal-vector cosine; the candidate frame never shuffles.
+
+    Returns ``(mmr_rank, id, score)`` for the ``k`` picks (fewer if the
+    list is exhausted)."""
+    from orientdb_etl_spark.functions.similarity import cosine_sim_expr
+
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rem = cands.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_score"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_ms", F.lit(0.0))
+    picks = []
+    for rank in range(1, k + 1):
+        row = (
+            rem.orderBy(
+                F.round(
+                    F.lit(float(lam)) * F.col("_score")
+                    - F.lit(1.0 - float(lam)) * F.col("_ms"),
+                    round_to,
+                ).desc(),
+                F.col("_id").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        p = row[0]
+        picks.append((rank, p._id, float(p._score)))
+        pv = [float(x) for x in p._v]
+        if rank < k:
+            sim = (
+                F.round(cosine_sim_expr("_v", pv), round_to)
+                if sum(x * x for x in pv) > 0
+                else F.lit(0.0)
+            )
+            rem = rem.where(F.col("_id") != F.lit(p._id)).withColumn(
+                "_ms", F.greatest(F.col("_ms"), sim)
+            )
+    spark = cands.sparkSession
+    out = spark.createDataFrame(
+        picks, f"mmr_rank int, {id_col} long, {score_col} double"
+    )
+    return out

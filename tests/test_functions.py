@@ -1763,3 +1763,86 @@ def test_readability_no_exchange_in_plan(spark, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------------ MMR
+
+
+def _brute_mmr(cands, k, lam, round_to=4):
+    """cands: list of (id, score, vec). Greedy MMR with rounded
+    objective/sims and id tie-break — the reference the Spark loop and
+    the SQL oracle must both equal."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    rem = {i: (s, v, 0.0) for i, s, v in cands}
+    out = []
+    for rank in range(1, k + 1):
+        if not rem:
+            break
+        pick = min(
+            rem.items(),
+            key=lambda kv: (-round(lam * kv[1][0] - (1 - lam) * kv[1][2],
+                                   round_to), kv[0]),
+        )[0]
+        ps, pv, _ = rem.pop(pick)
+        out.append((rank, pick, ps))
+        rem = {
+            i: (s, v, max(ms, round(cos(v, pv), round_to)))
+            for i, (s, v, ms) in rem.items()
+        }
+    return out
+
+
+def test_mmr_diversify_equals_brute_force(spark):
+    import random
+
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+
+    rng = random.Random(3)
+    cands = [
+        (i, round(rng.uniform(0, 1), 4),
+         [rng.uniform(-1, 1) for _ in range(6)])
+        for i in range(25)
+    ]
+    # plant two near-duplicates of the top item: MMR must skip them
+    top = max(cands, key=lambda c: c[1])
+    cands.append((100, top[1] - 0.0001, [x * 1.001 for x in top[2]]))
+    cands.append((101, top[1] - 0.0002, [x * 0.999 for x in top[2]]))
+    df = spark.createDataFrame(
+        [(i, s, v) for i, s, v in cands],
+        "id long, score double, vec array<double>",
+    )
+    got = [
+        (r.mmr_rank, r.id, r.score)
+        for r in mmr_diversify(df, "id", "score", "vec", k=8, lam=0.75)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == _brute_mmr(cands, 8, 0.75)
+    # diversification actually bites: the two planted dups are NOT in
+    # the top picks even though their relevance ranks 2nd and 3rd
+    picked = {i for _, i, _ in got[:3]}
+    assert 100 not in picked and 101 not in picked
+
+
+def test_mmr_diversify_validation_and_exhaustion(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+
+    df = spark.createDataFrame(
+        [(1, 1.0, [1.0, 0.0]), (2, 0.5, [0.0, 1.0])],
+        "id long, score double, vec array<double>",
+    )
+    with pytest.raises(ValueError):
+        mmr_diversify(df, "id", "score", "vec", k=0)
+    with pytest.raises(ValueError):
+        mmr_diversify(df, "id", "score", "vec", lam=1.5)
+    got = mmr_diversify(df, "id", "score", "vec", k=10).collect()
+    assert len(got) == 2  # exhausts the list, no error
