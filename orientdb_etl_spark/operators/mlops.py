@@ -1084,3 +1084,23 @@ def drift_report_transformer(
     return drift_report(
         ctx.tables[cfg["refTable"]], df, cols=cfg.get("columns")
     )
+
+
+@register("mmr")
+def mmr_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"mmr": {"idField", "scoreField", "vecField", "k": 10,
+    "lambda": 0.75}} — MMR diversification of a bounded candidate list
+    (functions/retrieval.py). The input frame must already be
+    depth-bounded (a retriever's top-N)."""
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+
+    return mmr_diversify(
+        df,
+        cfg["idField"],
+        cfg["scoreField"],
+        cfg["vecField"],
+        k=int(cfg.get("k", 10)),
+        lam=float(cfg.get("lambda", 0.75)),
+    )

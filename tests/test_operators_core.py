@@ -744,3 +744,24 @@ def test_drift_report_transformer(spark):
     )
     r = out.collect()[0]
     assert r.null_rate_delta == 0.5 and r.range_changed
+
+
+def test_mmr_transformer(spark):
+    cands = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, 0.89, [1.0, 0.001]),
+         (3, 0.5, [0.0, 1.0])],
+        "id long, score double, vec array<double>",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "c"}},
+            "transformers": [
+                {"mmr": {"idField": "id", "scoreField": "score",
+                         "vecField": "vec", "k": 2, "lambda": 0.5}}
+            ],
+        },
+        tables={"c": cands},
+    )
+    assert [(r.mmr_rank, r.id) for r in out.orderBy("mmr_rank").collect()] \
+        == [(1, 1), (2, 3)]  # near-dup id=2 displaced by diverse id=3
