@@ -408,3 +408,32 @@ def test_config_preflight_governance_example(spark):
     assert dims == {"o_orderpriority", "o_orderstatus"}
     dq = {r["constraint"]: r for r in res.outputs["dq"].collect()}
     assert all(r["passed"] for r in dq.values())
+
+
+def test_example_document_search(spark):
+    import json
+
+    cfg = json.load(open(f"{EXAMPLES}/config-document-search.json"))
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    snips = docs.limit(20).select(
+        F.col("doc_id").alias("snip_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 12), " "
+        ).alias("snip"),
+    )
+    p = (
+        Pipeline(cfg, spark=spark)
+        .register_table("snippets", snips)
+        .register_table("docs", docs)
+    )
+    res = p.run()
+    hits = res.outputs["excerpt_hits"]
+    # every snippet is fully contained in (at least) its source document
+    self_pairs = {
+        (r.left_id, r.right_id)
+        for r in hits.where(F.col("left_id") == F.col("right_id")).collect()
+    }
+    assert len(self_pairs) == 20
+    ph = res.outputs["phrase_hits"].collect()
+    assert all(r.n_hits >= 1 for r in ph)
