@@ -557,11 +557,19 @@ def main() -> None:
     ).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # partial capture windows (merged later via tools/merge_bench_windows.py):
+    # SPARK_GRAFT_BENCH_ONLY=q1,q3 runs just those headline entries
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    headline = (
+        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
+        if only
+        else HEADLINE
+    )
     host_start = _host_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     load_at_sample: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         samples = []
         n = 0
