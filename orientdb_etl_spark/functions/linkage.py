@@ -656,14 +656,17 @@ def containment_join(
         "_sa",
         F.explode(F.slice("_ord", F.lit(1), F.col("_p"))).alias("_tok"),
     )
+    # postings annotated with |R| so the size filter runs ON the join
+    # output, BEFORE the distinct — strictly fewer rows shuffle into the
+    # pair dedup and the separate size-lookup join disappears
+    rpost_sz = rt.select("_rr", "_sb", F.explode("_toks").alias("_tok"))
     cand = (
-        pref.join(rpost, "_tok")
-        .select("_ll", "_sa", "_rr")
-        .distinct()
-        .join(rt.select("_rr", "_sb"), "_rr")
+        pref.join(rpost_sz, "_tok")
         .where(
             F.col("_sb") >= F.ceil(F.lit(float(threshold)) * F.col("_sa"))
         )
+        .select("_ll", "_sa", "_rr")
+        .distinct()
     )
     fa = lord.select("_ll", F.col("_ord").alias("_ta"))
     fb = rt.select("_rr", F.col("_toks").alias("_tb"))
