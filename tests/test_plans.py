@@ -718,3 +718,61 @@ def test_ranking_metrics_window_is_query_partitioned(spark):
 def test_assortativity_no_cartesian(spark):
     plan = _plan(spark, "assortativity")
     assert "CartesianProduct" not in plan
+
+
+def test_containment_join_equi_only_no_python(spark):
+    """The prefix-filter containment join must be pure equi-joins on JVM
+    expressions: no cartesian/broadcast-NL pair enumeration, no Python
+    eval — verification is array_intersect on the pair's two arrays."""
+    plan = _plan(spark, "containment_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_no_cartesian_no_python(spark):
+    plan = _plan(spark, "phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_jw_link_python_is_arrow_batched(spark):
+    """Jaro-Winkler runs Python (no JVM builtin) — it must be the
+    Arrow-vectorized pandas_udf path on the BLOCKED pair stream, never
+    row-at-a-time BatchEvalPython."""
+    plan = _plan(spark, "jw_link")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_readability_pure_jvm_single_scan(spark):
+    """Flesch scoring is closed-form over token/sentence/syllable counts:
+    pure JVM expressions fused into the scan — no join, no Python."""
+    plan = _plan(spark, "readability")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_fd_audit_no_python_no_cartesian(spark):
+    plan = _plan(spark, "fd_audit")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_report_aggregates_before_compare(spark):
+    """The two-snapshot drift report compares HISTOGRAMS, not rows: both
+    sides must aggregate before any join, and the joined frames are
+    bucket-sized (no exchange carrying raw-corpus rows past the agg)."""
+    plan = _plan(spark, "drift_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # histogram aggregation (hash or sort flavor) precedes the compare,
+    # and the bucket-sized sides meet in a broadcast join, never a
+    # shuffled row-level exchange
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
