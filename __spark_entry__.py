@@ -4470,6 +4470,21 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared token-SPAN pairs (Lee et al. ACL'22 exact-substring
+    axis): document pairs sharing at least one verbatim 8-token run,
+    with the distinct shared-window count per pair. guard=1 (every
+    window indexed) and max_group=None so the plan is exactly the
+    brute-force definition the DuckDB oracle replays; production runs
+    guard>1 winnowing and the degenerate-group cap (unit-tested)."""
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(
+        docs, "text", "doc_id", window=8, guard=1, max_group=None
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact positional phrase search over the corpus inverted index:
     one bigram and one trigram, unioned and tagged. The isin-over-
@@ -6148,6 +6163,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "readability": q_readability,
             "drift_report": q_drift_report,
             "mmr_rerank": q_mmr_rerank,
+            "shared_spans": q_shared_spans,
         }
     )
     return out
@@ -8735,6 +8751,24 @@ def oracle_sql() -> dict[str, str]:
             "round(inter / (sa.s * 1.0), 6) AS containment "
             "FROM iv JOIN sa USING (snip_id) "
             "WHERE inter >= ceil(1.0 * sa.s)"
+        ),
+        "shared_spans": (
+            # brute-force window materialization: every distinct 8-token
+            # window as a STRING (the Spark side groups on xxhash64 of the
+            # same string — equal modulo 64-bit collisions), self-joined
+            # id_a < id_b, counted per pair
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+            "'\\s+') AS t FROM documents "
+            "WHERE length(trim(coalesce(text, ''))) > 0), "
+            "el AS (SELECT doc_id, t FROM tk WHERE len(t) >= 8), "
+            "w AS (SELECT DISTINCT doc_id, array_to_string("
+            "list_slice(t, i, i + 7), ' ') AS win FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i "
+            "FROM el)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared_windows "
+            "FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2"
         ),
         "set_sim_join": (
             # brute-force token-level Jaccard — the prefix filter is

@@ -217,6 +217,7 @@ HEADLINE = [
     "theil_sen",
     "set_sim_join",
     "containment_join",
+    "shared_spans",
     "phrase_search",
     "jw_link",
     "fd_audit",
@@ -468,9 +469,30 @@ def _prod_containment_join(spark, sf_dir):
     )
 
 
+def _prod_shared_spans(spark, sf_dir):
+    """Production configuration of the shared-span detector: guard=3
+    winnowing (~3x smaller posting stream, spans >= 10 tokens still
+    guaranteed) plus the degenerate-group cap — the shape a corpus run
+    uses; the gate twin runs guard=1/uncapped to stay oracle-exact. The
+    count+sum fold forces the full pair stream engine-side."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shared_span_pairs(
+        docs, "text", "doc_id", window=8, guard=3, max_group=1000
+    )
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("shared_windows").alias("sum_windows"),
+    )
+
+
 PROD_OVERRIDES = {
     "set_sim_join": _prod_set_sim_join,
     "containment_join": _prod_containment_join,
+    "shared_spans": _prod_shared_spans,
     "hyperball_cert": _prod_hyperball,
     "semantic_dedup": _prod_semantic_dedup,
     "incremental_near": _prod_incremental_near,

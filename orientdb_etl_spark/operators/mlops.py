@@ -1047,6 +1047,30 @@ def jw_score_transformer(
     )
 
 
+@register("sharedSpans")
+def shared_spans_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"sharedSpans": {"idField", "textField", "window": 8, "guard": 1,
+    "maxGroup": 1000}} — exact shared token-span pair detection
+    (functions/dedup.py, Lee et al. ACL'22 exact-substring axis;
+    guard > 1 = winnowing)."""
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    return shared_span_pairs(
+        df,
+        cfg["textField"],
+        cfg["idField"],
+        window=int(cfg.get("window", 8)),
+        guard=int(cfg.get("guard", 1)),
+        max_group=(
+            None
+            if cfg.get("maxGroup", 1000) is None
+            else int(cfg.get("maxGroup", 1000))
+        ),
+    )
+
+
 @register("fdAudit")
 def fd_audit_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

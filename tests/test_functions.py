@@ -1846,3 +1846,101 @@ def test_mmr_diversify_validation_and_exhaustion(spark):
         mmr_diversify(df, "id", "score", "vec", lam=1.5)
     got = mmr_diversify(df, "id", "score", "vec", k=10).collect()
     assert len(got) == 2  # exhausts the list, no error
+
+
+def test_shared_span_pairs_detects_lifted_passage(spark):
+    """A 10-token quote lifted into an otherwise-different long document
+    must pair the two docs; unrelated docs must not pair."""
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    quote = "the quick brown fox jumps over the lazy sleeping dog"
+    filler_a = " ".join(f"alpha{i}" for i in range(40))
+    filler_b = " ".join(f"beta{i}" for i in range(40))
+    filler_c = " ".join(f"gamma{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, f"{quote} {filler_a}"),
+            (2, f"{filler_b} {quote}"),
+            (3, filler_c),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = shared_span_pairs(df, "text", "doc_id", window=8).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    # a 10-token quote has 3 distinct 8-token windows
+    assert got[0].shared_windows == 3
+
+
+def test_shared_span_pairs_winnowing_guarantee(spark):
+    """Winnowing with guard g must still catch any shared span of
+    length >= window + g - 1 (Schleimer et al. SIGMOD'03), here with the
+    span at DIFFERENT offsets in the two documents — the case plain
+    stride sampling misses."""
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    span = " ".join(f"shared{i}" for i in range(12))  # 12 = 8 + 5 - 1
+    pre_a = " ".join(f"a{i}" for i in range(7))   # offset 7
+    pre_b = " ".join(f"b{i}" for i in range(23))  # offset 23
+    df = spark.createDataFrame(
+        [
+            (1, f"{pre_a} {span} " + " ".join(f"x{i}" for i in range(20))),
+            (2, f"{pre_b} {span} " + " ".join(f"y{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    got = shared_span_pairs(df, "text", "doc_id", window=8, guard=5).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_shared_span_pairs_matches_exact_when_guard_1(spark):
+    """guard=1 must equal the brute-force definition: pairs sharing any
+    verbatim window, counted as distinct shared windows."""
+    import itertools
+
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    rows = [
+        (1, "p q r s t u v w x y z"),
+        (2, "m n p q r s t u v w k"),
+        (3, "p q r s t u v w x y z"),
+    ]
+    w = 8
+    expected = {}
+    wins = {
+        i: {
+            " ".join(toks[j : j + w])
+            for j in range(len(toks) - w + 1)
+        }
+        for i, t in rows
+        for toks in [t.split()]
+    }
+    for a, b in itertools.combinations(sorted(wins), 2):
+        n = len(wins[a] & wins[b])
+        if n:
+            expected[(a, b)] = n
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.shared_windows
+        for r in shared_span_pairs(df, "text", "doc_id", window=w).collect()
+    }
+    assert got == expected
+
+
+def test_shared_span_pairs_group_cap_drops_boilerplate(spark):
+    """A window shared by > max_group docs (boilerplate) must be dropped
+    by the degenerate-group cap instead of emitting a quadratic pair
+    stream."""
+    from orientdb_etl_spark.functions.dedup import shared_span_pairs
+
+    boiler = "subscribe to our newsletter for all the latest updates"
+    rows = [(i, f"{boiler} " + " ".join(f"u{i}x{j}" for j in range(10)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = shared_span_pairs(df, "text", "doc_id", window=8, max_group=5)
+    assert got.count() == 0
+    uncapped = shared_span_pairs(
+        df, "text", "doc_id", window=8, max_group=None
+    )
+    assert uncapped.count() == 190  # C(20,2) boilerplate pairs

@@ -765,3 +765,29 @@ def test_mmr_transformer(spark):
     )
     assert [(r.mmr_rank, r.id) for r in out.orderBy("mmr_rank").collect()] \
         == [(1, 1), (2, 3)]  # near-dup id=2 displaced by diverse id=3
+
+
+def test_shared_spans_transformer(spark):
+    quote = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, quote + " " + " ".join(f"a{i}" for i in range(15))),
+            (2, " ".join(f"b{i}" for i in range(15)) + " " + quote),
+            (3, " ".join(f"c{i}" for i in range(30))),
+        ],
+        "id bigint, txt string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"sharedSpans": {"idField": "id", "textField": "txt",
+                                 "window": 8}}
+            ],
+        },
+        tables={"docs": docs},
+    )
+    assert {(r.id_a, r.id_b, r.shared_windows) for r in out.collect()} == {
+        (1, 2, 3)
+    }

@@ -776,3 +776,15 @@ def test_drift_report_aggregates_before_compare(spark):
     # shuffled row-level exchange
     assert "SortAggregate" in plan or "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shared_spans_pure_jvm_single_pair_shuffle(spark):
+    """Span fingerprints must be scan-fused JVM expressions (no Python
+    eval), and the pair stream must come from the grouped emitter —
+    no self-join of the posting table, no cartesian."""
+    plan = _plan(spark, "shared_spans")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # pairs are emitted, not joined
