@@ -218,6 +218,7 @@ HEADLINE = [
     "set_sim_join",
     "containment_join",
     "shared_spans",
+    "span_dup_stats",
     "phrase_search",
     "jw_link",
     "fd_audit",

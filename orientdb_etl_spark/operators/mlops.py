@@ -1071,6 +1071,23 @@ def shared_spans_transformer(
     )
 
 
+@register("spanDupStats")
+def span_dup_stats_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"spanDupStats": {"idField", "textField", "window": 8}} —
+    per-document cross-doc duplicated-span exposure
+    (functions/dedup.py::span_dup_stats)."""
+    from orientdb_etl_spark.functions.dedup import span_dup_stats
+
+    return span_dup_stats(
+        df,
+        cfg["textField"],
+        cfg["idField"],
+        window=int(cfg.get("window", 8)),
+    )
+
+
 @register("fdAudit")
 def fd_audit_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

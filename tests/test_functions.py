@@ -1944,3 +1944,29 @@ def test_shared_span_pairs_group_cap_drops_boilerplate(spark):
         df, "text", "doc_id", window=8, max_group=None
     )
     assert uncapped.count() == 190  # C(20,2) boilerplate pairs
+
+
+def test_span_dup_stats_coverage_and_zeros(spark):
+    """Coverage counts distinct token positions under any duplicated
+    window; within-doc repetition alone must NOT count; short and
+    unique docs report zeros."""
+    from orientdb_etl_spark.functions.dedup import span_dup_stats
+
+    quote = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"  # 10 tokens -> 3 windows of 8
+    selfrep = " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 3)  # repeats only in itself
+    rows = [
+        (1, quote + " " + " ".join(f"a{i}" for i in range(5))),
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + quote),
+        (3, selfrep),
+        (4, "too short"),
+        (5, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dup_stats(df, "text", "doc_id").collect()}
+    assert got[1].n_dup_windows == 3 and got[1].dup_tokens == 10
+    assert abs(got[1].dup_frac - 10 / 15) < 1e-6  # rounded to 6 decimals
+    assert got[2].n_dup_windows == 3 and got[2].dup_tokens == 10
+    assert got[3].n_dup_windows == 0  # self-repetition excluded
+    assert got[4].n_dup_windows == 0 and got[4].dup_tokens == 0
+    assert got[5].dup_frac == 0.0
+    assert set(got) == {1, 2, 3, 4, 5}

@@ -791,3 +791,27 @@ def test_shared_spans_transformer(spark):
     assert {(r.id_a, r.id_b, r.shared_windows) for r in out.collect()} == {
         (1, 2, 3)
     }
+
+
+def test_span_dup_stats_transformer(spark):
+    quote = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, quote + " tail1 tail2"),
+            (2, "head1 head2 " + quote),
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        ],
+        "id bigint, txt string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"spanDupStats": {"idField": "id", "textField": "txt"}}
+            ],
+        },
+        tables={"docs": docs},
+    )
+    got = {r.id: (r.n_dup_windows, r.dup_tokens) for r in out.collect()}
+    assert got == {1: (1, 8), 2: (1, 8), 3: (0, 0)}
