@@ -437,3 +437,24 @@ def test_example_document_search(spark):
     assert len(self_pairs) == 20
     ph = res.outputs["phrase_hits"].collect()
     assert all(r.n_hits >= 1 for r in ph)
+
+
+def test_config_span_dedup_report_example(spark):
+    cfg = _load("config-span-dedup-report.json")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    res = Pipeline(cfg, spark=spark).register_table("docs", docs).run()
+    exposure = res.outputs["dup_exposure"]
+    rows = exposure.collect()
+    n_docs = docs.where(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    ).count()
+    assert len(rows) == n_docs  # every non-empty doc reported, zeros kept
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
+    # consistency: a doc with dup windows must have covered tokens, and
+    # coverage can never exceed the doc's own length
+    for r in rows:
+        assert (r.n_dup_windows > 0) == (r.dup_tokens > 0)
+        assert r.dup_tokens <= r.n_toks
+    pairs = res.outputs["span_pairs"]
+    assert set(pairs.columns) == {"id_a", "id_b", "shared_windows"}
