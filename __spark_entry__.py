@@ -4497,6 +4497,17 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "text", "doc_id", window=8)
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMEDIATION (Lee et al. ACL'22): rewrite every
+    document with cross-doc duplicated 8-token spans removed from all
+    but the min-id owner; deterministic rebuilt text + removal counts,
+    hash-compared against the DuckDB positional replay."""
+    from orientdb_etl_spark.functions.dedup import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "text", "doc_id", window=8)
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact positional phrase search over the corpus inverted index:
     one bigram and one trigram, unioned and tagged. The isin-over-
@@ -6177,6 +6188,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mmr_rerank": q_mmr_rerank,
             "shared_spans": q_shared_spans,
             "span_dup_stats": q_span_dup_stats,
+            "strip_spans": q_strip_spans,
         }
     )
     return out
@@ -8808,6 +8820,38 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(agg.dup_tokens, 0) / (len(tk.t) * 1.0), 6) "
             "AS dup_frac "
             "FROM tk LEFT JOIN agg USING (doc_id)"
+        ),
+        "strip_spans": (
+            # positional replay of the span-removal semantics: windows
+            # fingerprint on lowercased tokens, owner = min doc_id per
+            # duplicated window, non-owner covered positions dropped,
+            # text rebuilt from ORIGINAL-case survivors in position order;
+            # fully-stripped docs kept as empty text via the left join
+            "WITH tk AS (SELECT doc_id, trim(text) AS tx, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents WHERE length(trim(coalesce(text, ''))) > 0), "
+            "w AS (SELECT doc_id, i AS pos, array_to_string("
+            "list_slice(list_transform(t, x -> lower(x)), i, i + 7), ' ') "
+            "AS win FROM (SELECT doc_id, t, "
+            "unnest(generate_series(1, len(t) - 7)) AS i FROM tk "
+            "WHERE len(t) >= 8)), "
+            "own AS (SELECT win, min(doc_id) AS owner FROM w "
+            "GROUP BY win HAVING count(DISTINCT doc_id) >= 2), "
+            "drops AS (SELECT DISTINCT w.doc_id, tp FROM w JOIN own "
+            "USING (win), unnest(generate_series(w.pos, w.pos + 7)) AS u(tp) "
+            "WHERE w.doc_id <> own.owner), "
+            "toks AS (SELECT doc_id, i AS tp, t[i] AS tok FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i "
+            "FROM tk)), "
+            "kept AS (SELECT toks.doc_id, "
+            "string_agg(tok, ' ' ORDER BY toks.tp) AS new_text, "
+            "count(*) AS n_kept FROM toks "
+            "LEFT JOIN drops ON toks.doc_id = drops.doc_id "
+            "AND toks.tp = drops.tp WHERE drops.tp IS NULL GROUP BY 1) "
+            "SELECT tk.doc_id, coalesce(kept.new_text, '') AS text, "
+            "len(tk.t) AS n_toks, "
+            "len(tk.t) - coalesce(kept.n_kept, 0) AS removed_tokens "
+            "FROM tk LEFT JOIN kept USING (doc_id)"
         ),
         "set_sim_join": (
             # brute-force token-level Jaccard — the prefix filter is

@@ -219,6 +219,7 @@ HEADLINE = [
     "containment_join",
     "shared_spans",
     "span_dup_stats",
+    "strip_spans",
     "phrase_search",
     "jw_link",
     "fd_audit",

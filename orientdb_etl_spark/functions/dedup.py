@@ -953,6 +953,107 @@ def span_dup_stats(
     )
 
 
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """The Lee et al. ACL'22 exact-substring REMEDIATION: rewrite each
+    document with cross-document duplicated spans removed from every doc
+    except one canonical owner. A ``window``-token run (lowercased
+    fingerprint) occurring in >= 2 distinct documents is owned by the
+    doc with the MINIMUM id containing it; in every other doc, all token
+    positions covered by that run are dropped and the text is rebuilt
+    from the surviving ORIGINAL-case tokens (single-space joined). The
+    owner keeps all its occurrences, so every duplicated span survives
+    exactly once corpus-wide per owning document — deterministic,
+    engine-independent, and idempotent (re-running removes nothing new).
+
+    Output: ``(id, text-col rebuilt, n_toks, removed_tokens)``. Docs
+    shorter than the window pass through unchanged (normalized to the
+    same single-space token join so the output column is uniformly
+    canonical). Empty/null docs are excluded, matching the other span
+    operators.
+
+    Scale shape: fingerprints stay scan-fused JVM expressions; ownership
+    is ONE aggregate (min doc id per duplicated fingerprint); removal is
+    an equi-join of postings to owned fingerprints; the rebuild shuffles
+    (id, pos, token) rows once and reassembles per doc with
+    ``array_sort(collect_list(struct(pos, tok)))`` — per-doc bounded
+    state, no Python, no posting self-join.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = (
+        ensure_parallelism(df)
+        .where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        )
+    )
+    wins = base.where(F.size("_t") >= window).select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {window} + 1), "
+                f"i -> xxhash64(lower(concat_ws(' ', slice(_t, i, {window})))))"
+            )
+        ).alias("_pos", "_fp"),
+    )
+    owners = (
+        wins.groupBy("_fp")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(F.col(id_col)).alias("_owner"),
+        )
+        .where(F.col("_nd") >= 2)
+        .select("_fp", "_owner")
+    )
+    # token positions to drop: covered by a duplicated window this doc
+    # does NOT own ( _pos is 0-based from posexplode → covers
+    # [_pos+1, _pos+window] in 1-based token coordinates )
+    drops = (
+        wins.join(owners, "_fp")
+        .where(F.col(id_col) != F.col("_owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(_pos + 1, _pos + {window})")
+            ).alias("_tp"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        F.col(id_col),
+        F.size("_t").alias("n_toks"),
+        F.posexplode("_t").alias("_p0", "_tok"),
+    ).withColumn("_tp", F.col("_p0") + 1)
+    kept = toks.join(drops, [id_col, "_tp"], "left_anti")
+    assembled = kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(_tp, _tok))), x -> x._tok))"
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    # a doc whose EVERY token was dropped has no kept rows — join back to
+    # the base so it still appears, as empty text with full removal
+    return (
+        base.select(id_col, F.size("_t").alias("n_toks"))
+        .join(assembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_new_text", F.lit("")).alias(text_col),
+            F.col("n_toks").cast("long").alias("n_toks"),
+            (F.col("n_toks") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # incremental (cross-snapshot) dedup
 # --------------------------------------------------------------------------

@@ -1088,6 +1088,24 @@ def span_dup_stats_transformer(
     )
 
 
+@register("stripSpans")
+def strip_spans_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"stripSpans": {"idField", "textField", "window": 8}} — rewrite
+    documents with cross-doc duplicated spans removed from all but the
+    min-id owner (functions/dedup.py::strip_duplicate_spans, the
+    Lee et al. ACL'22 exact-substring remediation)."""
+    from orientdb_etl_spark.functions.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        df,
+        cfg["textField"],
+        cfg["idField"],
+        window=int(cfg.get("window", 8)),
+    )
+
+
 @register("fdAudit")
 def fd_audit_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

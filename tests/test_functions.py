@@ -1970,3 +1970,50 @@ def test_span_dup_stats_coverage_and_zeros(spark):
     assert got[4].n_dup_windows == 0 and got[4].dup_tokens == 0
     assert got[5].dup_frac == 0.0
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_strip_duplicate_spans_owner_keeps_others_lose(spark):
+    """The min-id doc owns each duplicated span and keeps it; every
+    other doc loses exactly the covered tokens, original case preserved
+    in survivors."""
+    from orientdb_etl_spark.functions.dedup import strip_duplicate_spans
+
+    quote = "The Quick Brown Fox Jumps Over The Lazy"  # 8 tokens
+    rows = [
+        (1, quote + " unique1 unique2"),
+        (2, "pre1 pre2 " + quote.lower() + " post1"),  # case-insensitive match
+        (3, "solo1 solo2 solo3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in strip_duplicate_spans(df, "text", "doc_id", window=8).collect()
+    }
+    assert got[1].text == quote + " unique1 unique2"
+    assert got[1].removed_tokens == 0
+    assert got[2].text == "pre1 pre2 post1"
+    assert got[2].removed_tokens == 8
+    assert got[3].text == "solo1 solo2 solo3" and got[3].removed_tokens == 0
+
+
+def test_strip_duplicate_spans_idempotent_and_full_removal(spark):
+    """Re-running on the rewritten corpus removes nothing further; a doc
+    that IS entirely a lifted span survives as an empty-text row."""
+    from orientdb_etl_spark.functions.dedup import strip_duplicate_spans
+
+    span = "s0 s1 s2 s3 s4 s5 s6 s7"
+    df = spark.createDataFrame(
+        [(1, span + " tail0 tail1"), (2, span)],
+        "doc_id long, text string",
+    )
+    once = strip_duplicate_spans(df, "text", "doc_id", window=8)
+    got = {r.doc_id: r for r in once.collect()}
+    assert got[2].text == "" and got[2].removed_tokens == 8
+    assert got[1].removed_tokens == 0
+    twice = strip_duplicate_spans(
+        once.select("doc_id", "text"), "text", "doc_id", window=8
+    )
+    # empty doc 2 is excluded by the non-empty filter; doc 1 unchanged
+    assert {(r.doc_id, r.text, r.removed_tokens) for r in twice.collect()} == {
+        (1, span + " tail0 tail1", 0)
+    }

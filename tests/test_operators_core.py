@@ -815,3 +815,23 @@ def test_span_dup_stats_transformer(spark):
     )
     got = {r.id: (r.n_dup_windows, r.dup_tokens) for r in out.collect()}
     assert got == {1: (1, 8), 2: (1, 8), 3: (0, 0)}
+
+
+def test_strip_spans_transformer(spark):
+    span = "w0 w1 w2 w3 w4 w5 w6 w7"
+    docs = spark.createDataFrame(
+        [(1, span + " keepme"), (2, "intro " + span)],
+        "id bigint, txt string",
+    )
+    out = run_mem(
+        spark,
+        {
+            "extractor": {"table": {"name": "docs"}},
+            "transformers": [
+                {"stripSpans": {"idField": "id", "textField": "txt"}}
+            ],
+        },
+        tables={"docs": docs},
+    )
+    got = {r.id: (r.txt, r.removed_tokens) for r in out.collect()}
+    assert got == {1: (span + " keepme", 0), 2: ("intro", 8)}

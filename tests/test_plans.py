@@ -798,3 +798,13 @@ def test_span_dup_stats_no_python_no_posting_self_join(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_strip_spans_no_python_no_posting_self_join(spark):
+    """Span removal must stay JVM-side end-to-end: scan-fused
+    fingerprints, ownership via one aggregate, equi-joins only, per-doc
+    reassembly through a grouped sort — no Python, no cartesian."""
+    plan = _plan(spark, "strip_spans")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
