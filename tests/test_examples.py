@@ -458,3 +458,14 @@ def test_config_span_dedup_report_example(spark):
         assert r.dup_tokens <= r.n_toks
     pairs = res.outputs["span_pairs"]
     assert set(pairs.columns) == {"id_a", "id_b", "shared_windows"}
+    # main lineage: the remediated corpus — per-doc removal must equal
+    # the exposure stats' coverage for docs NOT owning their spans, and
+    # total removal across the corpus must be positive iff any exposure
+    cleaned = {r.doc_id: r for r in res.outputs["deduped_corpus"].collect()}
+    assert set(cleaned) == {r.doc_id for r in rows}
+    exp = {r.doc_id: r for r in rows}
+    for did, c in cleaned.items():
+        assert 0 <= c.removed_tokens <= exp[did].dup_tokens
+    total_exposed = sum(r.dup_tokens for r in rows)
+    total_removed = sum(c.removed_tokens for c in cleaned.values())
+    assert (total_removed > 0) == (total_exposed > 0)
