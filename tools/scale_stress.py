@@ -295,6 +295,67 @@ def main() -> None:
     ordered = _ordered_token_sets(sdocs, "doc_id", "text", 0.9).cache()
     out["setsim_candidates"] = _prefix_candidates(ordered, 0.9).count()
 
+    # --- exact shared-span machinery on the skewed corpus --------------
+    # every re-keyed copy shares ALL its 8-token windows with its base
+    # doc, so the corpus is maximal cross-doc span duplication. Evidence:
+    # (a) winnowing (guard=3) shrinks the posting stream ~3x, (b) the
+    # capped production pair config completes on 51k heavily-duplicated
+    # docs, (c) per-doc exposure stats and the span-removal rewrite both
+    # complete with per-doc-bounded state at the same scale
+    from orientdb_etl_spark.functions.dedup import (
+        shared_span_pairs,
+        span_dup_stats,
+        strip_duplicate_spans,
+    )
+
+    w = 8
+    tkd = (
+        big.where(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        .select(F.split(F.lower(F.trim("text")), r"\s+").alias("_t"))
+        .where(F.size("_t") >= w + 2)  # eligible for guard=3 too
+        .select(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {w} + 1), "
+                f"i -> xxhash64(concat_ws(' ', slice(_t, i, {w}))))"
+            ).alias("_h")
+        )
+        .localCheckpoint()
+    )
+    # posting-stream sizes, mirroring shared_span_pairs' guard selection
+    out["span_postings_guard1"] = tkd.select(
+        F.explode(F.expr("array_distinct(_h)"))
+    ).count()
+    out["span_postings_guard3"] = tkd.select(
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(_h) - 2), "
+                "i -> array_min(slice(_h, i, 3))))"
+            )
+        )
+    ).count()
+    t0 = time.time()
+    out["span_pairs_capped"] = shared_span_pairs(
+        big, "text", "doc_id", window=w, guard=3, max_group=1000
+    ).count()
+    out["t_span_pairs"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    exposed = span_dup_stats(big, "text", "doc_id", window=w)
+    agg = exposed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dup_frac") > 0.5).cast("long")).alias("heavy"),
+    ).first()
+    out["span_stats_docs"] = int(agg["n"])
+    out["span_stats_heavy_docs"] = int(agg["heavy"])
+    out["t_span_stats"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    stripped = strip_duplicate_spans(big, "text", "doc_id", window=w)
+    sagg = stripped.agg(
+        F.sum("removed_tokens").alias("rm"), F.sum("n_toks").alias("nt")
+    ).first()
+    out["span_strip_removed_tokens"] = int(sagg["rm"])
+    out["span_strip_total_tokens"] = int(sagg["nt"])
+    out["t_span_strip"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
 
 
