@@ -4485,18 +4485,6 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document duplication exposure (Lee et al. ACL'22 reporting
-    axis): window positions whose 8-token content recurs in ANOTHER
-    document, and the fraction of the doc's tokens those windows cover.
-    Companion to shared_spans: that emits the pair stream, this the
-    per-doc filter column."""
-    from orientdb_etl_spark.functions.dedup import span_dup_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    return span_dup_stats(docs, "text", "doc_id", window=8)
-
-
 def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring REMEDIATION (Lee et al. ACL'22): rewrite every
     document with cross-doc duplicated 8-token spans removed from all
@@ -6187,7 +6175,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "drift_report": q_drift_report,
             "mmr_rerank": q_mmr_rerank,
             "shared_spans": q_shared_spans,
-            "span_dup_stats": q_span_dup_stats,
             "strip_spans": q_strip_spans,
         }
     )
@@ -8794,32 +8781,6 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS shared_windows "
             "FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id "
             "GROUP BY 1, 2"
-        ),
-        "span_dup_stats": (
-            # same brute-force windows as shared_spans, kept positional:
-            # dup = window string in >= 2 distinct docs; coverage = distinct
-            # token positions under any dup window; zeros for docs with no
-            # dup windows (including docs shorter than the window)
-            "WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
-            "'\\s+') AS t FROM documents "
-            "WHERE length(trim(coalesce(text, ''))) > 0), "
-            "w AS (SELECT doc_id, i AS pos, array_to_string("
-            "list_slice(t, i, i + 7), ' ') AS win FROM "
-            "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i "
-            "FROM tk WHERE len(t) >= 8)), "
-            "d AS (SELECT win FROM w GROUP BY win "
-            "HAVING count(DISTINCT doc_id) >= 2), "
-            "dw AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)), "
-            "agg AS (SELECT doc_id, count(DISTINCT pos) AS n_dup_windows, "
-            "count(DISTINCT tokpos) AS dup_tokens FROM "
-            "(SELECT doc_id, pos, unnest(generate_series(pos, pos + 7)) "
-            "AS tokpos FROM dw) GROUP BY 1) "
-            "SELECT tk.doc_id, len(tk.t) AS n_toks, "
-            "coalesce(agg.n_dup_windows, 0) AS n_dup_windows, "
-            "coalesce(agg.dup_tokens, 0) AS dup_tokens, "
-            "round(coalesce(agg.dup_tokens, 0) / (len(tk.t) * 1.0), 6) "
-            "AS dup_frac "
-            "FROM tk LEFT JOIN agg USING (doc_id)"
         ),
         "strip_spans": (
             # positional replay of the span-removal semantics: windows

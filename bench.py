@@ -218,7 +218,6 @@ HEADLINE = [
     "set_sim_join",
     "containment_join",
     "shared_spans",
-    "span_dup_stats",
     "strip_spans",
     "phrase_search",
     "jw_link",

@@ -44,6 +44,7 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.7,
     num_perm: int = 128,
     bands: int = 16,
+    strip_span_window: int | None = None,
 ) -> DataFrame:
     """Curate a raw document table into a training-ready corpus.
 
@@ -52,7 +53,14 @@ def curate_corpus(
     duplicates removed — exact always; near-dup (MinHash-LSH at
     ``near_dup_threshold``) unless the threshold is None (the
     exact-only variant is fully relationally replayable, which the
-    contract gate uses)."""
+    contract gate uses). With ``strip_span_window`` set, the surviving
+    corpus additionally gets the exact-substring REMEDIATION
+    (:func:`~orientdb_etl_spark.functions.dedup.strip_duplicate_spans`
+    at that window, Lee et al. ACL'22): duplicated spans the
+    document-level dedup cannot see (a lifted passage inside an
+    otherwise-unique doc) are rewritten out of every non-owner, and
+    docs emptied by the rewrite are dropped. Runs AFTER dedup so the
+    span postings are built over the already-collapsed corpus."""
     cleaned = (
         df.withColumn("_c4", c4_line_filter(text_col, min_words_per_line,
                                             require_terminal_punct))
@@ -72,6 +80,12 @@ def curate_corpus(
             filtered, text_col, id_col,
             num_perm=num_perm, bands=bands, threshold=near_dup_threshold,
         )
+    if strip_span_window is not None:
+        from orientdb_etl_spark.functions.dedup import strip_duplicate_spans
+
+        deduped = strip_duplicate_spans(
+            deduped, text_col, id_col, window=strip_span_window
+        ).where(F.length(text_col) > 0)
     return deduped.select(
         id_col, text_col, token_count(text_col).alias("n_tokens")
     )

@@ -815,8 +815,16 @@ def shared_span_pairs(
     per-pair count is one hash aggregate. Nothing is quadratic in corpus
     size; work is quadratic only within a capped fingerprint group.
 
-    Reference has no analog (its transformers are row-local); this is an
-    extensions-tier corpus operator.
+    Sibling surface: ``functions/passages.py`` profiles and strips at
+    the same hash-gram granularity per-document
+    (:func:`~orientdb_etl_spark.functions.passages.
+    duplicate_passage_stats` /
+    :func:`~orientdb_etl_spark.functions.passages.
+    strip_duplicate_passages`); THIS function is the corpus-level PAIR
+    view those don't expose (which documents share spans with which),
+    plus the winnowing posting-compression knob. Reference has no analog
+    (its transformers are row-local); this is an extensions-tier corpus
+    operator.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -862,97 +870,6 @@ def shared_span_pairs(
     )
 
 
-def span_dup_stats(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    window: int = 8,
-) -> DataFrame:
-    """Per-document duplication EXPOSURE: for every non-empty document,
-    how many of its ``window``-token runs also occur verbatim in some
-    OTHER document, and what fraction of its tokens those runs cover —
-    the per-doc quantity Lee et al. ACL'22 report ("X% of tokens sit in
-    duplicated substrings") and the natural filter column after
-    :func:`shared_span_pairs` has surfaced the pairs. Within-document
-    repetition is deliberately excluded (that is
-    ``functions/text.py::ngram_repetition``'s job).
-
-    Output: ``(id, n_toks, n_dup_windows, dup_tokens, dup_frac)`` —
-    ``n_dup_windows`` counts window POSITIONS whose content is
-    cross-document duplicated, ``dup_tokens`` the distinct token
-    positions covered by at least one such window. Docs shorter than
-    ``window`` tokens appear with zeros.
-
-    Scale shape: one posting stream of (id, pos, xxhash64) longs fused
-    into the scan, ONE aggregate to find fingerprints spanning >= 2
-    docs, one equi-join back, one per-doc aggregate whose state is
-    bounded by the doc's own window count (coverage union is a JVM
-    flatten/array_distinct over that doc's positions — never corpus
-    state). No Python, no self-join of the posting table.
-    """
-    if window < 1:
-        raise ValueError(f"window must be >= 1, got {window}")
-    base = (
-        ensure_parallelism(df)
-        .where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
-        .select(
-            F.col(id_col),
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t"),
-        )
-        .select(F.col(id_col), F.size("_t").alias("n_toks"), F.col("_t"))
-    )
-    wins = base.where(F.size("_t") >= window).select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(_t) - {window} + 1), "
-                f"i -> xxhash64(concat_ws(' ', slice(_t, i, {window}))))"
-            )
-        ).alias("_pos", "_fp"),
-    )
-    dup_fp = (
-        wins.groupBy("_fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .where(F.col("_nd") >= 2)
-        .select("_fp")
-    )
-    per_doc = (
-        wins.join(dup_fp, "_fp")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_windows"),
-            F.size(
-                F.array_distinct(
-                    F.flatten(
-                        F.collect_list(
-                            F.expr(f"sequence(_pos, _pos + {window} - 1)")
-                        )
-                    )
-                )
-            ).alias("dup_tokens"),
-        )
-    )
-    return (
-        base.select(id_col, "n_toks")
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_toks"),
-            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
-                "n_dup_windows"
-            ),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
-                "dup_tokens"
-            ),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.col("n_toks").cast("double"),
-                6,
-            ).alias("dup_frac"),
-        )
-    )
-
-
 def strip_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -969,6 +886,16 @@ def strip_duplicate_spans(
     owner keeps all its occurrences, so every duplicated span survives
     exactly once corpus-wide per owning document — deterministic,
     engine-independent, and idempotent (re-running removes nothing new).
+
+    This is the ALL-BUT-ONE semantics — the deliberate complement of
+    :func:`~orientdb_etl_spark.functions.passages.
+    strip_duplicate_passages`, which removes EVERY occurrence (the
+    content disappears from the corpus entirely, the behavior of the
+    published ExactSubstr cutter). Pick by goal: remove-everywhere
+    maximally suppresses memorization; all-but-one preserves exactly
+    one trainable copy of the shared content. Implementation also
+    differs: this rebuild is pure JVM expressions (oracle replays it
+    byte-for-byte); the passages strip is an Arrow-batched mask.
 
     Output: ``(id, text-col rebuilt, n_toks, removed_tokens)``. Docs
     shorter than the window pass through unchanged (normalized to the

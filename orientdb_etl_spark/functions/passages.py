@@ -21,6 +21,13 @@ driver-side state; the duplicated-gram set stays distributed.
 Oracle twin: :func:`duplicate_passage_stats` with ``portable=True`` groups
 by the gram TEXT itself (no hash), which a relational oracle can mirror
 exactly — the hash-vs-text split mirrors the minhash fast/portable twins.
+
+Siblings in ``functions/dedup.py``: ``shared_span_pairs`` exposes the
+corpus-level PAIR view over the same window fingerprints (which documents
+share spans with which, with a winnowing posting-compression knob), and
+``strip_duplicate_spans`` is the ALL-BUT-ONE removal complement of
+:func:`strip_duplicate_passages` (a canonical owner keeps the span; here
+every occurrence is removed).
 """
 
 from __future__ import annotations

@@ -329,15 +329,17 @@ def quality_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
 @register("curate")
 def curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"curate": {"textField": "text", "idField": "doc_id",
-    "nearDupThreshold": 0.7|null, ...}} — the end-to-end curation
-    composition (C4 clean → Gopher filter → dedup → tokenize) as one
-    config transformer."""
+    "nearDupThreshold": 0.7|null, "stripSpanWindow": 8|null, ...}} —
+    the end-to-end curation composition (C4 clean → Gopher filter →
+    dedup → tokenize, optionally followed by the exact-substring span
+    remediation) as one config transformer."""
     from orientdb_etl_spark.functions.curation import (
         DEFAULT_QUALITY_RULES,
         curate_corpus,
     )
 
     thr = cfg.get("nearDupThreshold", 0.7)
+    ssw = cfg.get("stripSpanWindow")
     return curate_corpus(
         df,
         cfg.get("textField", "text"),
@@ -348,6 +350,7 @@ def curate_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         near_dup_threshold=None if thr is None else float(thr),
         num_perm=int(cfg.get("numPerm", 128)),
         bands=int(cfg.get("bands", 16)),
+        strip_span_window=None if ssw is None else int(ssw),
     )
 
 
@@ -1068,23 +1071,6 @@ def shared_spans_transformer(
             if cfg.get("maxGroup", 1000) is None
             else int(cfg.get("maxGroup", 1000))
         ),
-    )
-
-
-@register("spanDupStats")
-def span_dup_stats_transformer(
-    ctx: PipelineContext, df: DataFrame, cfg: dict
-) -> DataFrame:
-    """{"spanDupStats": {"idField", "textField", "window": 8}} —
-    per-document cross-doc duplicated-span exposure
-    (functions/dedup.py::span_dup_stats)."""
-    from orientdb_etl_spark.functions.dedup import span_dup_stats
-
-    return span_dup_stats(
-        df,
-        cfg["textField"],
-        cfg["idField"],
-        window=int(cfg.get("window", 8)),
     )
 
 

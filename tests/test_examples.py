@@ -444,28 +444,24 @@ def test_config_span_dedup_report_example(spark):
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     res = Pipeline(cfg, spark=spark).register_table("docs", docs).run()
-    exposure = res.outputs["dup_exposure"]
-    rows = exposure.collect()
-    n_docs = docs.where(
-        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
-    ).count()
-    assert len(rows) == n_docs  # every non-empty doc reported, zeros kept
-    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
-    # consistency: a doc with dup windows must have covered tokens, and
-    # coverage can never exceed the doc's own length
+    # side branch 2: per-doc duplicated-passage profile (passages module;
+    # docs shorter than n produce no row, by its documented contract)
+    rows = res.outputs["dup_exposure"].collect()
+    assert rows and all(0.0 <= r.dup_frac <= 1.0 for r in rows)
     for r in rows:
-        assert (r.n_dup_windows > 0) == (r.dup_tokens > 0)
-        assert r.dup_tokens <= r.n_toks
+        assert r.n_dup_grams <= r.n_grams
+    # side branch 1: the winnowed pair stream
     pairs = res.outputs["span_pairs"]
     assert set(pairs.columns) == {"id_a", "id_b", "shared_windows"}
-    # main lineage: the remediated corpus — per-doc removal must equal
-    # the exposure stats' coverage for docs NOT owning their spans, and
-    # total removal across the corpus must be positive iff any exposure
+    # main lineage: the remediated corpus (all-but-one removal) — every
+    # non-empty doc survives with bounded removal, and corpus-wide removal
+    # is positive iff the profile saw any duplication
     cleaned = {r.doc_id: r for r in res.outputs["deduped_corpus"].collect()}
-    assert set(cleaned) == {r.doc_id for r in rows}
     exp = {r.doc_id: r for r in rows}
     for did, c in cleaned.items():
-        assert 0 <= c.removed_tokens <= exp[did].dup_tokens
-    total_exposed = sum(r.dup_tokens for r in rows)
+        assert 0 <= c.removed_tokens <= c.n_toks
+        if did in exp and exp[did].n_dup_grams == 0:
+            assert c.removed_tokens == 0
+    total_exposed = sum(r.n_dup_grams for r in rows)
     total_removed = sum(c.removed_tokens for c in cleaned.values())
     assert (total_removed > 0) == (total_exposed > 0)

@@ -862,6 +862,39 @@ def test_curate_corpus_stages_compose(spark):
     assert out[0].n_tokens == len(good.split())
 
 
+def test_curate_corpus_strip_span_window(spark):
+    """With strip_span_window set the surviving corpus additionally gets
+    the all-but-one exact-substring remediation: a 4-token span lifted
+    into an otherwise-unique doc is rewritten out of the non-owner, and
+    a doc emptied by the rewrite is dropped entirely."""
+    from orientdb_etl_spark.functions.curation import curate_corpus
+
+    span = "alpha bravo charlie delta"
+    rows = [
+        (0, f"Document one contains the {span} span plus unique tail words."),
+        (1, f"Completely different opening here then {span} appears again."),
+        (2, span.capitalize()),  # nothing BUT the span -> emptied, dropped
+        (3, "An ordinary unique document with no shared content at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_corpus(
+        df, "text", "doc_id",
+        min_words_per_line=1, require_terminal_punct=False,
+        near_dup_threshold=None, strip_span_window=4,
+    ).collect()}
+    assert set(out) == {0, 1, 3}            # doc 2 emptied by the strip
+    assert span in out[0].text.lower()      # min-id owner keeps the span
+    assert span not in out[1].text.lower()  # non-owner loses it
+    assert out[1].n_tokens == len(out[1].text.split())
+    # without the knob all four docs survive the same relaxed filters
+    base = curate_corpus(
+        df, "text", "doc_id",
+        min_words_per_line=1, require_terminal_punct=False,
+        near_dup_threshold=None,
+    )
+    assert base.count() == 4
+
+
 # --------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 # --------------------------------------------------------------------------
@@ -1944,32 +1977,6 @@ def test_shared_span_pairs_group_cap_drops_boilerplate(spark):
         df, "text", "doc_id", window=8, max_group=None
     )
     assert uncapped.count() == 190  # C(20,2) boilerplate pairs
-
-
-def test_span_dup_stats_coverage_and_zeros(spark):
-    """Coverage counts distinct token positions under any duplicated
-    window; within-doc repetition alone must NOT count; short and
-    unique docs report zeros."""
-    from orientdb_etl_spark.functions.dedup import span_dup_stats
-
-    quote = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"  # 10 tokens -> 3 windows of 8
-    selfrep = " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 3)  # repeats only in itself
-    rows = [
-        (1, quote + " " + " ".join(f"a{i}" for i in range(5))),
-        (2, " ".join(f"b{i}" for i in range(5)) + " " + quote),
-        (3, selfrep),
-        (4, "too short"),
-        (5, " ".join(f"u{i}" for i in range(20))),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: r for r in span_dup_stats(df, "text", "doc_id").collect()}
-    assert got[1].n_dup_windows == 3 and got[1].dup_tokens == 10
-    assert abs(got[1].dup_frac - 10 / 15) < 1e-6  # rounded to 6 decimals
-    assert got[2].n_dup_windows == 3 and got[2].dup_tokens == 10
-    assert got[3].n_dup_windows == 0  # self-repetition excluded
-    assert got[4].n_dup_windows == 0 and got[4].dup_tokens == 0
-    assert got[5].dup_frac == 0.0
-    assert set(got) == {1, 2, 3, 4, 5}
 
 
 def test_strip_duplicate_spans_owner_keeps_others_lose(spark):

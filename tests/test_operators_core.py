@@ -793,30 +793,6 @@ def test_shared_spans_transformer(spark):
     }
 
 
-def test_span_dup_stats_transformer(spark):
-    quote = "one two three four five six seven eight"
-    docs = spark.createDataFrame(
-        [
-            (1, quote + " tail1 tail2"),
-            (2, "head1 head2 " + quote),
-            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
-        ],
-        "id bigint, txt string",
-    )
-    out = run_mem(
-        spark,
-        {
-            "extractor": {"table": {"name": "docs"}},
-            "transformers": [
-                {"spanDupStats": {"idField": "id", "textField": "txt"}}
-            ],
-        },
-        tables={"docs": docs},
-    )
-    got = {r.id: (r.n_dup_windows, r.dup_tokens) for r in out.collect()}
-    assert got == {1: (1, 8), 2: (1, 8), 3: (0, 0)}
-
-
 def test_strip_spans_transformer(spark):
     span = "w0 w1 w2 w3 w4 w5 w6 w7"
     docs = spark.createDataFrame(

@@ -790,16 +790,6 @@ def test_shared_spans_pure_jvm_single_pair_shuffle(spark):
     assert "SortMergeJoin" not in plan  # pairs are emitted, not joined
 
 
-def test_span_dup_stats_no_python_no_posting_self_join(spark):
-    """Exposure stats must stay JVM-side: scan-fused fingerprints, one
-    dup-fingerprint aggregate, one equi-join back, one per-doc aggregate
-    — no Python eval, no cartesian."""
-    plan = _plan(spark, "span_dup_stats")
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    assert "CartesianProduct" not in plan
-
-
 def test_strip_spans_no_python_no_posting_self_join(spark):
     """Span removal must stay JVM-side end-to-end: scan-fused
     fingerprints, ownership via one aggregate, equi-joins only, per-doc

@@ -304,9 +304,9 @@ def main() -> None:
     # complete with per-doc-bounded state at the same scale
     from orientdb_etl_spark.functions.dedup import (
         shared_span_pairs,
-        span_dup_stats,
         strip_duplicate_spans,
     )
+    from orientdb_etl_spark.functions.passages import duplicate_passage_stats
 
     w = 8
     tkd = (
@@ -339,7 +339,7 @@ def main() -> None:
     ).count()
     out["t_span_pairs"] = round(time.time() - t0, 2)
     t0 = time.time()
-    exposed = span_dup_stats(big, "text", "doc_id", window=w)
+    exposed = duplicate_passage_stats(big, "text", "doc_id", n=w)
     agg = exposed.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("dup_frac") > 0.5).cast("long")).alias("heavy"),
