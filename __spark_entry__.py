@@ -5765,6 +5765,99 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 (self-join size) sketch vs exact Σ count² over the event
+    user key (Alon-Matias-Szegedy STOC'96): 9 sign-counters in ONE
+    global aggregation — constant, mergeable sketch state vs the exact
+    side's one-row-per-distinct-key shuffle. The oracle replays the
+    identical Knuth-ladder parity signs, so the certificate (achieved
+    relative error) hash-matches exactly."""
+    from orientdb_etl_spark.functions.profiling import ams_f2_certificate
+
+    ev = _t(spark, sf_dir, "events")
+    return ams_f2_certificate(ev, "user_id", estimators=9, seed=31)
+
+
+#: Deterministic surname assignment (the _messy_urls discipline: the
+#: fixture has no name-shaped strings, so the query synthesizes them
+#: reproducibly in BOTH engines) — the list deliberately contains the
+#: classic Soundex-colliding families (Robert/Rupert, Smith/Smyth,
+#: Ashcraft/Ashcroft, ...) so the blocking rule chain is exercised for
+#: real, plus singletons that must NOT block.
+_SURNAMES = (
+    "Robert Rupert Ashcraft Ashcroft Tymczak Pfister Honeyman Hanman "
+    "Smith Smyth Schmidt Johnson Jonson Baker Becker Miller Muller "
+    "Lee Leigh Wright Right Green Greene"
+).split()
+
+
+def q_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex blocking (Newcombe 1959; Knuth TAOCP v3) over
+    deterministic per-customer surnames: the O(n) phonetic block key
+    that replaces an O(n²) linkage pair stream — blocks where ≥2
+    distinct surface forms collide are the candidates a scorer
+    (jw_link / fellegi_sunter) would pair. ONE rule table generates
+    BOTH engines' expression chains (translate + per-digit run
+    collapse — no regex backreferences, so Java regex and RE2 agree)."""
+    from orientdb_etl_spark.functions.linkage import phonetic_blocks
+
+    cust = _t(spark, sf_dir, "customer")
+    arr = F.array(*[F.lit(s) for s in _SURNAMES])
+    named = cust.select(
+        F.col("c_custkey").alias("ck"),
+        F.element_at(arr, (F.col("c_custkey") % len(_SURNAMES) + 1).cast("int")).alias(
+            "name"
+        ),
+    )
+    return phonetic_blocks(named, "name", "ck", min_names=2)
+
+
+def q_local_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient (Watts-Strogatz 1998) on the
+    p99-thresholded supplier co-supply graph — same degree-ordered
+    orientation as triangle_count, but each closed triangle emits its
+    three endpoints for a per-vertex hash aggregation. Exact BIGINT
+    (degree, triangles) per node; lcc NULL below degree 2."""
+    from orientdb_etl_spark.functions.graph import local_clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = ps.alias("x"), ps.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .localCheckpoint()
+    )
+    thr = pairs.agg(F.expr("percentile(_shared, 0.99D)").alias("_thr"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("_shared") >= F.col("_thr"))
+        .select("src", "dst")
+    )
+    return local_clustering_coefficient(edges)
+
+
+def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (STING/CLIQUE family) over deterministic
+    per-customer coordinates: dense cells (≥8 points per 250-cell) →
+    8-adjacency connected components (log-round star contraction on the
+    BOUNDED dense-cell graph) → per-point labels; sparse-cell points
+    are NOISE (NULL). The oracle replays the density rule exactly and
+    resolves components with a recursive reachability CTE."""
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("((c_custkey + 17) % 1000003) * 2654435761 % 4000").alias("x"),
+        F.expr("((c_custkey + 71) % 1000003) * 2654435761 % 4000").alias("y"),
+    )
+    return grid_density_clusters(pts, "id", "x", "y", eps=250, min_pts=8)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6176,6 +6269,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mmr_rerank": q_mmr_rerank,
             "shared_spans": q_shared_spans,
             "strip_spans": q_strip_spans,
+            # round 5 (breadth wave): sketch certificate, phonetic
+            # blocking, per-node clustering, grid-density clustering
+            "ams_f2": q_ams_f2,
+            "phonetic_blocks": q_phonetic_blocks,
+            "local_cc": q_local_cc,
+            "grid_clusters": q_grid_clusters,
         }
     )
     return out
@@ -10184,5 +10283,68 @@ def oracle_sql() -> dict[str, str]:
         "round(weight / 100, 6) AS weight, round(share, 6) AS share, "
         "CAST(base + CASE WHEN r <= 1000 - s THEN 1 ELSE 0 END "
         "AS BIGINT) AS alloc_n FROM rk ORDER BY 1"
+    )
+    # AMS F2 oracle: the ONE generator both engines share
+    from orientdb_etl_spark.functions.profiling import ams_f2_sql
+
+    sql["ams_f2"] = ams_f2_sql("events", "user_id", estimators=9, seed=31)
+    # Soundex oracle: the ONE expression generator both engines share
+    from orientdb_etl_spark.functions.linkage import soundex_sql
+
+    surnames = ", ".join(f"'{s}'" for s in _SURNAMES)
+    sql["phonetic_blocks"] = (
+        f"WITH t AS (SELECT c_custkey, ([{surnames}])"
+        f"[1 + c_custkey % {len(_SURNAMES)}] AS nm FROM customer), "
+        f"c AS (SELECT nm, {soundex_sql('nm')} AS code FROM t) "
+        "SELECT code, count(DISTINCT nm) AS n_names, count(*) AS n_rows, "
+        "list_sort(list(DISTINCT nm)) AS names "
+        "FROM c WHERE code IS NOT NULL GROUP BY code "
+        "HAVING count(DISTINCT nm) >= 2 ORDER BY code"
+    )
+    sql["local_cc"] = (
+        # clustering_coeff's p99 co-supply projection; per-node triangle
+        # counts from the canonical a<b<c enumeration (each triangle
+        # contributes to all three endpoints)
+        "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s "
+        "FROM lineitem), "
+        "pr AS (SELECT x.s AS a, y.s AS b, count(*) AS c FROM ps x "
+        "JOIN ps y ON x.pk = y.pk AND x.s < y.s GROUP BY 1, 2), "
+        "t AS (SELECT quantile_cont(c, 0.99) AS q FROM pr), "
+        "e AS (SELECT a, b FROM pr, t WHERE c >= t.q), "
+        "deg AS (SELECT n, count(*) AS d FROM "
+        "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+        "tr AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "pv AS (SELECT v, count(*) AS t FROM "
+        "(SELECT a AS v FROM tr UNION ALL SELECT b FROM tr "
+        "UNION ALL SELECT c FROM tr) GROUP BY 1) "
+        "SELECT deg.n AS node, deg.d AS degree, "
+        "CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles, "
+        "round(CASE WHEN deg.d >= 2 THEN "
+        "2.0 * coalesce(pv.t, 0) / (deg.d * (deg.d - 1)) END, 6) AS lcc "
+        "FROM deg LEFT JOIN pv ON pv.v = deg.n ORDER BY node"
+    )
+    sql["grid_clusters"] = (
+        # dense cells -> recursive reachability -> min-label components;
+        # sparse-cell points LEFT-join to NULL (noise)
+        "WITH RECURSIVE p AS (SELECT c_custkey AS id, "
+        "((c_custkey + 17) % 1000003) * 2654435761 % 4000 AS x, "
+        "((c_custkey + 71) % 1000003) * 2654435761 % 4000 AS y "
+        "FROM customer), "
+        "pc AS (SELECT id, CAST(floor(x / 250) AS BIGINT) AS cx, "
+        "CAST(floor(y / 250) AS BIGINT) AS cy FROM p), "
+        "dc AS (SELECT cx, cy, cx * 1000000 + cy AS k FROM pc "
+        "GROUP BY cx, cy HAVING count(*) >= 8), "
+        "adj AS (SELECT a.k AS ka, b.k AS kb FROM dc a JOIN dc b "
+        "ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+        "AND a.k <> b.k), "
+        "r AS (SELECT k AS id, k AS l FROM dc "
+        "UNION "
+        "SELECT r.id, adj.kb FROM r JOIN adj ON adj.ka = r.l), "
+        "lbl AS (SELECT id AS k, min(l) AS cluster FROM r GROUP BY 1) "
+        "SELECT pc.id, pc.cx AS cell_x, pc.cy AS cell_y, lbl.cluster "
+        "FROM pc LEFT JOIN dc ON dc.cx = pc.cx AND dc.cy = pc.cy "
+        "LEFT JOIN lbl ON lbl.k = dc.k"
     )
     return sql

@@ -36,6 +36,7 @@ __all__ = [
     "sssp_rounds_sql",
     "modularity",
     "clustering_coefficient",
+    "local_clustering_coefficient",
     "assortativity",
     "neighborhood_function",
     "hyperball",
@@ -802,6 +803,89 @@ def clustering_coefficient(
     )
 
 
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
+) -> DataFrame:
+    """Per-node clustering coefficient: for each vertex,
+    ``lcc = 2·t_v / (d_v·(d_v−1))`` where ``t_v`` is the number of
+    triangles through v — the node-level companion of
+    :func:`clustering_coefficient` (Watts & Strogatz 1998). Returns
+    ``(node, degree, triangles, lcc)`` for every vertex; ``lcc`` is
+    NULL for degree-<2 vertices (no wedge to close).
+
+    Scale shape: same degree-ordered orientation as
+    :func:`triangle_count` (wedge fan-out bounded O(√m), Suri &
+    Vassilvitskii WWW'11) — but instead of counting closed wedges, each
+    closed triangle emits its THREE endpoints (a 3× map expansion on
+    the triangle stream, which is the small stream), followed by one
+    hash aggregation per vertex and a broadcastable join back onto the
+    degree table. t_v and d_v are exact BIGINTs; the ratio is one fixed
+    double chain, so the oracle replays it bit-identically.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    a_first = ra < rb
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, rb).otherwise(ra).alias("_ow"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x._ow") < F.col("y._ow")),
+    ).select(F.col("x.u").alias("u"), F.col("x.w").alias("p"), F.col("y.w").alias("q"))
+    closing = und.select(F.col("a").alias("p2"), F.col("b").alias("q2"))
+    tri = wedges.join(
+        closing,
+        (F.least("p", "q") == F.col("p2")) & (F.greatest("p", "q") == F.col("q2")),
+    ).select("u", "p", "q")
+    per_v = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("p").alias("v")))
+        .unionAll(tri.select(F.col("q").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return (
+        deg.join(per_v, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    F.lit(2.0)
+                    * d(F.coalesce(F.col("t"), F.lit(0)))
+                    / d(F.col("d") * (F.col("d") - 1)),
+                ),
+                round_to,
+            ).alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
 def assortativity(
     edges: DataFrame, src: str = "src", dst: str = "dst", round_to: int = 6
 ) -> DataFrame:
@@ -1131,4 +1215,16 @@ def scc_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
         dst=cfg.get("dst", "dst"),
         max_rounds=int(cfg.get("maxRounds", 30)),
         max_phases=int(cfg.get("maxPhases", 30)),
+    )
+
+
+@register("localClustering")
+def local_clustering_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"localClustering": {"src": "src", "dst": "dst"}} —
+    per-node clustering coefficient over the pipeline frame's edge
+    list (Watts-Strogatz; degree-ordered triangle emission)."""
+    return local_clustering_coefficient(
+        df, src=cfg.get("src", "src"), dst=cfg.get("dst", "dst")
     )

@@ -47,6 +47,8 @@ __all__ = [
     "fellegi_sunter",
     "fs_weight_sql",
     "resolve_entities",
+    "soundex_sql",
+    "phonetic_blocks",
 ]
 
 
@@ -773,3 +775,77 @@ def jaro_winkler(col_a, col_b):
 
     _jw = F.pandas_udf(_jw_batch, "double")
     return _jw(col_a, col_b)
+
+
+# ---------------------------------------------------------------- soundex
+
+#: Per-letter Soundex digit codes (Russell/US-Census scheme as given in
+#: Knuth TAOCP vol. 3 §6.x): vowels+Y → 0 (separators), H/W → 9
+#: (transparent), labials 1, gutturals/sibilants 2, dentals 3, L 4,
+#: nasals 5, R 6. One table drives BOTH engines' expression chains.
+_SOUNDEX_CODES = "01230129022455012623019202"  # A..Z
+
+
+def soundex_sql(col_sql: str) -> str:
+    """Engine-portable Soundex expression (one generator, both engines —
+    the ``html_to_text`` discipline): uppercase, strip non-letters, map
+    letters to digit codes, delete the H/W markers (they are transparent
+    — codes separated only by h/w collapse, Knuth's rule), collapse
+    digit runs (per-digit ``regexp_replace`` chain — no backreferences,
+    so the same pattern runs on Java regex and RE2), drop the leading
+    run (it belongs to the retained first letter), delete the vowel
+    separators, pad to 4. Variant note (documented, both engines
+    identical by construction): for names STARTING with H/W the dropped
+    leading run is the second letter's — the classic tables leave this
+    case unspecified.
+
+    Everything is ``translate``/``replace``/``regexp_replace``/
+    ``rpad`` — present and identically-specified in Spark SQL and
+    DuckDB, evaluated inside whole-stage codegen (no UDF).
+    """
+    u = f"regexp_replace(upper({col_sql}), '[^A-Z]', '')"
+    m = f"translate({u}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_CODES}')"
+    s = f"replace({m}, '9', '')"
+    for dgt in "0123456": 
+        s = f"regexp_replace({s}, '{dgt}{dgt}+', '{dgt}')"
+    digits = f"substr(replace(substr({s}, 2), '0', ''), 1, 3)"
+    return (
+        f"CASE WHEN length({u}) > 0 "
+        f"THEN rpad(substr({u}, 1, 1) || {digits}, 4, '0') END"
+    )
+
+
+def phonetic_blocks(
+    df, name_col: str, id_col: str, min_names: int = 2
+):
+    """Soundex blocking for record linkage: group names by phonetic
+    code, keep blocks where ≥ ``min_names`` DISTINCT surface forms
+    collide (the candidate blocks a downstream scorer — e.g.
+    :func:`jaro_winkler` or :func:`fellegi_sunter` — would pair up).
+    Returns ``(code, n_names, n_rows, names)`` with ``names`` the
+    sorted distinct surface forms, ordered by code.
+
+    Scale shape: the block key is a per-row expression (scan-fused);
+    ONE hash aggregation on the code; block membership lists are
+    bounded by the phonetic space (≤ 26·7³ codes), not by data volume —
+    this is the cheap O(n) blocking pass that replaces the O(n²) pair
+    stream, exactly like :func:`sorted_neighborhood_pairs` but
+    key-equality-based (Newcombe 1959; the original linkage blocking).
+    """
+    from pyspark.sql import functions as F
+
+    coded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.expr(soundex_sql(name_col)).alias("code"),
+    ).where(F.col("code").isNotNull())
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count_distinct("_nm").alias("n_names"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.array_sort(F.collect_set("_nm")).alias("names"),
+        )
+        .where(F.col("n_names") >= int(min_names))
+        .orderBy("code")
+    )

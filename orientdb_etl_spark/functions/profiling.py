@@ -1213,3 +1213,99 @@ def drift_report_sql(ref_sql: str, cur_sql: str, cols: list[str]) -> str:
             f"({prof} FROM ({cur_sql})) c2)"
         )
     return " UNION ALL ".join(parts)
+
+
+def ams_f2_certificate(
+    df: DataFrame,
+    key_col: str,
+    estimators: int = 9,
+    seed: int = 31,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96) vs the exact F2 = Σ_k count(k)² — the self-join-size /
+    skew-mass statistic behind join planning (F2 of the join key IS the
+    self-join row count, and F2/n² is the collision mass a shuffle on
+    that key will see).
+
+    Sketch shape: each estimator j keeps ONE running counter
+    S_j = Σ_rows sign_j(key) with sign_j ∈ {−1, +1}; F2 ≈ median_j S_j².
+    All ``estimators`` counters ride a single global aggregation — the
+    sketch state is O(estimators) numbers regardless of key cardinality,
+    whereas the exact side shuffles one row per distinct key. That is
+    the 100 TB trade: the sketch answers "how skewed is this key?" from
+    one pass with constant state and is mergeable across
+    shards/days (counters add), so pre-flight skew checks never need
+    the full distinct-key aggregation the exact column performs here.
+
+    Sign hashes come from the repo's portable Knuth-ladder parity
+    (engine-replayable integer arithmetic), NOT a 4-wise-independent
+    family — so the textbook variance bound is not assumed; the
+    certificate reports the ACHIEVED relative error against the exact
+    value instead. Returns one row:
+    ``(exact_f2, est_f2, rel_err, n_estimators)``.
+    """
+    if estimators < 1 or estimators % 2 == 0:
+        raise ValueError(
+            f"estimators must be a positive odd count, got {estimators}"
+        )
+    knuth, mod = 2654435761, 1000003
+    signs = [
+        F.expr(
+            f"sum(1 - 2 * ((({key_col} + {seed + 131 * j}) % {mod} "
+            f"* {knuth} % {mod}) % 2))"
+        ).alias(f"_s{j}")
+        for j in range(estimators)
+    ]
+    sk = df.where(F.col(key_col).isNotNull()).agg(*signs)
+    ests = F.array_sort(
+        F.array(*[(F.col(f"_s{j}") * F.col(f"_s{j}")) for j in range(estimators)])
+    )
+    est = F.element_at(ests, (estimators + 1) // 2).cast("bigint")
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("exact_f2"))
+    )
+    return (
+        sk.select(est.alias("est_f2"))
+        .join(F.broadcast(exact))
+        .select(
+            "exact_f2",
+            "est_f2",
+            F.round(
+                F.abs(F.col("est_f2") - F.col("exact_f2"))
+                / F.col("exact_f2").cast("double"),
+                6,
+            ).alias("rel_err"),
+            F.lit(estimators).alias("n_estimators"),
+        )
+    )
+
+
+def ams_f2_sql(
+    table: str, key_col: str, estimators: int = 9, seed: int = 31
+) -> str:
+    """Portable SQL twin of :func:`ams_f2_certificate` — one generator,
+    both engines' constants (the certificate pattern of
+    ``kmeans_rounds_sql``)."""
+    knuth, mod = 2654435761, 1000003
+    sums = ", ".join(
+        f"sum(1 - 2 * ((({key_col} + {seed + 131 * j}) % {mod} "
+        f"* {knuth} % {mod}) % 2)) AS s{j}"
+        for j in range(estimators)
+    )
+    sq = ", ".join(f"s{j} * s{j}" for j in range(estimators))
+    mid = (estimators + 1) // 2
+    return (
+        f"WITH sk AS (SELECT {sums} FROM {table} "
+        f"WHERE {key_col} IS NOT NULL), "
+        f"e AS (SELECT list_sort([{sq}]) AS ests FROM sk), "
+        f"x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM "
+        f"(SELECT count(*) AS c FROM {table} "
+        f"WHERE {key_col} IS NOT NULL GROUP BY {key_col})) "
+        f"SELECT exact_f2, CAST(ests[{mid}] AS BIGINT) AS est_f2, "
+        f"round(abs(CAST(ests[{mid}] AS BIGINT) - exact_f2) "
+        f"/ CAST(exact_f2 AS DOUBLE), 6) AS rel_err, "
+        f"{estimators} AS n_estimators FROM e, x"
+    )

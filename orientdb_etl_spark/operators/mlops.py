@@ -1149,3 +1149,58 @@ def mmr_transformer(
         k=int(cfg.get("k", 10)),
         lam=float(cfg.get("lambda", 0.75)),
     )
+
+
+@register("phoneticBlock")
+def phonetic_block_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"phoneticBlock": {"nameField": "name", "idField": "id",
+    "minNames": 2}} — Soundex blocking for record linkage
+    (functions/linkage.py): phonetic block key + per-block distinct
+    surface forms, the O(n) candidate-generation pass upstream of a
+    ``resolve``/``fellegi_sunter`` scorer."""
+    from orientdb_etl_spark.functions.linkage import phonetic_blocks
+
+    return phonetic_blocks(
+        df,
+        cfg["nameField"],
+        cfg["idField"],
+        min_names=int(cfg.get("minNames", 2)),
+    )
+
+
+@register("gridCluster")
+def grid_cluster_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"gridCluster": {"idField": "id", "xField": "x", "yField": "y",
+    "eps": 250, "minPts": 4}} — grid-density clustering
+    (functions/spatial.py): dense-cell connected components, per-point
+    labels, sparse-cell points NULL (noise)."""
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    return grid_density_clusters(
+        df,
+        cfg["idField"],
+        cfg["xField"],
+        cfg["yField"],
+        eps=int(cfg.get("eps", 250)),
+        min_pts=int(cfg.get("minPts", 4)),
+    )
+
+
+@register("amsF2")
+def ams_f2_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"amsF2": {"keyField": "user_id", "estimators": 9, "seed": 31}}
+    — AMS second-moment (self-join size) sketch certificate
+    (functions/profiling.py): one constant-state pass vs the exact
+    Σ count², the pre-flight skew probe for a planned shuffle key."""
+    from orientdb_etl_spark.functions.profiling import ams_f2_certificate
+
+    return ams_f2_certificate(
+        df,
+        cfg["keyField"],
+        estimators=int(cfg.get("estimators", 9)),
+        seed=int(cfg.get("seed", 31)),
+    )

@@ -659,3 +659,42 @@ def test_scc_raises_on_phase_exhaustion(spark):
     # and succeeds with enough phases
     got = {r["id"]: r["scc"] for r in scc(edges, max_phases=6).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+# ------------------------------------------------- local clustering coeff
+
+
+def test_local_cc_known_graph(spark):
+    from orientdb_etl_spark.functions.graph import local_clustering_coefficient
+
+    # K4 on {1..4} plus a pendant 5-1: lcc(K4 nodes)=1 except node 1
+    # (degree 4, triangles 3 -> 0.5); pendant has degree 1 -> NULL
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {
+        r.node: (r.degree, r.triangles, r.lcc)
+        for r in local_clustering_coefficient(df).collect()
+    }
+    assert out[1] == (4, 3, 0.5)
+    for v in (2, 3, 4):
+        assert out[v] == (3, 3, 1.0)
+    assert out[5] == (1, 0, None)
+
+
+def test_local_cc_matches_global_triangle_total(spark):
+    import random
+
+    from orientdb_etl_spark.functions.graph import (
+        local_clustering_coefficient,
+        triangle_count,
+    )
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src bigint, dst bigint"
+    )
+    per = local_clustering_coefficient(df)
+    total = per.groupBy().sum("triangles").collect()[0][0]
+    # every triangle contributes exactly 3 endpoint rows
+    assert total == 3 * triangle_count(df).collect()[0][0]

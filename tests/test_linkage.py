@@ -536,3 +536,76 @@ def test_jaro_winkler_column_nulls_and_values(spark):
     assert got[2] is None and got[3] is None
     assert abs(got[1] - _jaro_winkler_py("martha", "marhta")) < 1e-12
     assert got[4] == 1.0
+
+
+# ---------------------------------------------------------------- soundex
+
+
+def test_soundex_textbook_examples(spark):
+    from orientdb_etl_spark.functions.linkage import soundex_sql
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",  # h-transparency: S,C collapse across the H
+        "Ashcroft": "A261",
+        "Tymczak": "T522",  # vowel separates the trailing K's code
+        "Pfister": "P236",  # F collapses into initial P's run
+        "Jackson": "J250",
+        "smith": "S530",  # case-insensitive
+        "SMYTH": "S530",
+        "o'Brien": "O165",  # punctuation stripped
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "n string")
+    got = {
+        r.n: r.c
+        for r in df.select("n", F.expr(soundex_sql("n")).alias("c")).collect()
+    }
+    assert got == cases
+    # the SAME expression string on DuckDB yields the SAME codes
+    rel = duckdb.sql(
+        "SELECT n, " + soundex_sql("n") + " AS c FROM (VALUES "
+        + ", ".join("('{}')".format(n.replace("'", "''")) for n in cases)
+        + ") t(n)"
+    ).fetchall()
+    assert dict(rel) == cases
+
+
+def test_soundex_degenerate_inputs(spark):
+    from orientdb_etl_spark.functions.linkage import soundex_sql
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("",), ("123",), ("A",), (None,)], "n string"
+    )
+    got = [
+        r.c for r in df.select(F.expr(soundex_sql("n")).alias("c")).collect()
+    ]
+    # empty / all-stripped / NULL -> NULL; single letter pads to X000
+    assert got == [None, None, "A000", None]
+
+
+def test_phonetic_blocks_groups_colliding_names(spark):
+    from orientdb_etl_spark.functions.linkage import phonetic_blocks
+
+    rows = [
+        (1, "Robert"),
+        (2, "Rupert"),
+        (3, "Smith"),
+        (4, "Smyth"),
+        (5, "Smith"),  # repeated surface form: counts in n_rows only
+        (6, "Washington"),  # singleton code: filtered by min_names
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    out = {
+        r.code: (r.n_names, r.n_rows, list(r.names))
+        for r in phonetic_blocks(df, "name", "id").collect()
+    }
+    assert out == {
+        "R163": (2, 2, ["Robert", "Rupert"]),
+        "S530": (2, 3, ["Smith", "Smyth"]),
+    }

@@ -615,3 +615,50 @@ def test_drift_report_validation_and_all_null_ref(spark):
     r = drift_report(ref, cur).collect()[0]
     assert r.ndv_ratio is None  # all-NULL reference: ratio undefined
     assert r.null_rate_delta == round(0 / 1 - 2 / 2, 6)
+
+
+# ---------------------------------------------------------------- AMS F2
+
+
+def test_ams_f2_exact_side_and_shape(spark):
+    from orientdb_etl_spark.functions.profiling import ams_f2_certificate
+
+    rows = [(k,) for k in [1] * 10 + [2] * 5 + [3] * 1 + [None]]
+    df = spark.createDataFrame(rows, "k bigint")
+    out = ams_f2_certificate(df, "k", estimators=9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact_f2 == 100 + 25 + 1  # NULL keys excluded
+    assert r.n_estimators == 9
+    assert r.est_f2 >= 0
+    assert abs(r.rel_err - abs(r.est_f2 - r.exact_f2) / r.exact_f2) < 1e-6
+
+
+def test_ams_f2_sql_twin_matches_spark(spark, tmp_path):
+    import duckdb
+
+    from orientdb_etl_spark.functions.profiling import (
+        ams_f2_certificate,
+        ams_f2_sql,
+    )
+
+    rows = [(i % 37,) for i in range(500)] + [(7,)] * 60
+    df = spark.createDataFrame(rows, "k bigint")
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = ams_f2_certificate(spark.read.parquet(p), "k", estimators=9).collect()[0]
+    want = duckdb.sql(
+        ams_f2_sql(f"read_parquet('{p}/*.parquet')", "k", estimators=9)
+    ).fetchone()
+    assert (got.exact_f2, got.est_f2) == (want[0], want[1])
+    assert abs(got.rel_err - want[2]) < 1e-9
+
+
+def test_ams_f2_rejects_even_estimators(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.profiling import ams_f2_certificate
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        ams_f2_certificate(df, "k", estimators=4)

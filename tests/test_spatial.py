@@ -70,3 +70,92 @@ def test_grid_radius_join_nulls_and_validation(spark):
     assert grid_radius_join(df, "id", "x", "y", 10).count() == 0
     with pytest.raises(ValueError, match="radius"):
         grid_radius_join(df, "id", "x", "y", 0)
+
+
+# ------------------------------------------------------- grid density
+
+
+def _brute_grid_clusters(rows, eps, min_pts):
+    """Reference implementation: dense cells, 8-adjacency BFS, min-key
+    labels; noise = None."""
+    from collections import defaultdict, deque
+
+    cells = defaultdict(list)
+    for i, x, y in rows:
+        if x is None or y is None:
+            continue
+        cells[(x // eps, y // eps)].append(i)
+    dense = {c for c, m in cells.items() if len(m) >= min_pts}
+    key = lambda c: c[0] * 1_000_000 + c[1]  # noqa: E731
+    label = {}
+    for c in dense:
+        if c in label:
+            continue
+        comp, q = [], deque([c])
+        seen = {c}
+        while q:
+            cur = q.popleft()
+            comp.append(cur)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cur[0] + dx, cur[1] + dy)
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        lbl = min(key(c2) for c2 in comp)
+        for c2 in comp:
+            label[c2] = lbl
+    out = {}
+    for c, members in cells.items():
+        for i in members:
+            out[i] = label.get(c) if c in dense else None
+    return out
+
+
+def test_grid_density_clusters_match_bfs_reference(spark):
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    rng = random.Random(11)
+    # two blobs + scattered noise
+    rows = []
+    n = 0
+    for cx, cy in ((50, 50), (240, 260)):
+        for _ in range(60):
+            rows.append((n, cx + rng.randrange(-25, 25), cy + rng.randrange(-25, 25)))
+            n += 1
+    for _ in range(40):
+        rows.append((n, rng.randrange(0, 300), rng.randrange(0, 300)))
+        n += 1
+    eps, min_pts = 20, 4
+    got = {
+        r.id: r.cluster
+        for r in grid_density_clusters(
+            _pts(spark, rows), "id", "x", "y", eps=eps, min_pts=min_pts
+        ).collect()
+    }
+    assert got == _brute_grid_clusters(rows, eps, min_pts)
+
+
+def test_grid_density_isolated_dense_cell_is_its_own_cluster(spark):
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    # one dense cell far from anything; a sparse single point elsewhere
+    rows = [(1, 5, 5), (2, 6, 6), (3, 7, 7), (4, 500, 500)]
+    out = {
+        r.id: r.cluster
+        for r in grid_density_clusters(
+            _pts(spark, rows), "id", "x", "y", eps=10, min_pts=3
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 0  # cell (0,0) -> key 0
+    assert out[4] is None
+
+
+def test_grid_density_validates_params(spark):
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    df = _pts(spark, [(1, 1, 1)])
+    with pytest.raises(ValueError):
+        grid_density_clusters(df, "id", "x", "y", eps=0)
+    with pytest.raises(ValueError):
+        grid_density_clusters(df, "id", "x", "y", eps=5, min_pts=0)
