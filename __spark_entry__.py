@@ -5858,6 +5858,75 @@ def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_density_clusters(pts, "id", "x", "y", eps=250, min_pts=8)
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan (Raffel et al. JMLR'20)
+    over documents: deterministic hash-derived span per 20-token block
+    (3-token spans — 15% target), exploded to (id, span_id, start,
+    length, span_text). Per-row expressions only; the oracle replays
+    the identical Knuth-ladder offsets and list slices."""
+    from orientdb_etl_spark.functions.objectives import span_corruption_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption_plan(
+        docs, "text", "doc_id", block=20, span_len=3, seed=17
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: per-document OOV occurrence rate
+    against the top-20 corpus vocabulary (count desc, token asc
+    tie-break) — the tokenizer-fit statistic. Vocab is broadcast-sized
+    by construction; the corpus never shuffles (explode + broadcast
+    membership join + per-doc agg)."""
+    from orientdb_etl_spark.functions.text import top_vocab, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", "doc_id", top_vocab(docs, "text", 20))
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences (Card-Krueger design) on
+    event values: treat = even user, post = ts >= Jan 16 — four
+    conditional exact-BIGINT cell sums in ONE scan, the parallel-trends
+    launch-analysis companion of cuped/srm_check."""
+    from orientdb_etl_spark.functions.stats import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    prepared = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("post"),
+        "value",
+    )
+    return diff_in_diff(prepared, "treat", "post", "value")
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: training vectors whose cosine
+    to any eval vector ≥ 0.97 are dropped (semantic complement of the
+    n-gram decontaminate). Eval = every 10th vector, half scaled ×2 —
+    scaling preserves cosine AND sign-LSH buckets exactly, so the
+    verbatim-leakage drop is exact and the brute-force oracle agrees.
+    Production path: portable sign-LSH bucket equi-join (train never
+    self-joins), exact-cosine verify on collisions only."""
+    from orientdb_etl_spark.functions.decontam import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    train = emb.select("vec_id", "embedding")
+    ev = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.when(
+            F.col("vec_id") % 20 == 0,
+            F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding")
+    )
+    return semantic_decontaminate(
+        train, ev, "embedding", "vec_id", threshold=0.97, planes=8
+    ).select("vec_id")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6275,6 +6344,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phonetic_blocks": q_phonetic_blocks,
             "local_cc": q_local_cc,
             "grid_clusters": q_grid_clusters,
+            # round 5 (breadth wave 2): objective construction, tokenizer
+            # fit, observational causal estimate, semantic decontamination
+            "span_corrupt": q_span_corrupt,
+            "vocab_coverage": q_vocab_coverage,
+            "diff_in_diff": q_diff_in_diff,
+            "semantic_decontam": q_semantic_decontam,
         }
     )
     return out
@@ -10346,5 +10421,75 @@ def oracle_sql() -> dict[str, str]:
         "SELECT pc.id, pc.cx AS cell_x, pc.cy AS cell_y, lbl.cluster "
         "FROM pc LEFT JOIN dc ON dc.cx = pc.cx AND dc.cy = pc.cy "
         "LEFT JOIN lbl ON lbl.k = dc.k"
+    )
+    sql["span_corrupt"] = (
+        # identical Knuth-ladder offsets + 1-based inclusive list slices
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+        "b AS (SELECT doc_id, tk, "
+        "unnest(range(0, len(tk) // 20)) AS b FROM d "
+        "WHERE len(tk) // 20 > 0), "
+        "s AS (SELECT doc_id AS id, CAST(b AS INT) AS span_id, "
+        "CAST(b * 20 + ((doc_id + 17 + b * 131) % 1000003 "
+        "* 2654435761 % 1000003) % 18 AS BIGINT) AS start, tk FROM b) "
+        "SELECT id, span_id, start, 3 AS length, "
+        "array_to_string(tk[start + 1 : start + 3], ' ') AS span_text "
+        "FROM s"
+    )
+    sql["vocab_coverage"] = (
+        # top-20 vocab (count desc, token asc), OOV over OCCURRENCES
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+        "t2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''), "
+        "v AS (SELECT tok FROM t2 GROUP BY tok "
+        "ORDER BY count(*) DESC, tok ASC LIMIT 20) "
+        "SELECT t2.doc_id AS id, count(*) AS n_tokens, "
+        "CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_oov, "
+        "round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+        "FROM t2 LEFT JOIN v ON t2.tok = v.tok GROUP BY t2.doc_id"
+    )
+    sql["diff_in_diff"] = (
+        # four conditional exact-cent sums in one pass; fixed double chain
+        "WITH b AS (SELECT user_id % 2 = 0 AS t, "
+        "CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS p, "
+        "CAST(floor(value * 100) AS BIGINT) AS q FROM events "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND value IS NOT NULL), "
+        "a AS (SELECT "
+        "CAST(sum(CASE WHEN NOT t AND NOT p THEN q ELSE 0 END) AS BIGINT) AS s_c_pre, "
+        "CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre, "
+        "CAST(sum(CASE WHEN NOT t AND p THEN q ELSE 0 END) AS BIGINT) AS s_c_post, "
+        "CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post, "
+        "CAST(sum(CASE WHEN t AND NOT p THEN q ELSE 0 END) AS BIGINT) AS s_t_pre, "
+        "CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre, "
+        "CAST(sum(CASE WHEN t AND p THEN q ELSE 0 END) AS BIGINT) AS s_t_post, "
+        "CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post "
+        "FROM b) "
+        "SELECT n_c_pre, n_c_post, n_t_pre, n_t_post, "
+        "round(s_c_pre / CAST(n_c_pre AS DOUBLE) / 100, 6) AS mean_c_pre, "
+        "round(s_c_post / CAST(n_c_post AS DOUBLE) / 100, 6) AS mean_c_post, "
+        "round(s_t_pre / CAST(n_t_pre AS DOUBLE) / 100, 6) AS mean_t_pre, "
+        "round(s_t_post / CAST(n_t_post AS DOUBLE) / 100, 6) AS mean_t_post, "
+        "round((s_t_post / CAST(n_t_post AS DOUBLE) / 100 "
+        "- s_t_pre / CAST(n_t_pre AS DOUBLE) / 100) "
+        "- (s_c_post / CAST(n_c_post AS DOUBLE) / 100 "
+        "- s_c_pre / CAST(n_c_pre AS DOUBLE) / 100), 6) AS did FROM a"
+    )
+    sql["semantic_decontam"] = (
+        # brute-force twin: the eval construction (every 10th vector,
+        # half scaled x2) preserves cosine exactly, so NOT EXISTS over
+        # all train x eval pairs is the production result by construction
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve "
+        "FROM embeddings WHERE vec_id IS NOT NULL), "
+        "ev AS (SELECT CASE WHEN vec_id % 20 = 0 THEN "
+        "list_transform(ve, x -> x * 2.0) ELSE ve END AS ee "
+        "FROM v WHERE vec_id % 10 = 0) "
+        "SELECT t.vec_id FROM v t WHERE NOT EXISTS ("
+        "SELECT 1 FROM ev e WHERE "
+        "list_dot_product(t.ve, e.ee) / "
+        "(sqrt(list_dot_product(t.ve, t.ve)) * "
+        "sqrt(list_dot_product(e.ee, e.ee))) >= 0.97)"
     )
     return sql

@@ -277,3 +277,68 @@ def bloom_decontaminate(
     return docs.join(hits, [id_col], "left").withColumn(
         "contaminated", F.col("n_hits").isNotNull()
     ).drop("n_hits")
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.97,
+    planes: int = 8,
+    mode: str = "filter",
+) -> DataFrame:
+    """Embedding-space decontamination: drop training rows whose cosine
+    similarity to ANY eval-set vector reaches ``threshold`` — the
+    semantic complement of the n-gram :func:`decontaminate` (paraphrased
+    or re-tokenized eval leakage that shares no 8-gram still collides in
+    embedding space; cf. the contamination analyses of Brown et al. 2020
+    App. C and Yang et al. 2023).
+
+    Scale shape: both sides get the PORTABLE sign-LSH bucket (shared ±1
+    hyperplanes — one JVM expression, no driver state), the candidate
+    stage is ONE bucket equi-join of train against the (small) eval
+    side, and only collisions are verified with exact cosine. The train
+    corpus is never self-joined and never shuffled beyond the bucket
+    join; the eval side is eval-sized. Verbatim leakage (cosine 1) is
+    bucket-identical by construction; near-paraphrase recall follows
+    sign-LSH collision probability — raise ``planes`` DOWN for recall,
+    UP for precision of the candidate stage, exactly as in
+    ``embedding_near_dedup``.
+
+    ``mode='filter'`` returns surviving train rows; ``'flag'`` keeps all
+    rows with a boolean ``contaminated``.
+    """
+    from orientdb_etl_spark.functions.similarity import (
+        _cosine_pairs,
+        add_lsh_buckets_portable,
+    )
+
+    tb = add_lsh_buckets_portable(
+        train.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_tv")
+        ),
+        "_tv",
+        planes=planes,
+        out_col="_b",
+    )
+    eb = add_lsh_buckets_portable(
+        eval_df.select(F.col(vec_col).cast("array<double>").alias("_ev")),
+        "_ev",
+        planes=planes,
+        out_col="_b",
+    )
+    hits = (
+        tb.join(eb, "_b")
+        .withColumn("_cos", _cosine_pairs(F.col("_tv"), F.col("_ev")))
+        .filter(F.col("_cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "filter":
+        return train.join(hits, [id_col], "left_anti")
+    return (
+        train.join(hits.withColumn("_hit", F.lit(1)), [id_col], "left")
+        .withColumn("contaminated", F.col("_hit").isNotNull())
+        .drop("_hit")
+    )

@@ -2242,3 +2242,56 @@ def srm_check(
         )
         .orderBy("arm")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-period difference-in-differences point estimate (Card &
+    Krueger 1994 design): with boolean treatment and period columns,
+    ``did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)``
+    — the parallel-trends-adjusted treatment effect, the workhorse of
+    observational launch analysis alongside :func:`cuped` (experimental)
+    and :func:`srm_check` (allocation).
+
+    One row: the four cell means plus the estimate. Exact-integer
+    discipline: values are scaled to BIGINT (×``scale``) and summed
+    exactly; the four means and the final subtraction are one fixed
+    double chain over exact integers, so both engines land on the same
+    bits. One aggregation pass (4 conditional sum/count pairs — a
+    single scan, map-side combinable); rows with NULL treatment,
+    period, or value are excluded.
+    """
+    q = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    base = df.where(
+        t.isNotNull() & p.isNotNull() & F.col(value_col).isNotNull()
+    )
+    cells = []
+    for tv, pv, name in (
+        (False, False, "c_pre"),
+        (False, True, "c_post"),
+        (True, False, "t_pre"),
+        (True, True, "t_post"),
+    ):
+        cond = (t == tv) & (p == pv)
+        cells.append(F.sum(F.when(cond, q).otherwise(0)).alias(f"_s_{name}"))
+        cells.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"_n_{name}")
+        )
+    agg = base.agg(*cells)
+    mean = lambda n: (  # noqa: E731
+        F.col(f"_s_{n}") / F.col(f"_n_{n}").cast("double") / scale
+    )
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    out = [F.round(mean(n), round_to).alias(f"mean_{n}") for n in
+           ("c_pre", "c_post", "t_pre", "t_post")]
+    ns = [F.col(f"_n_{n}").alias(f"n_{n}") for n in
+          ("c_pre", "c_post", "t_pre", "t_post")]
+    return agg.select(*ns, *out, F.round(did, round_to).alias("did"))

@@ -899,3 +899,74 @@ def readability(col: str | Column) -> Column:
             ).alias("fk_grade"),
         ),
     )
+
+
+def top_vocab(
+    df: DataFrame, text_col: str, size: int = 30000
+) -> DataFrame:
+    """Top-``size`` corpus tokens by occurrence count (ties broken by
+    token ascending — deterministic, engine-portable). One explode +
+    hash aggregation + TakeOrderedAndProject; the result is
+    vocabulary-sized (broadcastable) by construction."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(int(size))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary audit against a reference
+    vocabulary (tokenizer-fit assessment — the coverage statistic you
+    check before committing to a vocab, and the drift alarm when a new
+    crawl slice stops matching it): ``(id, n_tokens, n_oov, oov_rate)``
+    counting token OCCURRENCES (not types) outside ``vocab``'s first
+    column.
+
+    Scale shape: the vocabulary is broadcast (vocab-sized by
+    definition); the corpus explodes to tokens and LEFT-joins the
+    broadcast membership — no shuffle of corpus data, one per-doc hash
+    aggregation. Pairs with :func:`top_vocab` (self-fit) or the learned
+    BPE table from :mod:`~orientdb_etl_spark.functions.bpe`.
+    """
+    vcol = vocab.columns[0]
+    v = F.broadcast(
+        vocab.select(F.col(vcol).alias("_vtok")).distinct().withColumn(
+            "_in", F.lit(1)
+        )
+    )
+    toks = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+    )
+    return (
+        toks.join(v, toks["_tok"] == v["_vtok"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), round_to
+            ).alias("oov_rate"),
+        )
+    )

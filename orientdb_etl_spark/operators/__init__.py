@@ -86,5 +86,6 @@ from orientdb_etl_spark.operators import temporal as _temporal  # noqa: E402,F40
 from orientdb_etl_spark.functions import graph as _graph  # noqa: E402,F401
 from orientdb_etl_spark.functions import basket as _basket  # noqa: E402,F401
 from orientdb_etl_spark.functions import privacy as _privacy  # noqa: E402,F401
+from orientdb_etl_spark.functions import objectives as _objectives  # noqa: E402,F401
 
 __all__ = ["apply_transformer", "get_transformer", "register"]

@@ -2024,3 +2024,84 @@ def test_strip_duplicate_spans_idempotent_and_full_removal(spark):
     assert {(r.doc_id, r.text, r.removed_tokens) for r in twice.collect()} == {
         (1, span + " tail0 tail1", 0)
     }
+
+
+# -------------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_counts_occurrences(spark):
+    from orientdb_etl_spark.functions.text import top_vocab, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog barked zyzzy zyzzy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("dog",)], "token string")
+    out = {
+        r.id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(docs, "text", "doc_id", vocab).collect()
+    }
+    assert out[1] == (6, 3, 0.5)  # sat/on/mat OOV; 'the' twice in-vocab
+    assert out[2] == (5, 3, 0.6)  # barked + zyzzy x2 OOV occurrences
+    # self-fit against the full top vocab -> zero OOV everywhere
+    full = vocab_coverage(docs, "text", "doc_id", top_vocab(docs, "text", 100))
+    assert full.agg({"n_oov": "sum"}).collect()[0][0] == 0
+
+
+# ------------------------------------------------------ diff-in-diff
+
+
+def test_diff_in_diff_hand_computed(spark):
+    from orientdb_etl_spark.functions.stats import diff_in_diff
+
+    rows = [
+        # (treat, post, value): control 10->12 (+2), treated 20->25 (+5)
+        (False, False, 10.0),
+        (False, True, 12.0),
+        (True, False, 20.0),
+        (True, True, 25.0),
+        (None, True, 99.0),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "treat boolean, post boolean, value double")
+    r = diff_in_diff(df, "treat", "post", "value").collect()[0]
+    assert (r.n_c_pre, r.n_c_post, r.n_t_pre, r.n_t_post) == (1, 1, 1, 1)
+    assert r.did == 3.0
+    assert (r.mean_t_post, r.mean_c_pre) == (25.0, 10.0)
+
+
+# ------------------------------------------------ semantic decontamination
+
+
+def test_semantic_decontaminate_drops_eval_members_only(spark):
+    from orientdb_etl_spark.functions.decontam import semantic_decontaminate
+
+    import random
+
+    rng = random.Random(5)
+    train = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # eval: copies of train ids 0..9, some scaled (cosine preserved)
+    ev = train.where("vec_id < 10").selectExpr(
+        "CASE WHEN vec_id % 2 = 0 THEN transform(embedding, "
+        "x -> x * CAST(3.0 AS FLOAT)) ELSE embedding END AS embedding"
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            train, ev, "embedding", "vec_id", threshold=0.97
+        ).collect()
+    }
+    # exact/scaled copies always share the sign-LSH bucket and hit cos=1
+    assert not kept & set(range(10))
+    # random 8-dim vectors essentially never reach cosine 0.97
+    assert kept == set(range(10, 40))
+    flagged = semantic_decontaminate(
+        train, ev, "embedding", "vec_id", threshold=0.97, mode="flag"
+    )
+    assert flagged.count() == 40
+    assert flagged.where("contaminated").count() == 10
