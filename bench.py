@@ -300,6 +300,15 @@ HEADLINE = [
     "srm_check",
     "weighted_percentiles",
     "neyman_allocation",
+    # breadth + objective/causal waves
+    "ams_f2",
+    "phonetic_blocks",
+    "local_cc",
+    "grid_clusters",
+    "span_corrupt",
+    "vocab_coverage",
+    "diff_in_diff",
+    "semantic_decontam",
 ]
 
 

@@ -286,6 +286,7 @@ def semantic_decontaminate(
     id_col: str,
     threshold: float = 0.97,
     planes: int = 8,
+    seed: int = 42,
     mode: str = "filter",
 ) -> DataFrame:
     """Embedding-space decontamination: drop training rows whose cosine
@@ -295,10 +296,9 @@ def semantic_decontaminate(
     embedding space; cf. the contamination analyses of Brown et al. 2020
     App. C and Yang et al. 2023).
 
-    Scale shape: both sides get the PORTABLE sign-LSH bucket (shared ±1
-    hyperplanes — one JVM expression, no driver state), the candidate
-    stage is ONE bucket equi-join of train against the (small) eval
-    side, and only collisions are verified with exact cosine. The train
+    Scale shape: both sides get the same seeded sign-LSH bucket, the
+    candidate stage is ONE bucket equi-join of train against the (small)
+    eval side, and only collisions are verified with exact cosine. The train
     corpus is never self-joined and never shuffled beyond the bucket
     join; the eval side is eval-sized. Verbatim leakage (cosine 1) is
     bucket-identical by construction; near-paraphrase recall follows
@@ -308,24 +308,33 @@ def semantic_decontaminate(
 
     ``mode='filter'`` returns surviving train rows; ``'flag'`` keeps all
     rows with a boolean ``contaminated``.
+
+    Buckets use the Arrow/numpy gaussian-plane path (the
+    ``embedding_near_dedup`` discipline — interpreted HOF signatures are
+    the measured anti-pattern); planes re-derive from ``seed`` on every
+    executor, identically for both sides, so verbatim and scaled copies
+    are bucket-identical by construction (scaling never flips a
+    projection sign).
     """
     from orientdb_etl_spark.functions.similarity import (
         _cosine_pairs,
-        add_lsh_buckets_portable,
+        add_lsh_buckets,
     )
 
-    tb = add_lsh_buckets_portable(
+    tb = add_lsh_buckets(
         train.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_tv")
         ),
         "_tv",
         planes=planes,
+        seed=seed,
         out_col="_b",
     )
-    eb = add_lsh_buckets_portable(
+    eb = add_lsh_buckets(
         eval_df.select(F.col(vec_col).cast("array<double>").alias("_ev")),
         "_ev",
         planes=planes,
+        seed=seed,
         out_col="_b",
     )
     hits = (

@@ -103,6 +103,7 @@ def grid_density_clusters(
     y_col: str,
     eps: int,
     min_pts: int = 4,
+    driver_cells_cap: int = 100_000,
 ) -> DataFrame:
     """Grid-density clustering (the STING/CLIQUE family — Wang et al.
     VLDB'97, Agrawal et al. SIGMOD'98; the grid-quantized cousin of
@@ -125,6 +126,18 @@ def grid_density_clusters(
     key against that bounded label table (broadcastable). This is the
     DBSCAN shape that survives 100 TB: density estimation by grid
     aggregation, never a pairwise neighborhood query.
+
+    Component resolution is two-tier: the dense-cell graph is counted
+    first, and up to ``driver_cells_cap`` cells it is collected for a
+    driver-side union-find — the cell graph is bounded by GEOMETRY
+    (area/eps²), not by data volume, so this is the same bounded-driver-
+    state trade as ``ivf_index``'s centroid sample, and it avoids paying
+    the multi-round distributed contraction's fixed latency for a frame
+    that fits in one task. Above the cap (enormous domains / tiny eps)
+    it falls back to the log-round star contraction
+    (:func:`~orientdb_etl_spark.functions.dedup.connected_component_labels`)
+    with no driver state. Both tiers produce the identical min-key
+    labels.
 
     Returns ``(id, cell_x, cell_y, cluster)`` — one row per input point
     with non-NULL coordinates.
@@ -168,9 +181,32 @@ def grid_density_clusters(
         .where(F.col("keep_id") < F.col("dup_id"))
         .select("keep_id", "dup_id")
     )
-    labels = connected_component_labels(adj)
+    n_cells = cells.count()
+    if n_cells <= driver_cells_cap:
+        # driver union-find over the geometry-bounded cell graph
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        keys = [r["_k"] for r in cells.select("_k").collect()]
+        for k in keys:
+            parent[k] = k
+        for r in adj.collect():
+            ra, rb = find(r["keep_id"]), find(r["dup_id"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # path-compress to the component minimum (min-key label)
+        lbl = [(k, find(k)) for k in keys]
+        spark = df.sparkSession
+        labels = spark.createDataFrame(lbl, "id bigint, label bigint")
+    else:
+        labels = connected_component_labels(adj)
     labeled_cells = cells.join(
-        labels.withColumnRenamed("id", "_k"), "_k", "left"
+        F.broadcast(labels.withColumnRenamed("id", "_k")), "_k", "left"
     ).select(
         "_cx", "_cy", F.coalesce(F.col("label"), F.col("_k")).alias("cluster")
     )

@@ -159,3 +159,25 @@ def test_grid_density_validates_params(spark):
         grid_density_clusters(df, "id", "x", "y", eps=0)
     with pytest.raises(ValueError):
         grid_density_clusters(df, "id", "x", "y", eps=5, min_pts=0)
+
+
+def test_grid_density_tiers_agree(spark):
+    # driver union-find (default) and the distributed star-contraction
+    # fallback (cap=0 forces it) must produce identical min-key labels
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(0, 200), rng.randrange(0, 200)) for i in range(250)]
+    df = _pts(spark, rows)
+    a = sorted(
+        map(tuple, grid_density_clusters(df, "id", "x", "y", 25, 3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            grid_density_clusters(
+                df, "id", "x", "y", 25, 3, driver_cells_cap=0
+            ).collect(),
+        )
+    )
+    assert a == b
