@@ -5927,6 +5927,62 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch certificate per event type + the merged-
+    sketch ALL row (Beyer et al. SIGMOD'07): integer Knuth-ladder
+    hashes, k-th-smallest order statistic, one double division —
+    EXACTLY engine-replayable, no tolerance band; the ALL estimate
+    merges per-group sketches without re-scanning."""
+    from orientdb_etl_spark.functions.profiling import kmv_distinct_certificate
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct_certificate(ev, "user_id", group_col="event_type", k=64)
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg JACM'99), 3 fixed rounds on the
+    p75-thresholded nation trade digraph — integer-exact mutual
+    recursion (unit start + integer sums stay < 2⁵³), max-normalized
+    (exact comparison, no fold-order wobble); oracle = the same rounds
+    unrolled by hits_rounds_sql."""
+    from orientdb_etl_spark.functions.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pairs = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("vol")
+        )
+    )
+    thr = pairs.agg(F.expr("percentile(vol, 0.75)").alias("_q"))
+    edges = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("vol").cast("double") >= F.col("_q")
+    )
+    return hits(edges, iterations=3).orderBy("id")
+
+
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the corpus in doc-id order
+    — OLS of ln(cumulative vocab) on ln(cumulative tokens), cumulatives
+    via the range-partitioned exclusive prefix (never a global ORDER BY
+    window); the growth-side dual of zipf_fit."""
+    from orientdb_etl_spark.functions.profiling import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_fit(docs, "text", "doc_id")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6350,6 +6406,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vocab_coverage": q_vocab_coverage,
             "diff_in_diff": q_diff_in_diff,
             "semantic_decontam": q_semantic_decontam,
+            # round 5 (breadth wave 3): exact-replayable distinct sketch,
+            # hubs/authorities, vocabulary-growth law
+            "kmv_distinct": q_kmv,
+            "hits_trade": q_hits,
+            "heaps_fit": q_heaps,
         }
     )
     return out
@@ -10491,5 +10552,77 @@ def oracle_sql() -> dict[str, str]:
         "list_dot_product(t.ve, e.ee) / "
         "(sqrt(list_dot_product(t.ve, t.ve)) * "
         "sqrt(list_dot_product(e.ee, e.ee))) >= 0.97)"
+    )
+    sql["kmv_distinct"] = (
+        # same Knuth-ladder hashes, same k-th-smallest order statistic,
+        # same (k-1)*MOD/h_k division — exactly replayable, no band
+        "WITH k0 AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS scope, "
+        "user_id AS key, "
+        "(user_id + 9) % 1000003 * 2654435761 % 1000003 AS h "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "p0 AS (SELECT scope, count(*) AS n_exact, "
+        "list_sort(list(DISTINCT h))[1:64] AS mins, "
+        "CAST(count(DISTINCT h) AS BIGINT) AS nh FROM k0 GROUP BY scope), "
+        "pr AS (SELECT scope, n_exact, "
+        "CASE WHEN nh <= 64 THEN CAST(nh AS DOUBLE) "
+        "ELSE 63.0 * 1000003.0 / CAST(mins[64] AS DOUBLE) END AS e0 "
+        "FROM p0), "
+        "mrg AS (SELECT DISTINCT unnest(mins) AS h FROM p0), "
+        "msk AS (SELECT list_sort(list(h))[1:64] AS mins, "
+        "CAST(count(*) AS BIGINT) AS nh FROM mrg), "
+        "gex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_exact "
+        "FROM k0), "
+        "ur AS (SELECT 'ALL' AS scope, gex.n_exact, "
+        "CASE WHEN msk.nh <= 64 THEN CAST(msk.nh AS DOUBLE) "
+        "ELSE 63.0 * 1000003.0 / CAST(msk.mins[64] AS DOUBLE) END AS e0 "
+        "FROM msk, gex) "
+        "SELECT scope, n_exact, round(e0, 6) AS est, "
+        "round(abs(e0 - n_exact) / n_exact, 6) AS rel_err, 64 AS sketch_k "
+        "FROM (SELECT * FROM pr UNION ALL SELECT * FROM ur)"
+    )
+    from orientdb_etl_spark.functions.graph import hits_rounds_sql
+
+    sql["hits_trade"] = hits_rounds_sql(
+        3,
+        edges_cte=(
+            "WITH ps AS (SELECT s_nationkey AS src, c_nationkey AS dst, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS vol "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), "
+            "t AS (SELECT quantile_cont(vol, 0.75) AS q FROM ps), "
+            "e AS (SELECT src AS s, dst AS d FROM ps, t "
+            "WHERE CAST(vol AS DOUBLE) >= q)"
+        ),
+    )
+    sql["heaps_fit"] = (
+        # same tokenization dialect as zipf_fit; window cumsums here,
+        # exclusive_prefix in Spark; same covar/var closed forms
+        "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(trim(text)), '\\s+')) AS tok FROM documents "
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+        "t2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0), "
+        "dt AS (SELECT doc_id, count(*) AS n_tok FROM t2 GROUP BY 1), "
+        "fd AS (SELECT tok, min(doc_id) AS fdoc FROM t2 GROUP BY 1), "
+        "nv AS (SELECT fdoc AS doc_id, count(*) AS newt FROM fd "
+        "GROUP BY 1), "
+        "d AS (SELECT dt.doc_id, dt.n_tok, "
+        "CAST(coalesce(nv.newt, 0) AS BIGINT) AS newt "
+        "FROM dt LEFT JOIN nv USING (doc_id)), "
+        "c AS (SELECT sum(n_tok) OVER (ORDER BY doc_id) AS ct, "
+        "sum(newt) OVER (ORDER BY doc_id) AS cv, n_tok FROM d), "
+        "p AS (SELECT ln(CAST(ct AS DOUBLE)) AS lx, "
+        "ln(CAST(cv AS DOUBLE)) AS ly, n_tok, cv FROM c), "
+        "g AS (SELECT count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(max(cv) AS BIGINT) AS vocab, covar_samp(lx, ly) AS cov, "
+        "var_samp(lx) AS vx, var_samp(ly) AS vy, avg(lx) AS mx, "
+        "avg(ly) AS my FROM p) "
+        "SELECT n_docs, total_tokens, vocab, "
+        "round(cov / vx, 6) AS heaps_beta, "
+        "round(exp(my - (cov / vx) * mx), 6) AS heaps_k, "
+        "round(CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2 "
+        "FROM g"
     )
     return sql

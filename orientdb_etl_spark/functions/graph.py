@@ -37,6 +37,8 @@ __all__ = [
     "modularity",
     "clustering_coefficient",
     "local_clustering_coefficient",
+    "hits",
+    "hits_rounds_sql",
     "assortativity",
     "neighborhood_function",
     "hyperball",
@@ -1215,6 +1217,138 @@ def scc_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
         dst=cfg.get("dst", "dst"),
         max_rounds=int(cfg.get("maxRounds", 30)),
         max_phases=int(cfg.get("maxPhases", 30)),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) with fixed
+    iterations → ``(id, hub, authority)``, each score normalized by the
+    iteration-final MAX (max of doubles is an exact comparison — no
+    fold-order wobble — unlike the textbook L2/L1 norm, whose global
+    double sum is not associative across engines; same determinism
+    argument as pagerank's no-normalization choice). Start: h₀ = 1.
+    Per round: a_v = Σ_{u→v} h_u, then h_u = Σ_{u→v} a_v — the
+    authority/hub mutual recursion over the DEDUPLICATED directed edge
+    set; vertices with no in-edges keep authority 0, no out-edges keep
+    hub 0.
+
+    Scale shape: identical to :func:`pagerank` — each half-round is one
+    equi-join of a (vertex, score) frame against the edge frame shuffled
+    on the join key plus one hash aggregation; ``localCheckpoint``
+    truncates lineage per round so iteration N's plan equals iteration
+    1's. Fixed ``iterations`` is the bounded-iteration rule (no
+    convergence polling action per round).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .union(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(int(iterations)):
+        auth = (
+            e.join(hubs.withColumnRenamed("id", "_s"), "_s")
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            nodes.join(auth, "id", "left")
+            .select("id", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hubs = (
+            e.join(auth.withColumnRenamed("id", "_d"), "_d")
+            .groupBy(F.col("_s").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hubs = (
+            nodes.join(hubs, "id", "left")
+            .select("id", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    mh = hubs.agg(F.max("h").alias("_mh"))
+    ma = auth.agg(F.max("a").alias("_ma"))
+    return (
+        hubs.join(auth, "id")
+        .crossJoin(F.broadcast(mh))
+        .crossJoin(F.broadcast(ma))
+        .select(
+            "id",
+            F.round(
+                F.when(F.col("_mh") > 0, F.col("h") / F.col("_mh")).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias("hub"),
+            F.round(
+                F.when(F.col("_ma") > 0, F.col("a") / F.col("_ma")).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias("authority"),
+        )
+    )
+
+
+def hits_rounds_sql(
+    iterations: int, edges_cte: str, materialized: bool = True
+) -> str:
+    """DuckDB twin of :func:`hits` — the same mutual recursion unrolled
+    (the ``lpa_rounds_sql`` discipline); ``edges_cte`` must end with a
+    CTE named ``e(s, d)`` holding the deduplicated directed edges."""
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [
+        f"nodes AS {mat}(SELECT s AS id FROM e UNION SELECT d FROM e)",
+        f"h0 AS {mat}(SELECT id, 1.0::DOUBLE AS h FROM nodes)",
+    ]
+    for r in range(1, int(iterations) + 1):
+        parts.append(
+            f"a{r} AS {mat}(SELECT n.id, coalesce(x.a, 0.0) AS a FROM nodes n "
+            f"LEFT JOIN (SELECT e.d AS id, sum(h{r-1}.h) AS a FROM e "
+            f"JOIN h{r-1} ON h{r-1}.id = e.s GROUP BY e.d) x USING (id))"
+        )
+        parts.append(
+            f"h{r} AS {mat}(SELECT n.id, coalesce(x.h, 0.0) AS h FROM nodes n "
+            f"LEFT JOIN (SELECT e.s AS id, sum(a{r}.a) AS h FROM e "
+            f"JOIN a{r} ON a{r}.id = e.d GROUP BY e.s) x USING (id))"
+        )
+    rr = int(iterations)
+    return (
+        edges_cte + ", " + ", ".join(parts) + ", "
+        f"mx AS (SELECT max(h) AS mh FROM h{rr}), "
+        f"mn AS (SELECT max(a) AS ma FROM a{rr}) "
+        f"SELECT h{rr}.id, "
+        f"round(CASE WHEN mh > 0 THEN h{rr}.h / mh ELSE 0.0 END, 6) AS hub, "
+        f"round(CASE WHEN ma > 0 THEN a{rr}.a / ma ELSE 0.0 END, 6) "
+        f"AS authority "
+        f"FROM h{rr} JOIN a{rr} ON a{rr}.id = h{rr}.id, mx, mn"
+    )
+
+
+@register("hits")
+def hits_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"hits": {"src": "src", "dst": "dst",
+    "iterations": 3}} — Kleinberg hubs/authorities over the pipeline
+    frame's directed edge list."""
+    return hits(
+        df,
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        iterations=int(cfg.get("iterations", 3)),
     )
 
 

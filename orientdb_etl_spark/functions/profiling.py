@@ -1309,3 +1309,182 @@ def ams_f2_sql(
         f"/ CAST(exact_f2 AS DOUBLE), 6) AS rel_err, "
         f"{estimators} AS n_estimators FROM e, x"
     )
+
+
+def kmv_distinct_certificate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    k: int = 256,
+    seed: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """k-minimum-values distinct-count sketch (Bar-Yossef et al.
+    RANDOM'02; AKMV of Beyer et al. SIGMOD'07), certified against the
+    exact count — and, with ``group_col``, certified MERGEABLE: an
+    ``ALL`` row whose estimate comes from unioning the per-group
+    sketches (k smallest of the k-smallest sets), never from re-scanning
+    the data.
+
+    Estimator: hash every key with the repo's portable Knuth ladder
+    (uniform-ish on [0, MOD)); if the scope holds ≤ k distinct hashes
+    the sketch IS the distinct-hash set (estimate = its size — exact up
+    to the bounded hash range's collisions, which the certificate
+    surfaces rather than hides); otherwise ``est = (k − 1) · MOD /
+    h_(k)`` with ``h_(k)`` the k-th smallest hash. Unlike HLL this
+    sketch is EXACTLY engine-replayable — integer hashes, an integer
+    order statistic, one double division — so the certificate
+    hash-matches a SQL twin with no tolerance band, and the sketch
+    state (k BIGINTs) merges by concatenate-and-retake-k.
+
+    Scale shape: per scope, the sketch is the k-smallest slice of the
+    distinct-hash frame (collected per scope — ≤ k kept; at real scale
+    the identical order statistic comes from topk_per_group's partial
+    WindowGroupLimit); the exact column is the one-row-per-distinct-key
+    shuffle the sketch exists to avoid at 100 TB — it is here to make
+    the certificate falsifiable. Returns ``(scope, n_exact, est,
+    rel_err, sketch_k)`` rows.
+    """
+    knuth, mod = 2654435761, 1000003
+    h = F.expr(f"({key_col} + {seed}) % {mod} * {knuth} % {mod}")
+    gcol = (
+        F.col(group_col).cast("string") if group_col else F.lit("ALL")
+    ).alias("scope")
+    keys = (
+        df.where(F.col(key_col).isNotNull())
+        .select(gcol, F.col(key_col).alias("_key"), h.alias("_h"))
+        .distinct()
+    )
+
+    def _est(mins_col, n_hashes):
+        return F.when(
+            n_hashes <= k, n_hashes.cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(mod))
+            / F.element_at(mins_col, k).cast("double")
+        )
+
+    per_sketch = keys.groupBy("scope").agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"),
+        F.size(F.collect_set("_h")).cast("bigint").alias("_nh"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+
+    def _rows(sk: DataFrame) -> DataFrame:
+        est = _est(F.col("_mins"), F.col("_nh"))
+        return sk.select(
+            "scope",
+            "n_exact",
+            F.round(est, round_to).alias("est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), round_to
+            ).alias("rel_err"),
+            F.lit(k).alias("sketch_k"),
+        )
+
+    per = _rows(per_sketch)
+    if not group_col:
+        return per
+    # union row: merge PER-GROUP sketches (k smallest of the union of
+    # the k-smallest sets) — the estimate never touches raw data again;
+    # the exact side is the global distinct-key count
+    global_exact = keys.select("_key").distinct().count()
+    merged = (
+        per_sketch.select(F.explode("_mins").alias("_h"))
+        .distinct()
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"),
+            F.size(F.collect_set("_h")).cast("bigint").alias("_nh"),
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            F.lit(global_exact).alias("n_exact"),
+            "_mins",
+            # a merged set smaller than k certifies the union's
+            # distinct-hash count is its size (standard KMV union rule)
+            F.col("_nh"),
+        )
+    )
+    return per.unionByName(_rows(merged))
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ``ln(cumulative
+    vocabulary)`` on ``ln(cumulative tokens)`` over the corpus read in
+    ``id_col`` order — one row ``(n_docs, total_tokens, vocab,
+    heaps_beta, heaps_k, r2)``. Natural corpora grow V ≈ K·nᵝ with β in
+    roughly [0.4, 0.6]; β near 1 means the vocabulary never saturates
+    (ids/hashes/noise leaking into tokens), β collapsing toward 0 means
+    template text. The growth-side companion of :func:`zipf_fit`'s
+    frequency-side audit (the two laws are duals — Lü et al. 2010).
+
+    Scale shape: token counts and first-occurrence docs are two hash
+    aggregations; both cumulatives come from
+    :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
+    (range-partitioned running sums — never a global ORDER BY window);
+    the OLS is one closed-form aggregate over the per-doc points.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    toks = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("_tok"),
+        )
+        .where(F.length("_tok") > 0)
+    )
+    per_doc = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n_tok"))
+    first_doc = toks.groupBy("_tok").agg(F.min("_doc").alias("_fd"))
+    new_types = first_doc.groupBy(F.col("_fd").alias("_doc")).agg(
+        F.count(F.lit(1)).alias("_newt")
+    )
+    d = per_doc.join(new_types, "_doc", "left").select(
+        "_doc",
+        "_n_tok",
+        F.coalesce(F.col("_newt"), F.lit(0)).cast("bigint").alias("_newt"),
+    )
+    d = exclusive_prefix(d, ["_doc"], "_n_tok", "sum", "_pt", "bigint")
+    d = exclusive_prefix(d, ["_doc"], "_newt", "sum", "_pv", "bigint")
+    pts = d.select(
+        (F.coalesce(F.col("_pt"), F.lit(0)) + F.col("_n_tok")).alias("_ct"),
+        (F.coalesce(F.col("_pv"), F.lit(0)) + F.col("_newt")).alias("_cv"),
+        "_n_tok",
+    )
+    lx = F.log(F.col("_ct").cast("double"))
+    ly = F.log(F.col("_cv").cast("double"))
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+        F.max("_cv").alias("vocab"),
+        F.covar_samp(lx, ly).alias("_cov"),
+        F.var_samp(lx).alias("_vx"),
+        F.var_samp(ly).alias("_vy"),
+        F.avg(lx).alias("_mx"),
+        F.avg(ly).alias("_my"),
+    )
+    beta = F.col("_cov") / F.col("_vx")
+    return g.select(
+        "n_docs",
+        "total_tokens",
+        "vocab",
+        F.round(beta, round_to).alias("heaps_beta"),
+        F.round(F.exp(F.col("_my") - beta * F.col("_mx")), round_to).alias(
+            "heaps_k"
+        ),
+        F.round(
+            F.when(
+                F.col("_vy") > 0,
+                (F.col("_cov") * F.col("_cov")) / (F.col("_vx") * F.col("_vy")),
+            ),
+            round_to,
+        ).alias("r2"),
+    )

@@ -1204,3 +1204,61 @@ def ams_f2_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         estimators=int(cfg.get("estimators", 9)),
         seed=int(cfg.get("seed", 31)),
     )
+
+
+@register("kmv")
+def kmv_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"kmv": {"keyField": "user_id", "groupField": null, "k": 256,
+    "seed": 9}} — exactly-replayable k-minimum-values distinct sketch
+    certificate (functions/profiling.py); with ``groupField`` adds the
+    merged-sketch ALL row."""
+    from orientdb_etl_spark.functions.profiling import kmv_distinct_certificate
+
+    return kmv_distinct_certificate(
+        df,
+        cfg["keyField"],
+        group_col=cfg.get("groupField"),
+        k=int(cfg.get("k", 256)),
+        seed=int(cfg.get("seed", 9)),
+    )
+
+
+@register("heaps")
+def heaps_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"heaps": {"textField": "text", "idField": "doc_id"}} —
+    Heaps'-law vocabulary-growth fit (functions/profiling.py), the
+    growth-side dual of the zipf corpus audit."""
+    from orientdb_etl_spark.functions.profiling import heaps_fit
+
+    return heaps_fit(df, cfg["textField"], cfg["idField"])
+
+
+@register("diffInDiff")
+def did_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"diffInDiff": {"treatField", "postField", "valueField",
+    "scale": 100}} — two-period difference-in-differences point
+    estimate (functions/stats.py)."""
+    from orientdb_etl_spark.functions.stats import diff_in_diff
+
+    return diff_in_diff(
+        df,
+        cfg["treatField"],
+        cfg["postField"],
+        cfg["valueField"],
+        scale=int(cfg.get("scale", 100)),
+    )
+
+
+@register("vocabCoverage")
+def vocab_coverage_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"vocabCoverage": {"textField": "text", "idField": "doc_id",
+    "vocabSize": 30000}} — per-doc OOV audit against the corpus's own
+    top vocabulary (functions/text.py); pair with a ``let``-staged
+    external vocab via semanticDecontam-style pre-registration when
+    auditing against a fixed tokenizer."""
+    from orientdb_etl_spark.functions.text import top_vocab, vocab_coverage
+
+    vocab = top_vocab(df, cfg["textField"], int(cfg.get("vocabSize", 30000)))
+    return vocab_coverage(df, cfg["textField"], cfg["idField"], vocab)

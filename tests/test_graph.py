@@ -698,3 +698,49 @@ def test_local_cc_matches_global_triangle_total(spark):
     total = per.groupBy().sum("triangles").collect()[0][0]
     # every triangle contributes exactly 3 endpoint rows
     assert total == 3 * triangle_count(df).collect()[0][0]
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _hits_ref(edges, iters):
+    nodes = sorted({v for e in edges for v in e})
+    h = {v: 1.0 for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+    mh, ma = max(h.values()), max(a.values())
+    return (
+        {v: round(h[v] / mh, 6) if mh > 0 else 0.0 for v in nodes},
+        {v: round(a[v] / ma, 6) if ma > 0 else 0.0 for v in nodes},
+    )
+
+
+def test_hits_matches_reference_iteration(spark):
+    import random
+
+    from orientdb_etl_spark.functions.graph import hits
+
+    rng = random.Random(9)
+    edges = sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: (r.hub, r.authority) for r in hits(df, iterations=3).collect()}
+    H, A = _hits_ref(edges, 3)
+    assert got == {v: (H[v], A[v]) for v in H}
+
+
+def test_hits_sink_and_source_roles(spark):
+    from orientdb_etl_spark.functions.graph import hits
+
+    # star into 9: 9 is the authority (1.0), spokes are the hubs
+    edges = [(i, 9) for i in range(4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.id: (r.hub, r.authority) for r in hits(df, iterations=2).collect()}
+    assert out[9] == (0.0, 1.0)
+    for i in range(4):
+        assert out[i] == (1.0, 0.0)

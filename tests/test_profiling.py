@@ -662,3 +662,64 @@ def test_ams_f2_rejects_even_estimators(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError):
         ams_f2_certificate(df, "k", estimators=4)
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_exact_branch_small_ndv(spark):
+    from orientdb_etl_spark.functions.profiling import kmv_distinct_certificate
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k bigint")
+    r = kmv_distinct_certificate(df, "k", k=64).collect()[0]
+    assert (r.scope, r.n_exact, r.est, r.rel_err) == ("ALL", 7, 7.0, 0.0)
+
+
+def test_kmv_estimator_and_union_row(spark):
+    from orientdb_etl_spark.functions.profiling import kmv_distinct_certificate
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    out = {r.scope: r for r in kmv_distinct_certificate(
+        df, "k", group_col="g", k=64).collect()}
+    assert set(out) == {"a", "b", "ALL"}
+    assert out["ALL"].n_exact == 2000
+    # estimator branch engaged (1000 > 64) and lands within 40% here
+    for s in ("a", "b", "ALL"):
+        assert out[s].rel_err < 0.4, (s, out[s])
+
+
+def test_kmv_union_equals_sketch_of_union(spark):
+    # k smallest of (k-smallest(A) ∪ k-smallest(B)) == k smallest of A∪B
+    from orientdb_etl_spark.functions.profiling import kmv_distinct_certificate
+
+    rows = [(i, "a" if i < 900 else "b") for i in range(1500)]
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    grouped = {r.scope: r.est for r in kmv_distinct_certificate(
+        df, "k", group_col="g", k=32).collect()}
+    flat = kmv_distinct_certificate(df, "k", k=32).collect()[0].est
+    assert grouped["ALL"] == flat
+
+
+# ------------------------------------------------------------- Heaps fit
+
+
+def test_heaps_fit_known_growth(spark):
+    # vocabulary that never repeats -> V = n exactly -> beta = 1, r2 = 1
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    from orientdb_etl_spark.functions.profiling import heaps_fit
+
+    r = heaps_fit(df, "text", "doc_id").collect()[0]
+    assert (r.n_docs, r.total_tokens, r.vocab) == (30, 300, 300)
+    assert r.heaps_beta == 1.0 and r.r2 == 1.0 and r.heaps_k == 1.0
+
+
+def test_heaps_fit_saturating_vocab(spark):
+    # fixed 5-word vocabulary -> growth flattens, beta well below 1
+    docs = [(i, "a b c d e") for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    from orientdb_etl_spark.functions.profiling import heaps_fit
+
+    r = heaps_fit(df, "text", "doc_id").collect()[0]
+    assert r.vocab == 5 and r.heaps_beta < 0.3
