@@ -309,6 +309,9 @@ HEADLINE = [
     "vocab_coverage",
     "diff_in_diff",
     "semantic_decontam",
+    "kmv_distinct",
+    "hits_trade",
+    "heaps_fit",
 ]
 
 
