@@ -356,6 +356,49 @@ def main() -> None:
     out["span_strip_total_tokens"] = int(sagg["nt"])
     out["t_span_strip"] = round(time.time() - t0, 2)
 
+    # ---- breadth-wave machinery on the scaled corpus/embeddings ----
+    from orientdb_etl_spark.functions.decontam import semantic_decontaminate
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    # semantic decontamination: scaled train (factor× re-keyed embeddings)
+    # vs an eval set of every 10th BASE vector — every re-keyed copy of an
+    # eval member must drop (exact cosine 1), so survivors are checkable
+    big_emb = emb
+    for i in range(1, factor):
+        big_emb = big_emb.unionAll(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+        )
+    big_emb = big_emb.localCheckpoint(eager=True)
+    ev = emb.where(F.col("vec_id") % 10 == 0).select("embedding")
+    t0 = time.time()
+    out["semdecon_train"] = big_emb.count()
+    out["semdecon_survivors"] = semantic_decontaminate(
+        big_emb, ev, "embedding", "vec_id", threshold=0.97
+    ).count()
+    out["t_semantic_decontam"] = round(time.time() - t0, 2)
+
+    # grid-density clustering: factor× points from re-keyed user ids —
+    # cell count is FIXED by geometry, so dense-cell state must not grow
+    pts = big_emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("((vec_id + 17) % 1000003) * 2654435761 % 4000").alias("x"),
+        F.expr("((vec_id + 71) % 1000003) * 2654435761 % 4000").alias("y"),
+    )
+    t0 = time.time()
+    labeled = grid_density_clusters(pts, "id", "x", "y", eps=250, min_pts=8)
+    gagg = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster").alias("k"),
+        F.sum(F.col("cluster").isNull().cast("long")).alias("noise"),
+    ).first()
+    out["grid_points"] = int(gagg["n"])
+    out["grid_clusters"] = int(gagg["k"])
+    out["grid_noise_points"] = int(gagg["noise"])
+    out["t_grid_clusters"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
 
 
