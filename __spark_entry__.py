@@ -5983,6 +5983,32 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(docs, "text", "doc_id")
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (Li-Li-Venkatasubramanian ICDE'07):
+    per market-segment equivalence class, ordered EMD of the account-
+    balance-band distribution vs global — cumulative deviations as
+    EXACT BIGINTs (|cum_c·N − cum_g·n|), one double division at the
+    end, so the audit replays bit-for-bit."""
+    from orientdb_etl_spark.functions.privacy import t_closeness_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+    )
+    return t_closeness_audit(cust, ["c_mktsegment"], "bal_band", t=0.05)
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. ICML'09) of document text
+    into fixed 32-dim signed count vectors — vocabulary-free, stateless
+    vectorization; the portable base-31 hash twin replays every vector
+    bit-for-bit (production uses xxhash64, same plan shape)."""
+    from orientdb_etl_spark.functions.preprocess import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, "text", "doc_id", dims=32, portable=True)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6411,6 +6437,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kmv_distinct": q_kmv,
             "hits_trade": q_hits,
             "heaps_fit": q_heaps,
+            # round 5 (breadth wave 4): release-audit EMD, hashing trick
+            "t_closeness": q_t_closeness,
+            "feature_hash": q_feature_hash,
         }
     )
     return out
@@ -10624,5 +10653,59 @@ def oracle_sql() -> dict[str, str]:
         "round(exp(my - (cov / vx) * mx), 6) AS heaps_k, "
         "round(CASE WHEN vy > 0 THEN cov * cov / (vx * vy) END, 6) AS r2 "
         "FROM g"
+    )
+    sql["t_closeness"] = (
+        # exact-integer cumulative EMD: |cum_c*N - cum_g*n| as BIGINTs,
+        # one double division at the end (same chain order as Spark)
+        "WITH b AS (SELECT c_mktsegment AS q, "
+        "CAST(floor(c_acctbal / 2000) AS BIGINT) AS v FROM customer "
+        "WHERE c_acctbal IS NOT NULL), "
+        "cv AS (SELECT q, count(*) AS n FROM b GROUP BY 1), "
+        "gv AS (SELECT v, count(*) AS g FROM b GROUP BY 1), "
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS nn, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS m FROM b), "
+        "cl AS (SELECT q, v, count(*) AS c FROM b GROUP BY 1, 2), "
+        "grid AS (SELECT cv.q, cv.n, gv.v, gv.g, "
+        "CAST(coalesce(cl.c, 0) AS BIGINT) AS c "
+        "FROM cv CROSS JOIN gv LEFT JOIN cl "
+        "ON cl.q = cv.q AND cl.v = gv.v), "
+        "dev AS (SELECT q, n, "
+        "sum(c) OVER (PARTITION BY q ORDER BY v) AS cc, "
+        "sum(g) OVER (PARTITION BY q ORDER BY v) AS cg FROM grid), "
+        "num AS (SELECT q, n, tt.nn, tt.m, "
+        "CAST(sum(abs(cc * tt.nn - cg * n)) AS BIGINT) AS nm "
+        "FROM dev, tt GROUP BY 1, 2, 3, 4) "
+        "SELECT q AS c_mktsegment, n AS n_rows, "
+        "round(CASE WHEN m > 1 THEN nm / (CAST(nn AS DOUBLE) "
+        "* CAST(n AS DOUBLE) * CAST(m - 1 AS DOUBLE)) ELSE 0.0 END, 6) "
+        "AS t_emd, "
+        "CASE WHEN m > 1 THEN nm / (CAST(nn AS DOUBLE) "
+        "* CAST(n AS DOUBLE) * CAST(m - 1 AS DOUBLE)) ELSE 0.0 END > 0.05 "
+        "AS t_violation FROM num"
+    )
+    sql["feature_hash"] = (
+        # the portable base-31 per-step-mod hash, index = h % dims,
+        # sign = parity of h // dims; dense 32-wide assembly via a
+        # dims grid left join
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents "
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+        "t2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''), "
+        "hs AS (SELECT doc_id, list_reduce(list_prepend("
+        "CAST(11 AS BIGINT), list_transform("
+        "range(1, length(tok) + 1), "
+        "i -> CAST(ascii(tok[CAST(i AS INT)]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 4294967291) AS h "
+        "FROM t2), "
+        "pd AS (SELECT doc_id, CAST(h % 32 AS INT) AS d, "
+        "CAST(sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END) "
+        "AS BIGINT) AS w FROM hs GROUP BY 1, 2), "
+        "g AS (SELECT doc_id, unnest(range(0, 32)) AS d FROM "
+        "(SELECT DISTINCT doc_id FROM pd)), "
+        "fl AS (SELECT g.doc_id, g.d, "
+        "CAST(coalesce(pd.w, 0) AS BIGINT) AS w "
+        "FROM g LEFT JOIN pd ON pd.doc_id = g.doc_id AND pd.d = g.d) "
+        "SELECT doc_id AS id, list(w ORDER BY d) AS features "
+        "FROM fl GROUP BY doc_id"
     )
     return sql

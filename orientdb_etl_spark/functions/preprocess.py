@@ -357,3 +357,75 @@ def best_split(
         imp.alias("_raw_imp"),
     )
     return cand.orderBy("_raw_imp", "split_value").limit(1).drop("_raw_imp")
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dims: int = 64,
+    signed: bool = True,
+    seed: int = 11,
+    portable: bool = False,
+) -> DataFrame:
+    """Feature hashing ("the hashing trick" — Weinberger et al.
+    ICML'09): vectorize token text into a FIXED ``dims``-dimensional
+    integer count vector without ever building a vocabulary — index =
+    hash(token) mod dims, and (``signed``) a second hash bit contributes
+    ±1 so colliding tokens cancel in expectation instead of piling up.
+    The vectorizer of choice when the vocabulary is unbounded or the
+    pipeline must be stateless (no fit step, no vocab broadcast, new
+    tokens never break the schema).
+
+    The production hash is ``xxhash64`` (JVM-side, fast);
+    ``portable=True`` swaps in the base-31 codepoint polynomial mod the
+    32-bit prime — the ``minhash_signatures_portable`` twin discipline —
+    so the SQL oracle replays every vector bit-for-bit. Returns
+    ``(id, features)`` with ``features`` an ``array<bigint>`` of length
+    ``dims``.
+
+    Scale shape: one explode + ONE hash aggregation on (doc, dim) + a
+    per-doc map assembly (``map_from_entries`` over ≤ dims entries —
+    bounded); no vocabulary state, no joins. The fixed output width is
+    what makes the downstream matmul/ANN stages schema-stable at 100 TB.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if portable:
+        h = (
+            f"(aggregate(sequence(1, length(_tok)), cast({seed} as bigint), "
+            f"(acc, i) -> (acc * 31 + ascii(substring(_tok, i, 1))) "
+            f"% 4294967291))"
+        )
+    else:
+        h = f"abs(xxhash64(_tok, {seed}))"
+    idx = f"CAST({h} % {dims} AS INT)"
+    sign = (
+        f"CASE WHEN CAST({h} DIV {dims} AS BIGINT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+        if signed
+        else "1"
+    )
+    toks = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+    )
+    per_dim = (
+        toks.select("id", F.expr(idx).alias("_d"), F.expr(sign).alias("_s"))
+        .groupBy("id", "_d")
+        .agg(F.sum("_s").cast("bigint").alias("_w"))
+    )
+    assembled = per_dim.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_d"), F.col("_w")))
+        ).alias("_m")
+    )
+    fill = F.expr(
+        f"transform(sequence(0, {dims - 1}), "
+        f"d -> coalesce(element_at(_m, d), CAST(0 AS BIGINT)))"
+    )
+    return assembled.select("id", fill.alias("features"))

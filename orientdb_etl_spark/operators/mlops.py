@@ -1262,3 +1262,23 @@ def vocab_coverage_transformer(
 
     vocab = top_vocab(df, cfg["textField"], int(cfg.get("vocabSize", 30000)))
     return vocab_coverage(df, cfg["textField"], cfg["idField"], vocab)
+
+
+@register("featureHash")
+def feature_hash_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"featureHash": {"textField": "text", "idField": "doc_id",
+    "dims": 64, "signed": true, "seed": 11}} — vocabulary-free fixed-
+    width vectorization (the hashing trick; functions/preprocess.py)."""
+    from orientdb_etl_spark.functions.preprocess import feature_hash
+
+    return feature_hash(
+        df,
+        cfg["textField"],
+        cfg["idField"],
+        dims=int(cfg.get("dims", 64)),
+        signed=bool(cfg.get("signed", True)),
+        seed=int(cfg.get("seed", 11)),
+        portable=bool(cfg.get("portable", False)),
+    )

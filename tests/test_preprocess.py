@@ -217,3 +217,67 @@ def test_best_split_tie_breaks_to_smallest_threshold(spark):
     df = spark.createDataFrame(rows, "x double, y int")
     r = best_split(df, "x", "y").collect()[0]
     assert r.split_value == 0.0 and r.gini_parent == 0.0
+
+
+# ---------------------------------------------------------- feature hash
+
+
+def test_feature_hash_shape_and_determinism(spark):
+    from orientdb_etl_spark.functions.preprocess import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x y"), (3, "")], "doc_id bigint, text string"
+    )
+    out = {r.id: list(r.features)
+           for r in feature_hash(docs, "text", "doc_id", dims=16).collect()}
+    assert set(out) == {1, 2}  # empty doc yields no tokens -> no row
+    assert all(len(v) == 16 for v in out.values())
+    # total absolute mass <= token count (signed collisions can cancel)
+    assert sum(abs(x) for x in out[1]) <= 4
+    # repartitioning never changes the vectors
+    out2 = {r.id: list(r.features)
+            for r in feature_hash(
+                docs.repartition(5), "text", "doc_id", dims=16).collect()}
+    assert out == out2
+
+
+def test_feature_hash_unsigned_counts(spark):
+    from orientdb_etl_spark.functions.preprocess import feature_hash
+
+    docs = spark.createDataFrame([(1, "w w w")], "doc_id bigint, text string")
+    v = feature_hash(docs, "text", "doc_id", dims=8, signed=False).collect()[0]
+    assert sum(v.features) == 3 and max(v.features) == 3
+
+
+def test_feature_hash_portable_matches_duckdb_recipe(spark):
+    import duckdb
+
+    from orientdb_etl_spark.functions.preprocess import feature_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared word{i % 3}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: list(r.features)
+           for r in feature_hash(
+               docs, "text", "doc_id", dims=8, portable=True).collect()}
+    rows = ", ".join(
+        f"({i}, 'tok{i} shared word{i % 3}')" for i in range(20)
+    )
+    want = dict(duckdb.sql(
+        "WITH d(doc_id, text) AS (VALUES " + rows + "), "
+        "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d), "
+        "hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(11 AS BIGINT), "
+        "list_transform(range(1, length(tok) + 1), "
+        "i -> CAST(ascii(tok[CAST(i AS INT)]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 4294967291) AS h FROM tk WHERE tok <> ''), "
+        "pd AS (SELECT doc_id, CAST(h % 8 AS INT) AS dd, "
+        "CAST(sum(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w "
+        "FROM hs GROUP BY 1, 2), "
+        "g AS (SELECT doc_id, unnest(range(0, 8)) AS dd FROM "
+        "(SELECT DISTINCT doc_id FROM pd)), "
+        "fl AS (SELECT g.doc_id, g.dd, CAST(coalesce(pd.w, 0) AS BIGINT) AS w "
+        "FROM g LEFT JOIN pd ON pd.doc_id = g.doc_id AND pd.dd = g.dd) "
+        "SELECT doc_id, list(w ORDER BY dd) FROM fl GROUP BY doc_id"
+    ).fetchall())
+    assert got == {k: list(v) for k, v in want.items()}

@@ -115,3 +115,44 @@ def test_erasure_audit_validation(spark):
     df = spark.createDataFrame([(1,)], "uid int")
     with _pt.raises(ValueError, match="at least one table"):
         erasure_audit(df, "uid", {})
+
+
+# ------------------------------------------------------------ t-closeness
+
+
+def test_t_closeness_hand_computed(spark):
+    from orientdb_etl_spark.functions.privacy import t_closeness_audit
+
+    # global: v=0 x4, v=1 x4 (N=8, m=2). class A all v=0 -> EMD = 0.5;
+    # class B balanced 2/2 -> EMD = 0
+    rows = [("A", 0)] * 4 + [("B", 0)] * 0 + [("B", 0), ("B", 0)] * 0
+    rows = [("A", 0)] * 4 + [("B", 0), ("B", 0), ("B", 1), ("B", 1)]
+    # adjust globals: A has 4x v0; B has 2x v0 + 2x v1 -> global 6x v0, 2x v1
+    df = spark.createDataFrame(rows, "q string, v bigint")
+    out = {r.q: (r.n_rows, r.t_emd, r.t_violation)
+           for r in t_closeness_audit(df, ["q"], "v", t=0.2).collect()}
+    # N=8, gv0=6, gv1=2, m=2. A: cum_c=4, cum_g=6, |4*8-6*4|=8 ->
+    # emd = 8/(8*4*1) = 0.25. B: |2*8-6*4| = 8 -> emd = 8/(8*4*1) = 0.25
+    assert out["A"] == (4, 0.25, True)
+    assert out["B"] == (4, 0.25, True)
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    from orientdb_etl_spark.functions.privacy import t_closeness_audit
+
+    rows = [(q, v) for q in ("A", "B") for v in (0, 1, 2) for _ in range(5)]
+    df = spark.createDataFrame(rows, "q string, v bigint")
+    for r in t_closeness_audit(df, ["q"], "v", t=0.05).collect():
+        assert r.t_emd == 0.0 and not r.t_violation
+
+
+def test_t_closeness_validates_params(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.privacy import t_closeness_audit
+
+    df = spark.createDataFrame([("A", 1)], "q string, v bigint")
+    with pytest.raises(ValueError):
+        t_closeness_audit(df, [], "v")
+    with pytest.raises(ValueError):
+        t_closeness_audit(df, ["q"], "v", t=0.0)
