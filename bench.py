@@ -312,6 +312,8 @@ HEADLINE = [
     "kmv_distinct",
     "hits_trade",
     "heaps_fit",
+    "t_closeness",
+    "feature_hash",
 ]
 
 
