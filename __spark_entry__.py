@@ -6009,6 +6009,47 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(docs, "text", "doc_id", dims=32, portable=True)
 
 
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-1968 subclassification: event-type-stratified treated-
+    minus-control value difference, size-weighted — naive_diff vs ate
+    shows the composition confounding; exact-cent per-stratum sums, one
+    grouped + one scalar aggregation."""
+    from orientdb_etl_spark.functions.stats import stratified_ate
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        "value",
+        "event_type",
+    )
+    return stratified_ate(ev, "treat", "value", "event_type")
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast (Op. Res. Q. 1972) over
+    sparse per-cohort hourly purchase counts: bounded-lookback EWMA of
+    nonzero sizes and of inter-demand gaps, forecast = size/interval;
+    oracle replays the identical lag-sum weights (the holt generator
+    discipline)."""
+    from orientdb_etl_spark.operators.temporal import croston
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy(
+            (F.col("user_id") % 10).alias("cohort"),
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)"
+            ).alias("hb"),
+        )
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return croston(series, ["cohort"], "hb", "d").orderBy("cohort")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6440,6 +6481,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (breadth wave 4): release-audit EMD, hashing trick
             "t_closeness": q_t_closeness,
             "feature_hash": q_feature_hash,
+            # round 5 (breadth wave 5): subclassification ATE, Croston
+            "stratified_ate": q_stratified_ate,
+            "croston": q_croston,
         }
     )
     return out
@@ -10708,4 +10752,76 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id AS id, list(w ORDER BY d) AS features "
         "FROM fl GROUP BY doc_id"
     )
+    sql["stratified_ate"] = (
+        # per-stratum exact-cent sums -> fixed double chains; strata
+        # missing an arm excluded from numerator AND denominator
+        "WITH b AS (SELECT user_id % 2 = 0 AS t, event_type AS s, "
+        "CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q "
+        "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "per AS (SELECT s, "
+        "CAST(sum(CASE WHEN t THEN q ELSE 0 END) AS BIGINT) AS st, "
+        "CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt, "
+        "CAST(sum(CASE WHEN NOT t THEN q ELSE 0 END) AS BIGINT) AS sc, "
+        "CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc "
+        "FROM b GROUP BY 1), "
+        "g AS (SELECT count(*) AS n_strata, "
+        "CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_used_strata, "
+        "CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc ELSE 0 END) "
+        "AS BIGINT) AS n_rows_used, "
+        "sum(CASE WHEN nt > 0 AND nc > 0 THEN "
+        "(st / CAST(nt AS DOUBLE) - sc / CAST(nc AS DOUBLE)) "
+        "* CAST(nt + nc AS DOUBLE) ELSE 0.0 END) AS wsum, "
+        "CAST(sum(st) AS BIGINT) AS gst, "
+        "CAST(sum(nt) AS BIGINT) AS gnt, "
+        "CAST(sum(sc) AS BIGINT) AS gsc, "
+        "CAST(sum(nc) AS BIGINT) AS gnc FROM per) "
+        "SELECT n_strata, n_used_strata, n_rows_used, "
+        "round((gst / CAST(gnt AS DOUBLE) - gsc / CAST(gnc AS DOUBLE)) "
+        "/ 100, 6) AS naive_diff, "
+        "round(wsum / CAST(n_rows_used AS DOUBLE) / 100, 6) AS ate FROM g"
+    )
+
+    def _croston_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
+        # the holt-generator discipline: identical Python float weight
+        # reprs drive both engines' lag-sum chains
+        def parts(col: str) -> tuple[str, str]:
+            num, den = [], []
+            for i in range(lookback):
+                wr = repr((1.0 - alpha) ** i)
+                x = col if i == 0 else f"lag({col}, {i}) OVER w2"
+                num.append(
+                    f"CASE WHEN {x} IS NOT NULL THEN ({x}) * {wr} "
+                    "ELSE 0.0 END"
+                )
+                den.append(f"CASE WHEN {x} IS NOT NULL THEN {wr} ELSE 0.0 END")
+            return " + ".join(num), " + ".join(den)
+
+        zn, zd = parts("dv")
+        pn, pd_ = parts("gap")
+        return (
+            "WITH s AS (SELECT user_id % 10 AS cohort, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) "
+            "AS hb, count(*) AS d FROM events "
+            "WHERE event_type = 'purchase' AND ts IS NOT NULL "
+            "AND user_id IS NOT NULL GROUP BY 1, 2), "
+            "nz AS (SELECT cohort, hb, CAST(d AS DOUBLE) AS dv, "
+            "CAST(hb - lag(hb) OVER "
+            "(PARTITION BY cohort ORDER BY hb) AS DOUBLE) AS gap "
+            "FROM s WHERE d > 0 AND d IS NOT NULL AND hb IS NOT NULL), "
+            "sm AS (SELECT cohort, hb, "
+            f"CASE WHEN {zd} > 0 THEN ({zn}) / ({zd}) END AS z, "
+            f"CASE WHEN {pd_} > 0 THEN ({pn}) / ({pd_}) END AS p, "
+            "row_number() OVER "
+            "(PARTITION BY cohort ORDER BY hb DESC) AS rn, "
+            "count(*) OVER (PARTITION BY cohort) AS n_demand_periods "
+            "FROM nz WINDOW w2 AS (PARTITION BY cohort ORDER BY hb)) "
+            "SELECT cohort, n_demand_periods, round(z, 6) AS size_level, "
+            "round(p, 6) AS interval_level, "
+            "round(CASE WHEN p > 0 THEN z / p END, 6) AS forecast "
+            "FROM sm WHERE rn = 1 ORDER BY cohort"
+        )
+
+    sql["croston"] = _croston_oracle()
     return sql

@@ -2295,3 +2295,75 @@ def diff_in_diff(
     ns = [F.col(f"_n_{n}").alias(f"n_{n}") for n in
           ("c_pre", "c_post", "t_pre", "t_post")]
     return agg.select(*ns, *out, F.round(did, round_to).alias("did"))
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Stratified-adjustment treatment-effect estimate (Cochran 1968
+    subclassification): within each stratum compute the treated-minus-
+    control outcome difference, then average the differences weighted by
+    stratum size — the covariate-adjusted estimate that removes the
+    confounding a raw mean difference absorbs. The observational
+    companion of :func:`diff_in_diff` (time confounding) and
+    :func:`cuped` (variance): this one handles COMPOSITION confounding.
+
+    Common support: strata missing either arm contribute nothing and
+    are excluded from the weighting denominator too (the standard
+    subclassification rule); ``n_dropped_strata`` reports how many fell.
+    Returns one row ``(n_strata, n_used_strata, n_rows_used, naive_diff,
+    ate)`` — compare ``naive_diff`` vs ``ate`` to see the confounding.
+
+    Exact-integer discipline: per-stratum sums are BIGINT cents; each
+    stratum's difference is a fixed double chain over exact integers;
+    the weighted average divides once at the end. One grouped
+    aggregation + one scalar aggregation — no joins, no windows.
+    """
+    q = F.floor(F.col(outcome_col).cast("double") * scale).cast("bigint")
+    t = F.col(treat_col).cast("boolean")
+    base = df.where(
+        t.isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(stratum_col).isNotNull()
+    )
+    per = base.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.sum(F.when(t, q).otherwise(0)).alias("_st"),
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("_nt"),
+        F.sum(F.when(~t, q).otherwise(0)).alias("_sc"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("_nc"),
+    )
+    used = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    diff = (
+        F.col("_st") / F.col("_nt").cast("double")
+        - F.col("_sc") / F.col("_nc").cast("double")
+    )
+    n_s = F.col("_nt") + F.col("_nc")
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(used.cast("long")).cast("bigint").alias("n_used_strata"),
+        F.sum(F.when(used, n_s).otherwise(0)).cast("bigint").alias("n_rows_used"),
+        F.sum(F.when(used, diff * n_s.cast("double")).otherwise(0.0)).alias(
+            "_wsum"
+        ),
+        F.sum("_st").alias("_gst"),
+        F.sum("_nt").cast("bigint").alias("_gnt"),
+        F.sum("_sc").alias("_gsc"),
+        F.sum("_nc").cast("bigint").alias("_gnc"),
+    )
+    naive = (
+        F.col("_gst") / F.col("_gnt").cast("double")
+        - F.col("_gsc") / F.col("_gnc").cast("double")
+    ) / scale
+    ate = F.col("_wsum") / F.col("n_rows_used").cast("double") / scale
+    return g.select(
+        "n_strata",
+        "n_used_strata",
+        "n_rows_used",
+        F.round(naive, round_to).alias("naive_diff"),
+        F.round(ate, round_to).alias("ate"),
+    )

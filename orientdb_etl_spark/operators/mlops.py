@@ -1282,3 +1282,22 @@ def feature_hash_transformer(
         seed=int(cfg.get("seed", 11)),
         portable=bool(cfg.get("portable", False)),
     )
+
+
+@register("stratifiedAte")
+def stratified_ate_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"stratifiedAte": {"treatField", "outcomeField", "stratumField",
+    "scale": 100}} — Cochran subclassification treatment-effect
+    estimate (functions/stats.py); compare naive_diff vs ate to see the
+    composition confounding."""
+    from orientdb_etl_spark.functions.stats import stratified_ate
+
+    return stratified_ate(
+        df,
+        cfg["treatField"],
+        cfg["outcomeField"],
+        cfg["stratumField"],
+        scale=int(cfg.get("scale", 100)),
+    )

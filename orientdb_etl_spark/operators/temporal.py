@@ -1627,3 +1627,104 @@ def ohlc_bars(
             "n_ticks",
         )
     )
+
+
+def croston(
+    df: DataFrame,
+    keys: str | list[str],
+    t_col: str,
+    demand_col: str,
+    alpha: float = 0.3,
+    lookback: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston, Op. Res. Q.
+    1972): forecast series that are mostly zeros (spare parts, long-tail
+    SKUs, rare events) by smoothing two things separately over the
+    NONZERO observations — the demand size and the inter-demand interval
+    — and forecasting ``size / interval`` demand per period. Plain
+    exponential smoothing (:func:`ewma`/:func:`holt`) biases toward zero
+    right after each demand spike; Croston's decomposition is the
+    standard fix.
+
+    Input is a bucketed series ``(keys, t, demand)`` with ``t`` an
+    integer period index (zero periods may be present or omitted — only
+    nonzero rows carry signal; intervals come from the ``t`` gaps).
+    Returns one row per key: ``(keys, n_demand_periods, size_level,
+    interval_level, forecast)``.
+
+    Both levels use the repo's bounded-lookback EWMA form (``lookback``
+    lag() expressions over ONE keyed exchange — no sequential state, the
+    :func:`ewma` scale argument), with Python-float-literal weights so
+    engines cannot disagree. The first nonzero row has no interval and
+    drops out of the interval smoothing's numerator AND normalizer.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    keys = _as_list(keys)
+    nz = df.where(
+        F.col(demand_col).isNotNull()
+        & (F.col(demand_col) > 0)
+        & F.col(t_col).isNotNull()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(t_col).cast("bigint"))
+    gap = (
+        F.col(t_col).cast("bigint") - F.lag(F.col(t_col).cast("bigint")).over(w)
+    ).cast("double")
+    nz = nz.withColumn("_gap", gap)
+
+    def _smooth(col: F.Column) -> F.Column:
+        num, den = F.lit(0.0), F.lit(0.0)
+        for i in range(lookback):
+            weight = (1.0 - alpha) ** i
+            x = col if i == 0 else F.lag(col, i).over(w)
+            num = num + F.when(
+                x.isNotNull(), x * F.lit(weight)
+            ).otherwise(F.lit(0.0))
+            den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(
+                F.lit(0.0)
+            )
+        return F.when(den > 0, num / den)
+
+    scored = nz.select(
+        *keys,
+        F.col(t_col).cast("bigint").alias("_t"),
+        _smooth(F.col(demand_col).cast("double")).alias("_z"),
+        _smooth(F.col("_gap")).alias("_p"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*keys).orderBy(
+                F.col(t_col).cast("bigint").desc()
+            )
+        )
+        .alias("_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*keys))
+        .alias("n_demand_periods"),
+    )
+    return scored.where(F.col("_rn") == 1).select(
+        *keys,
+        "n_demand_periods",
+        F.round("_z", round_to).alias("size_level"),
+        F.round("_p", round_to).alias("interval_level"),
+        F.round(
+            F.when(F.col("_p") > 0, F.col("_z") / F.col("_p")), round_to
+        ).alias("forecast"),
+    )
+
+
+@register("croston")
+def croston_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """Config form: {"croston": {"by": ["sku"], "on": "t",
+    "demandField": "qty", "alpha": 0.3, "lookback": 8}} — intermittent-
+    demand forecast per key."""
+    return croston(
+        df,
+        keys=cfg.get("by") or [],
+        t_col=cfg["on"],
+        demand_col=cfg["demandField"],
+        alpha=float(cfg.get("alpha", 0.3)),
+        lookback=int(cfg.get("lookback", 8)),
+    )

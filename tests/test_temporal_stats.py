@@ -574,3 +574,67 @@ def test_collapse_runs_duration_bounds(spark):
     ]
     r = collapse_runs(_ev(spark, rows), "user_id", "ts", "event_type").collect()[0]
     assert r.end_es - r.start_es == 600
+
+
+# --------------------------------------------------------------- croston
+
+
+def test_croston_hand_computed_single_key(spark):
+    from orientdb_etl_spark.operators.temporal import croston
+
+    # nonzero demands at t=0 (4), t=2 (6): gaps = [None, 2]
+    # alpha=0.5, lookback=2 -> weights 1.0, 0.5
+    # at the last row: z = (6*1 + 4*0.5)/1.5 = 16/3; p = 2 (only one gap)
+    rows = [(1, 0, 4), (1, 1, 0), (1, 2, 6)]
+    df = spark.createDataFrame(rows, "k int, t bigint, d int")
+    r = croston(df, ["k"], "t", "d", alpha=0.5, lookback=2).collect()[0]
+    assert r.n_demand_periods == 2
+    assert r.size_level == round(16 / 3, 6)
+    assert r.interval_level == 2.0
+    assert r.forecast == round(16 / 3 / 2, 6)
+
+
+def test_croston_zero_only_key_absent_and_validation(spark):
+    import pytest
+
+    from orientdb_etl_spark.operators.temporal import croston
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 0), (2, 1, 0)], "k int, t bigint, d int"
+    )
+    out = croston(df, ["k"], "t", "d").collect()
+    assert [r.k for r in out] == [1]  # all-zero series has no forecast
+    # single demand: no gap -> interval NULL -> forecast NULL
+    assert out[0].interval_level is None and out[0].forecast is None
+    with pytest.raises(ValueError):
+        croston(df, ["k"], "t", "d", alpha=0)
+
+
+# --------------------------------------------------------- stratified ATE
+
+
+def test_stratified_ate_removes_composition_confounding(spark):
+    from orientdb_etl_spark.functions.stats import stratified_ate
+
+    # Within each stratum the true effect is +1. Treated rows are
+    # over-represented in the high-outcome stratum, so the naive diff
+    # is inflated; the stratified estimate recovers +1 exactly.
+    rows = (
+        [(True, 11.0, "hi")] * 30 + [(False, 10.0, "hi")] * 10
+        + [(True, 2.0, "lo")] * 10 + [(False, 1.0, "lo")] * 30
+    )
+    df = spark.createDataFrame(rows, "treat boolean, y double, s string")
+    r = stratified_ate(df, "treat", "y", "s").collect()[0]
+    assert r.ate == 1.0
+    assert r.naive_diff > 3.0  # confounded
+    assert (r.n_strata, r.n_used_strata, r.n_rows_used) == (2, 2, 80)
+
+
+def test_stratified_ate_drops_single_arm_strata(spark):
+    from orientdb_etl_spark.functions.stats import stratified_ate
+
+    rows = [(True, 5.0, "both"), (False, 3.0, "both"), (True, 99.0, "t_only")]
+    df = spark.createDataFrame(rows, "treat boolean, y double, s string")
+    r = stratified_ate(df, "treat", "y", "s").collect()[0]
+    assert (r.n_strata, r.n_used_strata, r.n_rows_used) == (2, 1, 2)
+    assert r.ate == 2.0
