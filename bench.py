@@ -314,6 +314,8 @@ HEADLINE = [
     "heaps_fit",
     "t_closeness",
     "feature_hash",
+    "stratified_ate",
+    "croston",
 ]
 
 
