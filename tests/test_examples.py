@@ -465,3 +465,33 @@ def test_config_span_dedup_report_example(spark):
     total_exposed = sum(r.n_dup_grams for r in rows)
     total_removed = sum(c.removed_tokens for c in cleaned.values())
     assert (total_removed > 0) == (total_exposed > 0)
+
+
+def test_config_corpus_audit_example(spark):
+    """Corpus-audit config: Heaps growth, OOV rate, span-corruption
+    mask audit, and the AMS F2 sketch all ride output side branches;
+    the main lineage carries readability-scored docs through."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-corpus-audit.json"))
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    res = Pipeline(cfg, spark=spark).register_table("documents", docs).run()
+    n_docs = docs.count()
+    main = res.outputs["scored_docs"]
+    assert main.count() == n_docs
+    assert "readability" in main.columns
+    growth = res.outputs["vocab_growth"].collect()[0]
+    assert growth.n_docs == n_docs and growth.vocab > 0
+    # the synthetic fixture vocabulary saturates immediately
+    assert growth.heaps_beta < 0.2
+    oov = res.outputs["oov_audit"]
+    assert oov.count() == n_docs
+    mask = res.outputs["mask_audit"]
+    stats = mask.agg({"mask_frac": "max", "n_spans": "min"}).collect()[0]
+    assert stats[0] is None or stats[0] <= 0.15 + 1e-9
+    f2 = res.outputs["key_skew_sketch"].collect()[0]
+    # doc_id is unique -> exact F2 == row count (no skew mass)
+    assert f2.exact_f2 == n_docs
