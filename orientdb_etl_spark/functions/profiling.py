@@ -171,19 +171,18 @@ def heavy_hitters(
     diagnostic you run before choosing join/salting strategy for a key.
 
     groupBy(key) is the only full shuffle and it moves (key, partial
-    count) pairs, not rows; the total-share window and the top-k both
-    operate on the aggregated frame (|distinct keys| rows), and the
-    orderBy+limit compiles to TakeOrderedAndProject."""
-    from pyspark.sql import Window
-
+    count) pairs, not rows; the total arrives as a broadcast scalar (one
+    aggregate — never a global window over the key frame, which would
+    funnel every distinct key through one task), and the orderBy+limit
+    compiles to TakeOrderedAndProject."""
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = Window.partitionBy()
+    total = counts.agg(F.sum("n").alias("_tot"))
     return (
-        counts.withColumn(
-            "share", F.round(F.col("n") / F.sum("n").over(total), round_share)
-        )
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("_tot"), round_share))
+        .drop("_tot")
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(k)
     )

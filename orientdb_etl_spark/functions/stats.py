@@ -271,11 +271,15 @@ def ks_2sample(
     one row ``(n_a, n_b, d_stat, d_crit, significant)`` with the 5%
     critical value 1.358·√((n_a+n_b)/(n_a·n_b)).
 
-    Scale shape: hash-aggregate on value (one shuffle), then a single
-    ordered window over the distinct-value frame — far smaller than the
-    input whenever values repeat; a final scalar max. The unpartitioned
-    window is over the aggregated frame only.
+    Scale shape: hash-aggregate on value (one shuffle); BOTH cumulative
+    ECDF counts come from the range-partitioned exclusive prefix over
+    the distinct-value frame — a continuous metric's distinct-value
+    frame is input-sized, so a global ORDER BY window here would funnel
+    it through one task (the mann_whitney midrank lesson); a final
+    scalar max.
     """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
     a = F.col(group_col) == group_a
     b = F.col(group_col) == group_b
     per_v = (
@@ -287,10 +291,11 @@ def ks_2sample(
         )
     )
     totals = per_v.agg(F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b"))
-    w = Window.partitionBy().orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("_ca").over(w).alias("_fa"),
-        F.sum("_cb").over(w).alias("_fb"),
+    pre = exclusive_prefix(per_v, ["_v"], "_ca", "sum", "_pa", "bigint")
+    pre = exclusive_prefix(pre, ["_v"], "_cb", "sum", "_pb", "bigint")
+    cum = pre.select(
+        (F.coalesce(F.col("_pa"), F.lit(0)) + F.col("_ca")).alias("_fa"),
+        (F.coalesce(F.col("_pb"), F.lit(0)) + F.col("_cb")).alias("_fb"),
     )
     tot = (
         cum.join(F.broadcast(totals))

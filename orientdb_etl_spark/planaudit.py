@@ -52,6 +52,30 @@ def _formatted(df: DataFrame) -> str:
     )
 
 
+def _window_feeds_single_partition(df: DataFrame) -> bool:
+    """Structural check for the global-window funnel: a ``Window`` node
+    (not the partial ``WindowGroupLimit``) whose INPUT chain — the next
+    few tree lines below it, i.e. at most a Sort away — is an
+    ``Exchange SinglePartition``. Mere co-occurrence of a single-
+    partition exchange elsewhere in the plan (the usual 1-row scalar
+    aggregate feeding a broadcast) must NOT fire this rule."""
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    lines = simple.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow \[", ln) is None:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Exchange SinglePartition" in nxt:
+                return True
+            # the window's own input chain may route through a Sort (or
+            # an AQE shuffle-read wrapper); any OTHER exchange kind or
+            # operator means the input is properly partitioned
+            if re.search(r"\bSort \[|ShuffleQueryStage|AQEShuffleRead", nxt):
+                continue
+            break
+    return False
+
+
 def audit_plan(df: DataFrame, max_read_cols: int | None = 24) -> list[dict]:
     """Lint ``df``'s physical plan; returns findings most-severe first
     (empty list = nothing flagged). See module docstring for rules."""
@@ -99,17 +123,16 @@ def audit_plan(df: DataFrame, max_read_cols: int | None = 24) -> list[dict]:
                 "it when the logic is expressible.",
             }
         )
-    if (
-        "Exchange SinglePartition" in plan or "Arguments: SinglePartition" in plan
-    ) and "Window" in plan:
+    if _window_feeds_single_partition(df):
         out.append(
             {
                 "rule": "global_window",
                 "severity": "error",
-                "detail": "Exchange SinglePartition with a Window in the "
-                "plan: an unpartitioned ORDER BY window funnels every row "
-                "through one task. Partition the window, or use the "
-                "range-partitioned exclusive-prefix pattern.",
+                "detail": "A Window's input chain is an Exchange "
+                "SinglePartition: an unpartitioned ORDER BY window "
+                "funnels every row through one task. Partition the "
+                "window, or use the range-partitioned exclusive-prefix "
+                "pattern.",
             }
         )
     if re.search(r"Exchange rangepartitioning", plan) and "Sort" in plan and (

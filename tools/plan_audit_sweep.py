@@ -1,0 +1,115 @@
+"""Plan-audit sweep: run the static 100-TB plan lint over EVERY query
+in the registry and write a committed findings artifact.
+
+This is the dogfooding pass for ``planaudit.audit_plan``: each
+``queries_all()`` entry is planned at sf0.001 (planning only — no
+execution) and its findings recorded, so a reviewer can see at a glance
+which plans carry which shapes and that no query carries an ``error``-
+severity hazard (cartesian product, row-at-a-time Python, global-window
+funnel). ``warn``/``info`` findings are expected for specific
+documented shapes — 1-row scalar broadcasts (nested_loop_join),
+computed-column filters (unpushed_filter), and Arrow-batched stages
+(arrow_python) — the artifact names them per query instead of asserting
+them away.
+
+    python tools/plan_audit_sweep.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+from orientdb_etl_spark import get_spark  # noqa: E402
+from orientdb_etl_spark.planaudit import audit_plan  # noqa: E402
+
+
+#: Queries whose flagged global window runs over a frame BOUNDED BY
+#: CONSTRUCTION (never input-sized) — the finding is kept in the
+#: artifact but annotated, with the bound stated. Anything flagged and
+#: NOT listed here is a regression to fix (heavy_hitters and ks_test
+#: were exactly that, and were rewritten to broadcast-scalar /
+#: exclusive-prefix shapes when this sweep first ran).
+BOUNDED_WINDOW_OK = {
+    "gains_chart": "cumulative pass over the n_buckets-row frame (10)",
+    "growth_accounting": "period frame — bounded by the calendar range",
+    "neyman_allocation": "largest-remainder rank over the strata frame",
+    "psi_drift": "PSI total over the bucket frame (spec-fixed buckets)",
+    "quantile_map": "forward-fill over the 101-row reference curve",
+    "seasonal_decompose": "moving average over the time-bucket series",
+    "contribution": "rank over the per-dimension-member delta frame",
+    "ranking_eval": "per-query rank frames (k-bounded candidate lists)",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANAUDIT.json"
+    spark = get_spark("plan_audit_sweep")
+    queries = entry.queries_all()
+    findings: dict[str, list[dict]] = {}
+    errors: dict[str, str] = {}
+    t0 = time.time()
+    for name, fn in queries.items():
+        try:
+            findings[name] = audit_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — a sweep must finish
+            errors[name] = f"{type(e).__name__}: {e}"
+    by_rule: dict[str, int] = {}
+    by_sev: dict[str, int] = {}
+    for fs in findings.values():
+        for f in fs:
+            by_rule[f["rule"]] = by_rule.get(f["rule"], 0) + 1
+            by_sev[f["severity"]] = by_sev.get(f["severity"], 0) + 1
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(queries),
+        "n_planned": len(findings),
+        "n_clean": sum(1 for fs in findings.values() if not fs),
+        "by_severity": by_sev,
+        "by_rule": by_rule,
+        "errors": errors,
+        "elapsed_s": round(time.time() - t0, 1),
+        "findings": {
+            n: [
+                {
+                    "rule": f["rule"],
+                    "severity": f["severity"],
+                    **(
+                        {"bounded_frame": BOUNDED_WINDOW_OK[n]}
+                        if f["rule"] == "global_window"
+                        and n in BOUNDED_WINDOW_OK
+                        else {}
+                    ),
+                }
+                for f in fs
+            ]
+            for n, fs in findings.items()
+            if fs
+        },
+        "unaccounted_global_windows": sorted(
+            n
+            for n, fs in findings.items()
+            if any(f["rule"] == "global_window" for f in fs)
+            and n not in BOUNDED_WINDOW_OK
+        ),
+    }
+    Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True))
+    print(
+        json.dumps(
+            {k: out[k] for k in
+             ("n_queries", "n_planned", "n_clean", "by_severity", "by_rule",
+              "elapsed_s")}
+        )
+    )
+    if errors:
+        print(f"PLAN ERRORS: {errors}")
+
+
+if __name__ == "__main__":
+    main()
