@@ -6050,6 +6050,49 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     return croston(series, ["cohort"], "hb", "d").orderBy("cohort")
 
 
+def q_prob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier + log loss over deterministic hash-derived purchase
+    probabilities (correlated with the label by construction): Brier as
+    an exact quantized-BIGINT sum, log loss as the bigram_logprob-style
+    double sum — the proper-scoring companions of roc_auc/calibration."""
+    from orientdb_etl_spark.functions.mleval import prob_scores
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    h = "(user_id * 31 + event_id) % 1000"
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr(f"({h}) / 1000.0 * 0.6 + 0.35"),
+        )
+        .otherwise(F.expr(f"({h}) / 1000.0 * 0.6 + 0.05"))
+        .alias("p"),
+    )
+    return prob_scores(scored, "y", "p")
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval for event values under a crude
+    deterministic predictor: half-width = the ⌈(n+1)·0.9⌉-th smallest
+    calibration residual (exact BIGINT order statistic via the range-
+    partitioned prefix), coverage certified on the held-out third."""
+    from orientdb_etl_spark.functions.mleval import conformal_interval
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    )
+    pred = ev.select(
+        "event_id",
+        F.col("value").alias("y"),
+        (F.lit(50.0) + (F.col("user_id") % 20).cast("double")).alias("yhat"),
+    )
+    cal = pred.where(F.col("event_id") % 3 != 0)
+    test = pred.where(F.col("event_id") % 3 == 0)
+    return conformal_interval(cal, test, "y", "yhat", alpha_pct=10)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6484,6 +6527,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (breadth wave 5): subclassification ATE, Croston
             "stratified_ate": q_stratified_ate,
             "croston": q_croston,
+            # round 5 (breadth wave 6): proper scoring, conformal intervals
+            "prob_scores": q_prob_scores,
+            "conformal": q_conformal,
         }
     )
     return out
@@ -10824,4 +10870,52 @@ def oracle_sql() -> dict[str, str]:
         )
 
     sql["croston"] = _croston_oracle()
+    sql["prob_scores"] = (
+        # same deterministic hash-derived probabilities; Brier from the
+        # exact quantized-BIGINT sum, log loss from the clamped-integer
+        # double chain
+        "WITH s AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 "
+        "ELSE 0 END AS y, "
+        "CASE WHEN event_type = 'purchase' THEN "
+        "((user_id * 31 + event_id) % 1000) / 1000.0 * 0.6 + 0.35 "
+        "ELSE ((user_id * 31 + event_id) % 1000) / 1000.0 * 0.6 + 0.05 "
+        "END AS p FROM events "
+        "WHERE user_id IS NOT NULL AND event_id IS NOT NULL), "
+        "q AS (SELECT y, "
+        "CAST(floor(p * 1000000) AS BIGINT) AS pq, "
+        "greatest(least(CAST(floor(p * 1000000) AS BIGINT), 999999), 1) "
+        "AS pqc FROM s), "
+        "g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np, "
+        "CAST(sum((pq - y * 1000000) * (pq - y * 1000000)) AS BIGINT) "
+        "AS sq, "
+        "sum(CASE WHEN y = 1 THEN ln(CAST(pqc AS DOUBLE) / 1000000) "
+        "ELSE ln(1.0 - CAST(pqc AS DOUBLE) / 1000000) END) AS ll FROM q) "
+        "SELECT n, round(np / CAST(n AS DOUBLE), 6) AS pos_rate, "
+        "round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) "
+        "/ 1000000.0 / 1000000.0, 6) AS brier, "
+        "round(-ll / CAST(n AS DOUBLE), 6) AS log_loss FROM g"
+    )
+    sql["conformal"] = (
+        # |quantized residual| order statistic: smallest value whose
+        # inclusive cumulative count reaches k = ceil((n+1)*90/100)
+        "WITH p AS (SELECT event_id, "
+        "CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS yq, "
+        "CAST(floor((50.0 + CAST(user_id % 20 AS DOUBLE)) * 100) "
+        "AS BIGINT) AS hq FROM events "
+        "WHERE event_id IS NOT NULL AND value IS NOT NULL), "
+        "cal AS (SELECT abs(yq - hq) AS r FROM p WHERE event_id % 3 <> 0), "
+        "tst AS (SELECT abs(yq - hq) AS r FROM p WHERE event_id % 3 = 0), "
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal), "
+        "kk AS (SELECT n_cal, ((n_cal + 1) * 90 + 99) // 100 AS k FROM nc), "
+        "cum AS (SELECT r, sum(count(*)) OVER (ORDER BY r) AS c "
+        "FROM cal GROUP BY r), "
+        "hw AS (SELECT min(r) AS hwq FROM cum, kk WHERE c >= kk.k), "
+        "cov AS (SELECT CAST(count(*) AS BIGINT) AS n_test, "
+        "CAST(sum(CASE WHEN tst.r <= hw.hwq THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nin FROM tst, hw) "
+        "SELECT kk.n_cal, 10 AS alpha_pct, CAST(kk.k AS BIGINT) AS k, "
+        "round(CAST(hw.hwq AS DOUBLE) / 100, 6) AS half_width, "
+        "cov.n_test, round(cov.nin / CAST(cov.n_test AS DOUBLE), 6) "
+        "AS coverage FROM kk, hw, cov"
+    )
     return sql

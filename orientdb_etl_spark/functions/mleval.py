@@ -35,6 +35,8 @@ __all__ = [
     "average_precision",
     "ranking_metrics",
     "math_log2_sql",
+    "prob_scores",
+    "conformal_interval",
 ]
 
 
@@ -338,4 +340,147 @@ def math_log2_sql(rank_expr: str) -> str:
     return (
         f"CAST({math.log(2.0)!r} AS DOUBLE) / "
         f"ln(CAST({rank_expr} AS DOUBLE) + 1.0)"
+    )
+
+
+def prob_scores(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Proper-scoring-rule summary of probabilistic predictions: one row
+    ``(n, pos_rate, brier, log_loss)`` (Brier 1950; log loss with
+    probabilities clamped away from {0,1} by 1/scale). The threshold-
+    free companions of :func:`roc_auc` (ranking) and
+    :func:`calibration_curve` (reliability): Brier decomposes into
+    calibration + refinement, log loss is the train-time objective
+    itself.
+
+    Exact-integer discipline for Brier: probabilities quantize to
+    BIGINT parts-per-``scale`` and Σ(p_q − y·scale)² is an exact integer
+    (< 2⁶³ for up to ~9·10⁶ rows at the default scale — raise/lower
+    ``scale`` to trade precision for headroom), divided once at the end.
+    Log loss sums ln terms as doubles (the ``bigram_logprob``
+    precedent), rounded to ``round_to``.
+    """
+    y = F.col(label_col).cast("int")
+    pq = F.floor(F.col(prob_col).cast("double") * scale).cast("bigint")
+    # clamp to [1, scale-1] so ln never sees 0 — and both engines clamp
+    # the SAME quantized integer
+    pqc = F.greatest(F.least(pq, F.lit(scale - 1)), F.lit(1))
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(prob_col).isNotNull()
+    )
+    ll_term = F.when(y == 1, F.log(pqc.cast("double") / scale)).otherwise(
+        F.log(F.lit(1.0) - pqc.cast("double") / scale)
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("bigint").alias("_np"),
+        F.sum((pq - y * scale) * (pq - y * scale)).cast("bigint").alias("_sq"),
+        F.sum(ll_term).alias("_ll"),
+    )
+    return g.select(
+        "n",
+        F.round(F.col("_np") / F.col("n").cast("double"), round_to).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.col("_sq").cast("double")
+            / F.col("n").cast("double")
+            / float(scale)
+            / float(scale),
+            round_to,
+        ).alias("brier"),
+        F.round(-F.col("_ll") / F.col("n").cast("double"), round_to).alias(
+            "log_loss"
+        ),
+    )
+
+
+def conformal_interval(
+    cal_df: DataFrame,
+    test_df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    alpha_pct: int = 10,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
+    JASA'18): the half-width is the ⌈(n+1)(1−α)⌉-th smallest CALIBRATION
+    absolute residual — distribution-free, finite-sample-valid coverage
+    ≥ 1−α on exchangeable data. Returns one row ``(n_cal, alpha_pct, k,
+    half_width, n_test, coverage)`` where ``coverage`` is the achieved
+    fraction of TEST residuals inside ±half_width — the empirical
+    certificate of the guarantee.
+
+    Exact discipline: residuals quantize to BIGINT (×``scale``); ``k``
+    is pure integer arithmetic (α an integer percent), and the order
+    statistic is "smallest value whose inclusive cumulative count ≥ k"
+    over the distinct-residual frame — cumulative counts from the
+    range-partitioned exclusive prefix (the ``weighted_percentiles``
+    selection shape, never a global ORDER BY window).
+    """
+    if not 0 < alpha_pct < 100:
+        raise ValueError(f"alpha_pct must be in (0, 100), got {alpha_pct}")
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    def _resid(d: DataFrame) -> DataFrame:
+        r = F.abs(
+            F.floor(F.col(label_col).cast("double") * scale).cast("bigint")
+            - F.floor(F.col(pred_col).cast("double") * scale).cast("bigint")
+        )
+        return d.where(
+            F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+        ).select(r.alias("_r"))
+
+    cal = _resid(cal_df)
+    per_v = cal.groupBy("_r").agg(F.count(F.lit(1)).alias("_c"))
+    pre = exclusive_prefix(per_v, ["_r"], "_c", "sum", "_p", "bigint")
+    cum = pre.select(
+        "_r", (F.coalesce(F.col("_p"), F.lit(0)) + F.col("_c")).alias("_cum")
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n+1)(100-alpha)/100), exact integers
+    k = F.expr(
+        f"CAST(((n_cal + 1) * (100 - {alpha_pct}) + 99) DIV 100 AS BIGINT)"
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .withColumn("_k", k)
+        .where(F.col("_cum") >= F.col("_k"))
+        .agg(
+            F.min("_r").alias("_hw"),
+            F.first("_k").alias("k"),
+            F.first("n_cal").alias("n_cal"),
+        )
+    )
+    test = _resid(test_df)
+    tstats = test.agg(F.count(F.lit(1)).alias("n_test"))
+    covered = (
+        test.crossJoin(F.broadcast(sel))
+        .agg(
+            F.sum((F.col("_r") <= F.col("_hw")).cast("long"))
+            .cast("bigint")
+            .alias("_cov")
+        )
+    )
+    return (
+        sel.crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            "n_cal",
+            F.lit(int(alpha_pct)).alias("alpha_pct"),
+            "k",
+            F.round(F.col("_hw").cast("double") / scale, round_to).alias(
+                "half_width"
+            ),
+            "n_test",
+            F.round(
+                F.col("_cov") / F.col("n_test").cast("double"), round_to
+            ).alias("coverage"),
+        )
     )

@@ -1301,3 +1301,62 @@ def stratified_ate_transformer(
         cfg["stratumField"],
         scale=int(cfg.get("scale", 100)),
     )
+
+
+@register("semanticDecontam")
+def semantic_decontam_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"semanticDecontam": {"evalTable": "eval_vectors",
+    "vecField": "embedding", "idField": "vec_id", "threshold": 0.97,
+    "planes": 8, "mode": "filter"|"flag"}} — embedding-space
+    decontamination against a registered eval-vector table
+    (functions/decontam.py)."""
+    from orientdb_etl_spark.functions.decontam import semantic_decontaminate
+
+    return semantic_decontaminate(
+        df,
+        ctx.tables[cfg["evalTable"]],
+        cfg.get("vecField", "embedding"),
+        cfg.get("idField", "vec_id"),
+        threshold=float(cfg.get("threshold", 0.97)),
+        planes=int(cfg.get("planes", 8)),
+        seed=int(cfg.get("seed", 42)),
+        mode=cfg.get("mode", "filter"),
+    )
+
+
+@register("probScores")
+def prob_scores_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"probScores": {"labelField": "y", "probField": "p"}} — Brier +
+    log-loss proper-scoring summary (functions/mleval.py)."""
+    from orientdb_etl_spark.functions.mleval import prob_scores
+
+    return prob_scores(
+        df,
+        cfg["labelField"],
+        cfg["probField"],
+        scale=int(cfg.get("scale", 1_000_000)),
+    )
+
+
+@register("conformal")
+def conformal_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"conformal": {"testTable": "holdout", "labelField": "y",
+    "predField": "yhat", "alphaPct": 10}} — split-conformal interval:
+    the pipeline frame is the CALIBRATION set; coverage is certified on
+    the registered test table (functions/mleval.py)."""
+    from orientdb_etl_spark.functions.mleval import conformal_interval
+
+    return conformal_interval(
+        df,
+        ctx.tables[cfg["testTable"]],
+        cfg["labelField"],
+        cfg["predField"],
+        alpha_pct=int(cfg.get("alphaPct", 10)),
+        scale=int(cfg.get("scale", 100)),
+    )

@@ -168,3 +168,68 @@ def test_ranking_metrics_k_cutoff_and_ties(spark):
     r = ranking_metrics(df, "q", "s", "y", "id", k=1).collect()[0]
     assert r.mrr == 0.5  # positive ranked 2nd by the id tie-break
     assert r.ndcg_at_k == 0.0 and r.hit_rate_at_k == 0.0
+
+
+# ----------------------------------------------------------- prob scores
+
+
+def test_prob_scores_perfect_and_known(spark):
+    from orientdb_etl_spark.functions.mleval import prob_scores
+
+    perfect = spark.createDataFrame(
+        [(1, 1.0), (0, 0.0), (1, 1.0)], "y int, p double"
+    )
+    r = prob_scores(perfect, "y", "p").collect()[0]
+    assert r.brier == 0.0
+    # log loss is clamped at 1/scale, not 0 — tiny but positive
+    assert 0 < r.log_loss < 1e-5
+    known = spark.createDataFrame([(1, 0.8), (0, 0.4)], "y int, p double")
+    r = known.transform(lambda d: prob_scores(d, "y", "p")).collect()[0]
+    assert r.brier == round((0.2**2 + 0.4**2) / 2, 6)
+    import math
+
+    assert r.log_loss == round(-(math.log(0.8) + math.log(0.6)) / 2, 6)
+    assert (r.n, r.pos_rate) == (2, 0.5)
+
+
+# ------------------------------------------------------------- conformal
+
+
+def test_conformal_known_order_statistic(spark):
+    from orientdb_etl_spark.functions.mleval import conformal_interval
+
+    # calibration residuals 1..9 (yhat = 0): k = ceil(10 * 0.9) = 9 ->
+    # half_width = 9th smallest = 9
+    cal = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 10)], "y double, yhat double"
+    )
+    test = spark.createDataFrame(
+        [(5.0, 0.0), (20.0, 0.0)], "y double, yhat double"
+    )
+    r = conformal_interval(cal, test, "y", "yhat", alpha_pct=10).collect()[0]
+    assert (r.n_cal, r.k, r.half_width) == (9, 9, 9.0)
+    assert (r.n_test, r.coverage) == (2, 0.5)  # 5 in, 20 out
+
+
+def test_conformal_coverage_guarantee_on_exchangeable_data(spark):
+    import random
+
+    from orientdb_etl_spark.functions.mleval import conformal_interval
+
+    rng = random.Random(13)
+    rows = [(rng.uniform(0, 100), 50.0) for _ in range(600)]
+    df = spark.createDataFrame(rows, "y double, yhat double")
+    cal = df.sample(0.5, seed=1)
+    test = df.subtract(cal)
+    r = conformal_interval(cal, test, "y", "yhat", alpha_pct=20).collect()[0]
+    assert r.coverage >= 0.75  # guarantee is >= 0.8 in expectation
+
+
+def test_conformal_validates_alpha(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.mleval import conformal_interval
+
+    df = spark.createDataFrame([(1.0, 1.0)], "y double, yhat double")
+    with pytest.raises(ValueError):
+        conformal_interval(df, df, "y", "yhat", alpha_pct=0)
