@@ -316,6 +316,8 @@ HEADLINE = [
     "feature_hash",
     "stratified_ate",
     "croston",
+    "prob_scores",
+    "conformal",
 ]
 
 
