@@ -6093,6 +6093,18 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval(cal, test, "y", "yhat", alpha_pct=10)
 
 
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 distance between the purchase and view
+    value distributions — the magnitude-aware drift metric (PSI/JSD
+    compare bucket masses, KS the sup-norm; W1 weighs how FAR mass
+    moved). Pure-BIGINT segment sum over the distinct-value frame,
+    cumulatives and successor gaps via the range-partitioned prefix."""
+    from orientdb_etl_spark.functions.stats import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_1d(ev, "event_type", "value", "purchase", "view")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6530,6 +6542,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (breadth wave 6): proper scoring, conformal intervals
             "prob_scores": q_prob_scores,
             "conformal": q_conformal,
+            "wasserstein": q_wasserstein,
         }
     )
     return out
@@ -10917,5 +10930,26 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(hw.hwq AS DOUBLE) / 100, 6) AS half_width, "
         "cov.n_test, round(cov.nin / CAST(cov.n_test AS DOUBLE), 6) "
         "AS coverage FROM kk, hw, cov"
+    )
+    sql["wasserstein"] = (
+        # exact segment sum: |cumA*n_b - cumB*n_a| * next-value gap,
+        # all BIGINT, one division chain at the end
+        "WITH b AS (SELECT event_type AS g, "
+        "CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_type IN ('purchase', 'view')), "
+        "pv AS (SELECT v, "
+        "count(*) FILTER (g = 'purchase') AS ca, "
+        "count(*) FILTER (g = 'view') AS cb FROM b GROUP BY 1), "
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+        "CAST(sum(cb) AS BIGINT) AS n_b FROM pv), "
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa, "
+        "sum(cb) OVER (ORDER BY v) AS fb, "
+        "lead(v) OVER (ORDER BY v) AS nx FROM pv), "
+        "n AS (SELECT CAST(sum(abs(fa * t.n_b - fb * t.n_a) "
+        "* (nx - v)) AS BIGINT) AS num FROM c, t WHERE nx IS NOT NULL) "
+        "SELECT t.n_a, t.n_b, round(CAST(num AS DOUBLE) "
+        "/ CAST(t.n_a AS DOUBLE) / CAST(t.n_b AS DOUBLE) / 100.0, 6) "
+        "AS w1 FROM n, t"
     )
     return sql

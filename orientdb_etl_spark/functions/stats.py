@@ -2372,3 +2372,89 @@ def stratified_ate(
         F.round(naive, round_to).alias("naive_diff"),
         F.round(ate, round_to).alias("ate"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    samples: ``W₁ = ∫ |F_a(x) − F_b(x)| dx`` over the merged support —
+    the magnitude-aware drift metric that completes the family (PSI and
+    JSD compare bucket masses, :func:`ks_2sample` the sup-norm; W₁ also
+    weighs HOW FAR the mass moved, in the value's own units). Returns
+    one row ``(n_a, n_b, w1)``.
+
+    Exact-integer discipline: values quantize to BIGINT (×``scale``);
+    between consecutive distinct values the integrand is constant, so
+    ``W₁·n_a·n_b·scale = Σ |cumA·n_b − cumB·n_a| · gap`` — an exact
+    BIGINT sum (cum ≤ n, gap in quantized units), divided once at the
+    end. Both engines land on identical bits.
+
+    Scale shape: one hash aggregation onto the distinct-value frame,
+    cumulative counts via the range-partitioned exclusive prefix (never
+    a global ORDER BY window — the :func:`ks_2sample` shape), the
+    next-value gap from the same prefix machinery run on the reversed
+    order (an exclusive MIN of successor values), then one scalar sum.
+    """
+    from orientdb_etl_spark.operators.relational import exclusive_prefix
+
+    a = F.col(group_col) == group_a
+    b = F.col(group_col) == group_b
+    q = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    per_v = (
+        df.filter((a | b) & F.col(value_col).isNotNull())
+        .groupBy(q.alias("_v"))
+        .agg(
+            F.count(F.when(a, 1)).alias("_ca"),
+            F.count(F.when(b, 1)).alias("_cb"),
+        )
+    )
+    totals = per_v.agg(
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        F.sum("_cb").cast("bigint").alias("n_b"),
+    )
+    pre = exclusive_prefix(per_v, ["_v"], "_ca", "sum", "_pa", "bigint")
+    pre = exclusive_prefix(pre, ["_v"], "_cb", "sum", "_pb", "bigint")
+    # successor gap: exclusive MIN over the DESCENDING value order is
+    # the minimum of all larger values = the next distinct value
+    pre = pre.withColumn("_nv", -F.col("_v"))
+    pre = exclusive_prefix(pre, ["_nv"], "_v", "min", "_succ", "bigint")
+    seg = pre.select(
+        (F.coalesce(F.col("_pa"), F.lit(0)) + F.col("_ca")).alias("_fa"),
+        (F.coalesce(F.col("_pb"), F.lit(0)) + F.col("_cb")).alias("_fb"),
+        (F.col("_succ") - F.col("_v")).alias("_gap"),  # NULL at the max
+    ).where(F.col("_gap").isNotNull())
+    # numerator: sum |fa*n_b - fb*n_a| * gap — totals attached as a
+    # broadcast scalar
+    num = (
+        seg.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_fa") * F.col("n_b") - F.col("_fb") * F.col("n_a")
+                )
+                * F.col("_gap")
+            )
+            .cast("bigint")
+            .alias("_num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return num.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_num").cast("double")
+            / F.col("n_a").cast("double")
+            / F.col("n_b").cast("double")
+            / float(scale),
+            round_to,
+        ).alias("w1"),
+    )

@@ -1360,3 +1360,23 @@ def conformal_transformer(
         alpha_pct=int(cfg.get("alphaPct", 10)),
         scale=int(cfg.get("scale", 100)),
     )
+
+
+@register("wasserstein")
+def wasserstein_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"wasserstein": {"groupField", "valueField", "groupA", "groupB",
+    "scale": 100}} — exact 1-D earth-mover distance between two sample
+    distributions (functions/stats.py); the magnitude-aware companion
+    of psi/jsd/ks drift checks."""
+    from orientdb_etl_spark.functions.stats import wasserstein_1d
+
+    return wasserstein_1d(
+        df,
+        cfg["groupField"],
+        cfg["valueField"],
+        cfg["groupA"],
+        cfg["groupB"],
+        scale=int(cfg.get("scale", 100)),
+    )

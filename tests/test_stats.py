@@ -1214,3 +1214,52 @@ def test_srm_check_detects_mismatch(spark):
         srm_check(df, "arm", {"A": 1.0})
     with _pt.raises(ValueError, match="sum to 1"):
         srm_check(df, "arm", {"A": 0.5, "B": 0.3})
+
+
+# ------------------------------------------------------------ Wasserstein
+
+
+def test_wasserstein_shift_and_identity(spark):
+    from orientdb_etl_spark.functions.stats import wasserstein_1d
+
+    # a shifted distribution's W1 equals the shift
+    rows = [("a", float(v)) for v in (0, 1, 2, 3)] + [
+        ("b", float(v) + 2.5) for v in (0, 1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.w1) == (4, 4, 2.5)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 9.0), ("b", 9.0)], "g string, v double"
+    )
+    assert wasserstein_1d(same, "g", "v", "a", "b").collect()[0].w1 == 0.0
+
+
+def test_wasserstein_matches_scipy_style_reference(spark):
+    import random
+
+    from orientdb_etl_spark.functions.stats import wasserstein_1d
+
+    rng = random.Random(3)
+    # quarter-grid values are exact at scale=100, so the float reference
+    # and the quantized BIGINT path see identical numbers
+    xs = [rng.randrange(0, 200) / 4.0 for _ in range(80)]
+    ys = [rng.randrange(40, 280) / 4.0 for _ in range(50)]
+
+    def w1_ref(u, v):
+        # integral of |F_u - F_v| over the merged support
+        pts = sorted(set(u) | set(v))
+        su, sv = sorted(u), sorted(v)
+        import bisect
+
+        tot = 0.0
+        for lo, hi in zip(pts, pts[1:]):
+            fu = bisect.bisect_right(su, lo) / len(su)
+            fv = bisect.bisect_right(sv, lo) / len(sv)
+            tot += abs(fu - fv) * (hi - lo)
+        return tot
+
+    rows = [("a", x) for x in xs] + [("b", y) for y in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0].w1
+    assert abs(got - w1_ref(xs, ys)) < 1e-6
