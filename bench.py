@@ -318,6 +318,7 @@ HEADLINE = [
     "croston",
     "prob_scores",
     "conformal",
+    "wasserstein",
 ]
 
 
