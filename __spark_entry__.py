@@ -6093,6 +6093,24 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval(cal, test, "y", "yhat", alpha_pct=10)
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (fixed seasonal profile, Winters 1960) on
+    per-type hourly arrival counts, period 24: deseasonalize by the
+    phase profile, Brown double smoothing on the adjusted series,
+    re-seasonalized 1-step forecast. Two hash aggs + the holt lag-sum
+    windows; the oracle unrolls the identical weight chains."""
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    series = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return holt_winters_additive(
+        series, ["k"], "t", "x", period=24, alpha=0.3, lookback=8, horizon=1
+    ).orderBy("k")
+
+
 def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-D Wasserstein-1 distance between the purchase and view
     value distributions — the magnitude-aware drift metric (PSI/JSD
@@ -6543,6 +6561,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "prob_scores": q_prob_scores,
             "conformal": q_conformal,
             "wasserstein": q_wasserstein,
+            "holt_winters": q_holt_winters,
         }
     )
     return out
@@ -10952,4 +10971,56 @@ def oracle_sql() -> dict[str, str]:
         "/ CAST(t.n_a AS DOUBLE) / CAST(t.n_b AS DOUBLE) / 100.0, 6) "
         "AS w1 FROM n, t"
     )
+    def _hw_oracle(alpha: float = 0.3, lookback: int = 8,
+                   period: int = 24, horizon: int = 1) -> str:
+        def parts(col: str) -> tuple[str, str]:
+            num, den = [], []
+            for i in range(lookback):
+                wr = repr((1.0 - alpha) ** i)
+                x = col if i == 0 else f"lag({col}, {i}) OVER w2"
+                num.append(
+                    f"CASE WHEN {x} IS NOT NULL THEN ({x}) * {wr} "
+                    "ELSE 0.0 END"
+                )
+                den.append(
+                    f"CASE WHEN {x} IS NOT NULL THEN {wr} ELSE 0.0 END"
+                )
+            return " + ".join(num), " + ".join(den)
+
+        n1, d1 = parts("xa")
+        n2, d2 = parts("s1")
+        kk = repr(alpha / (1.0 - alpha))
+        return (
+            "WITH s AS (SELECT event_type AS k, "
+            "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) "
+            "AS t, CAST(count(*) AS DOUBLE) AS x FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2), "
+            f"pr AS (SELECT k, t % {period} AS ph, sum(x) AS ps, "
+            "count(*) AS pn FROM s GROUP BY 1, 2), "
+            "g AS (SELECT k, sum(x) AS gs, count(*) AS n_periods "
+            "FROM s GROUP BY 1), "
+            "prof AS (SELECT pr.k, pr.ph, "
+            "pr.ps / pr.pn - g.gs / CAST(g.n_periods AS DOUBLE) AS sidx "
+            "FROM pr JOIN g USING (k)), "
+            "d AS (SELECT s.k, s.t, s.x - prof.sidx AS xa FROM s "
+            f"JOIN prof ON prof.k = s.k AND prof.ph = s.t % {period}), "
+            f"m1 AS (SELECT k, t, xa, CASE WHEN {d1} > 0 "
+            f"THEN ({n1}) / ({d1}) END AS s1 FROM d "
+            "WINDOW w2 AS (PARTITION BY k ORDER BY t)), "
+            f"m2 AS (SELECT k, t, s1, CASE WHEN {d2} > 0 "
+            f"THEN ({n2}) / ({d2}) END AS s2, "
+            "row_number() OVER (PARTITION BY k ORDER BY t DESC) AS rn "
+            "FROM m1 WINDOW w2 AS (PARTITION BY k ORDER BY t)), "
+            "lst AS (SELECT k, t, 2.0 * s1 - s2 AS lvl, "
+            f"{kk} * (s1 - s2) AS trd, "
+            f"(t + {horizon}) % {period} AS nph FROM m2 WHERE rn = 1) "
+            "SELECT lst.k, g.n_periods, round(lvl, 6) AS level, "
+            "round(trd, 6) AS trend, round(prof.sidx, 6) AS seasonal_next, "
+            f"round(lvl + {repr(float(horizon))} * trd + prof.sidx, 6) "
+            "AS forecast "
+            "FROM lst LEFT JOIN prof ON prof.k = lst.k "
+            "AND prof.ph = lst.nph JOIN g ON g.k = lst.k ORDER BY lst.k"
+        )
+
+    sql["holt_winters"] = _hw_oracle()
     return sql

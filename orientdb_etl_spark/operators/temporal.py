@@ -1728,3 +1728,137 @@ def croston_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         alpha=float(cfg.get("alpha", 0.3)),
         lookback=int(cfg.get("lookback", 8)),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    keys: str | list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 24,
+    alpha: float = 0.3,
+    lookback: int = 8,
+    horizon: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Additive Holt–Winters with a FIXED seasonal profile (Winters
+    1960, the fixed-index variant): per key, estimate the seasonal index
+    s(ph) = mean(x | phase) − mean(x) from the whole series (one
+    aggregation — the :func:`~orientdb_etl_spark.functions.stats`
+    seasonal-profile shape), DESEASONALIZE, run Brown's double smoothing
+    (:func:`holt_linear`'s identities) on the adjusted series, and
+    re-seasonalize the h-step forecast with the index of the forecast
+    phase: ``forecast = level + h·trend + s((t_last + h) mod period)``.
+
+    The fixed profile (not recursively-updated indices) is the
+    deterministic, engine-replayable choice: recursive triple smoothing
+    needs sequential per-key state, while this decomposition is two hash
+    aggregations plus the same bounded-lookback lag-sum windows as
+    :func:`holt_linear` — and it degrades gracefully to plain Brown
+    smoothing when the series has no seasonality (all indices ≈ 0).
+
+    Input is a bucketed series ``(keys, t, x)`` with integer ``t``;
+    returns one row per key: ``(keys, n_periods, level, trend,
+    seasonal_next, forecast)`` at the series end.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = _as_list(keys)
+    base = df.where(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    ph = (F.col("_t") % period).alias("_ph")
+    prof = (
+        base.groupBy(*keys, ph)
+        .agg(F.sum("_x").alias("_ps"), F.count(F.lit(1)).alias("_pn"))
+    )
+    glob = base.groupBy(*keys).agg(
+        F.sum("_x").alias("_gs"),
+        F.count(F.lit(1)).alias("n_periods"),
+    )
+    prof = prof.join(glob, keys).select(
+        *keys,
+        "_ph",
+        "n_periods",
+        (
+            F.col("_ps") / F.col("_pn")
+            - F.col("_gs") / F.col("n_periods").cast("double")
+        ).alias("_sidx"),
+    )
+    deseason = base.withColumn("_ph", F.col("_t") % period).join(
+        prof.select(*keys, "_ph", "_sidx"), [*keys, "_ph"]
+    ).withColumn("_xa", F.col("_x") - F.col("_sidx"))
+    w = Window.partitionBy(*keys).orderBy("_t")
+
+    def _smooth(col: F.Column) -> F.Column:
+        num, den = F.lit(0.0), F.lit(0.0)
+        for i in range(lookback):
+            weight = (1.0 - alpha) ** i
+            x = col if i == 0 else F.lag(col, i).over(w)
+            num = num + F.when(
+                x.isNotNull(), x * F.lit(weight)
+            ).otherwise(F.lit(0.0))
+            den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(
+                F.lit(0.0)
+            )
+        return F.when(den > 0, num / den)
+
+    s1 = deseason.withColumn("_s1", _smooth(F.col("_xa")))
+    s2 = s1.withColumn("_s2", _smooth(F.col("_s1")))
+    k = alpha / (1.0 - alpha)
+    level = 2.0 * F.col("_s1") - F.col("_s2")
+    trend = F.lit(k) * (F.col("_s1") - F.col("_s2"))
+    last = s2.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col("_t").desc())
+        ),
+    ).where(F.col("_rn") == 1)
+    # unseen forecast phase -> NULL seasonal index and NULL forecast
+    # (degrade visibly, never silently drop the key)
+    last = last.withColumn("_nph", (F.col("_t") + horizon) % period)
+    out = last.join(
+        prof.select(
+            *keys,
+            F.col("_ph").alias("_nph"),
+            F.col("_sidx").alias("_snext"),
+        ),
+        [*keys, "_nph"],
+        "left",
+    ).join(glob.select(*keys, "n_periods"), [*keys])
+    return out.select(
+        *keys,
+        "n_periods",
+        F.round(level, round_to).alias("level"),
+        F.round(trend, round_to).alias("trend"),
+        F.round(F.col("_snext"), round_to).alias("seasonal_next"),
+        F.round(
+            level + F.lit(float(horizon)) * trend + F.col("_snext"), round_to
+        ).alias("forecast"),
+    )
+
+
+@register("holtWinters")
+def holt_winters_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """Config form: {"holtWinters": {"by": ["key"], "on": "t",
+    "valueField": "x", "period": 24, "alpha": 0.3, "lookback": 8,
+    "horizon": 1}} — additive Holt-Winters with a fixed seasonal
+    profile."""
+    return holt_winters_additive(
+        df,
+        keys=cfg.get("by") or [],
+        t_col=cfg["on"],
+        value_col=cfg["valueField"],
+        period=int(cfg.get("period", 24)),
+        alpha=float(cfg.get("alpha", 0.3)),
+        lookback=int(cfg.get("lookback", 8)),
+        horizon=int(cfg.get("horizon", 1)),
+    )

@@ -638,3 +638,47 @@ def test_stratified_ate_drops_single_arm_strata(spark):
     r = stratified_ate(df, "treat", "y", "s").collect()[0]
     assert (r.n_strata, r.n_used_strata, r.n_rows_used) == (2, 1, 2)
     assert r.ate == 2.0
+
+
+# ------------------------------------------------------------ Holt-Winters
+
+
+def test_holt_winters_recovers_pure_seasonality(spark):
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    # period-4 sawtooth, no trend: deseasonalized series is CONSTANT, so
+    # level = the mean, trend = 0, forecast = mean + s(next phase)
+    pat = [10.0, 20.0, 30.0, 40.0]
+    rows = [("a", t, pat[t % 4]) for t in range(16)]
+    df = spark.createDataFrame(rows, "k string, t bigint, x double")
+    r = holt_winters_additive(
+        df, ["k"], "t", "x", period=4, alpha=0.3, lookback=4, horizon=1
+    ).collect()[0]
+    assert (r.n_periods, r.level, r.trend) == (16, 25.0, 0.0)
+    # last t = 15 (phase 3); next phase 0 -> index 10 - 25 = -15
+    assert r.seasonal_next == -15.0 and r.forecast == 10.0
+
+
+def test_holt_winters_unseen_next_phase_is_null(spark):
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    # only phases 0..2 ever observed; horizon lands on phase 3
+    rows = [("a", t, float(t)) for t in (0, 1, 2, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "k string, t bigint, x double")
+    r = holt_winters_additive(
+        df, ["k"], "t", "x", period=4, alpha=0.3, lookback=4, horizon=1
+    ).collect()[0]
+    assert r.seasonal_next is None and r.forecast is None
+    assert r.n_periods == 6
+
+
+def test_holt_winters_validates_params(spark):
+    import pytest
+
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, t bigint, x double")
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, ["k"], "t", "x", period=1)
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, ["k"], "t", "x", alpha=1.0)
