@@ -319,6 +319,7 @@ HEADLINE = [
     "prob_scores",
     "conformal",
     "wasserstein",
+    "holt_winters",
 ]
 
 
