@@ -806,7 +806,7 @@ def soundex_sql(col_sql: str) -> str:
     u = f"regexp_replace(upper({col_sql}), '[^A-Z]', '')"
     m = f"translate({u}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_CODES}')"
     s = f"replace({m}, '9', '')"
-    for dgt in "0123456": 
+    for dgt in "0123456":
         s = f"regexp_replace({s}, '{dgt}{dgt}+', '{dgt}')"
     digits = f"substr(replace(substr({s}, 2), '0', ''), 1, 3)"
     return (
