@@ -495,3 +495,34 @@ def test_config_corpus_audit_example(spark):
     f2 = res.outputs["key_skew_sketch"].collect()[0]
     # doc_id is unique -> exact F2 == row count (no skew mass)
     assert f2.exact_f2 == n_docs
+
+
+def test_config_experiment_readout_example(spark):
+    """Experiment-readout config: SRM guardrail, Welch, DiD, stratified
+    ATE, and Wasserstein all on output branches over derived arm/period
+    columns; the main lineage passes the derived frame through."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-experiment-readout.json"))
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    res = Pipeline(cfg, spark=spark).register_table("events", events).run()
+    main = res.outputs["experiment_events"]
+    clean = events.where(
+        "user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL"
+    ).count()
+    assert main.count() == clean
+    assert {"arm", "treat", "post"} <= set(main.columns)
+    srm = {r.arm: r for r in res.outputs["srm"].collect()}
+    assert set(srm) == {"treatment", "control"}
+    assert sum(r.n for r in srm.values()) == clean
+    w = res.outputs["welch"].collect()[0]
+    assert w.n_a > 0 and w.n_b > 0
+    did = res.outputs["did"].collect()[0]
+    assert did.did is not None
+    ate = res.outputs["ate"].collect()[0]
+    assert ate.n_used_strata == 5
+    w1 = res.outputs["w1"].collect()[0]
+    assert w1.w1 is not None and w1.w1 >= 0
