@@ -443,7 +443,7 @@ def test_stream_quality_filter_matches_batch(spark):
             for i in range(6)
         ],
     })
-    path = "/tmp/claude_stream_quality_docs"
+    path = "/tmp/etl_stream_quality_docs"
     import shutil
     shutil.rmtree(path, ignore_errors=True)
     spark.createDataFrame(docs).write.parquet(path)
