@@ -10621,7 +10621,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM customer), "
         "pc AS (SELECT id, CAST(floor(x / 250) AS BIGINT) AS cx, "
         "CAST(floor(y / 250) AS BIGINT) AS cy FROM p), "
-        "dc AS (SELECT cx, cy, cx * 1000000 + cy AS k FROM pc "
+        "dc AS (SELECT cx, cy, cx * 4294967296 + cy + 2147483648 AS k "
+        "FROM pc "
         "GROUP BY cx, cy HAVING count(*) >= 8), "
         "adj AS (SELECT a.k AS ka, b.k AS kb FROM dc a JOIN dc b "
         "ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "

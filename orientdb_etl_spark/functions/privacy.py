@@ -207,17 +207,22 @@ def t_closeness_audit(
         *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_c"))
     # full (class × value) grid: classes missing a value still move the
-    # cumulative deviation; both frames are already aggregated (bounded)
-    grid = (
-        cv.crossJoin(F.broadcast(gv))
-        .join(class_val, [*quasi_cols, "_v"], "left")
-        .select(
-            *quasi_cols,
-            "_n",
-            "_v",
-            "_g",
-            F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("_c"),
-        )
+    # cumulative deviation; both frames are already aggregated (bounded).
+    # Quasi keys join NULL-SAFE (eqNullSafe) — a NULL quasi value is its
+    # own equivalence class (k_anonymity_audit's documented semantics),
+    # so its class×value counts must attach, not fall to the 0-coalesce
+    cvg = cv.crossJoin(F.broadcast(gv))
+    cl = class_val
+    for c in quasi_cols:
+        cl = cl.withColumnRenamed(c, f"_q_{c}")
+    cond = [cvg[c].eqNullSafe(cl[f"_q_{c}"]) for c in quasi_cols]
+    cond.append(cvg["_v"] == cl["_v"])
+    grid = cvg.join(cl, cond, "left").select(
+        *[cvg[c] for c in quasi_cols],
+        cvg["_n"],
+        cvg["_v"],
+        cvg["_g"],
+        F.coalesce(cl["_c"], F.lit(0)).cast("bigint").alias("_c"),
     )
     w = Window.partitionBy(*quasi_cols).orderBy("_v")
     dev = grid.crossJoin(F.broadcast(tot)).select(

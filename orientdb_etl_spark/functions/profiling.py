@@ -937,6 +937,7 @@ def weighted_percentiles(
     value_col: str,
     weight_col: str,
     percentiles: "list[int]" = (25, 50, 75),
+    weight_scale: int = 1,
 ) -> DataFrame:
     """EXACT weighted percentiles per key (type-1 / lower quantile: the
     smallest value whose inclusive cumulative weight reaches p% of the
@@ -944,9 +945,15 @@ def weighted_percentiles(
     ``percentile`` that Spark only ships unweighted. Percentiles are
     INTEGER percents, so the selection predicate is pure BIGINT
     arithmetic (``cum * 100 >= p * total``) — no float threshold, both
-    engines pick the identical row. Negative weights raise; zero-weight
-    rows never satisfy the predicate ahead of mass, and a key whose
-    weights sum to zero has no quantile (absent from the output).
+    engines pick the identical row. Row weights are quantized to exact
+    integers as ``floor(w · weight_scale)`` (the same explicit-scale
+    discipline as the other exact-integer operators) — pass a scale when
+    weights are fractional, or the default ``1`` silently floors them.
+    Any negative ROW weight raises (checked per-row via a min folded
+    into the first aggregation, so mixed-sign weights can't cancel to a
+    non-negative group sum and slip through); zero-weight rows never
+    satisfy the predicate ahead of mass, and a key whose weights sum to
+    zero has no quantile (absent from the output).
     Returns ``(*keys, percentile, value, total_weight)``.
 
     Scale shape: rows collapse to one partial-aggregated weight per
@@ -968,22 +975,29 @@ def weighted_percentiles(
         raise ValueError(
             f"percentiles must be integers in [1, 100], got {percentiles}"
         )
+    scale = int(weight_scale)
+    if scale < 1:
+        raise ValueError(f"weight_scale must be >= 1, got {weight_scale}")
     base = df.where(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
     )
-    agg = base.groupBy(
-        *keys, F.col(value_col).alias("_v")
-    ).agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    qw = F.floor(F.col(weight_col) * F.lit(scale)).cast("long")
+    agg = base.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.sum(qw).alias("_w"),
+        # row-level negativity witness: min over ROWS in the group, so a
+        # -3/+5 mix can't cancel into a clean-looking group sum
+        F.min(qw).alias("_minw"),
+    )
     cum = exclusive_prefix(
         agg, [*keys, "_v"], "_w", "sum", "_excl", "bigint"
     ).withColumn("_excl", F.coalesce("_excl", F.lit(0)))
     # probe the CHECKPOINTED frame (exclusive_prefix materialized it) so
     # the validation doesn't recompute the collapse — one bounded row
-    neg = cum.where(F.col("_w") < 0).limit(1).collect()
+    neg = cum.where(F.col("_minw") < 0).limit(1).collect()
     if neg:
         raise ValueError(
-            f"weights must be non-negative; key with negative total: "
-            f"{neg[0]}"
+            "weights must be non-negative after quantization; group with "
+            f"a negative row weight: {neg[0]}"
         )
     # within-key offset = the global prefix at the key's first value
     offs = cum.groupBy(*keys).agg(

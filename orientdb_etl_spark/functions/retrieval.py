@@ -251,54 +251,99 @@ def mmr_diversify(
     Scale shape: MMR is inherently sequential (selection i depends on
     all previous picks), so it ONLY applies to depth-bounded candidate
     lists — like :func:`rrf_fuse`, the corpus-sized work lives in the
-    upstream candidate generator. Each of the ``k`` rounds collects
-    exactly ONE row (the pick — bounded driver state, the k-means
-    centroid precedent) and updates the running max-similarity with a
-    JVM literal-vector cosine; the candidate frame never shuffles.
+    upstream candidate generator. The bounded candidate frame is
+    collected ONCE (one Spark job, not one per pick) and the greedy loop
+    runs driver-side over plain doubles, replicating the JVM arithmetic
+    it replaced exactly: sequential left-fold dot/norm (IEEE-identical
+    to the ``aggregate(zip_with(...))`` fold), HALF_UP decimal rounding
+    at ``round_to`` (``F.round`` semantics), NaN-greatest ordering.
 
     Returns ``(mmr_rank, id, score)`` for the ``k`` picks (fewer if the
     list is exhausted)."""
-    from orientdb_etl_spark.functions.similarity import cosine_sim_expr
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    rem = cands.select(
+    rows = cands.select(
         F.col(id_col).alias("_id"),
         F.col(score_col).cast("double").alias("_score"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_ms", F.lit(0.0))
+    ).collect()
+
+    quantum = Decimal(1).scaleb(-int(round_to))
+
+    def rnd(x: float) -> float:
+        # F.round on a double: BigDecimal(toString).setScale(HALF_UP) —
+        # repr() is the same shortest round-trip decimal
+        if math.isnan(x) or math.isinf(x):
+            return x
+        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
+    def cos(u: "list[float]", v: "list[float]", v_norm: float) -> float:
+        # sequential fold, NOT pairwise summation: bit-identical to the
+        # JVM aggregate() left-fold the Spark expression used
+        dot = 0.0
+        for a, b in zip(u, v):
+            dot += a * b
+        un = 0.0
+        for a in u:
+            un += a * a
+        denom = math.sqrt(un) * v_norm
+        if denom == 0.0:
+            return math.nan if dot == 0.0 else math.copysign(math.inf, dot)
+        return dot / denom
+
+    def beats(obj_a: float, id_a, obj_b: float, id_b) -> bool:
+        # Spark desc ordering: NaN sorts as the LARGEST double; ties
+        # break by ascending id
+        a_nan, b_nan = math.isnan(obj_a), math.isnan(obj_b)
+        if a_nan != b_nan:
+            return a_nan
+        if not a_nan and obj_a != obj_b:
+            return obj_a > obj_b
+        return id_a < id_b
+
+    lam = float(lam)
+    cand = [
+        {
+            "id": r["_id"],
+            "score": float(r["_score"]),
+            "v": [float(x) for x in (r["_v"] or [])],
+            "ms": 0.0,
+        }
+        for r in rows
+    ]
     picks = []
     for rank in range(1, k + 1):
-        row = (
-            rem.orderBy(
-                F.round(
-                    F.lit(float(lam)) * F.col("_score")
-                    - F.lit(1.0 - float(lam)) * F.col("_ms"),
-                    round_to,
-                ).desc(),
-                F.col("_id").asc(),
-            )
-            .limit(1)
-            .collect()
-        )
-        if not row:
+        best = None
+        for c in cand:
+            obj = rnd(lam * c["score"] - (1.0 - lam) * c["ms"])
+            if best is None or beats(obj, c["id"], best[0], best[1]["id"]):
+                best = (obj, c)
+        if best is None:
             break
-        p = row[0]
-        picks.append((rank, p._id, float(p._score)))
-        pv = [float(x) for x in p._v]
-        if rank < k:
-            sim = (
-                F.round(cosine_sim_expr("_v", pv), round_to)
-                if sum(x * x for x in pv) > 0
-                else F.lit(0.0)
-            )
-            rem = rem.where(F.col("_id") != F.lit(p._id)).withColumn(
-                "_ms", F.greatest(F.col("_ms"), sim)
-            )
+        p = best[1]
+        picks.append((rank, p["id"], p["score"]))
+        cand = [c for c in cand if c["id"] != p["id"]]
+        if rank < k and cand:
+            pv = p["v"]
+            pn = 0.0
+            for a in pv:
+                pn += a * a
+            pn = pn**0.5
+            for c in cand:
+                s = rnd(cos(c["v"], pv, pn)) if pn > 0 else 0.0
+                c["ms"] = (
+                    math.nan
+                    if (math.isnan(c["ms"]) or math.isnan(s))
+                    else max(c["ms"], s)
+                )
     spark = cands.sparkSession
+    id_type = cands.schema[id_col].dataType.simpleString()
     out = spark.createDataFrame(
-        picks, f"mmr_rank int, {id_col} long, {score_col} double"
+        picks, f"mmr_rank int, {id_col} {id_type}, {score_col} double"
     )
     return out

@@ -157,16 +157,36 @@ def grid_density_clusters(
         cell(x_col).alias("_cx"),
         cell(y_col).alias("_cy"),
     ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    # cell key: coordinates are floor-divided, so _cy >= -500k at any
-    # int32 coordinate range; the 1e6 stride keeps keys distinct
-    key = (F.col("_cx") * F.lit(1_000_000) + F.col("_cy")).alias("_k")
-    cells = (
+    # cell key: collision-free pack of (cx, cy) into one BIGINT —
+    # cx·2³² + (cy + 2³¹) is a bijection while both cell indices fit in
+    # int32 (product spans exactly [-2⁶³, 2⁶³-1], no overflow); cell
+    # indices outside int32 raise rather than silently merging clusters
+    dense = (
         pts.groupBy("_cx", "_cy")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= int(min_pts))
-        .select("_cx", "_cy", key)
+        .select("_cx", "_cy")
         .localCheckpoint(eager=True)  # dense cells: bounded by area/eps²
     )
+    # validate BEFORE deriving the packed key so the overflow surfaces
+    # as a ValueError, not a codegen ArithmeticException
+    bounds = dense.agg(
+        F.max(F.greatest(F.abs(F.col("_cx")), F.abs(F.col("_cy")))).alias(
+            "_b"
+        )
+    ).first()
+    if bounds["_b"] is not None and bounds["_b"] > 2_147_483_647:
+        raise ValueError(
+            "grid_density_clusters: cell index exceeds int32 "
+            f"(max |index| = {bounds['_b']}); shrink the coordinate "
+            "domain or increase eps"
+        )
+    key = (
+        F.col("_cx") * F.lit(4_294_967_296)
+        + F.col("_cy")
+        + F.lit(2_147_483_648)
+    ).alias("_k")
+    cells = dense.select("_cx", "_cy", key)
     off = F.expr(
         "explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1), "
         "array(-1,0,1,-1,0,1,-1,0,1)))"

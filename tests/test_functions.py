@@ -2105,3 +2105,25 @@ def test_semantic_decontaminate_drops_eval_members_only(spark):
     )
     assert flagged.count() == 40
     assert flagged.where("contaminated").count() == 10
+
+
+def test_mmr_diversify_string_ids_and_single_job(spark):
+    """Regression (round-6 advice): the result schema takes the id
+    column's dtype from the input frame (string ids used to crash at
+    createDataFrame against the hardcoded 'long')."""
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+
+    df = spark.createDataFrame(
+        [
+            ("b", 0.9, [1.0, 0.0]),
+            ("a", 0.9, [1.0, 0.0]),
+            ("c", 0.5, [0.0, 1.0]),
+        ],
+        "id string, score double, vec array<double>",
+    )
+    out = mmr_diversify(df, "id", "score", "vec", k=2, lam=0.5)
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = [(r.mmr_rank, r.id) for r in out.orderBy("mmr_rank").collect()]
+    # tie on score: ascending-id break picks "a"; then at lam=0.5 the
+    # duplicate direction "b" scores 0.45-0.5 < "c"'s 0.25
+    assert got == [(1, "a"), (2, "c")]

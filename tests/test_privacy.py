@@ -156,3 +156,29 @@ def test_t_closeness_validates_params(spark):
         t_closeness_audit(df, [], "v")
     with pytest.raises(ValueError):
         t_closeness_audit(df, ["q"], "v", t=0.0)
+
+def test_t_closeness_null_quasi_class_gets_real_distribution(spark):
+    """A NULL quasi value is its own equivalence class (the documented
+    k_anonymity semantics) — its class×value counts must attach through
+    the NULL-SAFE join, not coalesce to zero (which produced EMD > 1
+    and a spurious violation before round 6)."""
+    from orientdb_etl_spark.functions.privacy import t_closeness_audit
+
+    rows = (
+        [(None, 0), (None, 0), (None, 1), (None, 1)]
+        + [("A", 0), ("A", 0), ("A", 1), ("A", 1)]
+    )
+    df = spark.createDataFrame(rows, "q string, v bigint")
+    out = {
+        r.q: (r.n_rows, r.t_emd, r.t_violation)
+        for r in t_closeness_audit(df, ["q"], "v", t=0.2).collect()
+    }
+    # both classes mirror the global 50/50 split exactly -> EMD 0
+    assert out[None] == (4, 0.0, False)
+    assert out["A"] == (4, 0.0, False)
+    # EMD is a normalized distance: never above 1 for any class
+    skewed = df.union(
+        spark.createDataFrame([(None, 0)] * 4, "q string, v bigint")
+    )
+    for r in t_closeness_audit(skewed, ["q"], "v", t=0.2).collect():
+        assert 0.0 <= r.t_emd <= 1.0

@@ -723,3 +723,36 @@ def test_heaps_fit_saturating_vocab(spark):
 
     r = heaps_fit(df, "text", "doc_id").collect()[0]
     assert r.vocab == 5 and r.heaps_beta < 0.3
+
+
+def test_weighted_percentiles_fractional_weights_and_mixed_sign(spark):
+    """Regression (round-6 advice): fractional weights quantize with an
+    EXPLICIT scale (floor(w*scale)) instead of silently truncating to
+    long, and a negative ROW weight raises even when its (key, value)
+    group sums non-negative."""
+    from orientdb_etl_spark.functions.profiling import weighted_percentiles
+
+    frac = spark.createDataFrame(
+        [("k", 1.0, 0.9), ("k", 2.0, 0.9)], "g string, v double, w double"
+    )
+    # default scale=1 floors 0.9 -> 0: zero total weight, no quantile
+    assert weighted_percentiles(frac, "g", "v", "w", [50]).count() == 0
+    got = {
+        r["percentile"]: (r["value"], r["total_weight"])
+        for r in weighted_percentiles(
+            frac, "g", "v", "w", [50, 100], weight_scale=10
+        ).collect()
+    }
+    assert got[50] == (1.0, 18)  # 9+9, p50 hits the first value
+    assert got[100] == (2.0, 18)
+
+    import pytest
+
+    mixed = spark.createDataFrame(
+        [("k", 1.0, 5.0), ("k", 1.0, -1.0)], "g string, v double, w double"
+    )
+    # group sum = 4 >= 0, but the ROW-level witness must catch the -1
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_percentiles(mixed, "g", "v", "w", [50])
+    with pytest.raises(ValueError, match="weight_scale"):
+        weighted_percentiles(frac, "g", "v", "w", [50], weight_scale=0)

@@ -86,7 +86,7 @@ def _brute_grid_clusters(rows, eps, min_pts):
             continue
         cells[(x // eps, y // eps)].append(i)
     dense = {c for c, m in cells.items() if len(m) >= min_pts}
-    key = lambda c: c[0] * 1_000_000 + c[1]  # noqa: E731
+    key = lambda c: c[0] * 4_294_967_296 + c[1] + 2_147_483_648  # noqa: E731
     label = {}
     for c in dense:
         if c in label:
@@ -147,7 +147,8 @@ def test_grid_density_isolated_dense_cell_is_its_own_cluster(spark):
             _pts(spark, rows), "id", "x", "y", eps=10, min_pts=3
         ).collect()
     }
-    assert out[1] == out[2] == out[3] == 0  # cell (0,0) -> key 0
+    # cell (0,0) -> key 0*2^32 + 0 + 2^31
+    assert out[1] == out[2] == out[3] == 2_147_483_648
     assert out[4] is None
 
 
@@ -181,3 +182,36 @@ def test_grid_density_tiers_agree(spark):
         )
     )
     assert a == b
+
+
+def test_grid_density_cell_key_no_collision_at_large_indices(spark):
+    """Regression: the old cx*1e6+cy packing collided whenever
+    |cell_y| >= 500k — (cx=0, cy=1_000_000) and (cx=1, cy=0) shared a
+    key and far-apart clusters silently merged. The 2^32-shift pack is
+    a bijection over int32 cell indices."""
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    rows = [
+        (1, 0.5, 1_000_000.5),
+        (2, 0.6, 1_000_000.6),
+        (3, 1.5, 0.5),
+        (4, 1.6, 0.6),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = grid_density_clusters(df, "id", "x", "y", eps=1, min_pts=2)
+    clusters = {r.id: r.cluster for r in out.collect()}
+    assert clusters[1] == clusters[2]
+    assert clusters[3] == clusters[4]
+    assert clusters[1] != clusters[3]  # collided before the fix
+
+
+def test_grid_density_cell_index_overflow_raises(spark):
+    from orientdb_etl_spark.functions.spatial import grid_density_clusters
+
+    df = spark.createDataFrame(
+        [(1, 3.0e9, 0.0), (2, 3.0e9, 0.1)], "id long, x double, y double"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="int32"):
+        grid_density_clusters(df, "id", "x", "y", eps=1, min_pts=1)
