@@ -1,8 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line as the
+FINAL bytes of stdout (after Spark teardown, so the driver's tail capture
+can parse it):
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+and writes the full audit payload (raw samples, per-sample external-busy/
+steal fractions, per-query window-quality labels, host snapshots) to
+BENCH_local.json ($SPARK_GRAFT_BENCH_OUT overrides). The default capture
+set is CORE (~50 queries, every family); SPARK_GRAFT_BENCH_FULL=1 runs
+the full registry surface.
 
 Each query is forced with a full collect (the driver-side result sets are
 small by construction — aggregates / top-k), timed wall-clock. Each query
@@ -322,6 +330,76 @@ HEADLINE = [
     "holt_winters",
 ]
 
+# The DRIVER-DEFAULT capture set: every driver-gate family plus the most
+# expensive audited operators — small enough that the final stdout JSON
+# line stays well under the driver's captured-tail budget (the reason
+# BENCH_r01..r05 all recorded "parsed": null was a ~15 KB line truncated
+# from the front). The full 216-query surface still runs locally with
+# SPARK_GRAFT_BENCH_FULL=1 and is committed as BENCH_local_r{N}.json.
+CORE = [
+    # TPC-H / relational
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q12_shipmode_priority",
+    "scalar_subquery_avg",
+    "cube_sales",
+    "pivot_segments",
+    "salted_join",
+    "sessionize",
+    "asof_join_events",
+    # ETL parity operators
+    "link_fk",
+    "merge_upsert",
+    "subetl_items_agg",
+    "command_transform",
+    "html_extract",
+    # streaming
+    "stream_events_hourly",
+    "stream_incremental",
+    # text curation
+    "text_metrics",
+    "text_quality",
+    "chunk_documents",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "pii_scrub",
+    "sequence_pack",
+    "curate_corpus",
+    "sample_shuffle_split",
+    # dedup / ANN
+    "dedup_exact",
+    "dedup_minhash_survivors",
+    "dedup_pipeline",
+    "semantic_dedup",
+    "incremental_near",
+    "dup_passages",
+    "strip_passages",
+    "shared_spans",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "multimodal_frames",
+    # retrieval / quality gates / ER
+    "bm25_rank",
+    "hybrid_retrieval",
+    "phrase_search",
+    "expectations",
+    "fellegi_sunter",
+    "bloom_decontam",
+    "bpe_merges",
+    "weighted_percentiles",
+    "snapshot_diff",
+    "zorder_key",
+    # the five most expensive audited plans (VERDICT r5) — contended
+    # minima here are exactly what the per-query quality label guards
+    "containment_join",
+    "set_sim_join",
+    "kmeans",
+    "label_prop",
+    "triangle_count",
+]
+
 
 def _prod_dedup_minhash_survivors(spark, sf_dir):
     """Production MinHash-LSH dedup (Arrow signatures + banding + verify)
@@ -573,12 +651,92 @@ def _host_window(start: dict, end: dict) -> dict:
     return out
 
 
+# process tree whose CPU counts as OURS when attributing host busy time:
+# this python driver, the Spark JVM, and every descendant (pyspark worker
+# daemon + Arrow UDF workers are JVM children)
+_OWN_ROOTS: set[int] = {os.getpid()}
+
+
+def _proc_cpu_jiffies(pid: int) -> "tuple[int, int] | None":
+    """(ppid, utime+stime) from /proc/<pid>/stat, comm-paren safe."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            s = f.read()
+        rest = s[s.rindex(")") + 2 :].split()
+        return int(rest[1]), int(rest[11]) + int(rest[12])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _own_tree_jiffies() -> int:
+    """Total CPU jiffies consumed by the bench's own process tree. The
+    difference of two snapshots, subtracted from the HOST busy delta,
+    isolates EXTERNAL contention — the machine-checkable signal behind
+    the per-query window-quality label (loadavg alone can't separate the
+    bench's own 32-thread bursts from a noisy neighbour)."""
+    stats: dict[int, tuple[int, int]] = {}
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return 0
+    for pid in pids:
+        st = _proc_cpu_jiffies(pid)
+        if st is not None:
+            stats[pid] = st
+    own = set(_OWN_ROOTS) & set(stats)
+    grew = True
+    while grew:  # transitive children (daemon -> workers)
+        grew = False
+        for pid, (ppid, _) in stats.items():
+            if ppid in own and pid not in own:
+                own.add(pid)
+                grew = True
+    return sum(stats[p][1] for p in own)
+
+
+def _sample_quality(
+    h0: dict, h1: dict, own0: int, own1: int
+) -> "dict | None":
+    """External-busy and steal fractions for ONE timing sample; None when
+    /proc counters were unavailable or the window was too short."""
+    j0, j1 = h0.get("jiffies"), h1.get("jiffies")
+    if not j0 or not j1 or j1["total"] <= j0["total"]:
+        return None
+    total = j1["total"] - j0["total"]
+    busy = total - (j1["idle"] - j0["idle"])
+    ext = max(0, busy - max(0, own1 - own0))
+    return {
+        "external_busy_frac": round(ext / total, 3),
+        "steal_frac": round((j1["steal"] - j0["steal"]) / total, 4),
+    }
+
+
+# a sample is CONTENDED when processes outside the bench's own tree held
+# >10% of the machine, or hypervisor steal exceeded 2%, during the window
+_EXT_BUSY_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_BUSY_MAX", "0.10"))
+_STEAL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.02"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            # the StateStore maintenance timer (default 60 s) used to fire
+            # AFTER session stop and spray a WARN stacktrace into stdout
+            # behind the headline JSON — push it past any bench lifetime
+            "spark.sql.streaming.stateStore.maintenanceInterval": "3600s",
+        },
+    )
+    try:  # the JVM's CPU belongs to the bench's own process tree
+        _OWN_ROOTS.add(
+            int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        )
+    except Exception:
+        pass
     queries = dict(entry.queries_all())
     queries.update(PROD_OVERRIDES)
 
@@ -601,20 +759,31 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     # partial capture windows (merged later via tools/merge_bench_windows.py):
-    # SPARK_GRAFT_BENCH_ONLY=q1,q3 runs just those headline entries
+    # SPARK_GRAFT_BENCH_ONLY=q1,q3 runs just those headline entries;
+    # SPARK_GRAFT_BENCH_FULL=1 runs the full 216-query surface (the
+    # committed BENCH_local_r{N}.json artifact); the default is the CORE
+    # set so the driver's captured stdout tail can actually parse the line
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-    headline = (
-        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
-        if only
-        else HEADLINE
-    )
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL", "").strip() == "1"
+    if only:
+        headline = [
+            n for n in HEADLINE if n in {s.strip() for s in only.split(",")}
+        ]
+        profile = "only"
+    elif full:
+        headline, profile = HEADLINE, "full"
+    else:
+        headline, profile = CORE, "core"
     host_start = _host_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     load_at_sample: dict[str, list[float]] = {}
+    sample_quality: dict[str, list] = {}
+    quality: dict[str, str] = {}
     for name in headline:
         fn = queries[name]
         samples = []
+        qualities: list = []
         n = 0
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -624,46 +793,100 @@ def main() -> None:
                 )
             except OSError:
                 pass
+            h0, own0 = _host_snapshot(), _own_tree_jiffies()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count() if name in ("window_running",) else len(df.collect())
             samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
+            qualities.append(
+                _sample_quality(h0, _host_snapshot(), own0, _own_tree_jiffies())
+            )
+        best = min(range(len(samples)), key=samples.__getitem__)
+        timings[name] = round(samples[best], 3)
         spreads[name] = [round(s, 3) for s in samples]
+        sample_quality[name] = qualities
+        # the label adjudicates the MIN sample (the one that becomes the
+        # committed number): contended minima can't pass silently as the
+        # repeatable cost of a NEW query
+        q = qualities[best]
+        quality[name] = (
+            "unknown"
+            if q is None
+            else "contended"
+            if (
+                q["external_busy_frac"] > _EXT_BUSY_MAX
+                or q["steal_frac"] > _STEAL_MAX
+            )
+            else "ok"
+        )
         print(
             f"# {name}: {timings[name]}s ({n} rows; samples "
             + "/".join(f"{s:.2f}" for s in samples)
-            + ")",
+            + f"; {quality[name]})",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
-    # jitter honesty: min-of-N is the headline, but the artifact also
-    # carries every raw sample and the sum-of-sample-totals so the spread
-    # is auditable without trusting prose
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-                "aggregation": "min",
-                "samples": spreads,
-                "total_per_run": [
-                    round(sum(s[i] for s in spreads.values()), 3)
-                    for i in range(runs)
-                ],
-                # self-adjudication: host contention captured into the
-                # artifact (see _host_snapshot) — a 1-min load >> the run's
-                # own CPU use, or steal > 0, flags an untrustworthy sample
-                "host": _host_window(host_start, _host_snapshot()),
-                "load_1m_at_sample": load_at_sample,
-            }
-        )
+    contended = sorted(n for n, v in quality.items() if v == "contended")
+    # jitter honesty: min-of-N is the headline, and the FULL artifact
+    # carries every raw sample, per-sample external-busy/steal fractions,
+    # and the window host snapshot — auditable without trusting prose
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "profile": profile,
+        "samples": spreads,
+        "total_per_run": [
+            round(sum(s[i] for s in spreads.values()), 3) for i in range(runs)
+        ],
+        # per-query adjudication of the committed minimum (VERDICT r5 #5):
+        # "contended" = external processes held > EXT_BUSY_MAX of the host
+        # (or steal > STEAL_MAX) during the min sample's window
+        "quality": quality,
+        "sample_quality": sample_quality,
+        "host": _host_window(host_start, _host_snapshot()),
+        "load_1m_at_sample": load_at_sample,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_local.json"),
     )
+    with open(out_path, "w") as f:
+        f.write(json.dumps(detail))
+    print(f"# full artifact: {out_path}", file=sys.stderr)
+
+    # the driver captures a byte-limited TAIL of this process's output and
+    # parses the last JSON line — so the compact line must be (a) small,
+    # (b) the final bytes the process ever emits. Stop Spark FIRST (its
+    # teardown logs), then print, flush, and _exit so no late JVM thread
+    # (e.g. the StateStore maintenance timer) can append a stacktrace.
+    try:
+        for sq in spark.streams.active:
+            sq.stop()
+        spark.stop()
+    except Exception:
+        pass
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "profile": profile,
+        "contended_queries": contended,
+        "detail": out_path,
+    }
+    sys.stderr.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

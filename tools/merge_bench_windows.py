@@ -26,10 +26,30 @@ def main() -> None:
         for q in w["queries"]:
             if q not in names:
                 names.append(q)
-    queries = {
-        q: min(w["queries"][q] for w in wins if q in w["queries"])
-        for q in names
-    }
+    # per-query window-quality guard (round-6): when at least one window
+    # labelled the query's min sample "ok", a contended window's (possibly
+    # inflated-or-lucky) value cannot become the committed minimum; a
+    # query with ONLY contended windows keeps its min but carries the
+    # label so the artifact self-reports the untrusted number
+    queries: dict = {}
+    quality: dict = {}
+    for q in names:
+        entries = [
+            (w["queries"][q], w.get("quality", {}).get(q, "unknown"))
+            for w in wins
+            if q in w["queries"]
+        ]
+        ok = [v for v, lbl in entries if lbl == "ok"]
+        if ok:
+            queries[q] = min(ok)
+            quality[q] = "ok"
+        else:
+            queries[q] = min(v for v, _ in entries)
+            quality[q] = (
+                "contended"
+                if any(lbl == "contended" for _, lbl in entries)
+                else "unknown"
+            )
     samples = {
         q: [w["queries"][q] for w in wins if q in w["queries"]] for q in names
     }
@@ -64,6 +84,7 @@ def main() -> None:
             "load/steal captured below (self-adjudication)"
         ),
         "samples": samples,
+        "quality": quality,
         "windows_host": hosts,
     }
     with open(out_path, "w") as f:
