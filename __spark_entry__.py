@@ -6151,7 +6151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     link_multivalue→html_extract, stream_sliding_2h→semantic_dedup) so
     distributed ingestion, HTML extraction, and semantic dedup carry hard
     driver rows too; every displaced query stays hash-checked in
-    queries_all. The full
+    queries_all. Round 6 rotates five more same-family near-duplicates
+    onto round-5 families that had never carried a driver row
+    (ngram_jaccard→weighted_percentiles, ann_lsh_topk→hybrid_retrieval,
+    text_metrics→shared_spans, subetl_linenumbers→resolve_entities,
+    mixture_sample→expectations); each displaced query keeps coverage via
+    its family's remaining driver rows and the local gate. The full
     fine-grained surface (every pre-consolidation query) remains in
     :func:`queries_all`, which the local gate (tools/check_correctness.py),
     tests, and bench.py run.
@@ -6176,7 +6181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_labels": q_vertex_labels,
         "edges_graph": q_edges_graph,
         "edge_create_placeholders": q_edge_create_placeholders,
-        "subetl_linenumbers": q_subetl_linenumbers,
+        # round 6: subetl_linenumbers' slot carries the ER pipeline's
+        # component-resolution stage (Fellegi-Sunter match -> survivor
+        # entities); sub-ETL stays driver-covered by subetl_items_agg
+        "resolve_entities": q_resolve_entities,
         "subetl_items_agg": q_subetl_items_agg,
         "file_gz_source": q_file_gz_source,
         "http_source": q_http_source,
@@ -6207,18 +6215,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "stream_dedup_users": q_stream_dedup_users,
         # training-data operators
-        "text_metrics": q_text_metrics,
+        # round 6: text_metrics' slot carries exact-substring span dedup
+        # (winnowed shared-span pairs, Lee ACL'22); text metrics stay
+        # driver-covered by text_quality
+        "shared_spans": q_shared_spans,
         "text_quality": q_text_quality,
         "chunk_documents": q_chunk_documents,
         "sample_shuffle_split": q_sample_shuffle_split,
-        "mixture_sample": q_mixture_sample,
+        # round 6: mixture_sample's slot carries the single-pass Deequ-
+        # style expectations gate; sampling stays driver-covered by
+        # sample_shuffle_split
+        "expectations": q_expectations,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
+        # round 6: ngram_jaccard's slot carries exact weighted
+        # percentiles (type-1 weighted quantile via exclusive_prefix);
+        # n-gram similarity stays driver-covered by the minhash family
+        "weighted_percentiles": q_weighted_percentiles,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # round 6: ann_lsh_topk's slot carries RRF hybrid retrieval
+        # (BM25 + dense fusion); LSH ANN stays driver-covered by
+        # ann_pairwise_topk (LSH-bucketed) and the local gate
+        "hybrid_retrieval": q_hybrid_retrieval,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pairwise_topk": q_ann_pairwise_topk,
         "multimodal_features": q_multimodal_features,
@@ -6237,6 +6257,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # consolidated out of the driver registry (still hash-checked
             # here): stdin staging ceded its driver slot to http_manifest
             "stdin_source": q_stdin_source,
+            # round 6: displaced by the rotation onto round-5 families
+            "subetl_linenumbers": q_subetl_linenumbers,
+            "text_metrics": q_text_metrics,
+            "mixture_sample": q_mixture_sample,
+            "ngram_jaccard": q_ngram_jaccard,
+            "ann_lsh_topk": q_ann_lsh_topk,
             # round 5: batch MERGE loader (bucketed parquet upsert) and
             # product-quantization ANN (recall certificate)
             "merge_sink": q_merge_sink,
