@@ -18,7 +18,7 @@ Public surface:
 """
 
 from orientdb_etl_spark.pipeline import Pipeline, PipelineResult
-from orientdb_etl_spark.session import get_spark
+from orientdb_etl_spark.session import cluster_profile, get_spark
 
-__all__ = ["Pipeline", "PipelineResult", "get_spark"]
+__all__ = ["Pipeline", "PipelineResult", "cluster_profile", "get_spark"]
 __version__ = "0.1.0"

@@ -20,9 +20,19 @@ user-authored pipelines:
   the hot path (~10-100× slower than Arrow/JVM).
 * ``arrow_python``         — ArrowEvalPython / pandas exec nodes: info,
   the acceptable escape hatch.
-* ``unpushed_filter``      — a file scan whose PushedFilters is empty
-  while the plan filters rows above it: predicate pushdown lost
-  (casts/UDFs on the filter column are the usual cause).
+* ``unpushed_filter``      — a Filter holding a SOURCE-PUSHABLE
+  comparison (bare or cast-wrapped column vs literal) sitting DIRECTLY
+  on a file scan (through Project/ColumnarToRow only) whose
+  PushedFilters carries no real predicate: pushdown genuinely lost
+  (a cast around the filter column is the usual cause).
+* ``compute_filter``       — info: a scan-adjacent Filter whose
+  predicates are expressions of scan columns (length/regex/modulo) —
+  un-pushable by nature, evaluated scan-fused in the same codegen
+  stage; no extra pass, nothing pushable lost.
+* ``residual_filter``      — info: filters exist only above barrier
+  nodes (Exchange/Aggregate/Join/Window) on computed columns while some
+  scan pushes nothing — HAVING / post-join predicates; no scan could
+  absorb them, kept as an annotation rather than a warning.
 * ``wide_scan``            — a scan reading more than ``max_read_cols``
   columns: column pruning lost.
 
@@ -74,6 +84,197 @@ def _window_feeds_single_partition(df: DataFrame) -> bool:
                 continue
             break
     return False
+
+
+#: nodes a predicate can slide through on its way to the scan — anything
+#: else (Exchange, HashAggregate, joins, Window, Generate, Arrow stages)
+#: produces or reshapes rows, so a Filter above it is residual by nature
+_PASS_THROUGH = {"Project", "Filter", "ColumnarToRow", "InputAdapter"}
+
+_TREE_NODE = re.compile(
+    r"^(?P<pre>[:+|\- ]*?)(?:\* )?(?P<name>[A-Za-z].*?)\s*\((?P<id>\d+)\)\s*$"
+)
+_FILE_SCAN = re.compile(r"^Scan (parquet|orc|csv|json|text|avro)\b")
+_ONLY_NULLCHECKS = re.compile(r"\[(\s*IsNotNull\([^)]*\)\s*,?)*\]")
+# a source-pushable conjunct: a bare attribute reference (optionally
+# cast-wrapped — the classic authoring bug) compared to a pure literal,
+# in either operand order, or an IN over literals. Matched against WHOLE
+# top-level conjuncts, never substrings — comparisons nested inside
+# isnotnull()/coalesce()/CASE are null-guards or derived expressions, not
+# predicates a source could take.
+_ATTR = r"(?:cast\()?\w+#\d+[A-Za-z]*(?: as \w+\))?"
+_LIT = r"[^()#]+"
+_PUSHABLE_CMP = re.compile(
+    rf"(?:{_ATTR}\s*(?:=|>=|<=|>|<)\s*{_LIT}"
+    rf"|{_LIT}\s*(?:=|>=|<=|>|<)\s*{_ATTR}"
+    rf"|{_ATTR} IN \([^()#]*\))"
+)
+
+
+def _conjuncts(cond: str) -> "list[str]":
+    """Split a Spark Condition string into its top-level AND conjuncts,
+    stripping redundant outer parentheses (conditions print as fully
+    parenthesized binary trees: ``((a AND b) AND c)``)."""
+
+    def strip_outer(s: str) -> str:
+        s = s.strip()
+        while s.startswith("(") and s.endswith(")"):
+            depth = 0
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(s) - 1:
+                        return s  # outer parens don't span the whole string
+            s = s[1:-1].strip()
+        return s
+
+    cond = strip_outer(cond)
+    parts: list[str] = []
+    depth = last = i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[last:i])
+            i += 5
+            last = i
+            continue
+        i += 1
+    parts.append(cond[last:])
+    if len(parts) == 1:
+        return [cond]
+    return [c for p in parts for c in _conjuncts(p)]
+
+
+def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
+    """Parse the FORMATTED plan's tree section(s) and classify every
+    Filter node. Returns ``(lost_pushdown, compute_filter, residual)``:
+
+    ``lost_pushdown`` — some Filter holding a source-pushable comparison
+    reaches a scan through pass-through nodes only, and that scan pushes
+    no real predicate: a predicate the scan COULD have taken stayed out.
+
+    ``compute_filter`` — scan-adjacent filters exist but all their
+    predicates are expressions over scan columns (un-pushable, fused
+    into the scan's codegen stage).
+
+    ``residual`` — filters exist only above barrier nodes (computed
+    columns) while some scan still pushes nothing: the old coarse rule's
+    trigger, kept as an info-level annotation.
+    """
+    # PushedFilters per FILE-scan node id (detail blocks: "(7) Scan
+    # parquet ..."); in-memory scans (ExistingRDD, LocalTableScan) have
+    # nothing to push and never count as a pushdown defect
+    pushed: dict[int, str] = {}
+    conditions: dict[int, str] = {}
+    for block in plan.split("\n\n"):
+        block = block.lstrip("\n")
+        m = re.match(r"\((\d+)\) (Scan [^\n]*)", block)
+        if m and _FILE_SCAN.match(m.group(2)):
+            pm = re.search(r"PushedFilters: (\[[^\]]*\])", block)
+            pushed[int(m.group(1))] = pm.group(1) if pm else "[]"
+            continue
+        fm = re.match(r"\((\d+)\) Filter\b", block)
+        if fm:
+            cm = re.search(r"Condition : (.*)", block)
+            conditions[int(fm.group(1))] = cm.group(1) if cm else ""
+
+    def _real_conjuncts(filter_id: int) -> "list[str]":
+        # conjuncts that are NOT isnotnull(...) guards (a guard over a
+        # derived expression is still a guard, so match by prefix)
+        return [
+            c
+            for c in _conjuncts(conditions.get(filter_id, ""))
+            if c.strip() and not c.strip().startswith("isnotnull(")
+        ]
+
+    def real_condition(filter_id: int) -> bool:
+        # a Filter that is ONLY isnotnull(...) guards mirrors the scan's
+        # pushed nullchecks — nothing was lost
+        return bool(_real_conjuncts(filter_id))
+
+    def pushable_comparison(filter_id: int) -> bool:
+        # some WHOLE conjunct is a comparison a parquet source COULD
+        # have taken. Expression predicates (length(x) > 0, id % 50 = 0,
+        # NOT coalesce(x < 0, false)) are un-pushable by nature:
+        # scan-fused in the same codegen stage, not a defect.
+        return any(
+            _PUSHABLE_CMP.fullmatch(c.strip()) is not None
+            for c in _real_conjuncts(filter_id)
+        )
+
+    def no_real_push(scan_id: int) -> bool:
+        p = pushed.get(scan_id, "[]")
+        return _ONLY_NULLCHECKS.fullmatch(p) is not None
+
+    # tree blocks: the main physical plan and each subquery print a
+    # node-per-line tree terminated by a blank line
+    scan_adjacent = False
+    compute_filter = False
+    any_filter = False
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("== Physical Plan ==") or lines[i].startswith(
+            "Subquery:"
+        ):
+            i += 1
+            # stack of (depth, name, id); children resolved on the fly
+            nodes: list[dict] = []
+            stack: list[dict] = []
+            while i < len(lines) and lines[i].strip():
+                m = _TREE_NODE.match(lines[i])
+                i += 1
+                if not m:
+                    continue
+                depth = len(m.group("pre")) // 3
+                node = {
+                    "name": m.group("name").strip(),
+                    "id": int(m.group("id")),
+                    "depth": depth,
+                    "children": [],
+                }
+                while stack and stack[-1]["depth"] >= depth:
+                    stack.pop()
+                if stack:
+                    stack[-1]["children"].append(node)
+                stack.append(node)
+                nodes.append(node)
+            for node in nodes:
+                if node["name"] != "Filter":
+                    continue
+                if not real_condition(node["id"]):
+                    continue  # pure isnotnull guard, mirrors the pushdown
+                any_filter = True
+                cur = node
+                while (
+                    len(cur["children"]) == 1
+                    and cur["children"][0]["name"] in _PASS_THROUGH
+                ):
+                    cur = cur["children"][0]
+                if len(cur["children"]) == 1 and cur["children"][0][
+                    "id"
+                ] in pushed:
+                    if no_real_push(cur["children"][0]["id"]):
+                        if pushable_comparison(node["id"]):
+                            scan_adjacent = True
+                        else:
+                            compute_filter = True
+        else:
+            i += 1
+    some_scan_unpushed = any(no_real_push(sid) for sid in pushed)
+    residual = (
+        any_filter
+        and not scan_adjacent
+        and not compute_filter
+        and some_scan_unpushed
+    )
+    return scan_adjacent, compute_filter, residual
 
 
 def audit_plan(df: DataFrame, max_read_cols: int | None = 24) -> list[dict]:
@@ -148,28 +349,49 @@ def audit_plan(df: DataFrame, max_read_cols: int | None = 24) -> list[dict]:
                 "the consumer actually needs a total order.",
             }
         )
-    # scans: a Filter node above a scan whose PushedFilters carries no
-    # real predicate (empty, or only the automatic IsNotNull guards) —
-    # the comparison stayed post-scan, commonly because a cast/function
-    # wrapped the filter column
-    has_filter = re.search(r"\(\d+\) Filter", plan) is not None
-    only_nullchecks = re.compile(
-        r"PushedFilters: \[(\s*IsNotNull\([^)]*\)\s*,?)*\]"
-    )
-    for m in re.finditer(r"PushedFilters: \[[^\]]*\]", plan):
-        if has_filter and only_nullchecks.fullmatch(m.group(0)):
-            out.append(
-                {
-                    "rule": "unpushed_filter",
-                    "severity": "warn",
-                    "detail": "A scan pushes no real predicate (empty or "
-                    "IsNotNull-only PushedFilters) while the plan filters "
-                    "rows above it — pushdown was lost (commonly a "
-                    "cast/function wrapped around the filter column). "
-                    "The scan reads every row group.",
-                }
-            )
-            break
+    # filters vs scans, tree-aware (round 6): a Filter whose input chain
+    # reaches a scan THROUGH ONLY pass-through nodes (Project /
+    # ColumnarToRow) is scan-adjacent — if that scan pushes no real
+    # predicate, pushdown was genuinely lost (warn). A Filter above an
+    # Exchange / Aggregate / Join / Window / Generate consumes COMPUTED
+    # columns (HAVING, post-join residual, similarity threshold) — no
+    # scan could ever absorb it, so it is informational, not a defect.
+    scan_adjacent, compute_filter, residual = _classify_filters(plan)
+    if scan_adjacent:
+        out.append(
+            {
+                "rule": "unpushed_filter",
+                "severity": "warn",
+                "detail": "A Filter holding a SOURCE-PUSHABLE comparison "
+                "(bare or cast-wrapped column vs literal) sits directly "
+                "on a scan that pushes no real predicate — pushdown "
+                "was lost (commonly a cast around the filter column). "
+                "The scan reads every row group.",
+            }
+        )
+    elif compute_filter:
+        out.append(
+            {
+                "rule": "compute_filter",
+                "severity": "info",
+                "detail": "A Filter on computed expressions "
+                "(length/regex/modulo of scan columns) sits on a scan "
+                "— un-pushable by nature, evaluated scan-fused in "
+                "the same codegen stage; no extra pass, nothing pushable "
+                "lost.",
+            }
+        )
+    elif residual:
+        out.append(
+            {
+                "rule": "residual_filter",
+                "severity": "info",
+                "detail": "The plan filters rows above a shuffle/agg/"
+                "join boundary on computed columns (and some scan "
+                "carries no pushed predicate) — expected for HAVING / "
+                "post-join predicates; nothing for the scan to absorb.",
+            }
+        )
     if max_read_cols is not None:
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
             ncols = len([c for c in m.group(1).split(",") if ":" in c])

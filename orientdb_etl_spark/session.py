@@ -54,6 +54,60 @@ def get_spark(
     return spark
 
 
+def cluster_profile(
+    total_cores: int = 4000,
+    executor_mem_gb: int = 32,
+    executor_cores: int = 8,
+) -> dict[str, str]:
+    """SQL-conf block for a REAL cluster at the 100 TB design point —
+    the settings SCALE.md's plan shapes assume, so a deploy doesn't
+    silently inherit the local[32] test defaults. Every key is a
+    runtime-settable SQL conf: apply via ``get_spark(extra_conf=...)``
+    at build time or ``spark.conf.set`` on a live session.
+
+    The mapping, keyed to SCALE.md ("Cluster posture"):
+
+    - ``shuffle.partitions`` = 3× total cores — oversized on purpose;
+      AQE coalesces down per stage, and a too-small static value is the
+      one mistake AQE cannot undo (it merges, never splits, the map side).
+    - ``advisoryPartitionSizeInBytes`` = 128 MB — AQE's coalesce target;
+      with executor memory per task = mem/cores, a 128 MB compressed
+      partition (~3-5× larger decompressed) still fits task working
+      memory at 32 GB / 8 cores without spilling the hash aggregates.
+    - ``files.maxPartitionBytes`` = 256 MB — scan granularity: 100 TB /
+      256 MB ≈ 400k scan tasks, amortizing task overhead while keeping
+      any single task re-runnable in seconds on straggler retry.
+    - ``autoBroadcastJoinThreshold`` = 256 MB — the dimension tables the
+      lookup family broadcasts (SCALE.md join analysis) stay far under
+      executor memory at this size; raising it past the local 10 MB
+      default is what keeps nation/region/part-scale dims off the
+      shuffle path at TPC-H-like ratios.
+    - skew-join split ON with factor 4 / 256 MB thresholds — a skewed
+      fact-fact partition splits instead of stalling a task for hours
+      (the salting operators remain for DETERMINISTIC hot keys;
+      AQE handles the emergent ones).
+    - ``maxRecordsPerBatch`` 10k — Arrow batch size for the Pandas-UDF
+      stages (multimodal/codec paths): bounds per-batch Python memory at
+      wide binary columns.
+    """
+    if total_cores < 1 or executor_cores < 1 or executor_mem_gb < 1:
+        raise ValueError("cluster_profile sizes must be positive")
+    return {
+        "spark.sql.shuffle.partitions": str(3 * int(total_cores)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column regardless of fixture storage type.
 

@@ -99,3 +99,47 @@ def test_driver_registry_has_no_error_severity_plans(spark):
         if errs:
             bad[name] = errs
     assert bad == {}
+
+
+def test_filter_classification_three_way(spark, tmp_path):
+    """Round-6 tree-aware split: lost pushdown (pushable comparison left
+    above a scan pushing nothing) warns; scan-fused expression predicates
+    and post-shuffle residual filters are info annotations."""
+    p = str(tmp_path / "cls.parquet")
+    spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k")
+    ).write.mode("overwrite").parquet(p)
+    t = spark.read.parquet(p)
+
+    def sev(fs, rule):
+        return next((f["severity"] for f in fs if f["rule"] == rule), None)
+
+    # expression predicate: scan-fused, info not warn
+    got = audit_plan(t.filter((F.col("k") % 3) == 0))
+    assert sev(got, "compute_filter") == "info"
+    assert "unpushed_filter" not in _rules(got)
+
+    # HAVING above the aggregation: residual, info not warn
+    having = t.groupBy("k").agg(F.sum("id").alias("s")).filter(
+        F.col("s") > 100
+    )
+    got = audit_plan(having)
+    assert sev(got, "residual_filter") == "info"
+    assert "unpushed_filter" not in _rules(got)
+
+    # catalyst's own isnotnull guard above a scan: no finding at all
+    j = t.join(t.withColumnRenamed("id", "id2"), "k")
+    got = audit_plan(j)
+    assert "unpushed_filter" not in _rules(got)
+    assert "compute_filter" not in _rules(got)
+
+    # lost pushdown coexisting with a HAVING: the warn wins
+    both = (
+        t.filter(F.col("k").cast("string") == "3")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .filter(F.col("s") > 1)
+    )
+    got = audit_plan(both)
+    assert sev(got, "unpushed_filter") == "warn"
+    assert "residual_filter" not in _rules(got)

@@ -288,3 +288,36 @@ def test_manifest_lines_error_rows(spark, tmp_path):
     assert "FileNotFoundError" in e.error
     assert [r.line_no for r in sorted(by[good], key=lambda r: r.line_no)] == [1, 2]
     assert all(r.error is None for r in by[good])
+
+
+# ------------------------------------------------------- cluster profile
+
+
+def test_cluster_profile_round_trip(spark):
+    """Every key in the 100 TB profile is a runtime-settable SQL conf
+    that takes effect on a live session (SCALE.md 'Cluster posture'),
+    and the sizing math follows the documented mapping."""
+    from orientdb_etl_spark import cluster_profile
+
+    prof = cluster_profile(total_cores=4000, executor_mem_gb=32,
+                           executor_cores=8)
+    assert prof["spark.sql.shuffle.partitions"] == str(3 * 4000)
+    assert prof["spark.sql.adaptive.enabled"] == "true"
+    assert prof["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    saved = {}
+    try:
+        for k, v in prof.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)  # raises if the key is not settable
+            assert spark.conf.get(k) == v
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_profile(total_cores=0)

@@ -35,6 +35,15 @@ from orientdb_etl_spark.planaudit import audit_plan  # noqa: E402
 #: NOT listed here is a regression to fix (heavy_hitters and ks_test
 #: were exactly that, and were rewritten to broadcast-scalar /
 #: exclusive-prefix shapes when this sweep first ran).
+#: Queries whose warn-level ``unpushed_filter`` finding is adjudicated
+#: legitimate, with the reason stated (same discipline as
+#: BOUNDED_WINDOW_OK). Round 6 made the rule itself tree-aware — filters
+#: above shuffles are ``residual_filter`` info, scan-fused expression
+#: predicates are ``compute_filter`` info — so anything still warning
+#: carries a genuinely pushable comparison left above a scan; it must be
+#: fixed or adjudicated here.
+SCAN_FILTER_OK: dict[str, str] = {}
+
 BOUNDED_WINDOW_OK = {
     "gains_chart": "cumulative pass over the n_buckets-row frame (10)",
     "growth_accounting": "period frame — bounded by the calendar range",
@@ -86,6 +95,12 @@ def main() -> None:
                         and n in BOUNDED_WINDOW_OK
                         else {}
                     ),
+                    **(
+                        {"adjudicated": SCAN_FILTER_OK[n]}
+                        if f["rule"] == "unpushed_filter"
+                        and n in SCAN_FILTER_OK
+                        else {}
+                    ),
                 }
                 for f in fs
             ]
@@ -97,6 +112,12 @@ def main() -> None:
             for n, fs in findings.items()
             if any(f["rule"] == "global_window" for f in fs)
             and n not in BOUNDED_WINDOW_OK
+        ),
+        "unaccounted_unpushed_filters": sorted(
+            n
+            for n, fs in findings.items()
+            if any(f["rule"] == "unpushed_filter" for f in fs)
+            and n not in SCAN_FILTER_OK
         ),
     }
     Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True))

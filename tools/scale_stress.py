@@ -12,7 +12,10 @@ then measures:
   quadratic emit) vs pair counts with the cap disabled (the blow-up the
   cap prevents, measured on the candidate stream, not materialized);
 - ``simhash_dedup`` wall time + survivors on the same skewed corpus;
-- ``pairwise_topk_join`` (LSH-bucketed k-NN join) on the scaled embeddings.
+- ``pairwise_topk_join`` (LSH-bucketed k-NN join) on the scaled embeddings;
+- manifest ingest failure path: 64 gz shards + one poisoned URL —
+  dead-letter row count under ``on_error='keep'`` and the raise under
+  ``on_error='fail'`` (the documented error contract at shard scale).
 
 Prints one JSON line; run with:
 
@@ -398,6 +401,65 @@ def main() -> None:
     out["grid_clusters"] = int(gagg["k"])
     out["grid_noise_points"] = int(gagg["noise"])
     out["t_grid_clusters"] = round(time.time() - t0, 2)
+
+    # --- manifest ingest failure path at shard scale --------------------
+    # N gz shards staged from the scaled corpus + one poisoned URL in the
+    # middle of the manifest. Evidence for the documented error contract
+    # (README "Manifest-scale ingestion"): with on_error='keep' +
+    # error_rows=True every good shard lands AND the poisoned URL emits
+    # exactly one dead-letter row (line_no=0, NULL value); with
+    # on_error='fail' the job raises instead of silently dropping.
+    import gzip
+    import shutil
+    import tempfile
+
+    from orientdb_etl_spark.sources.manifest import fetch_manifest
+
+    n_shards = 64
+    stage = tempfile.mkdtemp(prefix="manifest_stress_")
+    try:
+        texts = [
+            r["text"]
+            for r in docs.limit(n_shards * 50).select("text").collect()
+        ]
+        shard_urls = []
+        for s in range(n_shards):
+            p = f"{stage}/shard_{s:04d}.txt.gz"
+            with gzip.open(p, "wt") as f:
+                for t in texts[s * 50 : (s + 1) * 50]:
+                    f.write((t or "") + "\n")
+            shard_urls.append(p)
+        poisoned = (
+            shard_urls[: n_shards // 2]
+            + [f"{stage}/missing_shard.txt.gz"]
+            + shard_urls[n_shards // 2 :]
+        )
+        t0 = time.time()
+        fetched = fetch_manifest(
+            poisoned, spark=spark, mode="lines",
+            on_error="keep", error_rows=True,
+        ).localCheckpoint(eager=True)
+        dead = fetched.where(F.col("status") < 0)
+        out["manifest_shards"] = n_shards
+        out["manifest_rows_good"] = fetched.where(
+            F.col("status") >= 0
+        ).count()
+        out["manifest_dead_letter_rows"] = dead.count()
+        out["manifest_dead_letter_urls"] = [
+            r["url"].rsplit("/", 1)[-1] for r in dead.select("url").collect()
+        ]
+        out["t_manifest_keep"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        try:
+            fetch_manifest(
+                poisoned, spark=spark, mode="lines", on_error="fail"
+            ).count()
+            out["manifest_fail_raised"] = False
+        except Exception:
+            out["manifest_fail_raised"] = True
+        out["t_manifest_fail"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
     print(json.dumps(out))
 
