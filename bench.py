@@ -658,12 +658,19 @@ _OWN_ROOTS: set[int] = {os.getpid()}
 
 
 def _proc_cpu_jiffies(pid: int) -> "tuple[int, int] | None":
-    """(ppid, utime+stime) from /proc/<pid>/stat, comm-paren safe."""
+    """(ppid, utime+stime+cutime+cstime) from /proc/<pid>/stat,
+    comm-paren safe. cutime/cstime (CPU of REAPED children) matter:
+    Arrow/pyspark workers that exit mid-window would otherwise vanish
+    from the end snapshot and their CPU be misattributed to external
+    contention — via cutime it lands in their reaper's counters, so the
+    window delta stays correct whether a worker survives or not."""
     try:
         with open(f"/proc/{pid}/stat") as f:
             s = f.read()
         rest = s[s.rindex(")") + 2 :].split()
-        return int(rest[1]), int(rest[11]) + int(rest[12])
+        return int(rest[1]), (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
     except (OSError, ValueError, IndexError):
         return None
 

@@ -96,13 +96,15 @@ _TREE_NODE = re.compile(
 )
 _FILE_SCAN = re.compile(r"^Scan (parquet|orc|csv|json|text|avro)\b")
 _ONLY_NULLCHECKS = re.compile(r"\[(\s*IsNotNull\([^)]*\)\s*,?)*\]")
-# a source-pushable conjunct: a bare attribute reference (optionally
-# cast-wrapped — the classic authoring bug) compared to a pure literal,
-# in either operand order, or an IN over literals. Matched against WHOLE
-# top-level conjuncts, never substrings — comparisons nested inside
+# a source-pushable LEAF: a bare attribute reference (optionally
+# cast-wrapped — the classic authoring bug; parameterized target types
+# like decimal(12,2) included) compared to a pure literal, in either
+# operand order, or an IN over literals. Matched against WHOLE boolean
+# leaves, never substrings — comparisons nested inside
 # isnotnull()/coalesce()/CASE are null-guards or derived expressions, not
-# predicates a source could take.
-_ATTR = r"(?:cast\()?\w+#\d+[A-Za-z]*(?: as \w+\))?"
+# predicates a source could take. AND/OR trees of pushable leaves are
+# pushable too (sources translate And/Or recursively).
+_ATTR = r"(?:cast\()?\w+#\d+[A-Za-z]*(?: as \w+(?:\(\d+(?:,\d+)?\))?\))?"
 _LIT = r"[^()#]+"
 _PUSHABLE_CMP = re.compile(
     rf"(?:{_ATTR}\s*(?:=|>=|<=|>|<)\s*{_LIT}"
@@ -111,26 +113,28 @@ _PUSHABLE_CMP = re.compile(
 )
 
 
-def _conjuncts(cond: str) -> "list[str]":
-    """Split a Spark Condition string into its top-level AND conjuncts,
-    stripping redundant outer parentheses (conditions print as fully
-    parenthesized binary trees: ``((a AND b) AND c)``)."""
+def _strip_outer(s: str) -> str:
+    """Strip redundant outer parentheses (conditions print as fully
+    parenthesized binary trees)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # outer parens don't span the whole string
+        s = s[1:-1].strip()
+    return s
 
-    def strip_outer(s: str) -> str:
-        s = s.strip()
-        while s.startswith("(") and s.endswith(")"):
-            depth = 0
-            for i, ch in enumerate(s):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0 and i < len(s) - 1:
-                        return s  # outer parens don't span the whole string
-            s = s[1:-1].strip()
-        return s
 
-    cond = strip_outer(cond)
+def _split_top(cond: str, op: str) -> "list[str]":
+    """Split on a top-level boolean operator (``AND``/``OR``) at paren
+    depth 0, after stripping redundant outer parens."""
+    cond = _strip_outer(cond)
+    token = f" {op} "
     parts: list[str] = []
     depth = last = i = 0
     while i < len(cond):
@@ -139,16 +143,53 @@ def _conjuncts(cond: str) -> "list[str]":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and cond.startswith(" AND ", i):
+        elif depth == 0 and cond.startswith(token, i):
             parts.append(cond[last:i])
-            i += 5
+            i += len(token)
             last = i
             continue
         i += 1
     parts.append(cond[last:])
+    return parts
+
+
+def _conjuncts(cond: str) -> "list[str]":
+    """Recursively split a Spark Condition string into its top-level AND
+    conjuncts."""
+    parts = _split_top(cond, "AND")
     if len(parts) == 1:
-        return [cond]
+        return [_strip_outer(cond)]
     return [c for p in parts for c in _conjuncts(p)]
+
+
+def _pushable_expr(expr: str) -> bool:
+    """True when the WHOLE boolean expression is translatable to source
+    filters: a pushable leaf, or an AND/OR tree whose every leaf is
+    pushable (matching DataSourceStrategy's recursive And/Or translation)."""
+    expr = _strip_outer(expr)
+    if _PUSHABLE_CMP.fullmatch(expr):
+        return True
+    for op in ("OR", "AND"):
+        parts = _split_top(expr, op)
+        if len(parts) > 1:
+            return all(_pushable_expr(p) for p in parts)
+    return False
+
+
+def _is_null_guard(expr: str) -> bool:
+    """A (possibly derived-expression) isnotnull guard — mirrors the
+    scan's automatic pushed nullchecks, so it never counts as a real
+    predicate."""
+    expr = _strip_outer(expr)
+    if not expr.startswith("isnotnull("):
+        return False
+    # must be a single isnotnull(...) spanning the whole conjunct, not
+    # the left arm of a top-level OR
+    return (
+        len(_split_top(expr, "OR")) == 1
+        and len(_split_top(expr, "AND")) == 1
+        and expr.endswith(")")
+    )
 
 
 def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
@@ -186,11 +227,11 @@ def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
 
     def _real_conjuncts(filter_id: int) -> "list[str]":
         # conjuncts that are NOT isnotnull(...) guards (a guard over a
-        # derived expression is still a guard, so match by prefix)
+        # derived expression is still a guard)
         return [
             c
             for c in _conjuncts(conditions.get(filter_id, ""))
-            if c.strip() and not c.strip().startswith("isnotnull(")
+            if c.strip() and not _is_null_guard(c)
         ]
 
     def real_condition(filter_id: int) -> bool:
@@ -199,13 +240,12 @@ def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
         return bool(_real_conjuncts(filter_id))
 
     def pushable_comparison(filter_id: int) -> bool:
-        # some WHOLE conjunct is a comparison a parquet source COULD
+        # some WHOLE conjunct is a predicate tree a parquet source COULD
         # have taken. Expression predicates (length(x) > 0, id % 50 = 0,
         # NOT coalesce(x < 0, false)) are un-pushable by nature:
         # scan-fused in the same codegen stage, not a defect.
         return any(
-            _PUSHABLE_CMP.fullmatch(c.strip()) is not None
-            for c in _real_conjuncts(filter_id)
+            _pushable_expr(c) for c in _real_conjuncts(filter_id)
         )
 
     def no_real_push(scan_id: int) -> bool:

@@ -65,24 +65,28 @@ def cluster_profile(
     runtime-settable SQL conf: apply via ``get_spark(extra_conf=...)``
     at build time or ``spark.conf.set`` on a live session.
 
-    The mapping, keyed to SCALE.md ("Cluster posture"):
+    The sizing DERIVES from the executor shape (not constants), keyed to
+    SCALE.md ("Cluster posture"):
 
     - ``shuffle.partitions`` = 3× total cores — oversized on purpose;
       AQE coalesces down per stage, and a too-small static value is the
       one mistake AQE cannot undo (it merges, never splits, the map side).
-    - ``advisoryPartitionSizeInBytes`` = 128 MB — AQE's coalesce target;
-      with executor memory per task = mem/cores, a 128 MB compressed
-      partition (~3-5× larger decompressed) still fits task working
-      memory at 32 GB / 8 cores without spilling the hash aggregates.
-    - ``files.maxPartitionBytes`` = 256 MB — scan granularity: 100 TB /
-      256 MB ≈ 400k scan tasks, amortizing task overhead while keeping
-      any single task re-runnable in seconds on straggler retry.
-    - ``autoBroadcastJoinThreshold`` = 256 MB — the dimension tables the
-      lookup family broadcasts (SCALE.md join analysis) stay far under
-      executor memory at this size; raising it past the local 10 MB
-      default is what keeps nation/region/part-scale dims off the
-      shuffle path at TPC-H-like ratios.
-    - skew-join split ON with factor 4 / 256 MB thresholds — a skewed
+    - ``advisoryPartitionSizeInBytes`` = per-task memory
+      (mem/cores) / 32, clamped to [32 MB, 256 MB] — AQE's coalesce
+      target; a compressed partition decompresses 3-5× and the hash
+      aggregates need working headroom on top, so 1/32 of task memory
+      keeps the post-shuffle stage out of spill (32 GB / 8 cores →
+      128 MB, the local-bench-validated shape; 16 GB / 16 cores → 32 MB).
+    - ``files.maxPartitionBytes`` = 2× advisory — scan granularity:
+      at the default shape 100 TB / 256 MB ≈ 400k scan tasks, amortizing
+      task overhead while keeping any single task re-runnable in seconds
+      on straggler retry.
+    - ``autoBroadcastJoinThreshold`` = executor_mem / 128, clamped to
+      [16 MB, 512 MB] — one broadcast hash table lives per executor
+      heap, so the dim-table ceiling must scale with executor memory
+      (32 GB → 256 MB); raising it past the local 10 MB default is what
+      keeps nation/region/part-scale dims off the shuffle path.
+    - skew-join split ON: factor 4, threshold 2× advisory — a skewed
       fact-fact partition splits instead of stalling a task for hours
       (the salting operators remain for DETERMINISTIC hot keys;
       AQE handles the emergent ones).
@@ -92,16 +96,22 @@ def cluster_profile(
     """
     if total_cores < 1 or executor_cores < 1 or executor_mem_gb < 1:
         raise ValueError("cluster_profile sizes must be positive")
+    mb = 1024 * 1024
+    per_task_mb = executor_mem_gb * 1024 // executor_cores
+    advisory_mb = min(256, max(32, per_task_mb // 32))
+    broadcast_mb = min(512, max(16, executor_mem_gb * 1024 // 128))
     return {
         "spark.sql.shuffle.partitions": str(3 * int(total_cores)),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{advisory_mb}m",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
-        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
-        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            f"{2 * advisory_mb}m"
+        ),
+        "spark.sql.files.maxPartitionBytes": str(2 * advisory_mb * mb),
+        "spark.sql.autoBroadcastJoinThreshold": str(broadcast_mb * mb),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.session.timeZone": "UTC",

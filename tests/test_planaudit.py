@@ -143,3 +143,23 @@ def test_filter_classification_three_way(spark, tmp_path):
     got = audit_plan(both)
     assert sev(got, "unpushed_filter") == "warn"
     assert "residual_filter" not in _rules(got)
+
+
+def test_pushable_expr_cases():
+    """Leaf/tree pushability used by the unpushed_filter rule: casts with
+    parameterized target types and AND/OR trees of pushable leaves count
+    as lost pushdown; null-guards, derived expressions, and
+    coalesce-wrapped comparisons do not."""
+    from orientdb_etl_spark.planaudit import _is_null_guard, _pushable_expr
+
+    assert _pushable_expr("(cast(k#3L as string) = 3)")
+    assert _pushable_expr("(cast(price#5 as decimal(12,2)) = 100.00)")
+    assert _pushable_expr(
+        "((cast(k#3L as string) = 1) OR (cast(k#3L as string) = 2))"
+    )
+    assert _pushable_expr("((a#1 = 1) AND ((b#2 > 0) OR (b#2 < -5)))")
+    assert not _pushable_expr("NOT coalesce((c#1 < 0.0), false)")
+    assert not _pushable_expr("(length(t#2) > 0)")
+    assert not _pushable_expr("((a#1 = 1) OR (length(t#2) > 0))")
+    assert _is_null_guard("isnotnull(cast((a#1 = x) as int))")
+    assert not _is_null_guard("(isnotnull(a#1) OR (a#1 = 3))")

@@ -304,6 +304,21 @@ def test_cluster_profile_round_trip(spark):
     assert prof["spark.sql.shuffle.partitions"] == str(3 * 4000)
     assert prof["spark.sql.adaptive.enabled"] == "true"
     assert prof["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    # sizing DERIVES from the executor shape (32 GB / 8 cores ->
+    # 4 GB/task -> 128 MB advisory; broadcast = mem/128 = 256 MB)
+    assert prof["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "128m"
+    assert prof["spark.sql.autoBroadcastJoinThreshold"] == str(
+        256 * 1024 * 1024
+    )
+    small = cluster_profile(total_cores=4000, executor_mem_gb=16,
+                            executor_cores=16)
+    # 1 GB/task -> 32 MB advisory (clamped floor), 64 MB scan granularity,
+    # 128 MB broadcast ceiling — smaller executors, smaller appetites
+    assert small["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "32m"
+    assert small["spark.sql.files.maxPartitionBytes"] == str(64 * 1024 * 1024)
+    assert small["spark.sql.autoBroadcastJoinThreshold"] == str(
+        128 * 1024 * 1024
+    )
     saved = {}
     try:
         for k, v in prof.items():

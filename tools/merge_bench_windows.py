@@ -1,8 +1,12 @@
 """Merge N bench.py capture windows into one artifact.
 
-Each window is a full bench.py JSON line (per-query min over
-$SPARK_GRAFT_BENCH_RUNS runs, plus the window's host-contention
-snapshot). The merge takes the per-query MIN across windows — the
+Each window is a bench.py DETAIL artifact (the BENCH_local.json file a
+run writes — per-query min over $SPARK_GRAFT_BENCH_RUNS runs plus
+samples, per-query quality labels, and the window's host-contention
+snapshot). The compact stdout line also parses, but it lacks the
+quality map, so every query merges as label "unknown" and the
+contended-minimum guard cannot fire — prefer the detail files.
+The merge takes the per-query MIN across windows — the
 repeatable cost of the work on a machine with documented 2-4× contention
 bursts — and carries every window's min and host summary so the artifact
 is self-adjudicating (no prose needed to tell contention from
@@ -26,11 +30,14 @@ def main() -> None:
         for q in w["queries"]:
             if q not in names:
                 names.append(q)
-    # per-query window-quality guard (round-6): when at least one window
-    # labelled the query's min sample "ok", a contended window's (possibly
-    # inflated-or-lucky) value cannot become the committed minimum; a
-    # query with ONLY contended windows keeps its min but carries the
-    # label so the artifact self-reports the untrusted number
+    # per-query window-quality guard (round-6): a window whose min sample
+    # was labelled "contended" cannot supply the committed minimum when a
+    # non-contended window exists for the query. "unknown" windows
+    # (pre-round-6 artifacts with no quality map) still COMPETE with "ok"
+    # ones — absence of the label is not evidence of contention, and
+    # discarding their legitimate minima would inflate the merged total.
+    # A query with ONLY contended windows keeps its min and carries the
+    # label so the artifact self-reports the untrusted number.
     queries: dict = {}
     quality: dict = {}
     for q in names:
@@ -39,17 +46,9 @@ def main() -> None:
             for w in wins
             if q in w["queries"]
         ]
-        ok = [v for v, lbl in entries if lbl == "ok"]
-        if ok:
-            queries[q] = min(ok)
-            quality[q] = "ok"
-        else:
-            queries[q] = min(v for v, _ in entries)
-            quality[q] = (
-                "contended"
-                if any(lbl == "contended" for _, lbl in entries)
-                else "unknown"
-            )
+        clean = [(v, lbl) for v, lbl in entries if lbl != "contended"]
+        pool = clean or entries
+        queries[q], quality[q] = min(pool, key=lambda e: e[0])
     samples = {
         q: [w["queries"][q] for w in wins if q in w["queries"]] for q in names
     }

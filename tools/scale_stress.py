@@ -425,7 +425,7 @@ def main() -> None:
         shard_urls = []
         for s in range(n_shards):
             p = f"{stage}/shard_{s:04d}.txt.gz"
-            with gzip.open(p, "wt") as f:
+            with gzip.open(p, "wt", encoding="utf-8") as f:
                 for t in texts[s * 50 : (s + 1) * 50]:
                     f.write((t or "") + "\n")
             shard_urls.append(p)
