@@ -217,6 +217,13 @@ def run_loader(
         ).csv(cfg["path"])
     elif name == "json":
         df.write.mode(cfg.get("mode", "overwrite")).json(cfg["path"])
+    elif name == "orc":
+        # columnar interchange twin of the parquet path sink (the orc
+        # extractor in sources/resolve.py reads it back)
+        writer = df.write.mode(cfg.get("mode", "overwrite"))
+        if cfg.get("partitionBy"):
+            writer = writer.partitionBy(*cfg["partitionBy"])
+        writer.orc(cfg["path"])
     elif name == "table":
         # managed-table sink with optional bucketing: two tables bucketed
         # on the same key join WITHOUT a shuffle (Exchange elided) — the

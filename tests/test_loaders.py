@@ -52,6 +52,29 @@ def test_json_sink_roundtrip(spark, people, tmp_path):
     assert spark.read.json(out).count() == 4
 
 
+def test_orc_sink_roundtrip_via_orc_extractor(spark, people, tmp_path):
+    """ORC path sink -> ORC extractor round-trip (the columnar
+    interchange twin of the parquet path; README claims it, this pins
+    it), including partitioned layout."""
+    out = str(tmp_path / "out_orc")
+    cfg = {
+        "extractor": {"table": {"name": "people"}},
+        "loader": {"orc": {"path": out, "partitionBy": ["dept"]}},
+    }
+    _pipeline(cfg, spark, people).run()
+    back_cfg = {
+        "extractor": {"orc": {"path": out}},
+        "loader": {"memory": {"view": "back"}},
+    }
+    r = Pipeline(back_cfg, spark=spark).run()
+    back = r.outputs["back"]
+    assert back.count() == 4
+    assert set(back.columns) == {"id", "name", "dept", "salary"}
+    assert {x.dept for x in back.select("dept").distinct().collect()} == {
+        r2.dept for r2 in people.select("dept").distinct().collect()
+    }
+
+
 def test_orientdb_graph_sink(spark, people, depts, tmp_path):
     out = str(tmp_path / "graph")
     cfg = {
