@@ -169,3 +169,40 @@ def test_file_key_ranges_show_zorder_clustering(spark, tmp_path):
     # z-ordered files cover a fraction of the domain per dimension;
     # random files cover essentially all of it (~398 combined span)
     assert z_span < r_span / 2
+
+
+def test_bench_core_profile_contract():
+    """The driver parses bench.py's final stdout line, so the default
+    CORE capture set must stay resolvable and small: every name resolves
+    in the registry (plus PROD_OVERRIDES), CORE is a subset of HEADLINE
+    (SPARK_GRAFT_BENCH_ONLY filtering keeps working), no duplicates, and
+    the compact JSON line stays far under the captured-tail budget."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    import __spark_entry__ as entry
+
+    q = dict(entry.queries_all())
+    q.update(bench.PROD_OVERRIDES)
+    assert [n for n in bench.CORE if n not in q] == []
+    assert [n for n in bench.CORE if n not in bench.HEADLINE] == []
+    assert len(bench.CORE) == len(set(bench.CORE))
+    # worst-case compact line: every query at a 4-digit-seconds timing
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in bench.CORE},
+            "sf": 0.1,
+            "runs_per_query": 2,
+            "aggregation": "min",
+            "profile": "core",
+            "contended_queries": list(bench.CORE),
+            "detail": "/root/repo/BENCH_local.json",
+        }
+    )
+    assert len(line) < 3000, len(line)
