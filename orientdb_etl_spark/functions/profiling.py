@@ -215,14 +215,19 @@ def mad_outliers(
     100 TB swap the exact percentile for percentile_approx and keep the
     identical two-pass shape.
     """
+    from orientdb_etl_spark.operators.relational import join_back_null_safe
+
     keys = [keys] if isinstance(keys, str) else list(keys or [])
     med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     med = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
-    with_med = df.join(F.broadcast(med), keys) if keys else df.join(F.broadcast(med))
+    # NULL-SAFE join-back: a NULL key is its own group under groupBy and
+    # its rows must still receive their median (plain on=keys would
+    # silently drop the whole NULL group from the outlier report)
+    with_med = join_back_null_safe(df, F.broadcast(med), keys)
     dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
     mad_agg = F.expr("percentile(_dev, 0.5)").alias("_mad")
     mad = dev.groupBy(*keys).agg(mad_agg) if keys else dev.agg(mad_agg)
-    scored = dev.join(F.broadcast(mad), keys) if keys else dev.join(F.broadcast(mad))
+    scored = join_back_null_safe(dev, F.broadcast(mad), keys)
     z = F.col("_dev") / (F.lit(1.4826) * F.col("_mad"))
     return (
         scored.filter((F.col("_mad") > 0) & (z > threshold))
@@ -967,7 +972,10 @@ def weighted_percentiles(
     global prefix into a within-key one is a broadcastable min per key.
     Percentile fan-out is an array explode over the tiny grid.
     """
-    from orientdb_etl_spark.operators.relational import exclusive_prefix
+    from orientdb_etl_spark.operators.relational import (
+        exclusive_prefix,
+        join_back_null_safe,
+    )
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     ps = sorted({int(p) for p in percentiles})
@@ -999,11 +1007,12 @@ def weighted_percentiles(
             "weights must be non-negative after quantization; group with "
             f"a negative row weight: {neg[0]}"
         )
-    # within-key offset = the global prefix at the key's first value
+    # within-key offset = the global prefix at the key's first value;
+    # NULL-SAFE join-back so a NULL-keyed group keeps its quantiles
     offs = cum.groupBy(*keys).agg(
         F.min("_excl").alias("_off"), F.sum("_w").alias("total_weight")
     )
-    within = cum.join(offs, keys).select(
+    within = join_back_null_safe(cum, offs, keys).select(
         *keys,
         "_v",
         (F.col("_excl") - F.col("_off") + F.col("_w")).alias("_cum"),

@@ -20,6 +20,29 @@ from orientdb_etl_spark.operators import register
 import re
 
 
+def join_back_null_safe(
+    left: DataFrame, right: DataFrame, keys: "list[str]", how: str = "inner"
+) -> DataFrame:
+    """Join grouped-aggregate results back onto their source on the
+    GROUPING keys with NULL-SAFE equality, keeping the left frame's key
+    columns. ``groupBy`` makes NULL its own group, but a plain
+    ``join(on=keys)`` uses null-unsafe equality and silently drops every
+    row of a NULL-keyed group on the way back — the defect class behind
+    the round-6 t-closeness fix. Use this whenever a per-group scalar
+    (median, total, offset) is attached back to the rows it was computed
+    from and the keys are nullable."""
+    if not keys:
+        return left.crossJoin(right)
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"_nsj_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[f"_nsj_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, how).drop(*[f"_nsj_{k}" for k in keys])
+
+
 def _exprs(ctx: PipelineContext, items: list[str]) -> list:
     return [F.expr(translate_osql(e, ctx.variables)) for e in items]
 

@@ -1782,7 +1782,11 @@ def holt_winters_additive(
         F.sum("_x").alias("_gs"),
         F.count(F.lit(1)).alias("n_periods"),
     )
-    prof = prof.join(glob, keys).select(
+    from orientdb_etl_spark.operators.relational import join_back_null_safe
+
+    # NULL-SAFE join-backs: a NULL series key is its own group under
+    # groupBy; plain on=keys would silently drop its rows here
+    prof = join_back_null_safe(prof, glob, keys).select(
         *keys,
         "_ph",
         "n_periods",
@@ -1791,8 +1795,10 @@ def holt_winters_additive(
             - F.col("_gs") / F.col("n_periods").cast("double")
         ).alias("_sidx"),
     )
-    deseason = base.withColumn("_ph", F.col("_t") % period).join(
-        prof.select(*keys, "_ph", "_sidx"), [*keys, "_ph"]
+    deseason = join_back_null_safe(
+        base.withColumn("_ph", F.col("_t") % period),
+        prof.select(*keys, "_ph", "_sidx"),
+        [*keys, "_ph"],
     ).withColumn("_xa", F.col("_x") - F.col("_sidx"))
     w = Window.partitionBy(*keys).orderBy("_t")
 
@@ -1823,7 +1829,8 @@ def holt_winters_additive(
     # unseen forecast phase -> NULL seasonal index and NULL forecast
     # (degrade visibly, never silently drop the key)
     last = last.withColumn("_nph", (F.col("_t") + horizon) % period)
-    out = last.join(
+    out = join_back_null_safe(
+        last,
         prof.select(
             *keys,
             F.col("_ph").alias("_nph"),
@@ -1831,7 +1838,8 @@ def holt_winters_additive(
         ),
         [*keys, "_nph"],
         "left",
-    ).join(glob.select(*keys, "n_periods"), [*keys])
+    )
+    out = join_back_null_safe(out, glob.select(*keys, "n_periods"), keys)
     return out.select(
         *keys,
         "n_periods",

@@ -756,3 +756,32 @@ def test_weighted_percentiles_fractional_weights_and_mixed_sign(spark):
         weighted_percentiles(mixed, "g", "v", "w", [50])
     with pytest.raises(ValueError, match="weight_scale"):
         weighted_percentiles(frac, "g", "v", "w", [50], weight_scale=0)
+
+
+def test_mad_outliers_and_weighted_percentiles_keep_null_key_groups(spark):
+    """Regression (round-6 sweep of the t-closeness defect class): a
+    NULL grouping key is its own group under groupBy, so the per-group
+    scalar join-back must be NULL-SAFE — plain on=keys silently dropped
+    every NULL-keyed row."""
+    from orientdb_etl_spark.functions.profiling import (
+        mad_outliers,
+        weighted_percentiles,
+    )
+
+    rows = (
+        [(None, float(v)) for v in (1, 2, 1, 2, 1, 2, 100)]
+        + [("a", float(v)) for v in (5, 6, 5, 6, 5, 6, 500)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r.v for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert out == {None: 100.0, "a": 500.0}
+
+    wrows = [(None, 1.0, 3), (None, 2.0, 7), ("a", 9.0, 10)]
+    wdf = spark.createDataFrame(wrows, "g string, v double, w int")
+    got = {
+        (r.g, r.percentile): (r.value, r.total_weight)
+        for r in weighted_percentiles(wdf, "g", "v", "w", [50]).collect()
+    }
+    # NULL group: cum 1.0->3, 2.0->10; p50 threshold 5 -> value 2.0
+    assert got[(None, 50)] == (2.0, 10)
+    assert got[("a", 50)] == (9.0, 10)

@@ -609,3 +609,20 @@ def test_ohlc_bars_duplicate_ts_tiebreak(spark):
     df = spark.createDataFrame(rows, "k string, ts string, v double, id long")
     r = ohlc_bars(df, "k", "ts", "v", "id").collect()[0]
     assert (r.open, r.close) == (60.0, 50.0)
+
+
+def test_holt_winters_null_key_series_kept(spark):
+    """Regression (round-6 null-safe join-back sweep): a NULL series key
+    must forecast like any other series instead of vanishing at the
+    seasonal-profile join."""
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    rows = []
+    for g in (None, "a"):
+        for t in range(12):
+            rows.append((g, t, float(10 + (t % 3))))
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    out = holt_winters_additive(df, "g", "t", "x", period=3)
+    got = {r.g: r.n_periods for r in out.collect()}
+    assert set(got) == {None, "a"}
+    assert got[None] == got["a"] == 12
