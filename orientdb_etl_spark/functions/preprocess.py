@@ -19,9 +19,13 @@ from pyspark.sql import functions as F
 
 
 def _grouped_attach(df: DataFrame, by: str | None, aggs: list) -> DataFrame:
+    from orientdb_etl_spark.operators.relational import join_back_null_safe
+
     if by is not None:
+        # NULL-SAFE attach: a NULL group is its own class under groupBy;
+        # plain on=by would silently drop its rows from the output
         stats = df.groupBy(by).agg(*aggs)
-        return df.join(F.broadcast(stats), by)
+        return join_back_null_safe(df, F.broadcast(stats), [by])
     return df.join(F.broadcast(df.agg(*aggs)))
 
 

@@ -270,10 +270,14 @@ def temperature_sample(
     row iff its id hash-bucket (out of 1e6) falls below its group's
     rate_ppm. The G-row rates table broadcasts onto the corpus — one agg
     pass + one broadcast-join filter pass, no shuffle of the corpus."""
+    from orientdb_etl_spark.operators.relational import join_back_null_safe
+
     rates = temperature_rates(df, group_col, mass_col, alpha)
     b = hash_bucket(id_col, 1_000_000, seed)
     return (
-        df.join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
+        join_back_null_safe(
+            df, F.broadcast(rates.select(group_col, "rate_ppm")), [group_col]
+        )
         .filter(b < F.col("rate_ppm"))
         .drop("rate_ppm")
     )
@@ -349,8 +353,14 @@ def winsorize(
         f"percentile({value_col}, array({lower}, {upper}))"
     ).alias("_wb")
     if by is not None:
+        from orientdb_etl_spark.operators.relational import (
+            join_back_null_safe,
+        )
+
+        # NULL-SAFE attach: keep NULL-group rows (their own percentile
+        # bounds) instead of silently dropping them
         bounds = df.groupBy(by).agg(bounds_agg)
-        joined = df.join(F.broadcast(bounds), by)
+        joined = join_back_null_safe(df, F.broadcast(bounds), [by])
     else:
         joined = df.join(F.broadcast(df.agg(bounds_agg)))
     return joined.withColumn(

@@ -692,7 +692,12 @@ def theil_sen(
     )
     l_, r_ = base.alias("l"), base.alias("r")
     slopes = (
-        l_.join(r_, (F.col("l._g") == F.col("r._g")) & (F.col("l._rn") < F.col("r._rn")))
+        # NULL-SAFE group equality: a NULL group key is its own series
+        l_.join(
+            r_,
+            F.col("l._g").eqNullSafe(F.col("r._g"))
+            & (F.col("l._rn") < F.col("r._rn")),
+        )
         .where(F.col("l._x") != F.col("r._x"))
         .select(
             F.col("l._g").alias("_g"),
@@ -708,8 +713,10 @@ def theil_sen(
     # middle order statistics: _sr*2 == n+1 selects the single middle of
     # an odd run; _sr*2 in {n, n+2} the two middles of an even run (the
     # odd-n condition is unsatisfiable for even n and vice versa)
+    from orientdb_etl_spark.operators.relational import join_back_null_safe
+
     med = (
-        ranked.join(F.broadcast(sized), "_g")
+        join_back_null_safe(ranked, F.broadcast(sized), ["_g"])
         .where(
             (F.col("_sr") * 2 == F.col("n_slopes") + 1)
             | (F.col("_sr") * 2 == F.col("n_slopes"))
@@ -719,7 +726,7 @@ def theil_sen(
         .agg(F.round(F.avg("_s"), round_to).alias("ts_slope"))
     )
     return (
-        med.join(used, "_g")
+        join_back_null_safe(med, used, ["_g"])
         .select(
             F.col("_g").alias(group_col), "n_used", "n_slopes", "ts_slope"
         )

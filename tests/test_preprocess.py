@@ -281,3 +281,32 @@ def test_feature_hash_portable_matches_duckdb_recipe(spark):
         "SELECT doc_id, list(w ORDER BY dd) FROM fl GROUP BY doc_id"
     ).fetchall())
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_grouped_attach_ops_keep_null_group(spark):
+    """Round-6 null-safe-attach sweep: impute/standardize/winsorize/
+    temperature_sample/theil_sen must keep NULL-group rows (NULL is its
+    own class under groupBy) instead of silently dropping them at the
+    stats join-back."""
+    import pyspark.sql.functions as F
+
+    from orientdb_etl_spark.functions.preprocess import impute, standardize
+    from orientdb_etl_spark.functions.sampling import winsorize
+
+    rows = [(None, 1.0), (None, 3.0), (None, None), ("a", 10.0), ("a", 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # impute: NULL-group missing value filled with ITS group's mean (2.0)
+    out = impute(df, ["v"], strategy="mean", by="g")
+    got = [(r.g, r.v) for r in out.collect()]
+    assert (None, 2.0) in got and len(got) == 5
+    # standardize: all 5 rows survive
+    assert standardize(df, ["v"], by="g").count() == 5
+    # winsorize: all 5 rows survive
+    assert winsorize(df, "v", by="g", lower=0.0, upper=1.0).count() == 5
+
+    from orientdb_etl_spark.functions.stats import theil_sen
+
+    srows = [(g, float(t), float(2 * t)) for g in (None, "a") for t in range(5)]
+    sdf = spark.createDataFrame(srows, "g string, x double, y double")
+    slopes = {r["g"]: r["ts_slope"] for r in theil_sen(sdf, "g", "x", "y").collect()}
+    assert slopes.get(None) == 2.0 and slopes.get("a") == 2.0
