@@ -782,7 +782,9 @@ def seasonal_anomaly(
         .select(
             "_t",
             F.coalesce("_x", F.lit(0)).cast("double").alias("_x"),
-            (F.col("_t") % period).alias("_ph"),
+            # pmod: negative time indices stay congruent with their
+            # positive phase instead of forming a parallel negative one
+            F.pmod(F.col("_t"), F.lit(period)).alias("_ph"),
         )
     )
     prof = series.groupBy("_ph").agg(
@@ -1900,7 +1902,9 @@ def seasonal_decompose(
         .select(
             "_t",
             F.coalesce("_x", F.lit(0)).cast("double").alias("_x"),
-            (F.col("_t") % period).alias("_ph"),
+            # pmod: negative time indices stay congruent with their
+            # positive phase instead of forming a parallel negative one
+            F.pmod(F.col("_t"), F.lit(period)).alias("_ph"),
         )
     )
     p = int(period)

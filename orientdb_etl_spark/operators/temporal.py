@@ -1773,7 +1773,9 @@ def holt_winters_additive(
         F.col(t_col).cast("bigint").alias("_t"),
         F.col(value_col).cast("double").alias("_x"),
     )
-    ph = (F.col("_t") % period).alias("_ph")
+    # pmod: a negative bucket index (relative/centered time) must land
+    # in the same phase as its positive congruent, not a phantom one
+    ph = F.pmod(F.col("_t"), F.lit(period)).alias("_ph")
     prof = (
         base.groupBy(*keys, ph)
         .agg(F.sum("_x").alias("_ps"), F.count(F.lit(1)).alias("_pn"))
@@ -1796,7 +1798,7 @@ def holt_winters_additive(
         ).alias("_sidx"),
     )
     deseason = join_back_null_safe(
-        base.withColumn("_ph", F.col("_t") % period),
+        base.withColumn("_ph", F.pmod(F.col("_t"), F.lit(period))),
         prof.select(*keys, "_ph", "_sidx"),
         [*keys, "_ph"],
     ).withColumn("_xa", F.col("_x") - F.col("_sidx"))
@@ -1828,7 +1830,9 @@ def holt_winters_additive(
     ).where(F.col("_rn") == 1)
     # unseen forecast phase -> NULL seasonal index and NULL forecast
     # (degrade visibly, never silently drop the key)
-    last = last.withColumn("_nph", (F.col("_t") + horizon) % period)
+    last = last.withColumn(
+        "_nph", F.pmod(F.col("_t") + horizon, F.lit(period))
+    )
     out = join_back_null_safe(
         last,
         prof.select(

@@ -626,3 +626,19 @@ def test_holt_winters_null_key_series_kept(spark):
     got = {r.g: r.n_periods for r in out.collect()}
     assert set(got) == {None, "a"}
     assert got[None] == got["a"] == 12
+
+
+def test_holt_winters_negative_time_index_phases(spark):
+    """Negative bucket indices (relative/centered time) must share a
+    phase with their positive congruents — pmod, not the sign-keeping
+    %, which split them into phantom negative phases."""
+    from orientdb_etl_spark.operators.temporal import holt_winters_additive
+
+    # identical series, one shifted to start at -6 (two full periods
+    # earlier): same seasonal profile -> same forecast
+    pos = [("a", t, float(10 + (t % 3))) for t in range(0, 12)]
+    neg = [("b", t, float(10 + ((t + 600) % 3))) for t in range(-6, 6)]
+    df = spark.createDataFrame(pos + neg, "g string, t int, x double")
+    out = {r.g: (r.seasonal_next, r.forecast)
+           for r in holt_winters_additive(df, "g", "t", "x", period=3).collect()}
+    assert out["a"] == out["b"]
