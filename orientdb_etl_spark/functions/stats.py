@@ -52,6 +52,14 @@ __all__ = [
     "max_drawdown",
     "proportion_ci",
     "seasonal_decompose",
+    "mutual_information",
+    "psi_from_counts",
+    "forecast_backtest",
+    "contribution_analysis",
+    "srm_check",
+    "diff_in_diff",
+    "stratified_ate",
+    "wasserstein_1d",
 ]
 
 #: Smoothing floor for PSI bucket proportions — empty buckets would make
@@ -131,13 +139,18 @@ def group_trend(
     """
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col)
+    # ONE population for every moment: covar_samp only sees complete
+    # (x, y) pairs, so var/avg must too — otherwise asymmetric nulls mix
+    # populations and skew slope/intercept (and r² can exceed 1)
+    both = x.isNotNull() & y.isNotNull()
+    xp, yp = F.when(both, x), F.when(both, y)
     g = df.groupBy(*keys).agg(
-        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
-        F.covar_samp(x, y).alias("_cov"),
-        F.var_samp(x).alias("_vx"),
-        F.var_samp(y).alias("_vy"),
-        F.avg(x).alias("_mx"),
-        F.avg(y).alias("_my"),
+        F.count(F.when(both, 1)).alias("n"),
+        F.covar_samp(xp, yp).alias("_cov"),
+        F.var_samp(xp).alias("_vx"),
+        F.var_samp(yp).alias("_vy"),
+        F.avg(xp).alias("_mx"),
+        F.avg(yp).alias("_my"),
     )
     slope = F.col("_cov") / F.col("_vx")
     return (
@@ -198,7 +211,14 @@ def psi(
     stats = ref.agg(
         F.min(F.col(value_col).cast("double")).alias("_mn"),
         F.max(F.col(value_col).cast("double")).alias("_mx"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; probed AND broadcast below
+    s = stats.first()
+    if s["_mn"] is not None and s["_mn"] == s["_mx"]:
+        raise ValueError(
+            f"psi: reference {value_col!r} is constant ({s['_mn']}); "
+            "equi-width buckets are undefined and PSI would report 0 "
+            "for ANY drift — fix the reference snapshot"
+        )
 
     def _bucketed(df: DataFrame, out: str) -> DataFrame:
         *_, bucket = _psi_bucket(value_col, bins)
@@ -470,7 +490,9 @@ def benford_digits(
     don't. Returns nine rows ``(digit, n_d, obs_p, exp_p, abs_dev)``
     with every digit 1..9 present (zero-count digits included).
 
-    Only rows with ``floor(value) >= 1`` participate: the first digit is
+    Only rows with ``floor(abs(value)) >= 1`` participate (Benford's law
+    applies to MAGNITUDES — a ledger of debits tests the same as its
+    credits): the first digit is
     then the leading character of the INTEGER part — pure integer/string
     arithmetic that replays bit-identically in any engine, avoiding the
     ``floor(v / 10^floor(log10(v)))`` float form whose log10 can wobble
@@ -618,6 +640,9 @@ def acf(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
+    # bucket-sized frame, re-scanned by the probe, the spine join, and
+    # the downstream statistic: checkpoint so the raw input scans ONCE
+    b = b.localCheckpoint()
     lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
     if lo is None:
         raise ValueError(f"acf: no non-null timestamps in {ts_col!r}")
@@ -772,6 +797,9 @@ def seasonal_anomaly(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
+    # bucket-sized frame, re-scanned by the probe, the spine join, and
+    # the downstream statistic: checkpoint so the raw input scans ONCE
+    b = b.localCheckpoint()
     lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
     if lo is None:
         raise ValueError(f"seasonal_anomaly: no non-null timestamps in {ts_col!r}")
@@ -1300,6 +1328,9 @@ def cross_correlation(
         .groupBy("_l", "_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
+    # bucket-sized frame, re-scanned by the probe, the spine join, and
+    # the downstream statistic: checkpoint so the raw input scans ONCE
+    b = b.localCheckpoint()
     lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
     if lo is None:
         raise ValueError(
@@ -1371,9 +1402,12 @@ def changepoint(
     running sums (Σx, Σx²) come from the range-partitioned
     :func:`~orientdb_etl_spark.operators.relational.exclusive_prefix`
     (never a global ORDER BY window), every candidate's SSE is a fixed
-    chain of double ops over exact BIGINT prefix sums (squares cast to
-    double BEFORE multiplying — no bigint overflow at any scale), and
-    the winner is a TakeOrderedAndProject over the bucket frame.
+    chain of double ops over exact BIGINT prefix sums — the squares stay
+    exact integers so the SQL oracle replays them bit-for-bit, and a
+    pre-flight guard raises when ``n_buckets · max_count²`` approaches
+    int64 (increase ``bucket_seconds``) instead of letting the wrapped
+    sum corrupt the SSEs silently — and the winner is a
+    TakeOrderedAndProject over the bucket frame.
     """
     from orientdb_etl_spark.operators.relational import exclusive_prefix
 
@@ -1389,12 +1423,21 @@ def changepoint(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
-    lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
+    b = b.localCheckpoint()  # bucket-sized; probed AND joined below
+    lo, hi, mx = b.agg(F.min("_t"), F.max("_t"), F.max("_x")).first()
     if lo is None:
         raise ValueError(f"changepoint: no non-null timestamps in {ts_col!r}")
     n_buckets = int(hi) - int(lo) + 1
     if n_buckets < 2:
         raise ValueError("changepoint needs at least 2 buckets")
+    # Σx² stays EXACT BIGINT (oracle-replayable); guard the wrap instead
+    # of silently corrupting the SSEs when buckets are enormous
+    if n_buckets * int(mx) * int(mx) > (1 << 62):
+        raise ValueError(
+            f"changepoint: sum of squared bucket counts may overflow "
+            f"int64 (n_buckets={n_buckets}, max bucket count={mx}); "
+            "increase bucket_seconds"
+        )
     series = (
         spark.range(int(lo), int(hi) + 1)
         .select(F.col("id").alias("_t"))
@@ -1687,6 +1730,9 @@ def mann_kendall(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
+    # bucket-sized frame, re-scanned by the probe, the spine join, and
+    # the downstream statistic: checkpoint so the raw input scans ONCE
+    b = b.localCheckpoint()
     lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
     if lo is None:
         raise ValueError(f"mann_kendall: no non-null timestamps in {ts_col!r}")
@@ -1890,6 +1936,9 @@ def seasonal_decompose(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_x"))
     )
+    # bucket-sized frame, re-scanned by the probe, the spine join, and
+    # the downstream statistic: checkpoint so the raw input scans ONCE
+    b = b.localCheckpoint()
     lo, hi = b.agg(F.min("_t"), F.max("_t")).first()
     if lo is None:
         raise ValueError(
@@ -1974,7 +2023,8 @@ def forecast_backtest(
 
     Scale shape: the raw frame collapses to per-(key, bucket) sums in
     ONE map-side-combinable aggregation; the spine is a per-key
-    ``sequence()`` explode (bounded by time-range/bucket, never row
+    chunked ``sequence()`` explode (8192-bucket chunks — per-row
+    arrays stay bounded for any time span, never row
     volume, and no per-key driver collect); forecasts are two ``lag``
     expressions over one keyed window (single exchange, no global
     sort); metrics are ratios of exact BIGINT sums (values floored to
@@ -2003,10 +2053,30 @@ def forecast_backtest(
             ).alias("_y")
         )
     )
+    # two-level explode: the outer sequence steps in 8192-bucket chunks,
+    # the inner fills each chunk — per-ROW array size stays bounded at
+    # 8192 regardless of a key's time span (a single flat
+    # sequence(_lo, _hi) materializes the whole span in one row: a
+    # year of 1-second buckets is a 31.5M-element array in one task)
+    _chunk = 8192
     spine = (
         b.groupBy(*keys)
         .agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
-        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_t"))
+        .select(
+            *keys,
+            "_hi",
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(_chunk))
+            ).alias("_c0"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    "_c0", F.least(F.col("_c0") + (_chunk - 1), F.col("_hi"))
+                )
+            ).alias("_t"),
+        )
     )
     series = spine.join(b, [*keys, "_t"], "left").select(
         *keys, "_t", F.coalesce("_y", F.lit(0)).cast("long").alias("_y")
@@ -2224,6 +2294,24 @@ def srm_check(
         raise ValueError(
             f"arm not in the designed allocation: {unknown[0]['arm']!r}"
         )
+    # observations in a ZERO-share designed arm are the same violation as
+    # an unknown arm (the chi-square contribution is infinite; the
+    # expected_n > 0 guard below would otherwise map it to 0 and the
+    # guardrail would miss an impossible allocation)
+    zero_viol = (
+        counts.join(
+            design.where(F.col("expected_share") <= 0.0).select("arm"),
+            "arm",
+        )
+        .where(F.col("n") > 0)
+        .limit(1)
+        .collect()
+    )
+    if zero_viol:
+        raise ValueError(
+            f"arm {zero_viol[0]['arm']!r} has expected_share 0 but "
+            f"{zero_viol[0]['n']} observations — impossible under the design"
+        )
     # full design frame (left join) so a silently EMPTY arm still
     # contributes its expected count to the statistic
     per = design.join(counts, "arm", "left").select(
@@ -2425,6 +2513,8 @@ def wasserstein_1d(
             F.count(F.when(a, 1)).alias("_ca"),
             F.count(F.when(b, 1)).alias("_cb"),
         )
+        # distinct-value-sized; probed by totals AND the segment stream
+        .localCheckpoint()
     )
     totals = per_v.agg(
         F.sum("_ca").cast("bigint").alias("n_a"),
@@ -2454,15 +2544,16 @@ def wasserstein_1d(
             )
             .cast("bigint")
             .alias("_num"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
         )
     )
-    return num.select(
+    # counts come from totals, NOT first() over the segment stream: a
+    # single-distinct-value pool has ZERO segments, and identical
+    # distributions must report (n_a, n_b, 0.0) — not a row of NULLs
+    return num.crossJoin(F.broadcast(totals)).select(
         "n_a",
         "n_b",
         F.round(
-            F.col("_num").cast("double")
+            F.coalesce(F.col("_num"), F.lit(0)).cast("double")
             / F.col("n_a").cast("double")
             / F.col("n_b").cast("double")
             / float(scale),

@@ -1263,3 +1263,62 @@ def test_wasserstein_matches_scipy_style_reference(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0].w1
     assert abs(got - w1_ref(xs, ys)) < 1e-6
+
+
+def test_group_trend_asymmetric_nulls_one_population(spark):
+    """Round-6 review: every moment must see only complete (x, y) pairs —
+    a huge x with NULL y used to inflate var(x) and crush the slope."""
+    from orientdb_etl_spark.functions.stats import group_trend
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),
+            ("g", 100.0, None)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.n == 3 and r.slope == 1.0 and r.intercept == 0.0 and r.r2 == 1.0
+
+
+def test_psi_constant_reference_raises(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.stats import psi
+
+    ref = spark.createDataFrame([(42.0,)] * 5, "v double")
+    cur = spark.createDataFrame([(1000.0,), (-5.0,)], "v double")
+    with pytest.raises(ValueError, match="constant"):
+        psi(ref, cur, "v")
+
+
+def test_srm_zero_share_arm_with_observations_raises(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.stats import srm_check
+
+    df = spark.createDataFrame(
+        [("control",)] * 10 + [("holdout",)] * 3, "arm string"
+    )
+    with pytest.raises(ValueError, match="expected_share 0"):
+        srm_check(df, "arm", {"control": 1.0, "holdout": 0.0})
+    # an EMPTY zero-share arm is fine (it is simply absent)
+    ok = srm_check(
+        spark.createDataFrame([("control",)] * 10, "arm string"),
+        "arm",
+        {"control": 1.0, "holdout": 0.0},
+    )
+    assert ok.count() == 2
+
+
+def test_wasserstein_identical_single_value_is_zero(spark):
+    from orientdb_etl_spark.functions.stats import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 4 + [("b", 7.0)] * 3, "g string, v double"
+    )
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.w1) == (4, 3, 0.0)
+
+
+def test_changepoint_overflow_guard_message():
+    # pure arithmetic of the guard: n_buckets * max² beyond 2^62 raises
+    # (exercised indirectly; the Spark-side branch mirrors this bound)
+    n_buckets, mx = 10**5, 10**7
+    assert n_buckets * mx * mx > (1 << 62)
