@@ -256,7 +256,12 @@ def mmr_diversify(
     runs driver-side over plain doubles, replicating the JVM arithmetic
     it replaced exactly: sequential left-fold dot/norm (IEEE-identical
     to the ``aggregate(zip_with(...))`` fold), HALF_UP decimal rounding
-    at ``round_to`` (``F.round`` semantics), NaN-greatest ordering.
+    at ``round_to`` (``F.round`` semantics), NaN-greatest ordering for
+    genuinely-NaN scores. Degenerate inputs are handled the way the
+    ANSI engine handled them, never by silent NaN promotion: a
+    zero-norm/empty/NULL vector has similarity 0.0, a NULL score sorts
+    last (desc NULLS LAST), and the ascending-id tie-break is
+    None-safe (NULL ids first, Spark asc default).
 
     Returns ``(mmr_rank, id, score)`` for the ``k`` picks (fewer if the
     list is exhausted)."""
@@ -293,24 +298,35 @@ def mmr_diversify(
             un += a * a
         denom = math.sqrt(un) * v_norm
         if denom == 0.0:
-            return math.nan if dot == 0.0 else math.copysign(math.inf, dot)
+            # zero-norm / empty / NULL vector: similarity is DEFINED as
+            # 0.0. The Spark expression this replaced never produced a
+            # comparable value here (it raised under ANSI, yielded NULL
+            # — ignored by greatest() — otherwise); returning NaN would
+            # silently promote the degenerate candidate because NaN
+            # sorts as the largest double in the desc objective order.
+            return 0.0
         return dot / denom
 
-    def beats(obj_a: float, id_a, obj_b: float, id_b) -> bool:
-        # Spark desc ordering: NaN sorts as the LARGEST double; ties
-        # break by ascending id
-        a_nan, b_nan = math.isnan(obj_a), math.isnan(obj_b)
-        if a_nan != b_nan:
-            return a_nan
-        if not a_nan and obj_a != obj_b:
-            return obj_a > obj_b
-        return id_a < id_b
+    def beats(obj_a, id_a, obj_b, id_b) -> bool:
+        # Spark desc NULLS LAST: a NULL objective (NULL score) loses to
+        # any non-NULL one; a genuinely-NaN score still sorts as the
+        # LARGEST double (Spark ordering); ties break by ascending id
+        # with NULL ids first (Spark asc default), None-safely
+        if (obj_a is None) != (obj_b is None):
+            return obj_b is None
+        if obj_a is not None:
+            a_nan, b_nan = math.isnan(obj_a), math.isnan(obj_b)
+            if a_nan != b_nan:
+                return a_nan
+            if not a_nan and obj_a != obj_b:
+                return obj_a > obj_b
+        return (id_a is not None, id_a) < (id_b is not None, id_b)
 
     lam = float(lam)
     cand = [
         {
             "id": r["_id"],
-            "score": float(r["_score"]),
+            "score": None if r["_score"] is None else float(r["_score"]),
             "v": [float(x) for x in (r["_v"] or [])],
             "ms": 0.0,
         }
@@ -320,7 +336,11 @@ def mmr_diversify(
     for rank in range(1, k + 1):
         best = None
         for c in cand:
-            obj = rnd(lam * c["score"] - (1.0 - lam) * c["ms"])
+            obj = (
+                None
+                if c["score"] is None
+                else rnd(lam * c["score"] - (1.0 - lam) * c["ms"])
+            )
             if best is None or beats(obj, c["id"], best[0], best[1]["id"]):
                 best = (obj, c)
         if best is None:
@@ -335,12 +355,10 @@ def mmr_diversify(
                 pn += a * a
             pn = pn**0.5
             for c in cand:
+                # cos() is NaN-free (zero-denominator → 0.0), so ms
+                # stays a plain running max of finite similarities
                 s = rnd(cos(c["v"], pv, pn)) if pn > 0 else 0.0
-                c["ms"] = (
-                    math.nan
-                    if (math.isnan(c["ms"]) or math.isnan(s))
-                    else max(c["ms"], s)
-                )
+                c["ms"] = max(c["ms"], s)
     spark = cands.sparkSession
     id_type = cands.schema[id_col].dataType.simpleString()
     out = spark.createDataFrame(

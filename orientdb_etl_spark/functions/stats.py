@@ -1404,9 +1404,10 @@ def changepoint(
     (never a global ORDER BY window), every candidate's SSE is a fixed
     chain of double ops over exact BIGINT prefix sums — the squares stay
     exact integers so the SQL oracle replays them bit-for-bit, and a
-    pre-flight guard raises when ``n_buckets · max_count²`` approaches
-    int64 (increase ``bucket_seconds``) instead of letting the wrapped
-    sum corrupt the SSEs silently — and the winner is a
+    pre-flight guard raises when the EXACT ``sum(x²)`` (a decimal(38,0)
+    probe aggregate, so the guard itself can't wrap) exceeds int64
+    (increase ``bucket_seconds``) instead of letting the wrapped sum
+    corrupt the SSEs silently — and the winner is a
     TakeOrderedAndProject over the bucket frame.
     """
     from orientdb_etl_spark.operators.relational import exclusive_prefix
@@ -1424,18 +1425,30 @@ def changepoint(
         .agg(F.count(F.lit(1)).alias("_x"))
     )
     b = b.localCheckpoint()  # bucket-sized; probed AND joined below
-    lo, hi, mx = b.agg(F.min("_t"), F.max("_t"), F.max("_x")).first()
+    # the probe also takes the EXACT Σx² (decimal(38,0) sum can't wrap:
+    # per-bucket squares fit 2^126, 38 digits holds any realistic total)
+    lo, hi, ss = b.agg(
+        F.min("_t"),
+        F.max("_t"),
+        F.sum(
+            (F.col("_x").cast("decimal(19,0)") * F.col("_x")).cast(
+                "decimal(38,0)"
+            )
+        ),
+    ).first()
     if lo is None:
         raise ValueError(f"changepoint: no non-null timestamps in {ts_col!r}")
     n_buckets = int(hi) - int(lo) + 1
     if n_buckets < 2:
         raise ValueError("changepoint needs at least 2 buckets")
-    # Σx² stays EXACT BIGINT (oracle-replayable); guard the wrap instead
-    # of silently corrupting the SSEs when buckets are enormous
-    if n_buckets * int(mx) * int(mx) > (1 << 62):
+    # Σx² stays EXACT BIGINT (oracle-replayable); guard the wrap on the
+    # EXACT sum of squares (zero-filled buckets add 0, so the sum over
+    # the dense series equals this probe) instead of the conservative
+    # n·max² worst case, which raised on valid one-hot-bucket inputs
+    if ss is None or int(ss) > (1 << 62):
         raise ValueError(
-            f"changepoint: sum of squared bucket counts may overflow "
-            f"int64 (n_buckets={n_buckets}, max bucket count={mx}); "
+            f"changepoint: sum of squared bucket counts overflows int64 "
+            f"(sum(x^2)={int(ss)}, n_buckets={n_buckets}); "
             "increase bucket_seconds"
         )
     series = (

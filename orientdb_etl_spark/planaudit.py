@@ -105,7 +105,12 @@ _ONLY_NULLCHECKS = re.compile(r"\[(\s*IsNotNull\([^)]*\)\s*,?)*\]")
 # predicates a source could take. AND/OR trees of pushable leaves are
 # pushable too (sources translate And/Or recursively).
 _ATTR = r"(?:cast\()?\w+#\d+[A-Za-z]*(?: as \w+(?:\(\d+(?:,\d+)?\))?\))?"
-_LIT = r"[^()#]+"
+#: literal operand: bare (date/timestamp/number/string forms carry no
+#: parens and no #N suffix) OR cast-wrapped — Catalyst prints typed
+#: constants as ``cast(2020-01-01 as date)`` / ``cast(0.07 as
+#: decimal(12,2))``, which a source CAN take (the cast folds into the
+#: filter value), so they must not downgrade the leaf to compute_filter
+_LIT = r"(?:cast\([^()#]+ as \w+(?:\(\d+(?:,\d+)?\))?\)|[^()#]+)"
 _PUSHABLE_CMP = re.compile(
     rf"(?:{_ATTR}\s*(?:=|>=|<=|>|<)\s*{_LIT}"
     rf"|{_LIT}\s*(?:=|>=|<=|>|<)\s*{_ATTR}"

@@ -1881,6 +1881,37 @@ def test_mmr_diversify_validation_and_exhaustion(spark):
     assert len(got) == 2  # exhausts the list, no error
 
 
+def test_mmr_diversify_degenerate_candidates_not_promoted(spark):
+    """A zero-norm / empty / NULL vector must NOT be silently promoted:
+    its similarity to any pick is defined as 0.0 (never NaN, which
+    sorts as the largest double in the desc objective order), and a
+    NULL score sorts last (desc NULLS LAST)."""
+    from orientdb_etl_spark.functions.retrieval import mmr_diversify
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9, [1.0, 0.0, 0.0]),
+            (2, 0.8, [0.9, 0.1, 0.0]),
+            (3, 0.7, [0.0, 0.0, 0.0]),  # zero-norm
+            (4, 0.6, []),  # empty
+            (5, 0.5, None),  # NULL vector
+            (6, None, [0.0, 1.0, 0.0]),  # NULL score: picked LAST
+        ],
+        "id long, score double, vec array<double>",
+    )
+    got = [
+        (r.mmr_rank, r.id)
+        for r in mmr_diversify(df, "id", "score", "vec", k=6, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    # rank 1 is the top score; the degenerate vectors keep ms = 0.0 so
+    # they are ranked purely by score (never jump the queue via NaN);
+    # the NULL-score row is dead last
+    assert got[0] == (1, 1)
+    assert [i for _, i in got] == [1, 3, 4, 5, 2, 6]
+
+
 def test_shared_span_pairs_detects_lifted_passage(spark):
     """A 10-token quote lifted into an otherwise-different long document
     must pair the two docs; unrelated docs must not pair."""

@@ -158,6 +158,17 @@ def test_pushable_expr_cases():
         "((cast(k#3L as string) = 1) OR (cast(k#3L as string) = 2))"
     )
     assert _pushable_expr("((a#1 = 1) AND ((b#2 > 0) OR (b#2 < -5)))")
+    # cast-wrapped LITERALS (typed constants Catalyst prints with
+    # parens) are source-pushable — the cast folds into the filter value
+    assert _pushable_expr("(d#7 >= cast(2020-01-01 as date))")
+    assert _pushable_expr("(cast(2020-01-01 as date) <= d#7)")
+    assert _pushable_expr("(ts#8 < cast(2020-01-01 00:00:00 as timestamp))")
+    assert _pushable_expr("(p#9 = cast(0.07 as decimal(12,2)))")
+    assert _pushable_expr(
+        "((d#7 >= cast(2020-01-01 as date)) AND (d#7 < cast(2021-01-01 as date)))"
+    )
+    # but a cast wrapping a DERIVED expression is still not pushable
+    assert not _pushable_expr("(cast(length(t#2) as bigint) > 0)")
     assert not _pushable_expr("NOT coalesce((c#1 < 0.0), false)")
     assert not _pushable_expr("(length(t#2) > 0)")
     assert not _pushable_expr("((a#1 = 1) OR (length(t#2) > 0))")

@@ -1317,8 +1317,11 @@ def test_wasserstein_identical_single_value_is_zero(spark):
     assert (r.n_a, r.n_b, r.w1) == (4, 3, 0.0)
 
 
-def test_changepoint_overflow_guard_message():
-    # pure arithmetic of the guard: n_buckets * max² beyond 2^62 raises
-    # (exercised indirectly; the Spark-side branch mirrors this bound)
+def test_changepoint_overflow_guard_exact_sum():
+    # the guard is on the EXACT sum(x²) now: one hot bucket among many
+    # small ones passes even though the old worst-case n·max² bound
+    # would have rejected the same (valid) input
     n_buckets, mx = 10**5, 10**7
-    assert n_buckets * mx * mx > (1 << 62)
+    assert n_buckets * mx * mx > (1 << 62)  # old conservative bound: raise
+    exact = mx * mx + (n_buckets - 1) * 1  # the actual series' sum(x²)
+    assert exact <= (1 << 62)  # new exact guard: pass
