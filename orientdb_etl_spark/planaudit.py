@@ -10,7 +10,12 @@ user-authored pipelines:
 * ``cartesian``            — CartesianProduct: O(n·m) pairs.
 * ``nested_loop_join``     — BroadcastNestedLoopJoin: per-row scan of
   the broadcast side; legitimate ONLY for scalar/tiny broadcasts
-  (severity warn, not error, for that reason).
+  (severity warn, not error, for that reason). When EVERY build side in
+  the plan is provably bounded by construction — a keyless aggregate
+  (1 row), a limit/top-k, a driver-local literal frame, a small literal
+  range, or a join/union of such — the finding carries a
+  ``bounded_side`` annotation stating the structural proof; a missing
+  annotation means a potentially table-sized broadcast.
 * ``global_window``        — an Exchange SinglePartition in a plan with
   a Window: the every-row-through-one-task shape (``ORDER BY`` windows
   with no PARTITION BY).
@@ -197,6 +202,193 @@ def _is_null_guard(expr: str) -> bool:
     )
 
 
+def _parse_trees(plan: str) -> "list[list[dict]]":
+    """Parse every tree section of a FORMATTED plan (the main physical
+    plan and each ``Subquery:`` block) into linked nodes
+    ``{name, id, depth, children}``; returns one node list per tree, in
+    print order (first node = root)."""
+    trees: list[list[dict]] = []
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("== Physical Plan ==") or lines[i].startswith(
+            "Subquery:"
+        ):
+            i += 1
+            nodes: list[dict] = []
+            stack: list[dict] = []
+            while i < len(lines) and lines[i].strip():
+                m = _TREE_NODE.match(lines[i])
+                i += 1
+                if not m:
+                    continue
+                depth = len(m.group("pre")) // 3
+                node = {
+                    "name": m.group("name").strip(),
+                    "id": int(m.group("id")),
+                    "depth": depth,
+                    "children": [],
+                }
+                while stack and stack[-1]["depth"] >= depth:
+                    stack.pop()
+                if stack:
+                    stack[-1]["children"].append(node)
+                stack.append(node)
+                nodes.append(node)
+            if nodes:
+                trees.append(nodes)
+        else:
+            i += 1
+    return trees
+
+
+def _detail_blocks(plan: str) -> "dict[int, str]":
+    """Node-id → detail block ("(7) HashAggregate\\nKeys: []\\n...")
+    from the FORMATTED plan's per-node section."""
+    out: dict[int, str] = {}
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) ", block.lstrip("\n"))
+        if m:
+            out[int(m.group(1))] = block
+    return out
+
+
+#: single-child nodes that cannot INCREASE the build side's row count —
+#: a bound proven below them holds above them
+_ROW_PRESERVING = {
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+    "RowToColumnar",
+    "InputAdapter",
+    "Sort",
+    "Exchange",
+    "BroadcastExchange",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "InMemoryTableScan",
+    "Coalesce",
+    "WholeStageCodegen",
+}
+
+#: cap for counting a literal ``Range`` as a bounded build side
+_BOUNDED_RANGE_ROWS = 100_000
+
+
+def _bound_desc(node: dict, details: "dict[int, str]", depth: int = 0):
+    """A human-readable proof that ``node``'s output row count is
+    bounded BY CONSTRUCTION (never input-sized), or ``None`` when no
+    bound is provable. Used to adjudicate BroadcastNestedLoopJoin build
+    sides: a keyless aggregate is exactly 1 row, limits bound
+    explicitly, driver-local literal frames are driver-sized, and
+    joins/unions of bounded sides stay bounded."""
+    if depth > 64:
+        return None
+    head = node["name"].split()[0]
+    block = details.get(node["id"], "")
+    if head in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"):
+        if re.search(r"^Keys: \[\]", block, re.M):
+            return "scalar aggregate (no grouping keys → 1 row)"
+        return None  # grouped aggregate: cardinality is key-sized
+    if head == "LocalTableScan":
+        return "driver-local literal table"
+    if head == "Scan" and "ExistingRDD" in node["name"]:
+        return "driver-created local frame"
+    if head == "Scan" and "JDBCRelation" in node["name"]:
+        # the pushed subquery is embedded in the node name:
+        # Scan JDBCRelation((SELECT count(*) ... ) SPARK_GEN_SUBQ_0) ...
+        m = re.search(
+            r"JDBCRelation\(\((SELECT .*?)\)? SPARK_GEN_SUBQ",
+            node["name"],
+            re.I | re.S,
+        )
+        if (
+            m
+            and not re.search(r"\bGROUP\s+BY\b", m.group(1), re.I)
+            and re.match(
+                r"SELECT\s+(?:count|sum|min|max|avg)\s*\(", m.group(1), re.I
+            )
+        ):
+            return "JDBC scalar-aggregate subquery (1 row)"
+        return None
+    if head in ("GlobalLimit", "LocalLimit", "CollectLimit"):
+        m = re.search(r"Arguments: (\d+)", block)
+        return f"limit ({m.group(1)} rows)" if m else "limit-bounded"
+    if head == "TakeOrderedAndProject":
+        m = re.search(r"Arguments: limit=(\d+)", block)
+        return f"top-k ({m.group(1)} rows)" if m else "top-k bounded"
+    if head == "Range":
+        m = re.search(r"Range \((-?\d+), (-?\d+)", block)
+        if m:
+            n = int(m.group(2)) - int(m.group(1))
+            if 0 <= n <= _BOUNDED_RANGE_ROWS:
+                return f"literal range ({n} rows)"
+        return None
+    if head in _ROW_PRESERVING and len(node["children"]) == 1:
+        return _bound_desc(node["children"][0], details, depth + 1)
+    if head == "ReusedExchange":
+        # "Arguments: [...], BroadcastExchange (8)" etc. — resolve the
+        # reused node by id and classify ITS subtree (the detail blocks
+        # are global, but the tree node is elsewhere; the id alone is
+        # enough only for detail-classified heads, so be conservative)
+        m = re.search(r", \w+ \((\d+)\)\s*$", block)
+        if m and int(m.group(1)) in details:
+            ref = {"name": "Exchange", "id": int(m.group(1)), "children": []}
+            # detail-only classification: works when the reused subtree
+            # root is itself a bounding node (agg/limit/local scan)
+            refblock = details[int(m.group(1))]
+            rm = re.match(r"\(\d+\) (\S+)", refblock.lstrip("\n"))
+            if rm:
+                ref["name"] = rm.group(1)
+                return _bound_desc(ref, details, depth + 1)
+        return None
+    if head in (
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "SortMergeJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        sides = [
+            _bound_desc(c, details, depth + 1) for c in node["children"]
+        ]
+        if len(sides) >= 2 and all(sides):
+            return f"join of bounded sides ({sides[0]}; {sides[1]})"
+        return None
+    if head == "Union":
+        sides = [
+            _bound_desc(c, details, depth + 1) for c in node["children"]
+        ]
+        if sides and all(sides):
+            return "union of bounded sides"
+        return None
+    return None
+
+
+def _nlj_bounds(plan: str) -> "list[str | None]":
+    """For each BroadcastNestedLoopJoin in the plan, the provable bound
+    of its BUILD side (``None`` = not provable — a potential per-row
+    scan of a table-sized broadcast)."""
+    details = _detail_blocks(plan)
+    out: "list[str | None]" = []
+    for nodes in _parse_trees(plan):
+        for node in nodes:
+            if not node["name"].startswith("BroadcastNestedLoopJoin"):
+                continue
+            if len(node["children"]) != 2:
+                out.append(None)
+                continue
+            build = (
+                node["children"][0]
+                if "BuildLeft" in node["name"]
+                else node["children"][1]
+            )
+            out.append(_bound_desc(build, details))
+    return out
+
+
 def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
     """Parse the FORMATTED plan's tree section(s) and classify every
     Filter node. Returns ``(lost_pushdown, compute_filter, residual)``:
@@ -262,56 +454,27 @@ def _classify_filters(plan: str) -> "tuple[bool, bool, bool]":
     scan_adjacent = False
     compute_filter = False
     any_filter = False
-    lines = plan.splitlines()
-    i = 0
-    while i < len(lines):
-        if lines[i].startswith("== Physical Plan ==") or lines[i].startswith(
-            "Subquery:"
-        ):
-            i += 1
-            # stack of (depth, name, id); children resolved on the fly
-            nodes: list[dict] = []
-            stack: list[dict] = []
-            while i < len(lines) and lines[i].strip():
-                m = _TREE_NODE.match(lines[i])
-                i += 1
-                if not m:
-                    continue
-                depth = len(m.group("pre")) // 3
-                node = {
-                    "name": m.group("name").strip(),
-                    "id": int(m.group("id")),
-                    "depth": depth,
-                    "children": [],
-                }
-                while stack and stack[-1]["depth"] >= depth:
-                    stack.pop()
-                if stack:
-                    stack[-1]["children"].append(node)
-                stack.append(node)
-                nodes.append(node)
-            for node in nodes:
-                if node["name"] != "Filter":
-                    continue
-                if not real_condition(node["id"]):
-                    continue  # pure isnotnull guard, mirrors the pushdown
-                any_filter = True
-                cur = node
-                while (
-                    len(cur["children"]) == 1
-                    and cur["children"][0]["name"] in _PASS_THROUGH
-                ):
-                    cur = cur["children"][0]
-                if len(cur["children"]) == 1 and cur["children"][0][
-                    "id"
-                ] in pushed:
-                    if no_real_push(cur["children"][0]["id"]):
-                        if pushable_comparison(node["id"]):
-                            scan_adjacent = True
-                        else:
-                            compute_filter = True
-        else:
-            i += 1
+    for nodes in _parse_trees(plan):
+        for node in nodes:
+            if node["name"] != "Filter":
+                continue
+            if not real_condition(node["id"]):
+                continue  # pure isnotnull guard, mirrors the pushdown
+            any_filter = True
+            cur = node
+            while (
+                len(cur["children"]) == 1
+                and cur["children"][0]["name"] in _PASS_THROUGH
+            ):
+                cur = cur["children"][0]
+            if len(cur["children"]) == 1 and cur["children"][0][
+                "id"
+            ] in pushed:
+                if no_real_push(cur["children"][0]["id"]):
+                    if pushable_comparison(node["id"]):
+                        scan_adjacent = True
+                    else:
+                        compute_filter = True
     some_scan_unpushed = any(no_real_push(sid) for sid in pushed)
     residual = (
         any_filter
@@ -339,15 +502,19 @@ def audit_plan(df: DataFrame, max_read_cols: int | None = 24) -> list[dict]:
             }
         )
     if "BroadcastNestedLoopJoin" in plan:
-        out.append(
-            {
-                "rule": "nested_loop_join",
-                "severity": "warn",
-                "detail": "BroadcastNestedLoopJoin scans the broadcast "
-                "side per row — fine for a 1-row scalar, fatal for a "
-                "table. Check the broadcast side is tiny by construction.",
-            }
-        )
+        bounds = _nlj_bounds(plan)
+        finding = {
+            "rule": "nested_loop_join",
+            "severity": "warn",
+            "detail": "BroadcastNestedLoopJoin scans the broadcast "
+            "side per row — fine for a 1-row scalar, fatal for a "
+            "table. Check the broadcast side is tiny by construction.",
+        }
+        if bounds and all(bounds):
+            # every build side in the plan carries a structural bound:
+            # the per-row scan is over a constant-sized frame
+            finding["bounded_side"] = "; ".join(bounds)
+        out.append(finding)
     if "BatchEvalPython" in plan:
         out.append(
             {

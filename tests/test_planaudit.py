@@ -174,3 +174,73 @@ def test_pushable_expr_cases():
     assert not _pushable_expr("((a#1 = 1) OR (length(t#2) > 0))")
     assert _is_null_guard("isnotnull(cast((a#1 = x) as int))")
     assert not _is_null_guard("(isnotnull(a#1) OR (a#1 = 3))")
+
+
+def test_nlj_bounded_side_annotations(spark):
+    """nested_loop_join findings carry a structural bounded_side proof
+    when every build side is bounded by construction, and omit it when
+    the broadcast could be table-sized."""
+    df = spark.range(100).withColumnRenamed("id", "x")
+    scalar = df.agg(F.sum("x").alias("s"))
+    f = [
+        g
+        for g in audit_plan(df.crossJoin(F.broadcast(scalar)))
+        if g["rule"] == "nested_loop_join"
+    ][0]
+    assert "scalar aggregate" in f["bounded_side"]
+    f = [
+        g
+        for g in audit_plan(df.crossJoin(F.broadcast(df.limit(5))))
+        if g["rule"] == "nested_loop_join"
+    ][0]
+    assert "limit (5 rows)" in f["bounded_side"]
+    big = spark.range(200_000).withColumnRenamed("id", "y")
+    f = [
+        g
+        for g in audit_plan(df.crossJoin(F.broadcast(big)))
+        if g["rule"] == "nested_loop_join"
+    ][0]
+    assert "bounded_side" not in f  # table-sized broadcast: unproven
+
+
+def test_nlj_bound_classifier_on_plan_text():
+    """_nlj_bounds parses FORMATTED plan text directly — pin the JDBC
+    scalar-subquery rule (no Derby needed) and the unbounded fallback."""
+    from orientdb_etl_spark.planaudit import _nlj_bounds
+
+    jdbc_plan = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- BroadcastNestedLoopJoin Cross BuildRight (4)
+   :- Project (2)
+   :  +- Range (1)
+   +- BroadcastExchange (3)
+      +- Scan JDBCRelation((SELECT count(*) AS n FROM SYS.T WHERE x) SPARK_GEN_SUBQ_0) [numPartitions=1] (2)
+
+
+(1) Range
+Output [1]: [id#0L]
+Arguments: Range (0, 100, step=1, splits=Some(32))
+"""
+    # NOTE: the tree reuses id 2 above only for test compactness; the
+    # classifier reads the NAME on the tree line, not the detail block
+    assert _nlj_bounds(jdbc_plan) == ["JDBC scalar-aggregate subquery (1 row)"]
+    grouped = jdbc_plan.replace("WHERE x", "WHERE x GROUP BY y")
+    assert _nlj_bounds(grouped) == [None]
+
+
+def test_planaudit_artifact_fully_accounted():
+    """The committed sweep artifacts must carry zero unaccounted
+    findings: every global window has a bounded_frame, every unpushed
+    filter an adjudication, every nested-loop join a bounded_side or a
+    hand adjudication (NLJ_OK)."""
+    import json
+    from pathlib import Path
+
+    for name in ("PLANAUDIT.json", "PLANAUDIT_cluster.json"):
+        p = Path(__file__).resolve().parent.parent / name
+        if not p.exists():
+            continue
+        d = json.loads(p.read_text())
+        assert d["unaccounted_global_windows"] == [], name
+        assert d["unaccounted_unpushed_filters"] == [], name
+        assert d["unaccounted_nested_loops"] == [], name

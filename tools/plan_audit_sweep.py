@@ -44,6 +44,32 @@ from orientdb_etl_spark.planaudit import audit_plan  # noqa: E402
 #: fixed or adjudicated here.
 SCAN_FILTER_OK: dict[str, str] = {}
 
+#: Queries whose ``nested_loop_join`` warn is adjudicated legitimate by
+#: HAND even though ``audit_plan`` could not prove the build side
+#: bounded structurally (the normal path: the finding's own
+#: ``bounded_side`` annotation, derived from the plan — keyless
+#: aggregate, limit, literal frame). Anything landing here should first
+#: be attempted as a classifier improvement; these three are
+#: SEMANTICALLY bounded in ways no plan inspection can prove.
+NLJ_OK: dict[str, str] = {
+    "ann_lsh_topk": (
+        "build side is the literal probe-id filter over the embeddings "
+        "scan — row count equals the fixed probe set, not the corpus "
+        "(bounded by the query, not provable from the plan)"
+    ),
+    "negative_samples": (
+        "build side is the DISTINCT item vocabulary; the operator "
+        "documents the bounded-vocabulary regime (items ≪ interactions) "
+        "and the web-scale pre-bucketing boundary "
+        "(functions/sampling.py negative_samples docstring)"
+    ),
+    "t_closeness": (
+        "build side is the global sensitive-value distribution grouped "
+        "by spec-fixed bands — cardinality is the configured band "
+        "count, not the table (functions/privacy.py)"
+    ),
+}
+
 BOUNDED_WINDOW_OK = {
     "gains_chart": "cumulative pass over the n_buckets-row frame (10)",
     "growth_accounting": "period frame — bounded by the calendar range",
@@ -101,6 +127,19 @@ def main() -> None:
                         and n in SCAN_FILTER_OK
                         else {}
                     ),
+                    **(
+                        {"bounded_side": f["bounded_side"]}
+                        if f["rule"] == "nested_loop_join"
+                        and "bounded_side" in f
+                        else {}
+                    ),
+                    **(
+                        {"adjudicated": NLJ_OK[n]}
+                        if f["rule"] == "nested_loop_join"
+                        and "bounded_side" not in f
+                        and n in NLJ_OK
+                        else {}
+                    ),
                 }
                 for f in fs
             ]
@@ -118,6 +157,15 @@ def main() -> None:
             for n, fs in findings.items()
             if any(f["rule"] == "unpushed_filter" for f in fs)
             and n not in SCAN_FILTER_OK
+        ),
+        "unaccounted_nested_loops": sorted(
+            n
+            for n, fs in findings.items()
+            if any(
+                f["rule"] == "nested_loop_join" and "bounded_side" not in f
+                for f in fs
+            )
+            and n not in NLJ_OK
         ),
     }
     Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True))
