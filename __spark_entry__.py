@@ -564,6 +564,49 @@ def q_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC path sink round-trip (loaders.py ``{"orc": {...}}`` →
+    sources/resolve.py orc extractor): one config pipeline writes an
+    order summary partitioned by priority as ORC, a second reads the
+    directory back through the ``orc`` extractor — the columnar
+    interchange twin of the parquet path sink, hash-checked against the
+    same frame's SQL oracle. Scale shape: the write is one hash
+    aggregate + partitioned columnar sink (no extra shuffle beyond the
+    agg); the read-back scan prunes on the partition column like any
+    parquet layout."""
+    import shutil
+    import tempfile
+
+    from orientdb_etl_spark import Pipeline
+
+    target = tempfile.mkdtemp(prefix="oetl_orc_sink_") + "/orders_orc"
+    shutil.rmtree(target, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    Pipeline(
+        {
+            "extractor": {"table": {"name": "orders"}},
+            "transformers": [
+                {"command": {"command": (
+                    "SELECT o_orderpriority, o_orderstatus, "
+                    "COUNT(*) AS n_orders, "
+                    "round(SUM(o_totalprice), 2) AS total_price "
+                    "FROM input GROUP BY o_orderpriority, o_orderstatus"
+                )}},
+            ],
+            "loader": {"orc": {
+                "path": target, "partitionBy": ["o_orderpriority"],
+            }},
+        },
+        spark=spark,
+    ).register_table("orders", orders).run()
+    read_back = Pipeline(
+        {"extractor": {"orc": {"path": target}}}, spark=spark
+    ).compile()
+    return read_back.select(
+        "o_orderpriority", "o_orderstatus", "n_orders", "total_price"
+    )
+
+
 def _stage_customer_shards(spark: SparkSession, sf_dir: str, n: int = 8) -> str:
     """Stage customer as N semicolon-CSV shard files (custkey mod N) —
     the many-file manifest fixture for distributed ingestion."""
@@ -6156,10 +6199,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (ngram_jaccard→weighted_percentiles, ann_lsh_topk→hybrid_retrieval,
     text_metrics→shared_spans, subetl_linenumbers→resolve_entities,
     mixture_sample→expectations); each displaced query keeps coverage via
-    its family's remaining driver rows and the local gate. The full
-    fine-grained surface (every pre-consolidation query) remains in
-    :func:`queries_all`, which the local gate (tools/check_correctness.py),
-    tests, and bench.py run.
+    its family's remaining driver rows and the local gate. Round 7
+    rotates four more same-family near-duplicates onto families that had
+    never carried a driver row (dedup_clusters→t_closeness [privacy],
+    dedup_embedding→zorder_key [layout], ann_pairwise_topk→wasserstein
+    [stats-drift], multimodal_frames→scc_trade [graph-scale]); near-dup
+    clustering stays driver-covered by dedup_minhash, embedding dedup by
+    semantic_dedup, LSH k-NN by the ANN brute/ivf rows, and frame
+    sampling by multimodal_features. The full fine-grained surface
+    (every pre-consolidation query) remains in :func:`queries_all`,
+    which the local gate (tools/check_correctness.py), tests, and
+    bench.py run.
     """
     return {
         # reference-parity operators (§2.0-2.5)
@@ -6232,17 +6282,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram similarity stays driver-covered by the minhash family
         "weighted_percentiles": q_weighted_percentiles,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding": q_dedup_embedding,
+        # round 7: dedup_clusters' slot carries the t-closeness privacy
+        # audit (EMD of per-group sensitive distributions vs global);
+        # near-dup clustering stays driver-covered by dedup_minhash and
+        # hash-checked in queries_all
+        "t_closeness": q_t_closeness,
+        # round 7: dedup_embedding's slot carries the Z-order layout key
+        # (Morton interleave for multi-dimension data skipping);
+        # embedding dedup stays driver-covered by semantic_dedup
+        "zorder_key": q_zorder_key,
         "ann_brute_topk": q_ann_brute_topk,
         # round 6: ann_lsh_topk's slot carries RRF hybrid retrieval
         # (BM25 + dense fusion); LSH ANN stays driver-covered by
         # ann_pairwise_topk (LSH-bucketed) and the local gate
         "hybrid_retrieval": q_hybrid_retrieval,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pairwise_topk": q_ann_pairwise_topk,
+        # round 7: ann_pairwise_topk's slot carries the exact 1-D
+        # Wasserstein drift distance (pure-BIGINT segment sums); LSH
+        # pairwise k-NN stays driver-covered by the ANN family
+        # (brute/ivf) and hash-checked in queries_all
+        "wasserstein": q_wasserstein,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
+        # round 7: multimodal_frames' slot carries strongly connected
+        # components (FW-BW coloring to fixed point); frame sampling
+        # stays driver-covered by multimodal_features and queries_all
+        "scc_trade": q_scc_trade,
         "line_dedup": q_line_dedup,
     }
 
@@ -6266,6 +6330,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: batch MERGE loader (bucketed parquet upsert) and
             # product-quantization ANN (recall certificate)
             "merge_sink": q_merge_sink,
+            # round 7: ORC path-sink round-trip (write via the orc
+            # loader, read back via the orc extractor)
+            "orc_sink": q_orc_sink,
+            # round 7: displaced by the rotation onto privacy / layout /
+            # stats-drift / graph-scale families (still hash-checked here)
+            "dedup_clusters": q_dedup_clusters,
+            "dedup_embedding": q_dedup_embedding,
+            "ann_pairwise_topk": q_ann_pairwise_topk,
+            "multimodal_frames": q_multimodal_frames,
             "ann_pq_topk": q_ann_pq_topk,
             "dup_passages": q_dup_passages,
             "strip_passages": q_strip_passages,
@@ -6369,7 +6442,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5: BPE vocabulary induction (4 merges, in-plan)
             "bpe_merges": q_bpe_merges,
             # round 5: Z-order layout key (cross-engine identical bit math)
-            "zorder_key": q_zorder_key,
             # round 5: Efraimidis–Spirakis weighted sampling (hash-uniform)
             "weighted_sample": q_weighted_sample,
             # round 5: temperature-scaled domain mixture rates + realized
@@ -6549,7 +6621,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contribution": q_contribution,
             "srm_check": q_srm_check,
             "weighted_percentiles": q_weighted_percentiles,
-            "scc_trade": q_scc_trade,
             "neyman_allocation": q_neyman,
             "containment_join": q_containment_join,
             "phrase_search": q_phrase_search,
@@ -6578,7 +6649,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hits_trade": q_hits,
             "heaps_fit": q_heaps,
             # round 5 (breadth wave 4): release-audit EMD, hashing trick
-            "t_closeness": q_t_closeness,
             "feature_hash": q_feature_hash,
             # round 5 (breadth wave 5): subclassification ATE, Croston
             "stratified_ate": q_stratified_ate,
@@ -6586,7 +6656,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (breadth wave 6): proper scoring, conformal intervals
             "prob_scores": q_prob_scores,
             "conformal": q_conformal,
-            "wasserstein": q_wasserstein,
             "holt_winters": q_holt_winters,
         }
     )
@@ -7126,6 +7195,14 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN o_orderkey % 4 IN (1, 2) "
             "THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS price "
             "FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)"
+        ),
+        # ORC write→read round-trip must reproduce the aggregate it
+        # persisted (partitioned columnar layout, no row lost/dup'd)
+        "orc_sink": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "COUNT(*) AS n_orders, "
+            "round(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY o_orderpriority, o_orderstatus"
         ),
         # distributed manifest fetch must reassemble EXACTLY the table the
         # shards were cut from — same oracle as the single-url source

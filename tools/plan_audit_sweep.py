@@ -12,7 +12,18 @@ computed-column filters (unpushed_filter), and Arrow-batched stages
 (arrow_python) — the artifact names them per query instead of asserting
 them away.
 
-    python tools/plan_audit_sweep.py [sf_dir] [out_json]
+    python tools/plan_audit_sweep.py [sf_dir] [out_json] [profile]
+
+``profile`` is ``local`` (default: the test confs) or ``cluster``:
+the 100 TB design point from ``session.cluster_profile(4000, 32, 8)``
+— 12k shuffle partitions, 256 MB broadcast threshold, 128 MB AQE
+advisory. The cluster run answers the question SCALE.md used to answer
+in prose: do the plan shapes hold under the confs a real deployment
+would run, not just under local[32]'s 10 MB broadcast default? (The
+queries still PLAN against sf0.001 statistics, so size-estimate-driven
+strategy choices — e.g. sort-merge joins upgrading to broadcast-hash —
+shift; `tests/test_planaudit.py` pins that the local and cluster
+artifacts differ only in documented, justified ways.)
 """
 
 from __future__ import annotations
@@ -85,7 +96,22 @@ BOUNDED_WINDOW_OK = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANAUDIT.json"
-    spark = get_spark("plan_audit_sweep")
+    profile = sys.argv[3] if len(sys.argv) > 3 else "local"
+    extra_conf = None
+    if profile == "cluster":
+        from orientdb_etl_spark.session import cluster_profile
+
+        extra_conf = dict(cluster_profile(4000, 32, 8))
+        # sweep-session-only (NOT part of the deploy profile): the six
+        # streaming queries materialize a micro-batch to expose a plan,
+        # and 12k shuffle partitions × per-task status overhead on ONE
+        # local driver trips the 1g default maxResultSize even though
+        # the sf0.001 results are tiny. A real cluster spreads those
+        # task results over its own driver sizing.
+        extra_conf["spark.driver.maxResultSize"] = "0"
+    elif profile != "local":
+        raise SystemExit(f"unknown profile {profile!r} (local|cluster)")
+    spark = get_spark("plan_audit_sweep", extra_conf=extra_conf)
     queries = entry.queries_all()
     findings: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
@@ -103,6 +129,8 @@ def main() -> None:
             by_sev[f["severity"]] = by_sev.get(f["severity"], 0) + 1
     out = {
         "sf_dir": sf_dir,
+        "profile": profile,
+        "profile_conf": extra_conf or {},
         "n_queries": len(queries),
         "n_planned": len(findings),
         "n_clean": sum(1 for fs in findings.values() if not fs),
