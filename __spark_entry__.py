@@ -3266,6 +3266,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", num_merges=4, checkpoint_every=None)
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary induction
+    (functions/unigram.py, Kudo ACL'18 hard-EM variant): 2 Viterbi EM
+    iterations over the documents corpus, max piece length 3, word cap
+    12, 40 seeded multi-char pieces + all single chars. The whole
+    lattice is JVM higher-order functions over the vocabulary-sized
+    word table; the oracle replays the identical DP as recursive CTEs
+    (forward fold, exact-equality backtrace, Laplace M-step) — the 6-dp
+    rounding on log-probs BEFORE they enter the DP is what makes the
+    lattice arithmetic engine-portable."""
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, "text", max_piece_len=3, max_word_len=12,
+        seed_multi=40, n_iter=2,
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality score (functions/text.py::
     bigram_logprob_score, λ=0.8) over documents — the CCNet-flavoured
@@ -6441,6 +6460,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bigram_logprob": q_bigram_logprob,
             # round 5: BPE vocabulary induction (4 merges, in-plan)
             "bpe_merges": q_bpe_merges,
+            # round 7: unigram-LM (SentencePiece) vocabulary induction
+            "unigram_lm": q_unigram_lm,
             # round 5: Z-order layout key (cross-engine identical bit math)
             # round 5: Efraimidis–Spirakis weighted sampling (hash-uniform)
             "weighted_sample": q_weighted_sample,
@@ -6767,6 +6788,80 @@ def _bpe_oracle(n: int = 4) -> str:
         for i in range(1, n + 1)
     )
     return sql
+
+
+def _unigram_oracle(
+    L: int = 3, W: int = 12, seed_multi: int = 40, n_iter: int = 2
+) -> str:
+    """DuckDB replay of q_unigram_lm: the identical word table and
+    substring grid (out-of-range cells kept as NULL pieces so the flat
+    score list has contiguous ``(start-1)*L + len`` indices), seed
+    selection by (count desc, piece asc), then per EM iteration a
+    forward-DP recursive CTE (``list_append`` fold, the same rounded
+    doubles Spark folds) and a backtrace recursive CTE that re-finds
+    the argmax length by EXACT float equality — engine-portable because
+    both engines fold identical 6-dp-rounded inputs in identical order.
+    """
+    sql = (
+        "WITH RECURSIVE "
+        "w AS (SELECT word, count(*) AS f FROM ("
+        r"SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) "
+        "AS word FROM documents WHERE text IS NOT NULL "
+        "AND length(trim(text)) > 0) "
+        f"WHERE word <> '' AND length(word) <= {W} GROUP BY word), "
+        "g1 AS (SELECT word, f, unnest(range(1, length(word) + 1)) AS s "
+        "FROM w), "
+        f"grid AS (SELECT word, f, s, l, (s - 1) * {L} + l AS idx, "
+        "CASE WHEN s + l - 1 <= length(word) "
+        "THEN word[s : s + l - 1] END AS p "
+        f"FROM (SELECT word, f, s, unnest(range(1, {L} + 1)) AS l "
+        "FROM g1)), "
+        "cnts AS (SELECT p AS piece, sum(f) AS cnt FROM grid "
+        "WHERE p IS NOT NULL GROUP BY p), "
+        "seed AS (SELECT piece, cnt FROM cnts WHERE length(piece) = 1 "
+        "UNION ALL SELECT piece, cnt FROM ("
+        "SELECT piece, cnt FROM cnts WHERE length(piece) > 1 "
+        f"ORDER BY cnt DESC, piece ASC LIMIT {seed_multi})), "
+        "vocab0 AS (SELECT piece, cnt, round(ln(CAST(cnt AS DOUBLE) / "
+        "(SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)), 6) AS lp "
+        "FROM seed), "
+    )
+    for k in range(1, n_iter + 1):
+        sql += (
+            f"sc{k} AS (SELECT g.word, g.f, length(g.word) AS wlen, "
+            "list(coalesce(v.lp, -1e9) ORDER BY g.idx) AS sc "
+            f"FROM grid g LEFT JOIN vocab{k - 1} v ON g.p = v.piece "
+            "GROUP BY g.word, g.f), "
+            f"dp{k} AS (SELECT word, f, sc, wlen, 0 AS i, "
+            f"[CAST(0.0 AS DOUBLE)] AS best FROM sc{k} "
+            "UNION ALL SELECT word, f, sc, wlen, i + 1, "
+            "list_append(best, list_max([best[i + 2 - l] + "
+            f"sc[(i + 1 - l) * {L} + l] "
+            f"FOR l IN range(1, least({L}, i + 1) + 1)])) "
+            f"FROM dp{k} WHERE i < wlen), "
+            f"seg{k} AS (SELECT word, f, sc, best, wlen AS pos, "
+            f"CAST(NULL AS VARCHAR) AS piece FROM dp{k} WHERE i = wlen "
+            "UNION ALL SELECT word, f, sc, best, pos - lch, "
+            "word[pos - lch + 1 : pos] FROM ("
+            "SELECT word, f, sc, best, pos, "
+            f"list_max([l FOR l IN range(1, least({L}, pos) + 1) "
+            f"IF best[pos - l + 1] + sc[(pos - l) * {L} + l] "
+            "= best[pos + 1]]) "
+            f"AS lch FROM seg{k} WHERE pos > 0)), "
+            f"chosen{k} AS (SELECT piece, sum(f) AS cnt FROM seg{k} "
+            "WHERE piece IS NOT NULL GROUP BY piece), "
+            f"cn{k} AS (SELECT s.piece, coalesce(c.cnt, 0) + 1 AS cnt "
+            f"FROM (SELECT piece FROM seed) s LEFT JOIN chosen{k} c "
+            "ON s.piece = c.piece), "
+            f"vocab{k} AS (SELECT piece, cnt, "
+            "round(ln(CAST(cnt AS DOUBLE) / "
+            f"(SELECT CAST(sum(cnt) AS DOUBLE) FROM cn{k})), 6) AS lp "
+            f"FROM cn{k}), "
+        )
+    return sql.rstrip(", ") + (
+        " SELECT piece, CAST(cnt AS BIGINT) AS freq, lp AS logp "
+        f"FROM vocab{n_iter}"
+    )
 
 
 def _hybrid_oracle() -> str:
@@ -7874,6 +7969,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_oracle(),
         "hybrid_retrieval": _hybrid_oracle(),
         "bpe_merges": _bpe_oracle(4),
+        "unigram_lm": _unigram_oracle(3, 12, 40, 2),
         "bigram_logprob": (
             # identical bigram extraction (1-indexed, per-token lower) and
             # interpolation expression; 0.19999999999999996 is the exact

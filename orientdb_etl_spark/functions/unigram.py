@@ -1,0 +1,325 @@
+"""Unigram-LM (SentencePiece-style) vocabulary induction: learn a
+subword vocabulary with fixed-iteration Viterbi (hard) EM — the
+companion of :mod:`functions.bpe` on the merge-free side of the
+tokenizer family (Kudo, ACL 2018 "Subword Regularization"; the hard-EM
+variant keeps every step deterministic and engine-replayable).
+
+Algorithm (all relational, all deterministic):
+
+1. **Word table** — same extraction as BPE: lowercase, whitespace
+   split, frequency-weighted; words longer than ``max_word_len`` are
+   excluded (they would only deepen the DP; the cap keeps the lattice
+   width fixed and is applied identically in the oracle).
+2. **Seed vocabulary** — every substring of length ≤ ``max_piece_len``
+   counted with word-frequency weights (one hash agg over the exploded
+   substring grid); ALL single characters are kept (they guarantee
+   every word stays segmentable) plus the top ``seed_multi`` longer
+   pieces by (count desc, piece asc) — a deterministic
+   ``TakeOrderedAndProject``, never a full sort.
+3. **E-step (Viterbi)** — per word, the classic segmentation DP:
+   ``best(i) = max_l best(i-l) + logp(word[i-l+1..i])``. The whole
+   lattice is ONE projection of nested higher-order functions
+   (``aggregate``/``transform``/``array_max`` — JVM codegen, no Python,
+   no shuffle): per-word piece scores become a flat array indexed by
+   ``(start-1)*L + len`` (grid join against the broadcast vocabulary),
+   the forward pass folds over positions, and the backtrace recovers
+   the argmax path by EXACT float equality against the forward values
+   (both engines fold the same rounded doubles in the same order, so
+   ``best[i-l] + score == best[i]`` is engine-portable; ties break to
+   the LONGEST piece via ``array_max`` over the qualifying lengths).
+4. **M-step** — chosen-piece counts (frequency-weighted hash agg) are
+   Laplace-smoothed over the FIXED seed vocabulary (``count + 1``), so
+   the piece set never changes across iterations and the oracle's CTE
+   chain stays structurally identical per round. Log-probabilities are
+   rounded to 6 dp BEFORE entering the next DP — that rounding is what
+   makes the lattice arithmetic bit-identical between Spark and DuckDB
+   (same trick as the hybrid-retrieval rank keys).
+
+Scale shape at 100 TB: the corpus is touched ONCE (token explode +
+word count); every EM iteration then runs over the WORD TABLE
+(vocabulary-sized — the same reduction BPE exploits), and each
+iteration is 1 broadcast join + 2 hash aggs. The substring grid is
+``max_word_len × max_piece_len`` rows per distinct word — bounded by
+construction, never corpus-sized. No driver collect anywhere: the
+vocabulary total is a 1-row broadcast cross join, the vocabulary
+itself a broadcast-hash build side.
+
+No counterpart in the reference; north-star extension per SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sentinel for "piece not in vocabulary" — any path through it loses
+#: to any all-in-vocabulary path (single chars are always in), and both
+#: engines fold the same literal, so backtrace equality still holds.
+_NEG = "cast(-1e9 as double)"
+
+
+def _word_table(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """(word, freq) — lowercase whitespace tokens ≤ max_word_len."""
+    return (
+        df.select(
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("_w")
+        )
+        .filter((F.col("_w") != "") & (F.length("_w") <= max_word_len))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+
+
+def _substring_grid(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """Full (start, len) grid per word — including out-of-range cells
+    as NULL pieces, so the per-word score array built from it has
+    CONTIGUOUS flat indices ``(start-1)*L + len`` with no gaps."""
+    L = max_piece_len
+    return words.select(
+        "_w",
+        "_f",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(_w)), s -> "
+                f"transform(sequence(1, {L}), l -> named_struct("
+                f"'s', s, 'l', l, 'p', CASE WHEN s + l - 1 <= length(_w) "
+                f"THEN substring(_w, s, l) END))))"
+            )
+        ).alias("_g"),
+    ).select(
+        "_w",
+        "_f",
+        F.col("_g.s").alias("_s"),
+        F.col("_g.l").alias("_l"),
+        F.col("_g.p").alias("_p"),
+    )
+
+
+def _with_logp(counts: DataFrame) -> DataFrame:
+    """(piece, cnt) → (piece, cnt, lp) with lp = round(ln(cnt/total), 6).
+    The total is a 1-row broadcast cross join; 6-dp rounding is the
+    engine-portability contract (see module docstring)."""
+    tot = counts.agg(F.sum("cnt").alias("_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("cnt") / F.col("_tot")), 6).alias("lp"),
+    )
+
+
+def _viterbi_counts(
+    grid: DataFrame, vocab: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """E-step: Viterbi-segment every word against the (broadcast)
+    vocabulary and return frequency-weighted chosen-piece counts."""
+    L = max_piece_len
+    scored = grid.join(
+        F.broadcast(vocab.select(F.col("piece").alias("_p"), "lp")),
+        "_p",
+        "left",
+    ).withColumn("_idx", ((F.col("_s") - 1) * L + F.col("_l")).cast("int"))
+    # flat per-word score array: _sc[(start-1)*L + len]; array_sort on
+    # (unique idx, score) structs makes collect_list order-insensitive
+    arr = scored.groupBy("_w", "_f").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(named_struct("
+            f"'i', _idx, 'v', coalesce(lp, {_NEG})))), x -> x.v)"
+        ).alias("_sc")
+    )
+    # forward pass: acc[j] holds best(j-1); best(i) probes best(i-l) at
+    # acc[i-l+1] and the piece ending at i at _sc[(i-l)*L + l]
+    dp = arr.withColumn(
+        "_best",
+        F.expr(
+            f"aggregate(sequence(1, length(_w)), "
+            f"array(cast(0.0 as double)), "
+            f"(acc, i) -> concat(acc, array(array_max("
+            f"transform(sequence(1, least({L}, i)), l -> "
+            f"element_at(acc, i - l + 1) "
+            f"+ element_at(_sc, (i - l) * {L} + l))))))"
+        ),
+    )
+    # argmax path: chosen length at position i = LONGEST l whose
+    # candidate equals best(i) exactly (fold re-used the same doubles)
+    choice = dp.withColumn(
+        "_ch",
+        F.expr(
+            f"transform(sequence(1, length(_w)), i -> array_max("
+            f"filter(sequence(1, least({L}, i)), l -> "
+            f"element_at(_best, i - l + 1) "
+            f"+ element_at(_sc, (i - l) * {L} + l) "
+            f"= element_at(_best, i + 1))))"
+        ),
+    )
+    # backtrace fold: walk pos back by _ch[pos], emitting each piece;
+    # length(_w) steps is an upper bound (each step consumes ≥ 1 char)
+    seg = choice.withColumn(
+        "_pieces",
+        F.expr(
+            "aggregate(sequence(1, length(_w)), "
+            "named_struct('pos', length(_w), "
+            "'ps', cast(array() as array<string>)), "
+            "(st, x) -> IF(st.pos <= 0, st, named_struct("
+            "'pos', st.pos - element_at(_ch, st.pos), "
+            "'ps', concat(st.ps, array(substring(_w, "
+            "st.pos - element_at(_ch, st.pos) + 1, "
+            "element_at(_ch, st.pos)))))), "
+            "st -> st.ps)"
+        ),
+    )
+    return (
+        seg.select("_f", F.explode("_pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("_f").alias("cnt"))
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    seed_multi: int = 40,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train a unigram LM vocabulary; returns (piece, freq, logp) —
+    one row per seed-vocabulary piece with its Laplace-smoothed count
+    after the final Viterbi E-step and the 6-dp-rounded log-probability.
+    """
+    if n_iter <= 0:
+        raise ValueError("n_iter must be positive")
+    if max_piece_len < 2:
+        raise ValueError("max_piece_len must be at least 2")
+    words = _word_table(df, text_col, max_word_len)
+    grid = _substring_grid(words, max_piece_len)
+    seed_counts = (
+        grid.filter(F.col("_p").isNotNull())
+        .groupBy(F.col("_p").alias("piece"))
+        .agg(F.sum("_f").alias("cnt"))
+    )
+    singles = seed_counts.filter(F.length("piece") == 1)
+    multis = (
+        seed_counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_multi)
+    )
+    seed = singles.unionByName(multis)
+    vocab = _with_logp(seed)
+    seed_pieces = seed.select("piece")
+    for _ in range(n_iter):
+        chosen = _viterbi_counts(grid, vocab, max_piece_len)
+        counts = seed_pieces.join(chosen, "piece", "left").select(
+            "piece",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("cnt"),
+        )
+        vocab = _with_logp(counts)
+    return vocab.select(
+        "piece",
+        F.col("cnt").cast("bigint").alias("freq"),
+        F.col("lp").alias("logp"),
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "unigram_pieces",
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Apply a trained vocabulary: every row gains ``out_col`` =
+    array of Viterbi-segmented pieces per token (tokens longer than
+    ``max_word_len`` pass through as single opaque pieces — the same
+    cap the trainer applied). The vocabulary joins broadcast; the
+    corpus is scanned once."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .distinct()
+    )
+    short = words.filter(F.length("_w") <= max_word_len).withColumn(
+        "_f", F.lit(1).cast("bigint")
+    )
+    grid = _substring_grid(short, max_piece_len)
+    scored = grid.join(
+        F.broadcast(vocab_df.select(F.col("piece").alias("_p"), "logp")),
+        "_p",
+        "left",
+    ).withColumn(
+        "_idx", ((F.col("_s") - 1) * max_piece_len + F.col("_l")).cast("int")
+    )
+    L = max_piece_len
+    arr = scored.groupBy("_w").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(named_struct("
+            f"'i', _idx, 'v', coalesce(logp, {_NEG})))), x -> x.v)"
+        ).alias("_sc")
+    )
+    seg = (
+        arr.withColumn(
+            "_best",
+            F.expr(
+                f"aggregate(sequence(1, length(_w)), "
+                f"array(cast(0.0 as double)), "
+                f"(acc, i) -> concat(acc, array(array_max("
+                f"transform(sequence(1, least({L}, i)), l -> "
+                f"element_at(acc, i - l + 1) "
+                f"+ element_at(_sc, (i - l) * {L} + l))))))"
+            ),
+        )
+        .withColumn(
+            "_ch",
+            F.expr(
+                f"transform(sequence(1, length(_w)), i -> array_max("
+                f"filter(sequence(1, least({L}, i)), l -> "
+                f"element_at(_best, i - l + 1) "
+                f"+ element_at(_sc, (i - l) * {L} + l) "
+                f"= element_at(_best, i + 1))))"
+            ),
+        )
+        .withColumn(
+            "_pieces",
+            F.expr(
+                "reverse(aggregate(sequence(1, length(_w)), "
+                "named_struct('pos', length(_w), "
+                "'ps', cast(array() as array<string>)), "
+                "(st, x) -> IF(st.pos <= 0, st, named_struct("
+                "'pos', st.pos - element_at(_ch, st.pos), "
+                "'ps', concat(st.ps, array(substring(_w, "
+                "st.pos - element_at(_ch, st.pos) + 1, "
+                "element_at(_ch, st.pos)))))), "
+                "st -> st.ps))"
+            ),
+        )
+        .select("_w", "_pieces")
+    )
+    toks = df.withColumn(
+        "_toks",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+    ).withColumn("_w", F.explode("_toks"))
+    # the per-word segmentation table is distinct-vocabulary-sized —
+    # usually broadcastable, but not by fiat at 100 TB (web-scale corpora
+    # have 10⁸⁺ distinct tokens); let AQE pick the strategy from stats
+    return (
+        toks.filter(F.col("_w") != "")
+        .join(seg, "_w", "left")
+        .withColumn(
+            out_col, F.coalesce(F.col("_pieces"), F.array(F.col("_w")))
+        )
+        .drop("_toks", "_pieces")
+    )

@@ -699,6 +699,45 @@ def bpe_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
     raise ValueError(f"unknown bpe mode {mode!r}")
 
 
+@register("unigramLm")
+def unigram_lm_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"unigramLm": {"mode": "train"|"segment", "textField": "text",
+    "maxPieceLen": 3, "maxWordLen": 12, "seedMulti": 40, "iters": 2,
+    "vocabTable": "vocab"}} — SentencePiece-style unigram-LM vocabulary
+    induction / application (functions/unigram.py): BPE's merge-free
+    companion. Train emits the (piece, freq, logp) vocabulary; segment
+    Viterbi-applies a registered vocabulary table to the corpus."""
+    from orientdb_etl_spark.functions.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    mode = str(cfg.get("mode", "train"))
+    L = int(cfg.get("maxPieceLen", 3))
+    W = int(cfg.get("maxWordLen", 12))
+    if mode == "train":
+        return unigram_lm_train(
+            df,
+            cfg.get("textField", "text"),
+            max_piece_len=L,
+            max_word_len=W,
+            seed_multi=int(cfg.get("seedMulti", 40)),
+            n_iter=int(cfg.get("iters", 2)),
+        )
+    if mode == "segment":
+        return unigram_segment(
+            df,
+            ctx.tables[cfg["vocabTable"]],
+            cfg.get("textField", "text"),
+            out_col=cfg.get("outField", "unigram_pieces"),
+            max_piece_len=L,
+            max_word_len=W,
+        )
+    raise ValueError(f"unknown unigramLm mode {mode!r}")
+
+
 @register("analyze")
 def analyze_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"analyze": {"method": ..., ...}} — the inferential-statistics

@@ -1326,6 +1326,67 @@ def test_bpe_repeated_symbol_runs(spark):
     assert tuple(seg.first().bpe_symbols) == ("aa", "a", "</w>")
 
 
+def test_unigram_train_hand_example(spark):
+    """Corpus 'aaaa aaaa': seed counts a=8, aa=6, aaa=4 → Viterbi picks
+    aa+aa (ln(6/18)·2 beats ln(8/18)+ln(4/18)), so after Laplace the
+    final counts are aa=5, a=1, aaa=1 over total 7 — hand-checkable end
+    to end, including both EM iterations (iteration 2 re-picks aa+aa)."""
+    import math
+
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa")], "doc_id int, text string"
+    )
+    out = unigram_lm_train(docs, "text", max_piece_len=3, n_iter=2)
+    rows = {r.piece: (r.freq, r.logp) for r in out.collect()}
+    assert set(rows) == {"a", "aa", "aaa"}
+    assert rows["aa"][0] == 5 and rows["a"][0] == 1 and rows["aaa"][0] == 1
+    assert rows["aa"][1] == round(math.log(5 / 7), 6)
+    assert rows["a"][1] == round(math.log(1 / 7), 6)
+
+
+def test_unigram_train_is_lazy_and_covers_singles(spark):
+    """Construction runs zero jobs (everything in-plan: the vocab total
+    is a broadcast cross join, seed selection a TakeOrdered); every
+    character of the corpus survives as a single-char piece."""
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "spark window hash"), (2, "window hash spark")],
+        "doc_id int, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    vocab = unigram_lm_train(docs, "text")
+    assert len(tracker.getJobIdsForGroup() or []) == before
+    pieces = {r.piece for r in vocab.collect()}
+    assert set("sparkwindowhash") <= pieces
+
+
+def test_unigram_segment_reassembles_words(spark):
+    """Segmentation pieces concatenate back to each token; tokens longer
+    than max_word_len pass through whole (the trainer's cap, mirrored)."""
+    from orientdb_etl_spark.functions.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "ban banana")],
+        "doc_id int, text string",
+    )
+    vocab = unigram_lm_train(docs, "text", max_word_len=12, n_iter=1)
+    long_docs = spark.createDataFrame(
+        [(1, "banana supercalifragilistic")], "doc_id int, text string"
+    )
+    seg = unigram_segment(long_docs, vocab, "text", max_word_len=12)
+    by_word = {r._w: list(r.unigram_pieces) for r in seg.collect()}
+    assert "".join(by_word["banana"]) == "banana"
+    # 27-char token exceeds the cap -> opaque single piece
+    assert by_word["supercalifragilistic"] == ["supercalifragilistic"]
+
+
 def test_html_to_text_strips_script_style_comments_tags(spark):
     from orientdb_etl_spark.functions.text import html_to_text
 

@@ -117,10 +117,30 @@ def main() -> None:
     errors: dict[str, str] = {}
     t0 = time.time()
     for name, fn in queries.items():
+        # sweep-session-only valve #2: the stream_* queries EXECUTE a
+        # micro-batch to expose a plan, and each stateful streaming
+        # shuffle partition instantiates a state store (plus its
+        # checkpoint/maintenance threads) — at the cluster profile's
+        # 12k partitions on ONE local JVM that is ~10⁵ native threads
+        # and the process dies with "unable to create native thread"
+        # (observed: Thread-166972 before the round-6 capture crashed).
+        # State-store count is a deployment-sizing knob a real cluster
+        # spreads over its executors, not a plan-shape rule, so the
+        # micro-batch materializes under a local-safe count while the
+        # plan-shaping confs (broadcast threshold, AQE advisory,
+        # maxPartitionBytes) stay at cluster values. Recorded in the
+        # artifact as ``streaming_exec_partitions``.
+        throttle = profile == "cluster" and name.startswith("stream_")
+        if throttle:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
         try:
             findings[name] = audit_plan(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — a sweep must finish
             errors[name] = f"{type(e).__name__}: {e}"
+        finally:
+            if throttle:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     by_rule: dict[str, int] = {}
     by_sev: dict[str, int] = {}
     for fs in findings.values():
@@ -131,6 +151,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "profile": profile,
         "profile_conf": extra_conf or {},
+        "streaming_exec_partitions": 64 if profile == "cluster" else None,
         "n_queries": len(queries),
         "n_planned": len(findings),
         "n_clean": sum(1 for fs in findings.values() if not fs),
