@@ -2699,6 +2699,72 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-snapshot NEAR-dedup batch-equality certificate
+    (streaming/ops.py::foreach_batch_near_dedup): the new side (doc_id %
+    10 != 0) is split into 3 deterministic slices and streamed
+    availableNow with maxFilesPerTrigger=1; each micro-batch is
+    MinHash-near-deduped against the static seen corpus into its own
+    epoch dir. With the bucket cap disabled a document's decision
+    depends only on (doc, seen), so the union of per-epoch survivors
+    must EQUAL one batch incremental_near_dedup over the concatenated
+    slices — n_sym_diff is computed over the two real survivor sets and
+    the oracle pins it 0 (plus the first-principles n_new and the
+    3-slice epoch count)."""
+    import tempfile
+
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_near_dedup,
+        read_stream_near_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_near_dedup_")
+    for s in range(3):
+        new.filter(F.col("doc_id") % 3 == s).coalesce(1).write.parquet(
+            f"{base}/src/slice{s}"
+        )
+    all_new = spark.read.parquet(f"{base}/src/slice*")
+    kw = dict(threshold=0.6, max_bucket_size=None)
+    fn = foreach_batch_near_dedup(f"{base}/out", seen, "text", "doc_id", **kw)
+    q = (
+        spark.readStream.schema(all_new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(fn)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = read_stream_near_dedup(spark, f"{base}/out")
+    batch = incremental_near_dedup(all_new, seen, "text", "doc_id", **kw)
+    # symmetric difference: every survivor must appear in BOTH runs
+    sym = (
+        streamed.select("doc_id")
+        .unionByName(batch.select("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") != 2)
+    )
+    return (
+        streamed.select("epoch")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_epochs"))
+        .crossJoin(new.agg(F.count(F.lit(1)).alias("n_new")))
+        .crossJoin(sym.agg(F.count(F.lit(1)).alias("n_sym_diff")))
+        .select(
+            "n_epochs",
+            "n_new",
+            "n_sym_diff",
+            (F.col("n_sym_diff") == 0).alias("streamed_equals_batch"),
+        )
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream left-joins the static
     customer dimension per micro-batch (broadcast fast path; refreshed
@@ -6443,6 +6509,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup": q_semantic_dedup,
             "incremental_near": q_incremental_near,
             "stream_incremental": q_stream_incremental,
+            # round 7: streaming near-dedup batch-equality certificate
+            "stream_near_dedup": q_stream_near_dedup,
             "quantile_buckets": q_quantile_buckets,
             "snapshot_diff": q_snapshot_diff,
             "approx_quantile": q_approx_quantile,
@@ -8059,6 +8127,19 @@ def oracle_sql() -> dict[str, str]:
             "seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0) "
             "SELECT doc_id, source FROM fp "
             "WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)"
+        ),
+        "stream_near_dedup": (
+            # n_epochs is fixed by construction (3 slices, one per
+            # micro-batch under maxFilesPerTrigger=1 + availableNow);
+            # n_new derives from the split recipe; n_sym_diff/equality
+            # are the certificate — the Spark side computes them over
+            # the REAL streamed-vs-batch survivor sets and determinism
+            # of the seeded MinHash decision (per-doc vs static seen,
+            # cap disabled) guarantees they are 0/true
+            "SELECT CAST(3 AS BIGINT) AS n_epochs, "
+            "(SELECT count(*) FROM documents WHERE doc_id % 10 != 0) "
+            "AS n_new, CAST(0 AS BIGINT) AS n_sym_diff, "
+            "true AS streamed_equals_batch"
         ),
         "incremental_near": (
             # n_new / n_planted / n_exact_dropped derive from first

@@ -21,6 +21,16 @@ re-execution (same-zone transient faults).
 Determinism: a URL's content is whatever the server returns — the operator
 adds no nondeterminism of its own (thread results are collected in manifest
 order; line numbers are per-file read order).
+
+Resume: ``state_path`` names a parquet directory of already-fetched URLs.
+When set, the manifest is anti-joined against it BEFORE dispatch, so a
+re-run of the same manifest downloads only the delta (new shards plus any
+prior dead-letters, which are deliberately never recorded as done). The
+state is written by :func:`record_manifest_state` after the consumer has
+materialized the fetch — recording successes only after the run completes
+is what makes a killed run safe: un-recorded shards are simply re-fetched.
+At 100 TB the state table is one row per shard (millions, not billions);
+the anti-join broadcasts or shuffles by URL exactly like any dim join.
 """
 
 from __future__ import annotations
@@ -65,6 +75,39 @@ def _fetch_one(
     return -1, None, f"{type(last).__name__}: {last}"
 
 
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Completed-URL state from a prior run, or None on cold start (the
+    path not existing yet is the normal first-run case, not a fault)."""
+    try:
+        return spark.read.parquet(state_path).select("url").distinct()
+    except Exception:  # noqa: BLE001 — missing dir/schema = cold start
+        return None
+
+
+def record_manifest_state(fetched: DataFrame, state_path: str) -> int:
+    """Append the SUCCESSFUL URLs of a materialized fetch to the resume
+    state at ``state_path``; returns how many URLs were recorded.
+
+    Success means ``status = 200`` for binary/text mode (and lines mode
+    with ``error_rows=True``); plain lines mode carries no status column,
+    so every URL present in the output is a success by construction
+    (failed URLs emit zero lines under ``on_error='keep'``). Dead-letter
+    URLs are NEVER recorded — the next run retries exactly those plus any
+    manifest additions. Call this AFTER the consumer has durably written
+    the fetched data: state recorded before the sink commit would turn a
+    mid-run crash into silently skipped shards.
+    """
+    cols = fetched.columns
+    ok = (
+        fetched.filter(F.col("status") == 200) if "status" in cols else fetched
+    )
+    # pin the URL set once so the append and the returned count read the
+    # same materialization instead of re-running the fetch lineage twice
+    done = ok.select("url").distinct().localCheckpoint(eager=True)
+    done.write.mode("append").parquet(state_path)
+    return done.count()
+
+
 def fetch_manifest(
     urls: "DataFrame | Sequence[str]",
     spark: SparkSession | None = None,
@@ -77,6 +120,7 @@ def fetch_manifest(
     decompress: bool = True,
     partitions: int | None = None,
     error_rows: bool = False,
+    state_path: str | None = None,
 ) -> DataFrame:
     """Distributed fetch of every URL in a manifest.
 
@@ -100,6 +144,12 @@ def fetch_manifest(
     ``max_concurrency`` bounds the PER-TASK thread pool; total download
     parallelism is that × the number of tasks. ``decompress`` makes
     ``.gz`` bodies transparent, mirroring Spark's extension-driven codecs.
+
+    ``state_path``: resume state written by :func:`record_manifest_state`
+    on a previous run — URLs recorded there are anti-joined out of the
+    manifest before any fetch is dispatched (see module docstring for the
+    crash-safety argument). A missing/empty state directory means a cold
+    start, not an error.
     """
     if mode not in ("binary", "text", "lines"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -109,10 +159,13 @@ def fetch_manifest(
         if spark is None:
             raise ValueError("list manifest needs an explicit spark session")
         urls = spark.createDataFrame([(str(u),) for u in urls], f"{url_col} string")
+    manifest = urls.select(F.col(url_col).cast("string").alias("url"))
+    if state_path is not None:
+        done = _read_state(urls.sparkSession, state_path)
+        if done is not None:
+            manifest = manifest.join(done, "url", "left_anti")
     n_parts = partitions or urls.sparkSession.sparkContext.defaultParallelism
-    manifest = urls.select(F.col(url_col).cast("string").alias("url")).repartition(
-        n_parts
-    )
+    manifest = manifest.repartition(n_parts)
 
     workers = max(1, int(max_concurrency))
     t_out, n_retries, decomp, fail_fast = (

@@ -103,6 +103,10 @@ def resolve_source(
             retries=int(src_cfg.get("retries", 2)),
             on_error=str(src_cfg.get("onError", "keep")),
             partitions=src_cfg.get("partitions"),
+            # resume: skip URLs recorded by record_manifest_state on a
+            # prior run (see sources/manifest.py for the crash-safety
+            # contract — the consumer records state AFTER its sink commit)
+            state_path=src_cfg.get("statePath"),
         )
         if ext_name == "row":
             return fetch_manifest(urls_df, mode="lines", **kwargs)

@@ -466,6 +466,54 @@ def read_stream_sketch(spark, target_path: str):
     return cms_merge(epochs)
 
 
+def foreach_batch_near_dedup(
+    target_path: str,
+    seen_df,
+    text_col: str,
+    id_col: str,
+    **near_kwargs,
+):
+    """``foreachBatch`` callback streaming cross-snapshot NEAR-dedup:
+    each micro-batch is MinHash-near-deduped against the STATIC curated
+    corpus (:func:`~orientdb_etl_spark.functions.dedup.
+    incremental_near_dedup` — new-vs-seen only, never new-vs-new) and
+    its survivors land in their own epoch directory. Same exactly-once
+    discipline as :func:`foreach_batch_sketch`: a checkpoint-replayed
+    batch OVERWRITES its epoch — safe because a batch's survivor set is
+    a deterministic function of (batch, seen corpus) alone.
+
+    Batch parity: with the degenerate-bucket cap disabled
+    (``max_bucket_size=None``) a document's drop decision depends ONLY
+    on its own signature vs the seen corpus, so the union of per-epoch
+    survivors EQUALS one batch run over the concatenated stream — the
+    certificate ``stream_near_dedup`` pins. With a cap, the bound
+    applies per micro-batch (bucket occupancy includes only that
+    batch's new side), which is the scale-correct reading anyway: the
+    cap exists to bound the candidate join of whatever is being joined.
+
+    At 100 TB the seen side's signatures and banding should be computed
+    once and persisted partitioned by (band, bucket) — see the batch
+    operator's docstring; each micro-batch then only signs itself.
+    """
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+
+    def fn(batch_df, epoch_id: int) -> None:
+        surv = incremental_near_dedup(
+            batch_df, seen_df, text_col, id_col, **near_kwargs
+        )
+        surv.write.mode("overwrite").parquet(f"{target_path}/epoch={epoch_id}")
+
+    return fn
+
+
+def read_stream_near_dedup(spark, target_path: str):
+    """Union the per-epoch survivor sets written by
+    :func:`foreach_batch_near_dedup` (the ``epoch`` partition column is
+    kept — it is the micro-batch provenance; drop it for pure batch
+    parity comparisons)."""
+    return spark.read.parquet(target_path)
+
+
 def drift_bounds(ref, value_col: str) -> "tuple[float, float]":
     """The two reference scalars a streaming drift monitor needs
     (min/max of the reference snapshot — PSI buckets are equi-width

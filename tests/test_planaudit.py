@@ -244,3 +244,36 @@ def test_planaudit_artifact_fully_accounted():
         assert d["unaccounted_global_windows"] == [], name
         assert d["unaccounted_unpushed_filters"] == [], name
         assert d["unaccounted_nested_loops"] == [], name
+
+
+def test_planaudit_cluster_artifact_matches_local_shapes():
+    """The cluster-profile audit (12k shuffle partitions, 256 MB
+    broadcast threshold, 128 MB AQE advisory) must cover EVERY query
+    with zero plan errors, and its (query, rule) finding-set must equal
+    the local profile's. Equality is the expected outcome here, not a
+    tautology: the queries plan against sf0.001 statistics, where every
+    frame that fits 256 MB also fits the local 10 MB threshold — so a
+    DIFFERENCE would mean a conf leaked into a plan rule some other way
+    (a hardcoded partition count, a threshold-sensitive rewrite), which
+    is exactly the regression this pin exists to catch. Size-driven
+    broadcast upgrades only appear with production-scale statistics,
+    which no local artifact can honestly claim to capture."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cp, lp = root / "PLANAUDIT_cluster.json", root / "PLANAUDIT.json"
+    if not (cp.exists() and lp.exists()):
+        return
+    c, l = json.loads(cp.read_text()), json.loads(lp.read_text())
+    assert c["profile"] == "cluster"
+    assert c["errors"] == {}, "cluster sweep must plan every query"
+    assert c["n_planned"] == c["n_queries"]
+    conf = c["profile_conf"]
+    assert conf["spark.sql.autoBroadcastJoinThreshold"] == "268435456"
+    assert conf["spark.sql.shuffle.partitions"] == "12000"
+    cset = {(n, f["rule"]) for n, fs in c["findings"].items() for f in fs}
+    lset = {(n, f["rule"]) for n, fs in l["findings"].items() for f in fs}
+    assert cset == lset, (
+        f"cluster-only={sorted(cset - lset)} local-only={sorted(lset - cset)}"
+    )

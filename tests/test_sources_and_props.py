@@ -246,6 +246,64 @@ def test_manifest_on_error_keep_vs_fail(spark, tmp_path):
         ).collect()
 
 
+def test_manifest_resume_skips_recorded_urls(spark, tmp_path):
+    """statePath resume contract: URLs recorded by record_manifest_state
+    are anti-joined out before dispatch, dead-letters are NOT recorded
+    (they retry), and a cold-start state path is not an error."""
+    from orientdb_etl_spark.sources.manifest import (
+        fetch_manifest,
+        record_manifest_state,
+    )
+
+    shards = _write_shards(tmp_path, n=4, lines_per=2)
+    bad = str(tmp_path / "missing.txt")
+    state = str(tmp_path / "state")
+    # run 1 (cold start — state dir does not exist yet): 4 good + 1 dead
+    run1 = fetch_manifest(
+        shards + [bad], spark=spark, mode="binary", retries=0,
+        on_error="keep", state_path=state,
+    ).localCheckpoint(eager=True)
+    assert run1.count() == 5
+    assert record_manifest_state(run1, state) == 4  # dead-letter excluded
+    # run 2 over the same manifest + one NEW shard: only the delta
+    # (new shard + prior dead-letter) is dispatched
+    (tmp_path / "n2").mkdir()
+    new = _write_shards(tmp_path / "n2", n=1, lines_per=2)
+    run2 = fetch_manifest(
+        shards + [bad] + new, spark=spark, mode="binary", retries=0,
+        on_error="keep", state_path=state,
+    ).localCheckpoint(eager=True)
+    urls2 = {r.url for r in run2.collect()}
+    assert urls2 == {bad, new[0]}
+    assert record_manifest_state(run2, state) == 1  # just the new shard
+    # run 3: everything good is done; only the dead-letter retries
+    run3 = fetch_manifest(
+        shards + [bad] + new, spark=spark, mode="binary", retries=0,
+        on_error="keep", state_path=state,
+    )
+    assert {r.url for r in run3.collect()} == {bad}
+
+
+def test_manifest_resume_lines_mode_records_present_urls(spark, tmp_path):
+    """Plain lines mode has no status column: every URL present in the
+    output is a success by construction and gets recorded."""
+    from orientdb_etl_spark.sources.manifest import (
+        fetch_manifest,
+        record_manifest_state,
+    )
+
+    shards = _write_shards(tmp_path, n=3, lines_per=2)
+    state = str(tmp_path / "state")
+    out = fetch_manifest(
+        shards, spark=spark, mode="lines", state_path=state
+    ).localCheckpoint(eager=True)
+    assert record_manifest_state(out, state) == 3
+    again = fetch_manifest(
+        shards, spark=spark, mode="lines", state_path=state
+    )
+    assert again.count() == 0
+
+
 def test_manifest_path_config_reads_distributed(spark, tmp_path):
     """{"http": {"manifestPath": ...}} + row extractor through the full
     Pipeline surface: comments/blank lines dropped, lines carry url

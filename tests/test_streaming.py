@@ -692,3 +692,69 @@ def test_streaming_drift_monitor_equals_batch_psi(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no non-null"):
         drift_bounds(spark.createDataFrame([(None,)], "v double"), "v")
+
+
+def test_streaming_near_dedup_equals_batch(spark, tmp_path):
+    """Streamed cross-snapshot near-dedup (per-epoch survivor dirs) must
+    equal ONE batch incremental_near_dedup over the concatenated
+    micro-batches, and epoch replay must not change the union
+    (overwrite-own-epoch idempotence)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_near_dedup,
+        read_stream_near_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    # plant near-copies of seen docs so drops actually happen
+    planted = seen.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = new.unionByName(planted)
+    src = tmp_path / "src"
+    for s in range(3):
+        aug.filter(F.col("doc_id") % 3 == s).coalesce(1).write.parquet(
+            str(src / f"slice{s}")
+        )
+    all_new = spark.read.parquet(str(src / "slice*"))
+    target = str(tmp_path / "surv")
+    kw = dict(threshold=0.6, max_bucket_size=None)
+    fn = foreach_batch_near_dedup(target, seen, "text", "doc_id", **kw)
+    q = (
+        spark.readStream.schema(all_new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "slice*"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(fn)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = read_stream_near_dedup(spark, target)
+    assert streamed.select("epoch").distinct().count() == 3
+    sids = {r.doc_id for r in streamed.select("doc_id").collect()}
+    batch = incremental_near_dedup(all_new, seen, "text", "doc_id", **kw)
+    bids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert sids == bids  # the certificate
+    # near-copies were really dropped (the operator did work)
+    n_planted = planted.count()
+    assert n_planted > 0
+    assert len({i for i in sids if i >= 100000}) < n_planted
+
+    # replay epoch 0 with its own data: union unchanged
+    first = spark.read.parquet(str(src / "slice0"))
+    fn(first, 0)
+    spark.catalog.refreshByPath(target)
+    again = {
+        r.doc_id
+        for r in read_stream_near_dedup(spark, target)
+        .select("doc_id")
+        .collect()
+    }
+    assert again == sids

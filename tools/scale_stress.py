@@ -15,7 +15,10 @@ then measures:
 - ``pairwise_topk_join`` (LSH-bucketed k-NN join) on the scaled embeddings;
 - manifest ingest failure path: 64 gz shards + one poisoned URL —
   dead-letter row count under ``on_error='keep'`` and the raise under
-  ``on_error='fail'`` (the documented error contract at shard scale).
+  ``on_error='fail'`` (the documented error contract at shard scale);
+- manifest resume: statePath run 1 records successes, run 2 over the same
+  manifest dispatches ONLY the dead-letter, a late shard dispatches
+  exactly the delta (the incremental-crawl idempotency contract).
 
 Prints one JSON line; run with:
 
@@ -458,6 +461,44 @@ def main() -> None:
         except Exception:
             out["manifest_fail_raised"] = True
         out["t_manifest_fail"] = round(time.time() - t0, 2)
+
+        # --- manifest resume (statePath) -----------------------------
+        # Round-7 resume contract: run 1 fetches the full manifest and
+        # records its successes; run 2 over the SAME manifest dispatches
+        # ONLY the dead-letter (zero re-downloads); adding a shard then
+        # dispatches exactly the delta. This is the incremental-crawl
+        # idempotency the config statePath option exposes.
+        from orientdb_etl_spark.sources.manifest import (
+            record_manifest_state,
+        )
+
+        state = f"{stage}/state"
+        t0 = time.time()
+        r1 = fetch_manifest(
+            poisoned, spark=spark, mode="binary", on_error="keep",
+            state_path=state,
+        ).localCheckpoint(eager=True)
+        out["resume_run1_fetched"] = r1.count()
+        out["resume_run1_recorded"] = record_manifest_state(r1, state)
+        r2 = fetch_manifest(
+            poisoned, spark=spark, mode="binary", on_error="keep",
+            state_path=state,
+        ).localCheckpoint(eager=True)
+        out["resume_run2_fetched"] = r2.count()
+        out["resume_run2_urls"] = sorted(
+            r["url"].rsplit("/", 1)[-1] for r in r2.select("url").collect()
+        )
+        extra = f"{stage}/extra_shard.txt.gz"
+        with gzip.open(extra, "wt", encoding="utf-8") as f:
+            f.write("late shard\n")
+        r3 = fetch_manifest(
+            poisoned + [extra], spark=spark, mode="binary",
+            on_error="keep", state_path=state,
+        ).localCheckpoint(eager=True)
+        out["resume_run3_urls"] = sorted(
+            r["url"].rsplit("/", 1)[-1] for r in r3.select("url").collect()
+        )
+        out["t_manifest_resume"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
