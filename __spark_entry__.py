@@ -6291,10 +6291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     [stats-drift], multimodal_frames→scc_trade [graph-scale]); near-dup
     clustering stays driver-covered by dedup_minhash, embedding dedup by
     semantic_dedup, LSH k-NN by the ANN brute/ivf rows, and frame
-    sampling by multimodal_features. The full fine-grained surface
-    (every pre-consolidation query) remains in :func:`queries_all`,
-    which the local gate (tools/check_correctness.py), tests, and
-    bench.py run.
+    sampling by multimodal_features. Round 7's second wave promotes the
+    round's new operators plus one never-driver-checked family
+    (pivot_segments→holt_winters [stats-forecast],
+    stream_dedup_users→stream_near_dedup [streaming near-dedup
+    certificate], line_dedup→unigram_lm [tokenizer induction]); the
+    displaced three stay hash-checked in queries_all with their
+    families' remaining driver rows noted inline below. The full
+    fine-grained surface (every pre-consolidation query) remains in
+    :func:`queries_all`, which the local gate
+    (tools/check_correctness.py), tests, and bench.py run.
     """
     return {
         # reference-parity operators (§2.0-2.5)
@@ -6338,7 +6344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "window_rank_dense": q_window_rank_dense,
         "cube_sales": q_cube_sales,
-        "pivot_segments": q_pivot_segments,
+        # round 7: pivot's slot carries Holt-Winters seasonal forecasting
+        # (the stats-forecast family's first driver row); multidim agg
+        # stays driver-covered by cube_sales, pivot by queries_all
+        "holt_winters": q_holt_winters,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
         "scalar_subquery_avg": q_scalar_subquery_avg,
@@ -6348,7 +6357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (embedding k-means cells); sliding windows stay
         # hash-checked in queries_all and covered by stream_events_hourly
         "semantic_dedup": q_semantic_dedup,
-        "stream_dedup_users": q_stream_dedup_users,
+        # round 7: the streaming-DISTINCT slot carries the streaming
+        # near-dedup batch-equality certificate instead (strictly more
+        # surface: foreachBatch, per-epoch exactly-once, MinHash vs
+        # static corpus); stream DISTINCT stays hash-checked in
+        # queries_all and watermarked streaming via stream_events_hourly
+        "stream_near_dedup": q_stream_near_dedup,
         # training-data operators
         # round 6: text_metrics' slot carries exact-substring span dedup
         # (winnowed shared-span pairs, Lee ACL'22); text metrics stay
@@ -6392,7 +6406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components (FW-BW coloring to fixed point); frame sampling
         # stays driver-covered by multimodal_features and queries_all
         "scc_trade": q_scc_trade,
-        "line_dedup": q_line_dedup,
+        # round 7: line-dedup's slot carries unigram-LM vocabulary
+        # induction (the tokenizer-induction family's first driver row —
+        # BPE has always been local-gate only); exact line dedup stays
+        # driver-covered by dedup_exact's family and queries_all
+        "unigram_lm": q_unigram_lm,
     }
 
 
@@ -6412,6 +6430,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_sample": q_mixture_sample,
             "ngram_jaccard": q_ngram_jaccard,
             "ann_lsh_topk": q_ann_lsh_topk,
+            # round 7: displaced by the rotation onto forecast/streaming-
+            # near-dedup/tokenizer-induction families
+            "pivot_segments": q_pivot_segments,
+            "stream_dedup_users": q_stream_dedup_users,
+            "line_dedup": q_line_dedup,
             # round 5: batch MERGE loader (bucketed parquet upsert) and
             # product-quantization ANN (recall certificate)
             "merge_sink": q_merge_sink,
@@ -6509,8 +6532,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup": q_semantic_dedup,
             "incremental_near": q_incremental_near,
             "stream_incremental": q_stream_incremental,
-            # round 7: streaming near-dedup batch-equality certificate
-            "stream_near_dedup": q_stream_near_dedup,
             "quantile_buckets": q_quantile_buckets,
             "snapshot_diff": q_snapshot_diff,
             "approx_quantile": q_approx_quantile,
@@ -6528,8 +6549,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bigram_logprob": q_bigram_logprob,
             # round 5: BPE vocabulary induction (4 merges, in-plan)
             "bpe_merges": q_bpe_merges,
-            # round 7: unigram-LM (SentencePiece) vocabulary induction
-            "unigram_lm": q_unigram_lm,
             # round 5: Z-order layout key (cross-engine identical bit math)
             # round 5: Efraimidis–Spirakis weighted sampling (hash-uniform)
             "weighted_sample": q_weighted_sample,
@@ -6745,7 +6764,6 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 5 (breadth wave 6): proper scoring, conformal intervals
             "prob_scores": q_prob_scores,
             "conformal": q_conformal,
-            "holt_winters": q_holt_winters,
         }
     )
     return out
