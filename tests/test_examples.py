@@ -213,6 +213,47 @@ def test_config_manifest_ingest_example(spark, tmp_path):
     assert final[3] == first[3]  # untouched shard's keys unchanged
 
 
+def test_config_manifest_resume_example(spark, tmp_path):
+    """Golden test for the resumable-manifest example: run 1 fetches all
+    shards (one poisoned URL dead-letters), record_manifest_state marks
+    the successes, and run 2 over a GROWN manifest fetches only the new
+    shard plus the retrying dead-letter — while the merge sink keeps
+    every previously ingested key."""
+    from orientdb_etl_spark.sources.manifest import record_manifest_state
+
+    shards = []
+    for i in range(3):
+        p = tmp_path / f"blob-{i}.bin"
+        p.write_bytes(bytes([i]) * (10 + i))
+        shards.append(str(p))
+    bad = str(tmp_path / "missing.bin")
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("\n".join(shards + [bad]) + "\n")
+    out, state = tmp_path / "merged", tmp_path / "state"
+    varz = {
+        "manifestPath": str(manifest),
+        "statePath": str(state),
+        "outputPath": str(out),
+    }
+    cfg = _load("config-manifest-resume.json")
+    r1 = Pipeline(cfg, spark=spark, variables=varz).run()
+    sink1 = spark.read.parquet(str(out))
+    assert sink1.count() == 4  # 3 good + 1 dead-letter row
+    assert record_manifest_state(sink1, str(state)) == 3
+
+    # grow the manifest by one shard; re-run fetches ONLY delta + retry
+    extra = tmp_path / "blob-3.bin"
+    extra.write_bytes(b"\x03" * 13)
+    manifest.write_text("\n".join(shards + [bad, str(extra)]) + "\n")
+    r2 = Pipeline(cfg, spark=spark, variables=varz).run()
+    assert r2.stats.rows_loaded == 2  # new shard + dead-letter retry only
+    final = {r.url: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(final) == 5
+    assert final[shards[0]].n_bytes == 10  # run-1 rows kept by the merge
+    assert final[str(extra)].n_bytes == 13
+    assert final[bad].status == -1 and not final[bad].ok
+
+
 def test_config_incremental_dedup_transformer(spark):
     """Cross-snapshot dedup as a config transformer: seenTable resolves
     from the registered-table namespace; exact fingerprint match AND
