@@ -2750,14 +2750,17 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") != 2)
     )
+    # epoch count from the sink DIRECTORIES, not from survivor rows — an
+    # all-duplicate micro-batch writes an empty epoch dataset whose rows
+    # (and thus its partition value) would be invisible to a distinct()
+    import glob as _glob
+
+    n_epochs = len(_glob.glob(f"{base}/out/epoch=*"))
     return (
-        streamed.select("epoch")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_epochs"))
-        .crossJoin(new.agg(F.count(F.lit(1)).alias("n_new")))
+        new.agg(F.count(F.lit(1)).alias("n_new"))
         .crossJoin(sym.agg(F.count(F.lit(1)).alias("n_sym_diff")))
         .select(
-            "n_epochs",
+            F.lit(n_epochs).cast("bigint").alias("n_epochs"),
             "n_new",
             "n_sym_diff",
             (F.col("n_sym_diff") == 0).alias("streamed_equals_batch"),

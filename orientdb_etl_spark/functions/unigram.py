@@ -233,11 +233,13 @@ def unigram_segment(
     max_piece_len: int = 3,
     max_word_len: int = 12,
 ) -> DataFrame:
-    """Apply a trained vocabulary: every row gains ``out_col`` =
-    array of Viterbi-segmented pieces per token (tokens longer than
-    ``max_word_len`` pass through as single opaque pieces — the same
-    cap the trainer applied). The vocabulary joins broadcast; the
-    corpus is scanned once."""
+    """Apply a trained vocabulary: one output row per TOKEN of each
+    input row (empty/NULL texts contribute no rows — the same convention
+    as :func:`~orientdb_etl_spark.functions.bpe.bpe_segment`), each
+    gaining ``out_col`` = its Viterbi piece sequence. Tokens longer than
+    ``max_word_len`` pass through as single opaque pieces — the same cap
+    the trainer applied. Temp columns are dropped; the corpus is scanned
+    once and the per-word segmentation join is left to AQE."""
     words = (
         df.select(
             F.explode(
@@ -321,5 +323,5 @@ def unigram_segment(
         .withColumn(
             out_col, F.coalesce(F.col("_pieces"), F.array(F.col("_w")))
         )
-        .drop("_toks", "_pieces")
+        .drop("_toks", "_pieces", "_w")
     )

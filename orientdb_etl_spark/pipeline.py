@@ -158,6 +158,38 @@ class Pipeline:
                     self.ctx.stats.notes.append(f"observe {mname}: {mval}")
             if lsn is not None and getattr(lsn, "on_metrics", None):
                 lsn.on_metrics(self.ctx, metrics)
+        # manifest resume: {"files"/"http": {..., "statePath": ...,
+        # "recordState": true}} records the successful URLs AFTER the
+        # sink commit — from the just-written parquet when the loader
+        # materialized one (no re-fetch), else from the output lineage.
+        # Recording only what reached the sink is the at-least-once
+        # direction: a URL whose rows a transformer filtered away is
+        # simply re-fetched next run, never silently skipped.
+        src_cfg = self.config.get("source") or {}
+        for sname in ("files", "http"):
+            mcfg = src_cfg.get(sname)
+            if not (isinstance(mcfg, dict) and mcfg.get("recordState")):
+                continue
+            mcfg = render_value(mcfg, self.ctx.variables, self.ctx.spark)
+            state_path = mcfg.get("statePath")
+            if not state_path:
+                raise ValueError("recordState requires statePath")
+            from orientdb_etl_spark.sources.manifest import (
+                record_manifest_state,
+            )
+
+            lcfg = (loader or {}).get("parquet") or {}
+            if runs_action and lname == "parquet" and lcfg.get("path"):
+                frame = self.ctx.spark.read.parquet(lcfg["path"])
+            else:
+                frame = df
+            if "url" not in frame.columns:
+                raise ValueError(
+                    "recordState needs the 'url' column to survive to the "
+                    "sink — keep it through the transformer chain"
+                )
+            n_rec = record_manifest_state(frame, str(state_path))
+            self.ctx.stats.notes.append(f"manifest state recorded: {n_rec}")
         if lsn is not None and getattr(lsn, "on_end", None):
             lsn.on_end(self.ctx, None)
         for block in self.config.get("end") or []:

@@ -77,11 +77,24 @@ def _fetch_one(
 
 def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Completed-URL state from a prior run, or None on cold start (the
-    path not existing yet is the normal first-run case, not a fault)."""
+    path not existing yet is the normal first-run case, not a fault).
+    ONLY path-not-found maps to cold start — any other read failure
+    (transient IO, auth, corrupt footer) propagates, because treating it
+    as cold start would silently re-dispatch the entire manifest: the
+    exact re-download cost the state exists to prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(state_path).select("url").distinct()
-    except Exception:  # noqa: BLE001 — missing dir/schema = cold start
-        return None
+    except AnalysisException as exc:
+        cond = ""
+        try:
+            cond = exc.getErrorClass() or ""
+        except Exception:  # noqa: BLE001 — older error shape
+            pass
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def record_manifest_state(fetched: DataFrame, state_path: str) -> int:
@@ -91,9 +104,12 @@ def record_manifest_state(fetched: DataFrame, state_path: str) -> int:
     Success means ``status = 200`` for binary/text mode (and lines mode
     with ``error_rows=True``); plain lines mode carries no status column,
     so every URL present in the output is a success by construction
-    (failed URLs emit zero lines under ``on_error='keep'``). Dead-letter
-    URLs are NEVER recorded — the next run retries exactly those plus any
-    manifest additions. Call this AFTER the consumer has durably written
+    (failed URLs emit zero lines under ``on_error='keep'``) — but a
+    successfully fetched EMPTY shard is invisible there too and will be
+    re-fetched on every resume run; pass ``error_rows=True``, which
+    emits a ``(line_no=0, status=200)`` marker row for empty shards, for
+    full resume fidelity. Dead-letter URLs are NEVER recorded — the next
+    run retries exactly those plus any manifest additions. Call this AFTER the consumer has durably written
     the fetched data: state recorded before the sink commit would turn a
     mid-run crash into silently skipped shards.
     """
@@ -231,9 +247,19 @@ def fetch_manifest(
                             out_st.append(status)
                             out_err.append(err)
                         continue
-                    for i, line in enumerate(
-                        data.decode("utf-8", "replace").splitlines()
-                    ):
+                    lines = data.decode("utf-8", "replace").splitlines()
+                    if not lines and with_errors:
+                        # a SUCCESSFULLY fetched empty shard must still be
+                        # visible (line_no=0, status=200, no error) or a
+                        # statePath consumer could never mark it done and
+                        # would re-download it on every resume run
+                        out_url.append(u)
+                        out_no.append(0)
+                        out_val.append(None)
+                        out_st.append(status)
+                        out_err.append(None)
+                        continue
+                    for i, line in enumerate(lines):
                         out_url.append(u)
                         out_no.append(i + 1)
                         out_val.append(line)

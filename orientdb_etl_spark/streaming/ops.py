@@ -510,7 +510,10 @@ def read_stream_near_dedup(spark, target_path: str):
     """Union the per-epoch survivor sets written by
     :func:`foreach_batch_near_dedup` (the ``epoch`` partition column is
     kept — it is the micro-batch provenance; drop it for pure batch
-    parity comparisons)."""
+    parity comparisons). An epoch whose micro-batch was ALL duplicates
+    contributes zero rows, so its epoch value is absent here — count
+    epochs from the ``epoch=*`` directories when you need the batch
+    count itself."""
     return spark.read.parquet(target_path)
 
 

@@ -215,12 +215,11 @@ def test_config_manifest_ingest_example(spark, tmp_path):
 
 def test_config_manifest_resume_example(spark, tmp_path):
     """Golden test for the resumable-manifest example: run 1 fetches all
-    shards (one poisoned URL dead-letters), record_manifest_state marks
-    the successes, and run 2 over a GROWN manifest fetches only the new
-    shard plus the retrying dead-letter — while the merge sink keeps
-    every previously ingested key."""
-    from orientdb_etl_spark.sources.manifest import record_manifest_state
-
+    shards (one poisoned URL dead-letters) and the pipeline itself
+    records the successes after the sink commit (recordState: true);
+    run 2 over a GROWN manifest fetches only the new shard plus the
+    retrying dead-letter — while the merge sink keeps every previously
+    ingested key."""
     shards = []
     for i in range(3):
         p = tmp_path / f"blob-{i}.bin"
@@ -239,7 +238,9 @@ def test_config_manifest_resume_example(spark, tmp_path):
     r1 = Pipeline(cfg, spark=spark, variables=varz).run()
     sink1 = spark.read.parquet(str(out))
     assert sink1.count() == 4  # 3 good + 1 dead-letter row
-    assert record_manifest_state(sink1, str(state)) == 3
+    # recordState wrote the success set (dead-letter excluded) itself
+    assert any("manifest state recorded: 3" in n for n in r1.stats.notes)
+    assert spark.read.parquet(str(state)).distinct().count() == 3
 
     # grow the manifest by one shard; re-run fetches ONLY delta + retry
     extra = tmp_path / "blob-3.bin"

@@ -1381,9 +1381,14 @@ def test_unigram_segment_reassembles_words(spark):
         [(1, "banana supercalifragilistic")], "doc_id int, text string"
     )
     seg = unigram_segment(long_docs, vocab, "text", max_word_len=12)
-    by_word = {r._w: list(r.unigram_pieces) for r in seg.collect()}
-    assert "".join(by_word["banana"]) == "banana"
-    # 27-char token exceeds the cap -> opaque single piece
+    # temp columns dropped (bpe_segment parity): doc cols + out_col only
+    assert set(seg.columns) == {"doc_id", "text", "unigram_pieces"}
+    by_word = {
+        "".join(r.unigram_pieces): list(r.unigram_pieces)
+        for r in seg.collect()
+    }
+    assert "banana" in by_word  # pieces concatenate back to the token
+    # 20-char token exceeds the cap -> opaque single piece
     assert by_word["supercalifragilistic"] == ["supercalifragilistic"]
 
 

@@ -171,6 +171,33 @@ def test_file_key_ranges_show_zorder_clustering(spark, tmp_path):
     assert z_span < r_span / 2
 
 
+def test_streaming_queries_carry_stream_prefix():
+    """The cluster plan-audit sweep throttles state-store fan-out for
+    queries that EXECUTE a micro-batch, keyed on the ``stream_`` name
+    prefix (tools/plan_audit_sweep.py). Pin the convention: any registry
+    query whose source touches the streaming API must carry the prefix —
+    otherwise a future streaming query would materialize under the
+    cluster profile's 12k shuffle partitions on one local JVM (~10⁵
+    state-store threads) and kill the sweep, the exact round-6 crash."""
+    import inspect
+
+    import __spark_entry__ as entry
+
+    markers = (
+        "readStream",
+        "StreamingPipeline",
+        "writeStream",
+        "run_available_now",
+    )
+    offenders = [
+        name
+        for name, fn in entry.queries_all().items()
+        if any(m in inspect.getsource(fn) for m in markers)
+        and not name.startswith("stream_")
+    ]
+    assert offenders == []
+
+
 def test_bench_core_profile_contract():
     """The driver parses bench.py's final stdout line, so the default
     CORE capture set must stay resolvable and small: every name resolves

@@ -284,6 +284,35 @@ def test_manifest_resume_skips_recorded_urls(spark, tmp_path):
     assert {r.url for r in run3.collect()} == {bad}
 
 
+def test_manifest_lines_empty_shard_marker_row(spark, tmp_path):
+    """A successfully fetched EMPTY shard emits a (line_no=0, status=200)
+    marker row under error_rows=True, so resume state can mark it done —
+    and it is distinguishable from a dead-letter (status=-1)."""
+    from orientdb_etl_spark.sources.manifest import (
+        fetch_manifest,
+        record_manifest_state,
+    )
+
+    good = _write_shards(tmp_path, n=1, lines_per=2)[0]
+    empty = str(tmp_path / "empty.txt")
+    open(empty, "w").close()
+    bad = str(tmp_path / "missing.txt")
+    out = fetch_manifest(
+        [good, empty, bad], spark=spark, mode="lines", retries=0,
+        on_error="keep", error_rows=True,
+    ).localCheckpoint(eager=True)
+    by = {(r.url, r.line_no): r for r in out.collect()}
+    assert by[(empty, 0)].status == 200 and by[(empty, 0)].error is None
+    assert by[(bad, 0)].status == -1 and by[(bad, 0)].error is not None
+    state = str(tmp_path / "state")
+    assert record_manifest_state(out, state) == 2  # good + empty, not bad
+    again = fetch_manifest(
+        [good, empty, bad], spark=spark, mode="lines", retries=0,
+        on_error="keep", error_rows=True, state_path=state,
+    )
+    assert {r.url for r in again.collect()} == {bad}
+
+
 def test_manifest_resume_lines_mode_records_present_urls(spark, tmp_path):
     """Plain lines mode has no status column: every URL present in the
     output is a success by construction and gets recorded."""
