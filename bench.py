@@ -124,6 +124,11 @@ HEADLINE = [
     "bigram_logprob",
     # round-5 BPE vocabulary induction (4 in-plan merge iterations)
     "bpe_merges",
+    # round-7 unigram-LM induction (2 Viterbi EM iterations, JVM lattice)
+    "unigram_lm",
+    # round-7 streaming near-dedup batch-equality certificate (real
+    # availableNow stream + batch replay — the most expensive new row)
+    "stream_near_dedup",
     # round-5 E-S weighted sampling (TakeOrderedAndProject top-k)
     "weighted_sample",
     # round-5 temperature mixture (one agg + broadcast filter)
@@ -388,6 +393,7 @@ CORE = [
     "fellegi_sunter",
     "bloom_decontam",
     "bpe_merges",
+    "unigram_lm",
     "weighted_percentiles",
     "snapshot_diff",
     "zorder_key",

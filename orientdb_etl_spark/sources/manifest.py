@@ -89,8 +89,8 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     except AnalysisException as exc:
         cond = ""
         try:
-            cond = exc.getErrorClass() or ""
-        except Exception:  # noqa: BLE001 — older error shape
+            cond = exc.getCondition() or ""
+        except Exception:  # noqa: BLE001 — pre-4.0 error shape
             pass
         if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
             return None
