@@ -3354,6 +3354,21 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shrinking-vocab variant of q_unigram_lm (SentencePiece §3.2
+    pruning by count rank, singles protected): 2 EM iterations, each
+    keeping only the top-20 multi-char pieces into the next round. The
+    oracle threads the same prune CTE between iterations — every M-step
+    rebases on the previous iteration's SURVIVING piece set."""
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, "text", max_piece_len=3, max_word_len=12,
+        seed_multi=40, n_iter=2, prune_to=20,
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality score (functions/text.py::
     bigram_logprob_score, λ=0.8) over documents — the CCNet-flavoured
@@ -6433,6 +6448,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_sample": q_mixture_sample,
             "ngram_jaccard": q_ngram_jaccard,
             "ann_lsh_topk": q_ann_lsh_topk,
+            # round 7: shrinking-vocab unigram-LM (SentencePiece pruning)
+            "unigram_lm_pruned": q_unigram_lm_pruned,
             # round 7: displaced by the rotation onto forecast/streaming-
             # near-dedup/tokenizer-induction families
             "pivot_segments": q_pivot_segments,
@@ -6880,7 +6897,11 @@ def _bpe_oracle(n: int = 4) -> str:
 
 
 def _unigram_oracle(
-    L: int = 3, W: int = 12, seed_multi: int = 40, n_iter: int = 2
+    L: int = 3,
+    W: int = 12,
+    seed_multi: int = 40,
+    n_iter: int = 2,
+    prune_to: int | None = None,
 ) -> str:
     """DuckDB replay of q_unigram_lm: the identical word table and
     substring grid (out-of-range cells kept as NULL pieces so the flat
@@ -6939,13 +6960,27 @@ def _unigram_oracle(
             f"AS lch FROM seg{k} WHERE pos > 0)), "
             f"chosen{k} AS (SELECT piece, sum(f) AS cnt FROM seg{k} "
             "WHERE piece IS NOT NULL GROUP BY piece), "
+            # the M-step rebases on the PREVIOUS iteration's surviving
+            # pieces (== seed when unpruned, the kept set when pruning)
             f"cn{k} AS (SELECT s.piece, coalesce(c.cnt, 0) + 1 AS cnt "
-            f"FROM (SELECT piece FROM seed) s LEFT JOIN chosen{k} c "
+            f"FROM (SELECT piece FROM vocab{k - 1}) s LEFT JOIN chosen{k} c "
             "ON s.piece = c.piece), "
+        )
+        src = f"cn{k}"
+        if prune_to is not None:
+            sql += (
+                f"cnp{k} AS (SELECT piece, cnt FROM cn{k} "
+                "WHERE length(piece) = 1 "
+                "UNION ALL SELECT piece, cnt FROM ("
+                f"SELECT piece, cnt FROM cn{k} WHERE length(piece) > 1 "
+                f"ORDER BY cnt DESC, piece ASC LIMIT {prune_to})), "
+            )
+            src = f"cnp{k}"
+        sql += (
             f"vocab{k} AS (SELECT piece, cnt, "
             "round(ln(CAST(cnt AS DOUBLE) / "
-            f"(SELECT CAST(sum(cnt) AS DOUBLE) FROM cn{k})), 6) AS lp "
-            f"FROM cn{k}), "
+            f"(SELECT CAST(sum(cnt) AS DOUBLE) FROM {src})), 6) AS lp "
+            f"FROM {src}), "
         )
     return sql.rstrip(", ") + (
         " SELECT piece, CAST(cnt AS BIGINT) AS freq, lp AS logp "
@@ -8059,6 +8094,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _hybrid_oracle(),
         "bpe_merges": _bpe_oracle(4),
         "unigram_lm": _unigram_oracle(3, 12, 40, 2),
+        "unigram_lm_pruned": _unigram_oracle(3, 12, 40, 2, prune_to=20),
         "bigram_logprob": (
             # identical bigram extraction (1-indexed, per-token lower) and
             # interpolation expression; 0.19999999999999996 is the exact

@@ -126,6 +126,8 @@ HEADLINE = [
     "bpe_merges",
     # round-7 unigram-LM induction (2 Viterbi EM iterations, JVM lattice)
     "unigram_lm",
+    # round-7 shrinking-vocab variant (SentencePiece prune between EMs)
+    "unigram_lm_pruned",
     # round-7 streaming near-dedup batch-equality certificate (real
     # availableNow stream + batch replay — the most expensive new row)
     "stream_near_dedup",

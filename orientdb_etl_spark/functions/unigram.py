@@ -186,10 +186,21 @@ def unigram_lm_train(
     max_word_len: int = 12,
     seed_multi: int = 40,
     n_iter: int = 2,
+    prune_to: int | None = None,
 ) -> DataFrame:
     """Train a unigram LM vocabulary; returns (piece, freq, logp) —
-    one row per seed-vocabulary piece with its Laplace-smoothed count
-    after the final Viterbi E-step and the 6-dp-rounded log-probability.
+    one row per surviving-vocabulary piece with its Laplace-smoothed
+    count after the final Viterbi E-step and the 6-dp-rounded
+    log-probability.
+
+    ``prune_to`` completes the SentencePiece loop: after each E-step,
+    only the top ``prune_to`` multi-char pieces by (smoothed count desc,
+    piece asc) survive into the next iteration — the shrinking-vocab
+    schedule (Kudo ACL'18 §3.2 prunes by likelihood loss; count rank is
+    its deterministic first-order proxy under a unigram model, where a
+    piece's likelihood contribution is count·logp). Single characters
+    are never pruned — they keep every word segmentable. ``None`` keeps
+    the whole seed vocabulary (the fixed-vocab EM the oracle row pins).
     """
     if n_iter <= 0:
         raise ValueError("n_iter must be positive")
@@ -210,13 +221,22 @@ def unigram_lm_train(
     )
     seed = singles.unionByName(multis)
     vocab = _with_logp(seed)
-    seed_pieces = seed.select("piece")
+    pieces = seed.select("piece")
     for _ in range(n_iter):
         chosen = _viterbi_counts(grid, vocab, max_piece_len)
-        counts = seed_pieces.join(chosen, "piece", "left").select(
+        counts = pieces.join(chosen, "piece", "left").select(
             "piece",
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("cnt"),
         )
+        if prune_to is not None:
+            kept_singles = counts.filter(F.length("piece") == 1)
+            kept_multis = (
+                counts.filter(F.length("piece") > 1)
+                .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+                .limit(prune_to)
+            )
+            counts = kept_singles.unionByName(kept_multis)
+            pieces = counts.select("piece")
         vocab = _with_logp(counts)
     return vocab.select(
         "piece",

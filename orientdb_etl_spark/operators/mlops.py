@@ -718,6 +718,7 @@ def unigram_lm_transformer(
     L = int(cfg.get("maxPieceLen", 3))
     W = int(cfg.get("maxWordLen", 12))
     if mode == "train":
+        prune = cfg.get("pruneTo")
         return unigram_lm_train(
             df,
             cfg.get("textField", "text"),
@@ -725,6 +726,7 @@ def unigram_lm_transformer(
             max_word_len=W,
             seed_multi=int(cfg.get("seedMulti", 40)),
             n_iter=int(cfg.get("iters", 2)),
+            prune_to=None if prune is None else int(prune),
         )
     if mode == "segment":
         return unigram_segment(

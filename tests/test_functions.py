@@ -1364,6 +1364,27 @@ def test_unigram_train_is_lazy_and_covers_singles(spark):
     assert set("sparkwindowhash") <= pieces
 
 
+def test_unigram_prune_shrinks_vocab_protects_singles(spark):
+    """prune_to keeps only the top-N multi-char pieces between EM
+    iterations (count desc, piece asc) while single chars are never
+    pruned; the final vocabulary reflects the SURVIVING set only."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana cabana banana")], "doc_id int, text string"
+    )
+    full = unigram_lm_train(docs, "text", n_iter=1)
+    pruned = unigram_lm_train(docs, "text", n_iter=1, prune_to=2)
+    n_multi_full = full.filter(F.length("piece") > 1).count()
+    assert n_multi_full > 2
+    p = {r.piece for r in pruned.collect()}
+    assert len([x for x in p if len(x) > 1]) == 2
+    # every corpus char survives
+    assert set("bandnc") <= p
+
+
 def test_unigram_segment_reassembles_words(spark):
     """Segmentation pieces concatenate back to each token; tokens longer
     than max_word_len pass through whole (the trainer's cap, mirrored)."""
