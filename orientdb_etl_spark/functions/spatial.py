@@ -203,7 +203,11 @@ def grid_density_clusters(
     )
     n_cells = cells.count()
     if n_cells <= driver_cells_cap:
-        # driver union-find over the geometry-bounded cell graph
+        # driver union-find over the geometry-bounded cell graph; the
+        # adj.collect() below is bounded by the SAME cap that gates this
+        # branch — each cell has ≤ 8 neighbour offsets, so the edge list
+        # is ≤ 8 × driver_cells_cap rows (the distributed fallback takes
+        # over past the cap)
         parent: dict[int, int] = {}
 
         def find(a: int) -> int:
