@@ -219,7 +219,17 @@ def unigram_lm_train(
         .orderBy(F.col("cnt").desc(), F.col("piece").asc())
         .limit(seed_multi)
     )
-    seed = singles.unionByName(multis)
+    # each vocabulary table below has MULTIPLE consumers (its own total
+    # aggregate + the cross join in _with_logp, the next E-step's
+    # broadcast join, and under pruning two more scans for the kept
+    # sets) — without a cut point every consumer re-executes the FULL
+    # upstream Viterbi lineage, doubling per consumer per iteration
+    # (exponential in n_iter). cache() dedups the consumers at first
+    # action while keeping construction job-free (pinned by test;
+    # localCheckpoint(eager=False) would run AQE jobs at build time via
+    # toRdd). The cached frames are vocabulary-sized (~|V| rows), the
+    # bounded-cache case the cache-discipline doc allows.
+    seed = singles.unionByName(multis).cache()
     vocab = _with_logp(seed)
     pieces = seed.select("piece")
     for _ in range(n_iter):
@@ -236,6 +246,8 @@ def unigram_lm_train(
                 .limit(prune_to)
             )
             counts = kept_singles.unionByName(kept_multis)
+        counts = counts.cache()
+        if prune_to is not None:
             pieces = counts.select("piece")
         vocab = _with_logp(counts)
     return vocab.select(
