@@ -2756,15 +2756,18 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
 
     n_epochs = len(_glob.glob(f"{base}/out/epoch=*"))
-    return (
-        new.agg(F.count(F.lit(1)).alias("n_new"))
-        .crossJoin(sym.agg(F.count(F.lit(1)).alias("n_sym_diff")))
-        .select(
-            F.lit(n_epochs).cast("bigint").alias("n_epochs"),
-            "n_new",
-            "n_sym_diff",
-            (F.col("n_sym_diff") == 0).alias("streamed_equals_batch"),
-        )
+    # materialize BOTH certificate counts while the scratch tree still
+    # exists, then remove it — the 3 slices + survivors + checkpoint
+    # would otherwise accumulate across the 289-query gate/bench runs
+    import shutil as _shutil
+
+    n_sym_diff = sym.count()
+    n_new = new.count()
+    _shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_epochs, n_new, n_sym_diff, n_sym_diff == 0)],
+        "n_epochs bigint, n_new bigint, n_sym_diff bigint, "
+        "streamed_equals_batch boolean",
     )
 
 
@@ -3350,7 +3353,7 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return unigram_lm_train(
         docs, "text", max_piece_len=3, max_word_len=12,
-        seed_multi=40, n_iter=2,
+        seed_multi=40, n_iter=2, eager=True,
     )
 
 
@@ -3365,7 +3368,7 @@ def q_unigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return unigram_lm_train(
         docs, "text", max_piece_len=3, max_word_len=12,
-        seed_multi=40, n_iter=2, prune_to=20,
+        seed_multi=40, n_iter=2, prune_to=20, eager=True,
     )
 
 

@@ -187,6 +187,7 @@ def unigram_lm_train(
     seed_multi: int = 40,
     n_iter: int = 2,
     prune_to: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Train a unigram LM vocabulary; returns (piece, freq, logp) —
     one row per surviving-vocabulary piece with its Laplace-smoothed
@@ -201,6 +202,17 @@ def unigram_lm_train(
     piece's likelihood contribution is count·logp). Single characters
     are never pruned — they keep every word segmentable. ``None`` keeps
     the whole seed vocabulary (the fixed-vocab EM the oracle row pins).
+
+    ``eager=True`` materializes each iteration's vocabulary cache as it
+    is built (one vocabulary-sized count per iteration), releases the
+    superseded iteration's cache immediately, and returns an eagerly
+    localCheckpoint-ed result with ALL training caches unpersisted —
+    zero lingering cached frames after the call, bounded peak cache of
+    two |V|-sized tables. This is the right mode for long-lived sessions
+    running many queries (gates, benches): the default lazy mode keeps
+    every iteration's cache alive for the session because each remains a
+    lineage node of the returned frame. Default ``False`` preserves the
+    construction-runs-zero-jobs contract (pinned by test).
     """
     if n_iter <= 0:
         raise ValueError("n_iter must be positive")
@@ -232,6 +244,7 @@ def unigram_lm_train(
     seed = singles.unionByName(multis).cache()
     vocab = _with_logp(seed)
     pieces = seed.select("piece")
+    prev_cache: DataFrame | None = None
     for _ in range(n_iter):
         chosen = _viterbi_counts(grid, vocab, max_piece_len)
         counts = pieces.join(chosen, "piece", "left").select(
@@ -247,14 +260,28 @@ def unigram_lm_train(
             )
             counts = kept_singles.unionByName(kept_multis)
         counts = counts.cache()
+        if eager:
+            # materialize the new cut point, then release the superseded
+            # iteration's cache — every future lineage reads THIS cache
+            # (seed stays: `pieces` references it until the last join ran)
+            counts.count()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = counts
         if prune_to is not None:
             pieces = counts.select("piece")
         vocab = _with_logp(counts)
-    return vocab.select(
+    out = vocab.select(
         "piece",
         F.col("cnt").cast("bigint").alias("freq"),
         F.col("lp").alias("logp"),
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        seed.unpersist()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+    return out
 
 
 def unigram_segment(

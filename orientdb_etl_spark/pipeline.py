@@ -125,6 +125,32 @@ class Pipeline:
         runs_action = lname in ("parquet", "csv", "json", "jdbc", "table") or (
             lname == "orientdb" and (loader or {}).get(lname, {}).get("path")
         )
+        # manifest resume pre-flight: recordState needs a loader that
+        # durably commits (an action loader) — recording against a lazy
+        # loader (memory/view/output) would mark URLs done with nothing
+        # written anywhere, silently skipping their data forever. And for
+        # action loaders whose sink we cannot read back as parquet, pin
+        # the fetched frame ONCE so the sink and the state recording see
+        # the SAME materialization: recording from a re-executed fetch
+        # could mark a URL done that dead-lettered into the sink but
+        # transiently succeeded on the second fetch — its data lost.
+        rec_names = [
+            s
+            for s in ("files", "http")
+            if isinstance((self.config.get("source") or {}).get(s), dict)
+            and (self.config["source"][s] or {}).get("recordState")
+        ]
+        if rec_names:
+            if not runs_action:
+                raise ValueError(
+                    "recordState requires an action loader (parquet/csv/"
+                    f"json/jdbc/table), got {lname!r} — a lazy loader "
+                    "commits nothing durable, so recording state against "
+                    "it would silently skip those URLs' data forever"
+                )
+            lcfg_pre = (loader or {}).get("parquet") or {}
+            if not (lname == "parquet" and lcfg_pre.get("path")):
+                df = df.localCheckpoint(eager=True)
         if runs_action:
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
@@ -161,16 +187,17 @@ class Pipeline:
         # manifest resume: {"files"/"http": {..., "statePath": ...,
         # "recordState": true}} records the successful URLs AFTER the
         # sink commit — from the just-written parquet when the loader
-        # materialized one (no re-fetch), else from the output lineage.
-        # Recording only what reached the sink is the at-least-once
-        # direction: a URL whose rows a transformer filtered away is
-        # simply re-fetched next run, never silently skipped.
+        # materialized one (durable read-back, no re-fetch), else from
+        # the localCheckpoint pinned above (the SAME materialization the
+        # sink wrote — never a re-executed fetch). Recording only what
+        # reached the sink is the at-least-once direction: a URL whose
+        # rows a transformer filtered away is simply re-fetched next
+        # run, never silently skipped.
         src_cfg = self.config.get("source") or {}
-        for sname in ("files", "http"):
-            mcfg = src_cfg.get(sname)
-            if not (isinstance(mcfg, dict) and mcfg.get("recordState")):
-                continue
-            mcfg = render_value(mcfg, self.ctx.variables, self.ctx.spark)
+        for sname in rec_names:
+            mcfg = render_value(
+                src_cfg[sname], self.ctx.variables, self.ctx.spark
+            )
             state_path = mcfg.get("statePath")
             if not state_path:
                 raise ValueError("recordState requires statePath")
@@ -179,7 +206,7 @@ class Pipeline:
             )
 
             lcfg = (loader or {}).get("parquet") or {}
-            if runs_action and lname == "parquet" and lcfg.get("path"):
+            if lname == "parquet" and lcfg.get("path"):
                 frame = self.ctx.spark.read.parquet(lcfg["path"])
             else:
                 frame = df
@@ -188,7 +215,15 @@ class Pipeline:
                     "recordState needs the 'url' column to survive to the "
                     "sink — keep it through the transformer chain"
                 )
-            n_rec = record_manifest_state(frame, str(state_path))
+            # binary-mode fetches carry dead-letter rows (status = -1) IN
+            # the output, so 'status' must survive to the recording point
+            # or failures would be marked done; lines mode emits no rows
+            # for failures, so a missing status column is success-only
+            ext = self.config.get("extractor")
+            ext_name = next(iter(ext)) if isinstance(ext, dict) and ext else "row"
+            n_rec = record_manifest_state(
+                frame, str(state_path), require_status=(ext_name == "binary")
+            )
             self.ctx.stats.notes.append(f"manifest state recorded: {n_rec}")
         if lsn is not None and getattr(lsn, "on_end", None):
             lsn.on_end(self.ctx, None)

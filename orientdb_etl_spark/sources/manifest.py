@@ -97,9 +97,15 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
         raise
 
 
-def record_manifest_state(fetched: DataFrame, state_path: str) -> int:
+def record_manifest_state(
+    fetched: DataFrame, state_path: str, require_status: bool = False
+) -> int:
     """Append the SUCCESSFUL URLs of a materialized fetch to the resume
-    state at ``state_path``; returns how many URLs were recorded.
+    state at ``state_path``; returns how many NEW URLs were recorded
+    (URLs already present in the state are skipped — the state stays
+    O(distinct URLs), not O(runs × URLs), even when the caller re-feeds
+    the full cumulative sink contents every run, as the parquet-merge
+    read-back path does).
 
     Success means ``status = 200`` for binary/text mode (and lines mode
     with ``error_rows=True``); plain lines mode carries no status column,
@@ -112,14 +118,47 @@ def record_manifest_state(fetched: DataFrame, state_path: str) -> int:
     run retries exactly those plus any manifest additions. Call this AFTER the consumer has durably written
     the fetched data: state recorded before the sink commit would turn a
     mid-run crash into silently skipped shards.
+
+    ``require_status=True`` (the right setting for binary/text
+    pipelines, and what the config pipeline passes for them) raises if
+    the ``status`` column is absent instead of treating every row as a
+    success: in those modes dead-letter rows DO reach the sink as
+    (status = -1) rows, so a transformer chain that dropped ``status``
+    would otherwise record failures as done and never retry them.
+    Lines-mode outputs may legitimately omit ``status``, hence the
+    default ``False``.
+
+    Concurrent writers: the state is an append-only parquet directory
+    and appends are not transactional across processes — two pipelines
+    sharing a ``state_path`` may both record an overlapping URL set
+    (each read the state before the other's append landed). That is
+    harmless for correctness (reads always ``distinct()`` the URL set;
+    a double-recorded URL is simply skipped on resume) but wastes state
+    rows; give concurrent pipelines separate state dirs when possible.
     """
     cols = fetched.columns
-    ok = (
-        fetched.filter(F.col("status") == 200) if "status" in cols else fetched
-    )
+    if "status" in cols:
+        ok = fetched.filter(F.col("status") == 200)
+    elif require_status:
+        raise ValueError(
+            "record_manifest_state(require_status=True): the 'status' "
+            "column did not survive to the recording point — without it, "
+            "dead-letter rows (status = -1) would be recorded as done and "
+            "never retried. Keep 'status' through the transformer chain."
+        )
+    else:
+        ok = fetched
+    done = ok.select("url").distinct()
+    # delta-only append: anti-join against the existing state so each run
+    # records only URLs not already marked done (state growth is bounded
+    # by the manifest, not by the number of runs)
+    existing = _read_state(fetched.sparkSession, state_path)
+    if existing is not None:
+        done = done.join(existing, "url", "left_anti")
     # pin the URL set once so the append and the returned count read the
     # same materialization instead of re-running the fetch lineage twice
-    done = ok.select("url").distinct().localCheckpoint(eager=True)
+    # (and so the anti-join is resolved BEFORE the append touches the dir)
+    done = done.localCheckpoint(eager=True)
     done.write.mode("append").parquet(state_path)
     return done.count()
 

@@ -301,7 +301,13 @@ def start_manifest_ingest(
         failed = fetched.filter(F.col("status") < 0)
         ok = fetched.filter(F.col("status") >= 0)
         if mode == "lines":
-            ok = ok.drop("status", "error")
+            # drop the empty-shard marker rows (line_no = 0, value NULL)
+            # that error_rows=True emits for statePath consumers — here
+            # the checkpoint itself tracks shard completion, and letting
+            # a marker through would upsert a phantom (url, 0, NULL) data
+            # row into the crawl target (an empty shard must contribute
+            # ZERO target rows, as it always has)
+            ok = ok.filter(F.col("line_no") > 0).drop("status", "error")
         (
             failed.select(
                 "url", "status", "error", F.lit(epoch_id).alias("epoch_id")

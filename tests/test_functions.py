@@ -2245,3 +2245,28 @@ def test_mmr_diversify_string_ids_and_single_job(spark):
     # tie on score: ascending-id break picks "a"; then at lam=0.5 the
     # duplicate direction "b" scores 0.45-0.5 < "c"'s 0.25
     assert got == [(1, "a"), (2, "c")]
+
+
+def test_unigram_train_eager_releases_caches_same_result(spark):
+    """eager=True must (a) return the same vocabulary as the lazy path,
+    and (b) release every EM-iteration cache — the lazy path keeps all
+    n_iter+1 caches alive for the session (each is a lineage node of the
+    returned frame), which accumulates across a 289-query gate run.
+    Exactly ONE persisted RDD survives the call: the returned frame's
+    own localCheckpoint backing store (it IS the result data, released
+    when the caller drops the frame), vs 4 lineage caches lazily."""
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana cabana"), (2, "ban banana band")],
+        "doc_id int, text string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    eager = unigram_lm_train(docs, "text", n_iter=2, prune_to=3, eager=True)
+    rows_eager = {(r.piece, r.freq, r.logp) for r in eager.collect()}
+    # only the result's own checkpoint remains — all EM caches released
+    assert jsc.getPersistentRDDs().size() == before + 1
+    lazy = unigram_lm_train(docs, "text", n_iter=2, prune_to=3)
+    rows_lazy = {(r.piece, r.freq, r.logp) for r in lazy.collect()}
+    assert rows_eager == rows_lazy

@@ -423,3 +423,104 @@ def test_cluster_profile_round_trip(spark):
 
     with pytest.raises(ValueError):
         cluster_profile(total_cores=0)
+
+
+def test_manifest_state_records_delta_only(spark, tmp_path):
+    """Re-recording an already-done URL set appends NOTHING: the state
+    stays O(distinct URLs), not O(runs × URLs) — the merge-sink
+    read-back path re-feeds the full cumulative success set every run,
+    and without the anti-join the state (and the resume anti-join build
+    side) would grow linearly in the number of runs."""
+    from orientdb_etl_spark.sources.manifest import record_manifest_state
+
+    frame = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    state = str(tmp_path / "state")
+    assert record_manifest_state(frame, state) == 2
+    assert record_manifest_state(frame, state) == 0  # no delta
+    assert spark.read.parquet(state).count() == 2  # not 4
+    wider = frame.unionByName(
+        spark.createDataFrame([("u3",)], "url string")
+    )
+    assert record_manifest_state(wider, state) == 1  # just the new URL
+    assert spark.read.parquet(state).count() == 3
+
+
+def test_manifest_state_require_status(spark, tmp_path):
+    """Binary/text recording REQUIRES the status column (dead-letter
+    rows are IN the output there as status=-1): a transformer chain that
+    dropped it raises instead of silently recording failures as done.
+    Lines mode keeps the permissive default (failures emit no rows)."""
+    import pytest
+
+    from orientdb_etl_spark.sources.manifest import record_manifest_state
+
+    no_status = spark.createDataFrame([("u1",)], "url string")
+    with pytest.raises(ValueError, match="status"):
+        record_manifest_state(
+            no_status, str(tmp_path / "s1"), require_status=True
+        )
+    frame = spark.createDataFrame(
+        [("ok", 200), ("dead", -1)], "url string, status int"
+    )
+    assert (
+        record_manifest_state(frame, str(tmp_path / "s2"), require_status=True)
+        == 1
+    )
+
+
+def test_pipeline_recordstate_guards(spark, tmp_path):
+    """Config-pipeline recordState contracts: (a) a lazy loader
+    (memory/view) raises — nothing durable is committed, so recording
+    would silently skip those URLs' data forever; (b) a binary pipeline
+    whose transformers dropped 'status' raises rather than recording
+    dead-letters as done; (c) a non-parquet action sink (csv) records
+    from the SAME pinned materialization the sink wrote — successes
+    recorded once, dead-letters retried."""
+    import pytest
+
+    from orientdb_etl_spark import Pipeline
+
+    good = tmp_path / "blob-0.bin"
+    good.write_bytes(b"\x01" * 8)
+    bad = str(tmp_path / "missing.bin")
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text(f"{good}\n{bad}\n")
+    state = str(tmp_path / "state")
+    base = {
+        "source": {"files": {
+            "manifestPath": str(manifest), "statePath": state,
+            "recordState": True, "onError": "keep", "retries": 0,
+        }},
+        "extractor": {"binary": {}},
+    }
+    with pytest.raises(ValueError, match="action loader"):
+        Pipeline({**base, "loader": {"memory": {}}}, spark=spark).run()
+    with pytest.raises(ValueError, match="status"):
+        Pipeline(
+            {
+                **base,
+                "transformers": [
+                    {"field": {"operation": "remove",
+                               "fieldNames": ["status", "content", "error"]}},
+                ],
+                "loader": {"csv": {"path": str(tmp_path / "out_bad")}},
+            },
+            spark=spark,
+        ).run()
+    # healthy csv-sink run: status kept, binary content dropped for csv
+    r = Pipeline(
+        {
+            **base,
+            "transformers": [
+                {"field": {"fieldName": "n_bytes",
+                           "expression": "length(content)"}},
+                {"field": {"operation": "remove",
+                           "fieldNames": ["content", "error"]}},
+            ],
+            "loader": {"csv": {"path": str(tmp_path / "out_ok")}},
+        },
+        spark=spark,
+    ).run()
+    assert any("manifest state recorded: 1" in n for n in r.stats.notes)
+    recorded = {r2.url for r2 in spark.read.parquet(state).collect()}
+    assert recorded == {str(good)}  # dead-letter NOT recorded — it retries

@@ -758,3 +758,32 @@ def test_streaming_near_dedup_equals_batch(spark, tmp_path):
         .collect()
     }
     assert again == sids
+
+
+def test_stream_manifest_ingest_empty_shard_no_phantom_row(spark, tmp_path):
+    """An EMPTY successfully-fetched shard must contribute ZERO rows to
+    the crawl target even on the dead-letter path: the (line_no=0,
+    status=200, value NULL) marker row that error_rows=True emits for
+    batch statePath consumers is filtered before the upsert — here the
+    stream checkpoint itself tracks shard completion, so letting the
+    marker through would upsert a phantom NULL data row."""
+    from orientdb_etl_spark.streaming.ops import start_manifest_ingest
+
+    shard_dir = tmp_path / "files"
+    shard_dir.mkdir()
+    good = shard_dir / "a.txt"
+    good.write_text("l1\n")
+    empty = shard_dir / "empty.txt"
+    empty.write_text("")
+    man = tmp_path / "man"
+    man.mkdir()
+    (man / "m0.txt").write_text(f"{good}\n{empty}\n")
+    target = str(tmp_path / "target")
+    q = start_manifest_ingest(
+        spark, str(man), target, str(tmp_path / "ckpt"), mode="lines",
+        fetch_kwargs={"retries": 0}, errors_path=str(tmp_path / "errors"),
+    )
+    q.awaitTermination(60)
+    got = {(r.url, r.line_no, r.value)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {(str(good), 1, "l1")}  # no (empty, 0, NULL) phantom
