@@ -3372,6 +3372,55 @@ def q_unigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-loss pruning (SentencePiece §3.2 made exact under the
+    hard-EM model, functions/unigram.py::_alt_scores): per multi-char
+    piece, loss = round(cnt·(logp − alt), 6) where alt is the best
+    PROPER sub-segmentation of the piece's own string (full-span cell
+    masked) — keep the top-20 by (loss desc, piece asc) each iteration.
+    The oracle threads the identical masked-DP CTEs; the extra work per
+    iteration is one |V|-sized self-join + fold, never corpus-sized."""
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, "text", max_piece_len=3, max_word_len=12,
+        seed_multi=40, n_iter=2, prune_to=20, prune_by="loss", eager=True,
+    )
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's APPLICATION path (the call a user makes
+    per document): train a 1-EM-iteration vocabulary, Viterbi-segment
+    the whole corpus with it (functions/unigram.py::unigram_segment),
+    and emit the token frequency table (word, left-to-right piece
+    string, n_tokens). Tokens over the 12-char cap pass through whole.
+    The corpus is scanned once; the per-word segmentation table is
+    distinct-vocabulary-sized. Oracle: the shared vocab CTE chain plus
+    one more forward-DP/backtrace pass against the final vocabulary."""
+    from orientdb_etl_spark.functions.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(
+        docs, "text", max_piece_len=3, max_word_len=12,
+        seed_multi=40, n_iter=1, eager=True,
+    )
+    seg = unigram_segment(
+        docs, vocab, "text", max_piece_len=3, max_word_len=12
+    )
+    return (
+        seg.select(
+            F.concat_ws("", "unigram_pieces").alias("word"),
+            F.concat_ws(" ", "unigram_pieces").alias("pieces"),
+        )
+        .groupBy("word", "pieces")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality score (functions/text.py::
     bigram_logprob_score, λ=0.8) over documents — the CCNet-flavoured
@@ -6453,6 +6502,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_topk": q_ann_lsh_topk,
             # round 7: shrinking-vocab unigram-LM (SentencePiece pruning)
             "unigram_lm_pruned": q_unigram_lm_pruned,
+            # round 8: likelihood-loss pruning (exact §3.2 rank) and the
+            # tokenizer APPLICATION path (segment the corpus with a
+            # trained vocabulary — the per-document user-facing call)
+            "unigram_lm_loss": q_unigram_lm_loss,
+            "unigram_segment": q_unigram_segment,
             # round 7: displaced by the rotation onto forecast/streaming-
             # near-dedup/tokenizer-induction families
             "pivot_segments": q_pivot_segments,
@@ -6899,24 +6953,24 @@ def _bpe_oracle(n: int = 4) -> str:
     return sql
 
 
-def _unigram_oracle(
+def _unigram_vocab_ctes(
     L: int = 3,
     W: int = 12,
     seed_multi: int = 40,
     n_iter: int = 2,
     prune_to: int | None = None,
+    prune_by: str = "count",
 ) -> str:
-    """DuckDB replay of q_unigram_lm: the identical word table and
-    substring grid (out-of-range cells kept as NULL pieces so the flat
-    score list has contiguous ``(start-1)*L + len`` indices), seed
-    selection by (count desc, piece asc), then per EM iteration a
-    forward-DP recursive CTE (``list_append`` fold, the same rounded
-    doubles Spark folds) and a backtrace recursive CTE that re-finds
-    the argmax length by EXACT float equality — engine-portable because
-    both engines fold identical 6-dp-rounded inputs in identical order.
-    """
+    """Shared CTE chain for the unigram-LM oracles (see _unigram_oracle):
+    word table → substring grid → seeded vocab0 → per-iteration E-step
+    (forward-DP + backtrace recursive CTEs) and M-step, ending with
+    ``vocab{n_iter}`` and a trailing comma so callers can append their
+    own CTEs. ``prune_by='loss'`` threads the likelihood-loss pruning
+    CTEs (functions/unigram.py::_alt_scores): per multi piece, the best
+    PROPER sub-segmentation score under the unpruned vocabulary (the
+    full-span cell masked to -1e9 at list-build time, mirroring Spark),
+    then rank by round(cnt·(lp−alt), 6) desc, piece asc."""
     sql = (
-        "WITH RECURSIVE "
         "w AS (SELECT word, count(*) AS f FROM ("
         r"SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) "
         "AS word FROM documents WHERE text IS NOT NULL "
@@ -6924,18 +6978,18 @@ def _unigram_oracle(
         f"WHERE word <> '' AND length(word) <= {W} GROUP BY word), "
         "g1 AS (SELECT word, f, unnest(range(1, length(word) + 1)) AS s "
         "FROM w), "
-        f"grid AS (SELECT word, f, s, l, (s - 1) * {L} + l AS idx, "
+        f"grid AS MATERIALIZED (SELECT word, f, s, l, (s - 1) * {L} + l AS idx, "
         "CASE WHEN s + l - 1 <= length(word) "
         "THEN word[s : s + l - 1] END AS p "
         f"FROM (SELECT word, f, s, unnest(range(1, {L} + 1)) AS l "
         "FROM g1)), "
         "cnts AS (SELECT p AS piece, sum(f) AS cnt FROM grid "
         "WHERE p IS NOT NULL GROUP BY p), "
-        "seed AS (SELECT piece, cnt FROM cnts WHERE length(piece) = 1 "
+        "seed AS MATERIALIZED (SELECT piece, cnt FROM cnts WHERE length(piece) = 1 "
         "UNION ALL SELECT piece, cnt FROM ("
         "SELECT piece, cnt FROM cnts WHERE length(piece) > 1 "
         f"ORDER BY cnt DESC, piece ASC LIMIT {seed_multi})), "
-        "vocab0 AS (SELECT piece, cnt, round(ln(CAST(cnt AS DOUBLE) / "
+        "vocab0 AS MATERIALIZED (SELECT piece, cnt, round(ln(CAST(cnt AS DOUBLE) / "
         "(SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)), 6) AS lp "
         "FROM seed), "
     )
@@ -6965,12 +7019,55 @@ def _unigram_oracle(
             "WHERE piece IS NOT NULL GROUP BY piece), "
             # the M-step rebases on the PREVIOUS iteration's surviving
             # pieces (== seed when unpruned, the kept set when pruning)
-            f"cn{k} AS (SELECT s.piece, coalesce(c.cnt, 0) + 1 AS cnt "
+            f"cn{k} AS MATERIALIZED (SELECT s.piece, coalesce(c.cnt, 0) + 1 AS cnt "
             f"FROM (SELECT piece FROM vocab{k - 1}) s LEFT JOIN chosen{k} c "
             "ON s.piece = c.piece), "
         )
         src = f"cn{k}"
-        if prune_to is not None:
+        if prune_to is not None and prune_by == "loss":
+            # likelihood-loss pruning: lp over the UNPRUNED totals, then
+            # per multi piece the best PROPER sub-segmentation of its own
+            # string (full-span cell masked at list-build time), loss =
+            # round(cnt·(lp−alt), 6), keep top by (loss desc, piece asc)
+            sql += (
+                f"vf{k} AS MATERIALIZED (SELECT piece, cnt, "
+                "round(ln(CAST(cnt AS DOUBLE) / "
+                f"(SELECT CAST(sum(cnt) AS DOUBLE) FROM cn{k})), 6) AS lp "
+                f"FROM cn{k}), "
+                f"gl1{k} AS (SELECT piece AS word, "
+                "unnest(range(1, length(piece) + 1)) AS s "
+                f"FROM vf{k} WHERE length(piece) > 1), "
+                f"gl{k} AS (SELECT word, s, l, (s - 1) * {L} + l AS idx, "
+                "CASE WHEN s + l - 1 <= length(word) "
+                "THEN word[s : s + l - 1] END AS p "
+                f"FROM (SELECT word, s, unnest(range(1, {L} + 1)) AS l "
+                f"FROM gl1{k})), "
+                f"scl{k} AS (SELECT g.word, length(g.word) AS wlen, "
+                "list(CASE WHEN g.s = 1 AND g.l = length(g.word) "
+                "THEN -1e9 ELSE coalesce(v.lp, -1e9) END "
+                "ORDER BY g.idx) AS sc "
+                f"FROM gl{k} g LEFT JOIN vf{k} v ON g.p = v.piece "
+                "GROUP BY g.word), "
+                f"dpl{k} AS (SELECT word, sc, wlen, 0 AS i, "
+                f"[CAST(0.0 AS DOUBLE)] AS best FROM scl{k} "
+                "UNION ALL SELECT word, sc, wlen, i + 1, "
+                "list_append(best, list_max([best[i + 2 - l] + "
+                f"sc[(i + 1 - l) * {L} + l] "
+                f"FOR l IN range(1, least({L}, i + 1) + 1)])) "
+                f"FROM dpl{k} WHERE i < wlen), "
+                f"altl{k} AS (SELECT word AS piece, best[wlen + 1] AS alt "
+                f"FROM dpl{k} WHERE i = wlen), "
+                f"lossl{k} AS (SELECT f.piece, f.cnt, "
+                "round(f.cnt * (f.lp - a.alt), 6) AS loss "
+                f"FROM vf{k} f JOIN altl{k} a ON f.piece = a.piece), "
+                f"cnp{k} AS (SELECT piece, cnt FROM cn{k} "
+                "WHERE length(piece) = 1 "
+                "UNION ALL SELECT piece, cnt FROM ("
+                f"SELECT piece, cnt FROM lossl{k} "
+                f"ORDER BY loss DESC, piece ASC LIMIT {prune_to})), "
+            )
+            src = f"cnp{k}"
+        elif prune_to is not None:
             sql += (
                 f"cnp{k} AS (SELECT piece, cnt FROM cn{k} "
                 "WHERE length(piece) = 1 "
@@ -6980,14 +7077,93 @@ def _unigram_oracle(
             )
             src = f"cnp{k}"
         sql += (
-            f"vocab{k} AS (SELECT piece, cnt, "
+            f"vocab{k} AS MATERIALIZED (SELECT piece, cnt, "
             "round(ln(CAST(cnt AS DOUBLE) / "
             f"(SELECT CAST(sum(cnt) AS DOUBLE) FROM {src})), 6) AS lp "
             f"FROM {src}), "
         )
-    return sql.rstrip(", ") + (
-        " SELECT piece, CAST(cnt AS BIGINT) AS freq, lp AS logp "
+    return sql
+
+
+def _unigram_oracle(
+    L: int = 3,
+    W: int = 12,
+    seed_multi: int = 40,
+    n_iter: int = 2,
+    prune_to: int | None = None,
+    prune_by: str = "count",
+) -> str:
+    """DuckDB replay of q_unigram_lm: the identical word table and
+    substring grid (out-of-range cells kept as NULL pieces so the flat
+    score list has contiguous ``(start-1)*L + len`` indices), seed
+    selection by (count desc, piece asc), then per EM iteration a
+    forward-DP recursive CTE (``list_append`` fold, the same rounded
+    doubles Spark folds) and a backtrace recursive CTE that re-finds
+    the argmax length by EXACT float equality — engine-portable because
+    both engines fold identical 6-dp-rounded inputs in identical order.
+    """
+    return (
+        "WITH RECURSIVE "
+        + _unigram_vocab_ctes(
+            L, W, seed_multi, n_iter, prune_to, prune_by
+        ).rstrip(", ")
+        + " SELECT piece, CAST(cnt AS BIGINT) AS freq, lp AS logp "
         f"FROM vocab{n_iter}"
+    )
+
+
+def _unigram_segment_oracle(
+    L: int = 3, W: int = 12, seed_multi: int = 40, n_iter: int = 1
+) -> str:
+    """DuckDB replay of q_unigram_segment: train vocab{n_iter} with the
+    shared CTE chain, then run ONE more Viterbi pass over the distinct
+    short words against the FINAL vocabulary (the application path a
+    tokenizer user calls per document) and emit the whole-corpus token
+    frequency table (word, left-to-right piece string, n_tokens) —
+    tokens longer than the word cap pass through as single opaque
+    pieces, mirroring functions/unigram.py::unigram_segment. The
+    backtrace rows carry ``pos`` = the emitted piece's start−1, so
+    ``string_agg(... ORDER BY pos)`` is the left-to-right order."""
+    n = n_iter
+    return (
+        "WITH RECURSIVE "
+        + _unigram_vocab_ctes(L, W, seed_multi, n_iter)
+        + (
+            # all tokens WITHOUT the length cap: long tokens pass whole
+            "allw AS (SELECT word, count(*) AS f FROM ("
+            r"SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) "
+            "AS word FROM documents WHERE text IS NOT NULL "
+            "AND length(trim(text)) > 0) "
+            "WHERE word <> '' GROUP BY word), "
+            # segmentation pass against the trained vocabulary — the
+            # trainer's word table w IS the distinct short-word set
+            "scs AS (SELECT g.word, length(g.word) AS wlen, "
+            "list(coalesce(v.lp, -1e9) ORDER BY g.idx) AS sc "
+            f"FROM grid g LEFT JOIN vocab{n} v ON g.p = v.piece "
+            "GROUP BY g.word), "
+            "dps AS (SELECT word, sc, wlen, 0 AS i, "
+            "[CAST(0.0 AS DOUBLE)] AS best FROM scs "
+            "UNION ALL SELECT word, sc, wlen, i + 1, "
+            "list_append(best, list_max([best[i + 2 - l] + "
+            f"sc[(i + 1 - l) * {L} + l] "
+            f"FOR l IN range(1, least({L}, i + 1) + 1)])) "
+            "FROM dps WHERE i < wlen), "
+            "segs AS (SELECT word, sc, best, wlen AS pos, "
+            "CAST(NULL AS VARCHAR) AS piece FROM dps WHERE i = wlen "
+            "UNION ALL SELECT word, sc, best, pos - lch, "
+            "word[pos - lch + 1 : pos] FROM ("
+            "SELECT word, sc, best, pos, "
+            f"list_max([l FOR l IN range(1, least({L}, pos) + 1) "
+            f"IF best[pos - l + 1] + sc[(pos - l) * {L} + l] "
+            "= best[pos + 1]]) "
+            "AS lch FROM segs WHERE pos > 0)), "
+            "piecestr AS (SELECT word, "
+            "string_agg(piece, ' ' ORDER BY pos) AS pieces "
+            "FROM segs WHERE piece IS NOT NULL GROUP BY word) "
+            "SELECT a.word AS word, coalesce(p.pieces, a.word) AS pieces, "
+            "CAST(a.f AS BIGINT) AS n_tokens "
+            "FROM allw a LEFT JOIN piecestr p ON a.word = p.word"
+        )
     )
 
 
@@ -8098,6 +8274,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(4),
         "unigram_lm": _unigram_oracle(3, 12, 40, 2),
         "unigram_lm_pruned": _unigram_oracle(3, 12, 40, 2, prune_to=20),
+        "unigram_lm_loss": _unigram_oracle(
+            3, 12, 40, 2, prune_to=20, prune_by="loss"
+        ),
+        "unigram_segment": _unigram_segment_oracle(3, 12, 40, 1),
         "bigram_logprob": (
             # identical bigram extraction (1-indexed, per-token lower) and
             # interpolation expression; 0.19999999999999996 is the exact

@@ -128,6 +128,10 @@ HEADLINE = [
     "unigram_lm",
     # round-7 shrinking-vocab variant (SentencePiece prune between EMs)
     "unigram_lm_pruned",
+    # round-8 exact likelihood-loss pruning (masked self-DP per iter)
+    "unigram_lm_loss",
+    # round-8 tokenizer application path (segment corpus w/ trained vocab)
+    "unigram_segment",
     # round-7 streaming near-dedup batch-equality certificate (real
     # availableNow stream + batch replay — the most expensive new row)
     "stream_near_dedup",

@@ -179,6 +179,47 @@ def _viterbi_counts(
     )
 
 
+def _alt_scores(vocab_full: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, alt) for every MULTI-char piece: the best segmentation
+    score of the piece's OWN string under the current vocabulary with
+    the full-span cell masked out — i.e. the log-likelihood its
+    occurrences fall back to if the piece is pruned. Single characters
+    are always in the vocabulary, so ``alt`` is always finite. Same
+    forward fold as the word lattice, run over the vocabulary-sized
+    piece table (never the corpus) against a broadcast of itself."""
+    L = max_piece_len
+    multis = vocab_full.filter(F.length("piece") > 1).select(
+        F.col("piece").alias("_w"), F.lit(1).cast("bigint").alias("_f")
+    )
+    grid = _substring_grid(multis, L)
+    scored = grid.join(
+        F.broadcast(vocab_full.select(F.col("piece").alias("_p"), "lp")),
+        "_p",
+        "left",
+    ).withColumn("_idx", ((F.col("_s") - 1) * L + F.col("_l")).cast("int"))
+    # mask the (s=1, l=len) cell at ARRAY BUILD time — any path through
+    # the piece itself is forced to lose, so best[len] is the best
+    # PROPER sub-segmentation
+    arr = scored.groupBy("_w").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(named_struct("
+            f"'i', _idx, 'v', CASE WHEN _s = 1 AND _l = length(_w) "
+            f"THEN {_NEG} ELSE coalesce(lp, {_NEG}) END))), x -> x.v)"
+        ).alias("_sc")
+    )
+    return arr.select(
+        F.col("_w").alias("piece"),
+        F.expr(
+            f"element_at(aggregate(sequence(1, length(_w)), "
+            f"array(cast(0.0 as double)), "
+            f"(acc, i) -> concat(acc, array(array_max("
+            f"transform(sequence(1, least({L}, i)), l -> "
+            f"element_at(acc, i - l + 1) "
+            f"+ element_at(_sc, (i - l) * {L} + l)))))), length(_w) + 1)"
+        ).alias("alt"),
+    )
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str = "text",
@@ -188,6 +229,7 @@ def unigram_lm_train(
     n_iter: int = 2,
     prune_to: int | None = None,
     eager: bool = False,
+    prune_by: str = "count",
 ) -> DataFrame:
     """Train a unigram LM vocabulary; returns (piece, freq, logp) —
     one row per surviving-vocabulary piece with its Laplace-smoothed
@@ -203,21 +245,41 @@ def unigram_lm_train(
     are never pruned — they keep every word segmentable. ``None`` keeps
     the whole seed vocabulary (the fixed-vocab EM the oracle row pins).
 
-    ``eager=True`` materializes each iteration's vocabulary cache as it
-    is built (one vocabulary-sized count per iteration), releases the
-    superseded iteration's cache immediately, and returns an eagerly
-    localCheckpoint-ed result with ALL training caches unpersisted —
-    zero lingering cached frames after the call, bounded peak cache of
-    two |V|-sized tables. This is the right mode for long-lived sessions
-    running many queries (gates, benches): the default lazy mode keeps
-    every iteration's cache alive for the session because each remains a
-    lineage node of the returned frame. Default ``False`` preserves the
-    construction-runs-zero-jobs contract (pinned by test).
+    ``eager=True`` pins each iteration's vocabulary-sized state
+    driver-side as a literal in-memory table (the k-means-centroids
+    pattern — a bounded |V|-row collect per iteration), which cuts both
+    execution fan-out AND plan lineage: without the plan cut, every
+    iteration nests the previous iterations' Viterbi expression trees
+    and Catalyst re-optimization grows superlinearly in ``n_iter``.
+    The word grid is cached for the run (so the corpus is scanned once)
+    and released before returning — ZERO persisted frames survive the
+    call, vs the lazy mode's n_iter+1 session-lifetime caches. This is
+    the right mode for long-lived sessions running many queries (gates,
+    benches) and for any ``prune_by='loss'`` training. Default
+    ``False`` preserves the construction-runs-zero-jobs contract
+    (pinned by test).
+
+    ``prune_by`` selects the pruning score (only meaningful with
+    ``prune_to``). ``"count"`` is the deterministic first-order proxy
+    above. ``"loss"`` is SentencePiece's likelihood-loss rank made
+    exact under the hard-EM model: for each multi-char piece,
+    ``loss = round(cnt · (logp(piece) − alt(piece)), 6)`` where ``alt``
+    is the best segmentation of the piece's own string WITHOUT its
+    full-span cell (:func:`_alt_scores`) — exactly how much corpus
+    log-likelihood is lost if the piece's occurrences are re-segmented
+    with the remaining vocabulary. Ties break (loss desc, piece asc).
+    The two ranks genuinely differ: a frequent piece whose characters
+    are themselves frequent (cheap to re-segment) can lose to a rarer
+    piece built from rare characters (expensive to re-segment) — pinned
+    by test. Cost: one extra |V|-sized self-join + fold per iteration,
+    still corpus-free.
     """
     if n_iter <= 0:
         raise ValueError("n_iter must be positive")
     if max_piece_len < 2:
         raise ValueError("max_piece_len must be at least 2")
+    if prune_by not in ("count", "loss"):
+        raise ValueError(f"prune_by must be count|loss, got {prune_by!r}")
     words = _word_table(df, text_col, max_word_len)
     grid = _substring_grid(words, max_piece_len)
     seed_counts = (
@@ -241,10 +303,40 @@ def unigram_lm_train(
     # localCheckpoint(eager=False) would run AQE jobs at build time via
     # toRdd). The cached frames are vocabulary-sized (~|V| rows), the
     # bounded-cache case the cache-discipline doc allows.
-    seed = singles.unionByName(multis).cache()
+    if eager:
+        # iteration state is VOCABULARY-sized, so pin it driver-side per
+        # iteration (the k-means-centroids pattern): `_pin` collapses a
+        # |V|-row frame to a literal in-memory table, cutting execution
+        # AND plan lineage — without the plan cut, every iteration nests
+        # the previous iterations' Viterbi expression trees and Catalyst
+        # re-optimization time grows superlinearly in n_iter (measured:
+        # loss-prune n_iter=2 60.9 s with caches vs 8.8 s truncated).
+        # The grid is word-table-sized (bounded, never corpus-sized);
+        # one cache pins it so the corpus is scanned once, released
+        # before returning — zero persisted frames survive the call.
+        spark = df.sparkSession
+
+        def _pin(frame: DataFrame) -> DataFrame:
+            return spark.createDataFrame(frame.collect(), frame.schema)
+
+        grid = grid.cache()
+    seed = singles.unionByName(multis)
+    if eager:
+        seed = _pin(seed)
+    else:
+        # each vocabulary table has MULTIPLE consumers (its own total
+        # aggregate + the cross join in _with_logp, the next E-step's
+        # broadcast join, and under pruning two more scans for the kept
+        # sets) — without a cut point every consumer re-executes the
+        # FULL upstream Viterbi lineage, doubling per consumer per
+        # iteration (exponential in n_iter). cache() dedups the
+        # consumers at first action while keeping construction job-free
+        # (pinned by test; the caches are |V|-sized, the bounded-cache
+        # case the cache-discipline doc allows — but they stay persisted
+        # for the session, which is why long-lived sessions want eager)
+        seed = seed.cache()
     vocab = _with_logp(seed)
     pieces = seed.select("piece")
-    prev_cache: DataFrame | None = None
     for _ in range(n_iter):
         chosen = _viterbi_counts(grid, vocab, max_piece_len)
         counts = pieces.join(chosen, "piece", "left").select(
@@ -252,22 +344,36 @@ def unigram_lm_train(
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias("cnt"),
         )
         if prune_to is not None:
+            if prune_by == "loss":
+                # the PRE-prune counts feed four consumers (singles, the
+                # full-vocab total + rows, the loss join) — cut here too
+                counts = _pin(counts) if eager else counts.cache()
+                vocab_full = _with_logp(counts)
+                losses = vocab_full.join(
+                    _alt_scores(vocab_full, max_piece_len), "piece"
+                ).select(
+                    "piece",
+                    "cnt",
+                    F.round(
+                        F.col("cnt") * (F.col("lp") - F.col("alt")), 6
+                    ).alias("loss"),
+                )
+                kept_multis = (
+                    losses.orderBy(
+                        F.col("loss").desc(), F.col("piece").asc()
+                    )
+                    .limit(prune_to)
+                    .select("piece", "cnt")
+                )
+            else:
+                kept_multis = (
+                    counts.filter(F.length("piece") > 1)
+                    .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+                    .limit(prune_to)
+                )
             kept_singles = counts.filter(F.length("piece") == 1)
-            kept_multis = (
-                counts.filter(F.length("piece") > 1)
-                .orderBy(F.col("cnt").desc(), F.col("piece").asc())
-                .limit(prune_to)
-            )
             counts = kept_singles.unionByName(kept_multis)
-        counts = counts.cache()
-        if eager:
-            # materialize the new cut point, then release the superseded
-            # iteration's cache — every future lineage reads THIS cache
-            # (seed stays: `pieces` references it until the last join ran)
-            counts.count()
-            if prev_cache is not None:
-                prev_cache.unpersist()
-            prev_cache = counts
+        counts = _pin(counts) if eager else counts.cache()
         if prune_to is not None:
             pieces = counts.select("piece")
         vocab = _with_logp(counts)
@@ -277,10 +383,9 @@ def unigram_lm_train(
         F.col("lp").alias("logp"),
     )
     if eager:
-        out = out.localCheckpoint(eager=True)
-        seed.unpersist()
-        if prev_cache is not None:
-            prev_cache.unpersist()
+        # the final vocab derives from a literal table — releasing the
+        # grid cache leaves NOTHING persisted and the result stays valid
+        grid.unpersist()
     return out
 
 

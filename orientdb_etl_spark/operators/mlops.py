@@ -727,6 +727,7 @@ def unigram_lm_transformer(
             seed_multi=int(cfg.get("seedMulti", 40)),
             n_iter=int(cfg.get("iters", 2)),
             prune_to=None if prune is None else int(prune),
+            prune_by=str(cfg.get("pruneBy", "count")),
             # config pipelines run inside long-lived sessions: release
             # the per-iteration EM caches instead of leaking them
             eager=bool(cfg.get("eager", True)),

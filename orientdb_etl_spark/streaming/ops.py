@@ -244,6 +244,8 @@ def start_manifest_ingest(
     num_buckets: int = 64,
     fetch_kwargs: dict | None = None,
     errors_path: str | None = None,
+    state_path: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous-crawl ingestion: stream a GROWING manifest directory;
     each micro-batch's newly-discovered URL lines are fetched DISTRIBUTED
@@ -271,8 +273,28 @@ def start_manifest_ingest(
     in the target, and the batch commits. An explicit
     ``fetch_kwargs={'on_error': 'keep'}`` without ``errors_path`` keeps
     the old drop-silently behavior — now an opt-in, not a default.
+
+    ``state_path`` composes the URL-level resume state
+    (:func:`orientdb_etl_spark.sources.manifest.record_manifest_state`)
+    with the stream's file-level checkpoint: each batch's fetch
+    anti-joins the already-recorded URLs before dispatch, and the
+    batch's successful URLs are recorded AFTER its sink upsert commits.
+    The two levels make crash recovery cheap in both failure orders —
+    crash after upsert but before recording: the restart re-reads the
+    manifest file (checkpoint never advanced), the fetch re-downloads
+    only that batch's URLs, and the keyed upsert rewrites the same keys
+    (no duplicates); crash after recording but before the checkpoint
+    advanced: the restart re-reads the manifest file but the anti-join
+    leaves ZERO URLs to fetch — no wasted downloads. It also dedups
+    URLs listed by MORE THAN ONE manifest shard (the checkpoint alone
+    cannot: it tracks files, not URLs). ``max_files_per_trigger``
+    bounds manifest files per micro-batch (availableNow honors it), so
+    a crash loses at most one bounded batch of fetch work.
     """
-    from orientdb_etl_spark.sources.manifest import fetch_manifest
+    from orientdb_etl_spark.sources.manifest import (
+        fetch_manifest,
+        record_manifest_state,
+    )
 
     keys = ["url", "line_no"] if mode == "lines" else ["url"]
     upsert = foreach_batch_upsert(target_path, keys, num_buckets=num_buckets)
@@ -282,6 +304,9 @@ def start_manifest_ingest(
     else:
         kw.setdefault("on_error", "fail")
 
+    if state_path is not None:
+        kw["state_path"] = state_path
+
     def on_batch(batch_df, epoch_id: int) -> None:
         urls = (
             batch_df.select(F.trim("value").alias("url"))
@@ -289,12 +314,13 @@ def start_manifest_ingest(
         )
         if urls.limit(1).count() == 0:
             return
-        if errors_path is None:
+        if errors_path is None and state_path is None:
             upsert(fetch_manifest(urls, mode=mode, **kw), epoch_id)
             return
-        # dead-letter path: fetch ONCE with per-URL error rows, split
-        # (binary/text modes carry status/error natively; lines mode
-        # needs the synthetic error rows, dropped again for the target)
+        # dead-letter / resume path: fetch ONCE with per-URL error rows,
+        # split (binary/text modes carry status/error natively; lines
+        # mode needs the synthetic rows — they also mark empty shards
+        # done in the resume state)
         fetched = fetch_manifest(
             urls, mode=mode, error_rows=(mode == "lines"), **kw
         ).localCheckpoint(eager=True)
@@ -308,16 +334,26 @@ def start_manifest_ingest(
             # row into the crawl target (an empty shard must contribute
             # ZERO target rows, as it always has)
             ok = ok.filter(F.col("line_no") > 0).drop("status", "error")
-        (
-            failed.select(
-                "url", "status", "error", F.lit(epoch_id).alias("epoch_id")
+        if errors_path is not None:
+            (
+                failed.select(
+                    "url", "status", "error",
+                    F.lit(epoch_id).alias("epoch_id"),
+                )
+                .write.mode("append")
+                .parquet(errors_path)
             )
-            .write.mode("append")
-            .parquet(errors_path)
-        )
         upsert(ok, epoch_id)
+        if state_path is not None:
+            # AFTER the sink upsert: a crash between the upsert and here
+            # re-fetches this batch's URLs on restart (at-least-once) and
+            # the keyed upsert rewrites the same keys — never duplicates
+            record_manifest_state(fetched, state_path)
 
-    reader = spark.readStream.format("text").load(manifest_glob)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    reader = reader.load(manifest_glob)
     writer = reader.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint
     )

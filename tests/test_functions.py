@@ -2249,12 +2249,12 @@ def test_mmr_diversify_string_ids_and_single_job(spark):
 
 def test_unigram_train_eager_releases_caches_same_result(spark):
     """eager=True must (a) return the same vocabulary as the lazy path,
-    and (b) release every EM-iteration cache — the lazy path keeps all
-    n_iter+1 caches alive for the session (each is a lineage node of the
-    returned frame), which accumulates across a 289-query gate run.
-    Exactly ONE persisted RDD survives the call: the returned frame's
-    own localCheckpoint backing store (it IS the result data, released
-    when the caller drops the frame), vs 4 lineage caches lazily."""
+    and (b) persist NOTHING past the call — iteration state is pinned
+    driver-side per iteration (vocabulary-sized literal tables) and the
+    one grid cache is released before returning. The lazy path keeps
+    all n_iter+1 caches alive for the session (each is a lineage node
+    of the returned frame), which accumulates across a 289-query gate
+    run."""
     from orientdb_etl_spark.functions.unigram import unigram_lm_train
 
     docs = spark.createDataFrame(
@@ -2265,8 +2265,42 @@ def test_unigram_train_eager_releases_caches_same_result(spark):
     before = jsc.getPersistentRDDs().size()
     eager = unigram_lm_train(docs, "text", n_iter=2, prune_to=3, eager=True)
     rows_eager = {(r.piece, r.freq, r.logp) for r in eager.collect()}
-    # only the result's own checkpoint remains — all EM caches released
-    assert jsc.getPersistentRDDs().size() == before + 1
+    assert jsc.getPersistentRDDs().size() == before  # nothing persisted
     lazy = unigram_lm_train(docs, "text", n_iter=2, prune_to=3)
     rows_lazy = {(r.piece, r.freq, r.logp) for r in lazy.collect()}
     assert rows_eager == rows_lazy
+
+
+def test_unigram_prune_by_loss_differs_from_count_rank(spark):
+    """Likelihood-loss pruning (SentencePiece §3.2 made exact under
+    hard EM) must diverge from the count-rank proxy on a corpus where a
+    FREQUENT piece is cheap to re-segment (its characters are common)
+    while a rarer piece is built from rare characters: loss
+    = cnt·(logp − alt) ranks the rare-chars piece higher. Singles are
+    never pruned in either mode, and pieces concatenate unchanged."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.unigram import unigram_lm_train
+
+    # 'xy' is chosen often but x/y are also abundant standalone, so its
+    # re-segmentation x+y is cheap (small logp gap); 'qz' is chosen less
+    # often but q/z appear ONLY inside it -> pruning it is expensive
+    text = " ".join(["xy"] * 20 + ["x"] * 30 + ["y"] * 30 + ["qz"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    by_count = unigram_lm_train(
+        docs, "text", n_iter=1, prune_to=1, eager=True
+    )
+    by_loss = unigram_lm_train(
+        docs, "text", n_iter=1, prune_to=1, prune_by="loss", eager=True
+    )
+    cm = {r.piece for r in by_count.filter(F.length("piece") > 1).collect()}
+    lm = {r.piece for r in by_loss.filter(F.length("piece") > 1).collect()}
+    assert cm == {"xy"}  # count rank keeps the frequent piece
+    assert lm == {"qz"}  # loss rank keeps the irreplaceable piece
+    singles = {r.piece for r in by_loss.filter(F.length("piece") == 1).collect()}
+    assert {"x", "y", "q", "z"} <= singles
+
+    import pytest
+
+    with pytest.raises(ValueError, match="prune_by"):
+        unigram_lm_train(docs, "text", prune_to=1, prune_by="entropy")

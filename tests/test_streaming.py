@@ -787,3 +787,228 @@ def test_stream_manifest_ingest_empty_shard_no_phantom_row(spark, tmp_path):
     got = {(r.url, r.line_no, r.value)
            for r in spark.read.parquet(target).collect()}
     assert got == {(str(good), 1, "l1")}  # no (empty, 0, NULL) phantom
+
+
+def test_near_dedup_certificate_detects_corrupted_epoch(spark, tmp_path):
+    """Falsifiability of the stream_near_dedup certificate: the
+    symmetric difference between streamed and batch survivor sets must
+    go NON-zero when an epoch directory is lost/corrupted — i.e. the
+    certificate computation really reads both real survivor sets and is
+    not a tautology that always reports 0. (The epoch callbacks are
+    plain functions; driving them directly exercises exactly the sink
+    layout the certificate reads, without stream lifecycle cost.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dedup import incremental_near_dedup
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_near_dedup,
+        read_stream_near_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    target = str(tmp_path / "surv")
+    kw = dict(threshold=0.6, max_bucket_size=None)
+    fn = foreach_batch_near_dedup(target, seen, "text", "doc_id", **kw)
+    slices = [new.filter(F.col("doc_id") % 3 == s) for s in range(3)]
+    for s, sl in enumerate(slices):
+        fn(sl, s)
+
+    def sym_diff() -> int:
+        streamed = read_stream_near_dedup(spark, target).select("doc_id")
+        batch = incremental_near_dedup(
+            new, seen, "text", "doc_id", **kw
+        ).select("doc_id")
+        return (
+            streamed.unionByName(batch)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") != 2)
+            .count()
+        )
+
+    assert sym_diff() == 0  # healthy sink: certificate passes
+    # corrupt: an epoch with survivors vanishes -> certificate must trip
+    lost = slices[1].count()
+    assert lost > 0
+    shutil.rmtree(str(tmp_path / "surv" / "epoch=1"))
+    spark.catalog.refreshByPath(target)
+    assert sym_diff() > 0
+
+
+def test_sketch_certificate_detects_missing_epoch(spark, tmp_path):
+    """Falsifiability of the streaming-CMS linearity certificate: drop
+    one epoch's sketch and the merged estimate must UNDER-count vs the
+    batch build — the equality check is real, not pinned."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import (
+        cms_build,
+        cms_estimate,
+    )
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_sketch,
+        read_stream_sketch,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id")
+        .limit(2000)
+        .localCheckpoint(eager=True)
+    )
+    target = str(tmp_path / "sk")
+    fn = foreach_batch_sketch(target, "user_id", width=256, depth=4)
+    halves = [
+        events.filter(F.col("user_id") % 2 == 0),
+        events.filter(F.col("user_id") % 2 == 1),
+    ]
+    for e, h in enumerate(halves):
+        fn(h, e)
+    keys = events.select("user_id").distinct().limit(20)
+
+    def total_estimate() -> int:
+        sk = read_stream_sketch(spark, target)
+        est = cms_estimate(sk, keys, "user_id", width=256, depth=4)
+        return est.agg(F.sum("est").alias("s")).first().s
+
+    batch_sk = cms_build(events, "user_id", width=256, depth=4)
+    batch_total = (
+        cms_estimate(batch_sk, keys, "user_id", width=256, depth=4)
+        .agg(F.sum("est").alias("s"))
+        .first()
+        .s
+    )
+    assert total_estimate() == batch_total  # linearity: merged == batch
+    shutil.rmtree(str(tmp_path / "sk" / "epoch=1"))
+    spark.catalog.refreshByPath(target)
+    assert total_estimate() < batch_total  # lost epoch -> undercount
+
+
+def test_drift_certificate_detects_missing_epoch(spark, tmp_path):
+    """Falsifiability of the streaming-PSI certificate: drop one
+    epoch's bucket counts and the streamed PSI must DIVERGE from the
+    batch PSI over the full data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.stats import psi
+    from orientdb_etl_spark.streaming.ops import (
+        drift_bounds,
+        foreach_batch_drift,
+        read_stream_drift,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "value")
+        .limit(4000)
+        .localCheckpoint(eager=True)
+    )
+    ref = events.filter(F.col("user_id") % 2 == 0)
+    cur = events.filter(F.col("user_id") % 2 == 1)
+    mn, mx = drift_bounds(ref, "value")
+    target = str(tmp_path / "drift")
+    fn = foreach_batch_drift(target, "value", mn, mx, bins=10)
+    parts = [cur.filter(F.col("user_id") % 4 == 1),
+             cur.filter(F.col("user_id") % 4 == 3)]
+    for e, p in enumerate(parts):
+        fn(p, e)
+
+    def streamed_psi() -> float:
+        out = read_stream_drift(spark, target, ref, "value", bins=10)
+        return out.agg(F.max("psi_total").alias("t")).first().t
+
+    batch_psi = (
+        psi(ref, cur, "value", bins=10)
+        .agg(F.max("psi_total").alias("t"))
+        .first()
+        .t
+    )
+    assert abs(streamed_psi() - batch_psi) < 1e-12  # healthy: equal
+    shutil.rmtree(str(tmp_path / "drift" / "epoch=1"))
+    spark.catalog.refreshByPath(target)
+    assert abs(streamed_psi() - batch_psi) > 1e-9  # lost epoch -> diverges
+
+
+def test_stream_ingest_crash_restart_with_resume_state(spark, tmp_path):
+    """Crash-consistency of streaming ingest composed with URL-level
+    resume state: a poisoned batch fails the query mid-run (checkpoint
+    not advanced); after the poison is fixed, a restart from the SAME
+    checkpoint + statePath completes WITHOUT re-fetching any URL a
+    committed batch already ingested — proven by DELETING those shard
+    files before the restart (a re-fetch would dead-letter or fail).
+    Also proves cross-manifest URL dedup: the final manifest re-lists a
+    batch-0 URL, whose source file is gone, yet the restart succeeds
+    because the state anti-join removes it before dispatch."""
+    import os
+
+    from orientdb_etl_spark.streaming.ops import start_manifest_ingest
+
+    shard_dir = tmp_path / "files"
+    shard_dir.mkdir()
+    shards = []
+    for i in range(6):
+        p = shard_dir / f"s{i}.txt"
+        p.write_text(f"s{i}-l1\ns{i}-l2\n")
+        shards.append(str(p))
+    poison = str(shard_dir / "poison.txt")  # does not exist yet
+    man = tmp_path / "man"
+    man.mkdir()
+    # batch order: file source processes oldest-first under
+    # maxFilesPerTrigger=1 — pin mtimes explicitly
+    m0 = man / "m0.txt"
+    m1 = man / "m1.txt"
+    m2 = man / "m2.txt"
+    m0.write_text(f"{shards[0]}\n{shards[1]}\n")
+    m1.write_text(f"{shards[2]}\n{shards[3]}\n")
+    m2.write_text(f"{shards[4]}\n{shards[5]}\n{poison}\n{shards[0]}\n")
+    for k, m in enumerate([m0, m1, m2]):
+        os.utime(m, (1000000 + k, 1000000 + k))
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    common = dict(
+        mode="lines", state_path=state, max_files_per_trigger=1,
+        fetch_kwargs={"retries": 0},
+    )
+    q = start_manifest_ingest(spark, str(man), target, ckpt, **common)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the poisoned batch fails the query — expected
+    assert q.exception() is not None
+    done_urls = {
+        r.url for r in spark.read.parquet(target).select("url").collect()
+    }
+    assert done_urls == set(shards[:4])  # batches 0 and 1 committed
+    # fix the poison; delete every committed shard file — the restart
+    # must not need them (checkpoint skips m0/m1; state skips shards[0]
+    # relisted by m2)
+    open(poison, "w").write("p-l1\n")
+    for s in shards[:4]:
+        os.remove(s)
+    q2 = start_manifest_ingest(spark, str(man), target, ckpt, **common)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    spark.catalog.refreshByPath(target)
+    final = spark.read.parquet(target)
+    got = {(r.url, r.line_no, r.value) for r in final.collect()}
+    expect = {(s, i, f"s{j}-l{i}") for j, s in enumerate(shards)
+              for i in (1, 2)}
+    expect |= {(poison, 1, "p-l1")}
+    assert got == expect  # nothing lost, nothing duplicated
+    # every URL exactly once per (url, line_no) key
+    dup = (
+        final.groupBy("url", "line_no").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    # state recorded all 7 distinct URLs exactly once each
+    state_urls = [r.url for r in spark.read.parquet(state).collect()]
+    assert sorted(state_urls) == sorted(set(shards) | {poison})

@@ -70,6 +70,25 @@ def main() -> None:
             }
         )
         n_windows += 1
+    # generated host telemetry summary — bench narratives must cite THIS,
+    # never hand-typed numbers (a round-7 paragraph misquoted the
+    # round-6 per-window steal because it was typed from memory)
+    def _summ(key: str) -> dict:
+        vals = sorted(h[key] for h in hosts if h.get(key) is not None)
+        if not vals:
+            return {"median": None, "max": None, "n": 0}
+        mid = len(vals) // 2
+        med = (
+            vals[mid]
+            if len(vals) % 2
+            else (vals[mid - 1] + vals[mid]) / 2.0
+        )
+        return {
+            "median": round(med, 4),
+            "max": round(vals[-1], 4),
+            "n": len(vals),
+        }
+
     merged = {
         "metric": "headline_total",
         "value": round(sum(queries.values()), 3),
@@ -85,6 +104,10 @@ def main() -> None:
         "samples": samples,
         "quality": quality,
         "windows_host": hosts,
+        "host_summary": {
+            "cpu_steal_frac": _summ("cpu_steal_frac"),
+            "cpu_busy_frac": _summ("cpu_busy_frac"),
+        },
     }
     with open(out_path, "w") as f:
         f.write(json.dumps(merged))

@@ -499,6 +499,79 @@ def main() -> None:
             r["url"].rsplit("/", 1)[-1] for r in r3.select("url").collect()
         )
         out["t_manifest_resume"] = round(time.time() - t0, 2)
+
+        # --- streaming ingest × resume state: crash + restart ---------
+        # Round-8 crash-consistency contract: a checkpointed streaming
+        # ingest with statePath is killed mid-run by a poisoned batch;
+        # the restart from the SAME checkpoint must complete without
+        # re-fetching any URL a committed batch ingested — proven by
+        # DELETING those shard files before the restart. Also proves
+        # cross-manifest URL dedup (the last manifest re-lists an
+        # already-ingested URL whose file is gone).
+        import os
+
+        from orientdb_etl_spark.streaming.ops import start_manifest_ingest
+
+        t0 = time.time()
+        sdir = f"{stage}/stream"
+        os.makedirs(f"{sdir}/man")
+        n_per, n_man = 8, 4
+        all_shards: list[str] = []
+        for m in range(n_man):
+            batch = shard_urls[m * n_per : (m + 1) * n_per]
+            all_shards.extend(batch)
+            lines = list(batch)
+            if m == n_man - 1:
+                lines.append(f"{stage}/missing_shard.txt.gz")  # poison
+                lines.append(shard_urls[0])  # relisted, file deleted later
+            with open(f"{sdir}/man/m{m}.txt", "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.utime(f"{sdir}/man/m{m}.txt", (1000000 + m, 1000000 + m))
+        kw = dict(
+            mode="lines",
+            state_path=f"{sdir}/state",
+            max_files_per_trigger=1,
+            fetch_kwargs={"retries": 0},
+        )
+        q = start_manifest_ingest(
+            spark, f"{sdir}/man", f"{sdir}/target", f"{sdir}/ckpt", **kw
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass
+        out["stream_resume_crashed"] = q.exception() is not None
+        committed = {
+            r["url"]
+            for r in spark.read.parquet(f"{sdir}/target")
+            .select("url")
+            .distinct()
+            .collect()
+        }
+        out["stream_resume_committed_shards"] = len(committed)
+        # fix the poison, delete every committed shard file, restart
+        with gzip.open(
+            f"{stage}/missing_shard.txt.gz", "wt", encoding="utf-8"
+        ) as f:
+            f.write("late line\n")
+        for u in committed:
+            os.remove(u)
+        q2 = start_manifest_ingest(
+            spark, f"{sdir}/man", f"{sdir}/target", f"{sdir}/ckpt", **kw
+        )
+        q2.awaitTermination(300)
+        out["stream_resume_restart_clean"] = q2.exception() is None
+        spark.catalog.refreshByPath(f"{sdir}/target")
+        tgt = spark.read.parquet(f"{sdir}/target")
+        out["stream_resume_final_urls"] = tgt.select("url").distinct().count()
+        out["stream_resume_expected_urls"] = len(set(all_shards)) + 1
+        out["stream_resume_dup_keys"] = (
+            tgt.groupBy("url", "line_no").count().filter("count > 1").count()
+        )
+        out["stream_resume_state_urls"] = (
+            spark.read.parquet(f"{sdir}/state").distinct().count()
+        )
+        out["t_stream_resume"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
