@@ -3482,6 +3482,38 @@ def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. NeurIPS'23,
+    functions/dsir.py): target = the src0 slice, raw = everything else;
+    unigram+bigram features hashed into 512 buckets with the portable
+    base-31 polynomial, per-bucket log importance ratios pinned to
+    integer micro-nats so the per-document sums are order-free integer
+    arithmetic in both engines. Two corpus scans, one broadcast of the
+    512-row ratio table, no other joins."""
+    from orientdb_etl_spark.functions.dsir import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir_logweights(raw, target, buckets=512, n_max=2)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling ∝ exp(logw) with the
+    Gumbel variates derived from the id hash (deterministic, replayed
+    by the oracle), keys rounded to 6 dp with id tiebreak. Plan is
+    TakeOrderedAndProject over the scored corpus — per-partition k-heap,
+    never a global sort."""
+    from orientdb_etl_spark.functions.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir_resample(raw, target, k=50, buckets=512, n_max=2).select(
+        "doc_id", "source", "n_feats", "logw", "key"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement, k=40
     weighted by document length — deterministic (hash-derived uniform),
@@ -6367,9 +6399,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stream_dedup_users→stream_near_dedup [streaming near-dedup
     certificate], line_dedup→unigram_lm [tokenizer induction]); the
     displaced three stay hash-checked in queries_all with their
-    families' remaining driver rows noted inline below. The full
-    fine-grained surface (every pre-consolidation query) remains in
-    :func:`queries_all`, which the local gate
+    families' remaining driver rows noted inline below. Round 8 rotates
+    four more same-family near-duplicates onto families that had never
+    carried a driver row (edge_create_placeholders→hits_trade [graph
+    link analysis], q12_shipmode_priority→domain_cap [web curation],
+    http_source→span_corrupt [training objectives],
+    scalar_subquery_avg→conformal [ML evaluation]); edge CREATE
+    placeholders stay driver-exercised via edges_graph, TPC-H via
+    q1/q3, single-URL HTTP staging via http_manifest (strictly more
+    surface), and decorrelated scalar subqueries via command_transform.
+    The full fine-grained surface (every pre-consolidation query)
+    remains in :func:`queries_all`, which the local gate
     (tools/check_correctness.py), tests, and bench.py run.
     """
     return {
@@ -6391,14 +6431,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "vertex_labels": q_vertex_labels,
         "edges_graph": q_edges_graph,
-        "edge_create_placeholders": q_edge_create_placeholders,
+        # round 8: edge-CREATE-placeholders' slot carries HITS link
+        # analysis (hubs/authorities to fixed point — the graph
+        # link-analysis family's first driver row); placeholder creation
+        # stays driver-exercised via edges_graph and queries_all
+        "hits_trade": q_hits,
         # round 6: subetl_linenumbers' slot carries the ER pipeline's
         # component-resolution stage (Fellegi-Sunter match -> survivor
         # entities); sub-ETL stays driver-covered by subetl_items_agg
         "resolve_entities": q_resolve_entities,
         "subetl_items_agg": q_subetl_items_agg,
         "file_gz_source": q_file_gz_source,
-        "http_source": q_http_source,
+        # round 8: http_source's slot carries T5-style span corruption
+        # (the training-objectives family's first driver row); single-URL
+        # HTTP staging stays driver-covered by http_manifest (strictly
+        # more surface) and hash-checked in queries_all
+        "span_corrupt": q_span_corrupt,
         # round 5: stdin_source's slot carries the manifest-scale
         # distributed ingestion row (executor-side partitioned fetch);
         # stdin stays hash-checked in queries_all
@@ -6410,7 +6458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "asof_join_events": q_asof_join_events,
-        "q12_shipmode_priority": q12_shipmode_priority,
+        # round 8: q12's slot carries the per-domain crawl cap (the web-
+        # curation family's first driver row); TPC-H join/case shapes
+        # stay driver-covered by q1/q3 and hash-checked in queries_all
+        "domain_cap": q_domain_cap,
         "salted_join": q_salted_join,
         "window_rank_dense": q_window_rank_dense,
         "cube_sales": q_cube_sales,
@@ -6420,7 +6471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
-        "scalar_subquery_avg": q_scalar_subquery_avg,
+        # round 8: scalar_subquery_avg's slot carries split-conformal
+        # intervals (the ML-evaluation family's first driver row);
+        # decorrelated scalar subqueries stay driver-covered by
+        # command_transform and hash-checked in queries_all
+        "conformal": q_conformal,
         # streaming (availableNow batch-parity)
         "stream_events_hourly": q_stream_events_hourly,
         # round 5: stream_sliding_2h's slot carries SemDeDup semantic
@@ -6613,9 +6668,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "snapshot_diff": q_snapshot_diff,
             "approx_quantile": q_approx_quantile,
             "normalize_text": q_normalize_text,
-            # round 5: URL curation family (crawl-mix control)
+            # round 5: URL curation family (crawl-mix control;
+            # domain_cap is a driver row since round 8)
             "url_normalize": q_url_normalize,
-            "domain_cap": q_domain_cap,
             # round 5: single-pass data-quality expectations gate
             "expectations": q_expectations,
             # round 5: RRF hybrid retrieval (BM25 + cosine)
@@ -6822,25 +6877,35 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phonetic_blocks": q_phonetic_blocks,
             "local_cc": q_local_cc,
             "grid_clusters": q_grid_clusters,
-            # round 5 (breadth wave 2): objective construction, tokenizer
-            # fit, observational causal estimate, semantic decontamination
-            "span_corrupt": q_span_corrupt,
+            # round 5 (breadth wave 2): objective construction (driver row
+            # since round 8), tokenizer fit, observational causal
+            # estimate, semantic decontamination
             "vocab_coverage": q_vocab_coverage,
             "diff_in_diff": q_diff_in_diff,
             "semantic_decontam": q_semantic_decontam,
             # round 5 (breadth wave 3): exact-replayable distinct sketch,
             # hubs/authorities, vocabulary-growth law
             "kmv_distinct": q_kmv,
-            "hits_trade": q_hits,
             "heaps_fit": q_heaps,
             # round 5 (breadth wave 4): release-audit EMD, hashing trick
             "feature_hash": q_feature_hash,
             # round 5 (breadth wave 5): subclassification ATE, Croston
             "stratified_ate": q_stratified_ate,
             "croston": q_croston,
-            # round 5 (breadth wave 6): proper scoring, conformal intervals
+            # round 5 (breadth wave 6): proper scoring (conformal is a
+            # driver row since round 8)
             "prob_scores": q_prob_scores,
-            "conformal": q_conformal,
+            # round 8: displaced by the rotation onto link-analysis /
+            # web-curation / objectives / mleval families — all four
+            # stay hash-checked here
+            "edge_create_placeholders": q_edge_create_placeholders,
+            "q12_shipmode_priority": q12_shipmode_priority,
+            "http_source": q_http_source,
+            "scalar_subquery_avg": q_scalar_subquery_avg,
+            # round 8: DSIR importance resampling (hashed-n-gram
+            # importance ratios toward a target slice + Gumbel-top-k)
+            "dsir_weights": q_dsir_weights,
+            "dsir_select": q_dsir_select,
         }
     )
     return out
@@ -11325,6 +11390,61 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN m > 1 THEN nm / (CAST(nn AS DOUBLE) "
         "* CAST(n AS DOUBLE) * CAST(m - 1 AS DOUBLE)) ELSE 0.0 END > 0.05 "
         "AS t_violation FROM num"
+    )
+    _dsir_base = (
+        # DSIR oracle: identical tokenizer dialect, unigram+bigram
+        # features, the portable base-31 bucket hash (feature_hash's
+        # list_reduce replay), Laplace ratios pinned to integer
+        # micro-nats, per-doc integer sums (order-free in both engines)
+        "WITH raw AS (SELECT doc_id, source, text FROM documents "
+        "WHERE source <> 'src0'), "
+        "tgt AS (SELECT doc_id, text FROM documents "
+        "WHERE source = 'src0'), "
+        "tkr AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(coalesce(text, ''))), '\s+'), t -> t <> '') "
+        "AS toks FROM raw), "
+        "tkt AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(coalesce(text, ''))), '\s+'), t -> t <> '') "
+        "AS toks FROM tgt), "
+        "fr AS (SELECT doc_id, unnest(flatten([toks, "
+        "[toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]])) "
+        "AS f FROM tkr), "
+        "ft AS (SELECT doc_id, unnest(flatten([toks, "
+        "[toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]])) "
+        "AS f FROM tkt), "
+        "hr AS MATERIALIZED (SELECT doc_id, CAST(list_reduce(list_prepend("
+        "CAST(11 AS BIGINT), list_transform(range(1, length(f) + 1), "
+        "i -> CAST(ascii(f[CAST(i AS INT)]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 4294967291) % 512 AS INT) AS b FROM fr), "
+        "ht AS (SELECT doc_id, CAST(list_reduce(list_prepend("
+        "CAST(11 AS BIGINT), list_transform(range(1, length(f) + 1), "
+        "i -> CAST(ascii(f[CAST(i AS INT)]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 4294967291) % 512 AS INT) AS b FROM ft), "
+        "cr AS MATERIALIZED (SELECT b, count(*) AS cnt FROM hr GROUP BY 1), "
+        "ct AS MATERIALIZED (SELECT b, count(*) AS cnt FROM ht GROUP BY 1), "
+        "nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ct), "
+        "nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cr), "
+        "ratios AS MATERIALIZED (SELECT g.b, "
+        "CAST(round((ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) / "
+        "(nt.n + 512)) - ln(CAST(coalesce(cr.cnt, 0) + 1 AS DOUBLE) / "
+        "(nr.n + 512))) * 1000000) AS BIGINT) AS lr "
+        "FROM (SELECT unnest(range(0, 512)) AS b) g "
+        "LEFT JOIN ct ON g.b = ct.b LEFT JOIN cr ON g.b = cr.b "
+        "CROSS JOIN nt CROSS JOIN nr), "
+        "lw AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+        "CAST(sum(r.lr) AS DOUBLE) / 1000000.0 AS logw "
+        "FROM hr h JOIN ratios r ON h.b = r.b GROUP BY 1) "
+    )
+    sql["dsir_weights"] = (
+        _dsir_base + "SELECT doc_id, n_feats, logw FROM lw"
+    )
+    sql["dsir_select"] = (
+        _dsir_base
+        + "SELECT r.doc_id, r.source, lw.n_feats, lw.logw, "
+        "round(lw.logw + (-ln(-ln((((r.doc_id + 42) % 1000003) "
+        "* 2654435761 % 1000003 + 0.5) / 1000003.0))), 6) AS key "
+        "FROM raw r JOIN lw ON r.doc_id = lw.doc_id "
+        "ORDER BY key DESC, r.doc_id LIMIT 50"
     )
     sql["feature_hash"] = (
         # the portable base-31 per-step-mod hash, index = h % dims,

@@ -132,6 +132,10 @@ HEADLINE = [
     "unigram_lm_loss",
     # round-8 tokenizer application path (segment corpus w/ trained vocab)
     "unigram_segment",
+    # round-8 DSIR importance resampling (hashed-n-gram ratio scoring +
+    # Gumbel-top-k selection)
+    "dsir_weights",
+    "dsir_select",
     # round-7 streaming near-dedup batch-equality certificate (real
     # availableNow stream + batch replay — the most expensive new row)
     "stream_near_dedup",
@@ -411,6 +415,16 @@ CORE = [
     "label_prop",
     "triangle_count",
 ]
+
+
+def full_headline(queries: dict) -> list:
+    """The FULL-profile capture list: the curated HEADLINE order first
+    (the most expensive audited plans last), then every remaining
+    registry query appended in name order — so the full set can never
+    silently go stale when a query lands after the curated list was
+    last touched (no-silent-caps: the full artifact's excluded_queries
+    is [] by construction, pinned by test)."""
+    return HEADLINE + sorted(n for n in queries if n not in set(HEADLINE))
 
 
 def _prod_dedup_minhash_survivors(spark, sf_dir):
@@ -785,12 +799,15 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
     full = os.environ.get("SPARK_GRAFT_BENCH_FULL", "").strip() == "1"
     if only:
-        headline = [
-            n for n in HEADLINE if n in {s.strip() for s in only.split(",")}
-        ]
+        sel = {s.strip() for s in only.split(",")}
+        # partial windows may name ANY registry query, not just curated
+        # HEADLINE entries (new rows need capture windows too)
+        headline = [n for n in HEADLINE if n in sel] + sorted(
+            n for n in queries if n in sel and n not in set(HEADLINE)
+        )
         profile = "only"
     elif full:
-        headline, profile = HEADLINE, "full"
+        headline, profile = full_headline(queries), "full"
     else:
         headline, profile = CORE, "core"
     host_start = _host_snapshot()
@@ -870,6 +887,13 @@ def main() -> None:
         "sample_quality": sample_quality,
         "host": _host_window(host_start, _host_snapshot()),
         "load_1m_at_sample": load_at_sample,
+        # no-silent-caps: every registry query NOT timed in this window,
+        # by name — [] under the full profile (pinned by test), the
+        # deliberate complement under core/only profiles
+        "n_registry": len(queries),
+        "excluded_queries": sorted(
+            n for n in queries if n not in set(headline)
+        ),
     }
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",

@@ -699,6 +699,45 @@ def bpe_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame
     raise ValueError(f"unknown bpe mode {mode!r}")
 
 
+@register("dsirSelect")
+def dsir_select_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"dsirSelect": {"targetTable": "wiki", "k": 1000, "textField":
+    "text", "idField": "doc_id", "buckets": 4096, "ngram": 2,
+    "weightsOnly": false}} — DSIR data selection (Xie et al. NeurIPS'23,
+    functions/dsir.py): score the incoming RAW frame's documents by
+    hashed-n-gram importance toward the registered target corpus, then
+    Gumbel-top-k resample ∝ exp(logw). ``weightsOnly: true`` skips the
+    selection and emits the (id, n_feats, logw) score table instead."""
+    from orientdb_etl_spark.functions.dsir import (
+        dsir_logweights,
+        dsir_resample,
+    )
+
+    tname = cfg["targetTable"]
+    if tname not in ctx.tables:
+        raise ValueError(
+            f"dsirSelect: targetTable {tname!r} is not registered"
+        )
+    kw = dict(
+        text_col=cfg.get("textField", "text"),
+        id_col=cfg.get("idField", "doc_id"),
+        buckets=int(cfg.get("buckets", 4096)),
+        seed=int(cfg.get("seed", 11)),
+        n_max=int(cfg.get("ngram", 2)),
+    )
+    if cfg.get("weightsOnly"):
+        return dsir_logweights(df, ctx.tables[tname], **kw)
+    return dsir_resample(
+        df,
+        ctx.tables[tname],
+        k=int(cfg["k"]),
+        gumbel_seed=int(cfg.get("gumbelSeed", 42)),
+        **kw,
+    )
+
+
 @register("unigramLm")
 def unigram_lm_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

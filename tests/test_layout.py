@@ -233,3 +233,26 @@ def test_bench_core_profile_contract():
         }
     )
     assert len(line) < 3000, len(line)
+
+
+def test_bench_full_profile_covers_whole_registry():
+    """No-silent-caps for the bench set: the FULL profile must time
+    EVERY registry query — full_headline() is the curated order plus
+    every remaining registry name, with no duplicates and no dangling
+    curated names, so the committed full artifact's excluded_queries is
+    [] by construction even when queries land after the curated list
+    was last touched."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    import __spark_entry__ as entry
+
+    q = dict(entry.queries_all())
+    q.update(bench.PROD_OVERRIDES)
+    fh = bench.full_headline(q)
+    assert set(fh) == set(q)  # covers the registry exactly
+    assert len(fh) == len(set(fh))  # no duplicates
+    # every curated HEADLINE name still resolves (no dangling entries)
+    assert [n for n in bench.HEADLINE if n not in q] == []

@@ -277,3 +277,24 @@ def test_planaudit_cluster_artifact_matches_local_shapes():
     assert cset == lset, (
         f"cluster-only={sorted(cset - lset)} local-only={sorted(lset - cset)}"
     )
+
+
+def test_planaudit_artifacts_cover_current_registry():
+    """The committed plan-audit artifacts must be in sync with the
+    CURRENT registry: n_queries == len(queries_all()) in BOTH profiles.
+    Round 7 shipped audits one query stale (unigram_lm_pruned landed
+    after the sweep and nothing noticed); this pin makes a query that
+    lands after the sweep a test failure, not a silent gap."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    n = len(entry.queries_all())
+    root = Path(__file__).resolve().parent.parent
+    for name in ("PLANAUDIT.json", "PLANAUDIT_cluster.json"):
+        art = json.loads((root / name).read_text())
+        assert art["n_queries"] == n, (
+            f"{name} audited {art['n_queries']} queries but the registry "
+            f"has {n} — re-run tools/plan_audit_sweep.py for both profiles"
+        )

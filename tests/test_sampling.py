@@ -415,3 +415,114 @@ def test_neyman_allocation_hand_computed(spark):
 
     with _pt.raises(ValueError, match="total_n"):
         neyman_allocation(df, "k", "v", 0)
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """DSIR log-weights must rank raw documents that share the target's
+    n-gram profile above off-distribution ones; empty docs emit no row;
+    the weight is a pure function of (corpora, seeds) — re-run equal."""
+    from orientdb_etl_spark.functions.dsir import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark sql window join") for i in range(4)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark sql window group"),
+            (2, "cat dog mouse bird"),
+            (3, "spark sql join plan"),
+            (4, None),
+            (5, "   "),
+        ],
+        "doc_id int, text string",
+    )
+    lw = dsir_logweights(raw, target, buckets=64, n_max=2)
+    rows = {r.doc_id: (r.n_feats, r.logw) for r in lw.collect()}
+    assert set(rows) == {1, 2, 3}  # NULL/blank docs carry no evidence
+    assert rows[1][1] > rows[2][1]  # target-like beats off-distribution
+    assert rows[3][1] > rows[2][1]
+    # unigrams + bigrams of a 4-token doc = 4 + 3
+    assert rows[1][0] == 7
+    again = {r.doc_id: (r.n_feats, r.logw)
+             for r in dsir_logweights(raw, target, buckets=64, n_max=2).collect()}
+    assert again == rows
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    """Gumbel-top-k selection: k rows, keys are (logw + gumbel) rounded
+    to 6 dp, the selection replays identically, and raising a doc's
+    importance can only help its inclusion (monotonicity probed on a
+    corpus where one doc dominates)."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.dsir import dsir_resample
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta")],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") if i % 3 == 0 else (i, f"junk{i} filler noise")
+         for i in range(30)],
+        "doc_id int, text string",
+    )
+    out = dsir_resample(raw, target, k=8, buckets=128, n_max=2)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert {"doc_id", "text", "n_feats", "logw", "key"} <= set(out.columns)
+    picked = {r.doc_id for r in rows}
+    # the on-distribution docs dominate the selection
+    on_dist = {i for i in range(30) if i % 3 == 0}
+    assert len(picked & on_dist) >= 6
+    again = {r.doc_id for r in dsir_resample(raw, target, k=8, buckets=128, n_max=2).collect()}
+    assert again == picked
+
+
+def test_dsir_config_transformer(spark):
+    """dsirSelect through the config surface: targetTable resolves from
+    the registered-table namespace; weightsOnly emits the score table;
+    a missing target raises."""
+    import pytest
+
+    from orientdb_etl_spark import Pipeline
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id int, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x y z"), (3, "alpha x beta")],
+        "doc_id int, text string",
+    )
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "raw"}},
+            "transformers": [{"dsirSelect": {
+                "targetTable": "tgt", "k": 2, "buckets": 64}}],
+            "loader": {"memory": {"view": "sel"}},
+        },
+        spark=spark,
+    ).register_table("raw", raw).register_table("tgt", target)
+    out = p.run().outputs["sel"]
+    assert out.count() == 2
+    assert {"doc_id", "logw", "key"} <= set(out.columns)
+    p2 = Pipeline(
+        {
+            "extractor": {"table": {"name": "raw"}},
+            "transformers": [{"dsirSelect": {
+                "targetTable": "tgt", "weightsOnly": True, "buckets": 64}}],
+            "loader": {"memory": {"view": "w"}},
+        },
+        spark=spark,
+    ).register_table("raw", raw).register_table("tgt", target)
+    w = p2.run().outputs["w"]
+    assert set(w.columns) == {"doc_id", "n_feats", "logw"}
+    with pytest.raises(ValueError, match="targetTable"):
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "raw"}},
+                "transformers": [{"dsirSelect": {"targetTable": "nope", "k": 1}}],
+                "loader": {"memory": {}},
+            },
+            spark=spark,
+        ).register_table("raw", raw).run()
