@@ -3514,6 +3514,75 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring (Wenzek et al. LREC'20,
+    functions/ngram_lm.py): interpolated Kneser-Ney bigram LM trained on
+    the src0 reference slice, every other document scored by perplexity.
+    Pair log-probs pinned to integer micro-nats so the per-document sums
+    are order-free integer arithmetic in both engines; model tables are
+    bigram-type-sized and broadcast/token-keyed."""
+    from orientdb_etl_spark.functions.ngram_lm import kn_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    crawl = docs.filter(F.col("source") != "src0")
+    return kn_perplexity(crawl, ref)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: cutoffs = exact interpolated 1/3
+    and 2/3 perplexity percentiles (one aggregate, distinct-value-sized
+    buffer, 1-row broadcast back — no global rank window), buckets by
+    per-row CASE; production applies pre-derived cutoffs the same way
+    (functions/ngram_lm.py::perplexity_buckets)."""
+    from orientdb_etl_spark.functions.ngram_lm import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    crawl = docs.filter(F.col("source") != "src0")
+    return perplexity_buckets(crawl, ref)
+
+
+def q_quality_clf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (Joulin et al. EACL'17; the
+    GPT-3/LLaMA web filter shape, functions/quality_clf.py): hashed
+    unigram+bigram logistic regression, positive = lang='en', trained on
+    the even-doc_id half by 3 full-batch GD iterations. Weights live as
+    integer nano-units and gradients are integer-pinned per document, so
+    the whole trajectory replays bit-for-bit in the SQL oracle. Returns
+    the final 257-row weight table (bias = slot 256)."""
+    from orientdb_etl_spark.functions.quality_clf import (
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return train_quality_classifier(
+        labeled, buckets=256, iters=3, lr=2.0
+    ).filter(F.col("w_nano") != 0)
+
+
+def q_quality_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained quality classifier to the held-out odd-doc_id
+    half: (doc_id, n_feats, prob, keep) with prob = σ(margin) rounded to
+    6 dp. Scoring is one broadcast join of the 257-row weight table +
+    one aggregation."""
+    from orientdb_etl_spark.functions.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    w = train_quality_classifier(train, buckets=256, iters=3, lr=2.0)
+    return score_quality(held, w, buckets=256)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement, k=40
     weighted by document length — deterministic (hash-derived uniform),
@@ -6408,6 +6477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     placeholders stay driver-exercised via edges_graph, TPC-H via
     q1/q3, single-URL HTTP staging via http_manifest (strictly more
     surface), and decorrelated scalar subqueries via command_transform.
+    Round 8's second wave promotes the round's new trained-model
+    operators (dedup_exact→kn_perplexity [CCNet Kneser-Ney perplexity
+    filter — the model-based-quality family's first driver row],
+    ann_brute_topk→quality_clf_score [fastText-style hashed-LR
+    classifier]); exact dedup stays driver-covered by dedup_minhash and
+    brute-force top-k by ann_ivf_topk, both hash-checked in queries_all.
     The full fine-grained surface (every pre-consolidation query)
     remains in :func:`queries_all`, which the local gate
     (tools/check_correctness.py), tests, and bench.py run.
@@ -6500,7 +6575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # style expectations gate; sampling stays driver-covered by
         # sample_shuffle_split
         "expectations": q_expectations,
-        "dedup_exact": q_dedup_exact,
+        # round 8 (second wave): exact dedup's slot carries the CCNet
+        # Kneser-Ney perplexity filter (the model-based-quality family's
+        # first driver row — the heuristic rows text_quality/
+        # expectations never exercise a trained LM); exact dedup stays
+        # driver-covered by the dedup family's minhash row and
+        # hash-checked in queries_all
+        "kn_perplexity": q_kn_perplexity,
         # round 6: ngram_jaccard's slot carries exact weighted
         # percentiles (type-1 weighted quantile via exclusive_prefix);
         # n-gram similarity stays driver-covered by the minhash family
@@ -6515,7 +6596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Morton interleave for multi-dimension data skipping);
         # embedding dedup stays driver-covered by semantic_dedup
         "zorder_key": q_zorder_key,
-        "ann_brute_topk": q_ann_brute_topk,
+        # round 8 (second wave): brute-force ANN's slot carries the
+        # fastText-style quality-classifier scoring row (training + the
+        # held-out broadcast-scoring join — the trained-classifier
+        # family's first driver row); brute-force top-k stays
+        # driver-covered by ann_ivf_topk (strictly more machinery: the
+        # same exact-cosine kernel under a coarse quantizer) and
+        # hash-checked in queries_all
+        "quality_clf_score": q_quality_clf_score,
         # round 6: ann_lsh_topk's slot carries RRF hybrid retrieval
         # (BM25 + dense fusion); LSH ANN stays driver-covered by
         # ann_pairwise_topk (LSH-bucketed) and the local gate
@@ -6906,6 +6994,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # importance ratios toward a target slice + Gumbel-top-k)
             "dsir_weights": q_dsir_weights,
             "dsir_select": q_dsir_select,
+            # round 8 (second wave): the CCNet bucket split and the
+            # classifier's weight-table row (kn_perplexity and
+            # quality_clf_score carry the families' driver slots);
+            # plus the two rows displaced by that rotation
+            "ccnet_buckets": q_ccnet_buckets,
+            "quality_clf_train": q_quality_clf_train,
+            "dedup_exact": q_dedup_exact,
+            "ann_brute_topk": q_ann_brute_topk,
         }
     )
     return out
@@ -11445,6 +11541,161 @@ def oracle_sql() -> dict[str, str]:
         "* 2654435761 % 1000003 + 0.5) / 1000003.0))), 6) AS key "
         "FROM raw r JOIN lw ON r.doc_id = lw.doc_id "
         "ORDER BY key DESC, r.doc_id LIMIT 50"
+    )
+    _kn_base = (
+        # CCNet/Kneser-Ney oracle (functions/ngram_lm.py): identical
+        # tokenizer dialect, bigrams as "v w" strings split back on the
+        # single space (tokens cannot contain spaces), the three count
+        # tables, and per-pair log-probs pinned to integer micro-nats so
+        # per-doc sums are order-free in both engines. D = 0.75.
+        "WITH tr AS (SELECT doc_id, text FROM documents "
+        "WHERE source = 'src0'), "
+        "cr AS (SELECT doc_id, text FROM documents "
+        "WHERE source <> 'src0'), "
+        "tkt AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(coalesce(text, ''))), '\s+'), t -> t <> '') "
+        "AS toks FROM tr), "
+        "tkc AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(coalesce(text, ''))), '\s+'), t -> t <> '') "
+        "AS toks FROM cr), "
+        "bgt AS (SELECT split_part(bg, ' ', 1) AS v, "
+        "split_part(bg, ' ', 2) AS w FROM (SELECT unnest("
+        "[toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]"
+        ") AS bg FROM tkt)), "
+        "bgc AS (SELECT doc_id, split_part(bg, ' ', 1) AS v, "
+        "split_part(bg, ' ', 2) AS w FROM (SELECT doc_id, unnest("
+        "[toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]"
+        ") AS bg FROM tkc)), "
+        "pb AS MATERIALIZED (SELECT v, w, count(*) AS cb FROM bgt "
+        "GROUP BY 1, 2), "
+        "cx AS MATERIALIZED (SELECT v, sum(cb) AS cctx, "
+        "count(*) AS n1p FROM pb GROUP BY 1), "
+        "cn AS MATERIALIZED (SELECT w, count(*) AS ccont FROM pb "
+        "GROUP BY 1), "
+        "tt AS (SELECT (SELECT count(*) FROM pb) AS n1pp, "
+        "(SELECT count(DISTINCT tok) FROM (SELECT v AS tok FROM pb "
+        "UNION ALL SELECT w AS tok FROM pb)) AS vsize), "
+        "occ AS (SELECT doc_id, v, w, count(*) AS k FROM bgc "
+        "GROUP BY 1, 2, 3), "
+        "sc AS (SELECT o.doc_id, o.k, CAST(round((CASE "
+        "WHEN cx.cctx IS NULL THEN ln("
+        "CAST(coalesce(cn.ccont, 0) + 1 AS DOUBLE) / "
+        "(tt.n1pp + tt.vsize + 1)) "
+        "ELSE ln((greatest(CAST(coalesce(pb.cb, 0) AS DOUBLE) - 0.75, "
+        "0.0) + 0.75 * cx.n1p * ("
+        "CAST(coalesce(cn.ccont, 0) + 1 AS DOUBLE) / "
+        "(tt.n1pp + tt.vsize + 1))) / cx.cctx) END) * 1000000) "
+        "AS BIGINT) AS lpm "
+        "FROM occ o LEFT JOIN pb ON o.v = pb.v AND o.w = pb.w "
+        "LEFT JOIN cx ON o.v = cx.v LEFT JOIN cn ON o.w = cn.w "
+        "CROSS JOIN tt), "
+        "ppl AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, "
+        "round(CAST(sum(k * lpm) AS DOUBLE) / sum(k), 6) "
+        "AS mean_lp_micro, "
+        "round(exp(-CAST(sum(k * lpm) AS DOUBLE) / (sum(k) * 1000000)), "
+        "4) AS ppl FROM sc GROUP BY 1) "
+    )
+    sql["kn_perplexity"] = (
+        _kn_base
+        + "SELECT doc_id, n_bigrams, mean_lp_micro, ppl FROM ppl"
+    )
+    sql["ccnet_buckets"] = (
+        _kn_base
+        + "SELECT doc_id, n_bigrams, ppl, "
+        "CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' "
+        "ELSE 'tail' END AS bucket FROM ppl CROSS JOIN ("
+        "SELECT quantile_cont(ppl, 0.3333333333333333) AS c1, "
+        "quantile_cont(ppl, 0.6666666666666666) AS c2 FROM ppl)"
+    )
+
+    def _quality_clf_ctes(
+        buckets: int = 256, iters: int = 3, lr: float = 2.0
+    ) -> str:
+        # fastText-style hashed-LR oracle (functions/quality_clf.py):
+        # dsir's portable bucket hash over unigrams+bigrams, bias slot
+        # b = buckets with k = n, weights as integer nano-units, each
+        # full-batch GD iteration unrolled as margin/gradient/update
+        # CTEs — every cross-doc and cross-feature sum is an INTEGER
+        # sum, so the trajectory replays bit-for-bit (w0 = 0 means
+        # iteration 1 sees p = 0.5 exactly, no RNG anywhere).
+        s = (
+            "WITH lab AS (SELECT doc_id, text, "
+            "CAST(lang = 'en' AS INT) AS y FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "tk AS (SELECT doc_id, y, list_filter("
+            r"regexp_split_to_array(trim(lower(coalesce(text, ''))), "
+            r"'\s+'), t -> t <> '') AS toks FROM lab), "
+            "fx AS (SELECT doc_id, y, unnest(flatten([toks, "
+            "[toks[i] || ' ' || toks[i + 1] FOR i IN "
+            "range(1, len(toks))]])) AS f FROM tk), "
+            "hx AS (SELECT doc_id, y, CAST(list_reduce(list_prepend("
+            "CAST(11 AS BIGINT), list_transform(range(1, length(f) + 1), "
+            "i -> CAST(ascii(f[CAST(i AS INT)]) AS BIGINT))), "
+            f"(a, c) -> (a * 31 + c) % 4294967291) % {buckets} AS INT) "
+            "AS b FROM fx), "
+            "kb AS (SELECT doc_id, y, b, count(*) AS k FROM hx "
+            "GROUP BY 1, 2, 3), "
+            "nn AS (SELECT doc_id, sum(k) AS n FROM kb GROUP BY 1), "
+            "fb AS MATERIALIZED (SELECT kb.doc_id, y, b, k, n "
+            "FROM kb JOIN nn ON kb.doc_id = nn.doc_id "
+            "UNION ALL SELECT kb.doc_id, any_value(y), "
+            f"{buckets} AS b, any_value(n), any_value(n) "
+            "FROM kb JOIN nn ON kb.doc_id = nn.doc_id "
+            "GROUP BY kb.doc_id), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM fb), "
+            f"w0 AS (SELECT unnest(range(0, {buckets + 1})) AS b, "
+            "CAST(0 AS BIGINT) AS w_nano), "
+        )
+        for t in range(1, iters + 1):
+            s += (
+                f"m{t} AS (SELECT doc_id, y, n, 1.0 / (1.0 + exp(-("
+                "CAST(sum(w_nano * k) AS DOUBLE) / (1e9 * n)))) AS p "
+                f"FROM fb JOIN w{t - 1} USING (b) "
+                "GROUP BY doc_id, y, n), "
+                f"g{t} AS (SELECT b, sum(CAST(round((m.p - fb.y) * "
+                "CAST(fb.k AS DOUBLE) / fb.n * 1e9) AS BIGINT)) AS G "
+                f"FROM fb JOIN m{t} m ON fb.doc_id = m.doc_id "
+                "GROUP BY b), "
+                f"w{t} AS MATERIALIZED (SELECT w.b, w.w_nano - "
+                f"CAST(round({lr!r} * "
+                "CAST(coalesce(g.G, 0) AS DOUBLE) / nd.n_docs) "
+                f"AS BIGINT) AS w_nano FROM w{t - 1} w "
+                f"LEFT JOIN g{t} g ON w.b = g.b CROSS JOIN nd), "
+            )
+        return s
+
+    sql["quality_clf_train"] = (
+        _quality_clf_ctes()
+        + "sel AS (SELECT b, w_nano FROM w3 WHERE w_nano <> 0) "
+        "SELECT b, w_nano FROM sel"
+    )
+    sql["quality_clf_score"] = (
+        _quality_clf_ctes()
+        + "hd AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "tk2 AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(coalesce(text, ''))), '\s+'), t -> t <> '') "
+        "AS toks FROM hd), "
+        "fx2 AS (SELECT doc_id, unnest(flatten([toks, "
+        "[toks[i] || ' ' || toks[i + 1] FOR i IN "
+        "range(1, len(toks))]])) AS f FROM tk2), "
+        "hx2 AS (SELECT doc_id, CAST(list_reduce(list_prepend("
+        "CAST(11 AS BIGINT), list_transform(range(1, length(f) + 1), "
+        "i -> CAST(ascii(f[CAST(i AS INT)]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 4294967291) % 256 AS INT) "
+        "AS b FROM fx2), "
+        "kb2 AS (SELECT doc_id, b, count(*) AS k FROM hx2 "
+        "GROUP BY 1, 2), "
+        "nn2 AS (SELECT doc_id, sum(k) AS n FROM kb2 GROUP BY 1), "
+        "fb2 AS (SELECT kb2.doc_id, b, k, n FROM kb2 "
+        "JOIN nn2 ON kb2.doc_id = nn2.doc_id "
+        "UNION ALL SELECT doc_id, 256 AS b, n, n FROM nn2) "
+        "SELECT fb2.doc_id, CAST(any_value(n) AS BIGINT) AS n_feats, "
+        "round(1.0 / (1.0 + exp(-(CAST(sum(w_nano * k) AS DOUBLE) / "
+        "(1e9 * any_value(n))))), 6) AS prob, "
+        "round(1.0 / (1.0 + exp(-(CAST(sum(w_nano * k) AS DOUBLE) / "
+        "(1e9 * any_value(n))))), 6) >= 0.5 AS keep "
+        "FROM fb2 JOIN w3 USING (b) GROUP BY fb2.doc_id"
     )
     sql["feature_hash"] = (
         # the portable base-31 per-step-mod hash, index = h % dims,

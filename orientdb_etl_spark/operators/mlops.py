@@ -1464,3 +1464,105 @@ def wasserstein_transformer(
         cfg["groupB"],
         scale=int(cfg.get("scale", 100)),
     )
+
+
+@register("knPerplexity")
+def kn_perplexity_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"knPerplexity": {"trainTable": "wiki", "textField": "text",
+    "idField": "doc_id", "discount": 0.75, "buckets": false,
+    "cutoffs": [30.0, 100.0]}} — CCNet perplexity filter (Wenzek et al.
+    LREC'20, functions/ngram_lm.py): score the incoming frame's
+    documents by Kneser-Ney bigram perplexity under a model trained on
+    the registered reference corpus. ``buckets: true`` adds the
+    head/middle/tail split — with fixed ``cutoffs`` (the production
+    path: per-row CASE, no extra shuffle) or, when omitted, exact
+    ntile tertiles (calibration-scope global window — run it on the
+    bounded sample the cutoffs are derived from)."""
+    from orientdb_etl_spark.functions.ngram_lm import (
+        kn_perplexity,
+        perplexity_buckets,
+    )
+
+    tname = cfg["trainTable"]
+    if tname not in ctx.tables:
+        raise ValueError(
+            f"knPerplexity: trainTable {tname!r} is not registered"
+        )
+    kw = dict(
+        text_col=cfg.get("textField", "text"),
+        id_col=cfg.get("idField", "doc_id"),
+        discount=float(cfg.get("discount", 0.75)),
+    )
+    if cfg.get("buckets"):
+        cut = cfg.get("cutoffs")
+        return perplexity_buckets(
+            df,
+            ctx.tables[tname],
+            cutoffs=tuple(cut) if cut is not None else None,
+            **kw,
+        )
+    return kn_perplexity(df, ctx.tables[tname], **kw)
+
+
+@register("qualityClassifier")
+def quality_classifier_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"qualityClassifier": {"trainTable": "seed", "labelField":
+    "label", "textField": "text", "idField": "doc_id", "buckets": 1024,
+    "iters": 4, "lr": 0.5, "threshold": 0.5, "weightsOnly": false,
+    "keepOnly": false}} — fastText-style hashed-n-gram logistic
+    regression (Joulin et al. EACL'17; the GPT-3/LLaMA web-filter
+    shape, functions/quality_clf.py): train on the registered labeled
+    seed corpus (0/1 ``labelField``), score the incoming frame.
+    ``weightsOnly: true`` emits the trained weight table instead;
+    ``keepOnly: true`` filters to prob >= threshold and keeps the
+    incoming columns."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    tname = cfg["trainTable"]
+    if tname not in ctx.tables:
+        raise ValueError(
+            f"qualityClassifier: trainTable {tname!r} is not registered"
+        )
+    text_col = cfg.get("textField", "text")
+    id_col = cfg.get("idField", "doc_id")
+    buckets = int(cfg.get("buckets", 1024))
+    seed = int(cfg.get("seed", 11))
+    n_max = int(cfg.get("ngram", 2))
+    w = train_quality_classifier(
+        ctx.tables[tname],
+        label_col=cfg.get("labelField", "label"),
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        seed=seed,
+        n_max=n_max,
+        iters=int(cfg.get("iters", 4)),
+        lr=float(cfg.get("lr", 0.5)),
+        eager=True,  # pipelines are long-lived sessions: leak nothing
+    )
+    if cfg.get("weightsOnly"):
+        return w
+    scored = score_quality(
+        df,
+        w,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        seed=seed,
+        n_max=n_max,
+        threshold=float(cfg.get("threshold", 0.5)),
+    )
+    if cfg.get("keepOnly"):
+        return df.join(
+            scored.filter(F.col("keep")).select(id_col), id_col, "semi"
+        )
+    return scored

@@ -568,3 +568,32 @@ def test_config_experiment_readout_example(spark):
     assert ate.n_used_strata == 5
     w1 = res.outputs["w1"].collect()[0]
     assert w1.w1 is not None and w1.w1 >= 0
+
+
+def test_config_quality_filter_example(spark):
+    """The fastText + CCNet quality recipe from JSON config: classifier
+    keep-gate -> KN perplexity buckets (fixed cutoffs) -> drop tail."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-quality-filter.json"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    ref = docs.filter(F.col("source") == "src0")
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("documents", docs)
+    p.register_table("seed_docs", seed)
+    p.register_table("reference_docs", ref)
+    out = p.run().outputs["quality_filtered"]
+    rows = out.collect()
+    assert {"doc_id", "ppl", "bucket"} <= set(out.columns)
+    assert len(rows) > 0
+    assert all(r.bucket in ("head", "middle") for r in rows)
+    assert all(
+        (r.ppl <= 37.0) == (r.bucket == "head") for r in rows
+    )
