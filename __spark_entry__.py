@@ -3583,6 +3583,73 @@ def q_quality_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(held, w, buckets=256)
 
 
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mixture optimization (Xie et al. NeurIPS'23;
+    functions/doremi.py): Group-DRO multiplicative weights over the 20
+    `source` domains — proxy/reference instantiated with the engine's
+    integer-pinned hashed-LR (label: lang='en'), 2 reference GD steps +
+    3 DRO steps, eta=10, smoothing c=0.1. Output is one row per domain
+    with the trajectory-averaged alpha (the paper's estimator). All
+    iteration state is bounded: weights 257 rows, alpha 20 rows,
+    gradient partials 20x257."""
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return doremi_mixture(
+        docs,
+        "source",
+        buckets=256,
+        ref_iters=2,
+        iters=3,
+        lr=2.0,
+        eta=10.0,
+        smooth=0.1,
+        eager=True,
+    )
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (duplicate-aware downweighting, Muennighoff et al.
+    NeurIPS'23 data-constrained scaling; functions/dedup.py): corpus =
+    documents ∪ two re-keyed slices (%7 and %13 of doc_ids) so genuine
+    2- and 3-fold duplicates exist; weight = 1/dup_count^0.5. One
+    md5-keyed hash aggregation + a narrow join back — the shuffle
+    carries 32-hex digests, never documents."""
+    from orientdb_etl_spark.functions.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return soft_dedup_weights(corpus, "text", "doc_id", alpha=0.5)
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. ICLR'23;
+    functions/sampling.py): distribute a 160k-token budget across
+    languages with a 1.5-epoch repeat cap — the sequential water-filling
+    fold computed via its closed form (cap-ascending cumulative sums
+    over the per-language frame; the window is language-count-bounded,
+    never row-bounded). At sf0.01 three languages cap and two split the
+    remainder — both branches exercised."""
+    from orientdb_etl_spark.functions.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocation(
+        docs, "lang", "n_chars", budget=160_000, max_epochs=1.5
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement, k=40
     weighted by document length — deterministic (hash-derived uniform),
@@ -6483,6 +6550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_brute_topk→quality_clf_score [fastText-style hashed-LR
     classifier]); exact dedup stays driver-covered by dedup_minhash and
     brute-force top-k by ann_ivf_topk, both hash-checked in queries_all.
+    Round 8's third wave promotes UniMax epoch-capped mixture allocation
+    (sample_shuffle_split→unimax_mix — the mixture-planning family's
+    first driver row; hash splits/shuffles stay hash-checked in
+    queries_all).
     The full fine-grained surface (every pre-consolidation query)
     remains in :func:`queries_all`, which the local gate
     (tools/check_correctness.py), tests, and bench.py run.
@@ -6570,7 +6641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         "text_quality": q_text_quality,
         "chunk_documents": q_chunk_documents,
-        "sample_shuffle_split": q_sample_shuffle_split,
+        # round 8 (third wave): the split/shuffle slot carries UniMax
+        # epoch-capped mixture allocation (the mixture-planning family's
+        # first driver row — temperature_mix has always been local-gate
+        # only); hash splits/shuffles stay hash-checked in queries_all
+        # and their machinery driver-exercised via expectations' gate
+        "unimax_mix": q_unimax_mix,
         # round 6: mixture_sample's slot carries the single-pass Deequ-
         # style expectations gate; sampling stays driver-covered by
         # sample_shuffle_split
@@ -7002,6 +7078,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_clf_train": q_quality_clf_train,
             "dedup_exact": q_dedup_exact,
             "ann_brute_topk": q_ann_brute_topk,
+            # round 8: duplicate-aware downweighting (keep, don't drop);
+            # unimax_mix carries the driver slot rotated off the
+            # split/shuffle row, which stays hash-checked here; DoReMi
+            # Group-DRO domain reweighting (trained-model mixture)
+            "soft_dedup": q_soft_dedup,
+            "sample_shuffle_split": q_sample_shuffle_split,
+            "doremi_mix": q_doremi_mix,
         }
     )
     return out
@@ -11697,6 +11780,140 @@ def oracle_sql() -> dict[str, str]:
         "(1e9 * any_value(n))))), 6) >= 0.5 AS keep "
         "FROM fb2 JOIN w3 USING (b) GROUP BY fb2.doc_id"
     )
+
+    def _doremi_ctes(
+        buckets: int = 256,
+        ref_iters: int = 2,
+        iters: int = 3,
+        lr: float = 2.0,
+        eta: float = 10.0,
+        c: float = 0.1,
+    ) -> str:
+        # DoReMi oracle (functions/doremi.py): the quality_clf feature/
+        # hash dialect over ALL documents (label lang='en', domain =
+        # source), the uniform-mixture reference GD replayed exactly as
+        # _quality_clf_ctes (w0..wR, update /n_docs), then each Group-DRO
+        # step as chained CTEs — per-doc losses pinned to micro-nats,
+        # domain weights pinned to nano BEFORE the integer-total simplex
+        # normalization, per-(domain,bucket) gradient partials re-pinned
+        # before the integer sum over domains, proxy update WITHOUT the
+        # /n_docs (the alpha-weighted per-domain means already scale it).
+        s = (
+            "WITH lab AS (SELECT doc_id, source AS d, "
+            "CAST(lang = 'en' AS INT) AS y, text FROM documents), "
+            "tk AS (SELECT doc_id, y, list_filter("
+            r"regexp_split_to_array(trim(lower(coalesce(text, ''))), "
+            r"'\s+'), t -> t <> '') AS toks FROM lab), "
+            "fx AS (SELECT doc_id, y, unnest(flatten([toks, "
+            "[toks[i] || ' ' || toks[i + 1] FOR i IN "
+            "range(1, len(toks))]])) AS f FROM tk), "
+            "hx AS (SELECT doc_id, y, CAST(list_reduce(list_prepend("
+            "CAST(11 AS BIGINT), list_transform(range(1, length(f) + 1), "
+            "i -> CAST(ascii(f[CAST(i AS INT)]) AS BIGINT))), "
+            f"(a, c) -> (a * 31 + c) % 4294967291) % {buckets} AS INT) "
+            "AS b FROM fx), "
+            "kb AS (SELECT doc_id, y, b, count(*) AS k FROM hx "
+            "GROUP BY 1, 2, 3), "
+            "nn AS (SELECT doc_id, sum(k) AS n FROM kb GROUP BY 1), "
+            "fb AS MATERIALIZED (SELECT kb.doc_id, y, b, k, n "
+            "FROM kb JOIN nn ON kb.doc_id = nn.doc_id "
+            "UNION ALL SELECT kb.doc_id, any_value(y), "
+            f"{buckets} AS b, any_value(n), any_value(n) "
+            "FROM kb JOIN nn ON kb.doc_id = nn.doc_id "
+            "GROUP BY kb.doc_id), "
+            "dm AS MATERIALIZED (SELECT DISTINCT fb.doc_id, lab.d "
+            "FROM fb JOIN lab ON fb.doc_id = lab.doc_id), "
+            "md AS (SELECT d, count(*) AS m_docs FROM dm GROUP BY 1), "
+            "ndom AS (SELECT count(*) AS dcount FROM md), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM fb), "
+            f"w0 AS (SELECT unnest(range(0, {buckets + 1})) AS b, "
+            "CAST(0 AS BIGINT) AS w_nano), "
+        )
+        for t in range(1, ref_iters + 1):
+            s += (
+                f"m{t} AS (SELECT doc_id, y, n, 1.0 / (1.0 + exp(-("
+                "CAST(sum(w_nano * k) AS DOUBLE) / (1e9 * n)))) AS p "
+                f"FROM fb JOIN w{t - 1} USING (b) "
+                "GROUP BY doc_id, y, n), "
+                f"g{t} AS (SELECT b, sum(CAST(round((m.p - fb.y) * "
+                "CAST(fb.k AS DOUBLE) / fb.n * 1e9) AS BIGINT)) AS G "
+                f"FROM fb JOIN m{t} m ON fb.doc_id = m.doc_id "
+                "GROUP BY b), "
+                f"w{t} AS MATERIALIZED (SELECT w.b, w.w_nano - "
+                f"CAST(round({lr!r} * "
+                "CAST(coalesce(g.G, 0) AS DOUBLE) / nd.n_docs) "
+                f"AS BIGINT) AS w_nano FROM w{t - 1} w "
+                f"LEFT JOIN g{t} g ON w.b = g.b CROSS JOIN nd), "
+            )
+        s += (
+            "rl AS (SELECT doc_id, CAST(round(ln(1.0 + exp(-(2.0 * y "
+            "- 1.0) * (CAST(dot AS DOUBLE) / (1e9 * n)))) * 1e6) "
+            "AS BIGINT) AS l FROM (SELECT doc_id, y, n, "
+            f"sum(w_nano * k) AS dot FROM fb JOIN w{ref_iters} "
+            "USING (b) GROUP BY doc_id, y, n)), "
+            "rs AS MATERIALIZED (SELECT d, sum(l) AS ref_sum FROM rl "
+            "JOIN dm USING (doc_id) GROUP BY d), "
+            "a0 AS (SELECT md.d, CAST(round(1e9 / dcount) AS BIGINT) "
+            "AS a_nano FROM md CROSS JOIN ndom), "
+            "c0 AS (SELECT d, a_nano AS acc_nano FROM a0), "
+            "pw0 AS (SELECT b, w_nano FROM w0), "
+        )
+        for t in range(1, iters + 1):
+            s += (
+                f"pp{t} AS (SELECT doc_id, y, n, "
+                "CAST(sum(w_nano * k) AS DOUBLE) / (1e9 * n) AS mg "
+                f"FROM fb JOIN pw{t - 1} USING (b) "
+                "GROUP BY doc_id, y, n), "
+                f"pl{t} AS (SELECT doc_id, 1.0 / (1.0 + exp(-mg)) AS p, "
+                "CAST(round(ln(1.0 + exp(-(2.0 * y - 1.0) * mg)) * 1e6) "
+                f"AS BIGINT) AS l FROM pp{t}), "
+                f"ex{t} AS (SELECT md.d, md.m_docs, "
+                "greatest(CAST(ps.s - rs.ref_sum AS DOUBLE) / "
+                "(1e6 * md.m_docs), 0.0) AS e FROM (SELECT d, sum(l) "
+                f"AS s FROM pl{t} JOIN dm USING (doc_id) GROUP BY d) ps "
+                "JOIN rs ON ps.d = rs.d JOIN md ON md.d = ps.d), "
+                f"ar{t} AS (SELECT ex.d, ex.m_docs, ex.e, "
+                "CAST(round(CAST(a.a_nano AS DOUBLE) * "
+                f"exp({eta!r} * ex.e)) AS BIGINT) AS raw_nano "
+                f"FROM ex{t} ex JOIN a{t - 1} a ON ex.d = a.d), "
+                f"at{t} AS (SELECT sum(raw_nano) AS t_nano FROM ar{t}), "
+                f"a{t} AS MATERIALIZED (SELECT d, CAST(round((("
+                f"1.0 - {c!r}) * CAST(raw_nano AS DOUBLE) / t_nano "
+                f"+ {c!r} / dcount) * 1e9) AS BIGINT) AS a_nano "
+                f"FROM ar{t} CROSS JOIN at{t} CROSS JOIN ndom), "
+                f"c{t} AS (SELECT cc.d, cc.acc_nano + a.a_nano "
+                f"AS acc_nano FROM c{t - 1} cc "
+                f"JOIN a{t} a ON cc.d = a.d), "
+                f"sg{t} AS (SELECT dm.d, fb.b, "
+                "sum(CAST(round((pl.p - fb.y) * CAST(fb.k AS DOUBLE) "
+                "/ fb.n * 1e9) AS BIGINT)) AS s_db "
+                f"FROM fb JOIN pl{t} pl ON fb.doc_id = pl.doc_id "
+                "JOIN dm ON dm.doc_id = fb.doc_id GROUP BY 1, 2), "
+                f"gg{t} AS (SELECT b, sum(CAST(round("
+                "CAST(a.a_nano AS DOUBLE) / 1e9 * "
+                "CAST(s.s_db AS DOUBLE) / md.m_docs) AS BIGINT)) AS G "
+                f"FROM sg{t} s JOIN a{t} a ON s.d = a.d "
+                "JOIN md ON md.d = s.d GROUP BY b), "
+                f"pw{t} AS MATERIALIZED (SELECT w.b, w.w_nano - "
+                f"CAST(round({lr!r} * CAST(coalesce(g.G, 0) AS DOUBLE)) "
+                f"AS BIGINT) AS w_nano FROM pw{t - 1} w "
+                f"LEFT JOIN gg{t} g ON w.b = g.b) "
+            )
+            if t < iters:
+                s = s[:-1] + ", "
+        return s
+
+    _dT = 3
+    sql["doremi_mix"] = (
+        _doremi_ctes(iters=_dT)
+        + f"SELECT ex.d AS source, ex.m_docs AS n_docs, "
+        "round(ex.e, 6) AS excess_last, "
+        "round(CAST(a.a_nano AS DOUBLE) / 1e9, 6) AS alpha_final, "
+        f"round(CAST(cc.acc_nano AS DOUBLE) / (1e9 * {_dT + 1}), 6) "
+        "AS alpha "
+        f"FROM ex{_dT} ex JOIN a{_dT} a ON ex.d = a.d "
+        f"JOIN c{_dT} cc ON cc.d = ex.d"
+    )
     sql["feature_hash"] = (
         # the portable base-31 per-step-mod hash, index = h % dims,
         # sign = parity of h // dims; dense 32-wide assembly via a
@@ -11915,4 +12132,51 @@ def oracle_sql() -> dict[str, str]:
         )
 
     sql["holt_winters"] = _hw_oracle()
+    sql["soft_dedup"] = (
+        # duplicate-aware downweighting (functions/dedup.py
+        # soft_dedup_weights): the md5 grouping key is content-identity,
+        # so grouping on the text itself yields identical counts — the
+        # oracle checks the semantics, not the digest
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 7 = 0 "
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+        "WHERE doc_id % 13 = 0), "
+        "k AS (SELECT doc_id, text FROM corpus WHERE text IS NOT NULL), "
+        "c AS (SELECT text, count(*) AS dup_count FROM k GROUP BY text) "
+        "SELECT k.doc_id, c.dup_count, "
+        "round(1.0 / pow(CAST(c.dup_count AS DOUBLE), 0.5), 6) AS weight "
+        "FROM k JOIN c USING (text)"
+    )
+    sql["unimax_mix"] = (
+        # UniMax closed form (functions/sampling.py unimax_allocation):
+        # caps ascend with size, so group i is capped iff taking the
+        # equal share of the post-prefix remainder would exceed its cap —
+        # one prefix sum over the cap-ascending order; integer BIGINT
+        # arithmetic end-to-end until the final double quota
+        "WITH per AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) "
+        "AS n_tokens FROM documents WHERE lang IS NOT NULL "
+        "GROUP BY lang), "
+        "c AS (SELECT lang, n_tokens, "
+        "CAST(floor(n_tokens * 1.5) AS BIGINT) AS cap_tokens FROM per), "
+        "r AS (SELECT *, row_number() OVER "
+        "(ORDER BY cap_tokens ASC, lang ASC) AS i, "
+        "COALESCE(CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens ASC, "
+        "lang ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS BIGINT), 0) AS pfx FROM c), "
+        "t AS (SELECT count(*) AS L FROM r), "
+        "f AS (SELECT r.*, t.L, "
+        "cap_tokens * (t.L - i + 1) <= 160000 - pfx AS capped "
+        "FROM r CROSS JOIN t), "
+        "a AS (SELECT CAST(sum(CASE WHEN capped THEN cap_tokens END) "
+        "AS BIGINT) AS cs, CAST(sum(CAST(capped AS INT)) AS BIGINT) "
+        "AS nc FROM f), "
+        "q AS (SELECT lang, n_tokens, cap_tokens, "
+        "round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE) "
+        "ELSE (160000.0 - CAST(COALESCE(cs, 0) AS DOUBLE)) "
+        "/ (L - COALESCE(nc, 0)) END, 4) AS quota "
+        "FROM f CROSS JOIN a) "
+        "SELECT lang, n_tokens, cap_tokens, quota, "
+        "round(quota / n_tokens, 4) AS epochs FROM q"
+    )
     return sql

@@ -1347,3 +1347,53 @@ def split_leakage(
         )
         .filter(F.size("splits") > 1)
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Soft deduplication: instead of REMOVING duplicates, downweight
+    them — each document gets sampling weight ``1 / dup_count^alpha``
+    so a k-fold duplicated document contributes (for ``alpha=1``) one
+    document's worth of expected training mass in aggregate. This is the
+    duplicate-aware reweighting studied for data-constrained pretraining
+    (Muennighoff et al., NeurIPS 2023, show repeated data decays in
+    value rather than dropping to zero — removal throws away that
+    residual value; downweighting keeps it priced correctly). Feed the
+    weights to :func:`~orientdb_etl_spark.functions.sampling.
+    weighted_sample` to realize the draw.
+
+    ``dup_count`` groups on ``md5(text)`` — exact content identity, and
+    the engine-portable twin of grouping on the text itself with the
+    shuffle carrying a 32-hex key instead of whole documents (at crawl
+    scale the narrow key is the difference between shuffling 100 TB of
+    text and 3 TB of digests). One hash aggregation + one narrow join
+    back; no windows.
+
+    Returns ``(id_col, dup_count, weight)``; NULL text ⇒ no row (no
+    content to weight).
+
+    Cite: reference has no counterpart; SURVEY §2.8 dedup family
+    (exact_dedup's keep-don't-drop sibling).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    keyed = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp")
+    )
+    counts = keyed.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return keyed.join(counts, "_fp").select(
+        id_col,
+        "dup_count",
+        F.round(
+            F.lit(1.0)
+            / F.pow(F.col("dup_count").cast("double"), F.lit(float(alpha))),
+            round_to,
+        ).alias("weight"),
+    )

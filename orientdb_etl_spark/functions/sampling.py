@@ -620,3 +620,120 @@ def neyman_allocation(
         )
         .orderBy(*strata)
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """UniMax (Chung et al., ICLR 2023) budget allocation: distribute a
+    token ``budget`` across groups (languages/sources) as uniformly as
+    possible subject to a per-group repeat cap of ``max_epochs`` — the
+    principled alternative to temperature sampling that never oversamples
+    a small group past the cap and never starves large ones.
+
+    The published algorithm is a sequential water-filling fold (ascending
+    group size; each group takes ``min(cap, remaining/groups_left)``).
+    That fold has a closed form: caps ascend with size, and once one
+    group takes the equal share every later group does too (the share is
+    invariant under equal-share steps), so a group is CAPPED iff
+    ``cap_i · (L − i + 1) ≤ budget − Σ_{j<i} cap_j`` over the
+    cap-ascending order. The prefix arithmetic runs as JVM higher-order
+    functions over ONE collected groups-sized array (the unigram-lattice
+    pattern: group count — languages/sources — is spec-bounded, never
+    row-bounded, so the 1-row state is the cheapest correct shape): one
+    corpus aggregation (per-group token totals), one keyless
+    collect+sort, a prefix-sum ``transform``, and a ``posexplode`` back
+    to rows. No window, no joins, two exchanges total.
+
+    Returns ``(group_col, n_tokens, cap_tokens, quota, epochs)`` where
+    ``quota`` is the allocated token count (``round_to`` dp) and
+    ``epochs = quota / n_tokens``. Caps are pinned to integer tokens
+    (``floor(n_tokens · max_epochs)``) so the prefix arithmetic is exact
+    BIGINT in both engines; ties in the cap order break on the group key.
+
+    Cite: reference has no counterpart; SURVEY §2.8 mixture-planning
+    family (temperature_rates' principled sibling).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    per = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+        .withColumn(
+            "cap_tokens",
+            F.floor(F.col("n_tokens") * F.lit(float(max_epochs))).cast(
+                "long"
+            ),
+        )
+    )
+    # 1-row state: (cap_tokens, group, n_tokens) structs, cap-ascending
+    # (struct comparison orders by field position; group breaks ties)
+    packed = per.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cap_tokens").alias("cap"),
+                    F.col(group_col).alias("grp"),
+                    F.col("n_tokens").alias("nt"),
+                )
+            )
+        ).alias("gs")
+    )
+    # prefix sums + capped flags + capped totals, all inside the array
+    # (O(L²) slice-sums on the groups-sized frame — bounded by spec)
+    flagged = packed.select(
+        F.expr(
+            "transform(gs, (g, i) -> struct("
+            "g.cap AS cap, g.grp AS grp, g.nt AS nt, "
+            "g.cap * (size(gs) - i) <= {budget} - aggregate("
+            "slice(gs, 1, i), CAST(0 AS BIGINT), (a, x) -> a + x.cap"
+            ") AS capped))".format(budget=int(budget))
+        ).alias("gs")
+    ).select(
+        "gs",
+        F.expr(
+            "aggregate(gs, CAST(0 AS BIGINT), "
+            "(a, x) -> a + IF(x.capped, x.cap, CAST(0 AS BIGINT)))"
+        ).alias("_capped_sum"),
+        F.expr(
+            "aggregate(gs, 0, (a, x) -> a + IF(x.capped, 1, 0))"
+        ).alias("_n_capped"),
+        F.size("gs").alias("_L"),
+    )
+    g = F.col("_g")
+    return (
+        flagged.select(
+            F.posexplode("gs").alias("_i", "_g"),
+            "_capped_sum",
+            "_n_capped",
+            "_L",
+        )
+        .select(
+            g["grp"].alias(group_col),
+            g["nt"].alias("n_tokens"),
+            g["cap"].alias("cap_tokens"),
+            F.round(
+                F.when(g["capped"], g["cap"].cast("double")).otherwise(
+                    (
+                        F.lit(float(budget))
+                        - F.col("_capped_sum").cast("double")
+                    )
+                    / (F.col("_L") - F.col("_n_capped"))
+                ),
+                round_to,
+            ).alias("quota"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("quota") / F.col("n_tokens"), round_to),
+        )
+        .select(group_col, "n_tokens", "cap_tokens", "quota", "epochs")
+    )

@@ -47,6 +47,15 @@ def dedup_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFra
             cfg["idField"],
             threshold=float(cfg.get("threshold", 0.95)),
         )
+    if method == "soft":
+        # duplicate-aware downweighting (keep, don't drop): weight =
+        # 1/dup_count^alpha, to feed the weighted sampler
+        return D.soft_dedup_weights(
+            df,
+            cfg["textField"],
+            cfg["idField"],
+            alpha=float(cfg.get("alpha", 1.0)),
+        )
     if method == "incremental":
         seen_name = cfg["seenTable"]
         if seen_name not in ctx.tables:
@@ -428,6 +437,13 @@ def sample_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFr
         return S.neyman_allocation(
             df, cfg["groupField"], cfg["valueField"], int(cfg["totalN"]),
             scale=int(cfg.get("scale", 100)),
+        )
+    if method == "unimax":
+        # epoch-capped uniform budget allocation (Chung et al. ICLR'23);
+        # feed quota/n_tokens back as per-group rates
+        return S.unimax_allocation(
+            df, cfg["groupField"], cfg["tokenField"], int(cfg["budget"]),
+            max_epochs=float(cfg.get("maxEpochs", 4.0)),
         )
     raise ValueError(f"unknown sample method {method!r}")
 
@@ -1566,3 +1582,35 @@ def quality_classifier_transformer(
             scored.filter(F.col("keep")).select(id_col), id_col, "semi"
         )
     return scored
+
+
+@register("doremi")
+def doremi_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"doremi": {"domainField": "source", "labelField": "label",
+    "textField": "text", "idField": "doc_id", "buckets": 1024,
+    "refIters": 2, "iters": 3, "lr": 0.5, "eta": 1.0, "smooth": 0.1}}
+    — DoReMi domain-mixture optimization (Xie et al. NeurIPS'23,
+    functions/doremi.py): Group-DRO multiplicative weights over the
+    incoming labeled corpus's domains, against a uniform-mixture
+    reference model. Emits one row per domain with the averaged
+    ``alpha`` to train the full model with."""
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+
+    return doremi_mixture(
+        df,
+        cfg["domainField"],
+        label_col=cfg.get("labelField", "label"),
+        text_col=cfg.get("textField", "text"),
+        id_col=cfg.get("idField", "doc_id"),
+        buckets=int(cfg.get("buckets", 1024)),
+        seed=int(cfg.get("seed", 11)),
+        n_max=int(cfg.get("ngram", 2)),
+        ref_iters=int(cfg.get("refIters", 2)),
+        iters=int(cfg.get("iters", 3)),
+        lr=float(cfg.get("lr", 0.5)),
+        eta=float(cfg.get("eta", 1.0)),
+        smooth=float(cfg.get("smooth", 0.1)),
+        eager=True,  # pipelines are long-lived sessions: leak nothing
+    )

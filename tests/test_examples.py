@@ -597,3 +597,25 @@ def test_config_quality_filter_example(spark):
     assert all(
         (r.ppl <= 37.0) == (r.bucket == "head") for r in rows
     )
+
+
+def test_config_mixture_planning_example(spark):
+    """DoReMi from JSON config: label via field-if expression, Group-DRO
+    over the source domains, simplex alpha out."""
+    import json
+
+    from orientdb_etl_spark import Pipeline
+
+    cfg = json.load(open(f"{EXAMPLES}/config-mixture-planning.json"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = Pipeline(cfg, spark=spark)
+    p.register_table("documents", docs)
+    out = p.run().outputs["domain_mixture"]
+    rows = out.collect()
+    assert set(out.columns) == {
+        "source", "n_docs", "excess_last", "alpha_final", "alpha"
+    }
+    n_src = docs.select("source").distinct().count()
+    assert len(rows) == n_src
+    assert abs(sum(r.alpha for r in rows) - 1.0) < 1e-4
+    assert all(r.excess_last >= 0 for r in rows)

@@ -2304,3 +2304,28 @@ def test_unigram_prune_by_loss_differs_from_count_rank(spark):
 
     with pytest.raises(ValueError, match="prune_by"):
         unigram_lm_train(docs, "text", prune_to=1, prune_by="entropy")
+
+
+def test_soft_dedup_weights_prices_duplicates(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "aa"), (4, "bb"), (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}  # NULL text -> no row
+    assert out[1].dup_count == 3 and out[4].dup_count == 1
+    # alpha=1: a k-fold dup's aggregate expected mass == one document
+    assert abs(sum(out[i].weight for i in (1, 2, 3)) - 1.0) < 1e-5
+    assert out[4].weight == 1.0
+    # alpha=0.5 softens the discount
+    half = {
+        r.doc_id: r.weight
+        for r in soft_dedup_weights(docs, "text", "doc_id", alpha=0.5).collect()
+    }
+    assert abs(half[1] - 1 / 3**0.5) < 1e-5
+    with pytest.raises(ValueError, match="alpha"):
+        soft_dedup_weights(docs, "text", "doc_id", alpha=0)

@@ -295,3 +295,186 @@ def test_lm_quality_config_transformers(spark):
     )
     assert set(kept.columns) == set(seed.columns)
     assert kept.filter(F.col("doc_id") % 2 == 1).count() == 0
+
+
+def _doremi_corpus(spark, n=60):
+    """Two domains: 'clean' is separable (label follows vocabulary),
+    'noisy' has labels independent of text. DoReMi's excess loss is
+    proxy − REFERENCE: on the noisy domain the reference is equally
+    bad (excess ≈ 0), while on the learnable domain the fresh proxy
+    lags the trained reference — so the LEARNABLE domain gets
+    upweighted (the paper's point: excess loss measures learnable
+    headroom, and irreducibly-noisy domains are downweighted)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = ["alpha", "beta"] if good else ["noise", "junk"]
+        rows.append((i, "clean", " ".join(rng.choice(words) for _ in range(12)), int(good)))
+    for i in range(n, 2 * n):
+        rows.append((i, "noisy", "same tokens every time", (i // 3) % 2))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string, label int"
+    )
+
+
+def test_doremi_upweights_learnable_domain_and_stays_simplex(spark):
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+
+    df = _doremi_corpus(spark)
+    out = {
+        r.source: r
+        for r in doremi_mixture(
+            df, "source", buckets=64, ref_iters=2, iters=3,
+            lr=2.0, eta=5.0, eager=True,
+        ).collect()
+    }
+    assert set(out) == {"clean", "noisy"}
+    # simplex (up to nano rounding)
+    assert abs(out["clean"].alpha + out["noisy"].alpha - 1.0) < 1e-4
+    assert abs(out["clean"].alpha_final + out["noisy"].alpha_final - 1.0) < 1e-4
+    # excess is clamped non-negative in both domains
+    assert out["clean"].excess_last >= 0 and out["noisy"].excess_last >= 0
+    # the LEARNABLE domain carries the excess vs the trained reference
+    # early (uniform-start proxy lags it exactly where it learned
+    # something) and ends upweighted; the noise domain's excess is ~0
+    # because the reference is equally bad there
+    assert out["clean"].alpha_final > out["noisy"].alpha_final
+    assert out["clean"].alpha > 0.5 > out["noisy"].alpha
+    assert out["clean"].n_docs == 60 and out["noisy"].n_docs == 60
+
+
+def test_doremi_eager_lazy_parity_and_validations(spark):
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+
+    df = _doremi_corpus(spark, n=20)
+    kw = dict(buckets=32, ref_iters=1, iters=2, lr=1.0, eta=2.0)
+    a = sorted(map(tuple, doremi_mixture(df, "source", eager=True, **kw).collect()))
+    b = sorted(map(tuple, doremi_mixture(df, "source", eager=False, **kw).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="iters"):
+        doremi_mixture(df, "source", iters=0)
+    with pytest.raises(ValueError, match="smooth"):
+        doremi_mixture(df, "source", smooth=1.0)
+    with pytest.raises(ValueError, match="eta"):
+        doremi_mixture(df, "source", eta=0)
+
+
+def test_doremi_matches_pure_python_replay(spark):
+    """Full-trajectory parity with an independent driver-side replay of
+    the pinned Group-DRO arithmetic (features read back from Spark)."""
+    import numpy as np
+
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+    from orientdb_etl_spark.functions.quality_clf import (
+        hashed_doc_features,
+        train_quality_classifier,
+    )
+
+    df = _doremi_corpus(spark, n=16)
+    B, ref_iters, iters, lr, eta, c = 32, 2, 3, 1.5, 3.0, 0.1
+    feats = hashed_doc_features(df, buckets=B, label_col="label").collect()
+    dom = {r.doc_id: r.source for r in df.collect()}
+    by_doc: dict = {}
+    for r in feats:
+        by_doc.setdefault(r._id, []).append(r)
+    ids = sorted(by_doc)
+    domains = sorted({dom[i] for i in ids})
+    m = {d: sum(1 for i in ids if dom[i] == d) for d in domains}
+
+    def losses(w):
+        out = {}
+        for i in ids:
+            rows = by_doc[i]
+            n, y = rows[0].n, rows[0].y
+            mg = sum(int(w[r.b]) * r.k for r in rows) / (1e9 * n)
+            p = 1.0 / (1.0 + math.exp(-mg))
+            out[i] = (p, int(np.round(math.log(1.0 + math.exp(-(2 * y - 1) * mg)) * 1e6)))
+        return out
+
+    # reference = plain GD (the trainer's arithmetic)
+    w_ref = {
+        r.b: r.w_nano
+        for r in train_quality_classifier(
+            df, buckets=B, iters=ref_iters, lr=lr
+        ).collect()
+    }
+    ref = losses(w_ref)
+    ref_sum = {d: sum(ref[i][1] for i in ids if dom[i] == d) for d in domains}
+
+    D = len(domains)
+    a = {d: int(round(1e9 / D)) for d in domains}
+    acc = dict(a)
+    w = {b: 0 for b in range(B + 1)}
+    for _ in range(iters):
+        cur = losses(w)
+        p_sum = {d: sum(cur[i][1] for i in ids if dom[i] == d) for d in domains}
+        e = {d: max((p_sum[d] - ref_sum[d]) / (1e6 * m[d]), 0.0) for d in domains}
+        raw = {d: int(np.round(a[d] * math.exp(eta * e[d]))) for d in domains}
+        t = sum(raw.values())
+        a = {
+            d: int(np.round(((1 - c) * raw[d] / t + c / D) * 1e9))
+            for d in domains
+        }
+        for d in domains:
+            acc[d] += a[d]
+        S = {d: {} for d in domains}
+        for i in ids:
+            p = cur[i][0]
+            rows = by_doc[i]
+            n, y = rows[0].n, rows[0].y
+            for r in rows:
+                S[dom[i]][r.b] = S[dom[i]].get(r.b, 0) + int(
+                    np.round((p - y) * r.k / n * 1e9)
+                )
+        G = {}
+        for d in domains:
+            for b, s in S[d].items():
+                G[b] = G.get(b, 0) + int(np.round(a[d] / 1e9 * s / m[d]))
+        for b in range(B + 1):
+            w[b] -= int(np.round(lr * G.get(b, 0)))
+    want = {
+        d: (
+            m[d],
+            round(e[d], 6),
+            round(a[d] / 1e9, 6),
+            round(acc[d] / (1e9 * (iters + 1)), 6),
+        )
+        for d in domains
+    }
+    got = {
+        r.source: (r.n_docs, r.excess_last, r.alpha_final, r.alpha)
+        for r in doremi_mixture(
+            df, "source", buckets=B, ref_iters=ref_iters, iters=iters,
+            lr=lr, eta=eta, smooth=c, eager=True,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_doremi_config_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    df = _doremi_corpus(spark, n=16)
+    out = (
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "docs"}},
+                "transformers": [
+                    {"doremi": {"domainField": "source", "buckets": 32,
+                                "refIters": 1, "iters": 2, "lr": 1.0,
+                                "eta": 2.0}},
+                ],
+                "loader": {"memory": {"view": "mix"}},
+            },
+            spark=spark,
+        )
+        .register_table("docs", df)
+        .run()
+        .outputs["mix"]
+    )
+    rows = {r.source: r for r in out.collect()}
+    assert set(rows) == {"clean", "noisy"}
+    assert abs(sum(r.alpha for r in rows.values()) - 1.0) < 1e-4

@@ -811,3 +811,54 @@ def test_strip_spans_transformer(spark):
     )
     got = {r.id: (r.txt, r.removed_tokens) for r in out.collect()}
     assert got == {1: (span + " keepme", 0), 2: ("intro", 8)}
+
+
+def test_soft_dedup_and_unimax_config_wiring(spark):
+    """Round-8 mlops config surface: dedup method=soft and sample
+    method=unimax drive the new functions from JSON config."""
+    from orientdb_etl_spark import Pipeline
+
+    rows = [(i, f"l{i % 3}", f"text {i % 4}", 50 + i) for i in range(12)]
+    src = spark.createDataFrame(rows, "doc_id long, lang string, text string, n long")
+
+    out = (
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "docs"}},
+                "transformers": [
+                    {"dedup": {"method": "soft", "textField": "text",
+                               "idField": "doc_id", "alpha": 1.0}},
+                ],
+                "loader": {"memory": {"view": "w"}},
+            },
+            spark=spark,
+        )
+        .register_table("docs", src)
+        .run()
+        .outputs["w"]
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 12 and got[0].dup_count == 3
+    assert abs(got[0].weight - 1 / 3) < 1e-6
+
+    mix = (
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "docs"}},
+                "transformers": [
+                    {"sample": {"method": "unimax", "groupField": "lang",
+                                "tokenField": "n", "budget": 300,
+                                "maxEpochs": 2.0}},
+                ],
+                "loader": {"memory": {"view": "m"}},
+            },
+            spark=spark,
+        )
+        .register_table("docs", src)
+        .run()
+        .outputs["m"]
+    )
+    per = {r.lang: r for r in mix.collect()}
+    assert set(per) == {"l0", "l1", "l2"}
+    assert abs(sum(r.quota for r in per.values()) - 300) < 1e-3
+    assert all(r.epochs <= 2.0 + 1e-9 for r in per.values())

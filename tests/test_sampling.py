@@ -526,3 +526,49 @@ def test_dsir_config_transformer(spark):
             },
             spark=spark,
         ).register_table("raw", raw).run()
+
+
+def test_unimax_allocation_water_filling_matches_sequential_fold(spark):
+    """Relational closed form == the published sequential fold: ascending
+    cap order, each group takes min(cap, remaining/groups_left)."""
+    from orientdb_etl_spark.functions.sampling import unimax_allocation
+
+    rows = [("a", 100), ("b", 1000), ("c", 5000), ("d", 40), ("e", 900)]
+    df = spark.createDataFrame(rows, "lang string, n int")
+    budget, eps = 4000, 2.0
+    out = {
+        r.lang: r
+        for r in unimax_allocation(df, "lang", "n", budget, eps).collect()
+    }
+    # reference fold (driver-side, groups-sized)
+    per = sorted(
+        ((int(n * eps), lang, n) for lang, n in rows), key=lambda t: (t[0], t[1])
+    )
+    remaining, left, want = float(budget), len(per), {}
+    for cap, lang, n in per:
+        take = min(float(cap), remaining / left)
+        want[lang] = take
+        remaining -= take
+        left -= 1
+    for lang, n in rows:
+        assert abs(out[lang].quota - want[lang]) < 1e-6, lang
+        assert out[lang].n_tokens == n
+        assert abs(out[lang].epochs - round(want[lang] / n, 4)) < 1e-9
+    # budget fully distributed (no group hits the cap short of exhaustion)
+    assert abs(sum(r.quota for r in out.values()) - budget) < 1e-4
+
+
+def test_unimax_allocation_all_capped_and_validation(spark):
+    import pytest
+
+    from orientdb_etl_spark.functions.sampling import unimax_allocation
+
+    df = spark.createDataFrame([("a", 10), ("b", 20)], "lang string, n int")
+    # budget far above total capacity: every group pins at its cap
+    out = {r.lang: r for r in unimax_allocation(df, "lang", "n", 10_000, 1.0).collect()}
+    assert out["a"].quota == 10.0 and out["b"].quota == 20.0
+    assert out["a"].epochs == 1.0 and out["b"].epochs == 1.0
+    with pytest.raises(ValueError, match="budget"):
+        unimax_allocation(df, "lang", "n", 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(df, "lang", "n", 100, max_epochs=0)

@@ -575,6 +575,84 @@ def main() -> None:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
+    # --- trained-model quality filters on the skewed corpus ------------
+    # (round 8) the CCNet KN perplexity filter and the fastText-style
+    # classifier must hold shape at factor× + hot key: model state stays
+    # bigram-type-/buckets-sized, the crawl is scanned once per stage,
+    # and the 'hot' identical documents land identical scores (the
+    # determinism the integer pinning guarantees — a hot boilerplate key
+    # is exactly where a nondeterministic scorer would smear).
+    from orientdb_etl_spark.functions.ngram_lm import perplexity_buckets
+    from orientdb_etl_spark.functions.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ref = docs.limit(2000)  # bounded reference corpus (CCNet: Wikipedia)
+    t0 = time.time()
+    buck = perplexity_buckets(big, ref, cutoffs=(35.0, 42.0))
+    agg = (
+        buck.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("bucket") == "tail").cast("int")).alias("tail"),
+        ).first()
+    )
+    out["kn_scored_docs"] = agg.n
+    out["kn_tail_docs"] = agg.tail
+    hot_ppl = (
+        buck.filter(F.col("doc_id") >= 900_000_000)
+        .agg(
+            F.count_distinct("ppl").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    out["kn_hot_docs"] = hot_ppl.n
+    out["kn_hot_distinct_ppl"] = hot_ppl.d  # MUST be 1
+    out["t_kn_buckets"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    labeled = big.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    wtab = train_quality_classifier(
+        labeled, buckets=1024, iters=3, lr=1.0, eager=True
+    )
+    out["clf_weight_slots"] = wtab.count()
+    out["t_clf_train"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    scored = score_quality(big, wtab, buckets=1024)
+    hot_prob = (
+        scored.filter(F.col("doc_id") >= 900_000_000)
+        .agg(F.count_distinct("prob").alias("d"))
+        .first()
+        .d
+    )
+    out["clf_scored_docs"] = scored.count()
+    out["clf_hot_distinct_prob"] = hot_prob  # MUST be 1
+    out["t_clf_score"] = round(time.time() - t0, 2)
+
+    # --- DoReMi Group-DRO on the skewed corpus --------------------------
+    # (round 8) the mixture optimizer's iteration state must stay bounded
+    # at factor×: alpha is domain-count rows, weights buckets+1, gradient
+    # partials domains×(buckets+1) — none scale with the corpus. The
+    # output is a simplex over exactly the domain set.
+    from orientdb_etl_spark.functions.doremi import doremi_mixture
+
+    t0 = time.time()
+    mix = doremi_mixture(
+        labeled, "source", buckets=1024, ref_iters=1, iters=2,
+        lr=1.0, eta=2.0, eager=True,
+    )
+    rows = mix.collect()  # domain-count-bounded by construction
+    out["doremi_domains"] = len(rows)
+    out["doremi_expected_domains"] = (
+        big.select("source").distinct().count()
+    )
+    out["doremi_alpha_sum"] = round(sum(r.alpha for r in rows), 6)
+    out["doremi_alpha_final_sum"] = round(
+        sum(r.alpha_final for r in rows), 6
+    )
+    out["t_doremi"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
 
 
