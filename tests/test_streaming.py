@@ -1012,3 +1012,66 @@ def test_stream_ingest_crash_restart_with_resume_state(spark, tmp_path):
     # state recorded all 7 distinct URLs exactly once each
     state_urls = [r.url for r in spark.read.parquet(state).collect()]
     assert sorted(state_urls) == sorted(set(shards) | {poison})
+
+
+def test_sketch_and_drift_certificates_detect_lost_epoch(spark, tmp_path):
+    """Negative witness for the two merge-at-read streaming states: a
+    lost/corrupted epoch directory must move the merged result away
+    from the batch ground truth — i.e. batch-equality is falsifiable,
+    not a tautology of the readers (same arm the near-dedup certificate
+    has)."""
+    import shutil
+
+    from orientdb_etl_spark.functions.profiling import cms_build
+    from orientdb_etl_spark.functions.stats import psi
+    from orientdb_etl_spark.streaming.ops import (
+        drift_bounds,
+        foreach_batch_drift,
+        foreach_batch_sketch,
+        read_stream_drift,
+        read_stream_sketch,
+    )
+
+    parts = [
+        spark.range(i * 400, (i + 1) * 400).selectExpr(
+            "id % 211 AS k", "CAST(id % 97 AS DOUBLE) AS v"
+        )
+        for i in range(3)
+    ]
+    all_df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    ref = spark.range(1500).selectExpr("CAST(id % 80 AS DOUBLE) AS v")
+
+    sk_t = str(tmp_path / "sk")
+    sk_fn = foreach_batch_sketch(sk_t, "k", width=256, depth=3)
+    mn, mx = drift_bounds(ref, "v")
+    dr_t = str(tmp_path / "dr")
+    dr_fn = foreach_batch_drift(dr_t, "v", mn, mx, bins=8)
+    for i, p in enumerate(parts):
+        sk_fn(p, i)
+        dr_fn(p, i)
+
+    # green arm: merged == batch for both
+    w = {(r.d, r.bucket): r.cnt
+         for r in cms_build(all_df, "k", 256, 3).collect()}
+    m = {(r.d, r.bucket): r.cnt
+         for r in read_stream_sketch(spark, sk_t).collect()}
+    assert m == w
+    total_b = psi(ref, all_df, "v", bins=8).collect()[0]["psi_total"]
+    total_s = read_stream_drift(
+        spark, dr_t, ref, "v", bins=8
+    ).collect()[0]["psi_total"]
+    assert total_s == total_b
+
+    # lose epoch 1 from both states
+    shutil.rmtree(f"{sk_t}/epoch=1")
+    shutil.rmtree(f"{dr_t}/epoch=1")
+    spark.catalog.refreshByPath(sk_t)
+    spark.catalog.refreshByPath(dr_t)
+    m_bad = {(r.d, r.bucket): r.cnt
+             for r in read_stream_sketch(spark, sk_t).collect()}
+    assert m_bad != w  # the certificate comparison MUST trip
+    assert sum(m_bad.values()) < sum(w.values())  # counts actually lost
+    total_bad = read_stream_drift(
+        spark, dr_t, ref, "v", bins=8
+    ).collect()[0]["psi_total"]
+    assert total_bad != total_b
