@@ -3610,6 +3610,84 @@ def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdigest_base(spark: SparkSession, sf_dir: str):
+    """Shared q-digest build for the two driver rows: l_extendedprice
+    cents (exact integers < 2^24), k=256 — the mergeable-quantile
+    sketch over the biggest table's value column."""
+    from orientdb_etl_spark.functions.profiling import qdigest_build
+
+    cents = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        )
+    )
+    return cents, qdigest_build(
+        cents, "c", k=256, universe_bits=24, eager=True
+    )
+
+
+def q_qdigest_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-digest mergeable quantile sketch (Shrivastava et al. SenSys'04;
+    functions/profiling.py): exact leaf counts (the only corpus-sized
+    shuffle) + 24 bottom-up integer compression sweeps — deterministic
+    on any layout (no random compaction, unlike KLL/t-digest), so the
+    ≤3k-node sketch itself hash-matches a DuckDB replay of the same
+    sweeps. The quantile twin of cms_certificate's frequency sketch."""
+    return _qdigest_base(spark, sf_dir)[1]
+
+
+def q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile reads from the q-digest + the paper's guarantees
+    certified per query against the exact data: est never undershoots
+    its target rank and overshoots by ≤ universe_bits·n/k. The
+    traversal is one JVM array fold over the ≤3k-node sketch; the
+    certificate is one aggregation over the base column with the five
+    driver-pinned estimates as literals (the k-means-centroids
+    pattern — the sketch is sketch-sized by construction)."""
+    from orientdb_etl_spark.functions.profiling import qdigest_quantiles
+
+    cents, sk = _qdigest_base(spark, sf_dir)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ests = qdigest_quantiles(sk, qs, k=256, universe_bits=24).collect()
+    n = sum(r.cnt for r in sk.collect())
+    bound = 24 * max(n // 256, 1)
+    cert = cents.agg(
+        *[
+            F.sum((F.col("c") <= F.lit(r.est)).cast("long")).alias(f"_le{i}")
+            for i, r in enumerate(ests)
+        ]
+    )
+    return (
+        cert.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(r.q)).alias("q"),
+                            F.lit(int(r.target_rank))
+                            .cast("long")
+                            .alias("target_rank"),
+                            F.lit(int(r.est)).cast("long").alias("est"),
+                            F.col(f"_le{i}").alias("exact_le"),
+                        )
+                        for i, r in enumerate(ests)
+                    ]
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
+        .withColumn(
+            "never_undershoot", F.col("exact_le") >= F.col("target_rank")
+        )
+        .withColumn(
+            "within_bound",
+            (F.col("exact_le") - F.col("target_rank")) <= F.lit(int(bound)),
+        )
+    )
+
+
 def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (duplicate-aware downweighting, Muennighoff et al.
     NeurIPS'23 data-constrained scaling; functions/dedup.py): corpus =
@@ -7085,6 +7163,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "soft_dedup": q_soft_dedup,
             "sample_shuffle_split": q_sample_shuffle_split,
             "doremi_mix": q_doremi_mix,
+            # round 8: mergeable quantile sketch (deterministic q-digest)
+            "qdigest_sketch": q_qdigest_sketch,
+            "qdigest_quantiles": q_qdigest_quantiles,
         }
     )
     return out
@@ -12132,6 +12213,73 @@ def oracle_sql() -> dict[str, str]:
         )
 
     sql["holt_winters"] = _hw_oracle()
+
+    def _qdigest_ctes(k: int = 256, ubits: int = 24) -> str:
+        # q-digest oracle (functions/profiling.py): the same exact
+        # integer arithmetic — leaf counts, then per level l a decision
+        # table d{l} (children-sum + existing-parent count vs the
+        # threshold t = greatest(n//k, 1)) and the next node table
+        # r{l+1}. Every CTE is MATERIALIZED: each round references the
+        # previous THREE times, and DuckDB's default CTE inlining would
+        # re-evaluate 3^24 branches.
+        s = (
+            "WITH v AS MATERIALIZED (SELECT CAST(floor("
+            "l_extendedprice * 100) AS BIGINT) AS c FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            f"th AS (SELECT greatest(count(*) // {k}, 1) AS t, "
+            "count(*) AS n FROM v), "
+            "r0 AS MATERIALIZED (SELECT 0 AS lvl, c AS idx, "
+            "count(*) AS cnt FROM v GROUP BY c), "
+        )
+        for l in range(ubits):
+            s += (
+                f"d{l} AS MATERIALIZED (SELECT g.pidx, "
+                "CAST(g.s + coalesce(p.cnt, 0) AS BIGINT) AS tot "
+                "FROM (SELECT idx // 2 AS pidx, "
+                f"CAST(sum(cnt) AS BIGINT) AS s FROM r{l} "
+                f"WHERE lvl = {l} GROUP BY 1) g "
+                f"LEFT JOIN (SELECT idx, cnt FROM r{l} "
+                f"WHERE lvl = {l + 1}) p ON p.idx = g.pidx), "
+                f"r{l + 1} AS MATERIALIZED ("
+                f"SELECT lvl, idx, cnt FROM r{l} "
+                f"WHERE lvl <> {l} AND lvl <> {l + 1} "
+                f"UNION ALL SELECT c.lvl, c.idx, c.cnt FROM r{l} c "
+                f"JOIN d{l} d ON c.idx // 2 = d.pidx CROSS JOIN th "
+                f"WHERE c.lvl = {l} AND d.tot >= th.t "
+                f"UNION ALL SELECT p.lvl, p.idx, p.cnt FROM r{l} p "
+                f"CROSS JOIN th WHERE p.lvl = {l + 1} AND NOT EXISTS ("
+                f"SELECT 1 FROM d{l} d WHERE d.pidx = p.idx "
+                "AND d.tot < th.t) "
+                f"UNION ALL SELECT {l + 1} AS lvl, d.pidx AS idx, "
+                f"d.tot AS cnt FROM d{l} d CROSS JOIN th "
+                "WHERE d.tot < th.t), "
+            )
+        return s
+
+    _qU = 24
+    sql["qdigest_sketch"] = (
+        _qdigest_ctes()[:-2] + " "
+        + f"SELECT lvl, idx, cnt FROM r{_qU}"
+    )
+    sql["qdigest_quantiles"] = (
+        _qdigest_ctes()
+        + f"nodes AS (SELECT (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 "
+        f"AS hi, lvl, cnt FROM r{_qU}), "
+        "ordr AS (SELECT hi, cnt, CAST(sum(cnt) OVER "
+        "(ORDER BY hi, lvl) AS BIGINT) AS cum FROM nodes), "
+        "qq AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) "
+        "AS DOUBLE) AS q), "
+        "tq AS (SELECT q, CAST(ceil(q * th.n) AS BIGINT) AS target_rank "
+        "FROM qq CROSS JOIN th), "
+        "es AS (SELECT q, target_rank, (SELECT min(hi) FROM ordr "
+        "WHERE cum >= tq.target_rank) AS est FROM tq), "
+        "ce AS (SELECT q, target_rank, est, (SELECT count(*) FROM v "
+        "WHERE c <= es.est) AS exact_le FROM es) "
+        "SELECT q, target_rank, est, exact_le, "
+        "exact_le >= target_rank AS never_undershoot, "
+        f"exact_le - target_rank <= {_qU} * th.t AS within_bound "
+        "FROM ce CROSS JOIN th"
+    )
     sql["soft_dedup"] = (
         # duplicate-aware downweighting (functions/dedup.py
         # soft_dedup_weights): the md5 grouping key is content-identity,

@@ -1510,3 +1510,212 @@ def heaps_fit(
             round_to,
         ).alias("r2"),
     )
+
+
+def _qdigest_compress(
+    nodes: DataFrame, t: int, universe_bits: int
+) -> DataFrame:
+    """One bottom-up q-digest compression sweep (Shrivastava et al.,
+    SenSys 2004): for each level l, a parent whose children-plus-self
+    total is below the threshold ``t = floor(n/k)`` absorbs its
+    children. All counts are integers, level order is fixed, so the
+    sweep is deterministic on any layout and replayable in SQL.
+
+    Every round ``localCheckpoint``s its node table: each round
+    references the previous one THREE times (current level, touched
+    parents, rest), so an uncut logical plan grows 3^levels — caching
+    alone does not truncate lineage for analysis, and Catalyst would
+    re-normalize the exponential tree every round. Checkpoint state is
+    bounded — at most ``min(distinct values, 2^universe_bits)`` rows
+    before compression, ≤ 3k after."""
+    for lvl in range(universe_bits):
+        cur = nodes.filter(F.col("lvl") == lvl)
+        par = nodes.filter(F.col("lvl") == lvl + 1)
+        others = nodes.filter(
+            (F.col("lvl") != lvl) & (F.col("lvl") != lvl + 1)
+        )
+        grp = cur.groupBy(
+            F.shiftright("idx", 1).alias("pidx")
+        ).agg(F.sum("cnt").alias("_s"))
+        dec = grp.join(
+            par.select(F.col("idx").alias("pidx"), F.col("cnt").alias("_p")),
+            "pidx",
+            "left",
+        ).select(
+            "pidx",
+            (F.col("_s") + F.coalesce(F.col("_p"), F.lit(0))).alias("_tot"),
+        )
+        merged = dec.filter(F.col("_tot") < t).select(
+            F.lit(lvl + 1).alias("lvl"),
+            F.col("pidx").alias("idx"),
+            F.col("_tot").alias("cnt"),
+        )
+        survivors = dec.filter(F.col("_tot") >= t).select("pidx")
+        keep_children = cur.join(
+            survivors,
+            F.shiftright(cur["idx"], 1) == survivors["pidx"],
+            "semi",
+        )
+        kept_parents = par.join(
+            dec.filter(F.col("_tot") < t).select(
+                F.col("pidx").alias("idx")
+            ),
+            "idx",
+            "anti",
+        )
+        nodes = (
+            others.unionByName(keep_children)
+            .unionByName(kept_parents)
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+    return nodes
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    universe_bits: int = 24,
+    eager: bool = False,
+) -> DataFrame:
+    """Q-digest mergeable quantile sketch (Shrivastava et al., SenSys
+    2004) over a non-negative integer column — the quantile twin of the
+    count-min sketch: FIXED-size state (≤ 3k nodes) regardless of row
+    count, exact-integer construction (deterministic on any layout and
+    oracle-replayable in SQL — no random compaction coin-flips, unlike
+    KLL/t-digest), and mergeable by count-sum + recompression
+    (:func:`qdigest_merge`). Rank guarantee: a quantile read from the
+    sketch NEVER undershoots its target rank and overshoots by at most
+    ``universe_bits · n/k`` (:func:`qdigest_quantiles` certifies both
+    per query).
+
+    Nodes are dyadic ranges: ``(lvl, idx)`` covers
+    ``[idx·2^lvl, (idx+1)·2^lvl)``. Build: exact leaf counts (one hash
+    aggregation — the only corpus-sized shuffle), then ``universe_bits``
+    bottom-up compression sweeps over the node table, each one
+    aggregation + two sketch-sized joins. Values must lie in
+    ``[0, 2^universe_bits)`` — validated up front (scale the column to
+    integer units first, e.g. price cents).
+
+    ``eager=True`` driver-pins the finished sketch (≤ 3k rows — the
+    k-means-centroids pattern) so downstream consumers read a literal
+    table; either way the per-sweep ``localCheckpoint`` blocks are
+    released with the frame by the context cleaner.
+
+    Cite: reference has no counterpart; SURVEY §2.8 sketch family
+    (cms_build / hll_union_certificate's quantile sibling).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= universe_bits <= 40:
+        raise ValueError(
+            f"universe_bits must be in [1, 40], got {universe_bits}"
+        )
+    spark = df.sparkSession
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("_v")
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("mn"),
+        F.max("_v").alias("mx"),
+    ).first()
+    if stats.n == 0:
+        raise ValueError(f"{value_col!r} has no non-null values")
+    if stats.mn < 0 or stats.mx >= (1 << universe_bits):
+        raise ValueError(
+            f"values must lie in [0, 2^{universe_bits}); "
+            f"got [{stats.mn}, {stats.mx}]"
+        )
+    t = max(stats.n // k, 1)
+    leaves = vals.groupBy(F.col("_v").alias("idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nodes = leaves.select(
+        F.lit(0).alias("lvl"), "idx", "cnt"
+    )
+    nodes = _qdigest_compress(nodes, t, universe_bits)
+    if eager:
+        return spark.createDataFrame(nodes.collect(), nodes.schema)
+    return nodes
+
+
+def qdigest_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+    universe_bits: int = 24,
+    eager: bool = False,
+) -> DataFrame:
+    """Merge two q-digests built with the same ``universe_bits``:
+    count-sum on shared ``(lvl, idx)`` nodes, then one recompression
+    sweep under the merged total's threshold. The result answers
+    quantile queries over the UNION of the two inputs' data with the
+    same never-undershoot / ``universe_bits·n/k`` guarantees — the
+    distributed-aggregation property that lets per-partition or
+    per-day sketches roll up without touching raw data again."""
+    spark = a.sparkSession
+    u = (
+        a.unionByName(b)
+        .groupBy("lvl", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    n = u.agg(F.sum("cnt")).first()[0]
+    t = max(int(n) // k, 1)
+    nodes = _qdigest_compress(
+        u.select("lvl", "idx", "cnt"), t, universe_bits
+    )
+    if eager:
+        return spark.createDataFrame(nodes.collect(), nodes.schema)
+    return nodes
+
+
+def qdigest_quantiles(
+    sketch: DataFrame,
+    qs: "list[float]",
+    k: int = 256,
+    universe_bits: int = 24,
+) -> DataFrame:
+    """Answer quantile queries from a q-digest: for each ``q`` return
+    ``(q, target_rank, est)`` where ``est`` is the value at the first
+    node (in the canonical ``(hi, lvl)``-ascending traversal — ``hi``
+    the node range's inclusive upper bound) whose cumulative count
+    reaches ``target_rank = ceil(q·n)``. The traversal runs as ONE
+    JVM array fold over the collected sketch (1-row state — the sketch
+    is ≤ 3k nodes by construction, the unigram-lattice bound): no
+    window, no per-q shuffle."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"each q must be in (0, 1], got {qs}")
+    hi = F.expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), lvl) - 1")
+    packed = sketch.select(
+        F.struct(
+            hi.alias("hi"), F.col("lvl").alias("lvl"), F.col("cnt").alias("cnt")
+        ).alias("_s")
+    ).agg(
+        F.sort_array(F.collect_list("_s")).alias("gs"),
+        F.sum(F.col("_s.cnt")).alias("n"),
+    )
+    rows = packed.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"),
+        "gs",
+    ).select(
+        "q",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target_rank"),
+        "gs",
+    )
+    # per-q O(|sketch|) fold: first hi whose running count >= target
+    fold = F.expr(
+        "aggregate(gs, struct(CAST(0 AS BIGINT) AS c, "
+        "CAST(-1 AS BIGINT) AS ans), "
+        "(a, x) -> struct(a.c + x.cnt AS c, "
+        "IF(a.ans >= 0, a.ans, "
+        "IF(a.c + x.cnt >= target_rank, x.hi, CAST(-1 AS BIGINT))) AS ans), "
+        "a -> a.ans)"
+    )
+    return rows.select("q", "target_rank", fold.alias("est"))

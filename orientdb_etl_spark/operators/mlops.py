@@ -508,7 +508,7 @@ def decontaminate_transformer(
 @register("profile")
 def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
     """{"profile": {"method": "columns"|"heavyHitters"|"ngramTopk"|
-    "diff"|"madOutliers"|"hll"|"cms"|"joinCardinality"|
+    "diff"|"madOutliers"|"hll"|"cms"|"qdigest"|"joinCardinality"|
     "weightedPercentiles", ...}} — single-pass profiling as a config
     citizen (the audit stage of a curation pipeline)."""
     from orientdb_etl_spark.functions import profiling as P
@@ -560,6 +560,21 @@ def profile_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataF
         return P.cms_estimate(
             sketch, ctx.tables[cfg["probeTable"]], cfg["keyField"],
             width, depth, seed,
+        )
+    if method == "qdigest":
+        # mergeable quantile sketch (deterministic q-digest): without
+        # quantiles the ≤3k-node sketch itself is the output (persist,
+        # merge, query later); with them, the per-q answers
+        k = int(cfg.get("k", 256))
+        ubits = int(cfg.get("universeBits", 24))
+        sketch = P.qdigest_build(
+            df, cfg["valueField"], k, ubits,
+            eager=bool(cfg.get("quantiles")),
+        )
+        if not cfg.get("quantiles"):
+            return sketch
+        return P.qdigest_quantiles(
+            sketch, [float(q) for q in cfg["quantiles"]], k, ubits
         )
     if method == "keyskew":
         return P.key_skew_profile(

@@ -785,3 +785,120 @@ def test_mad_outliers_and_weighted_percentiles_keep_null_key_groups(spark):
     # NULL group: cum 1.0->3, 2.0->10; p50 threshold 5 -> value 2.0
     assert got[(None, 50)] == (2.0, 10)
     assert got[("a", 50)] == (9.0, 10)
+
+
+def test_qdigest_guarantees_and_determinism(spark):
+    """Q-digest invariants on a skewed corpus: mass conservation, the
+    ≤3k node bound, never-undershoot at every quantile, overshoot
+    within universe_bits·n/k, and eager/lazy plan parity."""
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    # zipf-ish: value = id % (id % 97 + 1) — heavy mass at small values
+    df = spark.range(8000).selectExpr("id % (id % 97 + 1) AS v")
+    vals = sorted(r.v for r in df.collect())
+    n, k, U = len(vals), 64, 7
+    sk = qdigest_build(df, "v", k=k, universe_bits=U, eager=True)
+    assert sk.agg(F.sum("cnt")).first()[0] == n  # mass conserved
+    assert sk.count() <= 3 * k
+    lazy = qdigest_build(df, "v", k=k, universe_bits=U, eager=False)
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95, 1.0]
+    got = qdigest_quantiles(sk, qs, k=k, universe_bits=U).collect()
+    assert len(got) == len(qs)
+    import bisect
+
+    bound = U * max(n // k, 1)
+    for r in got:
+        exact_le = bisect.bisect_right(vals, r.est)
+        assert exact_le >= r.target_rank, (r.q, r.est)  # never undershoot
+        assert exact_le - r.target_rank <= bound, (r.q, r.est)
+
+
+def test_qdigest_merge_matches_union_guarantees(spark):
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    a = spark.range(3000).selectExpr("id % 500 AS v")
+    b = spark.range(3000, 5000).selectExpr("id % 900 AS v")
+    k, U = 64, 10
+    m = qdigest_merge(
+        qdigest_build(a, "v", k, U, eager=True),
+        qdigest_build(b, "v", k, U, eager=True),
+        k,
+        U,
+        eager=True,
+    )
+    vals = sorted(
+        r.v for r in a.unionByName(b).collect()
+    )
+    n = len(vals)
+    assert m.agg(F.sum("cnt")).first()[0] == n
+    assert m.count() <= 3 * k
+    import bisect
+
+    # the merged sketch's guarantee degrades by one extra n/k per merge
+    bound = (U + 1) * max(n // k, 1)
+    for r in qdigest_quantiles(m, [0.1, 0.5, 0.9], k, U).collect():
+        exact_le = bisect.bisect_right(vals, r.est)
+        assert exact_le >= r.target_rank
+        assert exact_le - r.target_rank <= bound
+
+
+def test_qdigest_validations_and_config(spark):
+    import pytest
+
+    from orientdb_etl_spark import Pipeline
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    df = spark.range(100).selectExpr("id AS v")
+    with pytest.raises(ValueError, match="universe_bits"):
+        qdigest_build(df, "v", universe_bits=0)
+    with pytest.raises(ValueError, match="lie in"):
+        qdigest_build(df, "v", universe_bits=5)  # max 99 >= 32
+    with pytest.raises(ValueError, match="no non-null"):
+        qdigest_build(
+            spark.createDataFrame([(None,)], "v long"), "v", universe_bits=5
+        )
+    sk = qdigest_build(df, "v", k=16, universe_bits=7, eager=True)
+    with pytest.raises(ValueError, match="non-empty"):
+        qdigest_quantiles(sk, [])
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        qdigest_quantiles(sk, [0.0])
+
+    out = (
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "t"}},
+                "transformers": [
+                    {"profile": {"method": "qdigest", "valueField": "v",
+                                 "k": 16, "universeBits": 7,
+                                 "quantiles": [0.5, 1.0]}},
+                ],
+                "loader": {"memory": {"view": "qq"}},
+            },
+            spark=spark,
+        )
+        .register_table("t", df)
+        .run()
+        .outputs["qq"]
+    )
+    rows = {r.q: r for r in out.collect()}
+    # est is a dyadic-range UPPER bound — it may exceed the data max
+    # (never its universe); the contract is the rank guarantee
+    assert rows[1.0].target_rank == 100 and 99 <= rows[1.0].est < 128
+    assert rows[0.5].est >= 49

@@ -638,20 +638,58 @@ def main() -> None:
     from orientdb_etl_spark.functions.doremi import doremi_mixture
 
     t0 = time.time()
+    domained = labeled.withColumn(
+        "dom", F.concat(F.lit("d"), (F.col("doc_id") % 8).cast("string"))
+    )
     mix = doremi_mixture(
-        labeled, "source", buckets=1024, ref_iters=1, iters=2,
+        domained, "dom", buckets=1024, ref_iters=1, iters=2,
         lr=1.0, eta=2.0, eager=True,
     )
     rows = mix.collect()  # domain-count-bounded by construction
     out["doremi_domains"] = len(rows)
-    out["doremi_expected_domains"] = (
-        big.select("source").distinct().count()
-    )
+    out["doremi_expected_domains"] = 8
     out["doremi_alpha_sum"] = round(sum(r.alpha for r in rows), 6)
     out["doremi_alpha_final_sum"] = round(
         sum(r.alpha_final for r in rows), 6
     )
     out["t_doremi"] = round(time.time() - t0, 2)
+
+    # --- q-digest quantile sketch on the skewed corpus ------------------
+    # (round 8) the sketch must stay ≤3k nodes at factor× (state is
+    # size-independent by construction) and its reads must keep the
+    # never-undershoot / U·n/k rank guarantees against the exact column
+    # — the hot key concentrates n_chars mass on one value, exactly the
+    # skew a quantile sketch has to absorb without blowing its bound.
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    t0 = time.time()
+    qk, qu = 512, 20
+    chars = big.select(F.length("text").cast("long").alias("n_chars"))
+    sk = qdigest_build(chars, "n_chars", k=qk, universe_bits=qu, eager=True)
+    n_mass = sk.agg(F.sum("cnt")).first()[0]
+    out["qdigest_nodes"] = sk.count()  # MUST be <= 3k
+    out["qdigest_mass"] = n_mass
+    ests = qdigest_quantiles(
+        sk, [0.01, 0.5, 0.99], k=qk, universe_bits=qu
+    ).collect()
+    bound = qu * max(int(n_mass) // qk, 1)
+    cert = chars.agg(
+        *[
+            F.sum((F.col("n_chars") <= F.lit(r.est)).cast("long")).alias(
+                f"le{i}"
+            )
+            for i, r in enumerate(ests)
+        ]
+    ).first()
+    out["qdigest_guarantees_ok"] = all(
+        cert[f"le{i}"] >= r.target_rank
+        and cert[f"le{i}"] - r.target_rank <= bound
+        for i, r in enumerate(ests)
+    )
+    out["t_qdigest"] = round(time.time() - t0, 2)
 
     print(json.dumps(out))
 
