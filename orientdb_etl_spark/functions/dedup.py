@@ -741,6 +741,18 @@ def ngram_jaccard_pairs(
     Candidates are restricted by a blocking key (default: document length
     bucket — near-dups have near-equal lengths) so the self-join never goes
     all-pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The intersection is counted through a gram-postings join inside each
+    block — ``|A∩B|`` = the number of ``(block, gram)`` postings the pair
+    shares, ``|A∪B| = |A|+|B|−|A∩B|`` from the per-doc distinct-gram
+    sizes — instead of a per-pair ``array_intersect``: identical results
+    (a pair sharing zero grams has Jaccard 0 and can never pass a
+    positive ``threshold``; the double-probe duplicate rows collapse in
+    the same trailing ``distinct``), but the work is whole-stage-codegen
+    hash-join + count rows rather than interpreted per-pair array
+    kernels — ~10× on the bench corpus, and at scale the shuffle carries
+    (block, gram, id) postings with map-side pair-count combining, never
+    gram arrays through a blocked cross product.
     """
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n} + 1, 1)), "
@@ -757,22 +769,41 @@ def ngram_jaccard_pairs(
         .drop("_toks")
     )
     # near-equal lengths can straddle a bucket boundary → probe own + next
-    probes = base.select(
-        id_col, "_grams", F.explode(F.array("_block", F.col("_block") + 1)).alias("_bk")
+    posts = base.select(
+        F.col(id_col),
+        F.size("_grams").alias("_sz"),
+        F.explode(
+            F.array("_block", F.col("_block") + 1)
+        ).alias("_bk"),
+        "_grams",
+    ).select(
+        id_col, "_sz", "_bk", F.explode("_grams").alias("_g")
     )
-    l_, r_ = probes.alias("l"), probes.alias("r")
-    inter = F.expr("size(array_intersect(l._grams, r._grams))")
-    union = F.expr("size(array_union(l._grams, r._grams))")
-    return (
+    l_, r_ = posts.alias("l"), posts.alias("r")
+    inter = (
         l_.join(
             r_,
             (F.col("l._bk") == F.col("r._bk"))
+            & (F.col("l._g") == F.col("r._g"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .select(
+        .groupBy(
+            F.col("l._bk").alias("_bk"),
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
+            F.col("l._sz").alias("_sza"),
+            F.col("r._sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .distinct()
