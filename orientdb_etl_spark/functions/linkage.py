@@ -129,13 +129,22 @@ def fuzzy_join(
     index = rt.select(
         "_rid", F.explode(F.expr(_index_segments("_rs", d))).alias("k")
     ).select("_rid", "k.l_len", "k.seg_i", "k.seg")
-    cand = (
-        probe.join(index, ["l_len", "seg_i", "seg"])
-        .select("_lid", "_rid")
-        .distinct()
+    cand = probe.join(index, ["l_len", "seg_i", "seg"]).select(
+        "_lid", "_rid"
     )
-    # verify on the sparse candidate stream; threshold levenshtein
-    # abandons the DP row once the running distance exceeds d
+    # verify on the RAW candidate stream and dedup only the survivors:
+    # thresholded levenshtein (the DP row abandons once the running
+    # distance exceeds d) is whole-stage-codegen-cheap per candidate,
+    # while a pre-verify distinct() shuffles the FULL candidate stream —
+    # on segment-collision-heavy vocabularies candidates can be 1000×
+    # the match count (round-8 bench: 38M candidates from 20k×20k
+    # strings), so on match-SPARSE data (the typical ER case) this shape
+    # shuffles the small survivor set instead of every candidate. On the
+    # bench's match-HEAVY synthetic case (6.4M true matches) the two
+    # shapes cost the same — the survivor set is shuffle-dominant either
+    # way; the committed floor reflects that, not a pre-distinct win.
+    # Duplicate candidates re-verify into duplicate rows, collapsed by
+    # the trailing distinct over the match-sized set.
     return (
         cand.join(lt, "_lid")
         .join(rt, "_rid")
@@ -148,6 +157,7 @@ def fuzzy_join(
             F.col("_rs").alias(right_col),
             dist_col,
         )
+        .distinct()
     )
 
 
