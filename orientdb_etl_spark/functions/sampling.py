@@ -737,3 +737,51 @@ def unimax_allocation(
         )
         .select(group_col, "n_tokens", "cap_tokens", "quota", "epochs")
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the CLUSTER id instead
+    of the row id, so every member of a duplicate / near-duplicate cluster
+    lands in the SAME split.
+
+    Plain :func:`hash_split` by row id leaks: two near-copies of one
+    document straddle train and test, and the eval set silently scores
+    memorization (the contamination mode the GPT-3/PaLM reports document
+    for their pre-dedup splits). Feeding this the cluster id from any of
+    the dedup operators (exact fingerprint groups, minhash components,
+    SemDeDup buckets) closes that channel while keeping the assignment
+    deterministic, engine-portable integer arithmetic — a row's split
+    never changes as the corpus grows, and :func:`split_leakage_report`
+    certifies zero spanning clusters after the fact.
+
+    ``cluster_col`` must be integer-shaped (use the cluster's min member
+    id, the convention every dedup operator here follows).
+    """
+    return hash_split(df, cluster_col, weights, seed=seed, out_col=out_col)
+
+
+def split_leakage_report(
+    df: DataFrame, cluster_col: str, split_col: str
+) -> DataFrame:
+    """One-row leakage certificate for ANY split assignment: how many
+    clusters span more than one split, and how bad the worst one is.
+
+    Returns ``(n_clusters, n_spanning, max_splits_per_cluster)`` — the
+    QA gate to run after a split lands: ``n_spanning`` must be 0 for a
+    leakage-safe split, and is measured (two hash aggregations over
+    cluster-sized state), not assumed.
+    """
+    per = df.groupBy(cluster_col).agg(
+        F.countDistinct(split_col).alias("_n_splits")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("_n_splits") > 1).cast("long")).alias("n_spanning"),
+        F.max("_n_splits").alias("max_splits_per_cluster"),
+    )

@@ -1629,3 +1629,76 @@ def doremi_transformer(
         smooth=float(cfg.get("smooth", 0.1)),
         eager=True,  # pipelines are long-lived sessions: leak nothing
     )
+
+
+@register("jlProject")
+def jl_project_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"jlProject": {"vecField": "embedding", "dim": 64, "outDim": 8,
+    "seed": 42, "prefix": "jl"}} — Johnson-Lindenstrauss sign projection
+    (functions/projections.py): appends ``outDim`` reduced columns via a
+    portable ±1 hash matrix, unrolled into codegen expressions (no UDF,
+    no shuffle, no fitted state)."""
+    from orientdb_etl_spark.functions.projections import jl_project
+
+    return jl_project(
+        df,
+        cfg["vecField"],
+        dim=int(cfg["dim"]),
+        out_dim=int(cfg.get("outDim", 8)),
+        seed=int(cfg.get("seed", 42)),
+        prefix=cfg.get("prefix", "jl"),
+    )
+
+
+@register("pca")
+def pca_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> DataFrame:
+    """{"pca": {"vecField": "embedding", "dim": 64, "k": 2, "prefix": "pc",
+    "method": "eigh"|"power", "steps": 30}} — one-pass Gram-matrix PCA
+    (functions/projections.py): Arrow-batched partial X'X per partition
+    (the shuffle carries partitions×d² cells, never the corpus), then
+    either numpy eigh (production) or fixed-step power iteration with
+    deflation (the engine-portable twin); the projection itself is always
+    JVM-side literal arithmetic."""
+    from orientdb_etl_spark.functions import projections as P
+
+    vec = cfg["vecField"]
+    dim = int(cfg["dim"])
+    k = int(cfg.get("k", 2))
+    prefix = cfg.get("prefix", "pc")
+    if str(cfg.get("method", "eigh")).lower() == "power":
+        comps = P.top_components(
+            P.gram_matrix(df, vec, dim), dim, k=k, steps=int(cfg.get("steps", 30))
+        )
+        return P.project_components(df, vec, [c for c, _ in comps], prefix)
+    return P.pca_embed(df, vec, dim, k=k, prefix=prefix)
+
+
+@register("clusterSplit")
+def cluster_split_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"clusterSplit": {"clusterField": "cluster_id", "weights":
+    {"train": 0.9, "test": 0.1}, "seed": 42, "outField": "split",
+    "report": false}} — leakage-safe split (functions/sampling.py):
+    hashes the dedup CLUSTER id so near-duplicate documents never
+    straddle train/test; with ``report: true`` returns the one-row
+    leakage certificate (n_clusters, n_spanning, max_splits_per_cluster)
+    for an EXISTING ``outField`` assignment instead."""
+    from orientdb_etl_spark.functions.sampling import (
+        cluster_split,
+        split_leakage_report,
+    )
+
+    if cfg.get("report"):
+        return split_leakage_report(
+            df, cfg["clusterField"], cfg.get("outField", "split")
+        )
+    return cluster_split(
+        df,
+        cfg["clusterField"],
+        dict(cfg["weights"]),
+        seed=int(cfg.get("seed", 42)),
+        out_col=cfg.get("outField", "split"),
+    )
