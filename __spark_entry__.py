@@ -6567,6 +6567,151 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_1d(ev, "event_type", "value", "purchase", "view")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 → 4, hash-checked
+    end-to-end: the ±1 matrix is the portable two-squaring integer hash
+    (functions/projections.py jl_sign — the same multiply/mod vocabulary
+    as the minhash and split instruments), unrolled into one codegen
+    select; the DuckDB twin rebuilds the identical sign table in SQL
+    (jl_signs_sql) and replays the projection relationally."""
+    from orientdb_etl_spark.functions.projections import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = jl_project(emb, "embedding", dim=64, out_dim=4, seed=42)
+    # + 0.0 normalizes IEEE negative zero (a value rounding to -0.0 in
+    # one engine and 0.0 in the other hash-mismatches on repr)
+    return out.select(
+        "vec_id",
+        *[
+            (F.round(f"jl{j}", 4) + F.lit(0.0)).alias(f"jl{j}")
+            for j in range(1, 5)
+        ],
+    )
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion certificate: pair each even vec_id with its
+    successor, measure ‖Δy‖²/‖Δx‖² under the 64 → 16 sign projection, and
+    pin (n_pairs, min/avg/max ratio) — the measured realization of the
+    E[ratio] = 1 guarantee, falsifiable against the oracle's from-first-
+    principles replay (a degenerate sign matrix shows up as a ratio
+    spread this hash-check would catch, exactly how the first linear
+    jl_sign draft was caught at mean 0.45)."""
+    from orientdb_etl_spark.functions.projections import jl_distortion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_distortion(emb, "embedding", "vec_id", dim=64, out_dim=16, seed=42)
+
+
+def q_gram_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading eigenvector of the corpus Gram matrix: one Arrow-batched
+    pass builds the 64×64 second-moment matrix (the shuffle carries
+    partitions×d² cells, never the corpus), then 30 FIXED power-iteration
+    steps from the uniform start — fixed, not converged-tested, so the
+    DuckDB twin (gram_sql + power_iteration_sql, MATERIALIZED CTE chain)
+    replays the identical trajectory. Emits (dim_i, loading, eigval);
+    sign fixed by the max-|loading| convention on both engines."""
+    from orientdb_etl_spark.functions.projections import (
+        gram_matrix,
+        power_iteration,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v, lam = power_iteration(gram_matrix(emb, "embedding", 64), 64, steps=30)
+    out = spark.createDataFrame(
+        [(i + 1, x, lam) for i, x in enumerate(v)],
+        "dim_i int, loading double, eigval double",
+    )
+    return out.select(
+        "dim_i",
+        (F.round("loading", 4) + F.lit(0.0)).alias("loading"),
+        F.round("eigval", 3).alias("eigval"),
+    )
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embeddings corpus: Gram pass + power
+    iteration + Hotelling deflation for the second component, then the
+    projection as unrolled literal dot products (never leaves the JVM).
+    The oracle chains gram_sql → power_iteration_sql(v1) → deflate_sql →
+    power_iteration_sql(v2) → relational projection — the full fitted
+    pipeline replayed from first principles, not pinned constants."""
+    from orientdb_etl_spark.functions.projections import (
+        gram_matrix,
+        project_components,
+        top_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = top_components(gram_matrix(emb, "embedding", 64), 64, k=2, steps=30)
+    out = project_components(emb, "embedding", [c for c, _ in comps], prefix="pc")
+    return out.select(
+        "vec_id",
+        (F.round("pc1", 4) + F.lit(0.0)).alias("pc1"),
+        (F.round("pc2", 4) + F.lit(0.0)).alias("pc2"),
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split vs naive split, one falsifiable row: plant an
+    exact near-copy of every 10th document (doc_id + 10000 — the
+    semantic_dedup planting pattern), cluster by canonical fingerprint,
+    then split BOTH ways. The leakage-safe path (cluster_split: hash the
+    cluster's min doc_id) must co-locate every planted pair
+    (spanning_safe = 0, measured, not assumed); the naive doc_id
+    hash_split must demonstrably leak (spanning_naive > 0). Split
+    fractions ride along so the certificate also pins that safety didn't
+    distort the 80/20 allocation. All-integer arithmetic — exact in any
+    engine."""
+    from pyspark.sql import Window
+
+    from orientdb_etl_spark.functions.sampling import (
+        cluster_split,
+        hash_split,
+        split_leakage_report,
+    )
+    from orientdb_etl_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    aug = docs.unionByName(copies).withColumn("fp", doc_fingerprint("text"))
+    w = Window.partitionBy("fp")
+    clustered = aug.withColumn("cluster", F.min("doc_id").over(w))
+    weights = {"train": 0.8, "test": 0.2}
+    safe = cluster_split(clustered, "cluster", weights)
+    naive = hash_split(clustered, "doc_id", weights)
+    rep_safe = split_leakage_report(safe, "cluster", "split").select(
+        "n_clusters",
+        F.col("n_spanning").alias("spanning_safe"),
+    )
+    rep_naive = split_leakage_report(naive, "cluster", "split").select(
+        F.col("n_spanning").alias("spanning_naive")
+    )
+    counts = safe.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    dup = (
+        clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_clusters"))
+    )
+    return (
+        counts.crossJoin(rep_safe).crossJoin(rep_naive).crossJoin(dup).select(
+            "n_docs",
+            "n_clusters",
+            "n_dup_clusters",
+            "spanning_safe",
+            "spanning_naive",
+            "n_train",
+            "n_test",
+        )
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -6679,7 +6824,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_transform": q_code_transform,
         "command_transform": q_command_transform,
         # analytics surface (§2.8) + the scale-critical extensions
-        "q1_pricing_summary": q1_pricing_summary,
+        # round 8 (fourth wave): the TPC-H family held two driver slots
+        # (q1 scan-agg + q3 join-agg-topk); q1's cedes to the embedding-
+        # projection family's first driver row — top-2 PCA via one-pass
+        # Gram + power iteration + deflation, the full fitted trajectory
+        # replayed by the oracle's CTE chain. TPC-H stays driver-covered
+        # by q3 (the entry() flagship) and all 22 shapes stay
+        # hash-checked in queries_all
+        "pca_project": q_pca_project,
         "q3_shipping_priority": q3_shipping_priority,
         "asof_join_events": q_asof_join_events,
         # round 8: q12's slot carries the per-domain crawl cap (the web-
@@ -6718,7 +6870,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-covered by text_quality
         "shared_spans": q_shared_spans,
         "text_quality": q_text_quality,
-        "chunk_documents": q_chunk_documents,
+        # round 8 (fourth wave): the text family held two adjacent driver
+        # slots (text_quality metrics + chunk_documents preprocessing);
+        # chunking's cedes to the leakage-safe split certificate (the
+        # split family's first driver row since sample_shuffle_split
+        # rotated out — and strictly stronger surface: planted-duplicate
+        # clusters, safe-vs-naive spanning counts, all integer-exact).
+        # Chunking stays driver-covered by text_quality's family and
+        # hash-checked in queries_all
+        "leakage_split": q_leakage_split,
         # round 8 (third wave): the split/shuffle slot carries UniMax
         # epoch-capped mixture allocation (the mixture-planning family's
         # first driver row — temperature_mix has always been local-gate
@@ -7166,6 +7326,18 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 8: mergeable quantile sketch (deterministic q-digest)
             "qdigest_sketch": q_qdigest_sketch,
             "qdigest_quantiles": q_qdigest_quantiles,
+            # round 8 (third wave): embedding dimensionality reduction —
+            # portable JL sign projection (+ measured distortion
+            # certificate) and one-pass Gram-matrix PCA (power iteration
+            # with deflation, full SQL trajectory replay); pca_project
+            # and leakage_split carry driver slots (fourth-wave rotation)
+            "jl_project": q_jl_project,
+            "jl_distortion": q_jl_distortion,
+            "gram_eigen": q_gram_eigen,
+            # round 8 (fourth wave): displaced by the rotation onto the
+            # projection and split families — both stay hash-checked here
+            "q1_pricing_summary": q1_pricing_summary,
+            "chunk_documents": q_chunk_documents,
         }
     )
     return out
@@ -12326,5 +12498,116 @@ def oracle_sql() -> dict[str, str]:
         "FROM f CROSS JOIN a) "
         "SELECT lang, n_tokens, cap_tokens, quota, "
         "round(quota / n_tokens, 4) AS epochs FROM q"
+    )
+    from orientdb_etl_spark.functions.projections import (
+        deflate_sql,
+        gram_sql,
+        jl_signs_sql,
+        power_iteration_sql,
+    )
+
+    sql["jl_project"] = (
+        # portable JL sign projection (functions/projections.py
+        # jl_project): the oracle rebuilds the two-squaring ±1 table from
+        # the same integer arithmetic and replays the projection
+        # relationally — the sign matrix itself is under test
+        "WITH signs AS MATERIALIZED (" + jl_signs_sql(64, 4, 42) + "), "
+        "proj AS (SELECT e.vec_id, s.j, "
+        "SUM((e.embedding::DOUBLE[])[s.i] * s.s) / sqrt(4.0) AS y "
+        "FROM embeddings e, signs s GROUP BY 1, 2) "
+        "SELECT vec_id, "
+        + ", ".join(
+            # + 0.0 normalizes IEEE negative zero, mirroring the Spark side
+            f"round(MAX(CASE WHEN j = {j} THEN y END), 4) + 0.0 AS jl{j}"
+            for j in range(1, 5)
+        )
+        + " FROM proj GROUP BY vec_id"
+    )
+    sql["jl_distortion"] = (
+        # measured distance-preservation certificate: consecutive-id
+        # pairs, ratio of projected to original squared distance
+        "WITH signs AS MATERIALIZED (" + jl_signs_sql(64, 16, 42) + "), "
+        "proj AS MATERIALIZED (SELECT e.vec_id, s.j, "
+        "SUM((e.embedding::DOUBLE[])[s.i] * s.s) / sqrt(16.0) AS y "
+        "FROM embeddings e, signs s GROUP BY 1, 2), "
+        "dy AS (SELECT a.vec_id, SUM((a.y - b.y) * (a.y - b.y)) AS dy2 "
+        "FROM proj a, proj b WHERE b.vec_id = a.vec_id + 1 AND b.j = a.j "
+        "AND a.vec_id % 2 = 0 GROUP BY 1), "
+        "dx AS (SELECT a.vec_id, "
+        "SUM(((a.embedding::DOUBLE[])[d.i] - (b.embedding::DOUBLE[])[d.i]) "
+        "* ((a.embedding::DOUBLE[])[d.i] - (b.embedding::DOUBLE[])[d.i])) "
+        "AS dx2 FROM embeddings a, embeddings b, range(1, 65) d(i) "
+        "WHERE b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 GROUP BY 1), "
+        "r AS (SELECT dy.dy2 / dx.dx2 AS ratio FROM dy JOIN dx "
+        "USING (vec_id) WHERE dx.dx2 > 0) "
+        "SELECT count(*) AS n_pairs, round(min(ratio), 4) AS min_ratio, "
+        "round(avg(ratio), 4) AS avg_ratio, "
+        "round(max(ratio), 4) AS max_ratio FROM r"
+    )
+    _gram64 = gram_sql("embeddings", "embedding", 64)
+    sql["gram_eigen"] = (
+        # leading eigenvector: the oracle replays the EXACT fixed-step
+        # trajectory (gram + 30 matrix-vector/normalize rounds + the
+        # max-|loading| sign fix + Rayleigh quotient) — MATERIALIZED is
+        # load-bearing, each step references its predecessor twice
+        "WITH gram AS MATERIALIZED (" + _gram64 + "), "
+        + power_iteration_sql("gram", 64, steps=30)
+        + " SELECT f.i AS dim_i, round(f.x, 4) + 0.0 AS loading, "
+        "round((SELECT lam FROM v_lam), 3) AS eigval FROM v_final f"
+    )
+    sql["pca_project"] = (
+        # top-2 projection: first chain, Hotelling deflation, second
+        # chain, then two relational dot products — the whole fitted
+        # pipeline from first principles, no pinned constants
+        "WITH gram AS MATERIALIZED (" + _gram64 + "), "
+        + power_iteration_sql("gram", 64, steps=30, vec_name="v1")
+        + ", "
+        + deflate_sql("gram", "v1", "gram2")
+        + ", "
+        + power_iteration_sql("gram2", 64, steps=30, vec_name="v2")
+        + ", p1 AS (SELECT e.vec_id, "
+        "SUM((e.embedding::DOUBLE[])[a.i] * a.x) AS pc1 "
+        "FROM embeddings e, v1_final a GROUP BY 1), "
+        "p2 AS (SELECT e.vec_id, "
+        "SUM((e.embedding::DOUBLE[])[a.i] * a.x) AS pc2 "
+        "FROM embeddings e, v2_final a GROUP BY 1) "
+        "SELECT p1.vec_id, round(p1.pc1, 4) + 0.0 AS pc1, "
+        "round(p2.pc2, 4) + 0.0 AS pc2 FROM p1 JOIN p2 USING (vec_id)"
+    )
+    sql["leakage_split"] = (
+        # leakage-safe vs naive split on a planted-duplicate corpus:
+        # every count is derived from first principles (fingerprint
+        # clusters + the shared hash_split integer arithmetic), so a
+        # broken co-location would hash-mismatch, not just flip a pinned
+        # boolean
+        "WITH aug AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000, text FROM documents "
+        "WHERE doc_id % 10 = 0), "
+        f"fp AS (SELECT doc_id, {canon} AS fp FROM aug), "
+        "cl AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) "
+        "AS cluster FROM fp), "
+        "splits AS (SELECT doc_id, cluster, "
+        "CASE WHEN ((cluster + 42) % 1000003) * 2654435761 % 1000000 "
+        "< 800000 THEN 'train' ELSE 'test' END AS split_safe, "
+        "CASE WHEN ((doc_id + 42) % 1000003) * 2654435761 % 1000000 "
+        "< 800000 THEN 'train' ELSE 'test' END AS split_naive FROM cl), "
+        "safe_rep AS (SELECT count(*) AS n_clusters, "
+        "CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS spanning_safe FROM (SELECT cluster, "
+        "count(DISTINCT split_safe) AS ns FROM splits GROUP BY cluster)), "
+        "naive_rep AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS spanning_naive FROM (SELECT cluster, "
+        "count(DISTINCT split_naive) AS ns FROM splits GROUP BY cluster)), "
+        "cnt AS (SELECT count(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN split_safe = 'train' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_train, "
+        "CAST(SUM(CASE WHEN split_safe = 'test' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_test FROM splits), "
+        "dup AS (SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_clusters FROM (SELECT cluster, count(*) AS n "
+        "FROM splits GROUP BY cluster)) "
+        "SELECT n_docs, n_clusters, n_dup_clusters, spanning_safe, "
+        "spanning_naive, n_train, n_test "
+        "FROM cnt, safe_rep, naive_rep, dup"
     )
     return sql

@@ -758,7 +758,9 @@ def cluster_split(
     SemDeDup buckets) closes that channel while keeping the assignment
     deterministic, engine-portable integer arithmetic — a row's split
     never changes as the corpus grows, and :func:`split_leakage_report`
-    certifies zero spanning clusters after the fact.
+    certifies zero spanning clusters after the fact (the PREVENTION
+    side of ``dedup.split_leakage``, which detects the leaking
+    fingerprints in an existing assignment).
 
     ``cluster_col`` must be integer-shaped (use the cluster's min member
     id, the convention every dedup operator here follows).
