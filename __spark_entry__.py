@@ -6712,6 +6712,96 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the JL bottleneck (functions/projections.py
+    jl_topk): every vector is scored by REDUCED cosine in the portable
+    16-dim sign projection (16 multiplies per row instead of 64 — the
+    scan cost drops by dim/out_dim), the top k×expand survive a
+    TakeOrderedAndProject cut (no shuffle, no window), and only those
+    are re-ranked by exact cosine against vec_id 0's embedding. Unlike
+    the gaussian-plane paths (recall certificates), every stage here is
+    integer-hash + literal-coefficient codegen, so the DuckDB twin
+    replays signs → projection → reduced-cosine cut → exact re-rank
+    relationally and the RESULT is hash-checked, not just a recall."""
+    from orientdb_etl_spark.functions.projections import jl_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = jl_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        _query_vec(spark, sf_dir),
+        dim=64,
+        out_dim=16,
+        k=10,
+        expand=4,
+        seed=42,
+    )
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q_stream_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PCA state certificate (streaming/ops.py
+    foreach_batch_gram): the embeddings corpus is split into 3
+    deterministic slices and streamed availableNow; each micro-batch
+    writes its d×d Gram partial to its OWN epoch directory (overwrite —
+    sums are linear, not idempotent, so replay safety comes from
+    per-epoch isolation, not merging). read_stream_gram sums the epochs;
+    by linearity that must equal one batch gram_matrix over the full
+    corpus. The certificate emits the epoch count, the cell count, and
+    the max |streamed − batch| cell delta rounded at 1e-6 — pinned 0 by
+    the oracle, and falsifiable: tests/test_projections.py drops an
+    epoch directory and asserts the delta moves."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from orientdb_etl_spark.functions.projections import gram_matrix
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_gram,
+        read_stream_gram,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="stream_gram_")
+    for s in range(3):
+        emb.filter(F.col("vec_id") % 3 == s).coalesce(1).write.parquet(
+            f"{base}/src/slice{s}"
+        )
+    allv = spark.read.parquet(f"{base}/src/slice*")
+    q = (
+        spark.readStream.schema(allv.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(foreach_batch_gram(f"{base}/out", "embedding", 64))
+        .start()
+    )
+    q.awaitTermination()
+    merged = read_stream_gram(spark, f"{base}/out")
+    batch = gram_matrix(allv, "embedding", 64).withColumnRenamed("g", "g_b")
+    cert = (
+        merged.join(batch, ["i", "j"], "full_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max(
+                F.abs(F.coalesce("g", F.lit(0.0)) - F.coalesce("g_b", F.lit(0.0)))
+            ).alias("_d"),
+        )
+        .select(
+            "n_cells", (F.round("_d", 6) + F.lit(0.0)).alias("max_cell_delta")
+        )
+    )
+    n_epochs = len(_glob.glob(f"{base}/out/epoch=*"))
+    row = cert.first()
+    _shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_epochs, row["n_cells"], row["max_cell_delta"])],
+        "n_epochs bigint, n_cells bigint, max_cell_delta double",
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7334,6 +7424,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jl_project": q_jl_project,
             "jl_distortion": q_jl_distortion,
             "gram_eigen": q_gram_eigen,
+            # round 8 (fifth wave): JL-bottleneck ANN — the first top-k
+            # path whose RESULT is hash-checked end-to-end (reduced-
+            # cosine cut + exact re-rank, all portable integer-hash
+            # codegen) — and the streaming Gram / PCA-state certificate
+            "jl_topk": q_jl_topk,
+            "stream_gram": q_stream_gram,
             # round 8 (fourth wave): displaced by the rotation onto the
             # projection and split families — both stay hash-checked here
             "q1_pricing_summary": q1_pricing_summary,
@@ -12543,6 +12639,45 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS n_pairs, round(min(ratio), 4) AS min_ratio, "
         "round(avg(ratio), 4) AS avg_ratio, "
         "round(max(ratio), 4) AS max_ratio FROM r"
+    )
+    sql["jl_topk"] = (
+        # JL-bottleneck ANN, replayed end-to-end: rebuild the ±1 sign
+        # table, project corpus AND query (vec_id 0), cut candidates by
+        # scale-invariant reduced cosine (norm-biased raw dot products
+        # can evict a small-norm query from its own neighborhood), then
+        # exact-cosine re-rank of just the k×expand survivors
+        "WITH signs AS MATERIALIZED (" + jl_signs_sql(64, 16, 42) + "), "
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "yq AS MATERIALIZED (SELECT s.j, "
+        "SUM(q.qv[s.i] * s.s) / sqrt(16.0) AS y "
+        "FROM q, signs s GROUP BY 1), "
+        "proj AS (SELECT e.vec_id, s.j, "
+        "SUM((e.embedding::DOUBLE[])[s.i] * s.s) / sqrt(16.0) AS y "
+        "FROM embeddings e, signs s GROUP BY 1, 2), "
+        "qn AS (SELECT sqrt(SUM(y * y)) AS n FROM yq), "
+        "red AS (SELECT p.vec_id, SUM(p.y * yq.y) AS rdot, "
+        "SUM(p.y * p.y) AS rnrm FROM proj p JOIN yq USING (j) GROUP BY 1), "
+        "cand AS (SELECT vec_id, CASE WHEN rnrm > 0 THEN rdot / "
+        "(sqrt(rnrm) * (SELECT n FROM qn)) ELSE -2.0 END AS rs FROM red "
+        "ORDER BY rs DESC, vec_id ASC LIMIT 40), "
+        "exact AS (SELECT c.vec_id, "
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) "
+        "* sqrt(list_dot_product(q.qv, q.qv))) AS cos "
+        "FROM cand c JOIN embeddings e USING (vec_id), q) "
+        "SELECT vec_id, round(cos, 4) AS cosine_sim FROM exact "
+        "ORDER BY cos DESC, vec_id ASC LIMIT 10"
+    )
+    sql["stream_gram"] = (
+        # streaming Gram certificate: by linearity the per-epoch sums
+        # must equal the batch Gram, so the oracle pins the real
+        # Spark-side full-outer cell comparison at 0 (and the 3-slice
+        # epoch count / 64² cell count from first principles); the
+        # certificate is falsifiable — tests/test_projections.py drops
+        # an epoch dir and asserts the delta moves
+        "SELECT CAST(3 AS BIGINT) AS n_epochs, "
+        "CAST(64 * 64 AS BIGINT) AS n_cells, 0.0 AS max_cell_delta"
     )
     _gram64 = gram_sql("embeddings", "embedding", 64)
     sql["gram_eigen"] = (

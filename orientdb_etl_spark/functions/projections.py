@@ -439,3 +439,83 @@ def pca_embed(
         _sign_fix([float(x) for x in vecs[:, -c]]) for c in range(1, k + 1)
     ]
     return project_components(df, vec_col, comps, prefix)
+
+
+def jl_project_vector(
+    q: Sequence[float], dim: int, out_dim: int, seed: int = 42
+) -> list[float]:
+    """Driver-side twin of :func:`jl_project` for a single query vector
+    (same signs, same 1/sqrt(m) scale) — the reduced query becomes
+    literal coefficients in :func:`jl_topk`'s candidate scorer."""
+    inv = 1.0 / math.sqrt(out_dim)
+    return [
+        inv * sum(float(q[i - 1]) * jl_sign(i, j, seed) for i in range(1, dim + 1))
+        for j in range(1, out_dim + 1)
+    ]
+
+
+def jl_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    dim: int,
+    out_dim: int = 16,
+    k: int = 10,
+    expand: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k through the JL bottleneck: score every row by COSINE in
+    the REDUCED space (out_dim multiplies per row instead of dim — the
+    scan gets dim/out_dim× cheaper), keep the top ``k×expand``
+    candidates (TakeOrderedAndProject — no shuffle, no window), then
+    re-rank just those by exact cosine.  Returns (id, cosine_sim) for
+    the final top k, ties broken by id.
+
+    The candidate cut normalizes by the per-row reduced norm rather than
+    ranking raw dot products: a raw dot-product cut is norm-biased (a
+    small-norm query loses to any large-norm row pointing the same way
+    — it can miss ITSELF), while reduced cosine is scale-invariant and
+    tracks the exact-cosine ranking the re-rank uses.
+
+    Everything is literal-coefficient codegen (the reduced query comes
+    from :func:`jl_project_vector`), so the whole pipeline — signs,
+    projection, candidate cut, exact re-rank — replays relationally in
+    the SQL oracle; unlike the gaussian-plane LSH path there is no
+    pinned-recall certificate, the result itself is hash-checked.
+    """
+    yq = jl_project_vector(query, dim, out_dim, seed)
+    yqn = math.sqrt(sum(c * c for c in yq)) or 1.0
+    proj = jl_project(df, vec_col, dim, out_dim, seed, prefix="_jl")
+    rdot: Column | None = None
+    rnrm: Column | None = None
+    for j, c in enumerate(yq, start=1):
+        y = F.col(f"_jl{j}")
+        term = y * F.lit(float(c))
+        rdot = term if rdot is None else rdot + term
+        rnrm = y * y if rnrm is None else rnrm + y * y
+    # scale-invariant reduced cosine; zero-norm rows rank below any real
+    # cosine instead of promoting to NaN (NaN sorts ABOVE all doubles)
+    score = F.when(rnrm > 0, rdot / (F.sqrt(rnrm) * F.lit(yqn))).otherwise(
+        F.lit(-2.0)
+    )
+    cands = (
+        proj.withColumn("_red_score", score)
+        .orderBy(F.col("_red_score").desc(), F.col(id_col).asc())
+        .limit(k * expand)
+    )
+    v = F.col(vec_col)
+    dot: Column | None = None
+    nrm: Column | None = None
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    for i in range(1, dim + 1):
+        x = F.element_at(v, i).cast("double")
+        t = x * F.lit(float(query[i - 1]))
+        dot = t if dot is None else dot + t
+        nrm = x * x if nrm is None else nrm + x * x
+    cos = dot / (F.sqrt(nrm) * F.lit(qn))
+    return (
+        cands.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -650,3 +650,39 @@ def read_stream_drift(spark, target_path: str, ref, value_col: str, bins: int = 
         .agg(F.sum("n").alias("n_cur"))
     )
     return psi_from_counts(r, c)
+
+
+def foreach_batch_gram(target_path: str, vec_col: str, dim: int):
+    """``foreachBatch`` callback maintaining a running Gram /
+    second-moment matrix over an embedding stream: each micro-batch's
+    d×d partial (:func:`~orientdb_etl_spark.functions.projections.
+    gram_matrix`) lands in its OWN epoch directory and readers sum
+    across epochs with :func:`read_stream_gram` — streaming PCA state
+    without ever re-scanning history.
+
+    Same exactly-once discipline as :func:`foreach_batch_sketch`: Gram
+    accumulation is a SUM (linear, NOT idempotent), so a checkpoint-
+    replayed batch must OVERWRITE its epoch rather than merge into an
+    accumulator; the merge happens at read time over deterministic
+    per-epoch states. Per-batch I/O is d²-sized regardless of the
+    batch's row count.
+    """
+    from orientdb_etl_spark.functions.projections import gram_matrix
+
+    def fn(batch_df, epoch_id: int) -> None:
+        g = gram_matrix(batch_df, vec_col, dim)
+        g.write.mode("overwrite").parquet(f"{target_path}/epoch={epoch_id}")
+
+    return fn
+
+
+def read_stream_gram(spark, target_path: str):
+    """Sum the per-epoch Gram partials written by
+    :func:`foreach_batch_gram` into one (i, j, g) matrix — by linearity
+    it equals a batch :func:`gram_matrix` over the stream's full data,
+    so the merged state feeds ``power_iteration``/``top_components``
+    directly (streaming PCA refresh without a history re-scan)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    cells = spark.read.parquet(target_path).select("i", "j", "g")
+    return cells.groupBy("i", "j").agg(F.sum("g").alias("g"))
