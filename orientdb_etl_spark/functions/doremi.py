@@ -181,7 +181,12 @@ def doremi_mixture(
     acc = alpha.select("_d", F.col("a_nano").alias("acc_nano"))
     excess = None
     for _ in range(iters):
-        losses = _doc_losses(feats, w).join(dom, "_id")
+        # the per-doc loss table has TWO corpus-sized consumers this
+        # step (the excess aggregation and the gradient join) and a
+        # third at return (the final excess row) — cache it so each
+        # step pays ONE loss shuffle, not two, and the final output
+        # doesn't replay the last step from scratch
+        losses = _doc_losses(feats, w).join(dom, "_id").cache()
         # per-domain excess loss vs the reference (nats, ≥ 0)
         excess = (
             losses.groupBy("_d")
@@ -199,6 +204,10 @@ def doremi_mixture(
                 ).alias("e"),
             )
         )
+        # D rows — pinning it here makes the alpha update AND the final
+        # output read the materialized row set instead of re-deriving
+        # the loss pass (the same k-means-centroids discipline)
+        excess = _pin(excess) if eager else excess.cache()
         # multiplicative weights: pin the raw update per domain, then
         # normalize over the INTEGER total and re-pin after smoothing
         raw = excess.join(F.broadcast(alpha), "_d").select(
@@ -286,6 +295,10 @@ def doremi_mixture(
             )
         )
         w = _pin(w) if eager else w.cache()
+        if eager:
+            # alpha and w are pinned — nothing references this step's
+            # loss cache anymore (excess is pinned too); release it
+            losses.unpersist()
     out = (
         excess.join(alpha, "_d")
         .join(acc, "_d")

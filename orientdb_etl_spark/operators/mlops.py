@@ -132,6 +132,15 @@ def similarity_transformer(ctx: PipelineContext, df: DataFrame, cfg: dict) -> Da
             ksub=int(cfg.get("ksub", 16)),
             rerank=None if rr is None else int(rr),
         )
+    if method == "jl":
+        from orientdb_etl_spark.functions.projections import jl_topk
+
+        return jl_topk(
+            df, cfg["vecField"], cfg["idField"], cfg["query"],
+            dim=int(cfg["dim"]), out_dim=int(cfg.get("outDim", 16)),
+            k=int(cfg.get("k", 10)), expand=int(cfg.get("expand", 4)),
+            seed=int(cfg.get("seed", 42)),
+        )
     if method == "ivfpq":
         rr = cfg.get("rerank", 5)
         return S.ivfpq_topk(

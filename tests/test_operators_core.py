@@ -306,8 +306,8 @@ def test_sampling_packing_decontam_profile_config_transformers(spark):
 
 
 def test_similarity_config_methods(spark):
-    """All four ANN methods drivable from config; brute is the recall
-    reference for the approximate three on a clustered toy set."""
+    """All five ANN methods drivable from config; brute is the recall
+    reference for the approximate ones on a clustered toy set."""
     import numpy as np
 
     from orientdb_etl_spark import Pipeline
@@ -323,6 +323,7 @@ def test_similarity_config_methods(spark):
     for method, extra in [
         ("brute", {}), ("lsh", {"hamming": 2}),
         ("ivf", {"nlist": 8, "nprobe": 4}), ("pairwise", {"k": 3}),
+        ("jl", {"dim": 16, "outDim": 8, "expand": 4}),
     ]:
         p = Pipeline(
             {
@@ -342,6 +343,7 @@ def test_similarity_config_methods(spark):
     assert len(exact) == 10
     assert len({r.vec_id for r in results["lsh"]} & exact) >= 5
     assert len({r.vec_id for r in results["ivf"]} & exact) >= 5
+    assert len({r.vec_id for r in results["jl"]} & exact) >= 5
     assert len(results["pairwise"]) == 80 * 3  # 3 neighbors per vector
 
 
