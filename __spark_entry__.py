@@ -6802,6 +6802,68 @@ def q_stream_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arena-style battle log over the documents corpus:
+    consecutive docs (equi-join on doc_id+1 — no global window) fight;
+    the longer text's source wins, cross-source pairs only. Shared by
+    bt_leaderboard and winrate_matrix."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.when(
+                F.col("a.n_chars") >= F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") >= F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+
+
+_DOC_BATTLES_CTE = (
+    "SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source "
+    "ELSE b.source END AS winner, "
+    "CASE WHEN a.n_chars >= b.n_chars THEN b.source "
+    "ELSE a.source END AS loser "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+    "WHERE a.source <> b.source"
+)
+
+
+def q_bt_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference leaderboard (functions/mleval.py
+    bradley_terry): Hunter-MM fit over the deterministic document
+    battle log — 8 unrolled iterations of integer-nano multiplicative
+    updates (the quality_clf pinning discipline), one row per source
+    with wins/games/theta/rank. The oracle replays the EXACT trajectory
+    via bt_rounds_sql (MATERIALIZED — each round references its
+    predecessor twice, so inlining would double the plan per round).
+    Scale shape: one corpus-sized pair aggregation, then items²-bounded
+    iterations with broadcast θ joins."""
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+
+    return bradley_terry(_doc_battles(spark, sf_dir), iters=8)
+
+
+def q_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win rates with Wilson 95% intervals (functions/
+    mleval.py pairwise_winrates) over the same battle log — the
+    uncertainty companion of bt_leaderboard: one row per unordered
+    source pair with games, wins, p̂ and the Wilson bounds (exact
+    integer counts; the two float steps mirror the oracle's AST
+    shape, so the doubles agree bit-for-bit before rounding)."""
+    from orientdb_etl_spark.functions.mleval import pairwise_winrates
+
+    return pairwise_winrates(_doc_battles(spark, sf_dir))
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7000,14 +7062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Morton interleave for multi-dimension data skipping);
         # embedding dedup stays driver-covered by semantic_dedup
         "zorder_key": q_zorder_key,
-        # round 8 (second wave): brute-force ANN's slot carries the
-        # fastText-style quality-classifier scoring row (training + the
-        # held-out broadcast-scoring join — the trained-classifier
-        # family's first driver row); brute-force top-k stays
-        # driver-covered by ann_ivf_topk (strictly more machinery: the
-        # same exact-cosine kernel under a coarse quantizer) and
-        # hash-checked in queries_all
-        "quality_clf_score": q_quality_clf_score,
+        # round 8 (second wave): brute-force ANN's slot carried the
+        # fastText-style quality-classifier scoring row; round 8's
+        # fifth wave rotates it onto the Bradley–Terry preference
+        # leaderboard (Hunter-MM over the deterministic document battle
+        # log — the preference/leaderboard family's first driver row;
+        # no prior row exercises a pairwise-comparison model). The
+        # trained-classifier family stays driver-covered by
+        # kn_perplexity (a trained LM filter) and quality_clf_score
+        # stays hash-checked in queries_all; brute-force top-k stays
+        # driver-covered by ann_ivf_topk
+        "bt_leaderboard": q_bt_leaderboard,
         # round 6: ann_lsh_topk's slot carries RRF hybrid retrieval
         # (BM25 + dense fusion); LSH ANN stays driver-covered by
         # ann_pairwise_topk (LSH-bucketed) and the local gate
@@ -7434,6 +7499,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # projection and split families — both stay hash-checked here
             "q1_pricing_summary": q1_pricing_summary,
             "chunk_documents": q_chunk_documents,
+            # round 8 (fifth wave): Bradley–Terry preference leaderboard
+            # (Hunter-MM, integer-nano trajectory replayed by
+            # bt_rounds_sql) + its Wilson-interval win-rate companion;
+            # bt_leaderboard also carries a driver slot (rotated off
+            # quality_clf_score, which stays hash-checked here)
+            "winrate_matrix": q_winrate_matrix,
+            "quality_clf_score": q_quality_clf_score,
         }
     )
     return out
@@ -12744,5 +12816,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n_docs, n_clusters, n_dup_clusters, spanning_safe, "
         "spanning_naive, n_train, n_test "
         "FROM cnt, safe_rep, naive_rep, dup"
+    )
+    from orientdb_etl_spark.functions.mleval import (
+        bt_rounds_sql,
+        winrates_sql,
+    )
+
+    # Bradley–Terry trajectory replayed exactly (8 MM rounds, integer-
+    # nano θ; MATERIALIZED is load-bearing — each round references its
+    # predecessor twice, so inlining doubles the plan per round) over
+    # the shared deterministic document battle log
+    sql["bt_leaderboard"] = bt_rounds_sql(
+        8, _DOC_BATTLES_CTE, materialized=True
+    )
+    # Wilson win rates: exact integer counts; float expressions mirror
+    # the engine path's AST shape, so doubles agree before rounding
+    sql["winrate_matrix"] = winrates_sql(
+        _DOC_BATTLES_CTE, materialized=True
     )
     return sql

@@ -123,31 +123,29 @@ def fuzzy_join(
     rt = right.select(
         F.col(right_id).alias("_rid"), F.col(right_col).alias("_rs")
     ).filter(F.col("_rs").isNotNull())
+    # carry the STRINGS through the segment explode (classic PassJoin):
+    # the segment equi-join then yields fully-hydrated candidates and
+    # thresholded levenshtein verifies INSIDE the join stage — zero
+    # shuffles of the candidate stream. The alternative (join on ids,
+    # rehydrate strings afterwards) shuffles the candidate stream twice
+    # (once per id join); on segment-collision-heavy vocabularies
+    # candidates run 1000× the string count (round-8 bench: 38M
+    # candidates from 20k×20k strings → two ~GB-scale joins), while the
+    # inline-carry shuffle is explode_factor × string bytes — bounded
+    # by O((2d+1)²(d+1)) rows/string, ~180 MB on the same bench. Edit-
+    # distance joins target short strings (names, titles), so the
+    # per-row string payload stays small by construction; only the
+    # match-sized survivor set reaches the trailing distinct.
     probe = lt.select(
-        "_lid", F.explode(F.expr(_probe_segments("_ls", d))).alias("k")
-    ).select("_lid", "k.l_len", "k.seg_i", "k.seg")
+        "_lid", "_ls", F.explode(F.expr(_probe_segments("_ls", d))).alias("k")
+    ).select("_lid", "_ls", "k.l_len", "k.seg_i", "k.seg")
     index = rt.select(
-        "_rid", F.explode(F.expr(_index_segments("_rs", d))).alias("k")
-    ).select("_rid", "k.l_len", "k.seg_i", "k.seg")
-    cand = probe.join(index, ["l_len", "seg_i", "seg"]).select(
-        "_lid", "_rid"
-    )
-    # verify on the RAW candidate stream and dedup only the survivors:
-    # thresholded levenshtein (the DP row abandons once the running
-    # distance exceeds d) is whole-stage-codegen-cheap per candidate,
-    # while a pre-verify distinct() shuffles the FULL candidate stream —
-    # on segment-collision-heavy vocabularies candidates can be 1000×
-    # the match count (round-8 bench: 38M candidates from 20k×20k
-    # strings), so on match-SPARSE data (the typical ER case) this shape
-    # shuffles the small survivor set instead of every candidate. On the
-    # bench's match-HEAVY synthetic case (6.4M true matches) the two
-    # shapes cost the same — the survivor set is shuffle-dominant either
-    # way; the committed floor reflects that, not a pre-distinct win.
-    # Duplicate candidates re-verify into duplicate rows, collapsed by
-    # the trailing distinct over the match-sized set.
+        "_rid", "_rs", F.explode(F.expr(_index_segments("_rs", d))).alias("k")
+    ).select("_rid", "_rs", "k.l_len", "k.seg_i", "k.seg")
+    # duplicate candidates (a pair sharing several segments) re-verify
+    # into duplicate rows, collapsed by the distinct over survivors
     return (
-        cand.join(lt, "_lid")
-        .join(rt, "_rid")
+        probe.join(index, ["l_len", "seg_i", "seg"])
         .withColumn(dist_col, F.levenshtein(F.col("_ls"), F.col("_rs"), d))
         .filter(F.col(dist_col) >= 0)
         .select(

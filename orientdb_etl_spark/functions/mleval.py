@@ -37,6 +37,10 @@ __all__ = [
     "math_log2_sql",
     "prob_scores",
     "conformal_interval",
+    "pairwise_winrates",
+    "bradley_terry",
+    "bt_rounds_sql",
+    "winrates_sql",
 ]
 
 
@@ -483,4 +487,355 @@ def conformal_interval(
                 F.col("_cov") / F.col("n_test").cast("double"), round_to
             ).alias("coverage"),
         )
+    )
+
+
+def pairwise_winrates(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    count_col: str | None = None,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-pair win rates with Wilson score intervals (Wilson, JASA
+    1927) over a battle log — the uncertainty companion of
+    :func:`bradley_terry`: one row per unordered pair ``(item_a <
+    item_b)`` with ``games``, ``wins_a``, the empirical ``p_a =
+    wins_a/games`` and the Wilson ``[lo, hi]`` at the given ``z``
+    (default 1.96 ≈ 95%). Wilson (not Wald) because battle matrices are
+    sparse in the tail: it stays inside [0,1] and never collapses to a
+    zero-width interval at p̂ ∈ {0, 1}.
+
+    Scale shape: ONE corpus-sized aggregation (groupBy the ordered
+    pair) collapses the log to the ≤items² matrix; everything after is
+    arithmetic on exact integer counts, so a SQL oracle replays it
+    bit-for-bit. No counterpart in the reference (no eval surface,
+    OETLProcessor.java:252-283); §2.8 extension.
+    """
+    n_expr = (
+        F.count(F.lit(1)) if count_col is None
+        else F.sum(F.col(count_col).cast("long"))
+    ).alias("_n")
+    wl = (
+        battles.where(
+            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+        )
+        .groupBy(
+            F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
+        )
+        .agg(n_expr)
+    )
+    # canonical orientation: item_a = min(pair), wins_a counts a's wins
+    pairs = (
+        wl.select(
+            F.least("_w", "_l").alias("item_a"),
+            F.greatest("_w", "_l").alias("item_b"),
+            F.col("_n").alias("games"),
+            F.when(F.col("_w") <= F.col("_l"), F.col("_n"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("wins_a"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("games").alias("games"), F.sum("wins_a").alias("wins_a")
+        )
+    )
+    zz = float(z) * float(z)
+    n, w = F.col("games").cast("double"), F.col("wins_a").cast("double")
+    p = w / n
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        / denom
+    )
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "games",
+        "wins_a",
+        F.round(p, round_to).alias("p_a"),
+        F.round(center - half, round_to).alias("wilson_lo"),
+        F.round(center + half, round_to).alias("wilson_hi"),
+    )
+
+
+def bradley_terry(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    count_col: str | None = None,
+    iters: int = 8,
+    round_to: int = 6,
+    eager: bool = False,
+) -> DataFrame:
+    """Bradley–Terry preference-strength fit (Bradley & Terry,
+    Biometrika 1952) by Hunter's MM algorithm (Ann. Statist. 2004) —
+    the batch estimator behind arena-style LLM leaderboards (Chiang et
+    al. 2024 use exactly this model over pairwise battles): given a log
+    of ``(winner, loser)`` rows, estimate strengths θ with
+    ``P(i beats j) = θ_i/(θ_i+θ_j)``. Returns one row per item:
+    ``(item, wins, games, theta, rank)`` with θ normalized to sum 1 and
+    rank by θ descending (ties to the smaller item).
+
+    MM update, ``iters`` unrolled fixed iterations from uniform θ₀:
+    ``θ_i ← W_i / Σ_j n_ij/(θ_i+θ_j)``, then re-normalize — monotone in
+    the BT log-likelihood (Hunter 2004, Thm 1). Determinism is the
+    :mod:`quality_clf` integer-pinning discipline: θ lives in exact
+    nano-units (BIGINT); each per-pair denominator term pins to a
+    micro-unit integer ``least(round(n·1e15/greatest(θ_i+θ_j, 1)),
+    1e18)`` (the clamp binds only for items already pinned at θ≈0 —
+    zero-win items, whose θ is 0 regardless), sums are integer sums
+    (order-free across engines and partitionings), and the two float
+    steps per item per iteration (the MM division, the normalization)
+    are single IEEE-double ops on identical integer operands — so
+    :func:`bt_rounds_sql` replays the trajectory bit-for-bit in DuckDB.
+
+    Scale shape at 100 TB: ONE corpus-sized aggregation collapses the
+    battle log to the ≤items² matrix ``n_ij``; every iteration after is
+    two broadcast joins of the items-sized θ table against that matrix
+    + one items-sized aggregation. θ state is items-sized by
+    construction — never corpus-sized; ``eager=True`` pins each
+    iteration driver-side (the k-means-centroids pattern), the default
+    ``localCheckpoint()`` keeps state executor-side while truncating the
+    doubly-referenced lineage. No counterpart in the reference; §2.8
+    extension.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = battles.sparkSession
+    n_expr = (
+        F.count(F.lit(1)) if count_col is None
+        else F.sum(F.col(count_col).cast("long"))
+    ).alias("_n")
+    wl = (
+        battles.where(
+            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+        )
+        .groupBy(
+            F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
+        )
+        .agg(n_expr)
+        .cache()  # the ONE corpus collapse; 3 bounded consumers below
+    )
+    wins = wl.groupBy(F.col("_w").alias("_i")).agg(
+        F.sum("_n").alias("wins")
+    )
+    # symmetrized total-games matrix: n_ij = games between i and j
+    g = (
+        wl.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"), "_n")
+        .unionByName(
+            wl.select(
+                F.col("_l").alias("_i"), F.col("_w").alias("_j"), "_n"
+            )
+        )
+        .groupBy("_i", "_j")
+        .agg(F.sum("_n").alias("_n"))
+        .cache()  # items²-bounded; iters consumers
+    )
+    items = g.select("_i").distinct()
+    k = items.count()  # bounded: leaderboard size
+    if k == 0:
+        raise ValueError("battle log has no non-null (winner, loser) rows")
+    a0 = int(round(1e9 / k))
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        return spark.createDataFrame(frame.collect(), frame.schema)
+
+    # each iteration references theta TWICE (ti and tj), so a cache()
+    # cut is not enough — the LOGICAL plan still doubles per iteration
+    # (2^iters copies by analysis time). localCheckpoint truncates the
+    # lineage itself (the label_propagation discipline); eager=True
+    # pins driver-side instead (items-sized by construction)
+    theta = items.select("_i", F.lit(a0).cast("bigint").alias("_t"))
+    theta = _pin(theta) if eager else theta.localCheckpoint()
+    for _ in range(int(iters)):
+        ti = theta.select(F.col("_i"), F.col("_t").alias("_ti"))
+        tj = theta.select(
+            F.col("_i").alias("_j"), F.col("_t").alias("_tj")
+        )
+        d = (
+            g.join(F.broadcast(ti), "_i")
+            .join(F.broadcast(tj), "_j")
+            .select(
+                "_i",
+                F.least(
+                    F.round(
+                        F.col("_n")
+                        * F.lit(1e15)
+                        / F.greatest(
+                            (F.col("_ti") + F.col("_tj")).cast("double"),
+                            F.lit(1.0),
+                        )
+                    ),
+                    F.lit(1e18),
+                )
+                .cast("bigint")
+                .alias("_d"),
+            )
+            .groupBy("_i")
+            .agg(F.sum("_d").alias("_d"))
+        )
+        raw = d.join(F.broadcast(wins), "_i", "left").select(
+            "_i",
+            F.round(
+                F.coalesce(F.col("wins"), F.lit(0)).cast("double")
+                * F.lit(1e15)
+                / F.greatest(F.col("_d").cast("double"), F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("_t"),
+        )
+        tot = raw.agg(F.sum("_t").alias("_s"))
+        theta = raw.crossJoin(F.broadcast(tot)).select(
+            "_i",
+            F.round(
+                F.col("_t").cast("double")
+                * F.lit(1e9)
+                / F.greatest(F.col("_s").cast("double"), F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("_t"),
+        )
+        theta = _pin(theta) if eager else theta.localCheckpoint()
+    games = g.groupBy("_i").agg(F.sum("_n").alias("games"))
+    out = (
+        theta.join(F.broadcast(wins), "_i", "left")
+        .join(F.broadcast(games), "_i")
+        .select(
+            F.col("_i").alias("item"),
+            F.coalesce(F.col("wins"), F.lit(0).cast("long")).alias("wins"),
+            "games",
+            F.round(F.col("_t").cast("double") / 1e9, round_to).alias(
+                "theta"
+            ),
+            F.col("_t").alias("_tn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_tn").desc(), F.col("item").asc())
+    )
+    return out.select(
+        "item", "wins", "games", "theta", rank.alias("rank")
+    )
+
+
+def bt_rounds_sql(
+    iters: int,
+    battles_cte: str,
+    winner: str = "winner",
+    loser: str = "loser",
+    count_expr: str = "count(*)",
+    materialized: bool = False,
+) -> str:
+    """Portable unrolled twin of :func:`bradley_terry` — one Python
+    generator emits both engines' SQL (the :func:`graph.lpa_rounds_sql`
+    convention). ``battles_cte`` must yield the raw battle rows;
+    ``count_expr`` aggregates them per ordered pair (``count(*)`` for
+    one-row-per-battle logs, ``sum(n)`` for pre-aggregated ones). The
+    global window rank is items-sized — fine in an oracle, replaced by
+    the same deterministic ordering in the engine path.
+    ``materialized=True`` emits ``AS MATERIALIZED`` — REQUIRED for
+    engines that inline CTEs (DuckDB): every iteration references the
+    previous θ twice, so inlining doubles the plan per round (2^iters
+    copies of the whole battle subtree by round 8)."""
+    mat = "MATERIALIZED " if materialized else ""
+    parts = [
+        f"b AS {mat}({battles_cte})",
+        (
+            f"wl AS {mat}(SELECT {winner} AS i, {loser} AS j, "
+            f"CAST({count_expr} AS BIGINT) AS n FROM b WHERE {winner} IS NOT NULL "
+            f"AND {loser} IS NOT NULL GROUP BY 1, 2)"
+        ),
+        f"w AS {mat}(SELECT i, CAST(SUM(n) AS BIGINT) AS wins "
+        "FROM wl GROUP BY i)",
+        (
+            f"g AS {mat}(SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM ("
+            "SELECT i, j, n FROM wl UNION ALL "
+            "SELECT j AS i, i AS j, n FROM wl) GROUP BY i, j)"
+        ),
+        (
+            f"t0 AS {mat}(SELECT i, CAST(round(1e9 / "
+            "(SELECT count(DISTINCT i) FROM g)) AS BIGINT) AS t "
+            "FROM (SELECT DISTINCT i FROM g))"
+        ),
+    ]
+    for r in range(1, int(iters) + 1):
+        parts.append(
+            f"d{r} AS {mat}(SELECT g.i, SUM(CAST(least(round(g.n * 1e15 / "
+            f"greatest(CAST(ti.t + tj.t AS DOUBLE), 1.0)), 1e18) "
+            f"AS BIGINT)) AS d FROM g "
+            f"JOIN t{r-1} ti ON g.i = ti.i "
+            f"JOIN t{r-1} tj ON g.j = tj.i GROUP BY g.i)"
+        )
+        parts.append(
+            f"r{r} AS {mat}(SELECT d.i, CAST(round("
+            f"CAST(COALESCE(w.wins, 0) AS DOUBLE) * 1e15 / "
+            f"greatest(CAST(d.d AS DOUBLE), 1.0)) AS BIGINT) AS t "
+            f"FROM d{r} d LEFT JOIN w ON d.i = w.i)"
+        )
+        parts.append(
+            f"t{r} AS {mat}(SELECT i, CAST(round(CAST(t AS DOUBLE) * 1e9 / "
+            f"greatest(CAST((SELECT SUM(t) FROM r{r}) AS DOUBLE), 1.0)) "
+            f"AS BIGINT) AS t FROM r{r})"
+        )
+    n = int(iters)
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + (
+            f" SELECT t.i AS item, CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins, "
+            f"gg.games, round(CAST(t.t AS DOUBLE) / 1e9, 6) AS theta, "
+            f"CAST(row_number() OVER (ORDER BY t.t DESC, t.i ASC) "
+            f"AS INT) AS rank "
+            f"FROM t{n} t "
+            f"LEFT JOIN w ON t.i = w.i "
+            f"JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS games FROM g GROUP BY i) gg "
+            f"ON t.i = gg.i"
+        )
+    )
+
+
+def winrates_sql(
+    battles_cte: str,
+    winner: str = "winner",
+    loser: str = "loser",
+    count_expr: str = "count(*)",
+    z: float = 1.96,
+    round_to: int = 6,
+    materialized: bool = False,
+) -> str:
+    """Portable SQL twin of :func:`pairwise_winrates`. The Wilson
+    expressions mirror the engine path's AST shape exactly (same
+    operand order, same ``repr`` float literals), so the doubles agree
+    bit-for-bit before the final round."""
+    zr, zzr = repr(float(z)), repr(float(z) * float(z))
+    r = int(round_to)
+    mat = "MATERIALIZED " if materialized else ""
+    denom = f"(1.0 + {zzr} / n)"
+    half = (
+        f"{zr} * sqrt(w / n * (1.0 - w / n) / n "
+        f"+ {zzr} / (4.0 * n * n)) / {denom}"
+    )
+    center = f"(w / n + {zzr} / (2.0 * n)) / {denom}"
+    return (
+        f"WITH b AS {mat}({battles_cte}), "
+        f"wl AS {mat}(SELECT {winner} AS w, {loser} AS l, "
+        f"CAST({count_expr} AS BIGINT) AS n FROM b "
+        f"WHERE {winner} IS NOT NULL AND {loser} IS NOT NULL "
+        f"GROUP BY 1, 2), "
+        f"p AS {mat}(SELECT least(w, l) AS item_a, "
+        f"greatest(w, l) AS item_b, CAST(SUM(n) AS BIGINT) AS games, "
+        f"CAST(SUM(CASE WHEN w <= l THEN n ELSE 0 END) AS BIGINT) "
+        f"AS wins_a FROM wl GROUP BY 1, 2), "
+        f"c AS (SELECT item_a, item_b, games, wins_a, "
+        f"CAST(games AS DOUBLE) AS n, CAST(wins_a AS DOUBLE) AS w FROM p) "
+        f"SELECT item_a, item_b, games, wins_a, "
+        f"round(w / n, {r}) AS p_a, "
+        f"round({center} - {half}, {r}) AS wilson_lo, "
+        f"round({center} + {half}, {r}) AS wilson_hi FROM c"
     )

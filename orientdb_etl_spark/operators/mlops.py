@@ -1486,6 +1486,48 @@ def conformal_transformer(
     )
 
 
+@register("btRank")
+def bt_rank_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"btRank": {"winnerField": "winner", "loserField": "loser",
+    "iters": 8, "countField": null, "eager": false}} — Bradley–Terry
+    preference-strength leaderboard over a battle log (functions/
+    mleval.py): one row per item with wins, games, normalized theta,
+    rank."""
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+
+    return bradley_terry(
+        df,
+        winner_col=cfg.get("winnerField", "winner"),
+        loser_col=cfg.get("loserField", "loser"),
+        count_col=cfg.get("countField"),
+        iters=int(cfg.get("iters", 8)),
+        round_to=int(cfg.get("roundTo", 6)),
+        eager=bool(cfg.get("eager", False)),
+    )
+
+
+@register("winRates")
+def win_rates_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"winRates": {"winnerField": "winner", "loserField": "loser",
+    "z": 1.96}} — per-pair win rates with Wilson score intervals over a
+    battle log (functions/mleval.py): the uncertainty companion of
+    btRank."""
+    from orientdb_etl_spark.functions.mleval import pairwise_winrates
+
+    return pairwise_winrates(
+        df,
+        winner_col=cfg.get("winnerField", "winner"),
+        loser_col=cfg.get("loserField", "loser"),
+        count_col=cfg.get("countField"),
+        z=float(cfg.get("z", 1.96)),
+        round_to=int(cfg.get("roundTo", 6)),
+    )
+
+
 @register("wasserstein")
 def wasserstein_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

@@ -233,3 +233,149 @@ def test_conformal_validates_alpha(spark):
     df = spark.createDataFrame([(1.0, 1.0)], "y double, yhat double")
     with pytest.raises(ValueError):
         conformal_interval(df, df, "y", "yhat", alpha_pct=0)
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry / pairwise_winrates
+# ---------------------------------------------------------------------------
+
+
+def _battles(spark, rows):
+    return spark.createDataFrame(rows, "winner string, loser string")
+
+
+def test_bradley_terry_recovers_known_ordering(spark):
+    """A transitive battle log (a beats b 3:1, b beats c 3:1, a beats c
+    4:0) must rank a > b > c with theta summing to ~1."""
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+
+    rows = (
+        [("a", "b")] * 3 + [("b", "a")]
+        + [("b", "c")] * 3 + [("c", "b")]
+        + [("a", "c")] * 4
+    )
+    out = {r.item: r for r in bradley_terry(_battles(spark, rows)).collect()}
+    assert [out[i].rank for i in ("a", "b", "c")] == [1, 2, 3]
+    assert out["a"].theta > out["b"].theta > out["c"].theta
+    assert abs(sum(r.theta for r in out.values()) - 1.0) < 1e-3
+    assert (out["a"].wins, out["a"].games) == (7, 8)
+
+
+def test_bradley_terry_matches_sql_twin_both_modes(spark):
+    """Spark trajectory == DuckDB bt_rounds_sql replay, bit-for-bit,
+    eager and lazy — the integer-pinning determinism contract."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from orientdb_etl_spark.functions.mleval import (
+        bradley_terry,
+        bt_rounds_sql,
+    )
+
+    random.seed(7)
+    items = [f"m{i}" for i in range(9)]
+    true = {m: (i + 1) ** 1.3 for i, m in enumerate(items)}
+    rows = [
+        (a, b) if random.random() < true[a] / (true[a] + true[b]) else (b, a)
+        for a, b in (random.sample(items, 2) for _ in range(1500))
+    ]
+    df = _battles(spark, rows)
+    con = duckdb.connect()
+    con.register("battles", pd.DataFrame(rows, columns=["winner", "loser"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            bt_rounds_sql(6, "SELECT * FROM battles", materialized=True)
+        ).fetchall()
+    )
+    for eager in (False, True):
+        got = sorted(
+            tuple(r)
+            for r in bradley_terry(df, iters=6, eager=eager).collect()
+        )
+        assert got == want, f"eager={eager}"
+
+
+def test_bradley_terry_zero_win_item_and_counts(spark):
+    """An item that never wins pins to theta 0 (not NaN/error); the
+    count_col form aggregates pre-counted logs identically."""
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+
+    rows = [("a", "b")] * 2 + [("a", "c"), ("b", "c")]
+    out = {r.item: r for r in bradley_terry(_battles(spark, rows)).collect()}
+    assert out["c"].theta == 0.0 and out["c"].wins == 0
+    pre = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)],
+        "winner string, loser string, n int",
+    )
+    out2 = {
+        r.item: r
+        for r in bradley_terry(pre, count_col="n").collect()
+    }
+    assert {i: r.theta for i, r in out.items()} == {
+        i: r.theta for i, r in out2.items()
+    }
+
+
+def test_bradley_terry_validates_inputs(spark):
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+
+    with pytest.raises(ValueError, match="iters"):
+        bradley_terry(_battles(spark, [("a", "b")]), iters=0)
+    with pytest.raises(ValueError, match="no non-null"):
+        bradley_terry(_battles(spark, [("a", None)])).collect()
+
+
+def test_pairwise_winrates_wilson_hand_computed(spark):
+    """Wilson bounds vs the closed form for a known 7-3 record; p=1
+    stays inside [0, 1] (the Wald interval would collapse)."""
+    import math
+
+    from orientdb_etl_spark.functions.mleval import pairwise_winrates
+
+    rows = [("a", "b")] * 7 + [("b", "a")] * 3 + [("a", "c")] * 5
+    out = {
+        (r.item_a, r.item_b): r
+        for r in pairwise_winrates(_battles(spark, rows)).collect()
+    }
+    r = out[("a", "b")]
+    assert (r.games, r.wins_a, r.p_a) == (10, 7, 0.7)
+    z, n, p = 1.96, 10.0, 0.7
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert abs(r.wilson_lo - round(center - half, 6)) < 1e-9
+    assert abs(r.wilson_hi - round(center + half, 6)) < 1e-9
+    rc = out[("a", "c")]
+    assert rc.p_a == 1.0 and 0.0 < rc.wilson_lo < 1.0 and rc.wilson_hi == 1.0
+
+
+def test_bt_and_winrates_config_transformers(spark):
+    from orientdb_etl_spark import Pipeline
+
+    rows = [("a", "b")] * 3 + [("b", "a"), ("a", "c"), ("b", "c")]
+    battles = _battles(spark, rows)
+    p = Pipeline(
+        {
+            "extractor": {"table": {"name": "battles"}},
+            "transformers": [{"btRank": {"iters": 4}}],
+            "loader": {"memory": {"view": "lb"}},
+        },
+        spark=spark,
+    ).register_table("battles", battles)
+    lb = {r.item: r.rank for r in p.run().outputs["lb"].collect()}
+    assert lb["a"] == 1
+    p2 = Pipeline(
+        {
+            "extractor": {"table": {"name": "battles"}},
+            "transformers": [{"winRates": {}}],
+            "loader": {"memory": {"view": "wr"}},
+        },
+        spark=spark,
+    ).register_table("battles", battles)
+    wr = p2.run().outputs["wr"].collect()
+    assert {(r.item_a, r.item_b) for r in wr} == {
+        ("a", "b"), ("a", "c"), ("b", "c")
+    }
