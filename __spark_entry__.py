@@ -6852,6 +6852,27 @@ def q_bt_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(_doc_battles(spark, sf_dir), iters=8)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap certificate (functions/profiling.py
+    kmv_overlap_certificate): estimate the repeat-customer count —
+    |custkeys(1995 orders) ∩ custkeys(1996 orders)| — and the Jaccard
+    from the two 256-hash KMV sketches alone (the theta-sketch
+    intersection), certified against the exact distinct-join. Integer
+    Knuth-ladder hashes + integer order statistics + two double
+    divisions, so the DuckDB twin replays it with no tolerance band.
+    Scale shape: each year collapses to its ≤256-hash sketch in one
+    pass; the exact columns are the certificate's join, not the
+    operator's."""
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return kmv_overlap_certificate(a, b, "o_custkey", k=256)
+
+
 def q_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise win rates with Wilson 95% intervals (functions/
     mleval.py pairwise_winrates) over the same battle log — the
@@ -7506,6 +7527,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # quality_clf_score, which stays hash-checked here)
             "winrate_matrix": q_winrate_matrix,
             "quality_clf_score": q_quality_clf_score,
+            # round 8 (fifth wave): KMV set-overlap / theta-sketch
+            # intersection — audience overlap from sketches alone,
+            # certified against the exact distinct-join
+            "kmv_overlap": q_kmv_overlap,
         }
     )
     return out
@@ -12833,5 +12858,15 @@ def oracle_sql() -> dict[str, str]:
     # the engine path's AST shape, so doubles agree before rounding
     sql["winrate_matrix"] = winrates_sql(
         _DOC_BATTLES_CTE, materialized=True
+    )
+    from orientdb_etl_spark.functions.profiling import kmv_overlap_sql
+
+    # theta-sketch intersection: same Knuth-ladder integers, same two
+    # double divisions, set algebra via joins instead of array ops
+    sql["kmv_overlap"] = kmv_overlap_sql(
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)",
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)",
+        "o_custkey",
+        k=256,
     )
     return sql

@@ -1431,6 +1431,177 @@ def kmv_distinct_certificate(
     return per.unionByName(_rows(merged))
 
 
+def kmv_overlap_certificate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 256,
+    seed: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """KMV set-OVERLAP estimate (the theta-sketch intersection of Dasgupta
+    et al., "Theta-Sketch Framework", and the AKMV resemblance estimator
+    of Beyer et al. SIGMOD'07 §4): estimate ``|A ∩ B|`` and the Jaccard
+    of two key sets from their k-minimum-values sketches alone — the
+    "audience overlap" question answered WITHOUT the distinct-join the
+    exact answer needs. One row: ``(n_a, n_b, n_inter, est_inter,
+    jaccard_exact, jaccard_est, rel_err, sketch_k)`` where the exact
+    columns certify the estimates (and exist only for that — at 100 TB
+    a user keeps the sketch side and drops the certificate join).
+
+    Estimator: hash both sides with the repo's portable Knuth ladder;
+    ``K = k smallest of (mins_A ∪ mins_B)`` is the union sketch — a
+    uniform distinct-hash sample of ``A ∪ B`` — so ``ρ = |K ∩ mins_A ∩
+    mins_B| / |K|`` estimates the Jaccard and ``est_inter = ρ ·
+    est_union`` the intersection size (``est_union`` by the standard
+    KMV rule: exact when the union holds ≤ k distinct hashes, else
+    ``(k−1)·MOD/h_(k)``). Integer hashes, integer order statistics,
+    two double divisions — EXACTLY engine-replayable like
+    :func:`kmv_distinct_certificate`, so the certificate hash-matches
+    a SQL twin with no tolerance band.
+
+    Scale shape: each side collapses to its ≤ k-hash sketch in one
+    distinct-aggregate pass; every step after operates on ≤ 2k BIGINTs.
+    The exact columns are one distinct-key aggregation per side plus
+    the intersection join the sketch exists to avoid.
+    """
+    knuth, mod = 2654435761, 1000003
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        h = F.expr(f"({key_col} + {seed}) % {mod} * {knuth} % {mod}")
+        return (
+            df.where(F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("_key"), h.alias("_h"))
+            .distinct()
+            .agg(
+                F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(
+                    f"_mins_{tag}"
+                ),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    a, b = _side(df_a, "a"), _side(df_b, "b")
+    # exact intersection: distinct keys on both sides (certificate only)
+    ka = (
+        df_a.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_key"))
+        .distinct()
+    )
+    kb = (
+        df_b.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_key"))
+        .distinct()
+    )
+    inter = ka.join(kb, "_key").agg(F.count(F.lit(1)).alias("n_inter"))
+
+    both = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(inter))
+    union_all = F.array_sort(
+        F.array_union(F.col("_mins_a"), F.col("_mins_b"))
+    )
+    ksk = F.slice(union_all, 1, k)
+    n_union_hashes = F.size(union_all).cast("bigint")
+    est_union = F.when(
+        n_union_hashes <= k, n_union_hashes.cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(mod))
+        / F.element_at(ksk, k).cast("double")
+    )
+    shared = F.size(
+        F.array_intersect(
+            ksk, F.array_intersect(F.col("_mins_a"), F.col("_mins_b"))
+        )
+    )
+    rho = F.when(
+        F.size(ksk) > 0,
+        shared.cast("double") / F.size(ksk).cast("double"),
+    )
+    est_inter = rho * est_union
+    j_exact = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return both.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round(est_inter, round_to).alias("est_inter"),
+        F.round(j_exact, round_to).alias("jaccard_exact"),
+        F.round(rho, round_to).alias("jaccard_est"),
+        F.round(
+            F.when(
+                F.col("n_inter") > 0,
+                F.abs(est_inter - F.col("n_inter"))
+                / F.col("n_inter").cast("double"),
+            ),
+            round_to,
+        ).alias("rel_err"),
+        F.lit(k).alias("sketch_k"),
+    )
+
+
+def kmv_overlap_sql(
+    table_a: str,
+    table_b: str,
+    key_col: str,
+    k: int = 256,
+    seed: int = 9,
+    round_to: int = 6,
+) -> str:
+    """Portable SQL twin of :func:`kmv_overlap_certificate` —
+    set algebra via joins/order statistics instead of array functions,
+    same integers, same two double divisions."""
+    knuth, mod = 2654435761, 1000003
+    r = int(round_to)
+
+    def _hashes(tag: str, table: str) -> str:
+        return (
+            f"h{tag} AS (SELECT DISTINCT ({key_col} + {seed}) % {mod} "
+            f"* {knuth} % {mod} AS h FROM {table} "
+            f"WHERE {key_col} IS NOT NULL)"
+        )
+
+    return (
+        f"WITH {_hashes('a', table_a)}, {_hashes('b', table_b)}, "
+        f"ma AS (SELECT h FROM ha ORDER BY h LIMIT {k}), "
+        f"mb AS (SELECT h FROM hb ORDER BY h LIMIT {k}), "
+        # union sketch: k smallest of the two min-sets
+        f"ku AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb) "
+        f"ORDER BY h LIMIT {k}), "
+        f"nu AS (SELECT count(*) AS n FROM "
+        f"(SELECT h FROM ma UNION SELECT h FROM mb)), "
+        f"kk AS (SELECT max(h) AS hk, count(*) AS nk FROM ku), "
+        f"sh AS (SELECT count(*) AS s FROM ku "
+        f"JOIN ma USING (h) JOIN mb USING (h)), "
+        f"na AS (SELECT count(DISTINCT {key_col}) AS n FROM {table_a} "
+        f"WHERE {key_col} IS NOT NULL), "
+        f"nb AS (SELECT count(DISTINCT {key_col}) AS n FROM {table_b} "
+        f"WHERE {key_col} IS NOT NULL), "
+        f"ni AS (SELECT count(*) AS n FROM "
+        f"(SELECT DISTINCT {key_col} FROM {table_a} "
+        f"WHERE {key_col} IS NOT NULL) ia JOIN "
+        f"(SELECT DISTINCT {key_col} FROM {table_b} "
+        f"WHERE {key_col} IS NOT NULL) ib USING ({key_col})), "
+        f"est AS (SELECT CASE WHEN nu.n <= {k} "
+        f"THEN CAST(nu.n AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {float(mod)!r} / CAST(kk.hk AS DOUBLE) "
+        f"END AS eu, "
+        f"CASE WHEN kk.nk > 0 THEN CAST(sh.s AS DOUBLE) / CAST(kk.nk AS DOUBLE) END AS rho "
+        f"FROM nu, kk, sh) "
+        f"SELECT CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b, "
+        f"CAST(ni.n AS BIGINT) AS n_inter, "
+        f"round(est.rho * est.eu, {r}) AS est_inter, "
+        f"round(CAST(ni.n AS DOUBLE) / "
+        f"CAST(na.n + nb.n - ni.n AS DOUBLE), {r}) AS jaccard_exact, "
+        f"round(est.rho, {r}) AS jaccard_est, "
+        f"round(CASE WHEN ni.n > 0 THEN abs(est.rho * est.eu - ni.n) / "
+        f"CAST(ni.n AS DOUBLE) END, {r}) AS rel_err, "
+        f"{k} AS sketch_k FROM na, nb, ni, est"
+    )
+
+
 def heaps_fit(
     df: DataFrame,
     text_col: str,

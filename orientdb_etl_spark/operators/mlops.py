@@ -1486,6 +1486,28 @@ def conformal_transformer(
     )
 
 
+@register("kmvOverlap")
+def kmv_overlap_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"kmvOverlap": {"otherTable": "b", "keyField": "user_id",
+    "k": 256}} — KMV/theta-sketch set-overlap estimate between the
+    pipeline frame's and a registered table's key sets, certified
+    against the exact distinct-join (functions/profiling.py)."""
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+    )
+
+    return kmv_overlap_certificate(
+        df,
+        ctx.tables[cfg["otherTable"]],
+        cfg["keyField"],
+        k=int(cfg.get("k", 256)),
+        seed=int(cfg.get("seed", 9)),
+        round_to=int(cfg.get("roundTo", 6)),
+    )
+
+
 @register("btRank")
 def bt_rank_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict

@@ -902,3 +902,104 @@ def test_qdigest_validations_and_config(spark):
     # (never its universe); the contract is the rank guarantee
     assert rows[1.0].target_rank == 100 and 99 <= rows[1.0].est < 128
     assert rows[0.5].est >= 49
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap_certificate
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_overlap_exact_branch_small_sets(spark):
+    """Sets smaller than k: the union sketch holds every hash, so the
+    estimate is collision-exact and jaccard_est equals the sample
+    Jaccard of the full hash sets."""
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(40)], "k bigint")
+    b = spark.createDataFrame([(i,) for i in range(20, 60)], "k bigint")
+    r = kmv_overlap_certificate(a, b, "k", k=256).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter) == (40, 40, 20)
+    assert r.est_inter == 20.0 and r.rel_err == 0.0
+    assert abs(r.jaccard_exact - 20 / 60) < 1e-6
+    assert r.jaccard_est == r.jaccard_exact
+
+
+def test_kmv_overlap_estimator_accuracy_large_sets(spark):
+    """Sets far above k: the sketch estimate lands within the expected
+    O(1/sqrt(k)) band of the true intersection."""
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(8000)], "k bigint")
+    b = spark.createDataFrame(
+        [(i,) for i in range(4000, 14000)], "k bigint"
+    )
+    r = kmv_overlap_certificate(a, b, "k", k=256).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter) == (8000, 10000, 4000)
+    assert r.rel_err < 0.35
+    assert abs(r.jaccard_est - r.jaccard_exact) < 0.1
+
+
+def test_kmv_overlap_matches_sql_twin(spark):
+    """Spark certificate row == DuckDB kmv_overlap_sql replay — the
+    no-tolerance-band cross-engine contract."""
+    import duckdb
+    import pandas as pd
+
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+        kmv_overlap_sql,
+    )
+
+    rows_a = [(i * 7,) for i in range(3000)]
+    rows_b = [(i * 11,) for i in range(2500)]
+    a = spark.createDataFrame(rows_a, "k bigint")
+    b = spark.createDataFrame(rows_b, "k bigint")
+    got = tuple(kmv_overlap_certificate(a, b, "k", k=128).collect()[0])
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(rows_a, columns=["k"]))
+    con.register("tb", pd.DataFrame(rows_b, columns=["k"]))
+    want = con.execute(kmv_overlap_sql("ta", "tb", "k", k=128)).fetchall()[0]
+    assert got == tuple(want)
+
+
+def test_kmv_overlap_disjoint_and_validation(spark):
+    from orientdb_etl_spark.functions.profiling import (
+        kmv_overlap_certificate,
+    )
+    import pytest
+
+    a = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
+    b = spark.createDataFrame([(i + 100000,) for i in range(500)], "k bigint")
+    r = kmv_overlap_certificate(a, b, "k", k=64).collect()[0]
+    assert r.n_inter == 0 and r.jaccard_exact == 0.0
+    assert r.rel_err is None  # undefined against a zero intersection
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_overlap_certificate(a, b, "k", k=1)
+
+
+def test_kmv_overlap_config_transformer(spark):
+    from orientdb_etl_spark import Pipeline
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "u bigint")
+    b = spark.createDataFrame([(i + 10,) for i in range(30)], "u bigint")
+    p = (
+        Pipeline(
+            {
+                "extractor": {"table": {"name": "a"}},
+                "transformers": [
+                    {"kmvOverlap": {"otherTable": "b", "keyField": "u"}}
+                ],
+                "loader": {"memory": {"view": "ov"}},
+            },
+            spark=spark,
+        )
+        .register_table("a", a)
+        .register_table("b", b)
+    )
+    r = p.run().outputs["ov"].collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter) == (30, 30, 20)
+    assert r.est_inter == 20.0
