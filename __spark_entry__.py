@@ -6873,6 +6873,26 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_certificate(a, b, "o_custkey", k=256)
 
 
+def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location coreset selection (functions/coreset.py
+    facility_location_select): 6 exemplar embeddings from a 24-candidate
+    hash pool, maximizing Σ_x max_c cos(x, c) — per-pair cosines
+    quantized to 1e-4 integer units so every gain/coverage sum is an
+    order-free integer and the DuckDB twin replays the exact greedy
+    trajectory (MATERIALIZED per-step state). Scale shape: ONE
+    corpus×pool similarity pass reused across steps; per step one
+    integer aggregation + a pool-sized argmax + one checkpointed state
+    update."""
+    from orientdb_etl_spark.functions.coreset import (
+        facility_location_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return facility_location_select(
+        emb, "embedding", "vec_id", k=6, pool=24
+    )
+
+
 def q_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise win rates with Wilson 95% intervals (functions/
     mleval.py pairwise_winrates) over the same battle log — the
@@ -7531,6 +7551,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # intersection — audience overlap from sketches alone,
             # certified against the exact distinct-join
             "kmv_overlap": q_kmv_overlap,
+            # round 8 (fifth wave): greedy facility-location coreset
+            # selection (submodular data-subset family's first row)
+            "coreset_select": q_coreset_select,
         }
     )
     return out
@@ -12868,5 +12891,11 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)",
         "o_custkey",
         k=256,
+    )
+    from orientdb_etl_spark.functions.coreset import facility_location_sql
+
+    # greedy facility-location trajectory, exact unrolled replay
+    sql["coreset_select"] = facility_location_sql(
+        "embeddings", "embedding", "vec_id", k=6, pool=24
     )
     return sql

@@ -1486,6 +1486,30 @@ def conformal_transformer(
     )
 
 
+@register("coresetSelect")
+def coreset_select_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"coresetSelect": {"vecField": "embedding", "idField": "vec_id",
+    "k": 6, "pool": 24}} — greedy facility-location exemplar selection
+    over an embedding column (functions/coreset.py): k representative
+    rows with marginal gain and cumulative coverage."""
+    from orientdb_etl_spark.functions.coreset import (
+        facility_location_select,
+    )
+
+    return facility_location_select(
+        df,
+        cfg["vecField"],
+        cfg["idField"],
+        k=int(cfg.get("k", 6)),
+        pool=int(cfg.get("pool", 24)),
+        seed=int(cfg.get("seed", 9)),
+        scale=int(cfg.get("scale", 10000)),
+        round_to=int(cfg.get("roundTo", 6)),
+    )
+
+
 @register("kmvOverlap")
 def kmv_overlap_transformer(
     ctx: PipelineContext, df: DataFrame, cfg: dict
