@@ -6873,6 +6873,88 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_certificate(a, b, "o_custkey", k=256)
 
 
+def q_stream_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bradley–Terry leaderboard certificate (streaming/
+    ops.py foreach_batch_pairs): the deterministic document battle log
+    is split into 3 slices and streamed availableNow; each micro-batch
+    writes its (winner, loser, n) count partial to its OWN epoch dir
+    (overwrite — counts are linear sums, so replay safety comes from
+    per-epoch isolation). read_stream_pairs sums the epochs; by
+    linearity the summed matrix equals the one-shot aggregation, so a
+    BT fit over it must equal the batch fit ROW FOR ROW (the integer-
+    pinned trajectory is a pure function of the battle matrix). The
+    certificate computes the REAL two-sided exceptAll difference of the
+    two leaderboards; n_items is derived by the oracle from first
+    principles and the 0 sym-diff is falsifiable —
+    tests/test_streaming.py drops an epoch dir and asserts it moves."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_pairs,
+        read_stream_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    battles = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.when(
+                F.col("a.n_chars") >= F.col("b.n_chars"), F.col("a.source")
+            )
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(
+                F.col("a.n_chars") >= F.col("b.n_chars"), F.col("b.source")
+            )
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+            F.col("a.doc_id").alias("_bid"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_bt_")
+    for s in range(3):
+        battles.filter(F.col("_bid") % 3 == s).drop("_bid").coalesce(
+            1
+        ).write.parquet(f"{base}/src/slice{s}")
+    alls = spark.read.parquet(f"{base}/src/slice*")
+    q = (
+        spark.readStream.schema(alls.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(foreach_batch_pairs(f"{base}/out", "winner", "loser"))
+        .start()
+    )
+    q.awaitTermination()
+    # iters=4: the equality certificate holds for ANY depth (both fits
+    # are pure functions of the battle matrix); 4 keeps the row's cost
+    # certificate-shaped (each eager iteration is ~3 bounded jobs)
+    streamed = bradley_terry(
+        read_stream_pairs(spark, f"{base}/out", "winner", "loser"),
+        count_col="n",
+        iters=4,
+        eager=True,
+    )
+    batch = bradley_terry(alls, iters=4, eager=True)
+    n_sym = streamed.exceptAll(batch).count() + batch.exceptAll(
+        streamed
+    ).count()
+    n_items = batch.count()
+    n_epochs = len(_glob.glob(f"{base}/out/epoch=*"))
+    _shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_epochs, n_items, n_sym, n_sym == 0)],
+        "n_epochs bigint, n_items bigint, n_sym_diff bigint, "
+        "streamed_equals_batch boolean",
+    )
+
+
 def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy facility-location coreset selection (functions/coreset.py
     facility_location_select): 6 exemplar embeddings from a 24-candidate
@@ -7554,6 +7636,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 8 (fifth wave): greedy facility-location coreset
             # selection (submodular data-subset family's first row)
             "coreset_select": q_coreset_select,
+            # round 8 (fifth wave): streaming BT leaderboard state —
+            # per-epoch battle-count partials, exactly-once by epoch
+            # isolation, certified equal to the batch fit (real
+            # two-sided exceptAll; falsifiable via the epoch-drop test)
+            "stream_bt": q_stream_bt,
         }
     )
     return out
@@ -12897,5 +12984,17 @@ def oracle_sql() -> dict[str, str]:
     # greedy facility-location trajectory, exact unrolled replay
     sql["coreset_select"] = facility_location_sql(
         "embeddings", "embedding", "vec_id", k=6, pool=24
+    )
+    # streaming BT certificate: the 3-slice epoch count is spec-fixed,
+    # n_items is derived from first principles (distinct sources in the
+    # battle log), and the pinned 0 sym-diff is the linearity claim —
+    # falsifiable via tests/test_streaming.py's epoch-drop witness
+    sql["stream_bt"] = (
+        "WITH b AS (" + _DOC_BATTLES_CTE + ") "
+        "SELECT CAST(3 AS BIGINT) AS n_epochs, "
+        "CAST((SELECT count(DISTINCT i) FROM (SELECT winner AS i FROM b "
+        "UNION SELECT loser AS i FROM b)) AS BIGINT) AS n_items, "
+        "CAST(0 AS BIGINT) AS n_sym_diff, "
+        "true AS streamed_equals_batch"
     )
     return sql

@@ -701,6 +701,15 @@ def bradley_terry(
         )
         theta = _pin(theta) if eager else theta.localCheckpoint()
     games = g.groupBy("_i").agg(F.sum("_n").alias("games"))
+    if eager:
+        # θ is pinned driver-side, so the battle-matrix caches have no
+        # remaining consumer past this expression — release them, and
+        # pin wins/games too so nothing below re-reads the (possibly
+        # since-mutated) source through CacheManager's canonical-plan
+        # match. Eager mode leaks nothing (the quality_clf contract).
+        wins, games = _pin(wins), _pin(games)
+        wl.unpersist()
+        g.unpersist()
     out = (
         theta.join(F.broadcast(wins), "_i", "left")
         .join(F.broadcast(games), "_i")

@@ -686,3 +686,47 @@ def read_stream_gram(spark, target_path: str):
 
     cells = spark.read.parquet(target_path).select("i", "j", "g")
     return cells.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def foreach_batch_pairs(target_path: str, winner_col: str, loser_col: str):
+    """``foreachBatch`` callback maintaining a running pairwise-battle
+    count matrix over a preference stream (arena-style logs): each
+    micro-batch's ``(winner, loser, n)`` partial lands in its OWN epoch
+    directory; :func:`read_stream_pairs` sums across epochs into the
+    consolidated battle matrix that
+    :func:`~orientdb_etl_spark.functions.mleval.bradley_terry` fits with
+    ``count_col="n"`` — a live leaderboard whose state is items²-sized
+    regardless of stream volume, refreshed without re-scanning history.
+
+    Same exactly-once discipline as :func:`foreach_batch_gram`: counts
+    are SUMS (linear, not idempotent), so a checkpoint-replayed batch
+    OVERWRITES its epoch rather than merging into an accumulator; the
+    merge happens at read time over deterministic per-epoch states.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def fn(batch_df, epoch_id: int) -> None:
+        wl = (
+            batch_df.where(
+                F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+            )
+            .groupBy(winner_col, loser_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wl.write.mode("overwrite").parquet(f"{target_path}/epoch={epoch_id}")
+
+    return fn
+
+
+def read_stream_pairs(spark, target_path: str, winner_col: str, loser_col: str):
+    """Sum the per-epoch battle partials written by
+    :func:`foreach_batch_pairs` into one ``(winner, loser, n)`` matrix —
+    by linearity it equals the one-shot aggregation over the stream's
+    full data, so a Bradley–Terry fit over it equals the batch fit."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return (
+        spark.read.parquet(target_path)
+        .groupBy(winner_col, loser_col)
+        .agg(F.sum("n").alias("n"))
+    )

@@ -1075,3 +1075,69 @@ def test_sketch_and_drift_certificates_detect_lost_epoch(spark, tmp_path):
         spark, dr_t, ref, "v", bins=8
     ).collect()[0]["psi_total"]
     assert total_bad != total_b
+
+
+def test_stream_pairs_bt_equals_batch_and_epoch_drop_witness(spark, tmp_path):
+    """foreach_batch_pairs: (1) the BT fit over summed epoch partials
+    equals the batch fit row-for-row; (2) NEGATIVE WITNESS — dropping
+    one epoch directory breaks the equality, so the stream_bt
+    certificate's pinned 0 is falsifiable, not tautological."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.mleval import bradley_terry
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_pairs,
+        read_stream_pairs,
+    )
+
+    rows = (
+        [("a", "b")] * 6 + [("b", "a")] * 2
+        + [("b", "c")] * 5 + [("c", "b")] * 3
+        + [("a", "c")] * 4 + [("c", "a")] * 1
+    )
+    battles = spark.createDataFrame(
+        [(w, l, i) for i, (w, l) in enumerate(rows)],
+        "winner string, loser string, bid int",
+    )
+    base = str(tmp_path)
+    for s in range(3):
+        battles.filter(F.col("bid") % 3 == s).drop("bid").coalesce(
+            1
+        ).write.parquet(f"{base}/src/slice{s}")
+    alls = spark.read.parquet(f"{base}/src/slice*")
+    q = (
+        spark.readStream.schema(alls.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(foreach_batch_pairs(f"{base}/out", "winner", "loser"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = bradley_terry(
+        read_stream_pairs(spark, f"{base}/out", "winner", "loser"),
+        count_col="n",
+        iters=4,
+        eager=True,
+    )
+    batch = bradley_terry(alls, iters=4, eager=True)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # negative witness: drop one epoch, the leaderboards must diverge
+    import glob
+
+    epochs = sorted(glob.glob(f"{base}/out/epoch=*"))
+    assert len(epochs) == 3
+    shutil.rmtree(epochs[0])
+    broken = bradley_terry(
+        read_stream_pairs(spark, f"{base}/out", "winner", "loser"),
+        count_col="n",
+        iters=4,
+        eager=True,
+    )
+    assert (
+        broken.exceptAll(batch).count() + batch.exceptAll(broken).count()
+    ) > 0
