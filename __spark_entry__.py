@@ -6987,6 +6987,44 @@ def q_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_winrates(_doc_battles(spark, sf_dir))
 
 
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (functions/mleval.py pass_at_k, Chen
+    et al. arXiv:2107.03374 §2.1): problems = parts, attempts = that
+    part's lineitems, "pass" = the line was returned (l_returnflag =
+    'R'); one row per k ∈ {1, 5, 10} with the mean unbiased
+    1 − C(n−c,k)/C(n,k) over problems having n ≥ k attempts. The
+    k-term product is a JVM fold whose doubles the oracle's
+    list_reduce replays exactly; the cross-problem mean sums
+    integer-nano values (order-free). Scale shape: one corpus-sized
+    aggregation to the problems table, then k-bounded arithmetic."""
+    from orientdb_etl_spark.functions.mleval import pass_at_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pass_at_k(
+        li.select("l_partkey", (F.col("l_returnflag") == "R").alias("_ok")),
+        "l_partkey",
+        "_ok",
+        ks=(1, 5, 10),
+    )
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (functions/text.py
+    textrank_keywords, Mihalcea & Tarau EMNLP'04): 6 weighted-PageRank
+    rounds over the adjacent-content-word co-occurrence graph of the
+    documents corpus (len ≥ 4, stoplist-filtered, hapax edges pruned
+    at min_weight=2), top-20 keywords. Ranks are integer nanos so the
+    oracle's unrolled rounds replay the trajectory exactly; each round
+    is one join + one vocabulary-sized aggregation over a STATIC edge
+    table (the unigram/BT iteration discipline)."""
+    from orientdb_etl_spark.functions.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, "text", iterations=6, topk=20, min_weight=2
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7641,6 +7679,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # isolation, certified equal to the batch fit (real
             # two-sided exceptAll; falsifiable via the epoch-drop test)
             "stream_bt": q_stream_bt,
+            # round 8 (sixth wave): unbiased pass@k functional-
+            # correctness estimator (the HumanEval metric) over the
+            # parts-as-problems attempt log
+            "pass_at_k": q_pass_at_k,
+            # round 8 (sixth wave): TextRank keyword extraction —
+            # weighted PageRank over the co-occurrence graph
+            "textrank": q_textrank,
         }
     )
     return out
@@ -12996,5 +13041,22 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT loser AS i FROM b)) AS BIGINT) AS n_items, "
         "CAST(0 AS BIGINT) AS n_sym_diff, "
         "true AS streamed_equals_batch"
+    )
+    from orientdb_etl_spark.functions.mleval import pass_at_k_sql
+
+    # unbiased pass@k: identical (n, c) table, identical k-term
+    # left-fold product, identical integer-nano cross-problem mean
+    sql["pass_at_k"] = pass_at_k_sql(
+        "(SELECT l_partkey, l_returnflag = 'R' AS ok FROM lineitem)",
+        "l_partkey",
+        "ok",
+        ks=(1, 5, 10),
+    )
+    from orientdb_etl_spark.functions.text import textrank_rounds_sql
+
+    # TextRank: identical tokenizer/edge table, 6 unrolled integer-
+    # nano weighted-PageRank rounds (MATERIALIZED per-round state)
+    sql["textrank"] = textrank_rounds_sql(
+        "documents", "text", iterations=6, topk=20, min_weight=2
     )
     return sql

@@ -41,6 +41,8 @@ __all__ = [
     "bradley_terry",
     "bt_rounds_sql",
     "winrates_sql",
+    "pass_at_k",
+    "pass_at_k_sql",
 ]
 
 
@@ -847,4 +849,108 @@ def winrates_sql(
         f"round(w / n, {r}) AS p_a, "
         f"round({center} - {half}, {r}) AS wilson_lo, "
         f"round({center} + {half}, {r}) AS wilson_hi FROM c"
+    )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    problem_col: str,
+    correct_col: str,
+    ks: tuple[int, ...] = (1, 5, 10),
+    round_to: int = 6,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al., arXiv:2107.03374 §2.1) over a
+    per-sample correctness log — the standard functional-correctness
+    metric for generated code/answers: given ``n`` attempts per problem
+    of which ``c`` pass, the probability that at least one of ``k``
+    uniformly drawn attempts passes, estimated WITHOUT the biased
+    ``1-(1-c/n)^k`` plug-in:
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+
+    Returns one row per ``k``: ``(k, n_problems, pass_at_k)`` where
+    ``n_problems`` counts problems with ``n ≥ k`` (the estimator is
+    undefined below that) and ``pass_at_k`` is their mean.
+
+    Scale shape: ONE corpus-sized aggregation collapses the sample log
+    to a problems-sized ``(n, c)`` table; the product is a k-term JVM
+    ``aggregate`` fold per problem (k is a constant, never data-sized)
+    and the cross-problem mean sums integer-nano values so the result
+    is addition-order-free — a SQL oracle replays it bit-for-bit. No
+    counterpart in the reference (no eval surface,
+    OETLProcessor.java:252-283); §2.8 extension.
+    """
+    if not ks or any(int(k) <= 0 for k in ks):
+        raise ValueError("ks must be positive ints")
+    stats = samples.groupBy(F.col(problem_col).alias("_p")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(correct_col).cast("int")).cast("long").alias("_c"),
+    )
+    per_k = stats.select(
+        "_n",
+        "_c",
+        F.explode(
+            F.array(*[F.lit(int(k)) for k in dict.fromkeys(ks)])
+        ).alias("_k"),
+    ).filter(F.col("_n") >= F.col("_k"))
+    # the fold starts at exactly 1.0 (multiplicative identity), so the
+    # term order — and therefore every intermediate double — matches the
+    # oracle's list_reduce left-fold over the same ascending sequence
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.col("_k") - 1),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (F.col("_n") - F.col("_c") - i).cast("double")
+        / (F.col("_n") - i).cast("double"),
+    )
+    pass_col = F.when(
+        F.col("_n") - F.col("_c") < F.col("_k"), F.lit(1.0)
+    ).otherwise(F.lit(1.0) - prod)
+    nano = F.round(pass_col * F.lit(1e9)).cast("bigint")
+    return (
+        per_k.select("_k", nano.alias("_nano"))
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_problems"),
+            F.round(
+                F.sum("_nano").cast("double")
+                / (F.lit(1e9) * F.count(F.lit(1)).cast("double")),
+                round_to,
+            ).alias("pass_at_k"),
+        )
+        .select(F.col("_k").alias("k"), "n_problems", "pass_at_k")
+    )
+
+
+def pass_at_k_sql(
+    samples_cte: str,
+    problem: str,
+    correct: str,
+    ks: tuple[int, ...] = (1, 5, 10),
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`pass_at_k`: identical ``(n, c)`` table,
+    identical k-term left-fold product (``list_reduce`` over the same
+    ascending index list, seeded by the first term — exact because the
+    engine path's 1.0 seed is the multiplicative identity), identical
+    integer-nano mean."""
+    k_list = ", ".join(str(int(k)) for k in dict.fromkeys(ks))
+    prod = (
+        "list_reduce(list_transform(generate_series(0, k - 1), "
+        "i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)), "
+        "(a, b) -> a * b)"
+    )
+    return (
+        f"WITH s AS (SELECT {problem} AS p, count(*) AS n, "
+        f"SUM(CASE WHEN {correct} THEN 1 ELSE 0 END) AS c "
+        f"FROM {samples_cte} GROUP BY 1), "
+        f"e AS (SELECT n, c, k FROM s, "
+        f"(SELECT unnest([{k_list}]) AS k) WHERE n >= k), "
+        f"pp AS (SELECT k, CAST(round(1e9 * "
+        f"(CASE WHEN n - c < k THEN 1.0 ELSE 1.0 - {prod} END)) "
+        f"AS BIGINT) AS nano FROM e) "
+        f"SELECT k, count(*) AS n_problems, "
+        f"round(SUM(nano) / (1e9 * CAST(count(*) AS DOUBLE)), {round_to}) "
+        f"AS pass_at_k FROM pp GROUP BY k"
     )

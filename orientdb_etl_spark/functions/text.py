@@ -970,3 +970,196 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+#: Content-word stoplist for :func:`textrank_keywords` — common English
+#: function words that survive the length-4 filter. Kept deliberately
+#: small and FROZEN: the oracle twin inlines the same list, so the two
+#: must move together.
+TEXTRANK_STOPWORDS: tuple[str, ...] = (
+    "that", "with", "this", "from", "have", "were", "their", "they",
+    "which", "would", "there", "about", "when", "will", "been", "more",
+    "into", "than", "other", "some", "what", "over", "only", "also",
+)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 6,
+    damping: float = 0.85,
+    topk: int = 20,
+    min_len: int = 4,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau,
+    EMNLP'04): PageRank over the word co-occurrence graph — nodes are
+    content words (lowercase alpha runs, ``len ≥ min_len``, stoplist-
+    filtered), undirected edges connect ADJACENT content words within a
+    document weighted by co-occurrence count, and the weighted-PageRank
+    recurrence r(v) = (1−d) + d·Σ_u r(u)·w(u,v)/wdeg(u) runs a fixed
+    ``iterations`` rounds from r₀ = 1. Returns the ``topk`` keywords:
+    ``(word, weight, score)`` with ``weight`` the word's total incident
+    edge weight and ``score`` the final rank (6dp).
+
+    Determinism/portability: ranks live as INTEGER NANOS (bigint) so
+    every cross-edge sum is addition-order-free and a SQL oracle
+    unrolling the same rounds replays the trajectory bit-for-bit (the
+    per-edge contribution is one double division, rounded back to
+    nanos; both engines fold the identical doubles).
+
+    Scale shape: tokenize+pair is one Generate (no join — adjacent
+    pairs come from an index fold over the token array); the edge table
+    is one grouped shuffle, vocabulary²-bounded and in practice
+    corpus-sized but STATIC across rounds; each round is one join + one
+    vocabulary-sized aggregation (the unigram/BT iteration discipline:
+    state is vocabulary-sized, lineage bounded per round by
+    localCheckpoint). ``min_weight`` prunes hapax edges before
+    iteration — at web scale the long tail of weight-1 edges dominates
+    the edge count while contributing noise rank. The final top-k is a
+    TakeOrderedAndProject, never a global window. No counterpart in the
+    reference (row-at-a-time ETL, OETLProcessor.java:252-283); §2.8
+    extension.
+    """
+    if iterations <= 0 or topk <= 0:
+        raise ValueError("iterations and topk must be positive")
+    toks = F.filter(
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"
+        ),
+        lambda t: (F.length(t) >= int(min_len))
+        & ~t.isin(*TEXTRANK_STOPWORDS),
+    )
+    t = df.select(toks.alias("_t"))
+    pairs = t.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.least(
+                            F.element_at("_t", i), F.element_at("_t", i + 1)
+                        ).alias("a"),
+                        F.greatest(
+                            F.element_at("_t", i), F.element_at("_t", i + 1)
+                        ).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("_p")
+    ).select("_p.a", "_p.b")
+    und = (
+        pairs.where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= int(min_weight))
+    )
+    edges = (
+        und.select(F.col("a").alias("_u"), F.col("b").alias("_v"), "_w")
+        .unionByName(
+            und.select(F.col("b").alias("_u"), F.col("a").alias("_v"), "_w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("_u").agg(F.sum("_w").alias("_wd"))
+    nodes = edges.select(F.col("_u").alias("word")).distinct()
+    nano = 1_000_000_000
+    teleport = int(round((1.0 - damping) * nano))
+    ranks = nodes.select("word", F.lit(nano).cast("bigint").alias("_r"))
+    for _ in range(int(iterations)):
+        contrib = (
+            ranks.join(edges, ranks["word"] == edges["_u"])
+            .join(deg, "_u")
+            .select(
+                F.col("_v").alias("word"),
+                F.round(
+                    (F.col("_r") * F.col("_w"))
+                    / F.col("_wd").cast("double")
+                )
+                .cast("bigint")
+                .alias("_c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.round(
+                        F.lit(float(damping))
+                        * F.coalesce(F.col("_in"), F.lit(0))
+                        .cast("double")
+                    ).cast("bigint")
+                ).alias("_r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wdeg = deg.select(F.col("_u").alias("word"), F.col("_wd").alias("weight"))
+    return (
+        ranks.join(wdeg, "word")
+        .orderBy(F.col("_r").desc(), F.col("word").asc())
+        .limit(int(topk))
+        .select(
+            "word",
+            "weight",
+            F.round(F.col("_r") / F.lit(1e9), 6).alias("score"),
+        )
+    )
+
+
+def textrank_rounds_sql(
+    docs_cte: str,
+    text_expr: str = "text",
+    iterations: int = 6,
+    damping: float = 0.85,
+    topk: int = 20,
+    min_len: int = 4,
+    min_weight: int = 1,
+) -> str:
+    """DuckDB replay of :func:`textrank_keywords`: identical tokenizer,
+    identical canonical undirected edge table, and the same unrolled
+    integer-nano rounds (MATERIALIZED per round — each round is read by
+    the next's join AND aggregation)."""
+    stop = ", ".join(f"'{w}'" for w in TEXTRANK_STOPWORDS)
+    nano = 1_000_000_000
+    teleport = int(round((1.0 - damping) * nano))
+    sql = (
+        f"WITH t AS (SELECT list_filter(regexp_split_to_array("
+        f"lower(coalesce({text_expr}, '')), '[^a-z]+'), "
+        f"x -> length(x) >= {int(min_len)} AND NOT list_contains("
+        f"[{stop}], x)) AS t FROM {docs_cte}), "
+        "pr AS (SELECT unnest([{'a': least(t[j], t[j+1]), "
+        "'b': greatest(t[j], t[j+1])} FOR j IN range(1, len(t))]) AS p "
+        "FROM t WHERE len(t) >= 2), "
+        "und AS (SELECT p.a AS a, p.b AS b, count(*) AS w FROM pr "
+        "WHERE p.a <> p.b GROUP BY 1, 2 "
+        f"HAVING count(*) >= {int(min_weight)}), "
+        "ed AS MATERIALIZED (SELECT a AS u, b AS v, w FROM und "
+        "UNION ALL SELECT b AS u, a AS v, w FROM und), "
+        "deg AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wd "
+        "FROM ed GROUP BY u), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS word FROM ed), "
+        f"r0 AS (SELECT word, CAST({nano} AS BIGINT) AS r FROM nodes), "
+    )
+    for i in range(1, int(iterations) + 1):
+        sql += (
+            f"r{i} AS MATERIALIZED (SELECT n.word, "
+            f"CAST({teleport} AS BIGINT) + CAST(round({float(damping)!r} "
+            "* CAST(coalesce(s.c, 0) AS DOUBLE)) AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN (SELECT e.v AS word, "
+            "SUM(CAST(round((p.r * e.w) / CAST(g.wd AS DOUBLE)) "
+            f"AS BIGINT)) AS c FROM r{i - 1} p "
+            "JOIN ed e ON e.u = p.word JOIN deg g ON g.u = p.word "
+            "GROUP BY e.v) s ON s.word = n.word), "
+        )
+    sql = sql.rstrip(", ") + " "
+    sql += (
+        f"SELECT n.word, g.wd AS weight, round(n.r / 1e9, 6) AS score "
+        f"FROM r{int(iterations)} n JOIN deg g ON g.u = n.word "
+        f"ORDER BY n.r DESC, n.word ASC LIMIT {int(topk)}"
+    )
+    return sql

@@ -1799,3 +1799,42 @@ def cluster_split_transformer(
         seed=int(cfg.get("seed", 42)),
         out_col=cfg.get("outField", "split"),
     )
+
+
+@register("textrankKeywords")
+def textrank_keywords_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"textrankKeywords": {"textField": "text", "iterations": 6,
+    "topk": 20, "minWeight": 1}} — corpus-level TextRank keyword
+    extraction (weighted PageRank over the adjacent-content-word
+    co-occurrence graph)."""
+    from orientdb_etl_spark.functions.text import textrank_keywords
+
+    return textrank_keywords(
+        df,
+        text_col=cfg.get("textField", "text"),
+        iterations=int(cfg.get("iterations", 6)),
+        damping=float(cfg.get("damping", 0.85)),
+        topk=int(cfg.get("topk", 20)),
+        min_len=int(cfg.get("minLen", 4)),
+        min_weight=int(cfg.get("minWeight", 1)),
+    )
+
+
+@register("passAtK")
+def pass_at_k_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"passAtK": {"problemField": "problem", "correctField": "ok",
+    "ks": [1, 5, 10]}} — unbiased pass@k over a per-sample correctness
+    log (one row per k: n_problems with n ≥ k and their mean
+    1 − C(n−c,k)/C(n,k))."""
+    from orientdb_etl_spark.functions.mleval import pass_at_k
+
+    return pass_at_k(
+        df,
+        problem_col=cfg.get("problemField", "problem"),
+        correct_col=cfg.get("correctField", "ok"),
+        ks=tuple(int(k) for k in cfg.get("ks", (1, 5, 10))),
+    )

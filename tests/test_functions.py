@@ -2329,3 +2329,89 @@ def test_soft_dedup_weights_prices_duplicates(spark):
     assert abs(half[1] - 1 / 3**0.5) < 1e-5
     with pytest.raises(ValueError, match="alpha"):
         soft_dedup_weights(docs, "text", "doc_id", alpha=0)
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_matches_python_replay(spark):
+    from orientdb_etl_spark.functions.text import (
+        TEXTRANK_STOPWORDS,
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("spark engine executes query plans",),
+            ("query plans drive the spark engine",),
+            ("engine tuning improves query latency",),
+            ("Latency! tuning... ENGINE?",),
+        ],
+        "text string",
+    )
+    out = textrank_keywords(docs, "text", iterations=4, topk=5).collect()
+
+    # pure-python replay of the identical integer-nano recurrence
+    def toks(s):
+        import re
+
+        return [
+            w
+            for w in re.split("[^a-z]+", s.lower())
+            if len(w) >= 4 and w not in TEXTRANK_STOPWORDS
+        ]
+
+    from collections import defaultdict
+
+    und = defaultdict(int)
+    for (s,) in [
+        ("spark engine executes query plans",),
+        ("query plans drive the spark engine",),
+        ("engine tuning improves query latency",),
+        ("Latency! tuning... ENGINE?",),
+    ]:
+        t = toks(s)
+        for x, y in zip(t, t[1:]):
+            if x != y:
+                und[(min(x, y), max(x, y))] += 1
+    edges = defaultdict(int)
+    for (a, b), w in und.items():
+        edges[(a, b)] += w
+        edges[(b, a)] += w
+    wdeg = defaultdict(int)
+    for (u, _v), w in edges.items():
+        wdeg[u] += w
+    nodes = sorted(wdeg)
+    r = {u: 10**9 for u in nodes}
+    for _ in range(4):
+        acc = defaultdict(int)
+        for (u, v), w in edges.items():
+            acc[v] += int(round(r[u] * w / float(wdeg[u])))
+        r = {u: 150000000 + int(round(0.85 * acc[u])) for u in nodes}
+    exp = sorted(nodes, key=lambda u: (-r[u], u))[:5]
+    assert [x.word for x in out] == exp
+    for x in out:
+        assert x.score == round(r[x.word] / 1e9, 6)
+        assert x.weight == wdeg[x.word]
+
+
+def test_textrank_prunes_hapax_edges_and_validates(spark):
+    from orientdb_etl_spark.functions.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [("alpha bravo alpha bravo",), ("charlie delta",)], "text string"
+    )
+    words = {
+        r.word
+        for r in textrank_keywords(
+            docs, "text", iterations=2, min_weight=2
+        ).collect()
+    }
+    # the charlie-delta edge has weight 1 and is pruned; alpha-bravo (3) stays
+    assert words == {"alpha", "bravo"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textrank_keywords(docs, "text", iterations=0)

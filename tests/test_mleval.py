@@ -379,3 +379,49 @@ def test_bt_and_winrates_config_transformers(spark):
     assert {(r.item_a, r.item_b) for r in wr} == {
         ("a", "b"), ("a", "c"), ("b", "c")
     }
+
+
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    from math import comb
+
+    from orientdb_etl_spark.functions.mleval import pass_at_k
+
+    # problem A: n=5, c=2; problem B: n=3, c=0; problem C: n=2, c=2
+    rows = (
+        [("a", True)] * 2 + [("a", False)] * 3
+        + [("b", False)] * 3
+        + [("c", True)] * 2
+    )
+    df = spark.createDataFrame(rows, "p string, ok boolean")
+    got = {
+        r.k: (r.n_problems, r.pass_at_k)
+        for r in pass_at_k(df, "p", "ok", ks=(1, 2, 5)).collect()
+    }
+
+    def ref(n, c, k):
+        return 1.0 if n - c < k else 1.0 - comb(n - c, k) / comb(n, k)
+
+    # k=1: all three problems; k=2: all three; k=5: only A
+    exp1 = (ref(5, 2, 1) + ref(3, 0, 1) + ref(2, 2, 1)) / 3
+    exp2 = (ref(5, 2, 2) + ref(3, 0, 2) + ref(2, 2, 2)) / 3
+    assert got[1][0] == 3 and abs(got[1][1] - exp1) < 1e-6
+    assert got[2][0] == 3 and abs(got[2][1] - exp2) < 1e-6
+    assert got[5] == (1, round(ref(5, 2, 5), 6))
+
+
+def test_pass_at_k_saturates_and_validates(spark):
+    import pytest as _pytest
+
+    from orientdb_etl_spark.functions.mleval import pass_at_k
+
+    # c = n (all attempts pass) and c such that n - c < k both pin 1.0
+    df = spark.createDataFrame(
+        [("a", True)] * 4 + [("b", True), ("b", False)],
+        "p string, ok boolean",
+    )
+    got = {r.k: r.pass_at_k for r in pass_at_k(df, "p", "ok", ks=(2,)).collect()}
+    assert got[2] == 1.0
+    with _pytest.raises(ValueError):
+        pass_at_k(df, "p", "ok", ks=())
+    with _pytest.raises(ValueError):
+        pass_at_k(df, "p", "ok", ks=(0,))

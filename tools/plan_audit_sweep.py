@@ -90,6 +90,11 @@ BOUNDED_WINDOW_OK = {
     "seasonal_decompose": "moving average over the time-bucket series",
     "contribution": "rank over the per-dimension-member delta frame",
     "ranking_eval": "per-query rank frames (k-bounded candidate lists)",
+    "bt_leaderboard": (
+        "final rank over the |items|-row leaderboard (distinct battle "
+        "participants — the sources column, 5 values; a leaderboard is "
+        "items-sized by contract, never corpus-sized)"
+    ),
 }
 
 
