@@ -7025,6 +7025,20 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary induction (functions/bpe.py
+    wordpiece_train, Schuster & Nakajima ICASSP'12): 4 merges over the
+    documents corpus selected by the likelihood score
+    cnt(ab)/(cnt(a)·cnt(b)) instead of BPE's raw count — the per-step
+    best pair is a 1-row TakeOrderedAndProject over the
+    vocabulary-sized word table joined to its own symbol counts. The
+    oracle unrolls the identical 4 iterations (_wordpiece_oracle)."""
+    from orientdb_etl_spark.functions.bpe import wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_train(docs, "text", num_merges=4, checkpoint_every=None)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7686,6 +7700,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 8 (sixth wave): TextRank keyword extraction —
             # weighted PageRank over the co-occurrence graph
             "textrank": q_textrank,
+            # round 8 (sixth wave): WordPiece (likelihood-scored)
+            # merges — the BERT trainer next to BPE's count-scored one
+            "wordpiece_merges": q_wordpiece_merges,
         }
     )
     return out
@@ -7793,6 +7810,51 @@ def _bpe_oracle(n: int = 4) -> str:
     sql = sql.rstrip(", ") + " "
     sql += " UNION ALL ".join(
         f"SELECT {i} AS step, pair, cnt::BIGINT AS freq FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return sql
+
+
+def _wordpiece_oracle(n: int = 4) -> str:
+    """DuckDB replay of q_wordpiece_merges: same unrolled loop as
+    _bpe_oracle, but selection maximizes the likelihood score
+    cnt(ab)/(cnt(a)·cnt(b)) — per step one extra symbol-count CTE and
+    a two-sided join on the split halves of the pair key. All three
+    counts are exact integers; both engines perform the identical
+    two-double division, so the unrounded ranking is portable."""
+    sql = (
+        "WITH w AS (SELECT word, count(*) AS f FROM ("
+        r"SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) "
+        "AS word FROM documents WHERE text IS NOT NULL "
+        "AND length(trim(text)) > 0) WHERE word <> '' GROUP BY word), "
+        "s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', "
+        r"'\1 ', 'g')) || ' </w> ' AS seq, f FROM w), "
+    )
+    for i in range(1, n + 1):
+        prev = f"s{i - 1}"
+        sql += (
+            f"sp{i} AS MATERIALIZED (SELECT f, "
+            f"regexp_split_to_array(trim(seq), ' ') AS t FROM {prev}), "
+            f"p{i} AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM "
+            "(SELECT f, unnest([t[j] || ' ' || t[j+1] "
+            f"FOR j IN range(1, len(t))]) AS pair FROM sp{i}) "
+            "GROUP BY pair), "
+            f"c{i} AS MATERIALIZED (SELECT s, CAST(sum(f) AS BIGINT) "
+            f"AS sc FROM (SELECT f, unnest(t) AS s FROM sp{i}) "
+            "GROUP BY s), "
+            f"b{i} AS MATERIALIZED (SELECT pair, cnt, "
+            "cnt / (CAST(l.sc AS DOUBLE) * r.sc) AS sc0 "
+            f"FROM p{i} JOIN c{i} l ON l.s = split_part(pair, ' ', 1) "
+            f"JOIN c{i} r ON r.s = split_part(pair, ' ', 2) "
+            "ORDER BY sc0 DESC, pair ASC LIMIT 1), "
+            f"s{i} AS (SELECT replace(seq, ' ' || b{i}.pair || ' ', "
+            f"' ' || replace(b{i}.pair, ' ', '') || ' ') AS seq, f "
+            f"FROM {prev} CROSS JOIN b{i}), "
+        )
+    sql = sql.rstrip(", ") + " "
+    sql += " UNION ALL ".join(
+        f"SELECT {i} AS step, pair, cnt AS freq, round(sc0, 12) AS score "
+        f"FROM b{i}"
         for i in range(1, n + 1)
     )
     return sql
@@ -13059,4 +13121,6 @@ def oracle_sql() -> dict[str, str]:
     sql["textrank"] = textrank_rounds_sql(
         "documents", "text", iterations=6, topk=20, min_weight=2
     )
+    # WordPiece: BPE's unrolled loop with likelihood-score selection
+    sql["wordpiece_merges"] = _wordpiece_oracle(4)
     return sql

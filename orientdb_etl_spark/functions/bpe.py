@@ -52,6 +52,38 @@ def _symbol_bigrams(tok_arr_col: str) -> F.Column:
     )
 
 
+def _word_seqs(
+    df: DataFrame, text_col: str, min_word_freq: int
+) -> DataFrame:
+    """Shared trainer staging: whitespace word table with frequencies,
+    each word as the sentinel-padded symbol sequence ``' h i </w> '``
+    (sentinel spaces make ``' a b '`` replacement respect symbol
+    boundaries). Vocabulary-sized — the corpus is touched exactly
+    once."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") >= min_word_freq)
+    )
+    return words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("_w"), "(.)", "$1 ")),
+            F.lit(" </w> "),
+        ).alias("_seq"),
+        F.col("_f"),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -65,27 +97,7 @@ def bpe_train(
     count at selection time."""
     if num_merges <= 0:
         raise ValueError("num_merges must be positive")
-    words = (
-        df.select(
-            F.explode(
-                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-            ).alias("_w")
-        )
-        .filter(F.col("_w") != "")
-        .groupBy("_w")
-        .agg(F.count(F.lit(1)).alias("_f"))
-        .filter(F.col("_f") >= min_word_freq)
-    )
-    # 'hi' -> ' h i </w> ' (sentinel spaces make ' a b ' replacement
-    # respect symbol boundaries)
-    seqs = words.select(
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("_w"), "(.)", "$1 ")),
-            F.lit(" </w> "),
-        ).alias("_seq"),
-        F.col("_f"),
-    )
+    seqs = _word_seqs(df, text_col, min_word_freq)
     merges: list[DataFrame] = []
     for step in range(1, num_merges + 1):
         pairs = (
@@ -167,3 +179,100 @@ def bpe_segment(
         .withColumn(out_col, F.split(F.trim(seq), " "))
         .drop("_toks", "_tok")
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_word_freq: int = 1,
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges (Schuster & Nakajima,
+    ICASSP'12; the BERT tokenizer's trainer): identical merge loop to
+    :func:`bpe_train`, but each step merges the pair maximizing the
+    LIKELIHOOD gain ``score = count(ab) / (count(a)·count(b))`` — the
+    pair whose merge most increases a unigram LM's corpus likelihood —
+    instead of the raw pair count. Rare-but-predictive pairs win over
+    merely-frequent ones ('##ing' forms before 'th e' would). Returns
+    ``(step, pair, freq, score)`` in training order, ``score`` the
+    selection-time likelihood ratio (12dp; selection ranks the
+    UNROUNDED double with a pair-string tie-break, so the trajectory
+    is total and engine-portable: all three counts are exact integers
+    and both engines perform the identical two-double division).
+
+    Scale shape: the corpus collapses to the vocabulary-sized word
+    table once; every step then runs one pair aggregation + one symbol
+    aggregation over that table (both vocabulary-sized), a
+    symbol-count join on the two split halves of the pair key, and a
+    1-row TakeOrderedAndProject broadcast — never a collect.
+    ``checkpoint_every`` bounds lineage exactly as in BPE. No
+    counterpart in the reference (OETLProcessor.java:252-283); §2.8
+    extension.
+    """
+    if num_merges <= 0:
+        raise ValueError("num_merges must be positive")
+    seqs = _word_seqs(df, text_col, min_word_freq)
+    merges: list[DataFrame] = []
+    for step in range(1, num_merges + 1):
+        split = seqs.select(F.split(F.trim("_seq"), " ").alias("_t"), "_f")
+        pairs = (
+            split.select(F.explode(_symbol_bigrams("_t")).alias("_pair"), "_f")
+            .groupBy("_pair")
+            .agg(F.sum("_f").alias("_cnt"))
+        )
+        syms = (
+            split.select(F.explode("_t").alias("_s"), "_f")
+            .groupBy("_s")
+            .agg(F.sum("_f").alias("_sc"))
+        )
+        left = F.substring_index(F.col("_pair"), " ", 1)
+        right = F.substring_index(F.col("_pair"), " ", -1)
+        scored = (
+            pairs.join(
+                syms.select(F.col("_s").alias("_ls"), F.col("_sc").alias("_lc")),
+                left == F.col("_ls"),
+            )
+            .join(
+                syms.select(F.col("_s").alias("_rs"), F.col("_sc").alias("_rc")),
+                right == F.col("_rs"),
+            )
+            .withColumn(
+                "_score",
+                F.col("_cnt")
+                / (F.col("_lc").cast("double") * F.col("_rc")),
+            )
+        )
+        best = scored.orderBy(
+            F.col("_score").desc(), F.col("_pair").asc()
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_pair").alias("pair"),
+                F.col("_cnt").alias("freq"),
+                F.round("_score", 12).alias("score"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select(F.col("_pair").alias("_bp"))))
+            .withColumn(
+                "_seq",
+                F.replace(
+                    F.col("_seq"),
+                    F.concat(F.lit(" "), F.col("_bp"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("_bp"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                ),
+            )
+            .drop("_bp")
+        )
+        if checkpoint_every and step % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint(eager=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1838,3 +1838,33 @@ def pass_at_k_transformer(
         correct_col=cfg.get("correctField", "ok"),
         ks=tuple(int(k) for k in cfg.get("ks", (1, 5, 10))),
     )
+
+
+@register("wordpiece")
+def wordpiece_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"wordpiece": {"mode": "train"|"segment", "textField": "text",
+    "numMerges": 10, "minWordFreq": 1, "mergesTable": "merges"}} —
+    WordPiece (likelihood-scored) vocabulary induction / application.
+    Train emits (step, pair, freq, score); segment applies a trained
+    merge table via the shared greedy-left replace chain (the
+    merge-table shape is bpe-compatible)."""
+    from orientdb_etl_spark.functions.bpe import bpe_segment, wordpiece_train
+
+    mode = str(cfg.get("mode", "train"))
+    if mode == "train":
+        return wordpiece_train(
+            df,
+            cfg.get("textField", "text"),
+            num_merges=int(cfg.get("numMerges", 10)),
+            min_word_freq=int(cfg.get("minWordFreq", 1)),
+        )
+    if mode == "segment":
+        return bpe_segment(
+            df,
+            ctx.tables[cfg["mergesTable"]],
+            cfg.get("textField", "text"),
+            out_col=cfg.get("outField", "wp_symbols"),
+        )
+    raise ValueError(f"unknown wordpiece mode {mode!r}")

@@ -2415,3 +2415,64 @@ def test_textrank_prunes_hapax_edges_and_validates(spark):
 
     with _pytest.raises(ValueError):
         textrank_keywords(docs, "text", iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece vocabulary induction (functions/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_train_matches_python_replay(spark):
+    from collections import Counter
+
+    from orientdb_etl_spark.functions.bpe import wordpiece_train
+
+    corpus = ["low lower lowest", "low low newer newest", "wider new"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = wordpiece_train(
+        docs, "text", num_merges=4, checkpoint_every=None
+    ).collect()
+
+    words = Counter(w for t in corpus for w in t.split())
+    seqs = {(" " + " ".join(w) + " </w> "): f for w, f in words.items()}
+
+    def step(seqs):
+        pairs, syms = Counter(), Counter()
+        for s, f in seqs.items():
+            t = s.split()
+            for x in t:
+                syms[x] += f
+            for x, y in zip(t, t[1:]):
+                pairs[(x, y)] += f
+        best = max(
+            pairs,
+            key=lambda p: (pairs[p] / (syms[p[0]] * syms[p[1]]), 
+                           [-ord(c) for c in f"{p[0]} {p[1]}"]),
+        )
+        score = pairs[best] / (syms[best[0]] * syms[best[1]])
+        merged = {}
+        for s, f in seqs.items():
+            merged[
+                s.replace(f" {best[0]} {best[1]} ", f" {best[0]}{best[1]} ")
+            ] = f
+        return best, pairs[best], score, merged
+
+    exp = []
+    for i in range(1, 5):
+        best, freq, score, seqs = step(seqs)
+        exp.append((i, f"{best[0]} {best[1]}", freq, round(score, 12)))
+    assert sorted((r.step, r.pair, r.freq, r.score) for r in got) == exp
+
+
+def test_wordpiece_prefers_rare_predictive_pair_over_frequent(spark):
+    from orientdb_etl_spark.functions.bpe import wordpiece_train
+
+    # 'q z' appears only inside 'qz' (perfectly predictive, rare);
+    # 'a b' is frequent but both symbols are everywhere
+    docs = spark.createDataFrame(
+        [("ab ab ab ab ac ba qz",)], "text string"
+    )
+    first = wordpiece_train(
+        docs, "text", num_merges=1, checkpoint_every=None
+    ).collect()[0]
+    assert first.pair == "q z"
