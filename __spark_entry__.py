@@ -7039,6 +7039,61 @@ def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_train(docs, "text", num_merges=4, checkpoint_every=None)
 
 
+def _bitext_sides(spark: SparkSession, sf_dir: str):
+    """Deterministic two-'language' split of the embeddings fixture:
+    even vec_ids are the source side, odd the target, both capped at
+    vec_id < 800 (400 vectors per side at every SF — the exact-variant
+    certificate stays bounded by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 800))
+    tgt = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 800))
+    return src, tgt
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining, exact variant (functions/
+    similarity.py bitext_mine_exact; Artetxe & Schwenk ACL'19 'max'
+    strategy): mutual-argmax margin pairs over the even/odd embedding
+    split, k=4 neighborhood means, threshold 1.05. Cosines are
+    quantized to integer micros before any mean/ratio, so the oracle's
+    relational replay (same cross join, same rank windows, same
+    integer sums) selects the identical pair set."""
+    from orientdb_etl_spark.functions.similarity import bitext_mine_exact
+
+    src, tgt = _bitext_sides(spark, sf_dir)
+    return bitext_mine_exact(
+        src, tgt, "embedding", "vec_id", "vec_id", k=4, threshold=1.05
+    )
+
+
+def q_bitext_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production bitext-mining certificate (functions/similarity.py
+    bitext_mine — the LSH-bucketed scale path): run the production
+    miner AND the exact variant over the same bounded split in one
+    plan, emit (n_exact, n_lsh, n_common) — the oracle pins the
+    measured deterministic agreement (seeded planes), making the
+    production path falsifiable instead of rows-only (the
+    ann_lsh_gaussian pattern)."""
+    from orientdb_etl_spark.functions.similarity import (
+        bitext_mine,
+        bitext_mine_exact,
+    )
+
+    src, tgt = _bitext_sides(spark, sf_dir)
+    exact = bitext_mine_exact(
+        src, tgt, "embedding", "vec_id", "vec_id", k=4, threshold=1.05
+    ).select("src_id", "tgt_id")
+    lsh = bitext_mine(
+        src, tgt, "embedding", "vec_id", "vec_id", k=4, threshold=1.05
+    ).select("src_id", "tgt_id")
+    both = exact.join(lsh, ["src_id", "tgt_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7703,6 +7758,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 8 (sixth wave): WordPiece (likelihood-scored)
             # merges — the BERT trainer next to BPE's count-scored one
             "wordpiece_merges": q_wordpiece_merges,
+            # round 8 (sixth wave): margin-based bitext mining — exact
+            # hash-checked variant + LSH-production agreement
+            # certificate over the same bounded even/odd split
+            "bitext_mine": q_bitext_mine,
+            "bitext_mine_lsh": q_bitext_mine_lsh,
         }
     )
     return out
@@ -13123,4 +13183,55 @@ def oracle_sql() -> dict[str, str]:
     )
     # WordPiece: BPE's unrolled loop with likelihood-score selection
     sql["wordpiece_merges"] = _wordpiece_oracle(4)
+    # bitext mining, exact variant: same cross join, same integer-micro
+    # quantization (coarse enough that both engines' dot-product ulp
+    # drift lands on the same integer), same rank windows
+    _bt_cos = (
+        "CAST(round(1e6 * (list_dot_product(xv, yv) / "
+        "(sqrt(list_dot_product(xv, xv)) * "
+        "sqrt(list_dot_product(yv, yv))))) AS BIGINT)"
+    )
+    sql["bitext_mine"] = (
+        "WITH a AS (SELECT vec_id AS x, embedding::DOUBLE[] AS xv "
+        "FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 800), "
+        "b AS (SELECT vec_id AS y, embedding::DOUBLE[] AS yv "
+        "FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 800), "
+        f"p AS MATERIALIZED (SELECT x, y, {_bt_cos} AS nano "
+        "FROM a CROSS JOIN b), "
+        "f AS MATERIALIZED (SELECT x, y, nano FROM "
+        "(SELECT x, y, nano, row_number() OVER "
+        "(PARTITION BY x ORDER BY nano DESC, y ASC) AS r FROM p) "
+        "WHERE r <= 4), "
+        "bk AS MATERIALIZED (SELECT x, y, nano FROM "
+        "(SELECT x, y, nano, row_number() OVER "
+        "(PARTITION BY y ORDER BY nano DESC, x ASC) AS r FROM p) "
+        "WHERE r <= 4), "
+        "ax AS (SELECT x, CAST(SUM(nano) AS BIGINT) AS sx, "
+        "count(*) AS nx FROM f GROUP BY x), "
+        "ay AS (SELECT y, CAST(SUM(nano) AS BIGINT) AS sy, "
+        "count(*) AS ny FROM bk GROUP BY y), "
+        "cand AS (SELECT DISTINCT x, y, nano FROM "
+        "(SELECT * FROM f UNION ALL SELECT * FROM bk)), "
+        "sc AS MATERIALIZED (SELECT c.x, c.y, c.nano, "
+        "CAST(c.nano AS DOUBLE) / (0.5 * (CAST(sx AS DOUBLE) / nx + "
+        "CAST(sy AS DOUBLE) / ny)) AS margin "
+        "FROM cand c JOIN ax ON ax.x = c.x JOIN ay ON ay.y = c.y), "
+        "r AS (SELECT x, y, nano, margin, "
+        "row_number() OVER (PARTITION BY x ORDER BY margin DESC, y ASC) "
+        "AS rf, "
+        "row_number() OVER (PARTITION BY y ORDER BY margin DESC, x ASC) "
+        "AS rb FROM sc) "
+        "SELECT x AS src_id, y AS tgt_id, "
+        "round(nano / 1e6, 4) AS cosine_sim, round(margin, 4) AS margin "
+        "FROM r WHERE rf = 1 AND rb = 1 AND margin >= 1.05"
+    )
+    # production-vs-exact agreement certificate: pinned constants are
+    # the measured deterministic counts at the sf0.01 400/400 fixture
+    # (seeded planes; margins on this near-uniform random fixture sit
+    # ≈1.0, so approximate k-NN denominators shift many argmaxes — the
+    # honest recall readout the certificate exists to pin)
+    sql["bitext_mine_lsh"] = (
+        "SELECT CAST(151 AS BIGINT) AS n_exact, "
+        "CAST(150 AS BIGINT) AS n_lsh, CAST(42 AS BIGINT) AS n_common"
+    )
     return sql

@@ -787,3 +787,182 @@ def pairwise_topk_join(
             "cosine_sim",
         )
     )
+
+
+def cosine_cols_expr(x_col: str, y_col: str) -> F.Column:
+    """cosine(x_col, y_col) between two array columns as a pure JVM
+    expression (sequential zip_with/aggregate folds — the
+    :func:`cosine_sim_expr` shape generalized to column-column)."""
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with(cast({a} as array<double>), "
+            f"cast({b} as array<double>), (p, q) -> p * q), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    return F.expr(
+        f"({dot(x_col, y_col)}) / "
+        f"(sqrt({dot(x_col, x_col)}) * sqrt({dot(y_col, y_col)}))"
+    )
+
+
+def _margin_intersect(
+    fwd: DataFrame,
+    bwd: DataFrame,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Shared margin-scoring tail of the bitext miners (Artetxe &
+    Schwenk ACL'19 "max" strategy): ``fwd``/``bwd`` carry k-NN rows
+    ``(_x, _y, _nano)`` (cosine as INTEGER MICROS — quantization makes
+    every downstream mean/ratio order-free, and the 1e-6 grain leaves
+    ~9 orders of magnitude between the two engines' dot-product ulp
+    drift and the nearest rounding boundary, so both sides land on the
+    SAME integer; nanos would sit 1e-6 from boundaries — too close). margin(x,y) = cos(x,y) / (½·(avgₖ(x) + avgₖ(y)));
+    a pair survives if it is BOTH x's argmax-margin forward candidate
+    and y's argmax-margin backward candidate, and clears ``threshold``.
+    """
+    from pyspark.sql import Window
+
+    ax = fwd.groupBy("_x").agg(
+        F.sum("_nano").alias("_sx"), F.count(F.lit(1)).alias("_nx")
+    )
+    ay = bwd.groupBy("_y").agg(
+        F.sum("_nano").alias("_sy"), F.count(F.lit(1)).alias("_ny")
+    )
+    cand = fwd.unionByName(bwd).distinct()
+    scored = (
+        cand.join(ax, "_x")
+        .join(ay, "_y")
+        .select(
+            "_x",
+            "_y",
+            "_nano",
+            (
+                F.col("_nano").cast("double")
+                / (
+                    F.lit(0.5)
+                    * (
+                        F.col("_sx") / F.col("_nx").cast("double")
+                        + F.col("_sy") / F.col("_ny").cast("double")
+                    )
+                )
+            ).alias("_margin"),
+        )
+    )
+    wf = Window.partitionBy("_x").orderBy(
+        F.col("_margin").desc(), F.col("_y").asc()
+    )
+    wb = Window.partitionBy("_y").orderBy(
+        F.col("_margin").desc(), F.col("_x").asc()
+    )
+    return (
+        scored.withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter(
+            (F.col("_rf") == 1)
+            & (F.col("_rb") == 1)
+            & (F.col("_margin") >= float(threshold))
+        )
+        .select(
+            F.col("_x").alias("src_id"),
+            F.col("_y").alias("tgt_id"),
+            F.round(F.col("_nano") / F.lit(1e6), round_to).alias(
+                "cosine_sim"
+            ),
+            F.round("_margin", round_to).alias("margin"),
+        )
+    )
+
+
+def bitext_mine_exact(
+    src: DataFrame,
+    tgt: DataFrame,
+    vec_col: str,
+    src_id: str,
+    tgt_id: str,
+    k: int = 4,
+    threshold: float = 1.05,
+    round_to: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-pair mining, EXACT variant (Artetxe &
+    Schwenk, ACL'19; the CCMatrix/LASER alignment rule): for every
+    cross-side candidate pair, score the cosine against the mean of
+    each side's k-NN cosines — margin(x,y) = cos(x,y) /
+    (½·(avgₖ(x)+avgₖ(y))) — and keep pairs that are MUTUAL argmax
+    above ``threshold``. Absolute-cosine thresholds misfire because
+    hub vectors have uniformly high similarities; the margin
+    normalizes by each point's neighborhood density.
+
+    This variant computes the full |src|×|tgt| similarity matrix —
+    quadratic, the correctness baseline/certificate for
+    :func:`bitext_mine` (the LSH-bucketed production path), same role
+    :func:`brute_force_topk` plays for the ANN family. Cosines are
+    quantized to integer micros before any mean/ratio, so every
+    aggregate is addition-order-free and a SQL oracle replays the
+    selection exactly (micro — not nano — grain; see
+    :func:`_margin_intersect`).
+    """
+    a = src.select(
+        F.col(src_id).alias("_x"),
+        F.col(vec_col).cast("array<double>").alias("_xv"),
+    )
+    b = tgt.select(
+        F.col(tgt_id).alias("_y"),
+        F.col(vec_col).cast("array<double>").alias("_yv"),
+    )
+    pairs = a.crossJoin(b).select(
+        "_x",
+        "_y",
+        F.round(cosine_cols_expr("_xv", "_yv") * F.lit(1e6))
+        .cast("bigint")
+        .alias("_nano"),
+    )
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    fwd = topk_per_group(
+        pairs, "_x", ["_nano DESC", "_y ASC"], int(k)
+    ).select("_x", "_y", "_nano")
+    bwd = topk_per_group(
+        pairs, "_y", ["_nano DESC", "_x ASC"], int(k)
+    ).select("_x", "_y", "_nano")
+    return _margin_intersect(fwd, bwd, threshold, round_to)
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    vec_col: str,
+    src_id: str,
+    tgt_id: str,
+    k: int = 4,
+    threshold: float = 1.05,
+    planes: int = 6,
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-pair mining, PRODUCTION variant: candidate
+    k-NN lists come from :func:`pairwise_topk_join` (LSH bucket
+    collisions + per-bucket matmul — one shuffle per side, never the
+    quadratic matrix), then the same mutual-argmax margin rule as
+    :func:`bitext_mine_exact`. At 100 TB this is the scale path: the
+    margin stage is purely relational over k-bounded candidate lists
+    (two sums, one distinct union, two partitioned — never global —
+    rank windows)."""
+    fwd = pairwise_topk_join(
+        src, tgt, vec_col, src_id, tgt_id, k=int(k),
+        planes=int(planes), seed=int(seed),
+    ).select(
+        F.col(src_id).alias("_x"),
+        F.col(tgt_id if tgt_id != src_id else f"{tgt_id}_nn").alias("_y"),
+        F.round(F.col("cosine_sim") * F.lit(1e6)).cast("bigint").alias("_nano"),
+    )
+    bwd = pairwise_topk_join(
+        tgt, src, vec_col, tgt_id, src_id, k=int(k),
+        planes=int(planes), seed=int(seed),
+    ).select(
+        F.col(src_id if src_id != tgt_id else f"{src_id}_nn").alias("_x"),
+        F.col(tgt_id).alias("_y"),
+        F.round(F.col("cosine_sim") * F.lit(1e6)).cast("bigint").alias("_nano"),
+    )
+    return _margin_intersect(fwd, bwd, threshold, round_to)

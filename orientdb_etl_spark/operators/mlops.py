@@ -1868,3 +1868,37 @@ def wordpiece_transformer(
             out_col=cfg.get("outField", "wp_symbols"),
         )
     raise ValueError(f"unknown wordpiece mode {mode!r}")
+
+
+@register("bitextMine")
+def bitext_mine_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"bitextMine": {"targetTable": "tgt", "vecField": "embedding",
+    "idField": "vec_id", "targetIdField": "vec_id", "k": 4,
+    "threshold": 1.05, "exact": false}} — margin-based parallel-pair
+    mining (Artetxe & Schwenk 'max' strategy) between the pipeline
+    payload (source side) and a registered target table. ``exact``
+    switches from the LSH-bucketed production path to the quadratic
+    certificate baseline."""
+    from orientdb_etl_spark.functions.similarity import (
+        bitext_mine,
+        bitext_mine_exact,
+    )
+
+    tgt = ctx.tables[cfg["targetTable"]]
+    kwargs = dict(
+        vec_col=cfg.get("vecField", "embedding"),
+        src_id=cfg.get("idField", "vec_id"),
+        tgt_id=cfg.get("targetIdField", cfg.get("idField", "vec_id")),
+        k=int(cfg.get("k", 4)),
+        threshold=float(cfg.get("threshold", 1.05)),
+    )
+    if cfg.get("exact", False):
+        return bitext_mine_exact(df, tgt, **kwargs)
+    return bitext_mine(
+        df, tgt,
+        planes=int(cfg.get("planes", 6)),
+        seed=int(cfg.get("seed", 7)),
+        **kwargs,
+    )

@@ -2476,3 +2476,78 @@ def test_wordpiece_prefers_rare_predictive_pair_over_frequent(spark):
         docs, "text", num_merges=1, checkpoint_every=None
     ).collect()[0]
     assert first.pair == "q z"
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _bitext_fixture(spark):
+    import math
+
+    def unit(theta, phi):
+        return [
+            math.cos(theta) * math.cos(phi),
+            math.cos(theta) * math.sin(phi),
+            math.sin(theta),
+            0.1,
+        ]
+
+    # three planted parallel pairs (nearly identical directions) plus
+    # one unpaired distractor per side
+    src = [(i, unit(0.15 * i, 0.4 * i)) for i in range(3)]
+    src.append((3, unit(1.2, 2.6)))
+    tgt = [(100 + i, unit(0.15 * i + 0.004, 0.4 * i + 0.004)) for i in range(3)]
+    tgt.append((103, unit(-1.1, 0.3)))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    return mk(src), mk(tgt)
+
+
+def test_bitext_mine_exact_recovers_planted_pairs(spark):
+    from orientdb_etl_spark.functions.similarity import bitext_mine_exact
+
+    src, tgt = _bitext_fixture(spark)
+    got = bitext_mine_exact(
+        src, tgt, "embedding", "vec_id", "vec_id", k=2, threshold=1.0
+    ).collect()
+    pairs = {(r.src_id, r.tgt_id) for r in got}
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
+    # distractors must not pair with each other
+    assert (3, 103) not in pairs
+    for r in got:
+        assert r.margin >= 1.0 and -1.0 <= r.cosine_sim <= 1.0
+
+
+def test_bitext_mine_lsh_agrees_on_planted_pairs(spark):
+    from orientdb_etl_spark.functions.similarity import bitext_mine
+
+    src, tgt = _bitext_fixture(spark)
+    got = bitext_mine(
+        src, tgt, "embedding", "vec_id", "vec_id", k=2, threshold=1.0
+    ).collect()
+    # identical-direction pairs collide in every LSH bucket, so the
+    # production path recovers the planted alignment too
+    assert {(r.src_id, r.tgt_id) for r in got} >= {(0, 100), (1, 101), (2, 102)}
+
+
+def test_bitext_margin_rejects_hub_absolute_cosine(spark):
+    from orientdb_etl_spark.functions.similarity import bitext_mine_exact
+
+    # every tgt vector is similar to hub src 0 (absolute cosine high),
+    # but none is its clear argmax partner: a high threshold filters all
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(100, [0.95, 0.3, 0.1, 0.0]), (101, [0.95, 0.28, 0.12, 0.0]),
+         (102, [0.95, 0.3, 0.08, 0.05])],
+        "vec_id long, embedding array<double>",
+    )
+    got = bitext_mine_exact(
+        src, tgt, "embedding", "vec_id", "vec_id", k=3, threshold=1.1
+    ).collect()
+    # margins hover near 1 (dense neighborhood) — nothing clears 1.1
+    assert got == []
