@@ -7094,6 +7094,69 @@ def q_bitext_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization certificate (functions/projections.py
+    sq8_quantize/sq8_reconstruct_expr): quantize the embeddings to
+    per-dimension int8 codes, then in ONE plan compare the exact
+    cosine top-10 (original vectors) against the ADC top-10
+    (reconstructed vectors, exact query) and the worst per-element
+    reconstruction error — (k, n_common, recall, max_abs_err). Both
+    top-k selections rank integer-MICRO cosines (the bitext
+    discipline), and the affine code map is a single portable
+    expression, so the oracle replays everything exactly. Fitted
+    state: 2·dim doubles on the driver (bounded by construction)."""
+    from orientdb_etl_spark.functions.projections import (
+        sq8_quantize,
+        sq8_reconstruct_expr,
+        sq8_stats,
+    )
+    from orientdb_etl_spark.functions.similarity import cosine_sim_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    stats = sq8_stats(emb, "embedding", dim=len(q))
+    recon = sq8_quantize(emb, "embedding", stats, out_col="_q8").withColumn(
+        "_recon", sq8_reconstruct_expr("_q8", stats)
+    )
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("bigint")
+    exact = (
+        emb.select(
+            "vec_id", micro(cosine_sim_expr("embedding", q)).alias("_m")
+        )
+        .orderBy(F.col("_m").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    adc = (
+        recon.select(
+            "vec_id", micro(cosine_sim_expr("_recon", q)).alias("_m")
+        )
+        .orderBy(F.col("_m").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    err = recon.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("_recon"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("_e")
+    ).agg(F.round(F.max("_e"), 6).alias("max_abs_err"))
+    common = exact.join(adc, "vec_id")
+    return (
+        common.agg(F.count(F.lit(1)).alias("n_common"))
+        .crossJoin(err)
+        .select(
+            F.lit(10).alias("k"),
+            "n_common",
+            F.round(F.col("n_common") / 10.0, 4).alias("recall"),
+            "max_abs_err",
+        )
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7763,6 +7826,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # certificate over the same bounded even/odd split
             "bitext_mine": q_bitext_mine,
             "bitext_mine_lsh": q_bitext_mine_lsh,
+            # round 8 (sixth wave): int8 scalar-quantization recall/
+            # reconstruction certificate (ADC vs exact top-10)
+            "sq8_recall": q_sq8_recall,
         }
     )
     return out
@@ -13233,5 +13299,40 @@ def oracle_sql() -> dict[str, str]:
     sql["bitext_mine_lsh"] = (
         "SELECT CAST(151 AS BIGINT) AS n_exact, "
         "CAST(150 AS BIGINT) AS n_lsh, CAST(42 AS BIGINT) AS n_common"
+    )
+    # SQ8: identical per-dim min/max (exact, order-free), identical
+    # affine code map (single portable expression), micro-cosine top-10
+    _sq8_cos = (
+        "CAST(round(1e6 * (list_dot_product({a}, q.qv) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT)"
+    )
+    sql["sq8_recall"] = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "st AS (SELECT list(mn ORDER BY pos) AS mn, "
+        "list(mx ORDER BY pos) AS mx FROM "
+        "(SELECT pos, min(x) AS mn, max(x) AS mx FROM "
+        "(SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos "
+        "FROM e) GROUP BY pos)), "
+        "r AS MATERIALIZED (SELECT vec_id, v, "
+        "list_transform(generate_series(1, len(v)), i -> "
+        "CASE WHEN mx[i] = mn[i] THEN mn[i] "
+        "ELSE mn[i] + greatest(least(round((v[i] - mn[i]) * 255.0 / "
+        "(mx[i] - mn[i])), 255.0), 0.0) * (mx[i] - mn[i]) / 255.0 END) "
+        "AS rv FROM e CROSS JOIN st), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "ex AS (SELECT e.vec_id FROM e, q "
+        f"ORDER BY {_sq8_cos.format(a='e.v')} DESC, e.vec_id ASC "
+        "LIMIT 10), "
+        "ad AS (SELECT r.vec_id FROM r, q "
+        f"ORDER BY {_sq8_cos.format(a='r.rv')} DESC, r.vec_id ASC "
+        "LIMIT 10), "
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_common "
+        "FROM ex JOIN ad USING (vec_id)) "
+        "SELECT 10 AS k, c.n_common, round(c.n_common / 10.0, 4) "
+        "AS recall, (SELECT round(max(list_max(list_transform("
+        "generate_series(1, len(v)), i -> abs(v[i] - rv[i])))), 6) "
+        "FROM r) AS max_abs_err FROM c"
     )
     return sql

@@ -519,3 +519,77 @@ def jl_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq8_stats(
+    df: DataFrame, vec_col: str, dim: int
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) of an embedding column — the fitted
+    state of :func:`sq8_quantize`. ONE whole-stage-codegen aggregation
+    (2·dim agg expressions over element_at, no explode, no shuffle
+    beyond the final combine); driver state is 2·dim doubles (the
+    k-means/PCA bounded-driver-state discipline). min/max are exact
+    and order-free, so any engine reproduces them bit-for-bit."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(1, int(dim) + 1):
+        aggs.append(F.min(F.element_at(v, i)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.element_at(v, i)).alias(f"_mx{i}"))
+    row = df.agg(*aggs).first()
+    return [
+        (row[f"_mn{i}"], row[f"_mx{i}"]) for i in range(1, int(dim) + 1)
+    ]
+
+
+def _sq8_lit(values: list[float]) -> str:
+    return (
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in values) + ")"
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    vec_col: str,
+    stats: list[tuple[float, float]],
+    out_col: str = "q8",
+) -> DataFrame:
+    """Scalar int8 quantization (the FAISS ScalarQuantizer / SQ8
+    shape): each dimension maps affinely onto the 0..255 code grid —
+    ``q_i = clamp(round((x_i − min_i)·255/(max_i − min_i)), 0, 255)``
+    — cutting vector bytes 4-8× ahead of ANN/clustering while keeping
+    recall near-exact. Constant dimensions (max = min) code to 0.
+
+    The fitted ``stats`` bake in as LITERAL arrays, so the projection
+    is pure unrolled codegen over the corpus — no join, no shuffle, no
+    Python; the single-expression affine map is engine-portable
+    (identical AST → identical doubles → identical rounding) which is
+    what makes the certificate row hash-checkable."""
+    mn = _sq8_lit([s[0] for s in stats])
+    mx = _sq8_lit([s[1] for s in stats])
+    dim = len(stats)
+    expr = (
+        f"transform(sequence(1, {dim}), i -> cast("
+        f"CASE WHEN element_at({mx}, i) = element_at({mn}, i) THEN 0.0 "
+        f"ELSE greatest(least(round("
+        f"(element_at(cast({vec_col} as array<double>), i) - element_at({mn}, i)) * 255.0 "
+        f"/ (element_at({mx}, i) - element_at({mn}, i))), 255.0), 0.0) "
+        f"END as int))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def sq8_reconstruct_expr(
+    q_col: str, stats: list[tuple[float, float]]
+) -> F.Column:
+    """Dequantize an SQ8 code array back to ``array<double>``:
+    ``x̂_i = min_i + q_i·(max_i − min_i)/255`` — the asymmetric-distance
+    (ADC) side of the certificate: queries stay exact, the corpus is
+    reconstructed from codes."""
+    mn = _sq8_lit([s[0] for s in stats])
+    mx = _sq8_lit([s[1] for s in stats])
+    dim = len(stats)
+    return F.expr(
+        f"transform(sequence(1, {dim}), i -> "
+        f"element_at({mn}, i) + element_at({q_col}, i) * "
+        f"(element_at({mx}, i) - element_at({mn}, i)) / 255.0)"
+    )

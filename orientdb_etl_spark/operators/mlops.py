@@ -1902,3 +1902,30 @@ def bitext_mine_transformer(
         seed=int(cfg.get("seed", 7)),
         **kwargs,
     )
+
+
+@register("sq8Quantize")
+def sq8_quantize_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"sq8Quantize": {"vecField": "embedding", "dim": 64,
+    "outField": "q8", "reconstructField": "recon"}} — per-dimension
+    int8 scalar quantization (FAISS SQ8 shape): fit min/max in one
+    codegen aggregation (2·dim doubles of driver state), emit the code
+    array, and optionally a reconstructed vector column for ADC
+    consumers."""
+    from orientdb_etl_spark.functions.projections import (
+        sq8_quantize,
+        sq8_reconstruct_expr,
+        sq8_stats,
+    )
+
+    vec = cfg.get("vecField", "embedding")
+    dim = int(cfg["dim"])
+    out_col = cfg.get("outField", "q8")
+    stats = sq8_stats(df, vec, dim)
+    out = sq8_quantize(df, vec, stats, out_col=out_col)
+    recon = cfg.get("reconstructField")
+    if recon:
+        out = out.withColumn(recon, sq8_reconstruct_expr(out_col, stats))
+    return out

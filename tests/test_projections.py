@@ -372,3 +372,60 @@ def test_stream_gram_negative_witness(spark, tmp_path, vecs):
     }
     worst = max(abs(merged[k] - batch[k]) for k in batch)
     assert worst > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_roundtrip_error_bounded_by_half_step(spark):
+    from orientdb_etl_spark.functions.projections import (
+        sq8_quantize,
+        sq8_reconstruct_expr,
+        sq8_stats,
+    )
+
+    rows = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.0, 1.0, 5.0]),
+        (3, [0.25, 0.4, 5.0]),
+        (4, [0.7499, -0.33, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    stats = sq8_stats(df, "v", dim=3)
+    assert stats == [(0.0, 1.0), (-1.0, 1.0), (5.0, 5.0)]
+    out = (
+        sq8_quantize(df, "v", stats, out_col="q")
+        .withColumn("r", sq8_reconstruct_expr("q", stats))
+        .collect()
+    )
+    for row in out:
+        assert all(0 <= c <= 255 for c in row.q)
+        for x, xh, (mn, mx) in zip(row.v, row.r, stats):
+            # reconstruction error <= half a code step (0 for const dims)
+            assert abs(x - xh) <= (mx - mn) / 255.0 / 2.0 + 1e-12
+    # constant dimension codes to 0 and reconstructs exactly
+    assert all(r.q[2] == 0 and r.r[2] == 5.0 for r in out)
+
+
+def test_sq8_exact_on_grid_points(spark):
+    from orientdb_etl_spark.functions.projections import (
+        sq8_quantize,
+        sq8_reconstruct_expr,
+        sq8_stats,
+    )
+
+    # values that sit exactly on the 255-step grid survive the round trip
+    grid = [0.0, 51.0, 102.0, 255.0]
+    df = spark.createDataFrame(
+        [(i, [g]) for i, g in enumerate(grid)] , "id long, v array<double>"
+    )
+    stats = sq8_stats(df, "v", dim=1)
+    out = (
+        sq8_quantize(df, "v", stats, out_col="q")
+        .withColumn("r", sq8_reconstruct_expr("q", stats))
+        .collect()
+    )
+    for row in out:
+        assert row.r[0] == row.v[0]
