@@ -7157,6 +7157,134 @@ def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (functions/objectives.py
+    preference_pairs): per order (prompt), pair the highest-revenue
+    lineitem (chosen) against the lowest (rejected), margin ≥ 100 —
+    two per-prompt rank windows (WindowGroupLimit, never a global
+    sort) + one join; the oracle replays the identical windows and
+    tie-breaks."""
+    from orientdb_etl_spark.functions.objectives import preference_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    return preference_pairs(
+        li, "l_orderkey", "l_linenumber", "_rev", min_margin=100.0
+    )
+
+
+def q_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming q-digest mergeability certificate (streaming/ops.py
+    foreach_batch_qdigest/read_stream_qdigest): lineitem price units
+    (floor(l_extendedprice/4) < 2^16) split into 2 deterministic
+    slices (l_orderkey parity), streamed availableNow; each micro-
+    batch builds its OWN epoch's q-digest (k=64, 16-bit universe —
+    sketch-sized per-batch I/O), the reader merges them (symmetric
+    union-sum + recompression), and the merged sketch's quantile reads
+    are certified against the FULL exact data: never-undershoot,
+    within the 16·(n/64) rank bound, and exact count conservation.
+    The oracle replays both per-slice builds AND the merge sweep-for-
+    sweep (profiling.qdigest_build_sql/qdigest_merge_sql), so est
+    values are SQL-derived, not pinned. Falsifiable:
+    tests/test_streaming.py drops an epoch and asserts undershoot +
+    conservation both trip."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from orientdb_etl_spark.functions.profiling import qdigest_quantiles
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_qdigest,
+        read_stream_qdigest,
+    )
+
+    cents = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.floor(F.col("l_extendedprice") / 4).cast("long").alias("c"),
+            F.col("l_orderkey").alias("_sk"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_qdigest_")
+    for s in range(2):
+        cents.filter(F.col("_sk") % 2 == s).drop("_sk").coalesce(
+            1
+        ).write.parquet(f"{base}/src/slice{s}")
+    alls = spark.read.parquet(f"{base}/src/slice*")
+    q = (
+        spark.readStream.schema(alls.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(
+            foreach_batch_qdigest(f"{base}/out", "c", k=64, universe_bits=16)
+        )
+        .start()
+    )
+    q.awaitTermination()
+    merged = read_stream_qdigest(spark, f"{base}/out", k=64, universe_bits=16)
+    merged = spark.createDataFrame(merged.collect(), merged.schema)
+    n_epochs = len(_glob.glob(f"{base}/out/epoch=*"))
+    qs = [0.25, 0.5, 0.75]
+    ests = qdigest_quantiles(merged, qs, k=64, universe_bits=16).collect()
+    n_sketch = sum(r.cnt for r in merged.collect())
+    bound = 16 * max(n_sketch // 64, 1)
+    data = cents.drop("_sk").localCheckpoint(eager=True)
+    _shutil.rmtree(base, ignore_errors=True)
+    cert = data.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col("c") <= F.lit(int(r.est))).cast("long")).alias(
+                f"_le{i}"
+            )
+            for i, r in enumerate(ests)
+        ],
+    )
+    return (
+        cert.select(
+            "_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(r.q)).alias("q"),
+                            F.lit(int(r.target_rank))
+                            .cast("long")
+                            .alias("target_rank"),
+                            F.lit(int(r.est)).cast("long").alias("est"),
+                            F.col(f"_le{i}").alias("exact_le"),
+                        )
+                        for i, r in enumerate(ests)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select("_n", "_s.*")
+        .select(
+            "q",
+            "target_rank",
+            "est",
+            "exact_le",
+            (F.col("exact_le") >= F.col("target_rank")).alias(
+                "never_undershoot"
+            ),
+            (
+                (F.col("exact_le") - F.col("target_rank"))
+                <= F.lit(int(bound))
+            ).alias("within_bound"),
+            F.lit(int(n_epochs)).cast("bigint").alias("n_epochs"),
+            (F.lit(int(n_sketch)).cast("bigint") == F.col("_n")).alias(
+                "count_conserved"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7829,6 +7957,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # round 8 (sixth wave): int8 scalar-quantization recall/
             # reconstruction certificate (ADC vs exact top-10)
             "sq8_recall": q_sq8_recall,
+            # round 8 (sixth wave): DPO/RLHF preference-pair
+            # construction (best-vs-worst per prompt, margin-gated)
+            "preference_pairs": q_preference_pairs,
+            # round 8 (sixth wave): streaming q-digest mergeability —
+            # per-epoch sketches merged at read time, quantile
+            # guarantees certified against the full exact data with a
+            # fully SQL-replayed est (both builds + the merge)
+            "stream_qdigest": q_stream_qdigest,
         }
     )
     return out
@@ -12922,47 +13058,22 @@ def oracle_sql() -> dict[str, str]:
 
     sql["holt_winters"] = _hw_oracle()
 
+    # q-digest oracle: the shared sweep replay now lives in
+    # functions/profiling.py (qdigest_build_sql — also used by the
+    # streaming merge oracle); suffix "" preserves the original
+    # v/th/r{l} CTE names
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build_sql as _qb_sql,
+    )
+
     def _qdigest_ctes(k: int = 256, ubits: int = 24) -> str:
-        # q-digest oracle (functions/profiling.py): the same exact
-        # integer arithmetic — leaf counts, then per level l a decision
-        # table d{l} (children-sum + existing-parent count vs the
-        # threshold t = greatest(n//k, 1)) and the next node table
-        # r{l+1}. Every CTE is MATERIALIZED: each round references the
-        # previous THREE times, and DuckDB's default CTE inlining would
-        # re-evaluate 3^24 branches.
-        s = (
-            "WITH v AS MATERIALIZED (SELECT CAST(floor("
-            "l_extendedprice * 100) AS BIGINT) AS c FROM lineitem "
-            "WHERE l_extendedprice IS NOT NULL), "
-            f"th AS (SELECT greatest(count(*) // {k}, 1) AS t, "
-            "count(*) AS n FROM v), "
-            "r0 AS MATERIALIZED (SELECT 0 AS lvl, c AS idx, "
-            "count(*) AS cnt FROM v GROUP BY c), "
+        return "WITH " + _qb_sql(
+            "SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL",
+            k,
+            ubits,
+            "",
         )
-        for l in range(ubits):
-            s += (
-                f"d{l} AS MATERIALIZED (SELECT g.pidx, "
-                "CAST(g.s + coalesce(p.cnt, 0) AS BIGINT) AS tot "
-                "FROM (SELECT idx // 2 AS pidx, "
-                f"CAST(sum(cnt) AS BIGINT) AS s FROM r{l} "
-                f"WHERE lvl = {l} GROUP BY 1) g "
-                f"LEFT JOIN (SELECT idx, cnt FROM r{l} "
-                f"WHERE lvl = {l + 1}) p ON p.idx = g.pidx), "
-                f"r{l + 1} AS MATERIALIZED ("
-                f"SELECT lvl, idx, cnt FROM r{l} "
-                f"WHERE lvl <> {l} AND lvl <> {l + 1} "
-                f"UNION ALL SELECT c.lvl, c.idx, c.cnt FROM r{l} c "
-                f"JOIN d{l} d ON c.idx // 2 = d.pidx CROSS JOIN th "
-                f"WHERE c.lvl = {l} AND d.tot >= th.t "
-                f"UNION ALL SELECT p.lvl, p.idx, p.cnt FROM r{l} p "
-                f"CROSS JOIN th WHERE p.lvl = {l + 1} AND NOT EXISTS ("
-                f"SELECT 1 FROM d{l} d WHERE d.pidx = p.idx "
-                "AND d.tot < th.t) "
-                f"UNION ALL SELECT {l + 1} AS lvl, d.pidx AS idx, "
-                f"d.tot AS cnt FROM d{l} d CROSS JOIN th "
-                "WHERE d.tot < th.t), "
-            )
-        return s
 
     _qU = 24
     sql["qdigest_sketch"] = (
@@ -13334,5 +13445,53 @@ def oracle_sql() -> dict[str, str]:
         "AS recall, (SELECT round(max(list_max(list_transform("
         "generate_series(1, len(v)), i -> abs(v[i] - rv[i])))), 6) "
         "FROM r) AS max_abs_err FROM c"
+    )
+    from orientdb_etl_spark.functions.objectives import preference_pairs_sql
+
+    # preference pairs: identical per-prompt rank windows + margin gate
+    sql["preference_pairs"] = preference_pairs_sql(
+        "(SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS rev FROM lineitem)",
+        "l_orderkey",
+        "l_linenumber",
+        "rev",
+        min_margin=100.0,
+    )
+    from orientdb_etl_spark.functions.profiling import (
+        qdigest_build_sql,
+        qdigest_merge_sql,
+    )
+
+    # streaming q-digest: BOTH per-slice builds and the merge replayed
+    # sweep-for-sweep, so est/target_rank/bound are SQL-derived; only
+    # n_epochs (spec-fixed 2 slices) is pinned
+    _sq_src = (
+        "SELECT CAST(floor(l_extendedprice / 4) AS BIGINT) AS c "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+        "AND l_orderkey % 2 = {par}"
+    )
+    sql["stream_qdigest"] = (
+        "WITH "
+        + qdigest_build_sql(_sq_src.format(par=0), 64, 16, "_a")
+        + qdigest_build_sql(_sq_src.format(par=1), 64, 16, "_b")
+        + qdigest_merge_sql("r16_a", "r16_b", 64, 16, "_m")
+        + "nodes AS (SELECT (idx + 1) * (CAST(1 AS BIGINT) << lvl) - 1 "
+        "AS hi, lvl, cnt FROM r16_m), "
+        "ordr AS (SELECT hi, cnt, CAST(sum(cnt) OVER "
+        "(ORDER BY hi, lvl) AS BIGINT) AS cum FROM nodes), "
+        "qq AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q), "
+        "tq AS (SELECT q, CAST(ceil(q * th_m.n) AS BIGINT) "
+        "AS target_rank FROM qq CROSS JOIN th_m), "
+        "es AS (SELECT q, target_rank, (SELECT min(hi) FROM ordr "
+        "WHERE cum >= tq.target_rank) AS est FROM tq), "
+        "vall AS (SELECT c FROM v_a UNION ALL SELECT c FROM v_b), "
+        "ce AS (SELECT q, target_rank, est, (SELECT count(*) FROM vall "
+        "WHERE c <= es.est) AS exact_le FROM es) "
+        "SELECT q, target_rank, est, exact_le, "
+        "exact_le >= target_rank AS never_undershoot, "
+        "exact_le - target_rank <= 16 * th.t AS within_bound, "
+        "CAST(2 AS BIGINT) AS n_epochs, "
+        "th.n = (SELECT count(*) FROM vall) AS count_conserved "
+        "FROM ce CROSS JOIN th_m th"
     )
     return sql

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from orientdb_etl_spark.context import PipelineContext
 from orientdb_etl_spark.operators import register
 
-__all__ = ["span_corruption_plan", "span_corruption_stats"]
+__all__ = [
+    "span_corruption_plan",
+    "span_corruption_stats",
+    "preference_pairs",
+    "preference_pairs_sql",
+]
 
 _KNUTH = 2654435761
 _MOD = 1000003
@@ -158,3 +163,100 @@ def span_corrupt_transformer(
     )
     fn = span_corruption_stats if cfg.get("stats") else span_corruption_plan
     return fn(df, cfg["textField"], cfg["idField"], **args)
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    min_margin: float = 0.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Construct preference-training pairs (the DPO/RLHF reward-model
+    input, Ouyang et al. arXiv:2203.02155 §3.2-shape) from a per-response
+    rating log: per prompt, pair the highest-scored response (chosen)
+    against the lowest (rejected), keeping prompts whose score margin
+    clears ``min_margin`` — near-tie prompts make noisy preference
+    labels and are dropped. Ties break deterministically (equal scores
+    → smaller response id is chosen/rejected respectively), so the
+    pair set is total-order stable and a SQL oracle replays it.
+
+    Returns ``(prompt, chosen, rejected, chosen_score, rejected_score,
+    margin)``, one row per surviving prompt.
+
+    Scale shape: two rank-filter windows PARTITIONED BY PROMPT
+    (bounded per-prompt frames — never a global sort) compiled to
+    WindowGroupLimit with pre-shuffle pruning, then one join on the
+    prompt key. No counterpart in the reference (no eval/training
+    surface, OETLProcessor.java:252-283); §2.8 extension.
+    """
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    base = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(response_col).alias("_rid"),
+        F.col(score_col).cast("double").alias("_s"),
+    ).where(
+        F.col(prompt_col).isNotNull()
+        & F.col(response_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    )
+    best = topk_per_group(
+        base, "prompt", ["_s DESC", "_rid ASC"], 1
+    ).select(
+        "prompt",
+        F.col("_rid").alias("chosen"),
+        F.col("_s").alias("_cs"),
+    )
+    worst = topk_per_group(
+        base, "prompt", ["_s ASC", "_rid ASC"], 1
+    ).select(
+        "prompt",
+        F.col("_rid").alias("rejected"),
+        F.col("_s").alias("_rs"),
+    )
+    return (
+        best.join(worst, "prompt")
+        .where(F.col("chosen") != F.col("rejected"))
+        .where(F.col("_cs") - F.col("_rs") >= float(min_margin))
+        .select(
+            "prompt",
+            "chosen",
+            "rejected",
+            F.round("_cs", round_to).alias("chosen_score"),
+            F.round("_rs", round_to).alias("rejected_score"),
+            F.round(F.col("_cs") - F.col("_rs"), round_to).alias("margin"),
+        )
+    )
+
+
+def preference_pairs_sql(
+    samples_cte: str,
+    prompt: str,
+    response: str,
+    score: str,
+    min_margin: float = 0.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of :func:`preference_pairs`: identical rank
+    windows, tie-breaks, margin filter (on the unrounded double — both
+    engines derive it from the same exact inputs)."""
+    return (
+        f"WITH b AS (SELECT {prompt} AS prompt, {response} AS rid, "
+        f"CAST({score} AS DOUBLE) AS s FROM {samples_cte} "
+        f"WHERE {prompt} IS NOT NULL AND {response} IS NOT NULL "
+        f"AND {score} IS NOT NULL), "
+        "hi AS (SELECT prompt, rid AS chosen, s AS cs FROM "
+        "(SELECT prompt, rid, s, row_number() OVER (PARTITION BY prompt "
+        "ORDER BY s DESC, rid ASC) AS r FROM b) WHERE r = 1), "
+        "lo AS (SELECT prompt, rid AS rejected, s AS rs FROM "
+        "(SELECT prompt, rid, s, row_number() OVER (PARTITION BY prompt "
+        "ORDER BY s ASC, rid ASC) AS r FROM b) WHERE r = 1) "
+        "SELECT hi.prompt, chosen, rejected, "
+        f"round(cs, {round_to}) AS chosen_score, "
+        f"round(rs, {round_to}) AS rejected_score, "
+        f"round(cs - rs, {round_to}) AS margin "
+        "FROM hi JOIN lo ON hi.prompt = lo.prompt "
+        f"WHERE chosen <> rejected AND cs - rs >= {float(min_margin)!r}"
+    )

@@ -1890,3 +1890,87 @@ def qdigest_quantiles(
         "a -> a.ans)"
     )
     return rows.select("q", "target_rank", fold.alias("est"))
+
+
+def _qdigest_sweep_sql(suffix: str, k: int, ubits: int) -> str:
+    """The ``ubits`` bottom-up q-digest compression sweeps as a CTE
+    chain (trailing comma): per level ``l`` a decision table
+    ``d{l}{suffix}`` (children-sum + existing-parent count vs the
+    threshold from ``th{suffix}``) and the next node table
+    ``r{l+1}{suffix}``. Every CTE is MATERIALIZED — each round
+    references the previous THREE times, and default inlining would
+    re-evaluate 3^ubits branches. Shared by the build, merge, and
+    streaming oracles."""
+    s = ""
+    for l in range(ubits):
+        s += (
+            f"d{l}{suffix} AS MATERIALIZED (SELECT g.pidx, "
+            "CAST(g.s + coalesce(p.cnt, 0) AS BIGINT) AS tot "
+            "FROM (SELECT idx // 2 AS pidx, "
+            f"CAST(sum(cnt) AS BIGINT) AS s FROM r{l}{suffix} "
+            f"WHERE lvl = {l} GROUP BY 1) g "
+            f"LEFT JOIN (SELECT idx, cnt FROM r{l}{suffix} "
+            f"WHERE lvl = {l + 1}) p ON p.idx = g.pidx), "
+            f"r{l + 1}{suffix} AS MATERIALIZED ("
+            f"SELECT lvl, idx, cnt FROM r{l}{suffix} "
+            f"WHERE lvl <> {l} AND lvl <> {l + 1} "
+            f"UNION ALL SELECT c.lvl, c.idx, c.cnt FROM r{l}{suffix} c "
+            f"JOIN d{l}{suffix} d ON c.idx // 2 = d.pidx "
+            f"CROSS JOIN th{suffix} th "
+            f"WHERE c.lvl = {l} AND d.tot >= th.t "
+            f"UNION ALL SELECT p.lvl, p.idx, p.cnt FROM r{l}{suffix} p "
+            f"CROSS JOIN th{suffix} th WHERE p.lvl = {l + 1} "
+            f"AND NOT EXISTS (SELECT 1 FROM d{l}{suffix} d "
+            "WHERE d.pidx = p.idx AND d.tot < th.t) "
+            f"UNION ALL SELECT {l + 1} AS lvl, d.pidx AS idx, "
+            f"d.tot AS cnt FROM d{l}{suffix} d CROSS JOIN th{suffix} th "
+            "WHERE d.tot < th.t), "
+        )
+    return s
+
+
+def qdigest_build_sql(
+    src_select: str,
+    k: int = 256,
+    universe_bits: int = 24,
+    suffix: str = "",
+) -> str:
+    """CTE chain (no leading WITH, trailing comma) replaying
+    :func:`qdigest_build` over ``src_select`` — a SELECT yielding one
+    BIGINT column ``c``. Exposes ``v{suffix}`` (values),
+    ``th{suffix}`` (threshold t and total n) and the finished sketch
+    ``r{universe_bits}{suffix}``."""
+    s = (
+        f"v{suffix} AS MATERIALIZED (SELECT c FROM ({src_select})), "
+        f"th{suffix} AS (SELECT greatest(count(*) // {int(k)}, 1) AS t, "
+        f"count(*) AS n FROM v{suffix}), "
+        f"r0{suffix} AS MATERIALIZED (SELECT 0 AS lvl, c AS idx, "
+        f"count(*) AS cnt FROM v{suffix} GROUP BY c), "
+    )
+    return s + _qdigest_sweep_sql(suffix, int(k), int(universe_bits))
+
+
+def qdigest_merge_sql(
+    a_nodes: str,
+    b_nodes: str,
+    k: int = 256,
+    universe_bits: int = 24,
+    suffix: str = "_m",
+) -> str:
+    """CTE chain (trailing comma) replaying :func:`qdigest_merge` of
+    two finished sketch CTEs: count-sum on shared ``(lvl, idx)`` nodes,
+    threshold from the merged total, then the same compression sweeps.
+    Merge of two inputs is symmetric (union-sum), so epoch arrival
+    order cannot change the replay."""
+    s = (
+        f"u{suffix} AS MATERIALIZED (SELECT lvl, idx, "
+        "CAST(SUM(cnt) AS BIGINT) AS cnt FROM ("
+        f"SELECT lvl, idx, cnt FROM {a_nodes} "
+        f"UNION ALL SELECT lvl, idx, cnt FROM {b_nodes}) GROUP BY 1, 2), "
+        f"th{suffix} AS (SELECT greatest(CAST((SELECT SUM(cnt) "
+        f"FROM u{suffix}) AS BIGINT) // {int(k)}, 1) AS t, "
+        f"CAST((SELECT SUM(cnt) FROM u{suffix}) AS BIGINT) AS n), "
+        f"r0{suffix} AS MATERIALIZED (SELECT lvl, idx, cnt "
+        f"FROM u{suffix}), "
+    )
+    return s + _qdigest_sweep_sql(suffix, int(k), int(universe_bits))

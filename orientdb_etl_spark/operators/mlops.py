@@ -1929,3 +1929,23 @@ def sq8_quantize_transformer(
     if recon:
         out = out.withColumn(recon, sq8_reconstruct_expr(out_col, stats))
     return out
+
+
+@register("preferencePairs")
+def preference_pairs_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"preferencePairs": {"promptField": "prompt", "responseField":
+    "response", "scoreField": "score", "minMargin": 0.0}} — DPO/RLHF
+    preference-pair construction: per prompt, highest-scored response
+    (chosen) vs lowest (rejected), margin-gated, deterministic
+    tie-breaks."""
+    from orientdb_etl_spark.functions.objectives import preference_pairs
+
+    return preference_pairs(
+        df,
+        prompt_col=cfg.get("promptField", "prompt"),
+        response_col=cfg.get("responseField", "response"),
+        score_col=cfg.get("scoreField", "score"),
+        min_margin=float(cfg.get("minMargin", 0.0)),
+    )

@@ -730,3 +730,58 @@ def read_stream_pairs(spark, target_path: str, winner_col: str, loser_col: str):
         .groupBy(winner_col, loser_col)
         .agg(F.sum("n").alias("n"))
     )
+
+
+def foreach_batch_qdigest(
+    target_path: str, value_col: str, k: int = 64, universe_bits: int = 16
+):
+    """``foreachBatch`` callback maintaining streaming quantile state:
+    each micro-batch's q-digest (functions/profiling.py
+    :func:`qdigest_build` — ≤3k nodes regardless of batch size) lands
+    in its OWN epoch directory; readers merge across epochs with
+    :func:`read_stream_qdigest`. Same exactly-once discipline as
+    :func:`foreach_batch_gram`: sketch construction is deterministic
+    per input set but NOT idempotent under re-append, so a
+    checkpoint-replayed batch OVERWRITES its epoch. Per-batch I/O is
+    sketch-sized."""
+    from orientdb_etl_spark.functions.profiling import qdigest_build
+
+    def fn(batch_df, epoch_id: int) -> None:
+        sk = qdigest_build(
+            batch_df, value_col, k=k, universe_bits=universe_bits
+        )
+        sk.write.mode("overwrite").parquet(f"{target_path}/epoch={epoch_id}")
+
+    return fn
+
+
+def read_stream_qdigest(
+    spark, target_path: str, k: int = 64, universe_bits: int = 16
+):
+    """Merge the per-epoch q-digests written by
+    :func:`foreach_batch_qdigest` into one sketch (sequential
+    :func:`~orientdb_etl_spark.functions.profiling.qdigest_merge` in
+    epoch order — for two epochs the merge is symmetric union-sum, so
+    arrival order cannot change the result). The merged sketch answers
+    quantiles over the union of all epochs' data with the standard
+    never-undershoot / ``universe_bits·n/k`` guarantees — streaming
+    percentiles without a history re-scan."""
+    import glob as _glob
+
+    from orientdb_etl_spark.functions.profiling import qdigest_merge
+
+    dirs = sorted(
+        _glob.glob(f"{target_path}/epoch=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    if not dirs:
+        raise ValueError(f"no epoch directories under {target_path!r}")
+    merged = spark.read.parquet(dirs[0]).select("lvl", "idx", "cnt")
+    for d in dirs[1:]:
+        merged = qdigest_merge(
+            merged,
+            spark.read.parquet(d).select("lvl", "idx", "cnt"),
+            k=k,
+            universe_bits=universe_bits,
+        )
+    return merged

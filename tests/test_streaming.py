@@ -1141,3 +1141,84 @@ def test_stream_pairs_bt_equals_batch_and_epoch_drop_witness(spark, tmp_path):
     assert (
         broken.exceptAll(batch).count() + batch.exceptAll(broken).count()
     ) > 0
+
+
+def test_stream_qdigest_guarantees_and_epoch_drop_witness(spark, tmp_path):
+    """foreach_batch_qdigest: (1) the epoch-merged sketch conserves the
+    exact count and its quantile reads satisfy never-undershoot plus
+    the universe_bits·n/k rank bound against the FULL data; (2)
+    NEGATIVE WITNESS — dropping one epoch breaks conservation AND
+    makes the (full-data) median target rank undershoot, so the
+    stream_qdigest certificate's booleans are falsifiable."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from orientdb_etl_spark.functions.profiling import qdigest_quantiles
+    from orientdb_etl_spark.streaming.ops import (
+        foreach_batch_qdigest,
+        read_stream_qdigest,
+    )
+
+    # VALUE-correlated slices (low half / high half): dropping the
+    # high epoch later shifts the surviving sketch's median far below
+    # the full-data target — the undershoot the witness must trip
+    vals = spark.range(2000).select((F.col("id") * 37 % 4096).alias("c"))
+    base = str(tmp_path)
+    vals.filter(F.col("c") < 2048).coalesce(1).write.parquet(
+        f"{base}/src/slice0"
+    )
+    vals.filter(F.col("c") >= 2048).coalesce(1).write.parquet(
+        f"{base}/src/slice1"
+    )
+    alls = spark.read.parquet(f"{base}/src/slice*")
+    q = (
+        spark.readStream.schema(alls.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/slice*")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(
+            foreach_batch_qdigest(f"{base}/out", "c", k=32, universe_bits=12)
+        )
+        .start()
+    )
+    q.awaitTermination()
+    merged = read_stream_qdigest(spark, f"{base}/out", k=32, universe_bits=12)
+    merged = spark.createDataFrame(merged.collect(), merged.schema)
+    n = merged.agg(F.sum("cnt")).first()[0]
+    assert n == 2000  # count conservation across build + merge
+    ests = qdigest_quantiles(
+        merged, [0.25, 0.5, 0.75], k=32, universe_bits=12
+    ).collect()
+    bound = 12 * max(n // 32, 1)
+    for r in ests:
+        exact_le = alls.where(F.col("c") <= int(r.est)).count()
+        assert exact_le >= r.target_rank  # never undershoots
+        assert exact_le - r.target_rank <= bound  # within rank bound
+    # negative witness: drop one epoch — conservation breaks and the
+    # FULL-data median rank now undershoots
+    epochs = sorted(glob.glob(f"{base}/out/epoch=*"))
+    assert len(epochs) == 2
+    # drop whichever epoch holds the HIGH-value slice (file→epoch
+    # assignment is an ingestion-order detail, not part of the contract)
+    high = max(
+        epochs,
+        key=lambda e: spark.read.parquet(e)
+        .agg(F.max(F.expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), lvl)")))
+        .first()[0],
+    )
+    shutil.rmtree(high)
+    broken = read_stream_qdigest(spark, f"{base}/out", k=32, universe_bits=12)
+    broken = spark.createDataFrame(broken.collect(), broken.schema)
+    n_broken = broken.agg(F.sum("cnt")).first()[0]
+    assert n_broken < 2000
+    b_ests = qdigest_quantiles(
+        broken, [0.5], k=32, universe_bits=12
+    ).collect()
+    # target rank computed against the FULL corpus (what the
+    # certificate pins): the half-data sketch's median must undershoot
+    full_target = -(-2000 // 2)
+    exact_le = alls.where(F.col("c") <= int(b_ests[0].est)).count()
+    assert exact_le < full_target
