@@ -7285,6 +7285,20 @@ def q_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering-quality metrics (functions/clustering.py
+    clustering_agreement): B³ precision/recall/F1 + Adjusted Rand of
+    the market-segment partition against the nation partition of
+    customers — the evaluation instrument for near-dup clusters /
+    blocking keys. One corpus aggregation to the contingency cells,
+    nano-pinned B³ sums (order-free), exact-integer ARI combinatorics;
+    the oracle replays everything."""
+    from orientdb_etl_spark.functions.clustering import clustering_agreement
+
+    cust = _t(spark, sf_dir, "customer")
+    return clustering_agreement(cust, "c_mktsegment", "c_nationkey")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7349,7 +7363,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 8's third wave promotes UniMax epoch-capped mixture allocation
     (sample_shuffle_split→unimax_mix — the mixture-planning family's
     first driver row; hash splits/shuffles stay hash-checked in
-    queries_all).
+    queries_all). Round 8's fourth wave promotes three sixth-wave
+    families that had never carried a driver row
+    (weighted_percentiles→sq8_recall [embedding quantization],
+    conformal→bitext_mine [cross-lingual parallel-pair mining],
+    set_ops→textrank [graph-based keyword extraction]); percentiles
+    stay driver-adjacent via the q-digest quantile rows in the local
+    gate, ML-eval keeps bt_leaderboard, and set operations remain
+    covered by the broad relational driver block (q3, cube_sales,
+    window_rank_dense, salted_join, sessionize, asof_join_events) —
+    all three displaced queries stay hash-checked in queries_all.
     The full fine-grained surface (every pre-consolidation query)
     remains in :func:`queries_all`, which the local gate
     (tools/check_correctness.py), tests, and bench.py run.
@@ -7418,13 +7441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the stats-forecast family's first driver row); multidim agg
         # stays driver-covered by cube_sales, pivot by queries_all
         "holt_winters": q_holt_winters,
-        "set_ops": q_set_ops,
+        "textrank": q_textrank,
         "sessionize": q_sessionize,
         # round 8: scalar_subquery_avg's slot carries split-conformal
         # intervals (the ML-evaluation family's first driver row);
         # decorrelated scalar subqueries stay driver-covered by
         # command_transform and hash-checked in queries_all
-        "conformal": q_conformal,
+        "bitext_mine": q_bitext_mine,
         # streaming (availableNow batch-parity)
         "stream_events_hourly": q_stream_events_hourly,
         # round 5: stream_sliding_2h's slot carries SemDeDup semantic
@@ -7472,7 +7495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: ngram_jaccard's slot carries exact weighted
         # percentiles (type-1 weighted quantile via exclusive_prefix);
         # n-gram similarity stays driver-covered by the minhash family
-        "weighted_percentiles": q_weighted_percentiles,
+        "sq8_recall": q_sq8_recall,
         "dedup_minhash": q_dedup_minhash,
         # round 7: dedup_clusters' slot carries the t-closeness privacy
         # audit (EMD of per-group sensitive distributions vs global);
@@ -7943,20 +7966,18 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # correctness estimator (the HumanEval metric) over the
             # parts-as-problems attempt log
             "pass_at_k": q_pass_at_k,
-            # round 8 (sixth wave): TextRank keyword extraction —
-            # weighted PageRank over the co-occurrence graph
-            "textrank": q_textrank,
+            # round 8 (fourth rotation wave): displaced by sq8_recall /
+            # bitext_mine / textrank — still hash-checked here
+            "weighted_percentiles": q_weighted_percentiles,
+            "conformal": q_conformal,
+            "set_ops": q_set_ops,
             # round 8 (sixth wave): WordPiece (likelihood-scored)
             # merges — the BERT trainer next to BPE's count-scored one
             "wordpiece_merges": q_wordpiece_merges,
-            # round 8 (sixth wave): margin-based bitext mining — exact
-            # hash-checked variant + LSH-production agreement
-            # certificate over the same bounded even/odd split
-            "bitext_mine": q_bitext_mine,
+            # round 8 (sixth wave): LSH-production bitext agreement
+            # certificate (bitext_mine itself moved to a driver slot in
+            # the fourth rotation wave)
             "bitext_mine_lsh": q_bitext_mine_lsh,
-            # round 8 (sixth wave): int8 scalar-quantization recall/
-            # reconstruction certificate (ADC vs exact top-10)
-            "sq8_recall": q_sq8_recall,
             # round 8 (sixth wave): DPO/RLHF preference-pair
             # construction (best-vs-worst per prompt, margin-gated)
             "preference_pairs": q_preference_pairs,
@@ -7965,6 +7986,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # guarantees certified against the full exact data with a
             # fully SQL-replayed est (both builds + the merge)
             "stream_qdigest": q_stream_qdigest,
+            # round 8 (sixth wave): B³ + Adjusted Rand external
+            # clustering agreement (the dedup-cluster evaluation
+            # instrument)
+            "cluster_agreement": q_cluster_agreement,
         }
     )
     return out
@@ -13493,5 +13518,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(2 AS BIGINT) AS n_epochs, "
         "th.n = (SELECT count(*) FROM vall) AS count_conserved "
         "FROM ce CROSS JOIN th_m th"
+    )
+    from orientdb_etl_spark.functions.clustering import (
+        clustering_agreement_sql,
+    )
+
+    # B³ + ARI: identical contingency cells, nano-pinned B³ sums,
+    # exact-integer pair combinatorics
+    sql["cluster_agreement"] = clustering_agreement_sql(
+        "customer", "c_mktsegment", "c_nationkey"
     )
     return sql

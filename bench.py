@@ -407,6 +407,14 @@ CORE = [
     "weighted_percentiles",
     "snapshot_diff",
     "zorder_key",
+    # round-8 sixth wave (cheap representatives; wordpiece_merges and
+    # stream_qdigest stay FULL-only — tokenizer/streaming families are
+    # already in CORE via bpe_merges/unigram_lm and the stream_* rows)
+    "pass_at_k",
+    "textrank",
+    "bitext_mine",
+    "sq8_recall",
+    "preference_pairs",
     # the five most expensive audited plans (VERDICT r5) — contended
     # minima here are exactly what the per-query quality label guards
     "containment_join",

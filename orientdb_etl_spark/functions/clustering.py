@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_quantized", "kmeans_cluster_stats", "kmeans_rounds_sql"]
+__all__ = [
+    "kmeans_quantized",
+    "kmeans_cluster_stats",
+    "kmeans_rounds_sql",
+    "clustering_agreement",
+    "clustering_agreement_sql",
+]
 
 #: Knuth multiplicative constant — the repo-wide portable hash (sampling.py).
 _KNUTH = 2654435761
@@ -269,4 +275,144 @@ def kmeans_rounds_sql(
         + " SELECT cluster, count(*) AS n, "
         "CAST(sum(d2) AS BIGINT) AS inertia FROM af "
         "GROUP BY cluster ORDER BY cluster"
+    )
+
+
+def clustering_agreement(
+    df: DataFrame,
+    pred_col: str,
+    gold_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """External clustering-quality metrics — how well a predicted
+    partition (e.g. near-dup cluster labels, k-means cells, blocking
+    keys) recovers a gold partition: B-cubed precision/recall/F1
+    (Bagga & Baldwin '98 — the coreference/dedup standard, per-ITEM
+    averaged so giant clusters can't swamp the score) and the Adjusted
+    Rand Index (Hubert & Arabie '85 — pair-counting agreement,
+    chance-corrected, 1 = identical partitions, ~0 = random).
+
+    One row: ``(n_items, bcubed_precision, bcubed_recall, bcubed_f1,
+    ari)``. NULL labels on either side are excluded.
+
+    Determinism/portability: every statistic reduces to exact integer
+    pair counts — per-(pred, gold) cell sizes and the two marginal
+    cluster sizes. The B³ means sum per-cell INTEGER-NANO
+    contributions (``round(1e9·n_pg²/n_p)``) so cross-cell addition is
+    order-free; ARI is integer combinatorics with one final division —
+    a SQL oracle replays both bit-for-bit.
+
+    Scale shape: ONE corpus-sized aggregation to the contingency cells
+    (cells ≤ |pred clusters|·|gold clusters|, in practice ≈ max side),
+    two cell-sized aggregations for the marginals, two broadcast-sized
+    joins back — never a pair materialization (the naive Rand index
+    over item pairs is O(n²); the cell form is exactly why it's
+    computable at corpus scale).
+    """
+    base = df.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    ).where(F.col(pred_col).isNotNull() & F.col(gold_col).isNotNull())
+    cells = base.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_npg"))
+    pm = cells.groupBy("_p").agg(F.sum("_npg").alias("_np"))
+    gm = cells.groupBy("_g").agg(F.sum("_npg").alias("_ng"))
+    j = cells.join(pm, "_p").join(gm, "_g")
+    nano = 1_000_000_000
+    stats = j.agg(
+        F.sum("_npg").alias("_n"),
+        # B³: Σ_cells n_pg · (n_pg / n_p) — per-cell nano-pinned
+        F.sum(
+            F.round(
+                F.lit(float(nano))
+                * F.col("_npg")
+                * F.col("_npg")
+                / F.col("_np").cast("double")
+            ).cast("bigint")
+        ).alias("_bp"),
+        F.sum(
+            F.round(
+                F.lit(float(nano))
+                * F.col("_npg")
+                * F.col("_npg")
+                / F.col("_ng").cast("double")
+            ).cast("bigint")
+        ).alias("_br"),
+        # ARI: exact C(x,2) sums (integers throughout)
+        F.sum(
+            (F.col("_npg") * (F.col("_npg") - 1) / 2).cast("bigint")
+        ).alias("_sij"),
+    )
+    pa = pm.agg(
+        F.sum((F.col("_np") * (F.col("_np") - 1) / 2).cast("bigint")).alias(
+            "_sa"
+        )
+    )
+    ga = gm.agg(
+        F.sum((F.col("_ng") * (F.col("_ng") - 1) / 2).cast("bigint")).alias(
+            "_sb"
+        )
+    )
+    out = stats.crossJoin(F.broadcast(pa)).crossJoin(F.broadcast(ga))
+    n2 = (F.col("_n") * (F.col("_n") - 1) / 2).cast("bigint")
+    expected = (
+        F.col("_sa").cast("double") * F.col("_sb") / n2.cast("double")
+    )
+    max_idx = (F.col("_sa") + F.col("_sb")).cast("double") / 2.0
+    bp = F.col("_bp").cast("double") / (F.lit(nano) * F.col("_n").cast("double"))
+    br = F.col("_br").cast("double") / (F.lit(nano) * F.col("_n").cast("double"))
+    return out.select(
+        F.col("_n").alias("n_items"),
+        F.round(bp, round_to).alias("bcubed_precision"),
+        F.round(br, round_to).alias("bcubed_recall"),
+        F.round(2.0 * bp * br / (bp + br), round_to).alias("bcubed_f1"),
+        F.round(
+            F.when(
+                max_idx - expected != 0.0,
+                (F.col("_sij").cast("double") - expected)
+                / (max_idx - expected),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("ari"),
+    )
+
+
+def clustering_agreement_sql(
+    src_cte: str, pred: str, gold: str, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`clustering_agreement`: identical cells,
+    identical nano-pinned B³ sums, identical integer pair counts."""
+    return (
+        f"WITH b AS (SELECT {pred} AS p, {gold} AS g FROM {src_cte} "
+        f"WHERE {pred} IS NOT NULL AND {gold} IS NOT NULL), "
+        "cells AS (SELECT p, g, count(*) AS npg FROM b GROUP BY 1, 2), "
+        "pm AS (SELECT p, CAST(SUM(npg) AS BIGINT) AS np FROM cells "
+        "GROUP BY p), "
+        "gm AS (SELECT g, CAST(SUM(npg) AS BIGINT) AS ng FROM cells "
+        "GROUP BY g), "
+        "j AS (SELECT c.npg, pm.np, gm.ng FROM cells c "
+        "JOIN pm ON pm.p = c.p JOIN gm ON gm.g = c.g), "
+        "st AS (SELECT CAST(SUM(npg) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(round(1e9 * npg * npg "
+        "/ CAST(np AS DOUBLE)) AS BIGINT)) AS BIGINT) AS bp, "
+        "CAST(SUM(CAST(round(1e9 * npg * npg "
+        "/ CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS br, "
+        "CAST(SUM(CAST(npg * (npg - 1) / 2 AS BIGINT)) AS BIGINT) "
+        "AS sij FROM j), "
+        "pa AS (SELECT CAST(SUM(CAST(np * (np - 1) / 2 AS BIGINT)) "
+        "AS BIGINT) AS sa FROM pm), "
+        "ga AS (SELECT CAST(SUM(CAST(ng * (ng - 1) / 2 AS BIGINT)) "
+        "AS BIGINT) AS sb FROM gm), "
+        "f AS (SELECT n, "
+        "bp / (1e9 * CAST(n AS DOUBLE)) AS bpf, "
+        "br / (1e9 * CAST(n AS DOUBLE)) AS brf, "
+        "CAST(sij AS DOUBLE) AS sij, CAST(sa AS DOUBLE) AS sa, "
+        "CAST(sb AS DOUBLE) AS sb, "
+        "CAST(CAST(n * (n - 1) / 2 AS BIGINT) AS DOUBLE) AS n2 "
+        "FROM st CROSS JOIN pa CROSS JOIN ga) "
+        "SELECT n AS n_items, "
+        f"round(bpf, {round_to}) AS bcubed_precision, "
+        f"round(brf, {round_to}) AS bcubed_recall, "
+        f"round(2.0 * bpf * brf / (bpf + brf), {round_to}) AS bcubed_f1, "
+        "round(CASE WHEN (sa + sb) / 2.0 - sa * sb / n2 <> 0.0 "
+        "THEN (sij - sa * sb / n2) / ((sa + sb) / 2.0 - sa * sb / n2) "
+        f"ELSE 0.0 END, {round_to}) AS ari FROM f"
     )

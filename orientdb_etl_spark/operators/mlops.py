@@ -1949,3 +1949,20 @@ def preference_pairs_transformer(
         score_col=cfg.get("scoreField", "score"),
         min_margin=float(cfg.get("minMargin", 0.0)),
     )
+
+
+@register("clusterAgreement")
+def cluster_agreement_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"clusterAgreement": {"predField": "cluster", "goldField":
+    "label"}} — B³ precision/recall/F1 + Adjusted Rand of a predicted
+    partition against a gold partition (near-dup cluster / blocking-key
+    evaluation)."""
+    from orientdb_etl_spark.functions.clustering import clustering_agreement
+
+    return clustering_agreement(
+        df,
+        pred_col=cfg.get("predField", "cluster"),
+        gold_col=cfg.get("goldField", "label"),
+    )

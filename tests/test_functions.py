@@ -2551,3 +2551,53 @@ def test_bitext_margin_rejects_hub_absolute_cosine(spark):
     ).collect()
     # margins hover near 1 (dense neighborhood) — nothing clears 1.1
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# clustering_agreement (B-cubed + ARI)
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_agreement_matches_hand_reference(spark):
+    from math import comb
+
+    from orientdb_etl_spark.functions.clustering import clustering_agreement
+
+    # pred: {a,b,c}, {d,e} — gold: {a,b}, {c,d,e}
+    rows = [
+        ("a", 1, "x"), ("b", 1, "x"), ("c", 1, "y"),
+        ("d", 2, "y"), ("e", 2, "y"),
+    ]
+    df = spark.createDataFrame(rows, "item string, pred int, gold string")
+    r = clustering_agreement(df, "pred", "gold").collect()[0]
+    assert r.n_items == 5
+
+    # hand B³: precision per item = |pred∩gold|/|pred|, recall = /|gold|
+    # a,b: cell(1,x)=2 → p=2/3, r=2/2 ; c: cell(1,y)=1 → p=1/3, r=1/3
+    # d,e: cell(2,y)=2 → p=2/2, r=2/3
+    bp = (2 / 3 + 2 / 3 + 1 / 3 + 1.0 + 1.0) / 5
+    br = (1.0 + 1.0 + 1 / 3 + 2 / 3 + 2 / 3) / 5
+    assert abs(r.bcubed_precision - bp) < 1e-6
+    assert abs(r.bcubed_recall - br) < 1e-6
+    assert abs(r.bcubed_f1 - 2 * bp * br / (bp + br)) < 1e-6
+
+    # hand ARI
+    sij = comb(2, 2) + comb(1, 2) + comb(2, 2)  # cells: 2,1,2
+    sa = comb(3, 2) + comb(2, 2)
+    sb = comb(2, 2) + comb(3, 2)
+    n2 = comb(5, 2)
+    exp = sa * sb / n2
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    assert abs(r.ari - ari) < 1e-6
+
+
+def test_clustering_agreement_identical_and_null_handling(spark):
+    from orientdb_etl_spark.functions.clustering import clustering_agreement
+
+    rows = [("a", 1, 1), ("b", 1, 1), ("c", 2, 2), ("d", None, 2)]
+    df = spark.createDataFrame(rows, "item string, pred int, gold int")
+    r = clustering_agreement(df, "pred", "gold").collect()[0]
+    # identical partitions (null row excluded): perfect scores
+    assert r.n_items == 3
+    assert r.bcubed_precision == 1.0 and r.bcubed_recall == 1.0
+    assert r.bcubed_f1 == 1.0 and r.ari == 1.0

@@ -79,6 +79,19 @@ NLJ_OK: dict[str, str] = {
         "by spec-fixed bands — cardinality is the configured band "
         "count, not the table (functions/privacy.py)"
     ),
+    "bitext_mine": (
+        "the exact-variant certificate's cross join is over the "
+        "spec-fixed vec_id<800 even/odd split — ≤400 rows per side at "
+        "every SF by construction; the production path (bitext_mine in "
+        "similarity.py) never materializes the quadratic matrix "
+        "(LSH-bucketed k-NN candidates only)"
+    ),
+    "bitext_mine_lsh": (
+        "runs the same bounded exact-variant certificate (vec_id<800 "
+        "split) alongside the LSH production path to pin their "
+        "agreement — the cross join is the certificate instrument, not "
+        "the operator"
+    ),
 }
 
 BOUNDED_WINDOW_OK = {
