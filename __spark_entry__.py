@@ -7299,6 +7299,41 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_agreement(cust, "c_mktsegment", "c_nationkey")
 
 
+def q_louvain_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain local-move pass (functions/graph.py
+    louvain_move_pass, Blondel et al. 2008 phase 1) over the customer↔
+    supplier trade graph starting from the nation partition — exact
+    integer gain argmax (gain·2m) and integer-scaled modularity
+    Q·(2m)² for both labelings, so the oracle replays the move set and
+    the measured q_before/q_after/improved certificate bit-for-bit."""
+    from orientdb_etl_spark.functions.graph import louvain_move_pass
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("node"),
+            F.col("c_nationkey").cast("long").alias("label"),
+        )
+        .unionAll(
+            _t(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + F.lit(1_000_000)).alias("node"),
+                F.col("s_nationkey").cast("long").alias("label"),
+            )
+        )
+    )
+    return louvain_move_pass(edges, labels)
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -7990,6 +8025,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # clustering agreement (the dedup-cluster evaluation
             # instrument)
             "cluster_agreement": q_cluster_agreement,
+            # round 8 (sixth wave): synchronous Louvain move pass with
+            # integer-scaled modularity before/after certificate
+            "louvain_pass": q_louvain_pass,
         }
     )
     return out
@@ -13527,5 +13565,72 @@ def oracle_sql() -> dict[str, str]:
     # exact-integer pair combinatorics
     sql["cluster_agreement"] = clustering_agreement_sql(
         "customer", "c_mktsegment", "c_nationkey"
+    )
+    # Louvain move pass: identical integer gain argmax and
+    # integer-scaled modularity for both labelings
+    sql["louvain_pass"] = (
+        "WITH e0 AS (SELECT DISTINCT o_custkey AS a0, "
+        "l_suppkey + 1000000 AS b0 FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey), "
+        "und AS (SELECT DISTINCT least(a0, b0) AS a, "
+        "greatest(a0, b0) AS b FROM e0 WHERE a0 <> b0), "
+        "ed AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b AS u, a AS v FROM und), "
+        "lab AS MATERIALIZED (SELECT c_custkey AS u, "
+        "CAST(c_nationkey AS BIGINT) AS l FROM customer "
+        "UNION ALL SELECT s_suppkey + 1000000 AS u, "
+        "CAST(s_nationkey AS BIGINT) AS l FROM supplier), "
+        "deg AS MATERIALIZED (SELECT u, count(*) AS k FROM ed "
+        "GROUP BY u), "
+        "m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg), "
+        "nl AS MATERIALIZED (SELECT deg.u, deg.k, lab.l FROM deg "
+        "JOIN lab ON lab.u = deg.u), "
+        "sig AS MATERIALIZED (SELECT l, CAST(SUM(k) AS BIGINT) AS sig "
+        "FROM nl GROUP BY l), "
+        "wic AS MATERIALIZED (SELECT ed.u, lab.l AS c, "
+        "CAST(count(*) AS BIGINT) AS w FROM ed "
+        "JOIN lab ON lab.u = ed.v GROUP BY 1, 2), "
+        "stay AS (SELECT nl.u, nl.l AS c, "
+        "CAST(coalesce(w.w, 0) AS BIGINT) AS w FROM nl "
+        "LEFT JOIN wic w ON w.u = nl.u AND w.c = nl.l), "
+        "cand AS (SELECT DISTINCT u, c, w FROM "
+        "(SELECT u, c, w FROM wic UNION ALL SELECT u, c, w FROM stay)), "
+        "scored AS (SELECT cand.u, cand.c, "
+        "m2.m2 * cand.w - nl.k * (sig.sig - "
+        "CASE WHEN cand.c = nl.l THEN nl.k ELSE 0 END) AS gain "
+        "FROM cand JOIN nl ON nl.u = cand.u "
+        "JOIN sig ON sig.l = cand.c CROSS JOIN m2), "
+        "moved AS MATERIALIZED (SELECT u, c AS l FROM "
+        "(SELECT u, c, row_number() OVER (PARTITION BY u "
+        "ORDER BY gain DESC, c ASC) AS r FROM scored) WHERE r = 1), "
+        "inb AS (SELECT count(*) AS in2 FROM ed "
+        "JOIN lab l1 ON l1.u = ed.u JOIN lab l2 ON l2.u = ed.v "
+        "WHERE l1.l = l2.l), "
+        "ssb AS (SELECT CAST(SUM(sig * sig) AS BIGINT) AS ss, "
+        "count(*) AS nc FROM sig), "
+        "nl2 AS MATERIALIZED (SELECT deg.u, deg.k, moved.l FROM deg "
+        "JOIN moved ON moved.u = deg.u), "
+        "sig2 AS (SELECT l, CAST(SUM(k) AS BIGINT) AS sig FROM nl2 "
+        "GROUP BY l), "
+        "ina AS (SELECT count(*) AS in2 FROM ed "
+        "JOIN moved mv1 ON mv1.u = ed.u JOIN moved mv2 ON mv2.u = ed.v "
+        "WHERE mv1.l = mv2.l), "
+        "ssa AS (SELECT CAST(SUM(sig * sig) AS BIGINT) AS ss, "
+        "count(*) AS nc FROM sig2), "
+        "qb AS (SELECT m2.m2 * inb.in2 - ssb.ss AS qs, ssb.nc "
+        "FROM inb CROSS JOIN ssb CROSS JOIN m2), "
+        "qa AS (SELECT m2.m2 * ina.in2 - ssa.ss AS qs, ssa.nc "
+        "FROM ina CROSS JOIN ssa CROSS JOIN m2), "
+        "nm AS (SELECT count(*) AS nm FROM moved "
+        "JOIN lab ON lab.u = moved.u WHERE moved.l <> lab.l) "
+        "SELECT m2.m2 AS m2, CAST(nm.nm AS BIGINT) AS n_moved, "
+        "CAST(qb.nc AS BIGINT) AS n_comm_before, "
+        "CAST(qa.nc AS BIGINT) AS n_comm_after, "
+        "round(CAST(qb.qs AS DOUBLE) / "
+        "(CAST(m2.m2 AS DOUBLE) * m2.m2), 6) AS q_before, "
+        "round(CAST(qa.qs AS DOUBLE) / "
+        "(CAST(m2.m2 AS DOUBLE) * m2.m2), 6) AS q_after, "
+        "qa.qs >= qb.qs AS improved "
+        "FROM m2 CROSS JOIN qb CROSS JOIN qa CROSS JOIN nm"
     )
     return sql

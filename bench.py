@@ -343,6 +343,13 @@ HEADLINE = [
     "conformal",
     "wasserstein",
     "holt_winters",
+    # round-8 sixth wave (the CORE subset contract requires these here;
+    # full_headline() appends every other registry query automatically)
+    "pass_at_k",
+    "textrank",
+    "bitext_mine",
+    "sq8_recall",
+    "preference_pairs",
 ]
 
 # The DRIVER-DEFAULT capture set: every driver-gate family plus the most

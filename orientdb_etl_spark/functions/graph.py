@@ -1362,3 +1362,189 @@ def local_clustering_transformer(
     return local_clustering_coefficient(
         df, src=cfg.get("src", "src"), dst=cfg.get("dst", "dst")
     )
+
+
+def louvain_move_pass(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """One synchronous Louvain local-move pass (Blondel et al., J.Stat.
+    Mech. 2008 phase 1) over an unweighted undirected graph: every node
+    simultaneously moves to the neighbor community with the largest
+    modularity gain (staying allowed), starting from ``labels``. Emits
+    ONE summary row — ``(m2, n_moved, n_comm_before, n_comm_after,
+    q_before, q_after, improved)`` — with the exact Newman modularity
+    of both labelings, so the pass carries its own measured
+    effectiveness certificate. Synchronous (all-at-once) moves are what
+    a shuffle-parallel engine can do without serializing the node
+    order; unlike the sequential original they don't GUARANTEE
+    monotone Q, so the certificate reports the measured delta instead
+    of asserting one.
+
+    Determinism/portability: the gain argmax is EXACT INTEGER
+    arithmetic — gain·2m = 2m·w(i,c) − k_i·Σ'_tot(c) (Σ' excluding i
+    when c is i's own community) — and modularity is compared in
+    integer-scaled form Q·(2m)² = Σ_c (2m·intra2(c) − Σ_tot(c)²), so
+    the move set and both Q values replay bit-for-bit in SQL; the two
+    output doubles are single divisions of exact integers.
+
+    Scale shape: degree/Σ_tot/contingency tables are one grouped
+    shuffle each (vocabulary-: node- or community-sized); the argmax is
+    a per-node rank filter (WindowGroupLimit — bounded frames, never a
+    global sort); no driver state, no iteration (run the pass again on
+    its output labels for more refinement). Extends the §2.8 graph
+    family (label_prop / modularity); reference has no graph analytics
+    (SURVEY §2.8).
+    """
+    from orientdb_etl_spark.operators.relational import topk_per_group
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    ed = und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).unionByName(
+        und.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+    ).localCheckpoint(eager=True)
+    lab = labels.select(
+        F.col(node_col).alias("_u"), F.col(label_col).alias("_l")
+    )
+    deg = ed.groupBy("_u").agg(F.count(F.lit(1)).alias("_k"))
+    m2df = deg.agg(F.sum("_k").alias("_m2"))
+    nl = deg.join(lab, "_u")
+
+    def _q_scaled(nlab: DataFrame):
+        """(Σ_c (2m·intra2 − Σ_tot²), n_comm) for a (node,deg,label)
+        frame — exact integers."""
+        sig = nlab.groupBy("_l").agg(F.sum("_k").alias("_sig"))
+        lab2 = nlab.select("_u", "_l")
+        intra = (
+            ed.join(lab2, "_u")
+            .join(
+                lab2.select(
+                    F.col("_u").alias("_v"), F.col("_l").alias("_l2")
+                ),
+                "_v",
+            )
+            .where(F.col("_l") == F.col("_l2"))
+            .agg(F.count(F.lit(1)).alias("_in2"))
+        )
+        per = sig.agg(
+            F.sum(F.col("_sig") * F.col("_sig")).alias("_ss"),
+            F.count(F.lit(1)).alias("_nc"),
+        )
+        return (
+            per.crossJoin(F.broadcast(intra))
+            .crossJoin(F.broadcast(m2df))
+            .select(
+                (F.col("_m2") * F.coalesce(F.col("_in2"), F.lit(0))
+                 - F.col("_ss")).alias("_qs"),
+                "_nc",
+                "_m2",
+            )
+        )
+
+    sig = nl.groupBy("_l").agg(F.sum("_k").alias("_sig"))
+    wic = (
+        ed.join(lab.select(F.col("_u").alias("_v"), F.col("_l").alias("_c")), "_v")
+        .groupBy("_u", "_c")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    stay = nl.join(
+        wic,
+        (nl["_u"] == wic["_u"]) & (nl["_l"] == wic["_c"]),
+        "left",
+    ).select(
+        nl["_u"].alias("_u"),
+        nl["_l"].alias("_c"),
+        F.coalesce(wic["_w"], F.lit(0).cast("long")).alias("_w"),
+    )
+    cand = wic.unionByName(stay).distinct()
+    scored = (
+        cand.join(nl.select("_u", F.col("_l").alias("_cur"), "_k"), "_u")
+        .join(sig.select(F.col("_l").alias("_c"), "_sig"), "_c")
+        .crossJoin(F.broadcast(m2df))
+        .select(
+            "_u",
+            "_c",
+            "_cur",
+            (
+                F.col("_m2") * F.col("_w")
+                - F.col("_k")
+                * (
+                    F.col("_sig")
+                    - F.when(
+                        F.col("_c") == F.col("_cur"), F.col("_k")
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("_gain"),
+        )
+    )
+    moved = topk_per_group(
+        scored, "_u", ["_gain DESC", "_c ASC"], 1
+    ).select("_u", F.col("_c").alias("_l"))
+    nl_after = deg.join(moved, "_u")
+    before = _q_scaled(nl)
+    after = _q_scaled(nl_after)
+    n_moved = (
+        moved.join(lab.select("_u", F.col("_l").alias("_l0")), "_u")
+        .where(F.col("_l") != F.col("_l0"))
+        .agg(F.count(F.lit(1)).alias("_nm"))
+    )
+    b = before.select(
+        F.col("_m2"),
+        F.col("_qs").alias("_qb"),
+        F.col("_nc").alias("n_comm_before"),
+    )
+    a = after.select(
+        F.col("_qs").alias("_qa"), F.col("_nc").alias("n_comm_after")
+    )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(n_moved))
+        .select(
+            F.col("_m2").alias("m2"),
+            F.coalesce(F.col("_nm"), F.lit(0).cast("long")).alias("n_moved"),
+            "n_comm_before",
+            "n_comm_after",
+            F.round(
+                F.col("_qb").cast("double")
+                / (F.col("_m2").cast("double") * F.col("_m2")),
+                round_to,
+            ).alias("q_before"),
+            F.round(
+                F.col("_qa").cast("double")
+                / (F.col("_m2").cast("double") * F.col("_m2")),
+                round_to,
+            ).alias("q_after"),
+            (F.col("_qa") >= F.col("_qb")).alias("improved"),
+        )
+    )
+
+
+@register("louvainPass")
+def louvain_pass_transformer(
+    ctx: PipelineContext, df: DataFrame, cfg: dict
+) -> DataFrame:
+    """{"louvainPass": {"src": "src", "dst": "dst", "labelsTable":
+    "labels", "nodeField": "node", "labelField": "label"}} — one
+    synchronous Louvain local-move pass over the edge-shaped payload,
+    starting from a registered labels table; emits the one-row
+    modularity before/after certificate."""
+    labels = ctx.tables[cfg["labelsTable"]]
+    return louvain_move_pass(
+        df,
+        labels,
+        src=cfg.get("src", "src"),
+        dst=cfg.get("dst", "dst"),
+        node_col=cfg.get("nodeField", "node"),
+        label_col=cfg.get("labelField", "label"),
+    )

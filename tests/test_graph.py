@@ -744,3 +744,65 @@ def test_hits_sink_and_source_roles(spark):
     assert out[9] == (0.0, 1.0)
     for i in range(4):
         assert out[i] == (1.0, 0.0)
+
+
+def test_louvain_move_pass_matches_python_replay(spark):
+    from collections import Counter
+
+    from orientdb_etl_spark.functions.graph import louvain_move_pass
+
+    # two 4-cliques joined by one bridge edge; singleton init
+    cliq1, cliq2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    raw = [
+        (a, b)
+        for grp in (cliq1, cliq2)
+        for i, a in enumerate(grp)
+        for b in grp[i + 1:]
+    ] + [(4, 5)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, n * 10) for n in range(1, 9)], "node long, label long"
+    )
+    got = louvain_move_pass(edges, labels).collect()[0]
+
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    ed = [(u, v) for a, b in und for u, v in ((a, b), (b, a))]
+    deg = Counter(u for u, _ in ed)
+    m2 = sum(deg.values())
+    lab = {n: n * 10 for n in range(1, 9)}
+
+    def q_scaled(lb):
+        in2 = sum(1 for u, v in ed if lb[u] == lb[v])
+        sig = Counter()
+        for u in deg:
+            sig[lb[u]] += deg[u]
+        return m2 * in2 - sum(s * s for s in sig.values()), len(sig)
+
+    sig = Counter()
+    for u in deg:
+        sig[lab[u]] += deg[u]
+    wic = Counter()
+    for u, v in ed:
+        wic[(u, lab[v])] += 1
+    new = {}
+    for u in deg:
+        cands = {lab[v] for x, v in ed if x == u} | {lab[u]}
+        best = sorted(
+            cands,
+            key=lambda c: (
+                -(m2 * wic.get((u, c), 0)
+                  - deg[u] * (sig[c] - (deg[u] if c == lab[u] else 0))),
+                c,
+            ),
+        )[0]
+        new[u] = best
+    qb, ncb = q_scaled(lab)
+    qa, nca = q_scaled(new)
+    assert got.m2 == m2
+    assert got.n_moved == sum(1 for u in deg if new[u] != lab[u])
+    assert (got.n_comm_before, got.n_comm_after) == (ncb, nca)
+    assert got.q_before == round(qb / (m2 * m2), 6)
+    assert got.q_after == round(qa / (m2 * m2), 6)
+    assert got.improved == (qa >= qb)
+    # moving out of singletons into clique communities must help
+    assert got.improved and got.n_comm_after < got.n_comm_before
