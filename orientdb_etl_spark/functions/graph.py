@@ -1372,6 +1372,7 @@ def louvain_move_pass(
     node_col: str = "node",
     label_col: str = "label",
     round_to: int = 6,
+    output: str = "summary",
 ) -> DataFrame:
     """One synchronous Louvain local-move pass (Blondel et al., J.Stat.
     Mech. 2008 phase 1) over an unweighted undirected graph: every node
@@ -1491,6 +1492,14 @@ def louvain_move_pass(
     moved = topk_per_group(
         scored, "_u", ["_gain DESC", "_c ASC"], 1
     ).select("_u", F.col("_c").alias("_l"))
+    if output == "labels":
+        # the product view: the refined assignment itself (feed it back
+        # in for another pass, or into `modularity` for double-form Q)
+        return moved.select(
+            F.col("_u").alias(node_col), F.col("_l").alias(label_col)
+        )
+    if output != "summary":
+        raise ValueError(f"unknown output mode {output!r}")
     nl_after = deg.join(moved, "_u")
     before = _q_scaled(nl)
     after = _q_scaled(nl_after)
@@ -1547,4 +1556,5 @@ def louvain_pass_transformer(
         dst=cfg.get("dst", "dst"),
         node_col=cfg.get("nodeField", "node"),
         label_col=cfg.get("labelField", "label"),
+        output=cfg.get("output", "summary"),
     )

@@ -806,3 +806,20 @@ def test_louvain_move_pass_matches_python_replay(spark):
     assert got.improved == (qa >= qb)
     # moving out of singletons into clique communities must help
     assert got.improved and got.n_comm_after < got.n_comm_before
+
+
+def test_louvain_move_pass_labels_output(spark):
+    from orientdb_etl_spark.functions.graph import louvain_move_pass
+
+    raw = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, n) for n in range(1, 7)], "node long, label long"
+    )
+    lab = louvain_move_pass(edges, labels, output="labels")
+    assert set(lab.columns) == {"node", "label"}
+    assert lab.count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        louvain_move_pass(edges, labels, output="bogus")
