@@ -725,13 +725,28 @@ def bradley_terry(
             F.col("_t").alias("_tn"),
         )
     )
-    from pyspark.sql import Window
-
-    rank = F.row_number().over(
-        Window.orderBy(F.col("_tn").desc(), F.col("item").asc())
-    )
-    return out.select(
-        "item", "wins", "games", "theta", rank.alias("rank")
+    # rank by (θ desc, item asc) WITHOUT a global ORDER BY window (an
+    # unpartitioned WindowExec is the one error-severity plan hazard):
+    # the leaderboard is items-sized by construction, so pack it into
+    # ONE sorted array (the qdigest-quantiles pattern) and posexplode —
+    # same row_number semantics, bounded single-row state, no window.
+    packed = out.select(
+        F.struct(
+            (-F.col("_tn")).alias("_neg_tn"),
+            F.col("item").alias("item"),
+            F.col("wins").alias("wins"),
+            F.col("games").alias("games"),
+            F.col("theta").alias("theta"),
+        ).alias("_s")
+    ).agg(F.sort_array(F.collect_list("_s")).alias("_arr"))
+    return packed.select(
+        F.posexplode("_arr").alias("_pos", "_x")
+    ).select(
+        F.col("_x.item").alias("item"),
+        F.col("_x.wins").alias("wins"),
+        F.col("_x.games").alias("games"),
+        F.col("_x.theta").alias("theta"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
