@@ -119,35 +119,42 @@ def fuzzy_join(
     d = int(max_dist)
     lt = left.select(
         F.col(left_id).alias("_lid"), F.col(left_col).alias("_ls")
-    ).filter(F.col("_ls").isNotNull())
+    ).filter(F.col("_ls").isNotNull()).distinct()
     rt = right.select(
         F.col(right_id).alias("_rid"), F.col(right_col).alias("_rs")
-    ).filter(F.col("_rs").isNotNull())
-    # carry the STRINGS through the segment explode (classic PassJoin):
-    # the segment equi-join then yields fully-hydrated candidates and
-    # thresholded levenshtein verifies INSIDE the join stage — zero
-    # shuffles of the candidate stream. The alternative (join on ids,
-    # rehydrate strings afterwards) shuffles the candidate stream twice
-    # (once per id join); on segment-collision-heavy vocabularies
-    # candidates run 1000× the string count (round-8 bench: 38M
-    # candidates from 20k×20k strings → two ~GB-scale joins), while the
-    # inline-carry shuffle is explode_factor × string bytes — bounded
-    # by O((2d+1)²(d+1)) rows/string, ~180 MB on the same bench. Edit-
-    # distance joins target short strings (names, titles), so the
-    # per-row string payload stays small by construction; only the
-    # match-sized survivor set reaches the trailing distinct.
-    probe = lt.select(
-        "_lid", "_ls", F.explode(F.expr(_probe_segments("_ls", d))).alias("k")
-    ).select("_lid", "_ls", "k.l_len", "k.seg_i", "k.seg")
-    index = rt.select(
-        "_rid", "_rs", F.explode(F.expr(_index_segments("_rs", d))).alias("k")
-    ).select("_rid", "_rs", "k.l_len", "k.seg_i", "k.seg")
+    ).filter(F.col("_rs").isNotNull()).distinct()
+    # Decide on DISTINCT STRINGS, expand to ids afterwards (guide-§8
+    # proxy discipline): real entity-resolution inputs repeat strings
+    # heavily (names, titles), and segment blocking keys collide per
+    # string-PAIR, so running PassJoin over the raw id×string rows
+    # multiplies every candidate by |ids(a)|·|ids(b)| — 38M hydrated
+    # candidate rows from 584×64 distinct strings on the bench corpus.
+    # Verifying once per distinct string pair makes the candidate
+    # stream vocabulary-sized; the two trailing equi-joins re-attach
+    # ids and are the only row-count-sized work (they produce exactly
+    # the output rows, nothing is re-verified or re-shuffled per id).
+    ls_d = lt.select("_ls").distinct()
+    rs_d = rt.select("_rs").distinct()
+    probe = ls_d.select(
+        "_ls", F.explode(F.expr(_probe_segments("_ls", d))).alias("k")
+    ).select("_ls", "k.l_len", "k.seg_i", "k.seg")
+    index = rs_d.select(
+        "_rs", F.explode(F.expr(_index_segments("_rs", d))).alias("k")
+    ).select("_rs", "k.l_len", "k.seg_i", "k.seg")
     # duplicate candidates (a pair sharing several segments) re-verify
-    # into duplicate rows, collapsed by the distinct over survivors
-    return (
+    # into duplicate rows, collapsed by the distinct over survivors;
+    # thresholded levenshtein verifies INSIDE the join stage, so the
+    # candidate stream itself is never shuffled
+    matches = (
         probe.join(index, ["l_len", "seg_i", "seg"])
         .withColumn(dist_col, F.levenshtein(F.col("_ls"), F.col("_rs"), d))
         .filter(F.col(dist_col) >= 0)
+        .select("_ls", "_rs", dist_col)
+        .distinct()
+    )
+    return (
+        matches.join(lt, "_ls")
+        .join(rt, "_rs")
         .select(
             F.col("_lid").alias(left_id),
             F.col("_rid").alias(right_id),
@@ -155,7 +162,6 @@ def fuzzy_join(
             F.col("_rs").alias(right_col),
             dist_col,
         )
-        .distinct()
     )
 
 
