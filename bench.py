@@ -847,11 +847,22 @@ def main() -> None:
             h0, own0 = _host_snapshot(), _own_tree_jiffies()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count() if name in ("window_running",) else len(df.collect())
+            # Timed action = the noop sink (optimization guide §1.4):
+            # computes EVERY column of EVERY row and discards it, so the
+            # number measures the query's distributed computation, not
+            # the single-threaded row-pickle funnel of collect() — which
+            # for wide results (fuzzy_join: 6.4M rows) was 10x the
+            # computation itself and cannot scale with SPARK_GRAFT_CPUS,
+            # poisoning the core-count scaling measurement. Rounds <= 7
+            # timed len(collect()); the r07 artifacts keep those numbers
+            # (methodology change documented in OPTIMIZATION_r08.md).
+            df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             qualities.append(
                 _sample_quality(h0, _host_snapshot(), own0, _own_tree_jiffies())
             )
+        # row count reported OUTSIDE the timed region (informational)
+        n = df.count()
         best = min(range(len(samples)), key=samples.__getitem__)
         timings[name] = round(samples[best], 3)
         spreads[name] = [round(s, 3) for s in samples]
@@ -891,6 +902,10 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "min",
         "profile": profile,
+        # measurement-bug fix, round 8 (guide §1.4): the timed action is
+        # a noop-sink write (full computation, no driver collect). Rounds
+        # <= 7 timed len(collect()) — their artifacts keep those numbers.
+        "timed_action": "noop-sink write (rounds <= 7: len(collect()))",
         "samples": spreads,
         "total_per_run": [
             round(sum(s[i] for s in spreads.values()), 3) for i in range(runs)
@@ -938,6 +953,7 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "min",
         "profile": profile,
+        "timed_action": "noop",
         "contended_queries": contended,
         "detail": out_path,
     }
