@@ -1683,64 +1683,133 @@ def heaps_fit(
     )
 
 
+_QD_SPLIT_BITS = 12  # subtree height for the grouped sweep phase
+
+
+def _qdigest_sweep_arrays(lvl, idx, cnt, t: int, lo: int, hi: int):
+    """The bottom-up sweeps for levels ``[lo, hi)`` over parallel int64
+    numpy arrays — the exact per-level decision of the relational sweep
+    (children-sum + existing-parent count vs ``t``), in exact integer
+    arithmetic, so the result is bit-identical on any execution. Used
+    per dyadic subtree inside :func:`_qdigest_compress`'s grouped pass
+    and on the driver for the bounded top levels."""
+    import numpy as np
+
+    for l in range(lo, hi):
+        curm = lvl == l
+        if not curm.any():
+            continue
+        parm = lvl == (l + 1)
+        child_idx, child_cnt = idx[curm], cnt[curm]
+        pidx = child_idx >> 1
+        order = np.argsort(pidx, kind="stable")
+        sp, sc = pidx[order], child_cnt[order]
+        uniq, starts = np.unique(sp, return_index=True)
+        sums = np.add.reduceat(sc, starts)
+        par_idx, par_cnt = idx[parm], cnt[parm]
+        if len(par_idx):
+            po = np.argsort(par_idx, kind="stable")
+            psort, pcsort = par_idx[po], par_cnt[po]
+            pos = np.searchsorted(psort, uniq)
+            valid = pos < len(psort)
+            match = np.zeros(len(uniq), dtype=bool)
+            match[valid] = psort[pos[valid]] == uniq[valid]
+            pc = np.where(match, pcsort[np.minimum(pos, len(psort) - 1)], 0)
+        else:
+            pc = np.zeros(len(uniq), dtype=np.int64)
+        tot = sums + pc
+        merged_m = tot < t
+        merged_idx, merged_cnt = uniq[merged_m], tot[merged_m]
+        keep_child = np.isin(pidx, uniq[~merged_m])
+        kept_par = ~np.isin(par_idx, merged_idx)
+        otherm = ~(curm | parm)
+        lvl = np.concatenate(
+            [
+                lvl[otherm],
+                np.full(int(keep_child.sum()), l, dtype=np.int64),
+                np.full(int(kept_par.sum()), l + 1, dtype=np.int64),
+                np.full(len(merged_idx), l + 1, dtype=np.int64),
+            ]
+        )
+        idx = np.concatenate(
+            [idx[otherm], child_idx[keep_child], par_idx[kept_par], merged_idx]
+        )
+        cnt = np.concatenate(
+            [cnt[otherm], child_cnt[keep_child], par_cnt[kept_par], merged_cnt]
+        )
+    return lvl, idx, cnt
+
+
 def _qdigest_compress(
     nodes: DataFrame, t: int, universe_bits: int
 ) -> DataFrame:
-    """One bottom-up q-digest compression sweep (Shrivastava et al.,
-    SenSys 2004): for each level l, a parent whose children-plus-self
+    """The bottom-up q-digest compression (Shrivastava et al., SenSys
+    2004): for each level l ascending, a parent whose children-plus-self
     total is below the threshold ``t = floor(n/k)`` absorbs its
-    children. All counts are integers, level order is fixed, so the
-    sweep is deterministic on any layout and replayable in SQL.
+    children. All counts are integers and the level order is fixed, so
+    the result is deterministic on any layout and replayable in SQL.
 
-    Every round ``localCheckpoint``s its node table: each round
-    references the previous one THREE times (current level, touched
-    parents, rest), so an uncut logical plan grows 3^levels — caching
-    alone does not truncate lineage for analysis, and Catalyst would
-    re-normalize the exponential tree every round. Checkpoint state is
-    bounded — at most ``min(distinct values, 2^universe_bits)`` rows
-    before compression, ≤ 3k after."""
-    for lvl in range(universe_bits):
-        cur = nodes.filter(F.col("lvl") == lvl)
-        par = nodes.filter(F.col("lvl") == lvl + 1)
-        others = nodes.filter(
-            (F.col("lvl") != lvl) & (F.col("lvl") != lvl + 1)
+    Execution shape: a sweep at level ``l`` touches only levels ``l``
+    and ``l+1`` of one dyadic subtree, so sweeps below a split level are
+    embarrassingly parallel ACROSS subtrees. Phase 1 runs levels
+    ``0..split-1`` inside one grouped Arrow pass (group = the height-
+    ``split`` dyadic subtree, ``gid = idx >> (split - lvl)``) — exactly
+    the global sweep restricted to each group. Phase 2 collects the
+    surviving nodes at level >= ``split`` — at most
+    ``2^(universe_bits - split + 1)`` rows BY CONSTRUCTION of the dyadic
+    universe (8k for the default split), never data-dependent — and
+    finishes the remaining sweeps driver-side in exact integers (the
+    k-means-centroids bounded-state pattern). Nodes settled below the
+    split level are final (no later sweep can touch them) and never
+    leave the executors. One Spark job replaces ``universe_bits``
+    sequential per-level jobs, each of which needed an eager
+    ``localCheckpoint`` to stop the triply-self-referencing plan from
+    growing 3^levels."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    split = max(universe_bits - _QD_SPLIT_BITS, 0)
+    schema = "lvl int, idx long, cnt long"
+
+    def _sweep_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lvl, idx, cnt = _qdigest_sweep_arrays(
+            pdf["lvl"].to_numpy(np.int64),
+            pdf["idx"].to_numpy(np.int64),
+            pdf["cnt"].to_numpy(np.int64),
+            t,
+            0,
+            split,
         )
-        grp = cur.groupBy(
-            F.shiftright("idx", 1).alias("pidx")
-        ).agg(F.sum("cnt").alias("_s"))
-        dec = grp.join(
-            par.select(F.col("idx").alias("pidx"), F.col("cnt").alias("_p")),
-            "pidx",
-            "left",
-        ).select(
-            "pidx",
-            (F.col("_s") + F.coalesce(F.col("_p"), F.lit(0))).alias("_tot"),
+        return pd.DataFrame(
+            {"lvl": lvl.astype("int32"), "idx": idx, "cnt": cnt}
         )
-        merged = dec.filter(F.col("_tot") < t).select(
-            F.lit(lvl + 1).alias("lvl"),
-            F.col("pidx").alias("idx"),
-            F.col("_tot").alias("cnt"),
-        )
-        survivors = dec.filter(F.col("_tot") >= t).select("pidx")
-        keep_children = cur.join(
-            survivors,
-            F.shiftright(cur["idx"], 1) == survivors["pidx"],
-            "semi",
-        )
-        kept_parents = par.join(
-            dec.filter(F.col("_tot") < t).select(
-                F.col("pidx").alias("idx")
-            ),
-            "idx",
-            "anti",
-        )
-        nodes = (
-            others.unionByName(keep_children)
-            .unionByName(kept_parents)
-            .unionByName(merged)
-            .localCheckpoint(eager=True)
-        )
-    return nodes
+
+    if split > 0:
+        low = nodes.filter(F.col("lvl") <= split)
+        high = nodes.filter(F.col("lvl") > split)
+        swept = low.groupBy(
+            F.expr(f"shiftright(idx, {split} - lvl)").alias("_g")
+        ).applyInPandas(_sweep_group, schema)
+        # two consumers (final_low below, the collected top) — one
+        # materialization, not two grouped passes
+        swept = swept.localCheckpoint(eager=True)
+        final_low = swept.filter(F.col("lvl") < split)
+        rest = swept.filter(F.col("lvl") >= split).unionByName(high)
+    else:
+        final_low = None
+        rest = nodes
+    rows = rest.collect()  # bounded: <= 2^(universe_bits - split + 1)
+    lvl = np.fromiter((r.lvl for r in rows), dtype=np.int64, count=len(rows))
+    idx = np.fromiter((r.idx for r in rows), dtype=np.int64, count=len(rows))
+    cnt = np.fromiter((r.cnt for r in rows), dtype=np.int64, count=len(rows))
+    lvl, idx, cnt = _qdigest_sweep_arrays(
+        lvl, idx, cnt, t, split, universe_bits
+    )
+    top = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(lvl, idx, cnt)], schema
+    )
+    return top if final_low is None else final_low.unionByName(top)
 
 
 def qdigest_build(
