@@ -55,34 +55,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from orientdb_etl_spark.functions.quality_clf import (
-    hashed_doc_features,
+    _doc_feature_arrays,
+    _margin_expr,
+    _w_literal,
     train_quality_classifier,
 )
-
-
-def _doc_losses(feats: DataFrame, w: DataFrame) -> DataFrame:
-    """Per-doc ``(_id, _p, l_micro)`` under weight table ``w``:
-    ``_p = σ(Σ w·k/(1e9·n))`` and the logistic loss pinned to integer
-    micro-nats. The inner product is an integer sum; the sigmoid/log
-    are per-row scalar doubles on deterministic inputs."""
-    m = (
-        feats.join(F.broadcast(w), "b")
-        .groupBy("_id", "y", "n")
-        .agg(F.sum(F.col("w_nano") * F.col("k")).alias("_dot"))
-        .withColumn(
-            "_m", F.col("_dot").cast("double") / (F.lit(1e9) * F.col("n"))
-        )
-    )
-    # ℓ = ln(1+exp(−(2y−1)·m)); y∈{0,1}
-    loss = F.log(
-        F.lit(1.0)
-        + F.exp(-(F.lit(2.0) * F.col("y") - F.lit(1.0)) * F.col("_m"))
-    )
-    return m.select(
-        "_id",
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m")))).alias("_p"),
-        F.round(loss * F.lit(1e6)).cast("bigint").alias("l_micro"),
-    )
 
 
 def doremi_mixture(
@@ -127,18 +104,22 @@ def doremi_mixture(
         raise ValueError(f"eta must be > 0, got {eta}")
     spark = train.sparkSession
 
-    feats = hashed_doc_features(
-        train, text_col, id_col, buckets, seed, n_max, label_col=label_col
-    ).cache()  # 2·iters + 2 consumers below
-    dom = (
-        train.select(
-            F.col(id_col).alias("_id"),
-            F.col(domain_col).alias("_d"),
-        )
-        .join(feats.select("_id").distinct(), "_id")
-        .cache()
-    )  # feature-bearing docs only — loss/gradient means match the models
-    per_dom = dom.groupBy("_d").agg(F.count(F.lit(1)).alias("m_docs"))
+    # doc-major feature arrays with the domain riding the group keys —
+    # ONE corpus materialization feeds the reference trainer, every
+    # loss pass, and every gradient pass; the old row-major layout
+    # re-joined weights and domains per pass (2 corpus shuffles + 2
+    # joins per DRO step; the map-side fold needs zero)
+    docf = _doc_feature_arrays(
+        train,
+        text_col,
+        id_col,
+        buckets,
+        seed,
+        n_max,
+        label_col=label_col,
+        extra=(domain_col, "_d"),
+    ).cache()
+    per_dom = docf.groupBy("_d").agg(F.count(F.lit(1)).alias("m_docs"))
     n_domains = per_dom.count()  # bounded: domain-count
     if n_domains == 0:
         raise ValueError("train corpus has no feature-bearing documents")
@@ -146,7 +127,24 @@ def doremi_mixture(
     def _pin(frame: DataFrame) -> DataFrame:
         return spark.createDataFrame(frame.collect(), frame.schema)
 
-    # reference model on the uniform mixture (plain full-batch GD)
+    def _wl(frame: DataFrame) -> "list[int]":
+        by_b = {r.b: r.w_nano for r in frame.collect()}  # buckets-sized
+        return [by_b[b] for b in range(buckets + 1)]
+
+    def _p_l_exprs(wl: "list[int]"):
+        """(σ(margin), micro-nat loss) under literal weights — the
+        exact float steps of the old _doc_losses on the identical
+        integer dot product, with zero joins/shuffles."""
+        m = _margin_expr(_w_literal(wl))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        loss = F.log(
+            F.lit(1.0)
+            + F.exp(-(F.lit(2.0) * F.col("y") - F.lit(1.0)) * m)
+        )
+        return p, F.round(loss * F.lit(1e6)).cast("bigint")
+
+    # reference model on the uniform mixture (plain full-batch GD),
+    # sharing the cached doc-feature arrays
     w_ref = train_quality_classifier(
         train,
         label_col,
@@ -158,12 +156,12 @@ def doremi_mixture(
         iters=ref_iters,
         lr=lr,
         eager=eager,
+        _docf=docf,
     )
+    _, l_ref = _p_l_exprs(_wl(w_ref))
     ref_dom = (
-        _doc_losses(feats, w_ref)
-        .join(dom, "_id")
-        .groupBy("_d")
-        .agg(F.sum("l_micro").alias("ref_sum"))
+        docf.groupBy("_d")
+        .agg(F.sum(l_ref).alias("ref_sum"))
         .join(per_dom, "_d")
     )
     ref_dom = _pin(ref_dom) if eager else ref_dom.cache()
@@ -172,6 +170,7 @@ def doremi_mixture(
         F.col("id").cast("int").alias("b")
     )
     w = grid.select("b", F.lit(0).cast("bigint").alias("w_nano"))
+    wl = [0] * (buckets + 1)
     # α₀ = uniform, in nano-units
     a0 = int(round(1e9 / n_domains))
     alpha = per_dom.select(
@@ -181,16 +180,15 @@ def doremi_mixture(
     acc = alpha.select("_d", F.col("a_nano").alias("acc_nano"))
     excess = None
     for _ in range(iters):
-        # the per-doc loss table has TWO corpus-sized consumers this
-        # step (the excess aggregation and the gradient join) and a
-        # third at return (the final excess row) — cache it so each
-        # step pays ONE loss shuffle, not two, and the final output
-        # doesn't replay the last step from scratch
-        losses = _doc_losses(feats, w).join(dom, "_id").cache()
+        # per-doc loss/σ are map-side folds over the cached arrays —
+        # recomputing them in the excess aggregation AND the gradient
+        # pass is cheaper than the old materialize-join-cache of a
+        # per-doc loss table (one whole shuffle + cache per step)
+        _p, l_cur = _p_l_exprs(wl)
         # per-domain excess loss vs the reference (nats, ≥ 0)
         excess = (
-            losses.groupBy("_d")
-            .agg(F.sum("l_micro").alias("p_sum"))
+            docf.groupBy("_d")
+            .agg(F.sum(l_cur).alias("p_sum"))
             .join(ref_dom, "_d")
             .select(
                 "_d",
@@ -204,10 +202,43 @@ def doremi_mixture(
                 ).alias("e"),
             )
         )
-        # D rows — pinning it here makes the alpha update AND the final
-        # output read the materialized row set instead of re-deriving
-        # the loss pass (the same k-means-centroids discipline)
-        excess = _pin(excess) if eager else excess.cache()
+        # the α-scaling join is the ONLY part of the gradient that needs
+        # this step's excess/alpha — the per-(domain,bucket) integer
+        # partials S_db depend on wl alone, so the two corpus-sized
+        # aggregations of the step can run as CONCURRENT jobs (guide
+        # §2.6: the second job back-fills the first one's task tail)
+        s_db = (
+            docf.select(
+                "_d", "y", "n", _p.alias("_p"), F.explode("fs").alias("x")
+            )
+            .select(
+                "_d",
+                F.col("x.b").alias("b"),
+                F.round(
+                    (F.col("_p") - F.col("y"))
+                    * F.col("x.k").cast("double")
+                    / F.col("n")
+                    * F.lit(1e9)
+                )
+                .cast("bigint")
+                .alias("_g"),
+            )
+            .groupBy("_d", "b")
+            .agg(F.sum("_g").alias("s_db"))
+        )
+        # D rows / D·(buckets+1) rows — pinning makes the alpha update,
+        # the final output, and the w update read materialized row sets
+        # instead of re-deriving the corpus passes (the same k-means-
+        # centroids discipline; both bounded by construction)
+        if eager:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as _tp:
+                _fe = _tp.submit(_pin, excess)
+                _fs = _tp.submit(_pin, s_db)
+                excess, s_db = _fe.result(), _fs.result()
+        else:
+            excess, s_db = excess.cache(), s_db.cache()
         # multiplicative weights: pin the raw update per domain, then
         # normalize over the INTEGER total and re-pin after smoothing
         raw = excess.join(F.broadcast(alpha), "_d").select(
@@ -235,9 +266,12 @@ def doremi_mixture(
             .cast("bigint")
             .alias("a_nano"),
         )
-        # non-eager: each iteration's bounded state stays cached for the
-        # session (acc/out lineage references every step — the trainer's
-        # documented trade-off); eager pins and leaves nothing persisted
+        # pin alpha per step: its inputs are all LOCAL (pinned excess +
+        # previous pinned alpha + the 1-row total), so the pin is a
+        # sub-second local-relation job — cheaper than letting every
+        # later consumer (grads, acc, the final output) re-evaluate the
+        # broadcast-join chain. Non-eager keeps the cache (the trainer's
+        # documented trade-off: acc/out reference every step).
         alpha = _pin(alpha) if eager else alpha.cache()
         acc = (
             acc.join(alpha, "_d")
@@ -245,26 +279,10 @@ def doremi_mixture(
                 "_d", (F.col("acc_nano") + F.col("a_nano")).alias("acc_nano")
             )
         )
-        # proxy descent on the α-weighted objective: per-(domain,bucket)
-        # integer partials, α/m_d-scaled and re-pinned, integer-summed
+        # proxy descent on the α-weighted objective: the pinned integer
+        # partials, α/m_d-scaled and re-pinned, integer-summed
         grads = (
-            feats.join(losses.select("_id", "_p"), "_id")
-            .join(dom, "_id")
-            .select(
-                "_d",
-                "b",
-                F.round(
-                    (F.col("_p") - F.col("y"))
-                    * F.col("k").cast("double")
-                    / F.col("n")
-                    * F.lit(1e9)
-                )
-                .cast("bigint")
-                .alias("_g"),
-            )
-            .groupBy("_d", "b")
-            .agg(F.sum("_g").alias("s_db"))
-            .join(F.broadcast(alpha), "_d")
+            s_db.join(F.broadcast(alpha), "_d")
             .join(F.broadcast(per_dom), "_d")
             .select(
                 "b",
@@ -294,11 +312,15 @@ def doremi_mixture(
                 ).alias("w_nano"),
             )
         )
-        w = _pin(w) if eager else w.cache()
+        # the weight table is buckets-sized by construction — collect
+        # it for the next step's literal (k-means-centroids pattern)
+        if not eager:
+            w = w.cache()
+        w_rows = w.collect()
         if eager:
-            # alpha and w are pinned — nothing references this step's
-            # loss cache anymore (excess is pinned too); release it
-            losses.unpersist()
+            w = spark.createDataFrame(w_rows, w.schema)
+        by_b = {r.b: r.w_nano for r in w_rows}
+        wl = [by_b[b] for b in range(buckets + 1)]
     out = (
         excess.join(alpha, "_d")
         .join(acc, "_d")
@@ -316,6 +338,5 @@ def doremi_mixture(
     )
     if eager:
         out = _pin(out)
-        feats.unpersist()
-        dom.unpersist()
+        docf.unpersist()
     return out

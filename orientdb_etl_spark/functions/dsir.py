@@ -56,20 +56,39 @@ from orientdb_etl_spark.functions.sampling import _PRIME, hash_bucket
 _PRIME31 = 4294967291
 
 
-def _features(df: DataFrame, text_col: str, id_col: str, n_max: int) -> DataFrame:
+def _features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_max: int,
+    passthrough: "tuple[F.Column, ...]" = (),
+) -> DataFrame:
     """One row per (id, n-gram feature string), n = 1..n_max. Spark's
     ``sequence(1, 0)`` DESCENDS, so short token arrays guard each gram
-    order behind an IF instead of relying on an empty sequence."""
+    order behind an IF instead of relying on an empty sequence.
+    ``passthrough`` columns (already-aliased) ride along per row so
+    per-doc attributes (label, domain) reach downstream aggregations
+    without a corpus-sized re-join."""
+    from orientdb_etl_spark.functions.dedup import ensure_parallelism
+
+    pt = list(passthrough)
+    names = [df.select(c).columns[0] for c in pt]
     toks = df.select(
         F.col(id_col).alias("_id"),
+        *pt,
         F.split(
             F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
         ).alias("_t"),
     ).select(
-        "_id", F.array_remove("_t", "").alias("_t")
+        "_id", *names, F.array_remove("_t", "").alias("_t")
     )
+    # the per-gram base-31 hash fold downstream is CPU-bound; a narrow
+    # single-file input would pin it (and every later map-side model
+    # pass over the doc-major cache) to 1-2 cores — no-op at real scale
+    toks = ensure_parallelism(toks)
     grams = toks.select(
         "_id",
+        *names,
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, {n_max}), n -> "

@@ -80,6 +80,89 @@ def hashed_doc_features(
     return out
 
 
+def _doc_feature_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    seed: int = 11,
+    n_max: int = 2,
+    label_col: str | None = None,
+    extra: "tuple[str, str] | None" = None,
+) -> DataFrame:
+    """Doc-major twin of :func:`hashed_doc_features`: ONE row per
+    feature-bearing doc — ``(_id, [y,] [extra,] n, fs)`` with ``fs`` the
+    array of ``(b, k)`` bucket counts INCLUDING the bias slot
+    ``(buckets, n)``. Built with one gram explode + two hash
+    aggregations keyed by the doc id and ZERO joins (label/domain
+    columns ride the group keys through the explode), so per-iteration
+    consumers can take the integer inner product ``Σ w_nano·k`` as a
+    map-side array fold against a literal weight vector instead of a
+    corpus-sized join + re-aggregation per pass."""
+    keys: list = ["_id"]
+    pt = []
+    if label_col is not None:
+        pt.append(F.col(label_col).cast("int").alias("y"))
+        keys.append("y")
+    if extra is not None:
+        pt.append(F.col(extra[0]).alias(extra[1]))
+        keys.append(extra[1])
+    grams = _features(df, text_col, id_col, n_max, passthrough=tuple(pt))
+    kb = (
+        grams.select(
+            *keys, F.expr(_bucket_expr("_f", buckets, seed)).alias("b")
+        )
+        .groupBy(*keys, "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        kb.groupBy(*keys)
+        .agg(
+            F.collect_list(F.struct("b", "k")).alias("_fs0"),
+            F.sum("k").alias("n"),
+        )
+        .select(
+            *keys,
+            "n",
+            F.concat(
+                F.col("_fs0"),
+                F.array(
+                    F.struct(
+                        F.lit(buckets).cast("int").alias("b"),
+                        F.col("n").alias("k"),
+                    )
+                ),
+            ).alias("fs"),
+        )
+    )
+
+
+def _w_literal(values: "list[int]"):
+    """The weight table as a TRUE array literal (index = slot ``b``,
+    1-based via element_at). ``F.lit(list)`` builds one
+    Literal(ArrayData) — a CreateArray of per-slot literals is NOT
+    constant-folded inside a lambda body and re-evaluates all
+    ``buckets+1`` children per fold step (measured 2x on the gradient
+    pass)."""
+    return F.lit([int(v) for v in values]).cast("array<bigint>")
+
+
+def _dot_expr(wlit) -> "F.Column":
+    """Integer inner product ``Σ_b w_nano[b]·k`` over a doc's feature
+    array — order-free exact arithmetic, the same value the broadcast
+    join + hash re-aggregation produced, with zero shuffle."""
+    return F.aggregate(
+        "fs",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.element_at(wlit, x["b"] + 1) * x["k"],
+    )
+
+
+def _margin_expr(wlit) -> "F.Column":
+    """``margin = Σ w_nano·k / (1e9·n)`` — the only float step."""
+    return _dot_expr(wlit).cast("double") / (F.lit(1e9) * F.col("n"))
+
+
 def train_quality_classifier(
     train: DataFrame,
     label_col: str = "label",
@@ -91,6 +174,7 @@ def train_quality_classifier(
     iters: int = 4,
     lr: float = 0.5,
     eager: bool = False,
+    _docf: DataFrame | None = None,
 ) -> DataFrame:
     """Train the classifier; returns the final weight table
     ``(b, w_nano)`` with ``buckets + 1`` rows (slot ``buckets`` is the
@@ -114,52 +198,38 @@ def train_quality_classifier(
     if lr <= 0:
         raise ValueError(f"lr must be > 0, got {lr}")
     spark = train.sparkSession
-    feats = hashed_doc_features(
-        train, text_col, id_col, buckets, seed, n_max, label_col=label_col
-    ).cache()  # 2·iters consumers below — one materialization
-    n_docs = feats.select("_id").distinct().count()
+    owns_docf = _docf is None
+    docf = (
+        _doc_feature_arrays(
+            train, text_col, id_col, buckets, seed, n_max, label_col=label_col
+        )
+        if owns_docf
+        else _docf
+    ).cache()  # `iters` gradient consumers below — one materialization
+    n_docs = docf.count()  # one row per feature-bearing doc
     if n_docs == 0:
         raise ValueError("train corpus has no feature-bearing documents")
-
-    def _pin(frame: DataFrame) -> DataFrame:
-        return spark.createDataFrame(frame.collect(), frame.schema)
 
     grid = spark.range(buckets + 1).select(
         F.col("id").cast("int").alias("b")
     )
     w = grid.select("b", F.lit(0).cast("bigint").alias("w_nano"))
+    wl = [0] * (buckets + 1)
     for _ in range(iters):
-        margins = (
-            feats.join(F.broadcast(w), "b")
-            .groupBy("_id", "y", "n")
-            .agg(F.sum(F.col("w_nano") * F.col("k")).alias("_dot"))
-            .select(
-                "_id",
-                "y",
-                "n",
-                (
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -(
-                                F.col("_dot").cast("double")
-                                / (F.lit(1e9) * F.col("n"))
-                            )
-                        )
-                    )
-                ).alias("_p"),
-            )
-        )
+        # per-doc sigmoid from the map-side integer dot product against
+        # the LITERAL weight vector — no join, no per-doc shuffle; the
+        # one corpus-sized exchange per iteration is the gradient's
+        # groupBy(b) with map-side partial sums
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_expr(_w_literal(wl))))
         grads = (
-            feats.join(
-                margins.select("_id", "_p"), "_id"
+            docf.select(
+                "y", "n", sig.alias("_p"), F.explode("fs").alias("x")
             )
             .select(
-                "b",
+                F.col("x.b").alias("b"),
                 F.round(
                     (F.col("_p") - F.col("y"))
-                    * F.col("k").cast("double")
+                    * F.col("x.k").cast("double")
                     / F.col("n")
                     * F.lit(1e9)
                 )
@@ -184,11 +254,20 @@ def train_quality_classifier(
                 ).alias("w_nano"),
             )
         )
-        w = _pin(w) if eager else w.cache()
-    if eager:
+        # the weight table is buckets-sized by construction — collecting
+        # it each iteration IS the k-means-centroids bounded-state
+        # pattern, and the values feed the next iteration's literal
+        if not eager:
+            w = w.cache()
+        rows = w.collect()
+        if eager:
+            w = spark.createDataFrame(rows, w.schema)
+        by_b = {r.b: r.w_nano for r in rows}
+        wl = [by_b[b] for b in range(buckets + 1)]
+    if eager and owns_docf:
         # the final weights are a literal table — releasing the feature
         # cache leaves nothing persisted and the result stays valid
-        feats.unpersist()
+        docf.unpersist()
     return w
 
 
@@ -204,35 +283,27 @@ def score_quality(
 ) -> DataFrame:
     """Score documents under a trained weight table: returns
     ``(id_col, n_feats, prob, keep)`` with ``prob = round(σ(margin), 6)``
-    and ``keep = prob >= threshold``. One broadcast join + one
-    aggregation; feature-less docs emit no row. ``buckets``/``seed``/
+    and ``keep = prob >= threshold``. The margin is a map-side integer
+    array fold against the literal weight vector (the weight table is
+    buckets-sized by contract, so collecting it is bounded) — no join;
+    feature-less docs emit no row. ``buckets``/``seed``/
     ``n_max`` must match the training call (the weight table's bias slot
     pins ``buckets`` — mismatches raise)."""
-    n_slots = weights.count()
-    if n_slots != buckets + 1:
+    wrows = weights.collect()  # buckets-sized by contract — bounded
+    if len(wrows) != buckets + 1:
         raise ValueError(
-            f"weight table has {n_slots} slots but buckets={buckets} "
+            f"weight table has {len(wrows)} slots but buckets={buckets} "
             f"implies {buckets + 1} (including the bias slot)"
         )
-    feats = hashed_doc_features(df, text_col, id_col, buckets, seed, n_max)
+    by_b = {r.b: r.w_nano for r in wrows}
+    wlit = _w_literal([by_b[b] for b in range(buckets + 1)])
+    docf = _doc_feature_arrays(df, text_col, id_col, buckets, seed, n_max)
     return (
-        feats.join(F.broadcast(weights), "b")
-        .groupBy("_id", "n")
-        .agg(F.sum(F.col("w_nano") * F.col("k")).alias("_dot"))
-        .select(
+        docf.select(
             F.col("_id").alias(id_col),
             F.col("n").alias("n_feats"),
             F.round(
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(
-                        -(
-                            F.col("_dot").cast("double")
-                            / (F.lit(1e9) * F.col("n"))
-                        )
-                    )
-                ),
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_expr(wlit))),
                 6,
             ).alias("prob"),
         )
