@@ -431,9 +431,15 @@ def connected_component_labels(
     than silently returning partially-merged clusters (which would
     under-dedup without a trace).
     """
+    # materialize the (possibly expensive) verified-pair subtree ONCE:
+    # it feeds the contracted edge set AND the trailing isolated-vertex
+    # union — without the cut point the full upstream candidate join
+    # re-executes for each consumer
+    base = pairs.select(
+        F.col("keep_id").alias("a"), F.col("dup_id").alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col("keep_id").alias("a"), F.col("dup_id").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        base.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -443,10 +449,18 @@ def connected_component_labels(
             break
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # star fixpoint: every edge already points child→component-min, so
-        # a full round reproduces the edge set exactly
+        # a full round reproduces the edge set exactly. One exact
+        # symmetric-difference job (both edge sets are distinct by
+        # construction, so an (a, b) group with a single source IS a
+        # difference) instead of two ExceptExec jobs per round.
         changed = (
-            new_edges.subtract(edges).limit(1).count()
-            + edges.subtract(new_edges).limit(1).count()
+            new_edges.withColumn("_s", F.lit(1))
+            .unionByName(edges.withColumn("_s", F.lit(2)))
+            .groupBy("a", "b")
+            .agg(F.countDistinct("_s").alias("_n"))
+            .filter(F.col("_n") == 1)
+            .limit(1)
+            .count()
         )
         edges = new_edges
         if changed == 0:
@@ -469,8 +483,8 @@ def connected_component_labels(
     # never contain self-loops (keep_id < dup_id), but the general graph
     # CC transformer exposes this function where they are legal input.
     touched = (
-        pairs.select(F.col("keep_id").alias("id"))
-        .union(pairs.select(F.col("dup_id").alias("id")))
+        base.select(F.col("a").alias("id"))
+        .union(base.select(F.col("b").alias("id")))
         .distinct()
     )
     isolated = touched.join(
@@ -801,26 +815,41 @@ def ngram_jaccard_pairs(
     )
     block = band_col if band_col is not None else F.floor(F.length(text_col) / F.lit(32))
     base = (
-        df.select(
+        ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col), block.alias("_block"))
+        )
+        .select(
             F.col(id_col),
             F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
-            block.alias("_block"),
+            "_block",
         )
         .withColumn("_grams", grams)
         .drop("_toks")
     )
-    # near-equal lengths can straddle a bucket boundary → probe own + next
-    posts = base.select(
+    # near-equal lengths can straddle a bucket boundary. ASYMMETRIC
+    # emission: the index side posts only its own block, the probe side
+    # its own ±1 — the same pair set (|block diff| <= 1) as emitting
+    # own+next on both sides, but each candidate pair now collides in
+    # exactly ONE block group (the index doc's own), so same-block pairs
+    # are verified once instead of twice. Posting volume is unchanged
+    # (3x + 1x vs 2x + 2x); join output halves.
+    probe = base.select(
         F.col(id_col),
         F.size("_grams").alias("_sz"),
         F.explode(
-            F.array("_block", F.col("_block") + 1)
+            F.array(F.col("_block") - 1, "_block", F.col("_block") + 1)
         ).alias("_bk"),
         "_grams",
     ).select(
         id_col, "_sz", "_bk", F.explode("_grams").alias("_g")
     )
-    l_, r_ = posts.alias("l"), posts.alias("r")
+    index = base.select(
+        F.col(id_col),
+        F.size("_grams").alias("_sz"),
+        F.col("_block").alias("_bk"),
+        F.explode("_grams").alias("_g"),
+    )
+    l_, r_ = probe.alias("l"), index.alias("r")
     inter = (
         l_.join(
             r_,
