@@ -61,9 +61,15 @@ def curate_corpus(
     otherwise-unique doc) are rewritten out of every non-owner, and
     docs emptied by the rewrite are dropped. Runs AFTER dedup so the
     span postings are built over the already-collapsed corpus."""
+    from orientdb_etl_spark.functions.dedup import ensure_parallelism
+
+    # the line-clean/quality stages are CPU-bound regex/expression work
+    # fused into the scan — spread a narrow single-file input first so
+    # they use the whole cluster (no-op at real scale)
     cleaned = (
-        df.withColumn("_c4", c4_line_filter(text_col, min_words_per_line,
-                                            require_terminal_punct))
+        ensure_parallelism(df)
+        .withColumn("_c4", c4_line_filter(text_col, min_words_per_line,
+                                          require_terminal_punct))
         .filter(F.col("_c4.n_kept") > 0)
         .withColumn(text_col, F.col("_c4.text"))
         .drop("_c4")

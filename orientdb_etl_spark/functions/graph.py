@@ -1177,14 +1177,19 @@ def scc(
             )
             .localCheckpoint()
         )
-        fwd = _minlabel_fixpoint(remaining, sub, max_rounds)
-        bwd = _minlabel_fixpoint(
-            remaining,
-            sub.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
-            max_rounds,
+        # the forward and backward propagations are independent job
+        # chains over the same checkpointed subgraph — run them from two
+        # driver threads so each chain's task tail back-fills the other
+        # (guide-§2.6 overlap; results are unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        rev = sub.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+        with ThreadPoolExecutor(max_workers=2) as _tp:
+            _ff = _tp.submit(_minlabel_fixpoint, remaining, sub, max_rounds)
+            _fb = _tp.submit(_minlabel_fixpoint, remaining, rev, max_rounds)
+            fwd, bwd = _ff.result(), _fb.result()
         both = fwd.withColumnRenamed("lab", "_f").join(
             bwd.withColumnRenamed("lab", "_b"), "id"
         )
