@@ -646,62 +646,60 @@ def bradley_terry(
     def _pin(frame: DataFrame) -> DataFrame:
         return spark.createDataFrame(frame.collect(), frame.schema)
 
-    # each iteration references theta TWICE (ti and tj), so a cache()
-    # cut is not enough — the LOGICAL plan still doubles per iteration
-    # (2^iters copies by analysis time). localCheckpoint truncates the
-    # lineage itself (the label_propagation discipline); eager=True
-    # pins driver-side instead (items-sized by construction)
-    theta = items.select("_i", F.lit(a0).cast("bigint").alias("_t"))
-    theta = _pin(theta) if eager else theta.localCheckpoint()
+    # The MM iterations run over the items²-bounded battle matrix with
+    # nothing but exact integer sums and per-item IEEE-double
+    # divide/round steps — no transcendental functions — so the whole
+    # loop runs DRIVER-SIDE over the collected matrix (the
+    # k-means-centroids bounded-state pattern): items² rows by
+    # construction, never corpus-sized. This replaces iters × (two
+    # broadcast joins + aggregation + lineage cut) Spark jobs with two
+    # bounded collects and pure arithmetic. Bit-parity with the old
+    # relational expressions (and the DuckDB replay): Python ints are
+    # exact for the sums; float(int) is the same round-to-nearest as
+    # bigint→double casts; a/b on floats is the same IEEE division; and
+    # _rhu replicates Spark's round(double) exactly — Decimal(repr(x))
+    # carries the identical shortest decimal Java's
+    # BigDecimal.valueOf(double) sees, two decimal strings that parse
+    # to the same double can never straddle an integer-half boundary,
+    # and HALF_UP ties (x exactly .5) print identically in both.
+    import decimal as _dec
+
+    def _rhu(x: float) -> float:
+        """Spark round(double) — HALF_UP on the shortest decimal."""
+        return float(
+            _dec.Decimal(repr(x)).quantize(
+                _dec.Decimal(1), rounding=_dec.ROUND_HALF_UP
+            )
+        )
+
+    g_rows = g.collect()  # items²-bounded by construction
+    w_by_i = {r._i: r.wins for r in wins.collect()}  # items-bounded
+    th = {r._i: a0 for r in g_rows}
     for _ in range(int(iters)):
-        ti = theta.select(F.col("_i"), F.col("_t").alias("_ti"))
-        tj = theta.select(
-            F.col("_i").alias("_j"), F.col("_t").alias("_tj")
-        )
-        d = (
-            g.join(F.broadcast(ti), "_i")
-            .join(F.broadcast(tj), "_j")
-            .select(
-                "_i",
-                F.least(
-                    F.round(
-                        F.col("_n")
-                        * F.lit(1e15)
-                        / F.greatest(
-                            (F.col("_ti") + F.col("_tj")).cast("double"),
-                            F.lit(1.0),
-                        )
-                    ),
-                    F.lit(1e18),
+        d: dict = {}
+        for r in g_rows:
+            den = max(float(th[r._i] + th[r._j]), 1.0)
+            v = min(_rhu(r._n * 1e15 / den), 1e18)
+            d[r._i] = d.get(r._i, 0) + int(v)
+        raw = {
+            i: int(
+                _rhu(
+                    float(w_by_i.get(i, 0)) * 1e15 / max(float(dv), 1.0)
                 )
-                .cast("bigint")
-                .alias("_d"),
             )
-            .groupBy("_i")
-            .agg(F.sum("_d").alias("_d"))
-        )
-        raw = d.join(F.broadcast(wins), "_i", "left").select(
-            "_i",
-            F.round(
-                F.coalesce(F.col("wins"), F.lit(0)).cast("double")
-                * F.lit(1e15)
-                / F.greatest(F.col("_d").cast("double"), F.lit(1.0))
-            )
-            .cast("bigint")
-            .alias("_t"),
-        )
-        tot = raw.agg(F.sum("_t").alias("_s"))
-        theta = raw.crossJoin(F.broadcast(tot)).select(
-            "_i",
-            F.round(
-                F.col("_t").cast("double")
-                * F.lit(1e9)
-                / F.greatest(F.col("_s").cast("double"), F.lit(1.0))
-            )
-            .cast("bigint")
-            .alias("_t"),
-        )
-        theta = _pin(theta) if eager else theta.localCheckpoint()
+            for i, dv in d.items()
+        }
+        s = sum(raw.values())
+        th = {
+            i: int(_rhu(float(t) * 1e9 / max(float(s), 1.0)))
+            for i, t in raw.items()
+        }
+    theta = spark.createDataFrame(
+        sorted(th.items()),
+        items.select(
+            "_i", F.lit(a0).cast("bigint").alias("_t")
+        ).schema,
+    )
     games = g.groupBy("_i").agg(F.sum("_n").alias("games"))
     if eager:
         # θ is pinned driver-side, so the battle-matrix caches have no

@@ -87,16 +87,23 @@ def jl_project(
     realized spread on concrete pairs.
     """
     inv = 1.0 / math.sqrt(out_dim)
-    v = F.col(vec_col)
+    # build each output as ONE SQL string parsed by a single F.expr call:
+    # constructing dim×out_dim Column objects through the Python API is
+    # thousands of py4j round-trips (~9 s of driver time at 64×16 before
+    # any execution); the parsed tree — left-associated sum of
+    # cast(element_at)·cast(literal) products — is operator-identical
     outs: list[Column] = []
     for j in range(1, out_dim + 1):
-        expr: Column | None = None
-        for i in range(1, dim + 1):
-            term = F.element_at(v, i).cast("double") * F.lit(
-                float(jl_sign(i, j, seed))
+        terms = " + ".join(
+            f"cast(element_at({vec_col}, {i}) as double) * "
+            f"cast({float(jl_sign(i, j, seed))!r} as double)"
+            for i in range(1, dim + 1)
+        )
+        outs.append(
+            F.expr(f"({terms}) * cast({inv!r} as double)").alias(
+                f"{prefix}{j}"
             )
-            expr = term if expr is None else expr + term
-        outs.append((expr * F.lit(inv)).alias(f"{prefix}{j}"))
+        )
     return df.select("*", *outs)
 
 
@@ -124,26 +131,42 @@ def jl_distortion(
     (n_pairs, min/avg/max ratio).  Both norms are unrolled codegen sums;
     the pairing is an id-shifted self-join (broadcast-sized at the
     fixtures, key-partitioned at scale)."""
+    # pair (2k, 2k+1) via ONE groupBy on the pair key instead of an
+    # id-shifted self-join: the join evaluated the dim×out_dim unrolled
+    # projection on BOTH sides (twice per row) and shuffled the
+    # projected rows through the join — the grouped form projects once
+    # and aggregates. (a−b)² == (max−min)² per dimension for the
+    # 2-member group (ids are unique by contract), same doubles in the
+    # same per-dimension order, so the ratios are bit-identical.
     proj = jl_project(df, vec_col, dim, out_dim, seed, prefix="_y")
-    a = proj.alias("a")
-    b = proj.alias("b")
-    joined = a.join(
-        b,
-        (F.col(f"a.{id_col}") % 2 == 0)
-        & (F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + 1),
+    grp = proj.groupBy(
+        F.floor(F.col(id_col) / 2).alias("_pk")
+    ).agg(
+        F.count(F.lit(1)).alias("_c"),
+        *[
+            agg(f"_y{j}").alias(f"_{mm}y{j}")
+            for j in range(1, out_dim + 1)
+            for mm, agg in (("a", F.max), ("b", F.min))
+        ],
+        *[
+            agg(F.element_at(F.col(vec_col), i).cast("double")).alias(
+                f"_{mm}x{i}"
+            )
+            for i in range(1, dim + 1)
+            for mm, agg in (("a", F.max), ("b", F.min))
+        ],
     )
-    dy2: Column | None = None
-    for j in range(1, out_dim + 1):
-        d = F.col(f"a._y{j}") - F.col(f"b._y{j}")
-        dy2 = d * d if dy2 is None else dy2 + d * d
-    dx2: Column | None = None
-    for i in range(1, dim + 1):
-        d = F.element_at(F.col(f"a.{vec_col}"), i).cast("double") - F.element_at(
-            F.col(f"b.{vec_col}"), i
-        ).cast("double")
-        dx2 = d * d if dx2 is None else dx2 + d * d
-    pairs = joined.select((dy2 / dx2).alias("ratio")).filter(
-        F.col("ratio").isNotNull()
+    dy2 = " + ".join(
+        f"(_ay{j} - _by{j}) * (_ay{j} - _by{j})"
+        for j in range(1, out_dim + 1)
+    )
+    dx2 = " + ".join(
+        f"(_ax{i} - _bx{i}) * (_ax{i} - _bx{i})" for i in range(1, dim + 1)
+    )
+    pairs = (
+        grp.filter(F.col("_c") == 2)
+        .select(F.expr(f"({dy2}) / ({dx2})").alias("ratio"))
+        .filter(F.col("ratio").isNotNull())
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -541,12 +564,6 @@ def sq8_stats(
     ]
 
 
-def _sq8_lit(values: list[float]) -> str:
-    return (
-        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in values) + ")"
-    )
-
-
 def sq8_quantize(
     df: DataFrame,
     vec_col: str,
@@ -564,18 +581,25 @@ def sq8_quantize(
     Python; the single-expression affine map is engine-portable
     (identical AST → identical doubles → identical rounding) which is
     what makes the certificate row hash-checkable."""
-    mn = _sq8_lit([s[0] for s in stats])
-    mx = _sq8_lit([s[1] for s in stats])
-    dim = len(stats)
-    expr = (
-        f"transform(sequence(1, {dim}), i -> cast("
-        f"CASE WHEN element_at({mx}, i) = element_at({mn}, i) THEN 0.0 "
-        f"ELSE greatest(least(round("
-        f"(element_at(cast({vec_col} as array<double>), i) - element_at({mn}, i)) * 255.0 "
-        f"/ (element_at({mx}, i) - element_at({mn}, i))), 255.0), 0.0) "
-        f"END as int))"
-    )
-    return df.withColumn(out_col, F.expr(expr))
+    # UNROLLED per-dimension map with scalar literals: an
+    # element_at(<array literal>, i) inside a transform lambda is NOT
+    # constant-folded — the dim-element array rebuilds per element per
+    # row (dim² literal evals/row; the certificate's measured hot
+    # spot). The constant-dimension branch resolves at build time (the
+    # same exact-double compare the CASE did).
+    cells = []
+    for i, (mn_i, mx_i) in enumerate(stats, start=1):
+        if mx_i == mn_i:
+            cells.append("cast(0.0 as int)")
+        else:
+            cells.append(
+                f"cast(greatest(least(round("
+                f"(element_at(cast({vec_col} as array<double>), {i}) "
+                f"- cast({float(mn_i)!r} as double)) * 255.0 "
+                f"/ (cast({float(mx_i)!r} as double) "
+                f"- cast({float(mn_i)!r} as double))), 255.0), 0.0) as int)"
+            )
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(cells) + ")"))
 
 
 def sq8_reconstruct_expr(
@@ -585,11 +609,12 @@ def sq8_reconstruct_expr(
     ``x̂_i = min_i + q_i·(max_i − min_i)/255`` — the asymmetric-distance
     (ADC) side of the certificate: queries stay exact, the corpus is
     reconstructed from codes."""
-    mn = _sq8_lit([s[0] for s in stats])
-    mx = _sq8_lit([s[1] for s in stats])
-    dim = len(stats)
-    return F.expr(
-        f"transform(sequence(1, {dim}), i -> "
-        f"element_at({mn}, i) + element_at({q_col}, i) * "
-        f"(element_at({mx}, i) - element_at({mn}, i)) / 255.0)"
-    )
+    # unrolled per-dimension affine map (see sq8_quantize: array
+    # literals inside transform lambdas re-evaluate per element)
+    cells = [
+        f"cast({float(mn_i)!r} as double) + element_at({q_col}, {i}) * "
+        f"(cast({float(mx_i)!r} as double) "
+        f"- cast({float(mn_i)!r} as double)) / 255.0"
+        for i, (mn_i, mx_i) in enumerate(stats, start=1)
+    ]
+    return F.expr("array(" + ", ".join(cells) + ")")
