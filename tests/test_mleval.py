@@ -217,11 +217,17 @@ def test_conformal_coverage_guarantee_on_exchangeable_data(spark):
     from orientdb_etl_spark.functions.mleval import conformal_interval
 
     rng = random.Random(13)
-    rows = [(rng.uniform(0, 100), 50.0) for _ in range(600)]
-    df = spark.createDataFrame(rows, "y double, yhat double")
-    cal = df.sample(0.5, seed=1)
-    test = df.subtract(cal)
+    # deterministic index-parity split of i.i.d. draws: exchangeable by
+    # construction, and — unlike df.sample(seed=...), whose draw depends
+    # on the session's physical partition layout — reproducible in any
+    # test order (the sample-based split flaked at coverage 0.7298 under
+    # one full-suite ordering)
+    rows = [(i, rng.uniform(0, 100), 50.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "idx long, y double, yhat double")
+    cal = df.filter("idx % 2 = 0").drop("idx")
+    test = df.filter("idx % 2 = 1").drop("idx")
     r = conformal_interval(cal, test, "y", "yhat", alpha_pct=20).collect()[0]
+    assert (r.n_cal, r.n_test) == (300, 300)
     assert r.coverage >= 0.75  # guarantee is >= 0.8 in expectation
 
 
