@@ -2261,11 +2261,17 @@ def test_unigram_train_eager_releases_caches_same_result(spark):
         [(1, "banana bandana cabana"), (2, "ban banana band")],
         "doc_id int, text string",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # compare persistent-RDD ID SETS, not counts: the async
+    # ContextCleaner unpersists earlier tests' GC'd frames at any time
+    # in a shared session, so an equal-count assertion races (observed
+    # 70 -> 59 mid-call under a full-suite ordering). "No NEW id
+    # survives the call" is the exact claim — and stricter.
+    jjsc = spark.sparkContext._jsc
+    before_ids = {int(k) for k in jjsc.getPersistentRDDs().keySet().toArray()}
     eager = unigram_lm_train(docs, "text", n_iter=2, prune_to=3, eager=True)
     rows_eager = {(r.piece, r.freq, r.logp) for r in eager.collect()}
-    assert jsc.getPersistentRDDs().size() == before  # nothing persisted
+    after_ids = {int(k) for k in jjsc.getPersistentRDDs().keySet().toArray()}
+    assert after_ids - before_ids == set()  # nothing NEW persisted
     lazy = unigram_lm_train(docs, "text", n_iter=2, prune_to=3)
     rows_lazy = {(r.piece, r.freq, r.logp) for r in lazy.collect()}
     assert rows_eager == rows_lazy
