@@ -350,6 +350,20 @@ HEADLINE = [
     "bitext_mine",
     "sq8_recall",
     "preference_pairs",
+    # round-9: the operators the round-8 optimization pass claimed 2-8x
+    # on (VERDICT r8 "next round" #1) — promoted into the driver-visible
+    # capture set so the driver's own noop-vs-noop bench verifies the
+    # wins independently (additions only; nothing removed or renamed;
+    # dsir_weights is already in the curated list above)
+    "fuzzy_join",
+    "doremi_mix",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "qdigest_sketch",
+    "qdigest_quantiles",
+    "quality_clf_score",
+    "jl_distortion",
+    "bt_leaderboard",
 ]
 
 # The DRIVER-DEFAULT capture set: every driver-gate family plus the most
@@ -429,6 +443,22 @@ CORE = [
     "kmeans",
     "label_prop",
     "triangle_count",
+    # round-9: the round-8 optimization pass's claimed 2-8x winners,
+    # promoted so the driver's bench sees them (VERDICT r8 #1; the
+    # builder floors to beat: fuzzy_join 3.3, doremi_mix 15.3,
+    # dedup_clusters 5.6, ngram_jaccard 3.9, qdigest 3.5/3.8,
+    # quality_clf_score 4.5, dsir_weights 2.6, jl_distortion 3.1,
+    # bt_leaderboard 1.8 s)
+    "fuzzy_join",
+    "doremi_mix",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "qdigest_sketch",
+    "qdigest_quantiles",
+    "quality_clf_score",
+    "dsir_weights",
+    "jl_distortion",
+    "bt_leaderboard",
 ]
 
 

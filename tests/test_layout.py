@@ -232,7 +232,12 @@ def test_bench_core_profile_contract():
             "detail": "/root/repo/BENCH_local.json",
         }
     )
-    assert len(line) < 3000, len(line)
+    # budget raised 3000 -> 4200 in round 9 when the ten round-8
+    # optimization winners were promoted into CORE (VERDICT r8 #1);
+    # the REAL line stays ~2.5 KB (contended_queries is short in
+    # practice) and the driver's observed truncation point is ~15 KB,
+    # so even this all-contended worst case keeps 3.5x headroom
+    assert len(line) < 4200, len(line)
 
 
 def test_bench_full_profile_covers_whole_registry():
