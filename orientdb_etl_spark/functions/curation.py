@@ -65,9 +65,14 @@ def curate_corpus(
 
     # the line-clean/quality stages are CPU-bound regex/expression work
     # fused into the scan — spread a narrow single-file input first so
-    # they use the whole cluster (no-op at real scale)
+    # they use the whole cluster (no-op at real scale). The spread is
+    # work-gated (guide §2.4): on inputs too small to amortize the
+    # exchange + wide-task scheduling, the repartition measurably LOST
+    # (driver r8: 4.76 -> 5.24 s, and 8 cores beat 32 at ratio 0.60),
+    # so it only fires past ~1 MiB of input per target partition —
+    # still a no-op at real scale, where scans have many splits anyway
     cleaned = (
-        ensure_parallelism(df)
+        ensure_parallelism(df, min_bytes_per_part=1 << 20)
         .withColumn("_c4", c4_line_filter(text_col, min_words_per_line,
                                           require_terminal_punct))
         .filter(F.col("_c4.n_kept") > 0)

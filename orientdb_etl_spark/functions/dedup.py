@@ -22,18 +22,81 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_parts: int | None = None,
+    min_bytes_per_part: int = 0,
+) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-bound stages.
 
     Small single-file inputs arrive as 1-2 partitions, which serializes
     the Arrow-batched signature stages onto 1-2 cores. At real scale the
     source has many splits and this is a no-op; the repartition only fires
     when the input is under-partitioned (and the shuffled payload is by
-    construction small — that is why it was under-partitioned)."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    construction small — that is why it was under-partitioned).
+
+    The width comes from the LEAF FILE RELATIONS (``df.inputFiles()`` +
+    file sizes, packed the way Spark's own FilePartition logic packs
+    splits), never from ``df.rdd.getNumPartitions()`` — under AQE,
+    ``.rdd`` materializes every upstream shuffle stage, so the old probe
+    was an execution hazard for any non-scan call site. Frames with no
+    file-backed leaves (literal/in-memory test frames) are returned
+    unchanged: there is nothing to read in parallel, and the caller's
+    downstream shuffles restore width anyway.
+
+    ``min_bytes_per_part`` is the per-call-site work gate (guide §2.4 —
+    don't add an exchange a cheap stage can't amortize): when the spread
+    would leave less than this many input bytes per partition, the
+    repartition is skipped. 0 (default) keeps the historical behavior
+    for the signature-stage call sites whose per-row work is heavy
+    enough to win even on tiny inputs."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    if len(files) >= max(2, target // 2):
+        # many files: FilePartition packing aims at >= one split per
+        # core (bytesPerCore), so the scan is already wide — and this
+        # early exit also bounds the per-file stat loop below
+        return df
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    jconf = spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+    max_split = int(jconf.filesMaxPartitionBytes())
+    open_cost = int(jconf.filesOpenCostInBytes())
+    # replicate FilePartition's split-size rule and greedy packing:
+    # split = min(maxPartitionBytes, max(openCost, bytesPerCore)); each
+    # file is cut into <= split chunks, chunks pack (size + openCost per
+    # chunk) into partitions closed at the split budget
+    sizes = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        sizes.append(int(p.getFileSystem(hconf).getFileStatus(p).getLen()))
+    total = sum(sizes)
+    padded = total + len(files) * open_cost
+    split = min(max_split, max(open_cost, max(padded // max(target, 1), 1)))
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > split:
+            chunks.append(split)
+            sz -= split
+        if sz > 0:
+            chunks.append(sz)
+    chunks.sort(reverse=True)
+    est_tasks, cur = 0, 0
+    for c in chunks:
+        if cur + c > split and cur > 0:
+            est_tasks += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        est_tasks += 1
+    if est_tasks >= max(2, target // 2):
+        return df
+    if min_bytes_per_part and total < min_bytes_per_part * target:
+        return df
+    return df.repartition(target)
 
 
 @F.pandas_udf(T.DoubleType())

@@ -2607,3 +2607,38 @@ def test_clustering_agreement_identical_and_null_handling(spark):
     assert r.n_items == 3
     assert r.bcubed_precision == 1.0 and r.bcubed_recall == 1.0
     assert r.bcubed_f1 == 1.0 and r.ari == 1.0
+
+
+def test_ensure_parallelism_scan_width_probe(spark, tmp_path):
+    """The spread helper derives width from the leaf file relations —
+    never .rdd (which under AQE executes upstream stages): a narrow
+    single-file scan spreads to defaultParallelism, the per-call-site
+    work gate (min_bytes_per_part) suppresses the spread when the input
+    is too small to amortize the exchange, and frames with no
+    file-backed leaves come back unchanged."""
+    from orientdb_etl_spark.functions.dedup import ensure_parallelism
+
+    path = str(tmp_path / "narrow.parquet")
+    spark.range(200).selectExpr("id", "repeat('x', 50) AS t").coalesce(
+        1
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    spread = ensure_parallelism(df)
+    assert spread is not df
+    # the probe itself must not have executed the plan: the spread frame
+    # still computes the same rows
+    assert spread.count() == 200
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # work gate: a tiny file under the per-partition byte floor skips
+    # the repartition entirely
+    gated = ensure_parallelism(df, min_bytes_per_part=1 << 30)
+    assert gated is df
+
+    # literal frames have no file-backed leaves -> unchanged
+    local = spark.createDataFrame([(1, "a")], "id int, t string")
+    assert ensure_parallelism(local) is local
