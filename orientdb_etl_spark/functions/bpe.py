@@ -203,17 +203,31 @@ def wordpiece_train(
 
     Scale shape: the corpus collapses to the vocabulary-sized word
     table once; every step then runs one pair aggregation + one symbol
-    aggregation over that table (both vocabulary-sized), a
-    symbol-count join on the two split halves of the pair key, and a
-    1-row TakeOrderedAndProject broadcast — never a collect.
-    ``checkpoint_every`` bounds lineage exactly as in BPE. No
-    counterpart in the reference (OETLProcessor.java:252-283); §2.8
-    extension.
+    aggregation over that table (both vocabulary-sized), scores pairs
+    against a 1-row broadcast symbol-count MAP (no join — the symbol
+    table is chars + merges-so-far, bounded by construction), and pins
+    the single winning row driver-side (a 1-row collect — the bounded
+    k-means-centroids pattern). Pinning the winner makes the merge a
+    LITERAL string replace, so the symbol-sequence lineage stays LINEAR
+    in the step count; the previous all-lazy form embedded each step's
+    full selection subtree (pair agg + two symbol joins) inside the
+    next step's sequences, tripling the plan per step (4 merges ⇒ a
+    4260-node physical plan whose AQE re-optimizations dominated the
+    runtime). ``checkpoint_every`` still bounds the (now linear)
+    lineage for large merge budgets. No counterpart in the reference
+    (OETLProcessor.java:252-283); §2.8 extension.
     """
     if num_merges <= 0:
         raise ValueError("num_merges must be positive")
-    seqs = _word_seqs(df, text_col, min_word_freq)
-    merges: list[DataFrame] = []
+    spark = df.sparkSession
+    # the per-step 1-row collects below are separate actions, so the
+    # vocabulary-sized word table is cached once to keep the corpus
+    # touched EXACTLY once across all merge steps (released before
+    # returning — zero persisted frames survive the call)
+    base = _word_seqs(df, text_col, min_word_freq).cache()
+    seqs = base
+    rows = []
+    schema = None
     for step in range(1, num_merges + 1):
         split = seqs.select(F.split(F.trim("_seq"), " ").alias("_t"), "_f")
         pairs = (
@@ -221,58 +235,53 @@ def wordpiece_train(
             .groupBy("_pair")
             .agg(F.sum("_f").alias("_cnt"))
         )
-        syms = (
+        # symbol counts as ONE broadcast map row instead of two
+        # split-half equi-joins: the symbol vocabulary is initial chars
+        # + one new symbol per merge — bounded, never corpus-sized
+        symmap = (
             split.select(F.explode("_t").alias("_s"), "_f")
             .groupBy("_s")
             .agg(F.sum("_f").alias("_sc"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_s", "_sc"))
+                ).alias("_m")
+            )
         )
         left = F.substring_index(F.col("_pair"), " ", 1)
         right = F.substring_index(F.col("_pair"), " ", -1)
-        scored = (
-            pairs.join(
-                syms.select(F.col("_s").alias("_ls"), F.col("_sc").alias("_lc")),
-                left == F.col("_ls"),
-            )
-            .join(
-                syms.select(F.col("_s").alias("_rs"), F.col("_sc").alias("_rc")),
-                right == F.col("_rs"),
-            )
-            .withColumn(
-                "_score",
-                F.col("_cnt")
-                / (F.col("_lc").cast("double") * F.col("_rc")),
-            )
+        scored = pairs.crossJoin(F.broadcast(symmap)).withColumn(
+            "_score",
+            F.col("_cnt")
+            / (
+                F.element_at(F.col("_m"), left).cast("double")
+                * F.element_at(F.col("_m"), right)
+            ),
         )
-        best = scored.orderBy(
-            F.col("_score").desc(), F.col("_pair").asc()
-        ).limit(1)
-        merges.append(
-            best.select(
+        best = (
+            scored.orderBy(F.col("_score").desc(), F.col("_pair").asc())
+            .limit(1)
+            .select(
                 F.lit(step).alias("step"),
                 F.col("_pair").alias("pair"),
                 F.col("_cnt").alias("freq"),
                 F.round("_score", 12).alias("score"),
             )
         )
-        seqs = (
-            seqs.crossJoin(F.broadcast(best.select(F.col("_pair").alias("_bp"))))
-            .withColumn(
-                "_seq",
-                F.replace(
-                    F.col("_seq"),
-                    F.concat(F.lit(" "), F.col("_bp"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("_bp"), F.lit(" "), F.lit("")),
-                        F.lit(" "),
-                    ),
-                ),
-            )
-            .drop("_bp")
+        if schema is None:
+            schema = best.schema
+        row = best.collect()[0]  # 1 row by construction (limit 1)
+        rows.append(row)
+        merged = row.pair.replace(" ", "")
+        seqs = seqs.withColumn(
+            "_seq",
+            F.replace(
+                F.col("_seq"),
+                F.lit(f" {row.pair} "),
+                F.lit(f" {merged} "),
+            ),
         )
         if checkpoint_every and step % checkpoint_every == 0:
             seqs = seqs.localCheckpoint(eager=False)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    base.unpersist()
+    return spark.createDataFrame(rows, schema)
