@@ -1800,6 +1800,18 @@ def _qdigest_compress(
         final_low = None
         rest = nodes
     rows = rest.collect()  # bounded: <= 2^(universe_bits - split + 1)
+    bound = 1 << (universe_bits - split + 1)
+    if len(rows) > bound:
+        # distinct (lvl, idx) nodes at levels >= split of a 2^ubits
+        # dyadic universe cannot exceed the bound — exceeding it means
+        # the input was not a valid node table; fail loud rather than
+        # let a corrupt caller grow the driver finish unboundedly
+        raise RuntimeError(
+            f"q-digest top-level collect returned {len(rows)} rows, over "
+            f"the construction bound {bound} "
+            f"(universe_bits={universe_bits}, split={split}); "
+            "the input node table violates the dyadic-universe contract"
+        )
     lvl = np.fromiter((r.lvl for r in rows), dtype=np.int64, count=len(rows))
     idx = np.fromiter((r.idx for r in rows), dtype=np.int64, count=len(rows))
     cnt = np.fromiter((r.cnt for r in rows), dtype=np.int64, count=len(rows))

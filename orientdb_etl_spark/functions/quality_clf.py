@@ -260,6 +260,15 @@ def train_quality_classifier(
         if not eager:
             w = w.cache()
         rows = w.collect()
+        if len(rows) != buckets + 1:
+            # the grid join pins one row per bucket slot (+ bias) by
+            # construction — any other cardinality means the weight
+            # table was corrupted upstream; raise before the literal
+            # rebuild silently drops/duplicates slots
+            raise RuntimeError(
+                f"weight table collected {len(rows)} rows, expected "
+                f"{buckets + 1} (buckets={buckets} + bias slot)"
+            )
         if eager:
             w = spark.createDataFrame(rows, w.schema)
         by_b = {r.b: r.w_nano for r in rows}

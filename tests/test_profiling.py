@@ -1003,3 +1003,19 @@ def test_kmv_overlap_config_transformer(spark):
     r = p.run().outputs["ov"].collect()[0]
     assert (r.n_a, r.n_b, r.n_inter) == (30, 30, 20)
     assert r.est_inter == 20.0
+
+
+def test_qdigest_compress_top_level_bound_raises(spark):
+    """_qdigest_compress's driver finish collects the nodes at levels
+    >= split — bounded by the dyadic universe. A node table violating
+    the contract (more distinct rows than the universe admits) must
+    fail loud, not grow the driver state (VERDICT r8 #8)."""
+    import pytest
+
+    from orientdb_etl_spark.functions.profiling import _qdigest_compress
+
+    # universe_bits=2 -> split=0, bound=2^3=8; feed 12 "nodes"
+    rows = [(0, i, 1) for i in range(12)]
+    nodes = spark.createDataFrame(rows, "lvl int, idx long, cnt long")
+    with pytest.raises(RuntimeError, match="construction bound"):
+        _qdigest_compress(nodes, t=100, universe_bits=2)
