@@ -131,6 +131,14 @@ def _viterbi_counts(
             f"'i', _idx, 'v', coalesce(lp, {_NEG})))), x -> x.v)"
         ).alias("_sc")
     )
+    return _dp_piece_counts(arr, L)
+
+
+def _dp_piece_counts(arr: DataFrame, L: int) -> DataFrame:
+    """Forward DP + exact-equality backtrace + frequency-weighted
+    chosen-piece counts over a ``(_w, _f, _sc)`` frame whose ``_sc`` is
+    the flat per-word score array (shared by the lazy join-built path
+    and the eager slot-array path)."""
     # forward pass: acc[j] holds best(j-1); best(i) probes best(i-l) at
     # acc[i-l+1] and the piece ending at i at _sc[(i-l)*L + l]
     dp = arr.withColumn(
@@ -305,24 +313,24 @@ def unigram_lm_train(
     # bounded-cache case the cache-discipline doc allows.
     if eager:
         # iteration state is VOCABULARY-sized, so pin it driver-side per
-        # iteration (the k-means-centroids pattern): `_pin` collapses a
-        # |V|-row frame to a literal in-memory table, cutting execution
-        # AND plan lineage — without the plan cut, every iteration nests
-        # the previous iterations' Viterbi expression trees and Catalyst
-        # re-optimization time grows superlinearly in n_iter (measured:
-        # loss-prune n_iter=2 60.9 s with caches vs 8.8 s truncated).
-        # The grid is word-table-sized (bounded, never corpus-sized);
-        # one cache pins it so the corpus is scanned once, released
-        # before returning — zero persisted frames survive the call.
+        # iteration (the k-means-centroids pattern). The grid is
+        # word-table-sized (bounded, never corpus-sized); one cache pins
+        # it so the corpus is scanned once, released before returning —
+        # zero persisted frames survive the call.
         spark = df.sparkSession
-
-        def _pin(frame: DataFrame) -> DataFrame:
-            return spark.createDataFrame(frame.collect(), frame.schema)
-
         grid = grid.cache()
     seed = singles.unionByName(multis)
     if eager:
-        seed = _pin(seed)
+        seed_rows = seed.collect()  # |V|-bounded by construction
+        return _train_eager(
+            spark,
+            grid,
+            seed_rows,
+            max_piece_len,
+            n_iter,
+            prune_to,
+            prune_by,
+        )
     else:
         # each vocabulary table has MULTIPLE consumers (its own total
         # aggregate + the cross join in _with_logp, the next E-step's
@@ -347,7 +355,7 @@ def unigram_lm_train(
             if prune_by == "loss":
                 # the PRE-prune counts feed four consumers (singles, the
                 # full-vocab total + rows, the loss join) — cut here too
-                counts = _pin(counts) if eager else counts.cache()
+                counts = counts.cache()
                 vocab_full = _with_logp(counts)
                 losses = vocab_full.join(
                     _alt_scores(vocab_full, max_piece_len), "piece"
@@ -373,20 +381,217 @@ def unigram_lm_train(
                 )
             kept_singles = counts.filter(F.length("piece") == 1)
             counts = kept_singles.unionByName(kept_multis)
-        counts = _pin(counts) if eager else counts.cache()
+        counts = counts.cache()
         if prune_to is not None:
             pieces = counts.select("piece")
         vocab = _with_logp(counts)
-    out = vocab.select(
+    return vocab.select(
         "piece",
         F.col("cnt").cast("bigint").alias("freq"),
         F.col("lp").alias("logp"),
     )
-    if eager:
-        # the final vocab derives from a literal table — releasing the
-        # grid cache leaves NOTHING persisted and the result stays valid
+
+
+def _train_eager(
+    spark,
+    grid: DataFrame,
+    seed_rows: list,
+    max_piece_len: int,
+    n_iter: int,
+    prune_to: int | None,
+    prune_by: str,
+) -> DataFrame:
+    """The eager (driver-pinned) EM loop, restructured for round 9.
+
+    The old eager path re-ran, EVERY iteration, the grid⋈vocab
+    broadcast join plus the per-word ``collect_list`` regroup that
+    assembles the flat score arrays — a corpus-vocabulary-sized shuffle
+    per iteration at scale, and the dominant per-job latency at the
+    fixtures. The piece GEOMETRY of that array is vocabulary-
+    independent: which (start, len) cell holds which substring never
+    changes — only the log-probabilities do. So the per-word arrays are
+    built ONCE as SEED-SLOT INDEX arrays (``_si[idx]`` = the seed slot
+    of the cell's piece, −1 if out of vocabulary/range) and cached, and
+    each iteration's scores are a ``transform`` lookup into that
+    iteration's log-prob ARRAY LITERAL (``F.lit(list)`` — a true
+    Literal, O(1) ``element_at``, safe inside lambdas; per-slot
+    CreateArray forms are NOT constant-folded there). Per iteration
+    this leaves ONE corpus-vocabulary-sized job (DP + chosen-piece
+    count, a single exchange) plus one literal-sized log-prob job.
+
+    Bit-parity with the lazy path: pruned/out-of-vocabulary cells score
+    the same ``-1e9`` double; in-vocabulary cells read the identical
+    6-dp-rounded ``lp`` doubles COLLECTED from Spark (``log`` never
+    runs in Python); the DP folds the same doubles in the same order.
+    The M-step (Laplace +1) and the prune ranks are exact integer /
+    collected-double arithmetic, so the driver replay of the relational
+    forms is exact (the Bradley-Terry precedent). All per-iteration
+    driver state is vocabulary-bounded by construction; both caches are
+    released before returning — zero persisted frames survive."""
+    L = max_piece_len
+    slot_pieces = sorted(r.piece for r in seed_rows)
+    slot_df = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(slot_pieces)], "_p string, _slot int"
+    )
+    arr0 = (
+        grid.join(F.broadcast(slot_df), "_p", "left")
+        .withColumn("_idx", ((F.col("_s") - 1) * L + F.col("_l")).cast("int"))
+        .groupBy("_w", "_f")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'i', _idx, 'v', coalesce(_slot, -1)))), x -> x.v)"
+            ).alias("_si")
+        )
+        .cache()
+    )
+    counts = {r.piece: int(r.cnt) for r in seed_rows}
+    alive = set(counts)
+    if prune_to is None:
+        # fixed-vocabulary EM: every intermediate is SINGLE-consumer
+        # (state row -> E-step -> chosen counts -> next state), so the
+        # whole n_iter chain runs LAZILY inside ONE action — the only
+        # driver pin is the final |V|-bounded counts collect. Pruning
+        # needs a rank between iterations (multi-consumer), so the
+        # prune modes keep the per-iteration pin loop below.
+        slots_lit = spark.createDataFrame(
+            [(p, i) for i, p in enumerate(slot_pieces)],
+            "piece string, _slot int",
+        )
+        counts_df = spark.createDataFrame(
+            sorted(counts.items()), "piece string, cnt bigint"
+        ).join(F.broadcast(slots_lit), "piece").select("_slot", "cnt")
+        for _ in range(n_iter):
+            # slot-ordered log-prob array in ONE aggregation (sum +
+            # collect_list together keep counts_df single-consumer);
+            # cnt is never NULL here — Laplace keeps every slot alive
+            lprow = counts_df.agg(
+                F.sum("cnt").alias("_tot"),
+                F.expr(
+                    "array_sort(collect_list(named_struct("
+                    "'i', _slot, 'c', cnt)))"
+                ).alias("_cs"),
+            ).select(
+                F.expr(
+                    "transform(_cs, x -> round(ln(x.c / _tot), 6))"
+                ).alias("_lparr")
+            )
+            arr = arr0.crossJoin(F.broadcast(lprow)).select(
+                "_w",
+                "_f",
+                F.transform(
+                    F.col("_si"),
+                    lambda i: F.when(
+                        i < 0, F.lit(-1e9).cast("double")
+                    ).otherwise(
+                        F.element_at(F.col("_lparr"), i + F.lit(1))
+                    ),
+                ).alias("_sc"),
+            )
+            chosen = _dp_piece_counts(arr, L)
+            counts_df = slots_lit.join(chosen, "piece", "left").select(
+                "_slot",
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).alias(
+                    "cnt"
+                ),
+            )
+        rows = counts_df.collect()  # <= |V| by construction
+        counts = {slot_pieces[r._slot]: int(r.cnt) for r in rows}
+        final = spark.createDataFrame(
+            sorted(counts.items()), "piece string, cnt bigint"
+        )
         grid.unpersist()
-    return out
+        arr0.unpersist()
+        return _with_logp(final).select(
+            "piece",
+            F.col("cnt").cast("bigint").alias("freq"),
+            F.col("lp").alias("logp"),
+        )
+    for _ in range(n_iter):
+        # log-probs of the CURRENT vocabulary, computed IN-PLAN as a
+        # 1-row slot-ordered array (log stays in Spark so the doubles
+        # match the relational twin bit-for-bit) and broadcast into the
+        # E-step — one job per iteration, and the DP stage's generated
+        # code stays literal-free, so codegen caches across iterations
+        cur = spark.createDataFrame(
+            [(i, counts.get(p)) for i, p in enumerate(slot_pieces)],
+            "_slot int, cnt bigint",
+        )  # cnt NULL = pruned/out of the current vocabulary
+        tot = cur.agg(F.sum("cnt").alias("_tot"))  # sum skips NULLs
+        lprow = (
+            cur.crossJoin(F.broadcast(tot))
+            .select(
+                "_slot",
+                F.when(
+                    F.col("cnt").isNull(), F.lit(-1e9).cast("double")
+                )
+                .otherwise(
+                    F.round(F.log(F.col("cnt") / F.col("_tot")), 6)
+                )
+                .alias("_v"),
+            )
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'i', _slot, 'v', _v))), x -> x.v)"
+                ).alias("_lparr")
+            )
+        )
+        arr = arr0.crossJoin(F.broadcast(lprow)).select(
+            "_w",
+            "_f",
+            F.transform(
+                F.col("_si"),
+                lambda i: F.when(i < 0, F.lit(-1e9).cast("double")).otherwise(
+                    F.element_at(F.col("_lparr"), i + F.lit(1))
+                ),
+            ).alias("_sc"),
+        )
+        chosen_rows = _dp_piece_counts(arr, L).collect()  # <= |V| rows
+        chosen = {r.piece: int(r.cnt) for r in chosen_rows}
+        # M-step: Laplace over the current piece set — exact integers
+        counts = {p: chosen.get(p, 0) + 1 for p in alive}
+        if prune_to is not None:
+            if prune_by == "loss":
+                # alt scores are a vocabulary-sized Spark DP (log/DP
+                # doubles stay engine-side); the top-k rank runs on the
+                # COLLECTED 6-dp-rounded losses — same total order as
+                # the relational TakeOrdered
+                vf = spark.createDataFrame(
+                    sorted((p, counts[p]) for p in alive),
+                    "piece string, cnt bigint",
+                )
+                vocab_full = _with_logp(vf)
+                loss_rows = vocab_full.join(
+                    _alt_scores(vocab_full, L), "piece"
+                ).select(
+                    "piece",
+                    F.round(
+                        F.col("cnt") * (F.col("lp") - F.col("alt")), 6
+                    ).alias("loss"),
+                ).collect()
+                ranked = sorted(
+                    loss_rows, key=lambda r: (-r.loss, r.piece)
+                )
+                kept = {r.piece for r in ranked[:prune_to]}
+            else:
+                multis_l = sorted(
+                    (p for p in alive if len(p) > 1),
+                    key=lambda p: (-counts[p], p),
+                )
+                kept = set(multis_l[:prune_to])
+            alive = {p for p in alive if len(p) == 1} | kept
+            counts = {p: counts[p] for p in alive}
+    final = spark.createDataFrame(
+        sorted(counts.items()), "piece string, cnt bigint"
+    )
+    grid.unpersist()
+    arr0.unpersist()
+    return _with_logp(final).select(
+        "piece",
+        F.col("cnt").cast("bigint").alias("freq"),
+        F.col("lp").alias("logp"),
+    )
 
 
 def unigram_segment(
