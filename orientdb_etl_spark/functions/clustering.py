@@ -116,13 +116,41 @@ def kmeans_quantized(
     previous centroid (deterministic; the oracle replicates via left
     join + coalesce).
     """
-    dims = len(df.select(vec_col).first()[0])
+    q, cents = _kmeans_rounds(df, vec_col, id_col, k, rounds, scale, seed)
+    # materialize the final assignment (executor-side, one narrow row
+    # per vector) so the round-cached quantized frame can be released —
+    # the cache-discipline rule from SCALE.md: whoever caches, unpersists
+    final = (
+        _assign(q, cents)
+        .select(F.col(id_col), "cluster", F.col("_d2").alias("dist2"))
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
+    return final, cents
+
+
+def _kmeans_rounds(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    rounds: int,
+    scale: int,
+    seed: int,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Shared Lloyd loop: returns the CACHED quantized frame (caller
+    must unpersist) and the round-``rounds`` centroids. The dimension
+    count comes from the seed centroids themselves — the old separate
+    ``df.first()`` probe was one whole extra job per call."""
     q = (
         df.select(F.col(id_col), _quantize(vec_col, scale).alias("_q"))
         .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .cache()
     )
     cents = _seed_centroids(q, id_col, k, seed)
+    if not cents:
+        raise ValueError("kmeans: input has no non-null vectors")
+    dims = len(cents[0])
     for _ in range(int(rounds)):
         asg = _assign(q, cents)
         sums = (
@@ -151,16 +179,7 @@ def kmeans_quantized(
             else:
                 new_cents.append(cents[j])
         cents = new_cents
-    # materialize the final assignment (executor-side, one narrow row
-    # per vector) so the round-cached quantized frame can be released —
-    # the cache-discipline rule from SCALE.md: whoever caches, unpersists
-    final = (
-        _assign(q, cents)
-        .select(F.col(id_col), "cluster", F.col("_d2").alias("dist2"))
-        .localCheckpoint(eager=True)
-    )
-    q.unpersist()
-    return final, cents
+    return q, cents
 
 
 def _int_mean(s: int, n: int) -> int:

@@ -135,9 +135,12 @@ def pagerank(
     oracle (a recursive CTE driving the same recurrence).
 
     Fixed ``iterations`` (not convergence-tested) keeps the run
-    deterministic and avoids a per-iteration driver action; the
-    per-iteration ``localCheckpoint`` bounds lineage, which is what keeps
-    iteration N's plan identical in size to iteration 1's at any scale.
+    deterministic and avoids a per-iteration driver action. Each
+    iteration's rank frame has exactly ONE consumer (the next
+    iteration's contribution join), so iterations chain LAZILY into the
+    caller's single action; ``localCheckpoint`` cuts lineage only every
+    8 iterations to bound plan growth for large budgets (the edge and
+    node frames, consumed every iteration, keep their up-front cuts).
 
     ``seeds`` (a 1-column ``id`` frame) switches to PERSONALIZED
     PageRank: teleport mass (1-d) flows only to the seed set (p(v) =
@@ -176,7 +179,7 @@ def pagerank(
         F.count(F.lit(1)).alias("_deg")
     )
     ranks = nodes.select("id", F.col("_p").alias("rank"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             ranks.join(out_deg, "id")
             .join(e, F.col("id") == F.col("_src"))
@@ -187,17 +190,15 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) * F.col("_p")
-                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * F.col("_p")
+                + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if it % 8 == 0 and it < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -293,7 +294,10 @@ def bfs_distances(
         nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        # dist is a union of already-checkpointed hop frames — cheap to
+        # re-traverse (no shuffle above the checkpoints), so it needs no
+        # checkpoint of its own: dropping it saves one job per hop
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
 
@@ -446,31 +450,34 @@ def label_propagation(
     Scale shape per round: one edges⋈labels equi-join on the vertex key
     + one (node, label) count + one max_by argmax per node — all
     shuffled on the vertex key (the partitioning reuses across rounds),
-    no window. ``localCheckpoint`` bounds lineage. The symmetrized
-    frame guarantees every node has ≥1 neighbor, so no keep-own-label
-    outer join is needed.
+    no window. Each round's label frame has exactly ONE consumer (the
+    next round's join), so the rounds chain LAZILY into a single action
+    — no per-round job barrier; ``localCheckpoint`` cuts lineage only
+    every ``checkpoint_every`` rounds to bound plan growth for large
+    round budgets (the edge frame, consumed every round, keeps its
+    up-front cut). The symmetrized frame guarantees every node has ≥1
+    neighbor, so no keep-own-label outer join is needed.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    checkpoint_every = 8
     ed = symmetrize(edges, src, dst).localCheckpoint()
     labels = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(int(rounds)):
+    for r in range(1, int(rounds) + 1):
         nbr = ed.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c"))
-        labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.max_by(
-                    F.col("label"),
-                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
-                ).alias("label")
-            )
-            .localCheckpoint()
+        labels = cnt.groupBy("node").agg(
+            F.max_by(
+                F.col("label"),
+                F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
+            ).alias("label")
         )
+        if r % checkpoint_every == 0 and r < int(rounds):
+            labels = labels.localCheckpoint()
     return labels
 
 
@@ -562,19 +569,24 @@ def weighted_sssp(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
-        # fixpoint check: same vertex set AND no shorter distance
-        if nxt.count() == dist.count():
-            improved = (
-                nxt.alias("n")
-                .join(dist.alias("o"), "id")
-                .where(F.col("n.dist") < F.col("o.dist"))
-                .limit(1)
-                .count()
-            )
-            if improved == 0:
-                dist = nxt
-                break
+        # fixpoint check in ONE job (the connected-components sym-diff
+        # trick): nxt's id set always contains dist's and nxt.dist <=
+        # dist.dist per id, so the round improved nothing iff the two
+        # frames are IDENTICAL row sets — both sides are distinct by
+        # construction, so any (id, dist) row appearing on exactly one
+        # side is a change. Replaces the old two counts + occasional
+        # probe join per round.
+        changed = (
+            nxt.unionByName(dist)
+            .groupBy("id", "dist")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") == 1)
+            .limit(1)
+            .count()
+        )
         dist = nxt
+        if changed == 0:
+            break
     return dist
 
 

@@ -61,13 +61,16 @@ def test_pagerank_matches_reference_recurrence(spark):
     assert got[4] == pytest.approx(0.15 / 4, abs=1e-12)
 
 
-def test_pagerank_plan_size_constant_over_iterations(spark):
-    """localCheckpoint must truncate lineage: the 8-iteration plan may not
-    be ~8x the 2-iteration plan."""
+def test_pagerank_plan_size_bounded_by_periodic_checkpoint(spark):
+    """Round 9 chains single-consumer iterations lazily (no per-round
+    job barrier) and cuts lineage every 8 iterations: the 16-iteration
+    plan must stay in the same ballpark as the 8-iteration plan — the
+    checkpoint at iteration 8 resets the lineage, so growth past it is
+    bounded, not cumulative."""
     e = _edges(spark, [(1, 2), (2, 1)])
-    p2 = pagerank(e, iterations=2)._jdf.queryExecution().toString()
     p8 = pagerank(e, iterations=8)._jdf.queryExecution().toString()
-    assert len(p8) < 2 * len(p2)
+    p16 = pagerank(e, iterations=16)._jdf.queryExecution().toString()
+    assert len(p16) < 2 * len(p8)
 
 
 def test_graph_config_transformers(spark):
