@@ -7234,7 +7234,11 @@ def q_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = qdigest_quantiles(merged, qs, k=64, universe_bits=16).collect()
     n_sketch = sum(r.cnt for r in merged.collect())
     bound = 16 * max(n_sketch // 64, 1)
-    data = cents.drop("_sk").localCheckpoint(eager=True)
+    # the exact-data certificate reads straight from the lineitem scan
+    # (cents never references the scratch dir), so no eager
+    # materialization is needed before the rmtree — the old
+    # localCheckpoint here was one whole extra pass over the table
+    data = cents.drop("_sk")
     _shutil.rmtree(base, ignore_errors=True)
     cert = data.agg(
         F.count(F.lit(1)).alias("_n"),
