@@ -682,8 +682,14 @@ def containment_join(
             F.col("_sb") >= F.ceil(F.lit(float(threshold)) * F.col("_sa"))
         )
         .select("_ll", "_sa", "_rr")
-        .distinct()
     )
+    if threshold < 1.0:
+        # a pair can collide on up to |prefix| tokens, so dedup before
+        # the verify joins. At t = 1.0 the prefix is EXACTLY one token
+        # (|L| - ceil(|L|) + 1) and R's postings are distinct, so each
+        # (L, R) pair appears at most once — the distinct would be a
+        # no-op that still shuffles the whole candidate stream
+        cand = cand.distinct()
     fa = lord.select("_ll", F.col("_ord").alias("_ta"))
     fb = rt.select("_rr", F.col("_toks").alias("_tb"))
     ov = F.expr("size(array_intersect(_ta, _tb))")
