@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from orientdb_etl_spark.functions.quality_clf import (
     _doc_feature_arrays,
     _margin_expr,
-    _w_literal,
+    _w_row,
     train_quality_classifier,
 )
 
@@ -131,17 +131,22 @@ def doremi_mixture(
         by_b = {r.b: r.w_nano for r in frame.collect()}  # buckets-sized
         return [by_b[b] for b in range(buckets + 1)]
 
-    def _p_l_exprs(wl: "list[int]"):
-        """(σ(margin), micro-nat loss) under literal weights — the
-        exact float steps of the old _doc_losses on the identical
-        integer dot product, with zero joins/shuffles."""
-        m = _margin_expr(_w_literal(wl))
+    def _p_l_exprs():
+        """(σ(margin), micro-nat loss) folding against the 1-row
+        broadcast weight array (``_warr`` — see quality_clf._w_row):
+        the exact float steps of the old _doc_losses on the identical
+        integer dot product, with the generated code literal-free so
+        codegen caches across DRO steps."""
+        m = _margin_expr(F.col("_warr"))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
         loss = F.log(
             F.lit(1.0)
             + F.exp(-(F.lit(2.0) * F.col("y") - F.lit(1.0)) * m)
         )
         return p, F.round(loss * F.lit(1e6)).cast("bigint")
+
+    def _docf_w(wl: "list[int]") -> DataFrame:
+        return docf.crossJoin(F.broadcast(_w_row(spark, wl)))
 
     # reference model on the uniform mixture (plain full-batch GD),
     # sharing the cached doc-feature arrays
@@ -158,9 +163,10 @@ def doremi_mixture(
         eager=eager,
         _docf=docf,
     )
-    _, l_ref = _p_l_exprs(_wl(w_ref))
+    _, l_ref = _p_l_exprs()
     ref_dom = (
-        docf.groupBy("_d")
+        _docf_w(_wl(w_ref))
+        .groupBy("_d")
         .agg(F.sum(l_ref).alias("ref_sum"))
         .join(per_dom, "_d")
     )
@@ -184,10 +190,11 @@ def doremi_mixture(
         # recomputing them in the excess aggregation AND the gradient
         # pass is cheaper than the old materialize-join-cache of a
         # per-doc loss table (one whole shuffle + cache per step)
-        _p, l_cur = _p_l_exprs(wl)
+        _p, l_cur = _p_l_exprs()
         # per-domain excess loss vs the reference (nats, ≥ 0)
         excess = (
-            docf.groupBy("_d")
+            _docf_w(wl)
+            .groupBy("_d")
             .agg(F.sum(l_cur).alias("p_sum"))
             .join(ref_dom, "_d")
             .select(
@@ -208,7 +215,8 @@ def doremi_mixture(
         # aggregations of the step can run as CONCURRENT jobs (guide
         # §2.6: the second job back-fills the first one's task tail)
         s_db = (
-            docf.select(
+            _docf_w(wl)
+            .select(
                 "_d", "y", "n", _p.alias("_p"), F.explode("fs").alias("x")
             )
             .select(

@@ -163,6 +163,19 @@ def _margin_expr(wlit) -> "F.Column":
     return _dot_expr(wlit).cast("double") / (F.lit(1e9) * F.col("n"))
 
 
+def _w_row(spark, wl: "list[int]") -> DataFrame:
+    """The weight vector as a 1-row broadcastable frame (``_warr``).
+
+    Iterative trainers attach it with ``crossJoin(broadcast(...))`` and
+    fold against ``F.col("_warr")`` instead of a fresh 1025-wide
+    literal: the literal form regenerates (and recompiles) the stage's
+    code every iteration because the constants are inlined, ~0.25 s per
+    corpus pass at the fixtures — the broadcast form keeps the
+    generated code literal-free so codegen caches across iterations.
+    The fold arithmetic is identical (same bigints via element_at)."""
+    return spark.createDataFrame([(list(wl),)], "_warr array<bigint>")
+
+
 def train_quality_classifier(
     train: DataFrame,
     label_col: str = "label",
@@ -217,12 +230,16 @@ def train_quality_classifier(
     wl = [0] * (buckets + 1)
     for _ in range(iters):
         # per-doc sigmoid from the map-side integer dot product against
-        # the LITERAL weight vector — no join, no per-doc shuffle; the
+        # the 1-row BROADCAST weight array — no per-doc shuffle; the
         # one corpus-sized exchange per iteration is the gradient's
-        # groupBy(b) with map-side partial sums
-        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_expr(_w_literal(wl))))
+        # groupBy(b) with map-side partial sums (see _w_row for why
+        # this beats the literal form in a loop)
+        sig = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-_margin_expr(F.col("_warr")))
+        )
         grads = (
-            docf.select(
+            docf.crossJoin(F.broadcast(_w_row(spark, wl)))
+            .select(
                 "y", "n", sig.alias("_p"), F.explode("fs").alias("x")
             )
             .select(
